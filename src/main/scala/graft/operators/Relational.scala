@@ -1,0 +1,287 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Host-engine relational surface (SURVEY.md §2.2, §2.4-2.8).
+  *
+  * The reference (lithium-tech/duckdb-graphar) delegates all general
+  * relational processing — joins, aggregation, windows, sorts, set ops,
+  * scalar functions — to the host DuckDB engine (SURVEY.md §2, "It
+  * implements no joins, aggregations ... of its own"). Our engine
+  * delegates the same surface to Spark SQL / Catalyst. These queries
+  * pin that surface against the DuckDB oracle.
+  *
+  * Oracle-parity rules used throughout:
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - double SUMs rounded to the true decimal precision of the data
+  *    (cent-valued money → 2) so fp accumulation order can't flip a bit;
+  *  - window running sums are order-defined, so identical bit-for-bit;
+  *  - event timestamps truncated to seconds (parquet ns vs Spark µs).
+  */
+object Relational {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style scan + hash aggregate. Map-side partial agg + final:
+    // the canonical 100TB-friendly shape (shuffle carries 6 groups).
+    "q1_agg" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1995-12-31"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Star join: dims broadcast (no shuffle of the fact side beyond the
+    // final 25-group aggregate) — at 100TB the fact table never shuffles.
+    "q2_join" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+    },
+
+    // Top-k over an aggregate; rank materialized so the result is
+    // order-independent. Global window runs on the already-aggregated
+    // (small) side, never on the fact table.
+    "q3_topk" -> { (s, d) =>
+      val rev = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      rev
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("revenue").desc, col("o_custkey"))))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("o_custkey"), col("revenue"))
+    },
+
+    // Window functions: per-key ordered frame, running sum (order-defined
+    // accumulation → bit-identical across engines).
+    "q4_window" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_sum",
+          round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("run_sum"))
+    },
+
+    // Set operations (distinct semantics, like SQL INTERSECT/EXCEPT).
+    "q5_setops" -> { (s, d) =>
+      val p = t(s, d, "part")
+      val big = p.filter(col("p_size") >= 25).select(col("p_brand"))
+      val cheap = p.filter(col("p_retailprice") < lit(1200.0)).select(col("p_brand"))
+      big.intersect(cheap).unionAll(big.except(cheap).withColumn("p_brand", concat(col("p_brand"), lit("#only_big")))).select(col("p_brand"))
+    },
+
+    // Selective filter + narrow projection: both must reach the parquet
+    // scan (PushedFilters / ReadSchema) — checked in PlanSpec.
+    "q6_filter" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1995-02-01") && col("l_discount") > lit(0.07))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+    },
+
+    // Distinct aggregation (expands to two-phase distinct agg in Spark).
+    "q7_distinct" -> { (s, d) =>
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+
+    // ROLLUP grouping sets.
+    "q8_rollup" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+    },
+
+    // Semi/anti joins (EXISTS / NOT EXISTS): customers with no orders +
+    // count of customers with orders. Anti side stays distributed.
+    "q9_semi_anti" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").select(col("o_custkey"))
+      val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      without.unionAll(withO)
+    },
+
+    // Scalar function library parity: string/date/math built-ins.
+    "q10_scalar" -> { (s, d) =>
+      t(s, d, "part")
+        .filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          // *1.5 is an exact fp op → bit-identical in both engines, no
+          // rounding needed (×1.1 would land on .xx5 print boundaries).
+          (col("p_retailprice") * 1.5).as("marked_up"),
+          abs(col("p_size") - 25).as("size_dev"),
+          pmod(col("p_partkey"), lit(7)).as("bucket"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+    },
+
+    // Tumbling-window aggregation over the events table — the batch
+    // equivalent of the Structured Streaming pipeline in
+    // graft.streaming (same window(), same agg).
+    "q11_events_window" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    },
+
+    // Gap-based sessionization (30 min), expressed with window functions;
+    // the streaming twin uses flatMapGroupsWithState. Second-truncated
+    // timestamps for ns-vs-µs oracle parity.
+    "q12_sessionize" -> { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("tss"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tss"), col("event_id"))
+      ev.withColumn("prev", lag(col("tss"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            col("tss").cast("long") - col("prev").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tss")).as("start_ts"),
+          max(col("tss")).as("end_ts"),
+          round(sum(col("value")), 2).as("session_value"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_join" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT rank, o_custkey, revenue FROM (
+        |  SELECT o_custkey, revenue,
+        |    row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rank
+        |  FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        |        FROM orders GROUP BY o_custkey))
+        |WHERE rank <= 10""".stripMargin,
+
+    "q4_window" ->
+      """SELECT o_custkey, o_orderkey, rn, run_sum FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn,
+        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS run_sum
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE rn <= 3""".stripMargin,
+
+    "q5_setops" ->
+      """SELECT p_brand FROM
+        |  (SELECT p_brand FROM part WHERE p_size >= 25
+        |   INTERSECT
+        |   SELECT p_brand FROM part WHERE p_retailprice < 1200.0)
+        |UNION ALL
+        |SELECT p_brand || '#only_big' AS p_brand FROM
+        |  (SELECT p_brand FROM part WHERE p_size >= 25
+        |   EXCEPT
+        |   SELECT p_brand FROM part WHERE p_retailprice < 1200.0)""".stripMargin,
+
+    "q6_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-02-01 00:00:00'
+        |  AND l_discount > 0.07""".stripMargin,
+
+    "q7_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "q8_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q9_semi_anti" ->
+      """SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q10_scalar" ->
+      """SELECT p_partkey,
+        |  upper(substring(p_name, 1, 8)) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  p_retailprice * 1.5 AS marked_up,
+        |  abs(p_size - 25) AS size_dev,
+        |  p_partkey % 7 AS bucket,
+        |  concat_ws('-', p_brand, p_type) AS brand_type
+        |FROM part WHERE p_partkey <= 200""".stripMargin,
+
+    "q11_events_window" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q12_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS tss, value
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, tss, value,
+        |    lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev
+        |  FROM ev),
+        |flagged AS (
+        |  SELECT user_id, event_id, tss, value,
+        |    CASE WHEN prev IS NULL
+        |           OR CAST(floor(epoch(tss)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, tss, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(tss) AS start_ts, max(tss) AS end_ts,
+        |  round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin
+  )
+}
