@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.queries, operators.Relational.oracle)
+      (operators.Relational.queries, operators.Relational.oracle),
+      (graph.GraphQueries.queries, graph.GraphQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

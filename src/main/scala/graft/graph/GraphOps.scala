@@ -1,0 +1,121 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph operators over an edge DataFrame with columns (src: long, dst: long).
+  *
+  * Re-expresses the reference's graph table functions
+  * (`src/functions/table/hop.cpp`, `edges_vertex.cpp`,
+  * `src/functions/scalar/bfs.cpp`) as declarative Spark plans:
+  *
+  *  - `oneHop`   — `read_edges` + pushed src filter (reference: CSR offset
+  *                 seek, `read_edges.cpp:114-153`). Here: a filter Catalyst
+  *                 pushes into the scan.
+  *  - `twoHop`   — reference `two_hop` (`hop.cpp:104-135`): emits 1-hop
+  *                 edges, then the out-edges of every 1-hop neighbor,
+  *                 frontier kept *with duplicates* (`hop.cpp:126-129`) — an
+  *                 inner join against the non-distinct frontier reproduces
+  *                 exactly that multiplicity.
+  *  - `oneMoreHop` — reference `one_more_hop` (`hop.cpp:188-225`): frontier
+  *                 dedup'd (unordered_set, `hop.hpp:82`) and second-hop
+  *                 edges additionally require dst ∈ frontier — two
+  *                 semi-joins.
+  *  - `degrees`  — reference `edges_vertex` (`edges_vertex.cpp:132-194`):
+  *                 out-degree per source vertex. The reference reads CSR
+  *                 offset files; over a generic edge table the scalable
+  *                 plan is a map-side-combined count per key.
+  *  - `bfsLength`/`bfsExists` — reference `bfs_length`/`bfs_exist`
+  *                 (`bfs.cpp:19-163`): single-threaded queue BFS with an
+  *                 O(V) visited array. At 100TB that collapses (see
+  *                 BASELINE.md: 300+s self-paths); here: driver-orchestrated
+  *                 distributed frontier expansion — each iteration is one
+  *                 hash join + distinct + anti-join, all map-side
+  *                 combinable, with localCheckpoint to cut lineage.
+  *
+  * At cluster scale: `edges` should be persisted and, for repeated BFS /
+  * hop queries, pre-partitioned by `src` (`repartition($"src")` or a
+  * bucketed table) so every frontier join co-locates without a shuffle of
+  * the edge side.
+  */
+object GraphOps {
+
+  /** 1-hop out-neighborhood: all edges with the given source. */
+  def oneHop(edges: DataFrame, vid: Long): DataFrame =
+    edges.filter(col("src") === vid)
+
+  /** Reference `two_hop` semantics: 1-hop edges ∪ out-edges of each 1-hop
+    * neighbor, duplicate-preserving (a neighbor reached twice contributes
+    * its out-edges twice — `hop.cpp:126-129`).
+    */
+  def twoHop(edges: DataFrame, vid: Long): DataFrame = {
+    val h1 = oneHop(edges, vid)
+    // Non-distinct frontier: inner join multiplies by frontier multiplicity.
+    val frontier = h1.select(col("dst").as("m"))
+    val second = edges.join(frontier, col("src") === col("m"))
+      .select(col("src"), col("dst"))
+    h1.select(col("src"), col("dst")).unionAll(second)
+  }
+
+  /** Reference `one_more_hop` semantics: 1-hop edges ∪ second-hop edges
+    * whose src AND dst are both in the (dedup'd) 1-hop frontier.
+    */
+  def oneMoreHop(edges: DataFrame, vid: Long): DataFrame = {
+    val h1 = oneHop(edges, vid)
+    val frontier = h1.select(col("dst")).distinct()
+    val second = edges
+      .join(frontier.select(col("dst").as("f1")), col("src") === col("f1"), "left_semi")
+      .join(frontier.select(col("dst").as("f2")), col("dst") === col("f2"), "left_semi")
+    h1.select(col("src"), col("dst")).unionAll(second.select(col("src"), col("dst")))
+  }
+
+  /** Out-degree per source vertex: (degree, grapharId) like the reference's
+    * `edges_vertex` (`edges_vertex.cpp:53-56`). Partial (map-side) counts
+    * make the shuffle O(distinct vertices), not O(edges).
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("grapharId"))
+      .agg(count(lit(1)).as("degree"))
+      .select(col("degree"), col("grapharId"))
+
+  def maxDegree(edges: DataFrame): DataFrame =
+    degrees(edges).agg(max(col("degree")).as("max_degree"))
+
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    degrees(edges).groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
+
+  /** Unweighted shortest-path length via distributed frontier expansion.
+    * Returns -1 if unreachable within maxDepth, 0 if src == dst.
+    *
+    * Scale notes: one shuffle join per level over only the frontier;
+    * `visited` stays distributed (anti-join, never collected);
+    * localCheckpoint truncates lineage so deep searches don't re-execute
+    * the whole history each level.
+    */
+  def bfsLength(spark: SparkSession, edges: DataFrame, srcId: Long, dstId: Long,
+                maxDepth: Int = 10): Long = {
+    if (srcId == dstId) return 0L
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+    var visited = Seq(srcId).toDF("v")
+    var frontier = visited
+    var depth = 0L
+    while (depth < maxDepth) {
+      depth += 1
+      val next = e.join(frontier.select(col("v")), e("src") === col("v"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      if (!next.filter(col("v") === dstId).isEmpty) return depth
+      if (next.isEmpty) return -1L
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    -1L
+  }
+
+  def bfsExists(spark: SparkSession, edges: DataFrame, srcId: Long, dstId: Long,
+                maxDepth: Int = 10): Boolean =
+    bfsLength(spark, edges, srcId, dstId, maxDepth) != -1L
+}

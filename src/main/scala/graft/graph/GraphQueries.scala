@@ -1,0 +1,110 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Correctness-gate wiring for the graph operators (SURVEY.md §2.3, §2.4,
+  * F1/F2): a deterministic directed multigraph derived from the lineitem
+  * table (src = l_orderkey % 4096, dst = l_partkey % 4096) so every graph
+  * operator can be hash-checked against a DuckDB oracle on the same
+  * parquet. The BFS oracle is a bounded recursive CTE computing min-depth.
+  */
+object GraphQueries {
+
+  val V = 4096
+  val RootVid = 42L
+
+  /** Edge CTE shared by all oracle queries. */
+  private val edgesSql =
+    s"SELECT l_orderkey % $V AS src, l_partkey % $V AS dst FROM lineitem"
+
+  def edgesFrom(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      expr(s"l_orderkey % $V").as("src"),
+      expr(s"l_partkey % $V").as("dst"))
+
+  /** BFS probe pairs: self-path, near, and two arbitrary roots. */
+  val bfsPairs: Seq[(Long, Long)] =
+    Seq((42L, 42L), (42L, 977L), (7L, 3333L), (3967L, 15L))
+  val bfsMaxDepth = 8
+
+  private def recursiveCte(name: String, root: Long): String =
+    s"""$name AS (
+       |  SELECT CAST($root AS BIGINT) AS v, CAST(0 AS BIGINT) AS d
+       |  UNION
+       |  SELECT e.dst AS v, $name.d + 1 AS d
+       |  FROM $name JOIN e ON e.src = $name.v WHERE $name.d < $bfsMaxDepth)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_one_hop" -> { (s, d) => GraphOps.oneHop(edgesFrom(s, d), RootVid) },
+    "g_two_hop" -> { (s, d) => GraphOps.twoHop(edgesFrom(s, d), RootVid) },
+    "g_one_more_hop" -> { (s, d) => GraphOps.oneMoreHop(edgesFrom(s, d), RootVid) },
+    "g_degrees" -> { (s, d) => GraphOps.degrees(edgesFrom(s, d)) },
+    "g_max_degree" -> { (s, d) => GraphOps.maxDegree(edgesFrom(s, d)) },
+    "g_degree_dist" -> { (s, d) => GraphOps.degreeDistribution(edgesFrom(s, d)) },
+    "g_bfs_length" -> { (s, d) =>
+      import s.implicits._
+      val e = edgesFrom(s, d).persist()
+      val rows = bfsPairs.map { case (a, b) =>
+        (a, b, GraphOps.bfsLength(s, e, a, b, bfsMaxDepth))
+      }
+      e.unpersist()
+      rows.toDF("src_id", "dst_id", "len")
+    },
+    "g_bfs_exist" -> { (s, d) =>
+      import s.implicits._
+      val e = edgesFrom(s, d).persist()
+      val rows = bfsPairs.map { case (a, b) =>
+        (a, b, GraphOps.bfsLength(s, e, a, b, bfsMaxDepth) != -1L)
+      }
+      e.unpersist()
+      rows.toDF("src_id", "dst_id", "reachable")
+    }
+  )
+
+  def oracle: Map[String, String] = {
+    val roots = bfsPairs.map(_._1).distinct
+    val ctes = (Seq(s"e AS ($edgesSql)") ++
+      roots.map(r => recursiveCte(s"b$r", r))).mkString(",\n")
+    val bfsSelects = bfsPairs.map { case (a, b) =>
+      s"""SELECT CAST($a AS BIGINT) AS src_id, CAST($b AS BIGINT) AS dst_id,
+         |  coalesce((SELECT min(d) FROM b$a WHERE v = $b), -1) AS len""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val existSelects = bfsPairs.map { case (a, b) =>
+      s"""SELECT CAST($a AS BIGINT) AS src_id, CAST($b AS BIGINT) AS dst_id,
+         |  (SELECT min(d) FROM b$a WHERE v = $b) IS NOT NULL AS reachable""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+    Map(
+      "g_one_hop" ->
+        s"WITH e AS ($edgesSql) SELECT src, dst FROM e WHERE src = $RootVid",
+      "g_two_hop" ->
+        s"""WITH e AS ($edgesSql)
+           |SELECT src, dst FROM e WHERE src = $RootVid
+           |UNION ALL
+           |SELECT e2.src, e2.dst FROM e AS e1 JOIN e AS e2 ON e2.src = e1.dst
+           |WHERE e1.src = $RootVid""".stripMargin,
+      "g_one_more_hop" ->
+        s"""WITH e AS ($edgesSql)
+           |SELECT src, dst FROM e WHERE src = $RootVid
+           |UNION ALL
+           |SELECT e2.src, e2.dst FROM e AS e2
+           |WHERE e2.src IN (SELECT dst FROM e WHERE src = $RootVid)
+           |  AND e2.dst IN (SELECT dst FROM e WHERE src = $RootVid)""".stripMargin,
+      "g_degrees" ->
+        s"""WITH e AS ($edgesSql)
+           |SELECT count(*) AS degree, src AS grapharId FROM e GROUP BY src""".stripMargin,
+      "g_max_degree" ->
+        s"""WITH e AS ($edgesSql)
+           |SELECT max(degree) AS max_degree FROM
+           |  (SELECT count(*) AS degree FROM e GROUP BY src)""".stripMargin,
+      "g_degree_dist" ->
+        s"""WITH e AS ($edgesSql)
+           |SELECT degree, count(*) AS n_vertices FROM
+           |  (SELECT count(*) AS degree FROM e GROUP BY src) GROUP BY degree""".stripMargin,
+      "g_bfs_length" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
+      "g_bfs_exist" -> s"WITH RECURSIVE\n$ctes\n$existSelects"
+    )
+  }
+}
