@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracle),
-      (graph.GraphQueries.queries, graph.GraphQueries.oracle)
+      (graph.GraphQueries.queries, graph.GraphQueries.oracle),
+      (sources.graphar.GraphArQueries.queries, sources.graphar.GraphArQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

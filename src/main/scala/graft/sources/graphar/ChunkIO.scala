@@ -1,0 +1,263 @@
+package graft.sources.graphar
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.time.LocalDate
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetReader, ParquetWriter}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.types._
+
+/** Chunk-file codec for GraphAr data files.
+  *
+  * GraphAr stores fixed-size row chunks per property group / adjacency list
+  * (`file_type: csv | parquet | orc` — Person.vertex.yaml); rows across
+  * property groups of the same chunk are positionally aligned (the
+  * reference zips them during its Arrow export, read_base.hpp:365-467).
+  *
+  * Executor-side: these run inside DSv2 `PartitionReader`s and in the
+  * writer's `foreachPartition` tasks — no SparkSession needed, all I/O via
+  * the Hadoop FileSystem API (local/HDFS/S3).
+  *
+  * Internal value representation per GraphAr's 7 primitives
+  * (func.cpp:18-28): Boolean, Int, Long, Float, Double, String, and DATE
+  * as Int days-since-epoch.
+  */
+object ChunkIO {
+
+  // ---------------------------------------------------------------- parquet
+
+  private def parquetSchema(name: String, schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val rep = if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+                else org.apache.parquet.schema.Type.Repetition.REQUIRED
+      val t = f.dataType match {
+        case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep)
+        case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep)
+        case LongType => Types.primitive(PrimitiveTypeName.INT64, rep)
+        case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep)
+        case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep)
+        case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+          .as(LogicalTypeAnnotation.stringType())
+        case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
+          .as(LogicalTypeAnnotation.dateType())
+        case other => throw new IllegalArgumentException(s"unsupported: $other")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named(name)
+  }
+
+  private def readParquet(path: Path, schema: StructType,
+                          conf: Configuration): Iterator[Array[Any]] = {
+    val reader = ParquetReader.builder(new GroupReadSupport(), path)
+      .withConf(conf).build()
+    new Iterator[Array[Any]] {
+      private var nextGroup: Group = reader.read()
+      override def hasNext: Boolean = {
+        if (nextGroup == null) reader.close()
+        nextGroup != null
+      }
+      override def next(): Array[Any] = {
+        val g = nextGroup
+        val row = new Array[Any](schema.length)
+        var i = 0
+        while (i < schema.length) {
+          val f = schema(i)
+          // column resolution by name: chunk files may carry extra columns
+          val fi = g.getType.getFieldIndex(f.name)
+          row(i) =
+            if (g.getFieldRepetitionCount(fi) == 0) null
+            else f.dataType match {
+              case BooleanType => g.getBoolean(fi, 0)
+              case IntegerType => g.getInteger(fi, 0)
+              case LongType => g.getLong(fi, 0)
+              case FloatType => g.getFloat(fi, 0)
+              case DoubleType => g.getDouble(fi, 0)
+              case StringType => g.getString(fi, 0)
+              case DateType => g.getInteger(fi, 0)
+              case other => throw new IllegalArgumentException(s"unsupported: $other")
+            }
+          i += 1
+        }
+        nextGroup = reader.read()
+        row
+      }
+    }
+  }
+
+  /** Streaming row sink — lets the writer stream one pass of rows into
+    * several chunk files (one per property group) simultaneously.
+    */
+  trait RowSink {
+    def write(row: Array[Any]): Unit
+    def close(): Unit
+  }
+
+  private class ParquetSink(path: Path, schema: StructType, conf: Configuration)
+    extends RowSink {
+    private val msgType = parquetSchema("graphar_chunk", schema)
+    private val writer: ParquetWriter[Group] = {
+      val c = new Configuration(conf)
+      GroupWriteSupport.setSchema(msgType, c)
+      ExampleParquetWriter.builder(path)
+        .withConf(c)
+        .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+        .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+    }
+    private val factory = new SimpleGroupFactory(msgType)
+    override def write(row: Array[Any]): Unit = {
+      val g = factory.newGroup()
+      var i = 0
+      while (i < schema.length) {
+        if (row(i) != null) {
+          schema(i).dataType match {
+            case BooleanType => g.add(i, row(i).asInstanceOf[Boolean])
+            case IntegerType => g.add(i, row(i).asInstanceOf[Int])
+            case LongType => g.add(i, row(i).asInstanceOf[Long])
+            case FloatType => g.add(i, row(i).asInstanceOf[Float])
+            case DoubleType => g.add(i, row(i).asInstanceOf[Double])
+            case StringType => g.add(i, row(i).asInstanceOf[String])
+            case DateType => g.add(i, row(i).asInstanceOf[Int])
+            case other => throw new IllegalArgumentException(s"unsupported: $other")
+          }
+        }
+        i += 1
+      }
+      writer.write(g)
+    }
+    override def close(): Unit = writer.close()
+  }
+
+  private class CsvSink(path: Path, schema: StructType, conf: Configuration)
+    extends RowSink {
+    private val fs = path.getFileSystem(conf)
+    private val w = new OutputStreamWriter(fs.create(path, true), StandardCharsets.UTF_8)
+    w.write(schema.fields.map(f => "\"" + f.name + "\"").mkString(",") + "\n")
+    override def write(row: Array[Any]): Unit = {
+      val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+        row(i) match {
+          case null => ""
+          case days: Int if f.dataType == DateType => LocalDate.ofEpochDay(days.toLong).toString
+          case s: String => quoteCsv(s)
+          case v => v.toString
+        }
+      }
+      w.write(cells.mkString(",") + "\n")
+    }
+    override def close(): Unit = w.close()
+  }
+
+  def openSink(path: Path, fileType: String, schema: StructType,
+               conf: Configuration): RowSink = fileType match {
+    case "parquet" => new ParquetSink(path, schema, conf)
+    case "csv" => new CsvSink(path, schema, conf)
+    case other => throw new IllegalArgumentException(
+      s"unsupported GraphAr file_type: $other (supported: parquet, csv)")
+  }
+
+  // ------------------------------------------------------------------- csv
+
+  /** Minimal RFC-4180 codec — the reference fixture uses quoted headers and
+    * bare values (`"_graphArVertexIndex","hash_phone_no"` / `0,0`).
+    */
+  def splitCsvLine(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+          else inQ = false
+        } else sb.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += sb.toString(); sb.clear()
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString()
+    out.toArray
+  }
+
+  private def quoteCsv(s: String): String =
+    if (s.contains(',') || s.contains('"') || s.contains('\n'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  private def parseCsvValue(v: String, dt: DataType, nullable: Boolean): Any = {
+    if (v.isEmpty && nullable && dt != StringType) return null
+    dt match {
+      case BooleanType => v.toBoolean
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case FloatType => v.toFloat
+      case DoubleType => v.toDouble
+      case StringType => v
+      case DateType => LocalDate.parse(v).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(s"unsupported: $other")
+    }
+  }
+
+  private def readCsv(path: Path, schema: StructType,
+                      conf: Configuration): Iterator[Array[Any]] = {
+    val fs = path.getFileSystem(conf)
+    val br = new BufferedReader(new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
+    val header = Option(br.readLine()).map(splitCsvLine).getOrElse(Array.empty[String])
+    val colIdx = schema.fields.map(f => header.indexOf(f.name))
+    colIdx.zip(schema.fields).foreach { case (idx, f) =>
+      if (idx < 0) { br.close(); throw new IllegalArgumentException(
+        s"column ${f.name} not in csv header ${header.mkString(",")} of $path") }
+    }
+    new Iterator[Array[Any]] {
+      private var line = br.readLine()
+      override def hasNext: Boolean = {
+        if (line == null) br.close()
+        line != null
+      }
+      override def next(): Array[Any] = {
+        val parts = splitCsvLine(line)
+        val row = new Array[Any](schema.length)
+        var i = 0
+        while (i < schema.length) {
+          val f = schema(i)
+          row(i) = parseCsvValue(parts(colIdx(i)), f.dataType, f.nullable)
+          i += 1
+        }
+        line = br.readLine()
+        row
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- dispatch
+
+  def readRows(path: Path, fileType: String, schema: StructType,
+               conf: Configuration): Iterator[Array[Any]] = fileType match {
+    case "parquet" => readParquet(path, schema, conf)
+    case "csv" => readCsv(path, schema, conf)
+    case other => throw new IllegalArgumentException(
+      s"unsupported GraphAr file_type: $other (supported: parquet, csv)")
+  }
+
+  def writeRows(path: Path, fileType: String, schema: StructType,
+                rows: Iterator[Array[Any]], conf: Configuration): Long = {
+    val sink = openSink(path, fileType, schema, conf)
+    var n = 0L
+    try rows.foreach { r => sink.write(r); n += 1 }
+    finally sink.close()
+    n
+  }
+}

@@ -1,0 +1,426 @@
+package graft.sources.graphar
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.meta._
+
+/** Spark DataSource V2 connector for Apache GraphAr graphs.
+  *
+  * Usage (mirrors the reference's two table functions,
+  * `read_vertices` / `read_edges`, SURVEY.md §2.1):
+  * {{{
+  *   spark.read.format("graphar").option("path", "/g/Git.yaml")
+  *     .option("type", "Person").load()                     // vertex table
+  *   spark.read.format("graphar").option("path", "/g/Git.yaml")
+  *     .option("src", "Person").option("type", "knows")
+  *     .option("dst", "Person").load()                      // edge table
+  * }}}
+  *
+  * Scale design (SURVEY.md §1.4 "Spark mapping"):
+  *  - one InputPartition per GraphAr chunk → executors read chunks in
+  *    parallel (the reference scan is single-threaded, SURVEY.md §3.1);
+  *  - projection pushdown skips entire property-group files (reference
+  *    flags projection_pushdown, read_vertices.cpp:125);
+  *  - `_graphArVertexIndex = k` prunes to one chunk + one row (reference
+  *    seek, read_vertices.cpp:98-108);
+  *  - `_graphArSrcIndex = v` (resp. dst) picks the ordered_by_source
+  *    (resp. _dest) CSR layout, reads the offset table driver-side and
+  *    plans only the adjacency chunks covering [offset[v], offset[v+1])
+  *    — O(degree) I/O, like read_edges.cpp:114-153;
+  *  - COUNT(*) with no filters is answered from vertex_count/edge_count
+  *    metadata files via aggregate pushdown (the reference scans instead —
+  *    5.9s/71s at LDBC-30, BASELINE.md — this is our designed win);
+  *  - row counts reported to Catalyst via SupportsReportStatistics.
+  */
+class GraphArDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graphar"
+
+  private def meta(options: CaseInsensitiveStringMap): (GraphInfo, Either[VertexInfo, EdgeInfo]) = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("option 'path' (graph yaml) is required"))
+    val g = GraphArMeta.loadGraph(path)
+    val t = Option(options.get("type")).getOrElse(
+      throw new IllegalArgumentException("option 'type' is required"))
+    val which =
+      if (options.containsKey("src") || options.containsKey("dst"))
+        Right(g.edge(options.get("src"), t, options.get("dst")))
+      else Left(g.vertex(t))
+    (g, which)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    meta(options)._2 match {
+      case Left(v) => v.schema
+      case Right(e) => e.schema
+    }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    meta(options)._2 match {
+      case Left(v) => new GraphArVertexTable(v)
+      case Right(e) => new GraphArEdgeTable(e)
+    }
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+abstract class GraphArTable extends Table with SupportsRead {
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+}
+
+class GraphArVertexTable(val info: VertexInfo) extends GraphArTable {
+  override def name(): String = s"${info.vertexType}.vertex"
+  override def schema(): StructType = info.schema
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraphArScanBuilder(Left(info))
+}
+
+class GraphArEdgeTable(val info: EdgeInfo) extends GraphArTable {
+  override def name(): String = s"${info.name}.edge"
+  override def schema(): StructType = info.schema
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraphArScanBuilder(Right(info))
+}
+
+/** Pushdown state: like the reference, a single equality filter on a
+  * synthetic index column prunes I/O (read_base.hpp:281-304 parses exactly
+  * one `col = const`); unlike the reference we simply leave everything
+  * else to Spark as residual filters instead of erroring.
+  */
+class GraphArScanBuilder(info: Either[VertexInfo, EdgeInfo])
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
+
+  private val fullSchema = info.fold(_.schema, _.schema)
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var hasResidual = false
+  private var idFilter: Option[(String, Long)] = None
+  private var limit: Option[Int] = None
+  private var countStarPushed = false
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val idCols = info match {
+      case Left(_) => Seq(GraphArMeta.VertexIndexCol)
+      case Right(e) =>
+        // only layouts that exist can serve a seek (read_edges.cpp:85-92)
+        Seq(GraphArMeta.SrcIndexCol, GraphArMeta.DstIndexCol).filter { c =>
+          val aligned = if (c == GraphArMeta.SrcIndexCol) "src" else "dst"
+          e.adjList(aligned).isDefined
+        }
+    }
+    val (accepted, rest) = filters.partition {
+      case EqualTo(col, v: Long) => idFilter.isEmpty && idCols.contains(col) && { idFilter = Some((col, v)); true }
+      case EqualTo(col, v: Int) => idFilter.isEmpty && idCols.contains(col) && { idFilter = Some((col, v.toLong)); true }
+      case _ => false
+    }
+    pushed = accepted
+    hasResidual = rest.nonEmpty
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(l: Int): Boolean = {
+    // exact only when nothing is filtered after the scan
+    if (!hasResidual) { limit = Some(l); true } else false
+  }
+  override def isPartiallyPushed: Boolean = false
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    isBareCountStar(aggregation) && idFilter.isEmpty && !hasResidual && limit.isEmpty
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supportCompletePushDown(aggregation)) return false
+    countStarPushed = true
+    true
+  }
+
+  private def isBareCountStar(a: Aggregation): Boolean =
+    a.groupByExpressions().isEmpty && a.aggregateExpressions().length == 1 &&
+      a.aggregateExpressions()(0).isInstanceOf[CountStar]
+
+  override def build(): Scan =
+    new GraphArScan(info, required, idFilter, limit, countStarPushed)
+}
+
+class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
+                  idFilter: Option[(String, Long)], limit: Option[Int],
+                  countStar: Boolean)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private val conf = new Configuration()
+
+  override def readSchema(): StructType =
+    if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    else required
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val what = info.fold(v => s"vertices ${v.vertexType}", e => s"edges ${e.name}")
+    s"GraphArScan($what, pushedId=$idFilter, limit=$limit, countStar=$countStar)"
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows: Long = info match {
+      case Left(v) => v.vertexCount(conf)
+      case Right(e) => e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * (8L * fullWidth))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
+  private def fullWidth = info.fold(_.schema.length, _.schema.length).max(1)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (countStar) {
+      val n = info match {
+        case Left(v) => v.vertexCount(conf)
+        case Right(e) => e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)
+      }
+      return Array(CountPartition(n))
+    }
+    info match {
+      case Left(v) => planVertex(v)
+      case Right(e) => planEdge(e)
+    }
+  }
+
+  private def planVertex(v: VertexInfo): Array[InputPartition] = {
+    val n = v.vertexCount(conf)
+    val cs = v.chunkSize
+    idFilter match {
+      case Some((_, vid)) =>
+        if (vid < 0 || vid >= n) Array.empty
+        else Array(VertexChunkPartition(v, vid / cs, vid % cs, vid % cs + 1))
+      case None =>
+        val nChunks = ((n + cs - 1) / cs).toInt
+        var remaining = limit.map(_.toLong).getOrElse(Long.MaxValue)
+        val parts = Seq.newBuilder[InputPartition]
+        var k = 0
+        while (k < nChunks && remaining > 0) {
+          val rowsInChunk = math.min(cs, n - k * cs)
+          val take = math.min(rowsInChunk, remaining)
+          parts += VertexChunkPartition(v, k, 0, take)
+          remaining -= take
+          k += 1
+        }
+        parts.result().toArray
+    }
+  }
+
+  private def planEdge(e: EdgeInfo): Array[InputPartition] = {
+    // layout choice mirrors read_edges.cpp:81-110: src filter →
+    // ordered_by_source, dst filter → ordered_by_dest, else first layout.
+    val al = idFilter match {
+      case Some((c, _)) if c == GraphArMeta.SrcIndexCol => e.adjList("src").get
+      case Some((c, _)) if c == GraphArMeta.DstIndexCol => e.adjList("dst").get
+      case _ => e.adjLists.head
+    }
+    val cs = e.chunkSize
+    idFilter match {
+      case Some((_, vid)) =>
+        val vcs = e.alignedChunkSize(al)
+        val nVerts = e.alignedVertexCount(al, conf)
+        if (vid < 0 || vid >= nVerts) return Array.empty
+        val part = vid / vcs
+        val offsets = e.offsetsOfPart(al, part, conf)
+        val local = (vid % vcs).toInt
+        if (local + 1 >= offsets.length) return Array.empty
+        val (begin, end) = (offsets(local), offsets(local + 1))
+        if (begin >= end) return Array.empty
+        // adjacency chunks covering [begin, end) within this part
+        (begin / cs to (end - 1) / cs).map { ck =>
+          EdgeChunkPartition(e, al, part, ck,
+            math.max(0L, begin - ck * cs), math.min(cs, end - ck * cs))
+        }.toArray
+      case None =>
+        var remaining = limit.map(_.toLong).getOrElse(Long.MaxValue)
+        val parts = Seq.newBuilder[InputPartition]
+        val nParts = e.numParts(al, conf)
+        var p = 0L
+        while (p < nParts && remaining > 0) {
+          val ec = e.edgeCountOfPart(al, p, conf)
+          var ck = 0L
+          while (ck * cs < ec && remaining > 0) {
+            val rows = math.min(cs, ec - ck * cs)
+            val take = math.min(rows, remaining)
+            parts += EdgeChunkPartition(e, al, p, ck, 0, take)
+            remaining -= take
+            ck += 1
+          }
+          p += 1
+        }
+        parts.result().toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraphArReaderFactory(required)
+}
+
+case class CountPartition(count: Long) extends InputPartition
+case class VertexChunkPartition(info: VertexInfo, chunk: Long,
+                                rowStart: Long, rowEnd: Long) extends InputPartition
+case class EdgeChunkPartition(info: EdgeInfo, al: GarAdjList, part: Long,
+                              chunk: Long, rowStart: Long, rowEnd: Long) extends InputPartition
+
+class GraphArReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case CountPartition(n) => new SingleRowReader(n)
+      case p: VertexChunkPartition => new VertexChunkReader(p, required)
+      case p: EdgeChunkPartition => new EdgeChunkReader(p, required)
+    }
+}
+
+class SingleRowReader(n: Long) extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = if (done) false else { done = true; true }
+  override def get(): InternalRow = InternalRow(n)
+  override def close(): Unit = ()
+}
+
+/** Shared: convert chunk-IO JVM values to Catalyst values and assemble the
+  * projected InternalRow. `sources` yields positionally-aligned rows from
+  * each property group (plus synthetic index computation per subclass).
+  */
+abstract class ChunkZipReader(required: StructType) extends PartitionReader[InternalRow] {
+  protected val conf = new Configuration()
+
+  /** (iterator, schema) per required property group, positionally aligned. */
+  protected def groupIters: Seq[(Iterator[Array[Any]], StructType)]
+  protected def rowStart: Long
+  protected def rowEnd: Long
+  /** synthetic column value for the current absolute row position. */
+  protected def synthetic(name: String, pos: Long): Any
+
+  private lazy val iters = {
+    val its = groupIters
+    its.foreach { case (it, _) => var i = 0L; while (i < rowStart && it.hasNext) { it.next(); i += 1 } }
+    its
+  }
+  private lazy val fieldSources: Array[Either[String, (Int, Int)]] =
+    required.fields.map { f =>
+      val hit = iters.zipWithIndex.flatMap { case ((_, sch), gi) =>
+        val fi = sch.fieldNames.indexOf(f.name)
+        if (fi >= 0) Some((gi, fi)) else None
+      }
+      f.name match {
+        case n if n == GraphArMeta.VertexIndexCol || n == GraphArMeta.SrcIndexCol ||
+          n == GraphArMeta.DstIndexCol =>
+          // adjacency files materialize src/dst; prefer reading them
+          hit.headOption.map(Right(_)).getOrElse(Left(n))
+        case _ => Right(hit.headOption.getOrElse(
+          throw new IllegalArgumentException(s"column ${f.name} not found in any property group")))
+      }
+    }
+  private var pos = 0L
+  private var current: Array[Array[Any]] = _
+
+  override def next(): Boolean = {
+    if (rowStart + pos >= rowEnd) return false
+    if (iters.isEmpty) return false
+    if (!iters.forall(_._1.hasNext)) return false
+    current = iters.map(_._1.next()).toArray
+    pos += 1
+    true
+  }
+
+  override def get(): InternalRow = {
+    val absPos = rowStart + pos - 1
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val raw = fieldSources(i) match {
+        case Left(synthName) => synthetic(synthName, absPos)
+        case Right((gi, fi)) => current(gi)(fi)
+      }
+      vals(i) = raw match {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      }
+      i += 1
+    }
+    InternalRow.fromSeq(vals.toSeq)
+    }
+  override def close(): Unit = ()
+}
+
+class VertexChunkReader(p: VertexChunkPartition, required: StructType)
+  extends ChunkZipReader(required) {
+  override protected def rowStart: Long = p.rowStart
+  override protected def rowEnd: Long = p.rowEnd
+  override protected def synthetic(name: String, pos: Long): Any =
+    p.chunk * p.info.chunkSize + pos
+
+  override protected def groupIters: Seq[(Iterator[Array[Any]], StructType)] = {
+    val requiredNames = required.fieldNames.toSet
+    p.info.propertyGroups.flatMap { g =>
+      val sch = StructType(g.properties
+        .filter(pr => requiredNames.contains(pr.name))
+        .map(pr => StructField(pr.name, GraphArMeta.sparkType(pr.dataType), pr.isNullable)))
+      if (sch.isEmpty) None // projection pushdown: skip whole group file
+      else {
+        val path = new Path(s"${p.info.dir}${g.prefix}chunk${p.chunk}")
+        Some((ChunkIO.readRows(path, g.fileType, sch, conf), sch))
+      }
+    }
+  }
+}
+
+class EdgeChunkReader(p: EdgeChunkPartition, required: StructType)
+  extends ChunkZipReader(required) {
+  override protected def rowStart: Long = p.rowStart
+  override protected def rowEnd: Long = p.rowEnd
+  override protected def synthetic(name: String, pos: Long): Any =
+    throw new IllegalStateException(s"$name should come from the adjacency file")
+
+  override protected def groupIters: Seq[(Iterator[Array[Any]], StructType)] = {
+    val requiredNames = required.fieldNames.toSet
+    val adjSchemaAll = StructType(Seq(
+      StructField(GraphArMeta.SrcIndexCol, LongType, nullable = false),
+      StructField(GraphArMeta.DstIndexCol, LongType, nullable = false)))
+    val adjSch = StructType(adjSchemaAll.filter(f => requiredNames.contains(f.name)))
+    val adjPath = new Path(s"${p.info.adjDir(p.al)}adj_list/part${p.part}/chunk${p.chunk}")
+    // always open the adjacency file (it drives row positions even if only
+    // properties are projected)
+    val adj = (ChunkIO.readRows(adjPath, p.al.fileType,
+      if (adjSch.isEmpty) adjSchemaAll else adjSch, conf),
+      if (adjSch.isEmpty) adjSchemaAll else adjSch)
+    val pgs = p.info.propertyGroups.flatMap { g =>
+      val sch = StructType(g.properties
+        .filter(pr => requiredNames.contains(pr.name))
+        .map(pr => StructField(pr.name, GraphArMeta.sparkType(pr.dataType), pr.isNullable)))
+      if (sch.isEmpty) None
+      else {
+        val path = new Path(s"${p.info.adjDir(p.al)}${g.prefix}part${p.part}/chunk${p.chunk}")
+        Some((ChunkIO.readRows(path, g.fileType, sch, conf), sch))
+      }
+    }
+    adj +: pgs
+  }
+}

@@ -1,0 +1,118 @@
+package graft.sources.graphar
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.graph.GraphQueries
+
+/** Correctness-gate wiring for the GraphAr connector: writes a GraphAr
+  * graph derived from the testdata parquet (once per sf dir), reads it
+  * back through `format("graphar")`, and checks results against DuckDB
+  * running equivalent SQL on the ORIGINAL parquet — an end-to-end
+  * write→read round-trip verified by an independent engine.
+  *
+  * Graph: vertices = `part` table ordered by p_partkey (vertex index =
+  * rank-1); edges = the same lineitem-derived multigraph as GraphQueries
+  * with l_quantity as an edge property. Small chunk sizes on purpose so
+  * sf0.01 already exercises multi-chunk, multi-part layouts.
+  */
+object GraphArQueries {
+
+  private val conf = new Configuration()
+
+  /** Build (once) the GraphAr fixture for an sf dir; returns the graph
+    * yaml path. Deterministic location derived from the sf name.
+    */
+  def fixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val name = new java.io.File(sfDir).getName
+    val base = s"/tmp/graft_graphar/$name"
+    val yaml = s"$base/TestGraph.yaml"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return yaml
+
+    val part = t(spark, sfDir, "part").orderBy(col("p_partkey"))
+    GraphArWriter.writeVertices(part, base,
+      GraphArWriter.VertexSpec("Part", chunkSize = 512, fileType = "parquet"))
+
+    val edges = t(spark, sfDir, "lineitem").select(
+      expr(s"l_orderkey % ${GraphQueries.V}").as("src"),
+      expr(s"l_partkey % ${GraphQueries.V}").as("dst"),
+      col("l_quantity").as("quantity"))
+    GraphArWriter.writeEdges(edges, base,
+      GraphArWriter.EdgeSpec("Part", "link", "Part",
+        srcVertexCount = GraphQueries.V, dstVertexCount = GraphQueries.V,
+        chunkSize = 2048, srcChunkSize = 1024, dstChunkSize = 1024,
+        fileType = "parquet"))
+    GraphArWriter.writeGraphYaml(base, "TestGraph", Seq("Part"), Seq("Part_link_Part"))
+    fs.create(marker, true).close()
+    yaml
+  }
+
+  def vertices(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graphar").option("path", fixture(spark, sfDir))
+      .option("type", "Part").load()
+
+  def edges(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graphar").option("path", fixture(spark, sfDir))
+      .option("src", "Part").option("type", "link").option("dst", "Part").load()
+
+  /** Vertex SQL shape shared by several oracles. */
+  private val vertexSql =
+    """SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS "_graphArVertexIndex",
+      |  p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part""".stripMargin
+  private val edgeSql =
+    s"""SELECT l_orderkey % ${GraphQueries.V} AS "_graphArSrcIndex",
+       |  l_partkey % ${GraphQueries.V} AS "_graphArDstIndex",
+       |  l_quantity AS quantity FROM lineitem""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // full vertex scan: schema flattening + synthetic index round-trip
+    "ga_vertices" -> { (s, d) => vertices(s, d) },
+    // point lookup: chunk pruning + row slice (reference read_vertices.cpp:98-108)
+    "ga_vertex_lookup" -> { (s, d) =>
+      vertices(s, d).filter(col("_graphArVertexIndex") === 123L)
+    },
+    // projection pushdown: narrow read
+    "ga_vertices_proj" -> { (s, d) =>
+      vertices(s, d).select(col("_graphArVertexIndex"), col("p_name"))
+        .filter(col("_graphArVertexIndex") < 100L)
+    },
+    // counts served from metadata via aggregate pushdown
+    "ga_vertex_count" -> { (s, d) =>
+      vertices(s, d).agg(count(lit(1)).as("n_vertices"))
+    },
+    "ga_edge_count" -> { (s, d) =>
+      edges(s, d).agg(count(lit(1)).as("n_edges"))
+    },
+    // full edge scan incl. property-group zip
+    "ga_edges" -> { (s, d) => edges(s, d) },
+    // CSR seek by source vertex (ordered_by_source offsets)
+    "ga_one_hop" -> { (s, d) =>
+      edges(s, d).filter(col("_graphArSrcIndex") === GraphQueries.RootVid)
+    },
+    // CSR seek by destination vertex (ordered_by_dest layout choice)
+    "ga_dst_lookup" -> { (s, d) =>
+      edges(s, d).filter(col("_graphArDstIndex") === 15L)
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ga_vertices" -> vertexSql,
+    "ga_vertex_lookup" ->
+      s"""SELECT * FROM ($vertexSql) WHERE "_graphArVertexIndex" = 123""",
+    "ga_vertices_proj" ->
+      s"""SELECT "_graphArVertexIndex", p_name FROM ($vertexSql)
+         |WHERE "_graphArVertexIndex" < 100""".stripMargin,
+    "ga_vertex_count" -> "SELECT count(*) AS n_vertices FROM part",
+    "ga_edge_count" -> "SELECT count(*) AS n_edges FROM lineitem",
+    "ga_edges" -> edgeSql,
+    "ga_one_hop" ->
+      s"""SELECT * FROM ($edgeSql) WHERE "_graphArSrcIndex" = ${GraphQueries.RootVid}""",
+    "ga_dst_lookup" ->
+      s"""SELECT * FROM ($edgeSql) WHERE "_graphArDstIndex" = 15"""
+  )
+}

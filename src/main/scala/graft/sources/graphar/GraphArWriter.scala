@@ -1,0 +1,297 @@
+package graft.sources.graphar
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.Partitioner
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.meta.GraphArMeta
+
+/** Distributed GraphAr writer.
+  *
+  * The reference is strictly read-only (writes throw,
+  * graphar_catalog.cpp:61-76) — this is the "natural later extension"
+  * SURVEY.md §2.1 anticipates, and it also generates our test fixtures.
+  *
+  * Scale design: vertices are indexed with one zipWithIndex pass and
+  * written chunk-per-task; edges are `repartitionAndSortWithinPartitions`
+  * by (src, dst) with one partition per aligned-vertex chunk ("part"), so
+  * each task streams its part once, rolling adjacency/property chunk files
+  * every `chunk_size` rows and accumulating the CSR offset table
+  * (cumulative per-vertex boundaries + trailing end — the layout the
+  * reference pairwise-diffs in edges_vertex.cpp:166-192). No driver
+  * collection anywhere.
+  *
+  * Layout written (GraphAr gar/v1):
+  * {{{
+  *   <base>/<Graph>.yaml, <Type>.vertex.yaml, <S>_<t>_<D>.edge.yaml
+  *   <base>/vertex/<Type>/<prop_group>/chunk<k>, vertex_count
+  *   <base>/edge/<S>_<t>_<D>/ordered_by_<src|dest>/
+  *       adj_list/part<p>/chunk<k>, <prop_group>/part<p>/chunk<k>,
+  *       offset/chunk<p>, edge_count<p>, vertex_count
+  * }}}
+  */
+object GraphArWriter {
+
+  final case class VertexSpec(vertexType: String, chunkSize: Long = 1L << 20,
+                              fileType: String = "parquet")
+
+  final case class EdgeSpec(srcType: String, edgeType: String, dstType: String,
+                            srcVertexCount: Long, dstVertexCount: Long,
+                            chunkSize: Long = 1L << 22,
+                            srcChunkSize: Long = 1L << 20,
+                            dstChunkSize: Long = 1L << 20,
+                            fileType: String = "parquet",
+                            layouts: Seq[String] = Seq("src", "dst")) {
+    def name: String = s"${srcType}_${edgeType}_${dstType}"
+  }
+
+  private class IdPartitioner(n: Int, chunkSize: Long) extends Partitioner {
+    override def numPartitions: Int = math.max(n, 1)
+    override def getPartition(key: Any): Int = key match {
+      case i: Long => (i / chunkSize).toInt
+      case (s: Long, _) => (s / chunkSize).toInt
+    }
+  }
+
+  /** Write one vertex type. `df`'s row order defines `_graphArVertexIndex`
+    * (sort the DataFrame first if the index must follow a key). All
+    * non-synthetic columns become one property group per column-group in
+    * `groups` (default: a single group named "props" with every column).
+    * Returns the vertex count.
+    */
+  def writeVertices(df: DataFrame, baseDir: String, spec: VertexSpec,
+                    groups: Seq[(String, Seq[String])] = Seq.empty): Long = {
+    val conf = new Configuration()
+    val schema = df.schema
+    val effGroups: Seq[(String, Seq[String])] =
+      if (groups.nonEmpty) groups else Seq("props" -> schema.fieldNames.toSeq)
+    val dir = s"$baseDir/vertex/${spec.vertexType}/"
+    val cs = spec.chunkSize
+    val ft = spec.fileType
+
+    val indexed = df.rdd.zipWithIndex().map { case (r, i) => (i, r) }
+    val nChunks = {
+      val n = df.count()
+      math.max(1L, (n + cs - 1) / cs).toInt
+    }
+    val groupSchemas = effGroups.map { case (gName, cols) =>
+      (gName, cols.map(c => schema(schema.fieldIndex(c))),
+        cols.map(c => schema.fieldIndex(c)))
+    }
+    implicit val ord: Ordering[Long] = Ordering.Long
+    val counts = indexed
+      .repartitionAndSortWithinPartitions(new IdPartitioner(nChunks, cs))
+      .mapPartitions { it =>
+        val chunk = TaskContext.getPartitionId()
+        val sinks = groupSchemas.map { case (gName, fields, idxs) =>
+          val p = new Path(s"$dir$gName/chunk$chunk")
+          (ChunkIO.openSink(p, ft, StructType(fields), new Configuration()), idxs)
+        }
+        var n = 0L
+        try {
+          it.foreach { case (_, row) =>
+            sinks.foreach { case (sink, idxs) =>
+              sink.write(idxs.map(i => toIo(row, i, schema)).toArray)
+            }
+            n += 1
+          }
+        } finally sinks.foreach(_._1.close())
+        Iterator.single(n)
+      }.collect()
+
+    val total = counts.sum
+    GraphArMeta.writeInt64(new Path(s"${dir}vertex_count"), total, conf)
+    writeVertexYaml(baseDir, spec, effGroups, schema)
+    total
+  }
+
+  /** Write one edge type from a DataFrame with columns (src: long,
+    * dst: long, properties...). Writes each requested layout
+    * (ordered_by_source / ordered_by_dest) with its CSR offset tables.
+    */
+  def writeEdges(df: DataFrame, baseDir: String, spec: EdgeSpec): Long = {
+    val conf = new Configuration()
+    val schema = df.schema
+    val propFields = schema.fields.filterNot(f => f.name == "src" || f.name == "dst")
+    val dir = s"$baseDir/edge/${spec.name}/"
+    var total = 0L
+    spec.layouts.foreach { alignedBy =>
+      val layoutDir =
+        if (alignedBy == "src") s"${dir}ordered_by_source/" else s"${dir}ordered_by_dest/"
+      val alignedCount = if (alignedBy == "src") spec.srcVertexCount else spec.dstVertexCount
+      val vcs = if (alignedBy == "src") spec.srcChunkSize else spec.dstChunkSize
+      total = writeLayout(df, schema, propFields, layoutDir, alignedBy,
+        alignedCount, vcs, spec)
+      GraphArMeta.writeInt64(new Path(s"${layoutDir}vertex_count"), alignedCount, conf)
+    }
+    writeEdgeYaml(baseDir, spec, propFields)
+    total
+  }
+
+  private def writeLayout(df: DataFrame, schema: StructType,
+                          propFields: Array[StructField], layoutDir: String,
+                          alignedBy: String, alignedCount: Long, vcs: Long,
+                          spec: EdgeSpec): Long = {
+    val srcIdx = schema.fieldIndex("src")
+    val dstIdx = schema.fieldIndex("dst")
+    val propIdxs = propFields.map(f => schema.fieldIndex(f.name))
+    val cs = spec.chunkSize
+    val ft = spec.fileType
+    val nParts = math.max(1L, (alignedCount + vcs - 1) / vcs).toInt
+    val adjSchema = StructType(Seq(
+      StructField(GraphArMeta.SrcIndexCol, LongType, nullable = false),
+      StructField(GraphArMeta.DstIndexCol, LongType, nullable = false)))
+    val propSchema = StructType(propFields.toSeq)
+
+    val keyed = df.rdd.map { r =>
+      val s = r.getLong(srcIdx); val d = r.getLong(dstIdx)
+      val key = if (alignedBy == "src") (s, d) else (d, s)
+      (key, r)
+    }
+    val counts = keyed
+      .repartitionAndSortWithinPartitions(new IdPartitioner(nParts, vcs))
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        val part = TaskContext.getPartitionId()
+        val partStartVertex = part.toLong * vcs
+        val vertsInPart = math.min(vcs, alignedCount - partStartVertex).toInt
+        val offsets = new Array[Long](math.max(vertsInPart, 0) + 1)
+        var edgeCount = 0L
+        var chunkIdx = -1L
+        var adjSink: ChunkIO.RowSink = null
+        var propSink: ChunkIO.RowSink = null
+        def roll(): Unit = {
+          if (adjSink != null) adjSink.close()
+          if (propSink != null) propSink.close()
+          chunkIdx += 1
+          adjSink = ChunkIO.openSink(
+            new Path(s"${layoutDir}adj_list/part$part/chunk$chunkIdx"), ft, adjSchema, conf)
+          propSink = if (propFields.nonEmpty)
+            ChunkIO.openSink(
+              new Path(s"${layoutDir}props/part$part/chunk$chunkIdx"), ft, propSchema, conf)
+          else null
+        }
+        var lastAligned = -1L
+        it.foreach { case ((aligned, _), row) =>
+          if (edgeCount % cs == 0) roll()
+          val s = row.getLong(srcIdx); val d = row.getLong(dstIdx)
+          adjSink.write(Array[Any](s, d))
+          if (propSink != null)
+            propSink.write(propIdxs.map(i => toIo(row, i, schema)).toArray)
+          // advance cumulative offsets for vertices in (lastAligned, aligned]
+          val local = (aligned - partStartVertex).toInt
+          var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
+          while (v <= local) { offsets(v) = edgeCount; v += 1 }
+          lastAligned = aligned
+          edgeCount += 1
+        }
+        if (adjSink != null) adjSink.close()
+        if (propSink != null) propSink.close()
+        // fill trailing boundaries
+        var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
+        while (v <= vertsInPart) { offsets(v) = edgeCount; v += 1 }
+        if (edgeCount == 0) {
+          // still materialize an (empty) first adjacency chunk dir marker?
+          // no: zero chunks is valid; offset table says all-empty.
+        }
+        ChunkIO.writeRows(new Path(s"${layoutDir}offset/chunk$part"), ft,
+          StructType(Seq(StructField("_graphArOffset", LongType, nullable = false))),
+          offsets.iterator.map(o => Array[Any](o)), conf)
+        GraphArMeta.writeInt64(new Path(s"${layoutDir}edge_count$part"), edgeCount, conf)
+        Iterator.single(edgeCount)
+      }.collect()
+    counts.sum
+  }
+
+  private def toIo(row: Row, i: Int, schema: StructType): Any = {
+    if (row.isNullAt(i)) null
+    else schema(i).dataType match {
+      case DateType => row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt
+      case _ => row.get(i)
+    }
+  }
+
+  // ----------------------------------------------------------------- yaml
+
+  private def writeText(path: Path, text: String): Unit = {
+    val fs = path.getFileSystem(new Configuration())
+    val out = fs.create(path, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def writeVertexYaml(baseDir: String, spec: VertexSpec,
+                              groups: Seq[(String, Seq[String])],
+                              schema: StructType): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"type: ${spec.vertexType}\n")
+    sb.append(s"chunk_size: ${spec.chunkSize}\n")
+    sb.append(s"prefix: vertex/${spec.vertexType}/\n")
+    sb.append("property_groups: \n")
+    groups.foreach { case (gName, cols) =>
+      sb.append(s"  - file_type: ${spec.fileType}\n")
+      sb.append(s"    prefix: $gName/\n")
+      sb.append("    properties: \n")
+      cols.foreach { c =>
+        val f = schema(schema.fieldIndex(c))
+        sb.append(s"      - name: ${f.name}\n")
+        sb.append(s"        data_type: ${GraphArMeta.garType(f.dataType)}\n")
+        sb.append(s"        is_primary: false\n")
+        sb.append(s"        is_nullable: ${f.nullable}\n")
+      }
+    }
+    sb.append("version: gar/v1\n")
+    writeText(new Path(s"$baseDir/${spec.vertexType}.vertex.yaml"), sb.toString)
+  }
+
+  private def writeEdgeYaml(baseDir: String, spec: EdgeSpec,
+                            propFields: Array[StructField]): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"src_type: ${spec.srcType}\n")
+    sb.append(s"edge_type: ${spec.edgeType}\n")
+    sb.append(s"dst_type: ${spec.dstType}\n")
+    sb.append("directed: true\n")
+    sb.append(s"chunk_size: ${spec.chunkSize}\n")
+    sb.append(s"src_chunk_size: ${spec.srcChunkSize}\n")
+    sb.append(s"dst_chunk_size: ${spec.dstChunkSize}\n")
+    sb.append(s"prefix: edge/${spec.name}/\n")
+    sb.append("adj_lists: \n")
+    spec.layouts.foreach { l =>
+      val prefix = if (l == "src") "ordered_by_source/" else "ordered_by_dest/"
+      sb.append(s"  - aligned_by: $l\n")
+      sb.append(s"    ordered: true\n")
+      sb.append(s"    file_type: ${spec.fileType}\n")
+      sb.append(s"    prefix: $prefix\n")
+    }
+    if (propFields.nonEmpty) {
+      sb.append("property_groups: \n")
+      sb.append(s"  - file_type: ${spec.fileType}\n")
+      sb.append("    prefix: props/\n")
+      sb.append("    properties: \n")
+      propFields.foreach { f =>
+        sb.append(s"      - name: ${f.name}\n")
+        sb.append(s"        data_type: ${GraphArMeta.garType(f.dataType)}\n")
+        sb.append(s"        is_primary: false\n")
+        sb.append(s"        is_nullable: ${f.nullable}\n")
+      }
+    }
+    sb.append("version: gar/v1\n")
+    writeText(new Path(s"$baseDir/${spec.name}.edge.yaml"), sb.toString)
+  }
+
+  def writeGraphYaml(baseDir: String, name: String, vertexTypes: Seq[String],
+                     edgeNames: Seq[String]): String = {
+    val sb = new StringBuilder
+    sb.append(s"name: $name\n")
+    sb.append("vertices: \n")
+    vertexTypes.foreach(v => sb.append(s"  - $v.vertex.yaml\n"))
+    sb.append("edges: \n")
+    edgeNames.foreach(e => sb.append(s"  - $e.edge.yaml\n"))
+    sb.append("version: gar/v1\n")
+    val p = s"$baseDir/$name.yaml"
+    writeText(new Path(p), sb.toString)
+    p
+  }
+}
