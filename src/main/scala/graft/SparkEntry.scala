@@ -15,7 +15,11 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracle),
       (graph.GraphQueries.queries, graph.GraphQueries.oracle),
-      (sources.graphar.GraphArQueries.queries, sources.graphar.GraphArQueries.oracle)
+      (sources.graphar.GraphArQueries.queries, sources.graphar.GraphArQueries.oracle),
+      (operators.Dedup.queries, operators.Dedup.oracle),
+      (operators.Similarity.queries, operators.Similarity.oracle),
+      (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
+      (operators.Multimodal.queries, operators.Multimodal.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

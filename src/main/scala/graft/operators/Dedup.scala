@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+
+/** Deduplication operator family over the `documents` table — the
+  * beyond-reference LLM-pipeline surface (BASELINE.json north star).
+  *
+  * Scale design notes (the point of each algorithm at 100 TB):
+  *  - exact dedup: one shuffle keyed by a 128-bit fingerprint — the only
+  *    full-data shuffle in the family, and it shuffles (hash, id), never
+  *    the document text;
+  *  - MinHash+LSH: near-dup candidate generation WITHOUT the O(n²) cross
+  *    join — signatures are a map-side projection, banding explodes to
+  *    `bands` rows/doc, the band-key self-join only collides plausible
+  *    pairs, and exact Jaccard verification runs on that tiny candidate
+  *    set. This is the canonical web-scale near-dedup shape;
+  *  - SimHash: 1 int per doc; Hamming-neighbor search can then be done
+  *    with bit-rotation bucketing (not needed at gate scale);
+  *  - n-gram Jaccard: the exact (quadratic) verifier — gated to a
+  *    blocking key (`source`) so it stays tractable; at scale you never
+  *    run it unblocked, you run it on LSH candidates (see above).
+  */
+object Dedup {
+
+  /** Exact duplicates: group by normalized-text fingerprint; keep the
+    * smallest doc_id as canonical representative.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Shingle sets per doc: (doc_id, blockCol, shingle set). */
+  private def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      array_distinct(shingles(tokens(col("text")), n)).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs within a blocking key. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val s = shingleSets(docs, n)
+    val a = s.select(col("doc_id").as("a_id"), col("source"), col("sh").as("a_sh"))
+    val b = s.select(col("doc_id").as("b_id"), col("source").as("b_source"), col("sh").as("b_sh"))
+    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
+      .withColumn("jac",
+        size(array_intersect(col("a_sh"), col("b_sh"))) * lit(1.0) /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  /** MinHash + LSH banding + exact-Jaccard verification.
+    * k signature minima, `bands` bands of k/bands rows each; candidate
+    * pairs = docs sharing at least one full band key; emitted pairs are
+    * candidates whose true Jaccard >= threshold.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
+                      threshold: Double = 0.25): DataFrame = {
+    val r = k / bands
+    val s = shingleSets(docs, n).filter(size(col("sh")) > 0)
+    val sig = s.withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws("_", (0 until r).map(j =>
+            element_at(col("sig"), b * r + j + 1)): _*).as("key")))).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("band").as("b_band"), col("key").as("b_key"))
+    val cand = a.join(b, col("band") === col("b_band") &&
+        col("key") === col("b_key") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    cand.withColumn("jac",
+        size(array_intersect(col("a_sh"), col("b_sh"))) * lit(1.0) /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  /** Per-document 32-bit SimHash signature. */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact" -> { (s, d) => exact(t(s, d, "documents")) },
+    "d_ngram_jaccard" -> { (s, d) => ngramJaccardPairs(t(s, d, "documents"), 3, 0.2) },
+    "d_minhash_lsh" -> { (s, d) => minhashLshPairs(t(s, d, "documents")) },
+    "d_simhash" -> { (s, d) => simhashSignatures(t(s, d, "documents")) }
+  )
+
+  // Shared SQL fragments for the oracles (DuckDB list lambdas mirror the
+  // Spark higher-order functions 1:1; the char-hash is the same
+  // polynomial mod 1e9+7).
+  private val tokSql =
+    "SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents"
+  private def chash(sExpr: String, seedExpr: String): String =
+    s"list_reduce(list_prepend(CAST($seedExpr AS BIGINT), " +
+      s"list_transform(regexp_extract_all($sExpr, '.'), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $HashMod)"
+  private val shSql =
+    s"""SELECT doc_id, source, list_distinct(
+       |  CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END) AS sh
+       |FROM ($tokSql)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "d_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      s"""WITH s AS ($shSql)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    len(list_distinct(a.sh || b.sh)) AS jac
+         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    len(list_distinct(a.sh || b.sh)) >= 0.2""".stripMargin,
+
+    "d_minhash_lsh" ->
+      s"""WITH s AS ($shSql),
+         |sig AS (
+         |  SELECT doc_id, sh, list_transform(range(1, 9), k ->
+         |    list_min(list_transform(sh, s2 -> ${chash("s2", "k")}))) AS sig
+         |  FROM s WHERE len(sh) > 0),
+         |bands AS (
+         |  SELECT doc_id, sh, b, sig[2*b + 1] || '_' || sig[2*b + 2] AS key
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT a_id, b_id,
+         |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |      len(list_distinct(sa.sh || sb.sh)) AS jac
+         |  FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id, jac FROM verified WHERE jac >= 0.25""".stripMargin,
+
+    "d_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform(list_distinct(t), tok ->
+         |    ${chash("tok", "7")}) AS hs
+         |  FROM ($tokSql))
+         |SELECT doc_id, list_sum(list_transform(range(0, 32), b ->
+         |  CASE WHEN list_sum(list_transform(hs, h2 ->
+         |      CAST(floor(CAST(h2 AS DOUBLE) / pow(2, b)) AS BIGINT) % 2 * 2 - 1)) > 0
+         |    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+         |FROM h""".stripMargin
+  )
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+
+/** Similarity search over an embedding column (`Array[Float]`) — the
+  * beyond-reference ANN surface.
+  *
+  * Scale design:
+  *  - cosine is a codegen-friendly `zip_with` + sequential `aggregate`
+  *    fold (deterministic accumulation order → oracle-reproducible);
+  *  - brute-force top-k is the exactness baseline: broadcast the (small)
+  *    query set against the big corpus, per-query window rank. The corpus
+  *    side never shuffles — only (query × corpus) partial top-k rows do;
+  *  - IVF is the scale path: assign every vector to its nearest centroid
+  *    (broadcast centroids, map-side argmin), then probe only the query's
+  *    cluster(s). At 100 TB the corpus would be written bucketed by
+  *    `cluster` so a probe reads 1/n_clusters of the data; here centroids
+  *    are a deterministic sample (vec_id % 40 == 0) so the DuckDB oracle
+  *    can re-derive them.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * with left-to-right accumulation (dot / sqrt(na) / sqrt(nb) — op
+    * order fixed for cross-engine bit parity).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact brute-force top-k cosine neighbors for a set of query ids. */
+  def bruteForceTopK(emb: DataFrame, queryIds: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  /** IVF: nearest-centroid assignment + single-probe top-k within the
+    * probed cluster. Centroids are the deterministic `vec_id % modulo == 0`
+    * subset.
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Column, k: Int, modulo: Int = 40): DataFrame = {
+    val cent = emb.filter(col("vec_id") % modulo === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // map-side assignment: broadcast centroids, argmax cosine (tie → c_id)
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val assigned = emb.join(broadcast(cent), lit(true))
+      .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+    val q = assigned.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cluster").as("q_cluster"))
+    // probe: candidates in the query's cluster only
+    val scored = assigned
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cluster"))
+      .join(broadcast(q), col("cluster") === col("q_cluster") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cluster"), col("n_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a label block. */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("b_emb"))
+    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> { (s, d) =>
+      bruteForceTopK(t(s, d, "embeddings"), col("vec_id") < 8, 5)
+    },
+    "sim_ivf" -> { (s, d) =>
+      ivfTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
+    },
+    "d_embed_dup" -> { (s, d) =>
+      embeddingDupPairs(t(s, d, "embeddings"), 0.4)
+    }
+  )
+
+  /** Cosine in DuckDB with the same op order (sequential list_reduce sum,
+    * then / sqrt / sqrt).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), " +
+        s"(acc, v) -> acc + v)"
+    s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS cos
+         |  FROM c JOIN q ON q_id <> n_id),
+         |ranked AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "sim_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 40 = 0),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
+         |    FROM embeddings e CROSS JOIN cent)
+         |  WHERE arank = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cluster AS q_cluster
+         |      FROM assigned WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q_id, a.cluster, a.vec_id AS n_id,
+         |    ${cosSql("q_emb", "a.embedding")} AS cos
+         |  FROM assigned a JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT q_id, cluster, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "d_embed_dup" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin
+  )
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents`: language-ID (lexicon-hit
+  * heuristic), quality scoring (length / punctuation / stopword ratios),
+  * token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting. All pure column expressions — map-side only, no
+  * shuffle, safe at any scale.
+  */
+object TextAnalysis {
+
+  private def lexScores(toksCol: String) =
+    Lexicons.map { case (lang, words) =>
+      lang -> lexiconHits(col(toksCol), words)
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // language-ID: argmax lexicon hits with fixed priority tie-break
+    "t_langid" -> { (s, d) =>
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("claimed_lang"),
+          tokens(col("text")).as("t"))
+      val scored = lexScores("t").foldLeft(base) { case (df, (lang, c)) =>
+        df.withColumn(s"s_$lang", c)
+      }
+      scored.withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .select(col("doc_id"), col("claimed_lang"), col("pred_lang"),
+          col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+    },
+
+    // quality signals: ratios of deterministic integer counts
+    "t_quality" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(col("t")).as("n_tokens"),
+          (size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))) * lit(1.0) /
+            length(col("text"))).as("punct_ratio"),
+          (lexiconHits(col("t"), Lexicons.head._2) * lit(1.0) / size(col("t")))
+            .as("stopword_ratio"),
+          (aggregate(transform(col("t"), w => length(w)), lit(0),
+            (acc, x) => acc + x) * lit(1.0) / size(col("t"))).as("avg_token_len"))
+    },
+
+    // token counting: whitespace vs BPE-ish regex segmentation
+    "t_tokens" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+    },
+
+    // canonical fingerprint (md5 of normalized text) + rolling char hash
+    "t_fingerprint" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        charHash(col("text"), lit(1)).as("roll_hash"))
+    }
+  )
+
+  private val tokSql =
+    "SELECT doc_id, lang, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents"
+  private def lexSql(lang: String): String = {
+    val words = Lexicons.find(_._1 == lang).get._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(t, w -> list_contains($words, w)))"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "t_langid" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS claimed_lang,
+         |    ${lexSql("en")} AS s_en, ${lexSql("de")} AS s_de,
+         |    ${lexSql("es")} AS s_es, ${lexSql("fr")} AS s_fr
+         |  FROM ($tokSql))
+         |SELECT doc_id, claimed_lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang,
+         |  s_en, s_de, s_es, s_fr
+         |FROM s""".stripMargin,
+
+    "t_quality" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(t) AS n_tokens,
+         |  len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text) AS punct_ratio,
+         |  ${lexSql("en")} * 1.0 / len(t) AS stopword_ratio,
+         |  list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t) AS avg_token_len
+         |FROM ($tokSql)""".stripMargin,
+
+    "t_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "t_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         |  list_reduce(list_prepend(CAST(1 AS BIGINT),
+         |    list_transform(regexp_extract_all(text, '.'), c -> CAST(ord(c) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % $HashMod) AS roll_hash
+         |FROM documents""".stripMargin
+  )
+}
