@@ -44,12 +44,18 @@ object TextFunctions {
       seed.cast("long"),
       (acc, x) => pmod(acc * 31 + x, lit(HashMod)))
 
-  /** MinHash signature: k minima of seeded char-hashes over the shingle
-    * set. sig[i] = min over shingles of charHash(shingle, i+1).
+  /** MinHash signature via the standard one-base-hash + k affine
+    * transforms: sig[i] = min over shingles of
+    * ((2i+1) * baseHash(s) + 31i + 7) mod P. One char-iteration per
+    * shingle instead of k (8× fewer interpreted HOF steps), identical
+    * LSH guarantees, still exactly recomputable in oracle SQL.
     */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(sequence(lit(1), lit(k)),
-      seed => array_min(transform(shingleSet, s => charHash(s, seed))))
+  def minhashSignature(shingleSet: Column, k: Int): Column = {
+    val base = transform(shingleSet, s => charHash(s, lit(1)))
+    transform(sequence(lit(1), lit(k)), i =>
+      array_min(transform(base, h =>
+        pmod((i * 2 + 1) * h + i * 31 + 7, lit(HashMod)))))
+  }
 
   /** 32-bit SimHash over the distinct-token set: bit b is set when the
     * sum of (+1/-1) votes from each token-hash's bit b is positive.

@@ -1,0 +1,96 @@
+package graft.graph
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta.{EdgeInfo, GraphArMeta, GraphInfo}
+
+/** User-facing graph API over a GraphAr graph — ties the connector to the
+  * graph operators so a reference user can run every graph query they run
+  * today:
+  *
+  * {{{
+  *   val g = GraphArGraph(spark, "/data/Git.yaml")
+  *   g.vertices("Person")                      // read_vertices
+  *   g.oneHop("Person","knows","Person", 42)   // read_edges + src seek
+  *   g.twoHop(...)  g.oneMoreHop(...)          // two_hop / one_more_hop
+  *   g.degrees(...)                            // edges_vertex (fast path)
+  *   g.bfsLength(..., 31890, 33914)            // bfs_length
+  * }}}
+  */
+final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
+
+  val info: GraphInfo = GraphArMeta.loadGraph(yamlPath)
+
+  def vertices(vertexType: String): DataFrame =
+    spark.read.format("graphar").option("path", yamlPath)
+      .option("type", vertexType).load()
+
+  def edges(src: String, edgeType: String, dst: String): DataFrame =
+    spark.read.format("graphar").option("path", yamlPath)
+      .option("src", src).option("type", edgeType).option("dst", dst).load()
+
+  /** Edge table with (src, dst) column names for the GraphOps algebra. */
+  def edgesStd(src: String, edgeType: String, dst: String): DataFrame =
+    edges(src, edgeType, dst).select(
+      col(GraphArMeta.SrcIndexCol).as("src"),
+      col(GraphArMeta.DstIndexCol).as("dst"))
+
+  def oneHop(src: String, t: String, dst: String, vid: Long): DataFrame =
+    GraphOps.oneHop(edgesStd(src, t, dst), vid)
+
+  def twoHop(src: String, t: String, dst: String, vid: Long): DataFrame =
+    GraphOps.twoHop(edgesStd(src, t, dst), vid)
+
+  def oneMoreHop(src: String, t: String, dst: String, vid: Long): DataFrame =
+    GraphOps.oneMoreHop(edgesStd(src, t, dst), vid)
+
+  /** Per-vertex out-degree WITHOUT scanning edges: pairwise-differences
+    * the CSR offset tables, one task per vertex-chunk part — the
+    * distributed version of the reference's `edges_vertex` fast path
+    * (edges_vertex.cpp:132-194), which re-read offset files per 2048-row
+    * output batch and took 96-850 s (BASELINE.md); here it's
+    * O(vertices/part) I/O per task, fully parallel.
+    */
+  def degreesFast(src: String, t: String, dst: String,
+                  alignedBy: String = "src"): DataFrame = {
+    val e: EdgeInfo = info.edge(src, t, dst)
+    val al = e.adjList(alignedBy).getOrElse(throw new IllegalArgumentException(
+      s"edge ${e.name} has no ordered_by_$alignedBy layout"))
+    val conf = new Configuration()
+    val nParts = e.numParts(al, conf).toInt
+    val vcs = e.alignedChunkSize(al)
+    val rows = spark.sparkContext
+      .parallelize(0 until nParts, math.min(nParts, 64))
+      .flatMap { part =>
+        val offs = e.offsetsOfPart(al, part.toLong, new Configuration())
+        Iterator.range(0, offs.length - 1).map { v =>
+          Row(offs(v + 1) - offs(v), part.toLong * vcs + v)
+        }
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("degree", LongType, nullable = false),
+      StructField(GraphArMeta.GidCol, LongType, nullable = false))))
+  }
+
+  def maxDegree(src: String, t: String, dst: String): DataFrame =
+    degreesFast(src, t, dst).agg(max(col("degree")).as("max_degree"))
+
+  def degreeDistribution(src: String, t: String, dst: String): DataFrame =
+    degreesFast(src, t, dst).groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_vertices"))
+
+  /** Distributed BFS over one edge type (the reference's `bfs_length`
+    * runs over the FIRST edge type of the graph, bfs.cpp:66).
+    */
+  def bfsLength(srcId: Long, dstId: Long, maxDepth: Int = 10): Long = {
+    val e = info.edges.head
+    val es = edgesStd(e.srcType, e.edgeType, e.dstType)
+    GraphOps.bfsLength(spark, es, srcId, dstId, maxDepth)
+  }
+
+  def bfsExists(srcId: Long, dstId: Long, maxDepth: Int = 10): Boolean =
+    bfsLength(srcId, dstId, maxDepth) != -1L
+}

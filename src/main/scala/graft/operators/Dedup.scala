@@ -59,23 +59,40 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
                       threshold: Double = 0.25): DataFrame = {
     val r = k / bands
-    val s = shingleSets(docs, n).filter(size(col("sh")) > 0)
-    val sig = s.withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sig.select(col("doc_id"), col("sh"),
+    // Signatures via the compiled one-pass expression (MinHashSigExpr —
+    // same integers as the declarative spec, ~10× faster), materialized
+    // ONCE: the subtree is referenced twice by the banding self-join. At
+    // cluster scale this is a persisted/checkpointed signatures table.
+    val s = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSigExpr.minhashSig(col("text"), n, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint(true)
+    // band keys: ids only — never carry shingle arrays through the join
+    val banded = s.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           concat_ws("_", (0 until r).map(j =>
             element_at(col("sig"), b * r + j + 1)): _*).as("key")))).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-      col("band"), col("key"))
-    val b = banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-      col("band").as("b_band"), col("key").as("b_key"))
-    val cand = a.join(b, col("band") === col("b_band") &&
-        col("key") === col("b_key") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("b_id"),
+        col("band").as("b_band"), col("key").as("b_key")),
+        col("band") === col("b_band") && col("key") === col("b_key") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    cand.withColumn("jac",
+    // exact-Jaccard verification on the (small) candidate set only:
+    // semi-join prunes the corpus to candidate ids BEFORE shingling, so
+    // the expensive shingle arrays exist only for candidates
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sh = shingleSets(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
+      .localCheckpoint(true)
+    val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jac",
         size(array_intersect(col("a_sh"), col("b_sh"))) * lit(1.0) /
           size(array_union(col("a_sh"), col("b_sh"))))
       .filter(col("jac") >= threshold)
@@ -127,10 +144,13 @@ object Dedup {
 
     "d_minhash_lsh" ->
       s"""WITH s AS ($shSql),
+         |base AS (
+         |  SELECT doc_id, sh, list_transform(sh, s2 -> ${chash("s2", "1")}) AS bh
+         |  FROM s WHERE len(sh) > 0),
          |sig AS (
          |  SELECT doc_id, sh, list_transform(range(1, 9), k ->
-         |    list_min(list_transform(sh, s2 -> ${chash("s2", "k")}))) AS sig
-         |  FROM s WHERE len(sh) > 0),
+         |    list_min(list_transform(bh, h -> ((k*2+1) * h + k*31 + 7) % $HashMod))) AS sig
+         |  FROM base),
          |bands AS (
          |  SELECT doc_id, sh, b, sig[2*b + 1] || '_' || sig[2*b + 2] AS key
          |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
