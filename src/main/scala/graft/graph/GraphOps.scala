@@ -52,7 +52,9 @@ object GraphOps {
   def twoHop(edges: DataFrame, vid: Long): DataFrame = {
     val h1 = oneHop(edges, vid)
     // Non-distinct frontier: inner join multiplies by frontier multiplicity.
-    val frontier = h1.select(col("dst").as("m"))
+    // The frontier is one vertex's out-neighborhood — broadcast it so the
+    // edge side never shuffles (at 100TB the edge table stays in place).
+    val frontier = broadcast(h1.select(col("dst").as("m")))
     val second = edges.join(frontier, col("src") === col("m"))
       .select(col("src"), col("dst"))
     h1.select(col("src"), col("dst")).unionAll(second)
@@ -63,7 +65,7 @@ object GraphOps {
     */
   def oneMoreHop(edges: DataFrame, vid: Long): DataFrame = {
     val h1 = oneHop(edges, vid)
-    val frontier = h1.select(col("dst")).distinct()
+    val frontier = broadcast(h1.select(col("dst")).distinct())
     val second = edges
       .join(frontier.select(col("dst").as("f1")), col("src") === col("f1"), "left_semi")
       .join(frontier.select(col("dst").as("f2")), col("dst") === col("f2"), "left_semi")

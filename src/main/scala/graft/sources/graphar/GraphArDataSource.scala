@@ -185,9 +185,24 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows: Long = info match {
-      case Left(v) => v.vertexCount(conf)
-      case Right(e) => e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)
+    // exact row counts: metadata for full scans, offset-table slice length
+    // for pushed id filters — lets Catalyst auto-broadcast one-hop results
+    private val rows: Long = (info, idFilter) match {
+      case (Left(v), Some(_)) => 1L
+      case (Left(v), None) => v.vertexCount(conf)
+      case (Right(e), Some((c, vid))) =>
+        val al = if (c == GraphArMeta.DstIndexCol) e.adjList("dst").get
+                 else e.adjList("src").get
+        val vcs = e.alignedChunkSize(al)
+        val n = e.alignedVertexCount(al, conf)
+        if (vid < 0 || vid >= n) 0L
+        else {
+          val offs = e.offsetsOfPart(al, vid / vcs, conf)
+          val local = (vid % vcs).toInt
+          if (local + 1 < offs.length) offs(local + 1) - offs(local) else 0L
+        }
+      case (Right(e), None) =>
+        e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)
     }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(rows * (8L * fullWidth))

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{GraphArGraph, GraphOps, GraphSqlFunctions}
+
+/** SQL-callable bfs_length / bfs_exist (reference F1/F2) cross-checked
+  * against the distributed frontier-join implementation.
+  */
+class GraphSqlFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("bfs UDFs match the distributed BFS on all probe pairs") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val g = GraphArGraph(spark, yaml)
+    GraphSqlFunctions.register(spark, g)
+    val es = g.edgesStd("Part", "link", "Part").persist()
+    graph.GraphQueries.bfsPairs.foreach { case (a, b) =>
+      val sql = spark.sql(s"SELECT bfs_length($a, $b) AS l, bfs_exist($a, $b) AS e")
+        .collect()(0)
+      val dist = GraphOps.bfsLength(spark, es, a, b, 15)
+      assert(sql.getLong(0) === dist, s"pair ($a,$b)")
+      assert(sql.getBoolean(1) === (dist != -1L), s"pair ($a,$b)")
+    }
+    es.unpersist()
+  }
+
+  test("bfs UDFs evaluate over many rows in one query") {
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM (SELECT explode(sequence(0, 99)) AS v)
+        |WHERE bfs_exist(42, v)""".stripMargin).collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
+  test("hello function (duckdb_graphar parity)") {
+    assert(spark.sql("SELECT graft('Sam') AS s").collect()(0).getString(0)
+      === "Graft Sam ⚡")
+  }
+}
