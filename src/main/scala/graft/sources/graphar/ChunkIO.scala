@@ -160,8 +160,9 @@ object ChunkIO {
                conf: Configuration): RowSink = fileType match {
     case "parquet" => new ParquetSink(path, schema, conf)
     case "csv" => new CsvSink(path, schema, conf)
+    case "orc" => new OrcSink(path, schema, conf)
     case other => throw new IllegalArgumentException(
-      s"unsupported GraphAr file_type: $other (supported: parquet, csv)")
+      s"unsupported GraphAr file_type: $other (supported: parquet, csv, orc)")
   }
 
   // ------------------------------------------------------------------- csv
@@ -242,14 +243,127 @@ object ChunkIO {
     }
   }
 
+  // ------------------------------------------------------------------- orc
+
+  private def orcSchema(schema: StructType): org.apache.orc.TypeDescription = {
+    val td = org.apache.orc.TypeDescription.createStruct()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case BooleanType => org.apache.orc.TypeDescription.createBoolean()
+        case IntegerType => org.apache.orc.TypeDescription.createInt()
+        case LongType => org.apache.orc.TypeDescription.createLong()
+        case FloatType => org.apache.orc.TypeDescription.createFloat()
+        case DoubleType => org.apache.orc.TypeDescription.createDouble()
+        case StringType => org.apache.orc.TypeDescription.createString()
+        case DateType => org.apache.orc.TypeDescription.createDate()
+        case other => throw new IllegalArgumentException(s"unsupported: $other")
+      }
+      td.addField(f.name, t)
+    }
+    td
+  }
+
+  private def readOrc(path: Path, schema: StructType,
+                      conf: Configuration): Iterator[Array[Any]] = {
+    import org.apache.hadoop.hive.ql.exec.vector._
+    val reader = org.apache.orc.OrcFile.createReader(
+      path, org.apache.orc.OrcFile.readerOptions(conf))
+    val fileSchema = reader.getSchema
+    val colIdx = schema.fields.map(f => fileSchema.getFieldNames.indexOf(f.name))
+    colIdx.zip(schema.fields).foreach { case (i, f) =>
+      if (i < 0) throw new IllegalArgumentException(
+        s"column ${f.name} not in orc schema of $path")
+    }
+    val rows = reader.rows()
+    val batch = fileSchema.createRowBatch()
+    new Iterator[Array[Any]] {
+      private var pos = 0
+      private var more = rows.nextBatch(batch)
+      override def hasNext: Boolean = {
+        while (more && pos >= batch.size) { pos = 0; more = rows.nextBatch(batch) }
+        if (!more) rows.close()
+        more
+      }
+      override def next(): Array[Any] = {
+        val row = new Array[Any](schema.length)
+        var i = 0
+        while (i < schema.length) {
+          val cv = batch.cols(colIdx(i))
+          val r = if (cv.isRepeating) 0 else pos
+          row(i) =
+            if (!cv.noNulls && cv.isNull(r)) null
+            else schema(i).dataType match {
+              case BooleanType => cv.asInstanceOf[LongColumnVector].vector(r) != 0L
+              case IntegerType => cv.asInstanceOf[LongColumnVector].vector(r).toInt
+              case LongType => cv.asInstanceOf[LongColumnVector].vector(r)
+              case FloatType => cv.asInstanceOf[DoubleColumnVector].vector(r).toFloat
+              case DoubleType => cv.asInstanceOf[DoubleColumnVector].vector(r)
+              case StringType =>
+                val b = cv.asInstanceOf[BytesColumnVector]
+                new String(b.vector(r), b.start(r), b.length(r), StandardCharsets.UTF_8)
+              case DateType => cv.asInstanceOf[LongColumnVector].vector(r).toInt
+              case other => throw new IllegalArgumentException(s"unsupported: $other")
+            }
+          i += 1
+        }
+        pos += 1
+        row
+      }
+    }
+  }
+
+  private class OrcSink(path: Path, schema: StructType, conf: Configuration)
+    extends RowSink {
+    import org.apache.hadoop.hive.ql.exec.vector._
+    private val td = orcSchema(schema)
+    private val fs = path.getFileSystem(conf)
+    if (fs.exists(path)) fs.delete(path, false)
+    private val writer = org.apache.orc.OrcFile.createWriter(
+      path, org.apache.orc.OrcFile.writerOptions(conf).setSchema(td))
+    private val batch = td.createRowBatch()
+    override def write(row: Array[Any]): Unit = {
+      val r = batch.size
+      var i = 0
+      while (i < schema.length) {
+        val cv = batch.cols(i)
+        if (row(i) == null) { cv.noNulls = false; cv.isNull(r) = true }
+        else schema(i).dataType match {
+          case BooleanType =>
+            cv.asInstanceOf[LongColumnVector].vector(r) =
+              if (row(i).asInstanceOf[Boolean]) 1L else 0L
+          case IntegerType | DateType =>
+            cv.asInstanceOf[LongColumnVector].vector(r) = row(i).asInstanceOf[Int].toLong
+          case LongType =>
+            cv.asInstanceOf[LongColumnVector].vector(r) = row(i).asInstanceOf[Long]
+          case FloatType =>
+            cv.asInstanceOf[DoubleColumnVector].vector(r) = row(i).asInstanceOf[Float].toDouble
+          case DoubleType =>
+            cv.asInstanceOf[DoubleColumnVector].vector(r) = row(i).asInstanceOf[Double]
+          case StringType =>
+            val b = row(i).asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+            cv.asInstanceOf[BytesColumnVector].setRef(r, b, 0, b.length)
+          case other => throw new IllegalArgumentException(s"unsupported: $other")
+        }
+        i += 1
+      }
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { writer.addRowBatch(batch); batch.reset() }
+    }
+    override def close(): Unit = {
+      if (batch.size > 0) writer.addRowBatch(batch)
+      writer.close()
+    }
+  }
+
   // ------------------------------------------------------------- dispatch
 
   def readRows(path: Path, fileType: String, schema: StructType,
                conf: Configuration): Iterator[Array[Any]] = fileType match {
     case "parquet" => readParquet(path, schema, conf)
     case "csv" => readCsv(path, schema, conf)
+    case "orc" => readOrc(path, schema, conf)
     case other => throw new IllegalArgumentException(
-      s"unsupported GraphAr file_type: $other (supported: parquet, csv)")
+      s"unsupported GraphAr file_type: $other (supported: parquet, csv, orc)")
   }
 
   def writeRows(path: Path, fileType: String, schema: StructType,

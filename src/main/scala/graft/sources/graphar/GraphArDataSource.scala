@@ -358,7 +358,13 @@ abstract class ChunkZipReader(required: StructType) extends PartitionReader[Inte
 
   override def next(): Boolean = {
     if (rowStart + pos >= rowEnd) return false
-    if (iters.isEmpty) return false
+    if (iters.isEmpty) {
+      // index-only projection: no group file needed — row count comes
+      // from the partition bounds (chunk size / vertex_count)
+      current = Array.empty
+      pos += 1
+      return true
+    }
     if (!iters.forall(_._1.hasNext)) return false
     current = iters.map(_._1.next()).toArray
     pos += 1
