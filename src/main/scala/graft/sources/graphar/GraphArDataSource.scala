@@ -210,7 +210,12 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
   }
   private def fullWidth = info.fold(_.schema.length, _.schema.length).max(1)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    graft.util.Timing.timed(s"planInputPartitions ${description()}") {
+      planInputPartitionsImpl()
+    }
+
+  private def planInputPartitionsImpl(): Array[InputPartition] = {
     if (countStar) {
       val n = info match {
         case Left(v) => v.vertexCount(conf)

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.graph.GraphOps
+
+/** Property-based checks (SURVEY.md §5 test plan): hop operators against
+  * a brute-force in-memory oracle on random multigraphs, and BFS against
+  * collection BFS — pinning the reference's exact semantics
+  * (dup-preserving two_hop frontier per hop.cpp:126-129; dedup'd +
+  * dst-membership one_more_hop per hop.cpp:188-225).
+  */
+object HopProps extends Properties("graft.hops") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val genGraph: Gen[(List[(Long, Long)], Long)] = for {
+    n <- Gen.choose(3, 12)
+    m <- Gen.choose(0, 40)
+    edges <- Gen.listOfN(m, for {
+      s <- Gen.choose(0L, n - 1L)
+      d <- Gen.choose(0L, n - 1L)
+    } yield (s, d))
+    vid <- Gen.choose(0L, n - 1L)
+  } yield (edges, vid)
+
+  private def toDf(edges: List[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  private def multiset(rows: Seq[(Long, Long)]): Map[(Long, Long), Int] =
+    rows.groupBy(identity).view.mapValues(_.size).toMap
+
+  property("twoHop = 1-hop ++ out-edges of dup-preserving frontier") =
+    forAll(genGraph) { case (edges, vid) =>
+      val got = GraphOps.twoHop(toDf(edges), vid).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val h1 = edges.filter(_._1 == vid)
+      val expected = h1 ++ h1.flatMap { case (_, m) => edges.filter(_._1 == m) }
+      multiset(got) == multiset(expected)
+    }
+
+  property("oneMoreHop = 1-hop ++ edges with src,dst in dedup'd frontier") =
+    forAll(genGraph) { case (edges, vid) =>
+      val got = GraphOps.oneMoreHop(toDf(edges), vid).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val h1 = edges.filter(_._1 == vid)
+      val f = h1.map(_._2).toSet
+      val expected = h1 ++ edges.filter(e => f.contains(e._1) && f.contains(e._2))
+      multiset(got) == multiset(expected)
+    }
+
+  property("bfsLength = collection BFS") =
+    forAll(genGraph) { case (edges, vid) =>
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val target = (vid + 1) % 3
+      def bfs(): Long = {
+        if (vid == target) return 0
+        var depth = 0L
+        var frontier = Set(vid)
+        var visited = Set(vid)
+        while (frontier.nonEmpty && depth < 15) {
+          depth += 1
+          frontier = frontier.flatMap(v => adj.getOrElse(v, Nil)).diff(visited)
+          if (frontier.contains(target)) return depth
+          visited ++= frontier
+        }
+        -1L
+      }
+      GraphOps.bfsLength(spark, toDf(edges), vid, target, 15) == bfs()
+    }
+
+  property("degrees = per-src edge counts") =
+    forAll(genGraph) { case (edges, _) =>
+      val got = GraphOps.degrees(toDf(edges)).collect()
+        .map(r => r.getLong(1) -> r.getLong(0)).toMap
+      val expected = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      got == expected
+    }
+}
