@@ -153,6 +153,30 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
     },
 
+    // JSON scalar functions over the events.props payload column.
+    "q13_json" -> { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+    },
+
+    // Date/time scalar functions over orders.
+    "q14_date" -> { (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          // DuckDB's quarter-trunc yields DATE; align types
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"),
+          datediff(lit("1998-12-31"), col("o_orderdate")).as("days_to_eoy"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"))
+    },
+
     // Gap-based sessionization (30 min), expressed with window functions;
     // the streaming twin uses flatMapGroupsWithState. Second-truncated
     // timestamps for ns-vs-µs oracle parity.
@@ -260,6 +284,22 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS h, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q13_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q14_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  day(o_orderdate) AS dom,
+        |  date_trunc('quarter', o_orderdate) AS q_start,
+        |  datediff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS days_to_eoy,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin,
 
     "q12_sessionize" ->
       """WITH ev AS (
