@@ -41,6 +41,8 @@ object GraphQueries {
     "g_two_hop" -> { (s, d) => GraphOps.twoHop(edgesFrom(s, d), RootVid) },
     "g_one_more_hop" -> { (s, d) => GraphOps.oneMoreHop(edgesFrom(s, d), RootVid) },
     "g_degrees" -> { (s, d) => GraphOps.degrees(edgesFrom(s, d)) },
+    // salted two-phase variant: same result, skew-resistant shuffle
+    "g_degrees_salted" -> { (s, d) => GraphOps.degreesSalted(edgesFrom(s, d)) },
     "g_max_degree" -> { (s, d) => GraphOps.maxDegree(edgesFrom(s, d)) },
     "g_degree_dist" -> { (s, d) => GraphOps.degreeDistribution(edgesFrom(s, d)) },
     "g_bfs_length" -> { (s, d) =>
@@ -93,6 +95,9 @@ object GraphQueries {
            |WHERE e2.src IN (SELECT dst FROM e WHERE src = $RootVid)
            |  AND e2.dst IN (SELECT dst FROM e WHERE src = $RootVid)""".stripMargin,
       "g_degrees" ->
+        s"""WITH e AS ($edgesSql)
+           |SELECT count(*) AS degree, src AS grapharId FROM e GROUP BY src""".stripMargin,
+      "g_degrees_salted" ->
         s"""WITH e AS ($edgesSql)
            |SELECT count(*) AS degree, src AS grapharId FROM e GROUP BY src""".stripMargin,
       "g_max_degree" ->

@@ -99,6 +99,18 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
+  /** End-to-end near-dedup: the corpus minus the higher-id member of
+    * every verified near-duplicate pair (greedy keep-lowest-id policy).
+    * This is the operator a pipeline actually runs; the pair queries
+    * above are its observable internals.
+    */
+  def dropNearDuplicates(docs: DataFrame, n: Int = 3, k: Int = 8,
+                         bands: Int = 4, threshold: Double = 0.25): DataFrame = {
+    val drop = minhashLshPairs(docs, n, k, bands, threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-document 32-bit SimHash signature. */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
@@ -109,6 +121,10 @@ object Dedup {
     "d_exact" -> { (s, d) => exact(t(s, d, "documents")) },
     "d_ngram_jaccard" -> { (s, d) => ngramJaccardPairs(t(s, d, "documents"), 3, 0.2) },
     "d_minhash_lsh" -> { (s, d) => minhashLshPairs(t(s, d, "documents")) },
+    "d_dedup_corpus" -> { (s, d) =>
+      dropNearDuplicates(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
     "d_simhash" -> { (s, d) => simhashSignatures(t(s, d, "documents")) }
   )
 
@@ -141,6 +157,30 @@ object Dedup {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
          |    len(list_distinct(a.sh || b.sh)) >= 0.2""".stripMargin,
+
+    "d_dedup_corpus" ->
+      s"""WITH s AS ($shSql),
+         |base AS (
+         |  SELECT doc_id, sh, list_transform(sh, s2 -> ${chash("s2", "1")}) AS bh
+         |  FROM s WHERE len(sh) > 0),
+         |sig AS (
+         |  SELECT doc_id, sh, list_transform(range(1, 9), k ->
+         |    list_min(list_transform(bh, h -> ((k*2+1) * h + k*31 + 7) % $HashMod))) AS sig
+         |  FROM base),
+         |bands AS (
+         |  SELECT doc_id, sh, b, sig[2*b + 1] || '_' || sig[2*b + 2] AS key
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT a_id, b_id,
+         |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |      len(list_distinct(sa.sh || sb.sh)) AS jac
+         |  FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM verified WHERE jac >= 0.25)""".stripMargin,
 
     "d_minhash_lsh" ->
       s"""WITH s AS ($shSql),
