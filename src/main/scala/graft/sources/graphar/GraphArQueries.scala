@@ -33,6 +33,8 @@ object GraphArQueries {
     val marker = new Path(s"$base/_SUCCESS")
     val fs = marker.getFileSystem(conf)
     if (fs.exists(marker)) return yaml
+    // no marker but leftovers → a previous build died mid-write; start clean
+    if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
 
     val part = t(spark, sfDir, "part").orderBy(col("p_partkey"))
     GraphArWriter.writeVertices(part, base,
