@@ -153,6 +153,42 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
     },
 
+    // Full window-function family: rank/dense_rank/lag/lead/ntile.
+    "q15_window_funcs" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("rnk"),
+          col("drnk"), col("prev_price"), col("next_key"), col("quartile"))
+    },
+
+    // CUBE grouping sets (beyond q8's ROLLUP).
+    "q16_cube" -> { (s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+    },
+
+    // Exact interpolated percentiles per group.
+    "q17_percentile" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          count(lit(1)).as("n"))
+    },
+
     // JSON scalar functions over the events.props payload column.
     "q13_json" -> { (s, d) =>
       t(s, d, "events")
@@ -284,6 +320,33 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS h, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q15_window_funcs" ->
+      """SELECT o_orderpriority, o_orderkey, rnk, drnk, prev_price, next_key, quartile
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    lag(o_totalprice) OVER w AS prev_price,
+        |    lead(o_orderkey) OVER w AS next_key,
+        |    ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rnk <= 5""".stripMargin,
+
+    "q16_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q17_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q13_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,

@@ -28,12 +28,12 @@ object Similarity {
     * with left-to-right accumulation (dot / sqrt(na) / sqrt(nb) — op
     * order fixed for cross-engine bit parity).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
 
   /** Exact brute-force top-k cosine neighbors for a set of query ids. */
   def bruteForceTopK(emb: DataFrame, queryIds: Column, k: Int): DataFrame = {
@@ -76,6 +76,36 @@ object Similarity {
       .select(col("q_id"), col("cluster"), col("n_id"), col("rank"))
   }
 
+  /** Random-hyperplane LSH ANN: sign-of-dot signature against `nBits`
+    * hyperplanes (deterministically drawn from the corpus itself:
+    * vec_ids hpBase..hpBase+nBits-1, so an independent engine can
+    * re-derive them), bucket = signature int, probe = same-bucket
+    * candidates ranked by exact cosine. At scale the corpus is written
+    * bucketed by `bucket`, so a probe touches 1/2^nBits of the data.
+    */
+  def lshTopK(emb: DataFrame, queryIds: Column, k: Int, nBits: Int = 8,
+              hpBase: Long = 100): DataFrame = {
+    val hp = emb.filter(col("vec_id") >= hpBase && col("vec_id") < hpBase + nBits)
+      .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"))
+    val sigs = emb.join(broadcast(hp), lit(true))
+      .withColumn("bit",
+        when(dot(col("embedding"), col("h_emb")) > 0,
+          pow(lit(2.0), col("h_id") - hpBase).cast("long")).otherwise(lit(0L)))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    val bucketed = emb.join(sigs, "vec_id")
+    val q = bucketed.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val scored = bucketed
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+      .join(broadcast(q), col("bucket") === col("q_bucket") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("bucket"), col("n_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a label block. */
   def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
@@ -98,19 +128,22 @@ object Similarity {
     },
     "d_embed_dup" -> { (s, d) =>
       embeddingDupPairs(t(s, d, "embeddings"), 0.4)
+    },
+    "sim_lsh" -> { (s, d) =>
+      lshTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
     }
   )
 
-  /** Cosine in DuckDB with the same op order (sequential list_reduce sum,
-    * then / sqrt / sqrt).
+  /** Dot/cosine in DuckDB with the same op order as the Spark side
+    * (sequential list_reduce sum; cosine = dot / sqrt / sqrt).
     */
-  private def cosSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), " +
-        s"(acc, v) -> acc + v)"
-    s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
-  }
+  private def dotSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / sqrt(${dotSql(a, a)}) / sqrt(${dotSql(b, b)})"
 
   def oracle: Map[String, String] = Map(
     "sim_topk" ->
@@ -146,6 +179,30 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |  FROM scored)
          |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "sim_lsh" ->
+      s"""WITH hp AS (
+         |  SELECT vec_id AS h_id, embedding AS h_emb FROM embeddings
+         |  WHERE vec_id >= 100 AND vec_id < 108),
+         |sigs AS (
+         |  SELECT e.vec_id,
+         |    sum(CASE WHEN ${dotSql("e.embedding", "hp.h_emb")} > 0
+         |      THEN CAST(pow(2, hp.h_id - 100) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id),
+         |bucketed AS (
+         |  SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e
+         |  JOIN sigs s ON s.vec_id = e.vec_id),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+         |      FROM bucketed WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q_id, b.bucket, b.vec_id AS n_id,
+         |    ${cosSql("q_emb", "b.embedding")} AS cos
+         |  FROM bucketed b JOIN q ON b.bucket = q_bucket AND q_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT q_id, bucket, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, bucket, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
 
     "d_embed_dup" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,

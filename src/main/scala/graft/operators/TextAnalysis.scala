@@ -63,6 +63,18 @@ object TextAnalysis {
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
     },
 
+    // corpus vocabulary: explode (generator) + count + top-k rank
+    "t_top_terms" -> { (s, d) =>
+      val terms = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      terms.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("term"))))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("term"), col("n"))
+    },
+
     // canonical fingerprint (md5 of normalized text) + rolling char hash
     "t_fingerprint" -> { (s, d) =>
       t(s, d, "documents").select(
@@ -109,6 +121,15 @@ object TextAnalysis {
         |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
+
+    "t_top_terms" ->
+      """SELECT rank, term, n FROM (
+        |  SELECT term, count(*) AS n,
+        |    row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY term)
+        |WHERE rank <= 20""".stripMargin,
 
     "t_fingerprint" ->
       s"""SELECT doc_id,
