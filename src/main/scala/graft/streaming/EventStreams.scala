@@ -42,6 +42,15 @@ object EventStreams {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Streaming exact-dedup by key: keeps the first occurrence of each
+    * event_id; `dropDuplicatesWithinWatermark` lets Spark evict dedup
+    * state once the watermark passes (bounded state — the property that
+    * makes streaming dedup viable on an unbounded stream).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization with explicit state — the streaming twin of
     * q12_sessionize. Emits a session when `gapSeconds` of event-time
     * silence elapses for a user (detected on the next event, or on state

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Operator-level sanity checks that the DuckDB gate can't express:
+  * sketch accuracy and streaming dedup.
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct (HLL) within 5% of exact") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("streaming dedup drops duplicate event_ids, keeps the rest") {
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    // duplicate every event once (same ids → must be dropped)
+    val withDups = events ++ events.take(500)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(withDups)
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0))
+      assert(ids.length === events.length) // one row per distinct id
+      assert(ids.toSet === events.map(_.event_id).toSet)
+    } finally q.stop()
+  }
+}
