@@ -57,11 +57,14 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     // map-side assignment: broadcast centroids, argmax cosine (tie → c_id)
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    // materialize: the assignment (corpus × centroids + window) feeds
+    // both the query and the probe branch — don't compute it twice
     val assigned = emb.join(broadcast(cent), lit(true))
       .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+      .localCheckpoint(true)
     val q = assigned.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cluster").as("q_cluster"))
@@ -92,6 +95,7 @@ object Similarity {
         when(dot(col("embedding"), col("h_emb")) > 0,
           pow(lit(2.0), col("h_id") - hpBase).cast("long")).otherwise(lit(0L)))
       .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+      .localCheckpoint(true) // signature subtree feeds two join branches
     val bucketed = emb.join(sigs, "vec_id")
     val q = bucketed.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

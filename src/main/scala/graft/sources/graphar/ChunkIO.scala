@@ -55,14 +55,21 @@ object ChunkIO {
     b.named(name)
   }
 
+  /** Closeable row iterator: partial consumers (id seeks, pushed limits)
+    * MUST call close() or file handles leak on long-lived executors.
+    */
+  trait RowReader extends Iterator[Array[Any]] with AutoCloseable
+
   private def readParquet(path: Path, schema: StructType,
-                          conf: Configuration): Iterator[Array[Any]] = {
+                          conf: Configuration): RowReader = {
     val reader = ParquetReader.builder(new GroupReadSupport(), path)
       .withConf(conf).build()
-    new Iterator[Array[Any]] {
+    new RowReader {
+      private var closed = false
+      override def close(): Unit = if (!closed) { closed = true; reader.close() }
       private var nextGroup: Group = reader.read()
       override def hasNext: Boolean = {
-        if (nextGroup == null) reader.close()
+        if (nextGroup == null) close()
         nextGroup != null
       }
       override def next(): Array[Any] = {
@@ -193,13 +200,19 @@ object ChunkIO {
     out.toArray
   }
 
+  /** An empty STRING is quoted (`""`) so it stays distinguishable from a
+    * null, which is written as a bare empty cell.
+    */
   private def quoteCsv(s: String): String =
-    if (s.contains(',') || s.contains('"') || s.contains('\n'))
+    if (s.isEmpty || s.contains(',') || s.contains('"') ||
+      s.contains('\n') || s.contains('\r'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
-  private def parseCsvValue(v: String, dt: DataType, nullable: Boolean): Any = {
-    if (v.isEmpty && nullable && dt != StringType) return null
+  private def parseCsvValue(v: String, quoted: Boolean, dt: DataType,
+                            nullable: Boolean): Any = {
+    // bare empty cell = null (quoted "" is a real empty string)
+    if (v.isEmpty && !quoted && nullable) return null
     dt match {
       case BooleanType => v.toBoolean
       case IntegerType => v.toInt
@@ -212,32 +225,72 @@ object ChunkIO {
     }
   }
 
+  /** RFC-4180 record parser over a char stream: quoted fields may span
+    * physical lines (embedded \n / \r\n). Returns null at EOF; otherwise
+    * the cells plus which were quoted.
+    */
+  private def readCsvRecord(br: BufferedReader): (Array[String], Array[Boolean]) = {
+    var c = br.read()
+    // skip blank line separators / EOF
+    while (c == '\n' || c == '\r') c = br.read()
+    if (c == -1) return null
+    val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+    val quoted = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val sb = new StringBuilder
+    var cellQuoted = false
+    var inQ = false
+    var done = false
+    while (!done) {
+      if (c == -1) done = true
+      else if (inQ) {
+        if (c == '"') {
+          val n = br.read()
+          if (n == '"') { sb.append('"'); c = br.read() }
+          else { inQ = false; c = n }
+        } else { sb.append(c.toChar); c = br.read() }
+      } else c match {
+        case '"' => inQ = true; cellQuoted = true; c = br.read()
+        case ',' =>
+          cells += sb.toString(); quoted += cellQuoted
+          sb.clear(); cellQuoted = false; c = br.read()
+        case '\r' => c = br.read() // swallow; \n (or EOF) ends the record
+        case '\n' => done = true
+        case ch => sb.append(ch.toChar); c = br.read()
+      }
+    }
+    cells += sb.toString(); quoted += cellQuoted
+    (cells.toArray, quoted.toArray)
+  }
+
   private def readCsv(path: Path, schema: StructType,
-                      conf: Configuration): Iterator[Array[Any]] = {
+                      conf: Configuration): RowReader = {
     val fs = path.getFileSystem(conf)
     val br = new BufferedReader(new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
-    val header = Option(br.readLine()).map(splitCsvLine).getOrElse(Array.empty[String])
+    val header = Option(readCsvRecord(br)).map(_._1).getOrElse(Array.empty[String])
     val colIdx = schema.fields.map(f => header.indexOf(f.name))
     colIdx.zip(schema.fields).foreach { case (idx, f) =>
       if (idx < 0) { br.close(); throw new IllegalArgumentException(
         s"column ${f.name} not in csv header ${header.mkString(",")} of $path") }
     }
-    new Iterator[Array[Any]] {
-      private var line = br.readLine()
+    new RowReader {
+      private var closed = false
+      override def close(): Unit = if (!closed) { closed = true; br.close() }
+      private var rec = readCsvRecord(br)
       override def hasNext: Boolean = {
-        if (line == null) br.close()
-        line != null
+        if (rec == null) close()
+        rec != null
       }
       override def next(): Array[Any] = {
-        val parts = splitCsvLine(line)
+        val (parts, qs) = rec
         val row = new Array[Any](schema.length)
         var i = 0
         while (i < schema.length) {
           val f = schema(i)
-          row(i) = parseCsvValue(parts(colIdx(i)), f.dataType, f.nullable)
+          val ci = colIdx(i)
+          row(i) = parseCsvValue(parts(ci), qs(ci), f.dataType, f.nullable)
           i += 1
         }
-        line = br.readLine()
+        rec = readCsvRecord(br)
         row
       }
     }
@@ -264,7 +317,7 @@ object ChunkIO {
   }
 
   private def readOrc(path: Path, schema: StructType,
-                      conf: Configuration): Iterator[Array[Any]] = {
+                      conf: Configuration): RowReader = {
     import org.apache.hadoop.hive.ql.exec.vector._
     val reader = org.apache.orc.OrcFile.createReader(
       path, org.apache.orc.OrcFile.readerOptions(conf))
@@ -276,12 +329,14 @@ object ChunkIO {
     }
     val rows = reader.rows()
     val batch = fileSchema.createRowBatch()
-    new Iterator[Array[Any]] {
+    new RowReader {
+      private var closed = false
+      override def close(): Unit = if (!closed) { closed = true; rows.close() }
       private var pos = 0
       private var more = rows.nextBatch(batch)
       override def hasNext: Boolean = {
         while (more && pos >= batch.size) { pos = 0; more = rows.nextBatch(batch) }
-        if (!more) rows.close()
+        if (!more) close()
         more
       }
       override def next(): Array[Any] = {
@@ -358,7 +413,7 @@ object ChunkIO {
   // ------------------------------------------------------------- dispatch
 
   def readRows(path: Path, fileType: String, schema: StructType,
-               conf: Configuration): Iterator[Array[Any]] = fileType match {
+               conf: Configuration): RowReader = fileType match {
     case "parquet" => readParquet(path, schema, conf)
     case "csv" => readCsv(path, schema, conf)
     case "orc" => readOrc(path, schema, conf)

@@ -184,10 +184,12 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
     s"GraphArScan($what, pushedId=$idFilter, limit=$limit, countStar=$countStar)"
   }
 
-  override def estimateStatistics(): Statistics = new Statistics {
-    // exact row counts: metadata for full scans, offset-table slice length
-    // for pushed id filters — lets Catalyst auto-broadcast one-hop results
-    private val rows: Long = (info, idFilter) match {
+  // exact row counts: metadata for full scans, offset-table slice length
+  // for pushed id filters — lets Catalyst auto-broadcast one-hop results.
+  // Computed once per Scan: estimateStatistics can be called repeatedly
+  // and the count branch of planInputPartitions reuses it (metadata reads
+  // are driver-side FS round-trips, expensive on object stores).
+  private lazy val metaRowCount: Long = (info, idFilter) match {
       case (Left(v), Some(_)) => 1L
       case (Left(v), None) => v.vertexCount(conf)
       case (Right(e), Some((c, vid))) =>
@@ -204,9 +206,12 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
       case (Right(e), None) =>
         e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)
     }
+
+  override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows * (8L * fullWidth))
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      java.util.OptionalLong.of(metaRowCount * (8L * fullWidth))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(metaRowCount)
   }
   private def fullWidth = info.fold(_.schema.length, _.schema.length).max(1)
 
@@ -216,13 +221,7 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
     }
 
   private def planInputPartitionsImpl(): Array[InputPartition] = {
-    if (countStar) {
-      val n = info match {
-        case Left(v) => v.vertexCount(conf)
-        case Right(e) => e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)
-      }
-      return Array(CountPartition(n))
-    }
+    if (countStar) return Array(CountPartition(metaRowCount))
     info match {
       case Left(v) => planVertex(v)
       case Right(e) => planEdge(e)
@@ -234,7 +233,7 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
     val cs = v.chunkSize
     idFilter match {
       case Some((_, vid)) =>
-        if (vid < 0 || vid >= n) Array.empty
+        if (vid < 0 || vid >= n || limit.exists(_ < 1)) Array.empty
         else Array(VertexChunkPartition(v, vid / cs, vid % cs, vid % cs + 1))
       case None =>
         val nChunks = ((n + cs - 1) / cs).toInt
@@ -270,7 +269,12 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
         val offsets = e.offsetsOfPart(al, part, conf)
         val local = (vid % vcs).toInt
         if (local + 1 >= offsets.length) return Array.empty
-        val (begin, end) = (offsets(local), offsets(local + 1))
+        val begin = offsets(local)
+        // a fully-pushed LIMIT must also bound the id-seek slice (Spark
+        // removes its own Limit operator when pushLimit succeeded);
+        // guard: begin + MaxValue would overflow, so only add when set
+        val end = limit.map(l => math.min(offsets(local + 1), begin + l.toLong))
+          .getOrElse(offsets(local + 1))
         if (begin >= end) return Array.empty
         // adjacency chunks covering [begin, end) within this part
         (begin / cs to (end - 1) / cs).map { ck =>
@@ -331,8 +335,8 @@ class SingleRowReader(n: Long) extends PartitionReader[InternalRow] {
 abstract class ChunkZipReader(required: StructType) extends PartitionReader[InternalRow] {
   protected val conf = new Configuration()
 
-  /** (iterator, schema) per required property group, positionally aligned. */
-  protected def groupIters: Seq[(Iterator[Array[Any]], StructType)]
+  /** (reader, schema) per required property group, positionally aligned. */
+  protected def groupIters: Seq[(ChunkIO.RowReader, StructType)]
   protected def rowStart: Long
   protected def rowEnd: Long
   /** synthetic column value for the current absolute row position. */
@@ -393,7 +397,7 @@ abstract class ChunkZipReader(required: StructType) extends PartitionReader[Inte
     }
     InternalRow.fromSeq(vals.toSeq)
     }
-  override def close(): Unit = ()
+  override def close(): Unit = iters.foreach(_._1.close())
 }
 
 class VertexChunkReader(p: VertexChunkPartition, required: StructType)
@@ -403,7 +407,7 @@ class VertexChunkReader(p: VertexChunkPartition, required: StructType)
   override protected def synthetic(name: String, pos: Long): Any =
     p.chunk * p.info.chunkSize + pos
 
-  override protected def groupIters: Seq[(Iterator[Array[Any]], StructType)] = {
+  override protected def groupIters: Seq[(ChunkIO.RowReader, StructType)] = {
     val requiredNames = required.fieldNames.toSet
     p.info.propertyGroups.flatMap { g =>
       val sch = StructType(g.properties
@@ -425,7 +429,7 @@ class EdgeChunkReader(p: EdgeChunkPartition, required: StructType)
   override protected def synthetic(name: String, pos: Long): Any =
     throw new IllegalStateException(s"$name should come from the adjacency file")
 
-  override protected def groupIters: Seq[(Iterator[Array[Any]], StructType)] = {
+  override protected def groupIters: Seq[(ChunkIO.RowReader, StructType)] = {
     val requiredNames = required.fieldNames.toSet
     val adjSchemaAll = StructType(Seq(
       StructField(GraphArMeta.SrcIndexCol, LongType, nullable = false),

@@ -50,9 +50,17 @@ object GraphArWriter {
 
   private class IdPartitioner(n: Int, chunkSize: Long) extends Partitioner {
     override def numPartitions: Int = math.max(n, 1)
-    override def getPartition(key: Any): Int = key match {
-      case i: Long => (i / chunkSize).toInt
-      case (s: Long, _) => (s / chunkSize).toInt
+    override def getPartition(key: Any): Int = {
+      val id = key match {
+        case i: Long => i
+        case (s: Long, _) => s
+      }
+      val p = (id / chunkSize).toInt
+      if (id < 0 || p >= numPartitions)
+        throw new IllegalArgumentException(
+          s"id $id outside the declared aligned-vertex range " +
+            s"[0, ${numPartitions * chunkSize}) — check the *VertexCount spec fields")
+      p
     }
   }
 
@@ -72,9 +80,12 @@ object GraphArWriter {
     val cs = spec.chunkSize
     val ft = spec.fileType
 
+    // cache the indexed RDD: it feeds both the count and the shuffle, and
+    // recomputing a nondeterministic source could break the partitioner
     val indexed = df.rdd.zipWithIndex().map { case (r, i) => (i, r) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nChunks = {
-      val n = df.count()
+      val n = indexed.count()
       math.max(1L, (n + cs - 1) / cs).toInt
     }
     val groupSchemas = effGroups.map { case (gName, cols) =>
@@ -102,6 +113,7 @@ object GraphArWriter {
         Iterator.single(n)
       }.collect()
 
+    indexed.unpersist(blocking = false)
     val total = counts.sum
     GraphArMeta.writeInt64(new Path(s"${dir}vertex_count"), total, conf)
     writeVertexYaml(baseDir, spec, effGroups, schema)
@@ -176,6 +188,10 @@ object GraphArWriter {
         }
         var lastAligned = -1L
         it.foreach { case ((aligned, _), row) =>
+          if (aligned < partStartVertex || aligned >= partStartVertex + vertsInPart)
+            throw new IllegalArgumentException(
+              s"edge ${if (alignedBy == "src") "src" else "dst"} id $aligned " +
+                s"outside the declared aligned vertex count $alignedCount")
           if (edgeCount % cs == 0) roll()
           val s = row.getLong(srcIdx); val d = row.getLong(dstIdx)
           adjSink.write(Array[Any](s, d))

@@ -73,7 +73,10 @@ object EventStreams {
               out += Session(userId, st.sessionStart, st.lastTs, st.nEvents, st.totalValue)
               st = SessionState(e.ts, e.ts, 1L, e.value)
             } else {
-              st = SessionState(st.sessionStart, e.ts, st.nEvents + 1, st.totalValue + e.value)
+              // a late (cross-batch out-of-order) event must not move
+              // lastTs backwards, or it could falsely split the session
+              val last = if (e.ts.getTime > st.lastTs.getTime) e.ts else st.lastTs
+              st = SessionState(st.sessionStart, last, st.nEvents + 1, st.totalValue + e.value)
             }
           }
           if (st != null) state.update(st) else state.remove()

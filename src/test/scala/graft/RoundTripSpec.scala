@@ -25,7 +25,7 @@ class RoundTripSpec extends AnyFunSuite {
     import spark.implicits._
     (0 until 100).map { i =>
       (i % 2 == 0, i, i.toLong * 1000, i.toFloat / 3, i.toDouble / 7,
-        if (i % 10 == 0) null else s"s,$i\"q",
+        if (i % 10 == 0) null else s"s,$i\"q\nnl", // comma, quote, newline
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000L + i)))
     }.toDF("b", "i32", "i64", "f", "d", "s", "dt")
   }
@@ -47,13 +47,40 @@ class RoundTripSpec extends AnyFunSuite {
       assert(row41.getBoolean(1) === false)
       assert(row41.getInt(2) === 41)
       assert(row41.getLong(3) === 41000L)
-      assert(row41.getString(6) === "s,41\"q")
+      assert(row41.getString(6) === "s,41\"q\nnl")
       assert(row41.getDate(7).toLocalDate.toEpochDay === 19041L)
-      // null round-trip (csv: empty string ambiguity documented — strings
-      // stay non-null there)
-      if (ft != "csv")
-        assert(back.filter(col("_graphArVertexIndex") === 40L).collect()(0).isNullAt(6))
+      // null round-trip across all formats (csv: bare-empty=null,
+      // quoted-empty=empty-string convention)
+      assert(back.filter(col("_graphArVertexIndex") === 40L).collect()(0).isNullAt(6))
     }
+  }
+
+  test("csv distinguishes null from empty string") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gar_nullcsv").toString
+    val df = Seq((0L, "x"), (1L, ""), (2L, null)).toDF("k", "s")
+    GraphArWriter.writeVertices(df, dir, GraphArWriter.VertexSpec("N", 10, "csv"))
+    GraphArWriter.writeGraphYaml(dir, "G", Seq("N"), Seq.empty)
+    val back = spark.read.format("graphar")
+      .option("path", s"$dir/G.yaml").option("type", "N").load()
+      .orderBy("k").collect()
+    assert(back(1).getString(2) === "")
+    assert(back(2).isNullAt(2))
+  }
+
+  test("LIMIT combined with a pushed edge seek returns exactly LIMIT rows") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, "/root/testdata/sf0.001")
+    val e = spark.read.format("graphar").option("path", yaml)
+      .option("src", "Part").option("type", "link").option("dst", "Part").load()
+    val hop = e.filter(col("_graphArSrcIndex") === 42L)
+    val full = hop.count()
+    assert(full > 3, s"need degree > 3 at vertex 42, got $full")
+    assert(hop.limit(3).collect().length === 3)
+    assert(hop.limit(0).collect().length === 0)
+    // vertex side: seek + limit
+    val v = spark.read.format("graphar").option("path", yaml)
+      .option("type", "Part").load()
+    assert(v.filter(col("_graphArVertexIndex") === 5L).limit(1).collect().length === 1)
   }
 
   test("orc edge round-trip with CSR seek") {
