@@ -19,7 +19,8 @@ object SparkEntry {
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
-      (operators.Multimodal.queries, operators.Multimodal.oracle)
+      (operators.Multimodal.queries, operators.Multimodal.oracle),
+      (operators.Pipeline.queries, operators.Pipeline.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -131,17 +131,44 @@ object Dedup {
   // Shared SQL fragments for the oracles (DuckDB list lambdas mirror the
   // Spark higher-order functions 1:1; the char-hash is the same
   // polynomial mod 1e9+7).
-  private val tokSql =
-    "SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents"
+  private def tokSql(docsRel: String) =
+    s"SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM $docsRel"
+  private val tokSqlDocs = tokSql("documents")
   private def chash(sExpr: String, seedExpr: String): String =
     s"list_reduce(list_prepend(CAST($seedExpr AS BIGINT), " +
       s"list_transform(regexp_extract_all($sExpr, '.'), c -> CAST(ord(c) AS BIGINT))), " +
       s"(acc, x) -> (acc * 31 + x) % $HashMod)"
-  private val shSql =
+  private def shSql(docsRel: String) =
     s"""SELECT doc_id, source, list_distinct(
        |  CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END) AS sh
-       |FROM ($tokSql)""".stripMargin
+       |FROM (${tokSql(docsRel)})""".stripMargin
+  private val shSqlDocs = shSql("documents")
+
+  /** Full MinHash+LSH+verify CTE chain over any input relation — the
+    * composable block the clean-corpus pipeline oracle reuses.
+    */
+  def minhashCtes(docsRel: String): String =
+    s"""s AS (${shSql(docsRel)}),
+       |base AS (
+       |  SELECT doc_id, sh, list_transform(sh, s2 -> ${chash("s2", "1")}) AS bh
+       |  FROM s WHERE len(sh) > 0),
+       |sig AS (
+       |  SELECT doc_id, sh, list_transform(range(1, 9), k ->
+       |    list_min(list_transform(bh, h -> ((k*2+1) * h + k*31 + 7) % $HashMod))) AS sig
+       |  FROM base),
+       |bands AS (
+       |  SELECT doc_id, sh, b, sig[2*b + 1] || '_' || sig[2*b + 2] AS key
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT a_id, b_id,
+       |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+       |      len(list_distinct(sa.sh || sb.sh)) AS jac
+       |  FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "d_exact" ->
@@ -150,7 +177,7 @@ object Dedup {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "d_ngram_jaccard" ->
-      s"""WITH s AS ($shSql)
+      s"""WITH s AS ($shSqlDocs)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  len(list_intersect(a.sh, b.sh)) * 1.0 /
          |    len(list_distinct(a.sh || b.sh)) AS jac
@@ -159,57 +186,19 @@ object Dedup {
          |    len(list_distinct(a.sh || b.sh)) >= 0.2""".stripMargin,
 
     "d_dedup_corpus" ->
-      s"""WITH s AS ($shSql),
-         |base AS (
-         |  SELECT doc_id, sh, list_transform(sh, s2 -> ${chash("s2", "1")}) AS bh
-         |  FROM s WHERE len(sh) > 0),
-         |sig AS (
-         |  SELECT doc_id, sh, list_transform(range(1, 9), k ->
-         |    list_min(list_transform(bh, h -> ((k*2+1) * h + k*31 + 7) % $HashMod))) AS sig
-         |  FROM base),
-         |bands AS (
-         |  SELECT doc_id, sh, b, sig[2*b + 1] || '_' || sig[2*b + 2] AS key
-         |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT a_id, b_id,
-         |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-         |      len(list_distinct(sa.sh || sb.sh)) AS jac
-         |  FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+      s"""WITH ${minhashCtes("documents")}
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM verified WHERE jac >= 0.25)""".stripMargin,
 
     "d_minhash_lsh" ->
-      s"""WITH s AS ($shSql),
-         |base AS (
-         |  SELECT doc_id, sh, list_transform(sh, s2 -> ${chash("s2", "1")}) AS bh
-         |  FROM s WHERE len(sh) > 0),
-         |sig AS (
-         |  SELECT doc_id, sh, list_transform(range(1, 9), k ->
-         |    list_min(list_transform(bh, h -> ((k*2+1) * h + k*31 + 7) % $HashMod))) AS sig
-         |  FROM base),
-         |bands AS (
-         |  SELECT doc_id, sh, b, sig[2*b + 1] || '_' || sig[2*b + 2] AS key
-         |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT a_id, b_id,
-         |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-         |      len(list_distinct(sa.sh || sb.sh)) AS jac
-         |  FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+      s"""WITH ${minhashCtes("documents")}
          |SELECT a_id, b_id, jac FROM verified WHERE jac >= 0.25""".stripMargin,
 
     "d_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_transform(list_distinct(t), tok ->
          |    ${chash("tok", "7")}) AS hs
-         |  FROM ($tokSql))
+         |  FROM ($tokSqlDocs))
          |SELECT doc_id, list_sum(list_transform(range(0, 32), b ->
          |  CASE WHEN list_sum(list_transform(hs, h2 ->
          |      CAST(floor(CAST(h2 AS DOUBLE) / pow(2, b)) AS BIGINT) % 2 * 2 - 1)) > 0

@@ -42,6 +42,14 @@ object EventStreams {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Stream-static enrichment: join the event stream against a batch
+    * dimension table (re-read per micro-batch by Spark; broadcast when
+    * small). The canonical "attach user/customer attributes to a
+    * clickstream" shape.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Streaming exact-dedup by key: keeps the first occurrence of each
     * event_id; `dropDuplicatesWithinWatermark` lets Spark evict dedup
     * state once the watermark passes (bounded state — the property that

@@ -32,6 +32,30 @@ class OperatorSpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("stream-static enrichment joins dimension attributes onto the stream") {
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.take(100)
+    val dim = spark.createDataFrame(
+      events.map(_.user_id).distinct.map(u => (u, s"segment_${u % 3}")))
+      .toDF("user_id", "segment")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.enrich(stream.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+      assert(out.count() === events.length)
+      assert(out.filter(col("segment").isNull).count() === 0)
+      assert(out.filter(col("user_id") % 3 =!= 0 ||
+        col("segment") === "segment_0").count() === events.length)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids, keeps the rest") {
     import spark.implicits._
     val events = Tables.events(spark, "/root/testdata/sf0.001")
