@@ -124,8 +124,11 @@ object GraphOps {
         .select(col("dst").as("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
         .localCheckpoint(true)
-      if (!next.filter(col("v") === dstId).isEmpty) return depth
-      if (next.isEmpty) return -1L
+      // one driver round-trip per level: frontier size + target hit
+      val stats = next.agg(count(lit(1)).as("n"),
+        sum(when(col("v") === dstId, 1L).otherwise(0L)).as("hit")).collect()(0)
+      if (stats.getLong(0) == 0) return -1L // count first: sum is null on empty
+      if (stats.getLong(1) > 0) return depth
       visited = visited.unionAll(next).localCheckpoint(true)
       frontier = next
     }
