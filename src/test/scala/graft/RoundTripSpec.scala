@@ -55,6 +55,39 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-type graph: two vertex types + edge type through the catalog") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gar_multi").toString
+    GraphArWriter.writeVertices((0 until 20).map(i => (i.toLong, s"u$i")).toDF("uid", "name"),
+      dir, GraphArWriter.VertexSpec("User", 8, "parquet"))
+    GraphArWriter.writeVertices((0 until 10).map(i => (i.toLong, i * 1.5)).toDF("pid", "price"),
+      dir, GraphArWriter.VertexSpec("Item", 8, "parquet"))
+    GraphArWriter.writeEdges(Seq((0L, 1L), (1L, 2L), (5L, 9L)).toDF("src", "dst"), dir,
+      GraphArWriter.EdgeSpec("User", "bought", "Item",
+        srcVertexCount = 20, dstVertexCount = 10, chunkSize = 2,
+        srcChunkSize = 8, dstChunkSize = 8, fileType = "parquet"))
+    GraphArWriter.writeGraphYaml(dir, "Shop", Seq("User", "Item"), Seq("User_bought_Item"))
+
+    val sess = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.shop", "graft.catalog.GraphArCatalog")
+      .config("spark.sql.catalog.shop.path", s"$dir/Shop.yaml")
+      .getOrCreate()
+    val tables = sess.sql("SHOW TABLES IN shop").select("tableName")
+      .collect().map(_.getString(0)).toSet
+    assert(tables === Set("User.vertex", "Item.vertex", "User_bought_Item.edge"))
+    assert(sess.sql("SELECT count(*) AS n FROM shop.`Item.vertex`")
+      .collect()(0).getLong(0) === 10L)
+    val joined = sess.sql(
+      """SELECT u.name, i.price FROM shop.`User_bought_Item.edge` e
+        |JOIN shop.`User.vertex` u ON u._graphArVertexIndex = e._graphArSrcIndex
+        |JOIN shop.`Item.vertex` i ON i._graphArVertexIndex = e._graphArDstIndex
+        |ORDER BY u.name""".stripMargin).collect()
+    assert(joined.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("u0", 1.5), ("u1", 3.0), ("u5", 13.5)))
+  }
+
   test("csv distinguishes null from empty string") {
     import spark.implicits._
     val dir = Files.createTempDirectory("gar_nullcsv").toString
