@@ -213,6 +213,16 @@ object Relational {
           add_months(col("o_orderdate").cast("date"), 3).as("plus3m"))
     },
 
+    // Pivot: event-type counts as columns per user bucket (Spark's
+    // pivot() with an explicit value list → deterministic schema).
+    "q18_pivot" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
     // Gap-based sessionization (30 min), expressed with window functions;
     // the streaming twin uses flatMapGroupsWithState. Second-truncated
     // timestamps for ns-vs-µs oracle parity.
@@ -363,6 +373,15 @@ object Relational {
         |  datediff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS days_to_eoy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
         |FROM orders WHERE o_orderkey <= 500""".stripMargin,
+
+    "q18_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q12_sessionize" ->
       """WITH ev AS (
