@@ -213,6 +213,18 @@ object Relational {
           add_months(col("o_orderdate").cast("date"), 3).as("plus3m"))
     },
 
+    // Bucketed co-located join: both sides written bucketed+sorted on the
+    // join key, so the join plans with ZERO exchanges — the 100TB pattern
+    // for repeated fact-to-fact joins. (Bucketed copies are materialized
+    // once per sf dir; results oracle-checked against a plain join.)
+    "q19_bucketed_join" -> { (s, d) =>
+      val (li, o) = Bucketed.tables(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("total_qty"))
+    },
+
     // Pivot: event-type counts as columns per user bucket (Spark's
     // pivot() with an explicit value list → deterministic schema).
     "q18_pivot" -> { (s, d) =>
@@ -373,6 +385,12 @@ object Relational {
         |  datediff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS days_to_eoy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
         |FROM orders WHERE o_orderkey <= 500""".stripMargin,
+
+    "q19_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q18_pivot" ->
       """SELECT user_id % 10 AS user_bucket,

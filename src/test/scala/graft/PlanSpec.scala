@@ -63,6 +63,22 @@ class PlanSpec extends AnyFunSuite {
       s"stats rowCount ${stats.rowCount} != actual $actual")
   }
 
+  test("bucketed join plans with no shuffle on either side") {
+    // disable broadcast so the bucketing property (shuffle-free SMJ) is
+    // observable — at tiny sf the planner would otherwise broadcast
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val (li, o) = operators.Bucketed.tables(spark, sf)
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ in:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan only after execution; `*(n)` marks
     // WholeStageCodegen stages in the final plan string
