@@ -76,6 +76,9 @@ object Bench {
     timed("path_exist") {
       val es = g.edgesStd("Part", "link", "Part").persist()
       es.count() // materialize once; the reference also reads the graph per call
+      // unidirectional wins on this dense, short-diameter graph (paths of
+      // 2-3 hops; the bidirectional meet-join overhead only pays off on
+      // long paths) — both are available, pick per workload
       GraphQueries.bfsPairs.foreach { case (a, b) =>
         GraphOps.bfsLength(spark, es, a, b, GraphQueries.bfsMaxDepth)
       }

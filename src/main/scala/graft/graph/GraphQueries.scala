@@ -54,6 +54,15 @@ object GraphQueries {
       e.unpersist()
       rows.toDF("src_id", "dst_id", "len")
     },
+    "g_bfs_bidi" -> { (s, d) =>
+      import s.implicits._
+      val e = edgesFrom(s, d).persist()
+      val rows = bfsPairs.map { case (a, b) =>
+        (a, b, GraphOps.bfsLengthBidirectional(s, e, a, b, bfsMaxDepth))
+      }
+      e.unpersist()
+      rows.toDF("src_id", "dst_id", "len")
+    },
     "g_bfs_exist" -> { (s, d) =>
       import s.implicits._
       val e = edgesFrom(s, d).persist()
@@ -109,6 +118,7 @@ object GraphQueries {
            |SELECT degree, count(*) AS n_vertices FROM
            |  (SELECT count(*) AS degree FROM e GROUP BY src) GROUP BY degree""".stripMargin,
       "g_bfs_length" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
+      "g_bfs_bidi" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
       "g_bfs_exist" -> s"WITH RECURSIVE\n$ctes\n$existSelects"
     )
   }

@@ -81,6 +81,15 @@ object HopProps extends Properties("graft.hops") {
       GraphOps.bfsLength(spark, toDf(edges), vid, target, 15) == bfs()
     }
 
+  property("bidirectional BFS = unidirectional BFS") =
+    forAll(genGraph) { case (edges, vid) =>
+      val target = (vid * 7 + 2) % 5
+      val df = toDf(edges)
+      val uni = GraphOps.bfsLength(spark, df, vid, target, 12)
+      val bi = GraphOps.bfsLengthBidirectional(spark, df, vid, target, 12)
+      uni == bi
+    }
+
   property("degrees = per-src edge counts") =
     forAll(genGraph) { case (edges, _) =>
       val got = GraphOps.degrees(toDf(edges)).collect()
