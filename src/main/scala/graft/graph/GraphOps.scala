@@ -175,8 +175,9 @@ object GraphOps {
       if (m.isNullAt(0)) Long.MaxValue else m.getLong(0)
     }
 
-    while (depthS + depthT + 1 < best &&
-      depthS + depthT < maxDepth && sizeS >= 0 && sizeT >= 0) {
+    // exhaustion (n == 0) returns from inside the loop, so only the
+    // best-meet bound and maxDepth govern the condition
+    while (depthS + depthT + 1 < best && depthS + depthT < maxDepth) {
       val expandSource = sizeS <= sizeT
       val (e, front, vis, depth) =
         if (expandSource) (fwd, frontS, visS, depthS) else (bwd, frontT, visT, depthT)
@@ -189,10 +190,10 @@ object GraphOps {
       val n = next.count()
       if (expandSource) {
         frontS = next; visS = visS.unionAll(next).localCheckpoint(true)
-        depthS = nd; sizeS = if (n == 0) -1 else n
+        depthS = nd; sizeS = n
       } else {
         frontT = next; visT = visT.unionAll(next).localCheckpoint(true)
-        depthT = nd; sizeT = if (n == 0) -1 else n
+        depthT = nd; sizeT = n
       }
       if (n == 0) {
         // one side exhausted: no new meets can appear beyond current best

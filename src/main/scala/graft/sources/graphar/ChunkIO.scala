@@ -231,9 +231,11 @@ object ChunkIO {
     */
   private def readCsvRecord(br: BufferedReader): (Array[String], Array[Boolean]) = {
     var c = br.read()
-    // skip blank line separators / EOF
-    while (c == '\n' || c == '\r') c = br.read()
     if (c == -1) return null
+    // NOTE: a blank line is a REAL record (one bare-empty cell = a null in
+    // a single-column group) — only EOF ends the stream. The final
+    // newline of the file is consumed by the record it terminates, so it
+    // produces no spurious empty record.
     val cells = scala.collection.mutable.ArrayBuffer.empty[String]
     val quoted = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val sb = new StringBuilder

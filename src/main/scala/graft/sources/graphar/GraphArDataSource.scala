@@ -342,9 +342,11 @@ abstract class ChunkZipReader(required: StructType) extends PartitionReader[Inte
   /** synthetic column value for the current absolute row position. */
   protected def synthetic(name: String, pos: Long): Any
 
+  private var itersOpened = false
   private lazy val iters = {
     val its = groupIters
     its.foreach { case (it, _) => var i = 0L; while (i < rowStart && it.hasNext) { it.next(); i += 1 } }
+    itersOpened = true
     its
   }
   private lazy val fieldSources: Array[Either[String, (Int, Int)]] =
@@ -397,7 +399,9 @@ abstract class ChunkZipReader(required: StructType) extends PartitionReader[Inte
     }
     InternalRow.fromSeq(vals.toSeq)
     }
-  override def close(): Unit = iters.foreach(_._1.close())
+  // only close what was actually opened — close() on a never-advanced
+  // reader must not force the lazy file opens just to shut them
+  override def close(): Unit = if (itersOpened) iters.foreach(_._1.close())
 }
 
 class VertexChunkReader(p: VertexChunkPartition, required: StructType)

@@ -82,9 +82,12 @@ object EventStreams {
               st = SessionState(e.ts, e.ts, 1L, e.value)
             } else {
               // a late (cross-batch out-of-order) event must not move
-              // lastTs backwards, or it could falsely split the session
+              // lastTs backwards (false session split) and must pull
+              // sessionStart back if it precedes it (matching the batch
+              // twin, which sees globally sorted events)
               val last = if (e.ts.getTime > st.lastTs.getTime) e.ts else st.lastTs
-              st = SessionState(st.sessionStart, last, st.nEvents + 1, st.totalValue + e.value)
+              val start = if (e.ts.getTime < st.sessionStart.getTime) e.ts else st.sessionStart
+              st = SessionState(start, last, st.nEvents + 1, st.totalValue + e.value)
             }
           }
           if (st != null) state.update(st) else state.remove()
