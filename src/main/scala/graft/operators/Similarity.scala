@@ -48,30 +48,33 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
-  /** IVF: nearest-centroid assignment + single-probe top-k within the
-    * probed cluster. Centroids are the deterministic `vec_id % modulo == 0`
-    * subset.
+  /** IVF: nearest-centroid assignment + top-k within the query's nProbe
+    * nearest clusters. Centroids are the deterministic
+    * `vec_id % modulo == 0` subset; nProbe > 1 trades extra cluster reads
+    * for recall (each vector belongs to exactly one cluster, so probe
+    * candidate sets are disjoint).
     */
-  def ivfTopK(emb: DataFrame, queryIds: Column, k: Int, modulo: Int = 40): DataFrame = {
+  def ivfTopK(emb: DataFrame, queryIds: Column, k: Int, modulo: Int = 40,
+              nProbe: Int = 1): DataFrame = {
     val cent = emb.filter(col("vec_id") % modulo === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    // map-side assignment: broadcast centroids, argmax cosine (tie → c_id)
+    // map-side assignment: broadcast centroids, ranked by cosine (tie → c_id);
+    // materialized once — it feeds the query and probe branches
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    // materialize: the assignment (corpus × centroids + window) feeds
-    // both the query and the probe branch — don't compute it twice
-    val assigned = emb.join(broadcast(cent), lit(true))
+    val ranked = emb.join(broadcast(cent), lit(true))
       .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
       .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+      .select(col("vec_id"), col("embedding"), col("c_id"), col("arank"))
       .localCheckpoint(true)
-    val q = assigned.filter(queryIds)
+    val assigned = ranked.filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+    // queries probe their nProbe nearest clusters
+    val q = ranked.filter(queryIds && col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("cluster").as("q_cluster"))
-    // probe: candidates in the query's cluster only
+        col("c_id").as("q_probe"))
     val scored = assigned
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cluster"))
-      .join(broadcast(q), col("cluster") === col("q_cluster") && col("q_id") =!= col("n_id"))
+      .join(broadcast(q), col("cluster") === col("q_probe") && col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -135,6 +138,9 @@ object Similarity {
     },
     "sim_lsh" -> { (s, d) =>
       lshTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
+    },
+    "sim_ivf_multiprobe" -> { (s, d) =>
+      ivfTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3, nProbe = 2)
     }
   )
 
@@ -207,6 +213,28 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |  FROM scored)
          |SELECT q_id, bucket, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "sim_ivf_multiprobe" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 40 = 0),
+         |ranked AS (
+         |  SELECT e.vec_id, e.embedding, cent.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
+         |  FROM embeddings e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS cluster FROM ranked WHERE arank = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_probe
+         |      FROM ranked WHERE vec_id < 8 AND arank <= 2),
+         |scored AS (
+         |  SELECT q_id, a.cluster, a.vec_id AS n_id,
+         |    ${cosSql("q_emb", "a.embedding")} AS cos
+         |  FROM assigned a JOIN q ON a.cluster = q_probe AND q_id <> a.vec_id),
+         |rankedq AS (
+         |  SELECT q_id, cluster, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, cluster, n_id, rank FROM rankedq WHERE rank <= 3""".stripMargin,
 
     "d_embed_dup" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
