@@ -60,17 +60,17 @@ object Bench {
     val root = GraphQueries.RootVid
 
     // -- reference headline queries (BASELINE.md rows)
-    timed("vertex_count") { g.vertices("Part").count() }
-    timed("edge_count") { g.edges("Part", "link", "Part").count() }
-    timed("three_vertices") { g.vertices("Part").limit(3).collect() }
-    timed("one_hop") {
+    timed("vertex_count", runs = 3) { g.vertices("Part").count() }
+    timed("edge_count", runs = 3) { g.edges("Part", "link", "Part").count() }
+    timed("three_vertices", runs = 3) { g.vertices("Part").limit(3).collect() }
+    timed("one_hop", runs = 3) {
       g.oneHop("Part", "link", "Part", root).count()
     }
     timed("two_hop") {
       g.twoHop("Part", "link", "Part", root).count()
     }
-    timed("max_degree") { g.maxDegree("Part", "link", "Part").collect() }
-    timed("degree_distribution") {
+    timed("max_degree", runs = 3) { g.maxDegree("Part", "link", "Part").collect() }
+    timed("degree_distribution", runs = 3) {
       g.degreeDistribution("Part", "link", "Part").count()
     }
     timed("path_exist") {
