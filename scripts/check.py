@@ -7,23 +7,36 @@ Reads each <name>/ parquet dir written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf parquet tables, and
 compares: schema (column names), row count, and a hash of the sorted rows
 (columns sorted by name, values stringified, rows sorted).
+
+Comparison goes through PANDAS on both sides (spark parquet via pyarrow,
+oracle via duckdb .df()) because that is how the driver stringifies values.
+This is load-bearing: DuckDB HUGEINT (sum of integers, list_sum) becomes
+float64 in pandas and prints "123.0" where Spark's int64 prints "123" —
+an oracle that leaves an integer aggregate un-CAST will hash-mismatch even
+though fetchall()-based comparison passes. Keep integer aggregates
+CAST(... AS BIGINT) in oracle SQL.
 """
-import sys, json, glob, os, hashlib
+import sys, json, glob, os, hashlib, datetime
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon_df(df):
+    cols = sorted(df.columns)
     out = []
-    for r in rows:
+    for r in df[cols].itertuples(index=False, name=None):
         vals = []
-        for i in order:
-            v = r[i]
+        for v in r:
             if isinstance(v, float):
                 v = repr(v)
+            elif isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+                # driver tolerates Spark DATE vs DuckDB midnight TIMESTAMP
+                # (q14_date passed r01); normalize to the timestamp form
+                v = f"{v} 00:00:00"
             vals.append(str(v))
         out.append("\x01".join(vals))
     out.sort()
@@ -45,34 +58,31 @@ def main():
             print(f"FAIL {name}: no spark output dir")
             n_fail += 1
             continue
-        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        files = sorted(glob.glob(os.path.join(res_dir, "*.parquet")))
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchall()
-            got_cols = [d[0] for d in con.description]
-            want = con.execute(oracles[name]).fetchall()
-            want_cols = [d[0] for d in con.description]
+            got = pq.ParquetDataset(files).read().to_pandas()
+            want = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        if sorted(got_cols) != sorted(want_cols):
-            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+        if sorted(got.columns) != sorted(want.columns):
+            print(f"FAIL {name}: cols {sorted(got.columns)} != {sorted(want.columns)}")
             n_fail += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
-        if canon(got, got_cols) != canon(want, want_cols):
+        if canon_df(got) != canon_df(want):
             print(f"FAIL {name}: hash mismatch ({len(got)} rows)")
-            # show first few diffs for debugging
-            gs = sorted(str(sorted(zip(got_cols, r))) for r in got)
-            ws = sorted(str(sorted(zip(want_cols, r))) for r in want)
+            cols = sorted(got.columns)
+            gs = sorted(tuple(map(str, r)) for r in got[cols].itertuples(index=False, name=None))
+            ws = sorted(tuple(map(str, r)) for r in want[cols].itertuples(index=False, name=None))
             shown = 0
             for g, w in zip(gs, ws):
                 if g != w and shown < 3:
-                    print(f"   spark: {g[:200]}\n   duck : {w[:200]}")
+                    print(f"   spark: {g}\n   duck : {w}")
                     shown += 1
             n_fail += 1
             continue

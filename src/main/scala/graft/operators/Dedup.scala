@@ -199,10 +199,10 @@ object Dedup {
          |  SELECT doc_id, list_transform(list_distinct(t), tok ->
          |    ${chash("tok", "7")}) AS hs
          |  FROM ($tokSqlDocs))
-         |SELECT doc_id, list_sum(list_transform(range(0, 32), b ->
+         |SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
          |  CASE WHEN list_sum(list_transform(hs, h2 ->
          |      CAST(floor(CAST(h2 AS DOUBLE) / pow(2, b)) AS BIGINT) % 2 * 2 - 1)) > 0
-         |    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+         |    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM h""".stripMargin
   )
 }

@@ -417,7 +417,7 @@ object Relational {
         |  FROM lagged),
         |sess AS (
         |  SELECT user_id, tss, value,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(tss) AS start_ts, max(tss) AS end_ts,

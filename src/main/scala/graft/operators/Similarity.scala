@@ -196,8 +196,8 @@ object Similarity {
          |  WHERE vec_id >= 100 AND vec_id < 108),
          |sigs AS (
          |  SELECT e.vec_id,
-         |    sum(CASE WHEN ${dotSql("e.embedding", "hp.h_emb")} > 0
-         |      THEN CAST(pow(2, hp.h_id - 100) AS BIGINT) ELSE 0 END) AS bucket
+         |    CAST(sum(CASE WHEN ${dotSql("e.embedding", "hp.h_emb")} > 0
+         |      THEN CAST(pow(2, hp.h_id - 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id),
          |bucketed AS (
          |  SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e
