@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.meta._
+import graft.util.SerializableHadoopConf
 
 /** Spark DataSource V2 connector for Apache GraphAr graphs.
   *
@@ -102,8 +103,10 @@ class GraphArEdgeTable(val info: EdgeInfo) extends GraphArTable {
 
 /** Pushdown state: like the reference, a single equality filter on a
   * synthetic index column prunes I/O (read_base.hpp:281-304 parses exactly
-  * one `col = const`); unlike the reference we simply leave everything
-  * else to Spark as residual filters instead of erroring.
+  * one `col = const`). Property predicates (P3, read_vertices.cpp:109-114)
+  * are ALSO pushed — evaluated inside the chunk readers via footer-stats
+  * chunk skipping + per-row tests (PropFilters) — but stay residual in
+  * Spark for safety; everything else is residual only.
   */
 class GraphArScanBuilder(info: Either[VertexInfo, EdgeInfo])
   extends ScanBuilder with SupportsPushDownFilters
@@ -111,21 +114,32 @@ class GraphArScanBuilder(info: Either[VertexInfo, EdgeInfo])
     with SupportsPushDownAggregates {
 
   private val fullSchema = info.fold(_.schema, _.schema)
+  // session conf captured at planning time so executor-side chunk I/O
+  // keeps S3/HDFS credentials and fs.* settings (not a default conf)
+  private val serConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var hasResidual = false
   private var idFilter: Option[(String, Long)] = None
+  private var propFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var countStarPushed = false
+
+  private val syntheticCols = Set(GraphArMeta.VertexIndexCol,
+    GraphArMeta.SrcIndexCol, GraphArMeta.DstIndexCol)
+  private val propCols = fullSchema.fieldNames.toSet -- syntheticCols
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val idCols = info match {
       case Left(_) => Seq(GraphArMeta.VertexIndexCol)
       case Right(e) =>
-        // only layouts that exist can serve a seek (read_edges.cpp:85-92)
+        // only ordered layouts that exist can serve an offset-table seek
+        // (read_edges.cpp:85-92; an `ordered: false` adj list has no
+        // meaningful offset ranges, so it must scan + residual-filter)
         Seq(GraphArMeta.SrcIndexCol, GraphArMeta.DstIndexCol).filter { c =>
           val aligned = if (c == GraphArMeta.SrcIndexCol) "src" else "dst"
-          e.adjList(aligned).isDefined
+          e.adjList(aligned).exists(_.ordered)
         }
     }
     val (accepted, rest) = filters.partition {
@@ -133,7 +147,10 @@ class GraphArScanBuilder(info: Either[VertexInfo, EdgeInfo])
       case EqualTo(col, v: Int) => idFilter.isEmpty && idCols.contains(col) && { idFilter = Some((col, v.toLong)); true }
       case _ => false
     }
-    pushed = accepted
+    // property predicates: pushed into the readers AND kept residual —
+    // Spark re-checks them, so reader-side pruning can only cut I/O
+    propFilters = rest.filter(PropFilters.acceptable(_, propCols))
+    pushed = accepted ++ propFilters
     hasResidual = rest.nonEmpty
     rest
   }
@@ -163,15 +180,17 @@ class GraphArScanBuilder(info: Either[VertexInfo, EdgeInfo])
       a.aggregateExpressions()(0).isInstanceOf[CountStar]
 
   override def build(): Scan =
-    new GraphArScan(info, required, idFilter, limit, countStarPushed)
+    new GraphArScan(info, required, idFilter, propFilters, limit,
+      countStarPushed, serConf)
 }
 
 class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
-                  idFilter: Option[(String, Long)], limit: Option[Int],
-                  countStar: Boolean)
+                  idFilter: Option[(String, Long)], propFilters: Array[Filter],
+                  limit: Option[Int], countStar: Boolean,
+                  serConf: SerializableHadoopConf)
   extends Scan with Batch with SupportsReportStatistics {
 
-  private val conf = new Configuration()
+  private def conf = serConf.value
 
   override def readSchema(): StructType =
     if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
@@ -181,7 +200,9 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
 
   override def description(): String = {
     val what = info.fold(v => s"vertices ${v.vertexType}", e => s"edges ${e.name}")
-    s"GraphArScan($what, pushedId=$idFilter, limit=$limit, countStar=$countStar)"
+    val props = if (propFilters.isEmpty) "" else
+      s", pushedProps=[${propFilters.mkString(", ")}]"
+    s"GraphArScan($what, pushedId=$idFilter, limit=$limit, countStar=$countStar$props)"
   }
 
   // exact row counts: metadata for full scans, offset-table slice length
@@ -303,7 +324,7 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraphArReaderFactory(required)
+    new GraphArReaderFactory(required, propFilters, serConf)
 }
 
 case class CountPartition(count: Long) extends InputPartition
@@ -312,12 +333,14 @@ case class VertexChunkPartition(info: VertexInfo, chunk: Long,
 case class EdgeChunkPartition(info: EdgeInfo, al: GarAdjList, part: Long,
                               chunk: Long, rowStart: Long, rowEnd: Long) extends InputPartition
 
-class GraphArReaderFactory(required: StructType) extends PartitionReaderFactory {
+class GraphArReaderFactory(required: StructType, propFilters: Array[Filter],
+                           serConf: SerializableHadoopConf)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case CountPartition(n) => new SingleRowReader(n)
-      case p: VertexChunkPartition => new VertexChunkReader(p, required)
-      case p: EdgeChunkPartition => new EdgeChunkReader(p, required)
+      case p: VertexChunkPartition => new VertexChunkReader(p, required, propFilters, serConf)
+      case p: EdgeChunkPartition => new EdgeChunkReader(p, required, propFilters, serConf)
     }
 }
 
@@ -331,9 +354,16 @@ class SingleRowReader(n: Long) extends PartitionReader[InternalRow] {
 /** Shared: convert chunk-IO JVM values to Catalyst values and assemble the
   * projected InternalRow. `sources` yields positionally-aligned rows from
   * each property group (plus synthetic index computation per subclass).
+  *
+  * Pushed property predicates (P3) are applied here, at the zip level —
+  * AFTER the positional zip so property-group alignment is never broken:
+  * a chunk whose parquet footer stats exclude the conjunction is skipped
+  * unopened; surviving chunks emit only rows that pass the predicates.
   */
-abstract class ChunkZipReader(required: StructType) extends PartitionReader[InternalRow] {
-  protected val conf = new Configuration()
+abstract class ChunkZipReader(required: StructType, propFilters: Array[Filter],
+                              serConf: SerializableHadoopConf)
+  extends PartitionReader[InternalRow] {
+  protected def conf: Configuration = serConf.value
 
   /** (reader, schema) per required property group, positionally aligned. */
   protected def groupIters: Seq[(ChunkIO.RowReader, StructType)]
@@ -341,6 +371,17 @@ abstract class ChunkZipReader(required: StructType) extends PartitionReader[Inte
   protected def rowEnd: Long
   /** synthetic column value for the current absolute row position. */
   protected def synthetic(name: String, pos: Long): Any
+  /** parquet group files that hold a filter-referenced column — their
+    * footer stats decide whether this chunk can be skipped unopened.
+    */
+  protected def statsCheckFiles: Seq[Path] = Seq.empty
+
+  protected final def filterRefs: Set[String] =
+    propFilters.flatMap(_.references).toSet
+
+  private lazy val chunkCanMatch: Boolean =
+    propFilters.isEmpty || statsCheckFiles.forall(
+      PropFilters.parquetChunkCanMatch(_, propFilters.toSeq, conf))
 
   private var itersOpened = false
   private lazy val iters = {
@@ -364,22 +405,45 @@ abstract class ChunkZipReader(required: StructType) extends PartitionReader[Inte
           throw new IllegalArgumentException(s"column ${f.name} not found in any property group")))
       }
     }
+  // column → (group, field) lookup for predicate evaluation; filters on
+  // columns that didn't land in any opened group are skipped (can only
+  // happen defensively — residual Spark filters keep their columns in
+  // `required`, so the groups are opened)
+  private lazy val evalFilters: Array[Filter] = {
+    val have = iters.flatMap(_._2.fieldNames).toSet
+    propFilters.filter(_.references.forall(have.contains))
+  }
+  private lazy val filterSources: Map[String, (Int, Int)] =
+    iters.zipWithIndex.flatMap { case ((_, sch), gi) =>
+      sch.fieldNames.zipWithIndex.map { case (n, fi) => n -> (gi, fi) }
+    }.toMap
+
+  private def rowPasses: Boolean =
+    evalFilters.isEmpty || {
+      val get = (name: String) => filterSources.get(name)
+        .map { case (gi, fi) => current(gi)(fi) }.orNull
+      evalFilters.forall(PropFilters.evalRow(_, get))
+    }
+
   private var pos = 0L
   private var current: Array[Array[Any]] = _
 
   override def next(): Boolean = {
-    if (rowStart + pos >= rowEnd) return false
-    if (iters.isEmpty) {
-      // index-only projection: no group file needed — row count comes
-      // from the partition bounds (chunk size / vertex_count)
-      current = Array.empty
+    if (propFilters.nonEmpty && !chunkCanMatch) return false // stats-skipped
+    while (rowStart + pos < rowEnd) {
+      if (iters.isEmpty) {
+        // index-only projection: no group file needed — row count comes
+        // from the partition bounds (chunk size / vertex_count)
+        current = Array.empty
+        pos += 1
+        return true
+      }
+      if (!iters.forall(_._1.hasNext)) return false
+      current = iters.map(_._1.next()).toArray
       pos += 1
-      return true
+      if (rowPasses) return true
     }
-    if (!iters.forall(_._1.hasNext)) return false
-    current = iters.map(_._1.next()).toArray
-    pos += 1
-    true
+    false
   }
 
   override def get(): InternalRow = {
@@ -404,12 +468,21 @@ abstract class ChunkZipReader(required: StructType) extends PartitionReader[Inte
   override def close(): Unit = if (itersOpened) iters.foreach(_._1.close())
 }
 
-class VertexChunkReader(p: VertexChunkPartition, required: StructType)
-  extends ChunkZipReader(required) {
+class VertexChunkReader(p: VertexChunkPartition, required: StructType,
+                        propFilters: Array[Filter], serConf: SerializableHadoopConf)
+  extends ChunkZipReader(required, propFilters, serConf) {
   override protected def rowStart: Long = p.rowStart
   override protected def rowEnd: Long = p.rowEnd
   override protected def synthetic(name: String, pos: Long): Any =
     p.chunk * p.info.chunkSize + pos
+
+  override protected def statsCheckFiles: Seq[Path] = {
+    val refs = filterRefs
+    p.info.propertyGroups.collect {
+      case g if g.fileType == "parquet" && g.properties.exists(pr => refs.contains(pr.name)) =>
+        new Path(s"${p.info.dir}${g.prefix}chunk${p.chunk}")
+    }
+  }
 
   override protected def groupIters: Seq[(ChunkIO.RowReader, StructType)] = {
     val requiredNames = required.fieldNames.toSet
@@ -426,12 +499,21 @@ class VertexChunkReader(p: VertexChunkPartition, required: StructType)
   }
 }
 
-class EdgeChunkReader(p: EdgeChunkPartition, required: StructType)
-  extends ChunkZipReader(required) {
+class EdgeChunkReader(p: EdgeChunkPartition, required: StructType,
+                      propFilters: Array[Filter], serConf: SerializableHadoopConf)
+  extends ChunkZipReader(required, propFilters, serConf) {
   override protected def rowStart: Long = p.rowStart
   override protected def rowEnd: Long = p.rowEnd
   override protected def synthetic(name: String, pos: Long): Any =
     throw new IllegalStateException(s"$name should come from the adjacency file")
+
+  override protected def statsCheckFiles: Seq[Path] = {
+    val refs = filterRefs
+    p.info.propertyGroups.collect {
+      case g if g.fileType == "parquet" && g.properties.exists(pr => refs.contains(pr.name)) =>
+        new Path(s"${p.info.adjDir(p.al)}${g.prefix}part${p.part}/chunk${p.chunk}")
+    }
+  }
 
   override protected def groupIters: Seq[(ChunkIO.RowReader, StructType)] = {
     val requiredNames = required.fieldNames.toSet

@@ -99,6 +99,13 @@ object GraphArQueries {
     // CSR seek by destination vertex (ordered_by_dest layout choice)
     "ga_dst_lookup" -> { (s, d) =>
       edges(s, d).filter(col("_graphArDstIndex") === 15L)
+    },
+    // P3 property-predicate pushdown (reference read_vertices.cpp:109-114):
+    // p_partkey is sorted across chunks → footer-stats chunk skip; p_size
+    // exercises the per-row test on the surviving chunk(s)
+    "ga_prop_filter" -> { (s, d) =>
+      vertices(s, d).filter(
+        col("p_partkey") >= 100L && col("p_partkey") <= 180L && col("p_size") >= 20)
     }
   )
 
@@ -115,6 +122,9 @@ object GraphArQueries {
     "ga_one_hop" ->
       s"""SELECT * FROM ($edgeSql) WHERE "_graphArSrcIndex" = ${GraphQueries.RootVid}""",
     "ga_dst_lookup" ->
-      s"""SELECT * FROM ($edgeSql) WHERE "_graphArDstIndex" = 15"""
+      s"""SELECT * FROM ($edgeSql) WHERE "_graphArDstIndex" = 15""",
+    "ga_prop_filter" ->
+      s"""SELECT * FROM ($vertexSql)
+         |WHERE p_partkey >= 100 AND p_partkey <= 180 AND p_size >= 20""".stripMargin
   )
 }

@@ -1,0 +1,167 @@
+package graft.sources.graphar
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.sources._
+
+/** Property-predicate pushdown support for the GraphAr connector (P3).
+  *
+  * The reference pushes `WHERE prop = const` into its Arrow chunk reader
+  * (read_vertices.cpp:109-114, expression builder func.cpp:98-122). The
+  * Spark-side equivalent here has two layers, both conservative — the
+  * predicates stay residual Catalyst `Filter`s above the scan, so a miss
+  * here can only read MORE rows, never produce wrong results:
+  *
+  *  1. '''chunk skip''' — before opening any file of a chunk, parquet
+  *     footer min/max row-group statistics are consulted; if no row group
+  *     of the property-group file can satisfy the conjunction, the whole
+  *     chunk (all its property-group files) is skipped unopened. At 100 TB
+  *     with sorted/clustered properties this prunes most of the scan I/O,
+  *     matching the reference's dataset-level predicate.
+  *  2. '''row test''' — surviving chunks evaluate the predicates on the
+  *     zipped row before it is converted/emitted, so only matching rows
+  *     cross into Spark (positional alignment across property groups is
+  *     preserved because the test runs after the zip, not inside one file).
+  *
+  * Only null-safe, monotone-friendly leaves are accepted; `Not` is
+  * rejected (its three-valued-logic inversion is unsafe to apply before
+  * the residual filter).
+  */
+object PropFilters {
+
+  /** Leaves we can evaluate exactly (SQL semantics: comparisons with null
+    * are unknown → row not emitted, matching the residual filter's final
+    * answer).
+    */
+  def acceptable(f: Filter, propCols: Set[String]): Boolean = f match {
+    case EqualTo(c, v) => propCols.contains(c) && literalOk(v)
+    case GreaterThan(c, v) => propCols.contains(c) && literalOk(v)
+    case GreaterThanOrEqual(c, v) => propCols.contains(c) && literalOk(v)
+    case LessThan(c, v) => propCols.contains(c) && literalOk(v)
+    case LessThanOrEqual(c, v) => propCols.contains(c) && literalOk(v)
+    case In(c, vs) => propCols.contains(c) && vs != null && vs.forall(literalOk)
+    case IsNull(c) => propCols.contains(c)
+    case IsNotNull(c) => propCols.contains(c)
+    case And(l, r) => acceptable(l, propCols) && acceptable(r, propCols)
+    case Or(l, r) => acceptable(l, propCols) && acceptable(r, propCols)
+    case _ => false
+  }
+
+  private def literalOk(v: Any): Boolean = norm(v) match {
+    case null => false
+    case _: java.lang.Boolean | _: java.lang.Integer | _: java.lang.Long |
+         _: java.lang.Float | _: java.lang.Double | _: String => true
+    case _ => false
+  }
+
+  /** Normalize a pushed literal to the connector's internal value space
+    * (GraphAr DATE is Int days-since-epoch, ChunkIO.scala header note).
+    */
+  private def norm(v: Any): Any = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case x => x
+  }
+
+  /** Three-valued-safe compare; None when either side is null or the
+    * types are incomparable (callers treat None as "unknown").
+    */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, norm(b)) match {
+    case (null, _) | (_, null) => None
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      if (x.isInstanceOf[java.lang.Float] || x.isInstanceOf[java.lang.Double] ||
+        y.isInstanceOf[java.lang.Float] || y.isInstanceOf[java.lang.Double])
+        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      else Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+      Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  /** Evaluate one accepted filter against a row (`get` = column → raw
+    * JVM value per ChunkIO's representation, null when absent).
+    */
+  def evalRow(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(c, v) => cmp(get(c), v).contains(0)
+    case GreaterThan(c, v) => cmp(get(c), v).exists(_ > 0)
+    case GreaterThanOrEqual(c, v) => cmp(get(c), v).exists(_ >= 0)
+    case LessThan(c, v) => cmp(get(c), v).exists(_ < 0)
+    case LessThanOrEqual(c, v) => cmp(get(c), v).exists(_ <= 0)
+    case In(c, vs) => vs.exists(v => cmp(get(c), v).contains(0))
+    case IsNull(c) => get(c) == null
+    case IsNotNull(c) => get(c) != null
+    case And(l, r) => evalRow(l, get) && evalRow(r, get)
+    case Or(l, r) => evalRow(l, get) || evalRow(r, get)
+    case _ => true // unreachable for accepted filters; conservative
+  }
+
+  /** Per-column [min, max] + hasNulls from one parquet row group. */
+  private final case class ColStats(min: Any, max: Any, hasNulls: Boolean)
+
+  /** Can this row group possibly satisfy `f`? Missing stats → true. */
+  private def canMatch(f: Filter, stats: Map[String, ColStats]): Boolean = f match {
+    case EqualTo(c, v) => stats.get(c).forall(s =>
+      cmp(v, s.min).forall(_ >= 0) && cmp(v, s.max).forall(_ <= 0))
+    case GreaterThan(c, v) => stats.get(c).forall(s => cmp(s.max, v).forall(_ > 0))
+    case GreaterThanOrEqual(c, v) => stats.get(c).forall(s => cmp(s.max, v).forall(_ >= 0))
+    case LessThan(c, v) => stats.get(c).forall(s => cmp(s.min, v).forall(_ < 0))
+    case LessThanOrEqual(c, v) => stats.get(c).forall(s => cmp(s.min, v).forall(_ <= 0))
+    case In(c, vs) => stats.get(c).forall(s => vs.exists(v =>
+      cmp(v, s.min).forall(_ >= 0) && cmp(v, s.max).forall(_ <= 0)))
+    case IsNull(c) => stats.get(c).forall(_.hasNulls)
+    case IsNotNull(_) => true
+    case And(l, r) => canMatch(l, stats) && canMatch(r, stats)
+    case Or(l, r) => canMatch(l, stats) || canMatch(r, stats)
+    case _ => true
+  }
+
+  /** Chunk-level skip decision from parquet footer statistics: false only
+    * when NO row group of the file can satisfy the conjunction of
+    * `filters`. Non-parquet files and any stats hiccup → true (read it).
+    */
+  def parquetChunkCanMatch(path: Path, filters: Seq[Filter],
+                           conf: Configuration): Boolean = {
+    if (filters.isEmpty) return true
+    try {
+      val in = HadoopInputFile.fromPath(path, conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var bi = 0
+        while (bi < blocks.size()) {
+          val block = blocks.get(bi)
+          val stats = scala.collection.mutable.Map.empty[String, ColStats]
+          val cols = block.getColumns
+          var ci = 0
+          while (ci < cols.size()) {
+            val cc = cols.get(ci)
+            val st = cc.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val name = cc.getPath.toDotString
+              stats(name) = ColStats(
+                statVal(st.genericGetMin.asInstanceOf[AnyRef]),
+                statVal(st.genericGetMax.asInstanceOf[AnyRef]),
+                st.getNumNulls != 0)
+            }
+            ci += 1
+          }
+          if (filters.forall(canMatch(_, stats.toMap))) return true
+          bi += 1
+        }
+        false
+      } finally reader.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => true // stats unavailable → scan
+    }
+  }
+
+  private def statVal(v: AnyRef): Any = v match {
+    case b: Binary => b.toStringUsingUTF8
+    case x => x
+  }
+}

@@ -52,6 +52,42 @@ class PlanSpec extends AnyFunSuite {
       s"src filter not pushed in:\n$p")
   }
 
+  test("property-predicate pushdown: scan emits only matching rows (P3)") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val v = spark.read.format("graphar").option("path", yaml)
+      .option("type", "Part").load()
+    val total = v.count()
+    val filtered = v.filter(col("p_partkey") >= 100L && col("p_partkey") <= 180L)
+    val n = filtered.count()
+    val p = plan(filtered)
+    assert(p.contains("pushedProps=["), s"property filters not pushed in:\n$p")
+    // the BatchScan itself must emit only the matching rows — the pushed
+    // predicate runs inside the chunk readers, not just in Spark's Filter
+    filtered.collect()
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.contains("BatchScan")).get
+    val scanRows = scan.metrics("numOutputRows").value
+    assert(scanRows == n && n < total,
+      s"scan emitted $scanRows rows; expected $n (< $total)")
+  }
+
+  test("footer-stats chunk skip: out-of-range predicate excludes the file") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val info = graft.meta.GraphArMeta.loadGraph(yaml).vertex("Part")
+    val g = info.propertyGroups.head
+    val chunk0 = new org.apache.hadoop.fs.Path(s"${info.dir}${g.prefix}chunk0")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    assert(!sources.graphar.PropFilters.parquetChunkCanMatch(
+      chunk0, Seq(EqualTo("p_partkey", Long.MaxValue)), conf),
+      "impossible equality should be excluded by row-group stats")
+    assert(!sources.graphar.PropFilters.parquetChunkCanMatch(
+      chunk0, Seq(GreaterThan("p_partkey", Long.MaxValue)), conf))
+    assert(sources.graphar.PropFilters.parquetChunkCanMatch(
+      chunk0, Seq(EqualTo("p_partkey", 10L)), conf),
+      "in-range equality must keep the chunk")
+  }
+
   test("connector one-hop: filtered scan reports exact (degree) statistics") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     val g = graph.GraphArGraph(spark, yaml)
