@@ -60,8 +60,86 @@ object ChunkIO {
     */
   trait RowReader extends Iterator[Array[Any]] with AutoCloseable
 
+  /** Vectorized parquet chunk decode via Spark's own
+    * `VectorizedParquetRecordReader` — columnar page decode, requested-
+    * schema projection inside the file, and no per-row `Group` object
+    * churn (the reference's analogue is its zero-copy Arrow export,
+    * read_base.hpp:408-449). Values surface in Catalyst representation
+    * (UTF8String for strings, Int days for dates), which
+    * `ChunkZipReader.get` passes through unconverted.
+    *
+    * Row-at-a-time `readParquetRows` (the parquet example API) remains as
+    * the fallback for schema shapes the vectorized reader rejects.
+    */
+  private def readParquetVectorized(path: Path, schema: StructType,
+                                    conf: Configuration): RowReader = {
+    import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+    val c = new Configuration(conf)
+    // the keys Spark's ParquetFileFormat seeds before handing a split to
+    // the vectorized reader (stable string constants since Spark 2.x)
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", schema.json)
+    c.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val len = path.getFileSystem(c).getFileStatus(path).getLen
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      path, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      c, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    // CORRECTED rebase: our chunks are written with modern (proleptic
+    // Gregorian) semantics; no legacy hybrid-calendar files exist
+    val reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "", "CORRECTED", "", false, 4096)
+    reader.initialize(split, ctx)
+    new RowReader {
+      private var closed = false
+      private var advanced = false
+      private var hasRow = false
+      override def close(): Unit = if (!closed) { closed = true; reader.close() }
+      override def hasNext: Boolean = {
+        if (!advanced) { hasRow = reader.nextKeyValue(); advanced = true; if (!hasRow) close() }
+        hasRow
+      }
+      override def next(): Array[Any] = {
+        if (!hasNext) throw new NoSuchElementException(path.toString)
+        advanced = false
+        val r = reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val row = new Array[Any](schema.length)
+        var i = 0
+        while (i < schema.length) {
+          row(i) =
+            if (r.isNullAt(i)) null
+            else schema(i).dataType match {
+              case BooleanType => r.getBoolean(i)
+              case IntegerType | DateType => r.getInt(i)
+              case LongType => r.getLong(i)
+              case FloatType => r.getFloat(i)
+              case DoubleType => r.getDouble(i)
+              // clone: the batch's backing buffers are recycled on the
+              // next page, so the string must own its bytes
+              case StringType => r.getUTF8String(i).clone()
+              case other => throw new IllegalArgumentException(s"unsupported: $other")
+            }
+          i += 1
+        }
+        row
+      }
+    }
+  }
+
   private def readParquet(path: Path, schema: StructType,
-                          conf: Configuration): RowReader = {
+                          conf: Configuration): RowReader =
+    try readParquetVectorized(path, schema, conf)
+    catch {
+      case scala.util.control.NonFatal(_) => readParquetRows(path, schema, conf)
+    }
+
+  private def readParquetRows(path: Path, schema: StructType,
+                              conf: Configuration): RowReader = {
     val reader = ParquetReader.builder(new GroupReadSupport(), path)
       .withConf(conf).build()
     new RowReader {

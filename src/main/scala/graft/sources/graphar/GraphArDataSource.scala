@@ -243,10 +243,52 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
 
   private def planInputPartitionsImpl(): Array[InputPartition] = {
     if (countStar) return Array(CountPartition(metaRowCount))
-    info match {
+    pack(info match {
       case Left(v) => planVertex(v)
       case Right(e) => planEdge(e)
+    })
+  }
+
+  /** Pack consecutive chunk partitions so each task covers a useful row
+    * range. GraphAr fixtures (and any graph written with small
+    * chunk_size) otherwise plan one tiny task per chunk — at 293 chunks
+    * that is pure scheduler overhead, and at 100 TB on an object store
+    * it is one GET round-trip per task. Packing is row-budget greedy and
+    * order-preserving; a single chunk is never split, so synthetic-index
+    * arithmetic and id-seek slices are untouched. Override with
+    * `spark.graft.scan.rowsPerPartition`.
+    */
+  private def pack(parts: Array[InputPartition]): Array[InputPartition] = {
+    if (parts.length <= 1) return parts
+    def rowsOf(p: InputPartition): Long = p match {
+      case v: VertexChunkPartition => v.rowEnd - v.rowStart
+      case e: EdgeChunkPartition => e.rowEnd - e.rowStart
+      case _ => 0L
     }
+    val total = parts.map(rowsOf).sum
+    val session = org.apache.spark.sql.SparkSession.active
+    val target = session.conf.getOption("spark.graft.scan.rowsPerPartition")
+      .map(_.toLong)
+      .getOrElse {
+        // ~3 waves of tasks across the cluster, floor of 8k rows/task
+        val par = math.max(1, session.sparkContext.defaultParallelism)
+        math.max(total / (3L * par), 8192L)
+      }
+    val out = Seq.newBuilder[InputPartition]
+    val group = Seq.newBuilder[InputPartition]
+    var gRows = 0L
+    var gLen = 0
+    def flush(): Unit = if (gLen > 0) {
+      val g = group.result()
+      out += (if (gLen == 1) g.head else PackedPartition(g))
+      group.clear(); gRows = 0L; gLen = 0
+    }
+    parts.foreach { p =>
+      group += p; gRows += rowsOf(p); gLen += 1
+      if (gRows >= target) flush()
+    }
+    flush()
+    out.result().toArray
   }
 
   private def planVertex(v: VertexInfo): Array[InputPartition] = {
@@ -328,6 +370,8 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
 }
 
 case class CountPartition(count: Long) extends InputPartition
+/** Several consecutive chunk partitions served by one task (see pack). */
+case class PackedPartition(parts: Seq[InputPartition]) extends InputPartition
 case class VertexChunkPartition(info: VertexInfo, chunk: Long,
                                 rowStart: Long, rowEnd: Long) extends InputPartition
 case class EdgeChunkPartition(info: EdgeInfo, al: GarAdjList, part: Long,
@@ -339,9 +383,32 @@ class GraphArReaderFactory(required: StructType, propFilters: Array[Filter],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case CountPartition(n) => new SingleRowReader(n)
+      case PackedPartition(ps) => new ConcatReader(ps.map(p => () => createReader(p)))
       case p: VertexChunkPartition => new VertexChunkReader(p, required, propFilters, serConf)
       case p: EdgeChunkPartition => new EdgeChunkReader(p, required, propFilters, serConf)
     }
+}
+
+/** Chains sub-readers of a PackedPartition; opens each lazily so a
+  * pushed limit/stats-skip never touches later chunks' files.
+  */
+class ConcatReader(subs: Seq[() => PartitionReader[InternalRow]])
+  extends PartitionReader[InternalRow] {
+  private var idx = 0
+  private var cur: PartitionReader[InternalRow] = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (idx >= subs.length) return false
+        cur = subs(idx)(); idx += 1
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 class SingleRowReader(n: Long) extends PartitionReader[InternalRow] {

@@ -68,9 +68,11 @@ object PropFilters {
   }
 
   /** Three-valued-safe compare; None when either side is null or the
-    * types are incomparable (callers treat None as "unknown").
+    * types are incomparable (callers treat None as "unknown"). Both
+    * sides are normalized: row values may arrive as UTF8String from the
+    * vectorized parquet path, literals as java.sql/java.time dates.
     */
-  private def cmp(a: Any, b: Any): Option[Int] = (a, norm(b)) match {
+  private def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
     case (null, _) | (_, null) => None
     case (x: java.lang.Number, y: java.lang.Number) =>
       if (x.isInstanceOf[java.lang.Float] || x.isInstanceOf[java.lang.Double] ||
