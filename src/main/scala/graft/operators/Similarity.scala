@@ -113,6 +113,126 @@ object Similarity {
       .select(col("q_id"), col("bucket"), col("n_id"), col("rank"))
   }
 
+  // ------------------------------------------------------- persisted ANN
+  //
+  // The scale path the recompute variants above only simulate: the corpus
+  // is written ONCE partitioned by IVF cluster (resp. LSH bucket), so a
+  // probe reads 1/n_clusters (resp. 1/2^nBits) of the data from storage —
+  // Spark's static partition pruning plans only the probed directories.
+  // At 100 TB the index build is a single extra pass; every subsequent
+  // query's I/O is bounded by its probe set.
+
+  /** Build the IVF index layout: `dir/vectors` partitioned by `cluster`
+    * (nearest centroid), `dir/centroids` as a small side table.
+    */
+  def writeIvfIndex(emb: DataFrame, dir: String, modulo: Int = 40): Unit = {
+    val cent = emb.filter(col("vec_id") % modulo === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    emb.join(broadcast(cent), lit(true))
+      .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors")
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Probe a stored IVF index: rank centroids for each query vector,
+    * read ONLY the probed cluster partitions, score, top-k. The driver
+    * collects just the distinct probe cluster ids (O(queries × nProbe),
+    * never data-sized) so the partition filter is static.
+    */
+  def ivfTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, nProbe: Int = 1): DataFrame = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val q = queries.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("c_id").as("q_probe"))
+      .localCheckpoint(true)
+    val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
+    val scored = spark.read.parquet(s"$dir/vectors")
+      .where(col("cluster").isin(probes: _*)) // static partition pruning
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cluster"))
+      .join(broadcast(q), col("cluster") === col("q_probe") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cluster"), col("n_id"), col("rank"))
+  }
+
+  /** Build the LSH index layout: `dir/vectors` partitioned by the
+    * random-hyperplane sign bucket (hyperplanes = corpus vectors
+    * hpBase..hpBase+nBits-1, re-derivable by any engine).
+    */
+  def writeLshIndex(emb: DataFrame, dir: String, nBits: Int = 8,
+                    hpBase: Long = 100): Unit = {
+    val hp = emb.filter(col("vec_id") >= hpBase && col("vec_id") < hpBase + nBits)
+      .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"))
+    val sigs = emb.join(broadcast(hp), lit(true))
+      .withColumn("bit",
+        when(dot(col("embedding"), col("h_emb")) > 0,
+          pow(lit(2.0), col("h_id") - hpBase).cast("long")).otherwise(lit(0L)))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    emb.join(sigs, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/vectors")
+    hp.write.mode("overwrite").parquet(s"$dir/hyperplanes")
+  }
+
+  /** Probe a stored LSH index: recompute each query's bucket from the
+    * stored hyperplanes, read only those bucket partitions, score, top-k.
+    */
+  def lshTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, hpBase: Long = 100): DataFrame = {
+    val hp = spark.read.parquet(s"$dir/hyperplanes")
+    val q = queries.select(col("vec_id"), col("embedding"))
+      .join(broadcast(hp), lit(true))
+      .withColumn("bit",
+        when(dot(col("embedding"), col("h_emb")) > 0,
+          pow(lit(2.0), col("h_id") - hpBase).cast("long")).otherwise(lit(0L)))
+      .groupBy(col("vec_id"))
+      // embedding is identical across a vec_id's hp rows; first() is exact
+      .agg(sum(col("bit")).as("q_bucket"), first(col("embedding")).as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("q_emb"), col("q_bucket"))
+      .localCheckpoint(true)
+    val probes = q.select(col("q_bucket")).distinct().collect().map(_.getLong(0))
+    val scored = spark.read.parquet(s"$dir/vectors")
+      .where(col("bucket").isin(probes: _*)) // static partition pruning
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+      .join(broadcast(q), col("bucket") === col("q_bucket") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("bucket"), col("n_id"), col("rank"))
+  }
+
+  /** Build-once ANN index fixture for an sf dir (mirrors
+    * GraphArQueries.fixture): IVF + LSH layouts under /tmp/graft_ann.
+    */
+  def indexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val name = new java.io.File(sfDir).getName
+    val base = s"/tmp/graft_ann/$name"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val emb = t(spark, sfDir, "embeddings")
+      writeIvfIndex(emb, s"$base/ivf")
+      writeLshIndex(emb, s"$base/lsh")
+      fs.create(marker, true).close()
+    }
+    base
+  }
+
   /** Embedding-cosine near-duplicate pairs within a label block. */
   def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
@@ -141,6 +261,16 @@ object Similarity {
     },
     "sim_ivf_multiprobe" -> { (s, d) =>
       ivfTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3, nProbe = 2)
+    },
+    // persisted-index probes: must produce EXACTLY the recompute variants'
+    // results (same oracle SQL) while reading only probed partitions
+    "sim_ivf_stored" -> { (s, d) =>
+      ivfTopKStored(s, s"${indexDir(s, d)}/ivf",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
+    },
+    "sim_lsh_stored" -> { (s, d) =>
+      lshTopKStored(s, s"${indexDir(s, d)}/lsh",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
     }
   )
 
@@ -155,6 +285,52 @@ object Similarity {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / sqrt(${dotSql(a, a)}) / sqrt(${dotSql(b, b)})"
 
+  private lazy val ivfOracleSql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 40 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
+       |    FROM embeddings e CROSS JOIN cent)
+       |  WHERE arank = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cluster AS q_cluster
+       |      FROM assigned WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q_id, a.cluster, a.vec_id AS n_id,
+       |    ${cosSql("q_emb", "a.embedding")} AS cos
+       |  FROM assigned a JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT q_id, cluster, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  private lazy val lshOracleSql: String =
+    s"""WITH hp AS (
+       |  SELECT vec_id AS h_id, embedding AS h_emb FROM embeddings
+       |  WHERE vec_id >= 100 AND vec_id < 108),
+       |sigs AS (
+       |  SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN ${dotSql("e.embedding", "hp.h_emb")} > 0
+       |      THEN CAST(pow(2, hp.h_id - 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id),
+       |bucketed AS (
+       |  SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e
+       |  JOIN sigs s ON s.vec_id = e.vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+       |      FROM bucketed WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q_id, b.bucket, b.vec_id AS n_id,
+       |    ${cosSql("q_emb", "b.embedding")} AS cos
+       |  FROM bucketed b JOIN q ON b.bucket = q_bucket AND q_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT q_id, bucket, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, bucket, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
@@ -168,51 +344,9 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
-    "sim_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 40 = 0),
-         |assigned AS (
-         |  SELECT vec_id, embedding, c_id AS cluster FROM (
-         |    SELECT e.vec_id, e.embedding, cent.c_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
-         |    FROM embeddings e CROSS JOIN cent)
-         |  WHERE arank = 1),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cluster AS q_cluster
-         |      FROM assigned WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT q_id, a.cluster, a.vec_id AS n_id,
-         |    ${cosSql("q_emb", "a.embedding")} AS cos
-         |  FROM assigned a JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id),
-         |ranked AS (
-         |  SELECT q_id, cluster, n_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-         |  FROM scored)
-         |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "sim_ivf" -> ivfOracleSql,
 
-    "sim_lsh" ->
-      s"""WITH hp AS (
-         |  SELECT vec_id AS h_id, embedding AS h_emb FROM embeddings
-         |  WHERE vec_id >= 100 AND vec_id < 108),
-         |sigs AS (
-         |  SELECT e.vec_id,
-         |    CAST(sum(CASE WHEN ${dotSql("e.embedding", "hp.h_emb")} > 0
-         |      THEN CAST(pow(2, hp.h_id - 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id),
-         |bucketed AS (
-         |  SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e
-         |  JOIN sigs s ON s.vec_id = e.vec_id),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
-         |      FROM bucketed WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT q_id, b.bucket, b.vec_id AS n_id,
-         |    ${cosSql("q_emb", "b.embedding")} AS cos
-         |  FROM bucketed b JOIN q ON b.bucket = q_bucket AND q_id <> b.vec_id),
-         |ranked AS (
-         |  SELECT q_id, bucket, n_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-         |  FROM scored)
-         |SELECT q_id, bucket, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "sim_lsh" -> lshOracleSql,
 
     "sim_ivf_multiprobe" ->
       s"""WITH cent AS (
@@ -235,6 +369,11 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |  FROM scored)
          |SELECT q_id, cluster, n_id, rank FROM rankedq WHERE rank <= 3""".stripMargin,
+
+    // the stored probes share the recompute variants' oracles verbatim:
+    // persisting the index must not change a single result row
+    "sim_ivf_stored" -> ivfOracleSql,
+    "sim_lsh_stored" -> lshOracleSql,
 
     "d_embed_dup" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,

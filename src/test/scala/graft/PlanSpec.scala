@@ -88,6 +88,24 @@ class PlanSpec extends AnyFunSuite {
       "in-range equality must keep the chunk")
   }
 
+  test("stored IVF probe reads only the probed cluster partitions") {
+    val base = operators.Similarity.indexDir(spark, sf)
+    val queries = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 8)
+    val df = operators.Similarity.ivfTopKStored(spark, s"$base/ivf", queries, 3)
+    df.collect()
+    // the vectors scan must carry a static partition filter on cluster —
+    // Spark then lists and reads only the probed cluster=... directories
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cluster"),
+      s"no static partition filter on cluster in:\n$p")
+    // and the probe set must be a strict subset of all clusters
+    val allParts = spark.read.parquet(s"$base/ivf/vectors")
+      .select("cluster").distinct().count()
+    val probed = operators.Similarity.ivfTopKStored(
+      spark, s"$base/ivf", queries, 3).select("cluster").distinct().count()
+    assert(probed < allParts, s"probe touched all $allParts clusters")
+  }
+
   test("connector one-hop: filtered scan reports exact (degree) statistics") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     val g = graph.GraphArGraph(spark, yaml)
