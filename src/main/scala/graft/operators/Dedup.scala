@@ -18,8 +18,9 @@ import graft.functions.TextFunctions._
   *    `bands` rows/doc, the band-key self-join only collides plausible
   *    pairs, and exact Jaccard verification runs on that tiny candidate
   *    set. This is the canonical web-scale near-dedup shape;
-  *  - SimHash: 1 int per doc; Hamming-neighbor search can then be done
-  *    with bit-rotation bucketing (not needed at gate scale);
+  *  - SimHash: 1 int per doc; Hamming-neighbor pairs via 4-band
+  *    pigeonhole bucketing (exhaustive for distance <= 3) + exact
+  *    bit_count verify — same candidates-then-verify shape as LSH;
   *  - n-gram Jaccard: the exact (quadratic) verifier — gated to a
   *    blocking key (`source`) so it stays tractable; at scale you never
   *    run it unblocked, you run it on LSH candidates (see above).
@@ -115,6 +116,42 @@ object Dedup {
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
 
+  /** SimHash Hamming-neighbor pairs: docs whose 32-bit signatures differ
+    * in at most `maxHamming` bits. Band bucketing (4 × 8-bit bands) gives
+    * the pigeonhole guarantee for maxHamming <= 3: any pair within
+    * distance 3 agrees on >= 1 whole band, so the band-key self-join
+    * finds ALL such pairs without an O(n²) cross join; exact Hamming via
+    * bit_count(xor) then filters false positives. The reference has no
+    * near-dup surface at all; this mirrors the MinHash LSH shape
+    * (candidates from equality buckets, exact verify on the small set).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band bucketing guarantees recall only to Hamming 3")
+    val sigs = simhashSignatures(docs).localCheckpoint(true) // feeds 3 branches
+    // band key b = bits [8b, 8b+8) = floor(sig / 2^(8b)) % 256 — plain
+    // arithmetic (sig < 2^32, exact in double) so DuckDB's `>> &` mirrors it
+    val banded = sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(3)), b =>
+        struct(b.as("band"),
+          pmod(floor(col("simhash") / pow(lit(2.0), b * 8)).cast("long"),
+            lit(256L)).as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("b_id"),
+        col("band").as("b_band"), col("key").as("b_key")),
+        col("band") === col("b_band") && col("key") === col("b_key") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val sa = sigs.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("hamming",
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   // --------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -125,7 +162,8 @@ object Dedup {
       dropNearDuplicates(t(s, d, "documents"))
         .select(col("doc_id"), col("lang"), col("source"))
     },
-    "d_simhash" -> { (s, d) => simhashSignatures(t(s, d, "documents")) }
+    "d_simhash" -> { (s, d) => simhashSignatures(t(s, d, "documents")) },
+    "d_simhash_pairs" -> { (s, d) => simhashPairs(t(s, d, "documents")) }
   )
 
   // Shared SQL fragments for the oracles (DuckDB list lambdas mirror the
@@ -193,6 +231,26 @@ object Dedup {
     "d_minhash_lsh" ->
       s"""WITH ${minhashCtes("documents")}
          |SELECT a_id, b_id, jac FROM verified WHERE jac >= 0.25""".stripMargin,
+
+    "d_simhash_pairs" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+         |    CASE WHEN list_sum(list_transform(list_transform(list_distinct(t), tok ->
+         |        ${chash("tok", "7")}), h2 ->
+         |        CAST(floor(CAST(h2 AS DOUBLE) / pow(2, b)) AS BIGINT) % 2 * 2 - 1)) > 0
+         |      THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM ($tokSqlDocs)),
+         |bands AS (
+         |  SELECT doc_id, simhash, b, (simhash >> CAST(8*b AS INTEGER)) & 255 AS key
+         |  FROM h, (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(bit_count(xor(ha.simhash, hb.simhash)) AS BIGINT) AS hamming
+         |FROM cand JOIN h ha ON ha.doc_id = a_id JOIN h hb ON hb.doc_id = b_id
+         |WHERE bit_count(xor(ha.simhash, hb.simhash)) <= 3""".stripMargin,
 
     "d_simhash" ->
       s"""WITH h AS (

@@ -22,6 +22,22 @@ class OperatorSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.01"
 
+  test("simhashPairs: band bucketing finds EXACTLY the brute-force Hamming<=3 pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    val got = operators.Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("a_id", "b_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all pairs of the same signatures
+    val sigs = operators.Dedup.simhashSignatures(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got === want)
+  }
+
   test("approx_count_distinct (HLL) within 5% of exact") {
     val li = Tables.t(spark, sf, "lineitem")
     val r = li.agg(
