@@ -59,13 +59,14 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
     val e: EdgeInfo = info.edge(src, t, dst)
     val al = e.adjList(alignedBy).getOrElse(throw new IllegalArgumentException(
       s"edge ${e.name} has no ordered_by_$alignedBy layout"))
-    val conf = new Configuration()
+    val conf = sessionConf
+    val serConf = new graft.util.SerializableHadoopConf(conf)
     val nParts = e.numParts(al, conf).toInt
     val vcs = e.alignedChunkSize(al)
     val rows = spark.sparkContext
       .parallelize(0 until nParts, math.min(nParts, 64))
       .flatMap { part =>
-        val offs = e.offsetsOfPart(al, part.toLong, new Configuration())
+        val offs = e.offsetsOfPart(al, part.toLong, serConf.value)
         Iterator.range(0, offs.length - 1).map { v =>
           Row(offs(v + 1) - offs(v), part.toLong * vcs + v)
         }
@@ -74,6 +75,29 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
       StructField("degree", LongType, nullable = false),
       StructField(GraphArMeta.GidCol, LongType, nullable = false))))
   }
+
+  /** Degree of ONE vertex from a single offset pair — no scan, no job
+    * over edge data; the distributed twin of the reference's
+    * `edges_vertex ... WHERE grapharId = v` pushdown
+    * (edges_vertex.cpp:68-128). Ids outside the vertex range yield an
+    * empty frame (matching the degree-table semantics, not an error).
+    */
+  def degreeOfVertex(src: String, t: String, dst: String, vid: Long,
+                     alignedBy: String = "src"): DataFrame = {
+    val e: EdgeInfo = info.edge(src, t, dst)
+    val al = e.adjList(alignedBy).getOrElse(throw new IllegalArgumentException(
+      s"edge ${e.name} has no ordered_by_$alignedBy layout"))
+    val rows = e.offsetPair(al, vid, sessionConf).toSeq
+      .map { case (b, en) => Row(en - b, vid) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("degree", LongType, nullable = false),
+        StructField(GraphArMeta.GidCol, LongType, nullable = false))))
+  }
+
+  private def sessionConf: Configuration =
+    spark.sessionState.newHadoopConf()
 
   def maxDegree(src: String, t: String, dst: String): DataFrame =
     degreesFast(src, t, dst).agg(max(col("degree")).as("max_degree"))

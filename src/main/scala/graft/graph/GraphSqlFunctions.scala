@@ -41,6 +41,12 @@ object GraphSqlFunctions {
     val srcs = rows.map(_.getLong(0))
     val index = srcs.zipWithIndex.toMap
     val offsets = new Array[Int](rows.length + 1)
+    // fail fast (not silently overflow) past Int-addressable targets —
+    // register()'s metadata guard normally refuses long before this
+    val totalL = rows.iterator.map(_.getSeq[Long](1).length.toLong).sum
+    require(totalL <= Int.MaxValue - 8,
+      s"graph has $totalL edges — beyond a broadcastable CSR; " +
+        "use GraphArGraph.bfsLength (distributed frontier BFS) instead")
     var total = 0
     rows.zipWithIndex.foreach { case (r, i) =>
       offsets(i) = total; total += r.getSeq[Long](1).length
@@ -79,10 +85,23 @@ object GraphSqlFunctions {
     * over the FIRST edge type of the graph (matching
     * `GetEdgeInfoByIndex(0)`, bfs.cpp:66), plus the `duckdb_graphar`-style
     * hello function `graft(name)`.
+    *
+    * Refuses graphs whose edge-count METADATA exceeds `maxBroadcastEdges`
+    * (checked before any scan or collect, so an oversized graph costs one
+    * metadata read, not a driver OOM); the error names the distributed
+    * alternative. Override the bound consciously for big executors.
     */
   def register(spark: SparkSession, graph: GraphArGraph, prefix: String = "",
-               maxDepth: Int = 15): Broadcast[Csr] = {
+               maxDepth: Int = 15,
+               maxBroadcastEdges: Long = 50_000_000L): Broadcast[Csr] = {
     val e = graph.info.edges.head
+    val conf = spark.sessionState.newHadoopConf()
+    val nEdges = e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)
+    require(nEdges <= maxBroadcastEdges,
+      s"graph ${graph.info.name} has $nEdges edges (> $maxBroadcastEdges): " +
+        "a broadcast-CSR BFS UDF would not fit executor memory; use " +
+        "GraphArGraph.bfsLength/bfsExists (distributed frontier BFS), or " +
+        "raise maxBroadcastEdges explicitly")
     val csr = buildCsr(spark, graph.edgesStd(e.srcType, e.edgeType, e.dstType))
     val bc = spark.sparkContext.broadcast(csr)
     spark.udf.register(s"${prefix}bfs_length",

@@ -87,6 +87,21 @@ final case class EdgeInfo(srcType: String, edgeType: String, dstType: String,
   = GraphArMeta.readInt64Column(new Path(s"${adjDir(al)}offset/chunk$part"),
       al.fileType, conf)
 
+  /** The [begin, end) edge-row range of ONE vertex — reads two offset
+    * entries instead of the whole offset chunk, mirroring the reference's
+    * single-vertex pushdown (edges_vertex.cpp:68-128). None when the id
+    * is outside the aligned vertex range.
+    */
+  def offsetPair(al: GarAdjList, vid: Long, conf: Configuration): Option[(Long, Long)] = {
+    val vcs = alignedChunkSize(al)
+    if (vid < 0 || vid >= alignedVertexCount(al, conf)) return None
+    val local = (vid % vcs).toInt
+    val pair = GraphArMeta.readInt64ColumnRange(
+      new Path(s"${adjDir(al)}offset/chunk${vid / vcs}"), al.fileType, conf,
+      local, 2)
+    if (pair.length < 2) None else Some((pair(0), pair(1)))
+  }
+
   def schema: StructType = StructType(
     Seq(StructField(GraphArMeta.SrcIndexCol, LongType, nullable = false),
       StructField(GraphArMeta.DstIndexCol, LongType, nullable = false)) ++
@@ -162,6 +177,17 @@ object GraphArMeta {
     val schema = StructType(Seq(StructField("_graphArOffset", LongType, nullable = false)))
     graft.sources.graphar.ChunkIO.readRows(path, fileType, schema, conf)
       .map(_(0).asInstanceOf[Long]).toArray
+  }
+
+  /** Read `count` entries of an int64-column chunk starting at `start`,
+    * closing the reader early (point degree lookups read 2 of ~1M rows).
+    */
+  def readInt64ColumnRange(path: Path, fileType: String, conf: Configuration,
+                           start: Int, count: Int): Array[Long] = {
+    val schema = StructType(Seq(StructField("_graphArOffset", LongType, nullable = false)))
+    val it = graft.sources.graphar.ChunkIO.readRows(path, fileType, schema, conf)
+    try it.slice(start, start + count).map(_(0).asInstanceOf[Long]).toArray
+    finally it.close()
   }
 
   private def str(m: JMap[String, Object], k: String): String =

@@ -57,8 +57,15 @@ object Dedup {
     * pairs = docs sharing at least one full band key; emitted pairs are
     * candidates whose true Jaccard >= threshold.
     */
+  /** `maxBandBucket` caps band-bucket membership: a hot band key (mass-
+    * identical documents) otherwise explodes quadratically inside one
+    * bucket. Buckets above the cap are EXCLUDED from candidate generation
+    * (with a logged count) — a recall trade the caller opts into
+    * consciously at corpus scale; the default never drops.
+    */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
-                      threshold: Double = 0.25): DataFrame = {
+                      threshold: Double = 0.25,
+                      maxBandBucket: Long = Long.MaxValue): DataFrame = {
     val r = k / bands
     // Signatures via the compiled one-pass expression (MinHashSigExpr —
     // same integers as the declarative spec, ~10× faster), materialized
@@ -70,12 +77,28 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .localCheckpoint(true)
     // band keys: ids only — never carry shingle arrays through the join
-    val banded = s.select(col("doc_id"),
+    val bandedAll = s.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           concat_ws("_", (0 until r).map(j =>
             element_at(col("sig"), b * r + j + 1)): _*).as("key")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val banded =
+      if (maxBandBucket == Long.MaxValue) bandedAll
+      else {
+        // the size pre-pass shuffles on the same (band,key) the self-join
+        // needs; oversized buckets are dropped before they can explode
+        val sizes = bandedAll.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("_bsz"))
+        val dropped = sizes.filter(col("_bsz") > maxBandBucket).count()
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"minhashLshPairs: skipping $dropped band bucket(s) larger " +
+              s"than $maxBandBucket members (hot-key cap)")
+        bandedAll.join(sizes.filter(col("_bsz") <= maxBandBucket),
+          Seq("band", "key"))
+          .select(col("doc_id"), col("band"), col("key"))
+      }
     val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("key"))
       .join(banded.select(col("doc_id").as("b_id"),
         col("band").as("b_band"), col("key").as("b_key")),

@@ -106,6 +106,12 @@ object GraphArQueries {
     "ga_prop_filter" -> { (s, d) =>
       vertices(s, d).filter(
         col("p_partkey") >= 100L && col("p_partkey") <= 180L && col("p_size") >= 20)
+    },
+    // single-vertex degree from ONE offset pair (edges_vertex.cpp:68-128
+    // pushdown): no scan, no job over edge data
+    "ga_degree_of_vertex" -> { (s, d) =>
+      graft.graph.GraphArGraph(s, fixture(s, d))
+        .degreeOfVertex("Part", "link", "Part", GraphQueries.RootVid)
     }
   )
 
@@ -125,6 +131,10 @@ object GraphArQueries {
       s"""SELECT * FROM ($edgeSql) WHERE "_graphArDstIndex" = 15""",
     "ga_prop_filter" ->
       s"""SELECT * FROM ($vertexSql)
-         |WHERE p_partkey >= 100 AND p_partkey <= 180 AND p_size >= 20""".stripMargin
+         |WHERE p_partkey >= 100 AND p_partkey <= 180 AND p_size >= 20""".stripMargin,
+    "ga_degree_of_vertex" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS degree,
+         |  CAST(${GraphQueries.RootVid} AS BIGINT) AS grapharId
+         |FROM ($edgeSql) WHERE "_graphArSrcIndex" = ${GraphQueries.RootVid}""".stripMargin
   )
 }

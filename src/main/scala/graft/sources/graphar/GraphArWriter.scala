@@ -48,6 +48,36 @@ object GraphArWriter {
     def name: String = s"${srcType}_${edgeType}_${dstType}"
   }
 
+  /** Task-attempt output staging: every file a task writes goes to a
+    * hidden `.<name>.attempt<id>` sibling first and is renamed into place
+    * only on commit(). A dying or zombie attempt (speculation, retry)
+    * therefore never leaves a half-written file at a final path; because
+    * the input to each task is deterministic (sorted shuffle), racing
+    * successful attempts rename byte-identical files, so any interleaving
+    * of per-file atomic renames is correct.
+    */
+  private class TaskFiles(conf: Configuration) {
+    private val staged = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    private def attemptId: Long =
+      Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+    def stage(finalPath: Path): Path = {
+      val tmp = new Path(finalPath.getParent,
+        s".${finalPath.getName}.attempt$attemptId")
+      staged += ((tmp, finalPath))
+      tmp
+    }
+    def commit(): Unit = staged.foreach { case (tmp, fin) =>
+      val fs = fin.getFileSystem(conf)
+      if (fs.exists(fin)) fs.delete(fin, false)
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"commit rename $tmp -> $fin failed")
+    }
+    def abort(): Unit = staged.foreach { case (tmp, _) =>
+      val fs = tmp.getFileSystem(conf)
+      if (fs.exists(tmp)) fs.delete(tmp, false)
+    }
+  }
+
   private class IdPartitioner(n: Int, chunkSize: Long) extends Partitioner {
     override def numPartitions: Int = math.max(n, 1)
     override def getPartition(key: Any): Int = {
@@ -72,7 +102,8 @@ object GraphArWriter {
     */
   def writeVertices(df: DataFrame, baseDir: String, spec: VertexSpec,
                     groups: Seq[(String, Seq[String])] = Seq.empty): Long = {
-    val conf = new Configuration()
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val serConf = new graft.util.SerializableHadoopConf(conf)
     val schema = df.schema
     val effGroups: Seq[(String, Seq[String])] =
       if (groups.nonEmpty) groups else Seq("props" -> schema.fieldNames.toSeq)
@@ -96,27 +127,32 @@ object GraphArWriter {
     val counts = indexed
       .repartitionAndSortWithinPartitions(new IdPartitioner(nChunks, cs))
       .mapPartitions { it =>
+        val taskConf = serConf.value
+        val files = new TaskFiles(taskConf)
         val chunk = TaskContext.getPartitionId()
         val sinks = groupSchemas.map { case (gName, fields, idxs) =>
-          val p = new Path(s"$dir$gName/chunk$chunk")
-          (ChunkIO.openSink(p, ft, StructType(fields), new Configuration()), idxs)
+          val p = files.stage(new Path(s"$dir$gName/chunk$chunk"))
+          (ChunkIO.openSink(p, ft, StructType(fields), taskConf), idxs)
         }
         var n = 0L
         try {
-          it.foreach { case (_, row) =>
-            sinks.foreach { case (sink, idxs) =>
-              sink.write(idxs.map(i => toIo(row, i, schema)).toArray)
+          try {
+            it.foreach { case (_, row) =>
+              sinks.foreach { case (sink, idxs) =>
+                sink.write(idxs.map(i => toIo(row, i, schema)).toArray)
+              }
+              n += 1
             }
-            n += 1
-          }
-        } finally sinks.foreach(_._1.close())
+          } finally sinks.foreach(_._1.close())
+          files.commit()
+        } catch { case e: Throwable => files.abort(); throw e }
         Iterator.single(n)
       }.collect()
 
     indexed.unpersist(blocking = false)
     val total = counts.sum
     GraphArMeta.writeInt64(new Path(s"${dir}vertex_count"), total, conf)
-    writeVertexYaml(baseDir, spec, effGroups, schema)
+    writeVertexYaml(baseDir, spec, effGroups, schema, conf)
     total
   }
 
@@ -125,7 +161,8 @@ object GraphArWriter {
     * (ordered_by_source / ordered_by_dest) with its CSR offset tables.
     */
   def writeEdges(df: DataFrame, baseDir: String, spec: EdgeSpec): Long = {
-    val conf = new Configuration()
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val serConf = new graft.util.SerializableHadoopConf(conf)
     val schema = df.schema
     val propFields = schema.fields.filterNot(f => f.name == "src" || f.name == "dst")
     val dir = s"$baseDir/edge/${spec.name}/"
@@ -136,17 +173,18 @@ object GraphArWriter {
       val alignedCount = if (alignedBy == "src") spec.srcVertexCount else spec.dstVertexCount
       val vcs = if (alignedBy == "src") spec.srcChunkSize else spec.dstChunkSize
       total = writeLayout(df, schema, propFields, layoutDir, alignedBy,
-        alignedCount, vcs, spec)
+        alignedCount, vcs, spec, serConf)
       GraphArMeta.writeInt64(new Path(s"${layoutDir}vertex_count"), alignedCount, conf)
     }
-    writeEdgeYaml(baseDir, spec, propFields)
+    writeEdgeYaml(baseDir, spec, propFields, conf)
     total
   }
 
   private def writeLayout(df: DataFrame, schema: StructType,
                           propFields: Array[StructField], layoutDir: String,
                           alignedBy: String, alignedCount: Long, vcs: Long,
-                          spec: EdgeSpec): Long = {
+                          spec: EdgeSpec,
+                          serConf: graft.util.SerializableHadoopConf): Long = {
     val srcIdx = schema.fieldIndex("src")
     val dstIdx = schema.fieldIndex("dst")
     val propIdxs = propFields.map(f => schema.fieldIndex(f.name))
@@ -166,7 +204,8 @@ object GraphArWriter {
     val counts = keyed
       .repartitionAndSortWithinPartitions(new IdPartitioner(nParts, vcs))
       .mapPartitions { it =>
-        val conf = new Configuration()
+        val conf = serConf.value
+        val files = new TaskFiles(conf)
         val part = TaskContext.getPartitionId()
         val partStartVertex = part.toLong * vcs
         val vertsInPart = math.min(vcs, alignedCount - partStartVertex).toInt
@@ -179,44 +218,45 @@ object GraphArWriter {
           if (adjSink != null) adjSink.close()
           if (propSink != null) propSink.close()
           chunkIdx += 1
-          adjSink = ChunkIO.openSink(
-            new Path(s"${layoutDir}adj_list/part$part/chunk$chunkIdx"), ft, adjSchema, conf)
+          adjSink = ChunkIO.openSink(files.stage(
+            new Path(s"${layoutDir}adj_list/part$part/chunk$chunkIdx")), ft, adjSchema, conf)
           propSink = if (propFields.nonEmpty)
-            ChunkIO.openSink(
-              new Path(s"${layoutDir}props/part$part/chunk$chunkIdx"), ft, propSchema, conf)
+            ChunkIO.openSink(files.stage(
+              new Path(s"${layoutDir}props/part$part/chunk$chunkIdx")), ft, propSchema, conf)
           else null
         }
-        var lastAligned = -1L
-        it.foreach { case ((aligned, _), row) =>
-          if (aligned < partStartVertex || aligned >= partStartVertex + vertsInPart)
-            throw new IllegalArgumentException(
-              s"edge ${if (alignedBy == "src") "src" else "dst"} id $aligned " +
-                s"outside the declared aligned vertex count $alignedCount")
-          if (edgeCount % cs == 0) roll()
-          val s = row.getLong(srcIdx); val d = row.getLong(dstIdx)
-          adjSink.write(Array[Any](s, d))
-          if (propSink != null)
-            propSink.write(propIdxs.map(i => toIo(row, i, schema)).toArray)
-          // advance cumulative offsets for vertices in (lastAligned, aligned]
-          val local = (aligned - partStartVertex).toInt
+        try {
+          var lastAligned = -1L
+          it.foreach { case ((aligned, _), row) =>
+            if (aligned < partStartVertex || aligned >= partStartVertex + vertsInPart)
+              throw new IllegalArgumentException(
+                s"edge ${if (alignedBy == "src") "src" else "dst"} id $aligned " +
+                  s"outside the declared aligned vertex count $alignedCount")
+            if (edgeCount % cs == 0) roll()
+            val s = row.getLong(srcIdx); val d = row.getLong(dstIdx)
+            adjSink.write(Array[Any](s, d))
+            if (propSink != null)
+              propSink.write(propIdxs.map(i => toIo(row, i, schema)).toArray)
+            // advance cumulative offsets for vertices in (lastAligned, aligned]
+            val local = (aligned - partStartVertex).toInt
+            var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
+            while (v <= local) { offsets(v) = edgeCount; v += 1 }
+            lastAligned = aligned
+            edgeCount += 1
+          }
+          if (adjSink != null) adjSink.close()
+          if (propSink != null) propSink.close()
+          // fill trailing boundaries (zero chunks is valid; the offset
+          // table then says all-empty)
           var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
-          while (v <= local) { offsets(v) = edgeCount; v += 1 }
-          lastAligned = aligned
-          edgeCount += 1
-        }
-        if (adjSink != null) adjSink.close()
-        if (propSink != null) propSink.close()
-        // fill trailing boundaries
-        var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
-        while (v <= vertsInPart) { offsets(v) = edgeCount; v += 1 }
-        if (edgeCount == 0) {
-          // still materialize an (empty) first adjacency chunk dir marker?
-          // no: zero chunks is valid; offset table says all-empty.
-        }
-        ChunkIO.writeRows(new Path(s"${layoutDir}offset/chunk$part"), ft,
-          StructType(Seq(StructField("_graphArOffset", LongType, nullable = false))),
-          offsets.iterator.map(o => Array[Any](o)), conf)
-        GraphArMeta.writeInt64(new Path(s"${layoutDir}edge_count$part"), edgeCount, conf)
+          while (v <= vertsInPart) { offsets(v) = edgeCount; v += 1 }
+          ChunkIO.writeRows(files.stage(new Path(s"${layoutDir}offset/chunk$part")), ft,
+            StructType(Seq(StructField("_graphArOffset", LongType, nullable = false))),
+            offsets.iterator.map(o => Array[Any](o)), conf)
+          GraphArMeta.writeInt64(files.stage(
+            new Path(s"${layoutDir}edge_count$part")), edgeCount, conf)
+          files.commit()
+        } catch { case e: Throwable => files.abort(); throw e }
         Iterator.single(edgeCount)
       }.collect()
     counts.sum
@@ -232,15 +272,16 @@ object GraphArWriter {
 
   // ----------------------------------------------------------------- yaml
 
-  private def writeText(path: Path, text: String): Unit = {
-    val fs = path.getFileSystem(new Configuration())
+  private def writeText(path: Path, text: String,
+                        conf: Configuration = new Configuration()): Unit = {
+    val fs = path.getFileSystem(conf)
     val out = fs.create(path, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
   private def writeVertexYaml(baseDir: String, spec: VertexSpec,
                               groups: Seq[(String, Seq[String])],
-                              schema: StructType): Unit = {
+                              schema: StructType, conf: Configuration): Unit = {
     val sb = new StringBuilder
     sb.append(s"type: ${spec.vertexType}\n")
     sb.append(s"chunk_size: ${spec.chunkSize}\n")
@@ -259,11 +300,12 @@ object GraphArWriter {
       }
     }
     sb.append("version: gar/v1\n")
-    writeText(new Path(s"$baseDir/${spec.vertexType}.vertex.yaml"), sb.toString)
+    writeText(new Path(s"$baseDir/${spec.vertexType}.vertex.yaml"), sb.toString, conf)
   }
 
   private def writeEdgeYaml(baseDir: String, spec: EdgeSpec,
-                            propFields: Array[StructField]): Unit = {
+                            propFields: Array[StructField],
+                            conf: Configuration): Unit = {
     val sb = new StringBuilder
     sb.append(s"src_type: ${spec.srcType}\n")
     sb.append(s"edge_type: ${spec.edgeType}\n")
@@ -294,7 +336,7 @@ object GraphArWriter {
       }
     }
     sb.append("version: gar/v1\n")
-    writeText(new Path(s"$baseDir/${spec.name}.edge.yaml"), sb.toString)
+    writeText(new Path(s"$baseDir/${spec.name}.edge.yaml"), sb.toString, conf)
   }
 
   def writeGraphYaml(baseDir: String, name: String, vertexTypes: Seq[String],

@@ -44,4 +44,28 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft('Sam') AS s").collect()(0).getString(0)
       === "Graft Sam ⚡")
   }
+
+  test("register refuses an over-threshold graph from metadata alone") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val g = GraphArGraph(spark, yaml)
+    val e = intercept[IllegalArgumentException] {
+      GraphSqlFunctions.register(spark, g, prefix = "tiny_",
+        maxBroadcastEdges = 5L)
+    }
+    assert(e.getMessage.contains("bfsLength"),
+      s"error must name the distributed alternative: ${e.getMessage}")
+  }
+
+  test("degreeOfVertex: one offset pair == degreesFast row; out-of-range empty") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val g = GraphArGraph(spark, yaml)
+    val vid = graph.GraphQueries.RootVid
+    val point = g.degreeOfVertex("Part", "link", "Part", vid).collect()
+    val full = g.degreesFast("Part", "link", "Part")
+      .filter(org.apache.spark.sql.functions.col("grapharId") === vid).collect()
+    assert(point.length === 1 && full.length === 1)
+    assert(point(0).getLong(0) === full(0).getLong(0))
+    assert(g.degreeOfVertex("Part", "link", "Part", -1L).count() === 0)
+    assert(g.degreeOfVertex("Part", "link", "Part", 1L << 40).count() === 0)
+  }
 }

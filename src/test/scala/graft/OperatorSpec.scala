@@ -38,6 +38,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("minhashLshPairs hot-band cap drops oversized buckets, keeps the rest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 300 identical docs (one mass-hot band bucket) + 2 distinct near-dups
+    val hot = (0 until 300).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val pair = Seq(
+      (1000L, "completely different text about distributed query engines at scale"),
+      (1001L, "completely different text about distributed query engines at large scale"))
+    val docs = (hot ++ pair).toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    val unCapped = operators.Dedup.minhashLshPairs(docs).count()
+    assert(unCapped >= 300L * 299 / 2, s"expected the hot all-pairs, got $unCapped")
+    val capped = operators.Dedup.minhashLshPairs(docs, maxBandBucket = 50L)
+    val rows = capped.collect()
+    // hot-bucket pairs gone, the small near-dup pair survives
+    assert(rows.exists(r => r.getLong(0) == 1000L && r.getLong(1) == 1001L),
+      s"near-dup pair lost by the cap: ${rows.mkString(";")}")
+    assert(!rows.exists(_.getLong(0) < 300L), "hot bucket not dropped")
+  }
+
   test("approx_count_distinct (HLL) within 5% of exact") {
     val li = Tables.t(spark, sf, "lineitem")
     val r = li.agg(
