@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.graph.{GraphArGraph, GraphOps, GraphQueries}
+import graft.sources.graphar.GraphArWriter
+
+/** Scale-trend benchmark: replicates the sf0.1 edge multigraph N times
+  * (disjoint vertex-id ranges), writes it as a GraphAr graph once, and
+  * times the headline graph queries — evidence that the sub-second
+  * queries stay at the job-launch floor and the heavy ones scale
+  * sub-linearly as data grows 10×. Args: [sfDir] [replicas] [reps].
+  *
+  * This synthesizes BENCH INPUT only (a bigger copy of driver-provided
+  * data for timing); correctness gates keep using /root/testdata as-is.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicas = if (args.length > 1) args(1).toInt else 10
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .appName("graft-scale-bench").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val v = GraphQueries.V.toLong
+    val base = s"/tmp/graft_graphar/${new java.io.File(sfDir).getName}_x$replicas"
+    val yaml = s"$base/ScaleGraph.yaml"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+      val li = Tables.t(spark, sfDir, "lineitem").select(
+        expr(s"l_orderkey % $v").as("src0"),
+        expr(s"l_partkey % $v").as("dst0"),
+        col("l_quantity").as("quantity"))
+      val edges = li
+        .crossJoin(spark.range(replicas).toDF("rep"))
+        .select((col("src0") + col("rep") * v).as("src"),
+          (col("dst0") + col("rep") * v).as("dst"), col("quantity"))
+      val n = GraphArWriter.writeEdges(edges, base,
+        GraphArWriter.EdgeSpec("Part", "link", "Part",
+          srcVertexCount = v * replicas, dstVertexCount = v * replicas,
+          chunkSize = 1 << 18, srcChunkSize = 1 << 13, dstChunkSize = 1 << 13))
+      GraphArWriter.writeGraphYaml(base, "ScaleGraph", Seq.empty, Seq("Part_link_Part"))
+      fs.create(marker, true).close()
+      println(s"SCALE built $n edges at $base")
+    }
+
+    val g = GraphArGraph(spark, yaml)
+    val e = g.edges("Part", "link", "Part")
+
+    def time(label: String)(f: => Any): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SCALE $label best=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+
+    time("edge_count")(e.count())
+    time("one_hop")(e.filter(col("_graphArSrcIndex") === GraphQueries.RootVid).collect())
+    time("two_hop")(g.twoHop("Part", "link", "Part", GraphQueries.RootVid).count())
+    time("max_degree")(g.maxDegree("Part", "link", "Part").collect())
+    time("degree_distribution")(g.degreeDistribution("Part", "link", "Part").count())
+    time("full_scan_agg")(e.agg(sum("quantity")).collect())
+    val es = g.edgesStd("Part", "link", "Part")
+    time("path_exist_pair")(GraphOps.bfsLength(spark, es,
+      GraphQueries.RootVid, 7L + 9 * v, 10))
+    spark.stop()
+  }
+}

@@ -1,0 +1,112 @@
+package graft.graph
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL table-valued functions for the graph operators — the analogue of
+  * the reference's TableFunction registrations `two_hop` / `one_more_hop`
+  * (src/functions/table/hop.cpp:229-249) and `edges_vertex`
+  * (src/functions/table/edges_vertex.cpp:244-252), which a SQL-only user
+  * otherwise cannot reach (the Scala GraphArGraph API wraps the same
+  * plans).
+  *
+  * {{{
+  *   SELECT * FROM two_hop('/g/Git.yaml', 42)
+  *   SELECT * FROM one_more_hop('/g/Git.yaml', 'Person','knows','Person', 42)
+  *   SELECT max(degree) FROM edges_vertex('/g/Git.yaml')
+  * }}}
+  *
+  * Two wiring paths, same builders:
+  *  - `GraphTableFunctions.register(spark)` at runtime;
+  *  - `spark.sql.extensions=graft.graph.GraftSparkSessionExtension` at
+  *    session build (the SparkSessionExtensions route the reference's
+  *    LoadInternal mirrors, duckdb_graphar_extension.cpp:30-51).
+  *
+  * Each builder substitutes the operator's (already analyzed) logical
+  * plan during analysis, so everything downstream — pushed src filter,
+  * broadcast frontier, offset fast path — is exactly the Scala API's
+  * plan; the 2-argument forms default to the FIRST edge type like the
+  * reference's bfs functions (bfs.cpp:66).
+  */
+object GraphTableFunctions {
+
+  private def strArg(fn: String, e: Expression): String = e match {
+    case l: Literal if l.value != null => l.value.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got: $other")
+  }
+
+  private def longArg(fn: String, e: Expression): Long = e match {
+    case l: Literal => l.value match {
+      case i: Int => i.toLong
+      case i: Long => i
+      case i: Short => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an integer literal, got: $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got: $other")
+  }
+
+  private def graph(yaml: String): GraphArGraph =
+    GraphArGraph(SparkSession.active, yaml)
+
+  /** (graph, src, type, dst) from `yaml [, src, type, dst]` arg shapes. */
+  private def resolveEdge(fn: String, yamlArg: Expression,
+                          triple: Seq[Expression]): (GraphArGraph, String, String, String) = {
+    val g = graph(strArg(fn, yamlArg))
+    triple match {
+      case Seq() =>
+        val e = g.info.edges.headOption.getOrElse(throw new IllegalArgumentException(
+          s"$fn: graph ${g.info.name} declares no edge types"))
+        (g, e.srcType, e.edgeType, e.dstType)
+      case Seq(s, t, d) => (g, strArg(fn, s), strArg(fn, t), strArg(fn, d))
+      case _ => throw new IllegalArgumentException(
+        s"$fn(graph_yaml[, src, type, dst], vid): wrong argument count")
+    }
+  }
+
+  private def hopBuilder(fn: String,
+                         op: (GraphArGraph, String, String, String, Long) => org.apache.spark.sql.DataFrame)
+  : Seq[Expression] => LogicalPlan = { args =>
+    if (args.size != 2 && args.size != 5)
+      throw new IllegalArgumentException(s"$fn(graph_yaml[, src, type, dst], vid)")
+    val (g, s, t, d) = resolveEdge(fn, args.head, args.slice(1, args.size - 1))
+    op(g, s, t, d, longArg(fn, args.last)).queryExecution.analyzed
+  }
+
+  private def degreesBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.size != 1 && args.size != 4)
+      throw new IllegalArgumentException("edges_vertex(graph_yaml[, src, type, dst])")
+    val (g, s, t, d) = resolveEdge("edges_vertex", args.head, args.drop(1))
+    g.degreesFast(s, t, d).queryExecution.analyzed
+  }
+
+  /** The injectable (name, info, builder) triples. */
+  def descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("two_hop"),
+      new ExpressionInfo(getClass.getName, "two_hop"),
+      hopBuilder("two_hop", (g, s, t, d, vid) => g.twoHop(s, t, d, vid))),
+    (FunctionIdentifier("one_more_hop"),
+      new ExpressionInfo(getClass.getName, "one_more_hop"),
+      hopBuilder("one_more_hop", (g, s, t, d, vid) => g.oneMoreHop(s, t, d, vid))),
+    (FunctionIdentifier("edges_vertex"),
+      new ExpressionInfo(getClass.getName, "edges_vertex"),
+      degreesBuilder)
+  )
+
+  /** Runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point injecting the graph TVFs. */
+class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraphTableFunctions.descriptions.foreach(ext.injectTableFunction)
+}

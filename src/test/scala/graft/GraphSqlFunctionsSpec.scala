@@ -45,6 +45,29 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
       === "Graft Sam ⚡")
   }
 
+  test("SQL TVFs two_hop/one_more_hop/edges_vertex match the Scala API") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val g = GraphArGraph(spark, yaml)
+    graph.GraphTableFunctions.register(spark)
+    val vid = graph.GraphQueries.RootVid
+
+    def sorted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // 2-arg form: first edge type (reference bfs.cpp:66 convention)
+    assert(sorted(spark.sql(s"SELECT * FROM two_hop('$yaml', $vid)").collect())
+      === sorted(g.twoHop("Part", "link", "Part", vid).collect()))
+    // 5-arg explicit form
+    assert(sorted(spark.sql(
+      s"SELECT * FROM one_more_hop('$yaml', 'Part', 'link', 'Part', $vid)").collect())
+      === sorted(g.oneMoreHop("Part", "link", "Part", vid).collect()))
+    // degrees TVF: aggregate golden against the fast path
+    val sqlMax = spark.sql(s"SELECT max(degree) AS m FROM edges_vertex('$yaml')")
+      .collect()(0).getLong(0)
+    val apiMax = g.maxDegree("Part", "link", "Part").collect()(0).getLong(0)
+    assert(sqlMax === apiMax)
+  }
+
   test("register refuses an over-threshold graph from metadata alone") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     val g = GraphArGraph(spark, yaml)
