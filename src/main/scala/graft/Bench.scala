@@ -76,12 +76,10 @@ object Bench {
     timed("path_exist") {
       val es = g.edgesStd("Part", "link", "Part").persist()
       es.count() // materialize once; the reference also reads the graph per call
-      // unidirectional wins on this dense, short-diameter graph (paths of
-      // 2-3 hops; the bidirectional meet-join overhead only pays off on
-      // long paths) — both are available, pick per workload
-      GraphQueries.bfsPairs.foreach { case (a, b) =>
-        GraphOps.bfsLength(spark, es, a, b, GraphQueries.bfsMaxDepth)
-      }
+      // batched BFS: the whole pair set advances through one frontier
+      // join per level (L jobs total, not pairs×L); per-pair bfsLength
+      // and the bidirectional variant remain for single-path workloads
+      GraphOps.bfsLengths(spark, es, GraphQueries.bfsPairs, GraphQueries.bfsMaxDepth)
       es.unpersist()
     }
 

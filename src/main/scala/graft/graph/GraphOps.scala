@@ -139,6 +139,59 @@ object GraphOps {
                 maxDepth: Int = 10): Boolean =
     bfsLength(spark, edges, srcId, dstId, maxDepth) != -1L
 
+  /** Batched BFS: all `pairs` advance through ONE frontier join per level
+    * (the frontier carries a pair id), instead of one whole BFS — with
+    * its per-level job latency — per pair. For a query batch of P pairs
+    * at depth L this is L jobs total, not P×L; per-pair early exit still
+    * applies (finished pairs leave the frontier). Returns
+    * (src, dst, length) in input order with [[bfsLength]] semantics.
+    */
+  def bfsLengths(spark: SparkSession, edges: DataFrame,
+                 pairs: Seq[(Long, Long)], maxDepth: Int = 10): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    val results = scala.collection.mutable.Map.empty[Int, Long]
+    val active0 = pairs.zipWithIndex.flatMap { case ((s0, d0), i) =>
+      if (s0 == d0) { results(i) = 0L; None } else Some((i, s0, d0))
+    }
+    if (active0.nonEmpty) {
+      val e = edges.select(col("src"), col("dst"))
+      val targets = typedLit(active0.map { case (i, _, d0) => i -> d0 }.toMap)
+      var frontier = active0.map { case (i, s0, _) => (i, s0) }.toDF("pid", "v")
+      var visited = frontier
+      var activePids = active0.map(_._1).toSet
+      var depth = 0L
+      while (activePids.nonEmpty && depth < maxDepth) {
+        depth += 1
+        val next = e.join(frontier, e("src") === frontier("v"))
+          .select(col("pid"), col("dst").as("v")).distinct()
+          .join(visited, Seq("pid", "v"), "left_anti")
+          .localCheckpoint(true)
+        // one driver round-trip per LEVEL for the whole batch: per-pair
+        // frontier size + target-hit flag (P rows, never data-sized)
+        val stats = next.groupBy(col("pid"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v") === element_at(targets, col("pid")), 1L)
+              .otherwise(0L)).as("hit"))
+          .collect()
+        val perPid = stats.map(r => r.getInt(0) -> r.getLong(2)).toMap
+        activePids.foreach { pid =>
+          perPid.get(pid) match {
+            case None => results(pid) = -1L // frontier exhausted
+            case Some(hit) if hit > 0 => results(pid) = depth
+            case _ => ()
+          }
+        }
+        activePids = activePids.filterNot(results.contains)
+        if (activePids.nonEmpty) {
+          visited = visited.unionAll(next).localCheckpoint(true)
+          frontier = next.filter(col("pid").isInCollection(activePids))
+        }
+      }
+      activePids.foreach(results(_) = -1L)
+    }
+    pairs.zipWithIndex.map { case ((s0, d0), i) => (s0, d0, results(i)) }
+  }
+
   /** Bidirectional BFS: expands the source frontier along forward edges
     * and the target frontier along REVERSED edges, always growing the
     * smaller side; a meet at depths (dS, dT) witnesses a path of length

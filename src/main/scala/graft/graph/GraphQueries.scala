@@ -71,6 +71,15 @@ object GraphQueries {
       }
       e.unpersist()
       rows.toDF("src_id", "dst_id", "reachable")
+    },
+    // batched variant: one frontier join per level for ALL pairs — must
+    // match the per-pair oracle exactly
+    "g_bfs_multi" -> { (s, d) =>
+      import s.implicits._
+      val e = edgesFrom(s, d).persist()
+      val rows = GraphOps.bfsLengths(s, e, bfsPairs, bfsMaxDepth)
+      e.unpersist()
+      rows.toDF("src_id", "dst_id", "len")
     }
   )
 
@@ -119,6 +128,7 @@ object GraphQueries {
            |  (SELECT count(*) AS degree FROM e GROUP BY src) GROUP BY degree""".stripMargin,
       "g_bfs_length" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
       "g_bfs_bidi" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
+      "g_bfs_multi" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
       "g_bfs_exist" -> s"WITH RECURSIVE\n$ctes\n$existSelects"
     )
   }
