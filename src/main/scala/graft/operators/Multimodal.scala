@@ -57,12 +57,73 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize, expressed as pure column expressions (the codec-free
+    * shape: when the "decode" is byte arithmetic, no mapPartitions is
+    * needed and the whole op stays in whole-stage codegen). Real codec
+    * semantics are stubbed as crop-to-`maxBytes` + dimension clamp; the
+    * plumbing — blob in, small typed row out, no shuffle — is the real
+    * pattern.
+    */
+  def resizeStub(media: DataFrame, maxBytes: Int = 256, maxDim: Int = 64): DataFrame = {
+    val n = length(col("blob"))
+    media.select(
+      col("doc_id"),
+      least(pmod(n, lit(640)) + 16, lit(maxDim)).as("out_width"),
+      least(pmod(n * 7, lit(480)) + 16, lit(maxDim)).as("out_height"),
+      least(n, lit(maxBytes)).as("out_bytes"),
+      // byte range via the hex STRING (2 chars/byte): engines without
+      // blob slicing (the DuckDB oracle) can reproduce it exactly
+      md5(encode(substring(hex(col("blob")), 1, maxBytes * 2), "UTF-8"))
+        .as("resized_hash"))
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("frame_hash", StringType, nullable = false)))
+
+  /** STUB frame sampling: treat the blob as a "video" and hash `k`
+    * fixed-size windows at evenly spaced byte offsets (a real decoder
+    * would seek keyframes). Partition-batched flatMap — one input row
+    * fans out to k frame rows executor-side, the blob itself never
+    * shuffles and is dropped from the output.
+    */
+  def sampleFrames(media: DataFrame, k: Int = 4, frameBytes: Int = 16): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select(col("doc_id"), col("blob")).mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val step = bytes.length / k
+        (0 until k).iterator.map { i =>
+          val off = i * step
+          val frame = bytes.slice(off, math.min(off + frameBytes, bytes.length))
+          val hex = frame.map("%02X".format(_)).mkString
+          md.reset()
+          val hash = md.digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          Row(id, i.toLong, hash)
+        }
+      }
+    }(enc)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ingest text as utf-8 "media" bytes, then run the decode pipeline
     "m_features" -> { (s, d) =>
       val media = t(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       extractFeatures(media)
+    },
+    "m_resize" -> { (s, d) =>
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      resizeStub(media)
+    },
+    "m_frame_sample" -> { (s, d) =>
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      sampleFrames(media)
     }
   )
 
@@ -73,6 +134,20 @@ object Multimodal {
         |  octet_length(CAST(text AS BLOB)) % 640 + 16 AS fake_width,
         |  (octet_length(CAST(text AS BLOB)) * 7) % 480 + 16 AS fake_height,
         |  md5(text) AS content_hash
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "m_resize" ->
+      """SELECT doc_id,
+        |  least(octet_length(CAST(text AS BLOB)) % 640 + 16, 64) AS out_width,
+        |  least((octet_length(CAST(text AS BLOB)) * 7) % 480 + 16, 64) AS out_height,
+        |  least(octet_length(CAST(text AS BLOB)), 256) AS out_bytes,
+        |  md5(substring(hex(CAST(text AS BLOB)), 1, 512)) AS resized_hash
+        |FROM documents""".stripMargin,
+
+    "m_frame_sample" ->
+      """WITH m AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h FROM documents)
+        |SELECT doc_id, i AS frame_idx,
+        |  md5(substring(h, CAST(1 + i * ((length(h) // 2) // 4) * 2 AS INTEGER), 32)) AS frame_hash
+        |FROM m, (SELECT unnest(range(0, 4)) AS i)""".stripMargin
   )
 }
