@@ -68,14 +68,17 @@ object Dedup {
                       maxBandBucket: Long = Long.MaxValue): DataFrame = {
     val r = k / bands
     // Signatures via the compiled one-pass expression (MinHashSigExpr —
-    // same integers as the declarative spec, ~10× faster), materialized
-    // ONCE: the subtree is referenced twice by the banding self-join. At
-    // cluster scale this is a persisted/checkpointed signatures table.
+    // same integers as the declarative spec, ~10× faster), lazily cached:
+    // the banding self-join references the subtree twice, and the first
+    // stage to touch it materializes it exactly once (an eager
+    // checkpoint here cost a full standalone pass per call — 4× the
+    // warm runtime). Blocks are LRU-evicted; at cluster scale this is a
+    // persisted signatures TABLE, not executor cache.
     val s = docs
       .select(col("doc_id"),
         graft.functions.MinHashSigExpr.minhashSig(col("text"), n, k).as("sig"))
       .filter(col("sig").isNotNull)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band keys: ids only — never carry shingle arrays through the join
     val bandedAll = s.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -112,7 +115,7 @@ object Dedup {
     val candIds = cand.select(col("a_id").as("doc_id"))
       .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
     val sh = shingleSets(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     cand.join(sa, "a_id").join(sb, "b_id")
