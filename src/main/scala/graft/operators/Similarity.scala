@@ -65,7 +65,7 @@ object Similarity {
       .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
       .withColumn("arank", row_number().over(aw))
       .select(col("vec_id"), col("embedding"), col("c_id"), col("arank"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
     val assigned = ranked.filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
     // queries probe their nProbe nearest clusters
@@ -98,7 +98,7 @@ object Similarity {
         when(dot(col("embedding"), col("h_emb")) > 0,
           pow(lit(2.0), col("h_id") - hpBase).cast("long")).otherwise(lit(0L)))
       .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
-      .localCheckpoint(true) // signature subtree feeds two join branches
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // signature subtree feeds two join branches
     val bucketed = emb.join(sigs, "vec_id")
     val q = bucketed.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -154,7 +154,7 @@ object Similarity {
       .filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("c_id").as("q_probe"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
     val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
     val scored = spark.read.parquet(s"$dir/vectors")
       .where(col("cluster").isin(probes: _*)) // static partition pruning
@@ -201,7 +201,7 @@ object Similarity {
       // embedding is identical across a vec_id's hp rows; first() is exact
       .agg(sum(col("bit")).as("q_bucket"), first(col("embedding")).as("q_emb"))
       .select(col("vec_id").as("q_id"), col("q_emb"), col("q_bucket"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
     val probes = q.select(col("q_bucket")).distinct().collect().map(_.getLong(0))
     val scored = spark.read.parquet(s"$dir/vectors")
       .where(col("bucket").isin(probes: _*)) // static partition pruning
