@@ -10,8 +10,9 @@ import graft.Tables.t
   * beyond-reference ANN surface.
   *
   * Scale design:
-  *  - cosine is a codegen-friendly `zip_with` + sequential `aggregate`
-  *    fold (deterministic accumulation order → oracle-reproducible);
+  *  - cosine is a compiled Catalyst expression (one codegen'd loop,
+  *    deterministic left-to-right accumulation → oracle-reproducible;
+  *    the `zip_with`+`aggregate` HOF spec remains as `cosineSpec`);
   *  - brute-force top-k is the exactness baseline: broadcast the (small)
   *    query set against the big corpus, per-query window rank. The corpus
   *    side never shuffles — only (query × corpus) partial top-k rows do;
@@ -24,16 +25,27 @@ import graft.Tables.t
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double
-    * with left-to-right accumulation (dot / sqrt(na) / sqrt(nb) — op
-    * order fixed for cross-engine bit parity).
+  /** Declarative spec of the dot product: sequential left-to-right
+    * double fold, the form the DuckDB oracle re-derives. Kept as the
+    * cross-engine-checkable definition; the hot path below compiles the
+    * same fold to a codegen'd loop (identical doubles, property-tested
+    * in OperatorSpec).
     */
-  def dot(x: Column, y: Column): Column =
+  def dotSpec(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  def cosineSpec(a: Column, b: Column): Column =
+    dotSpec(a, b) / sqrt(dotSpec(a, a)) / sqrt(dotSpec(b, b))
+
+  /** Compiled dot / cosine ([[graft.functions.FloatDotExpr]]): one
+    * whole-stage-codegen loop per row pair instead of interpreted HOF
+    * lambdas — the inner loop of every ANN probe join at 100 TB.
+    */
+  def dot(x: Column, y: Column): Column = graft.functions.VectorExprs.dotc(x, y)
+
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    graft.functions.VectorExprs.cosinec(a, b)
 
   /** Exact brute-force top-k cosine neighbors for a set of query ids. */
   def bruteForceTopK(emb: DataFrame, queryIds: Column, k: Int): DataFrame = {

@@ -59,6 +59,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(!rows.exists(_.getLong(0) < 300L), "hot bucket not dropped")
   }
 
+  test("compiled dot/cosine expressions match the HOF spec bit-for-bit") {
+    val emb = Tables.t(spark, sf, "embeddings").limit(200)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val pairs = a.join(b, col("a_id") % 17 === col("b_id") % 17 && col("a_id") < col("b_id"))
+    val diff = pairs.select(
+      operators.Similarity.dot(col("a_emb"), col("b_emb")).as("dc"),
+      operators.Similarity.dotSpec(col("a_emb"), col("b_emb")).as("ds"),
+      operators.Similarity.cosine(col("a_emb"), col("b_emb")).as("cc"),
+      operators.Similarity.cosineSpec(col("a_emb"), col("b_emb")).as("cs"))
+      .filter(col("dc") =!= col("ds") || col("cc") =!= col("cs"))
+    assert(diff.count() === 0, "compiled kernel diverged from HOF spec")
+    // null parity: length mismatch and null input both yield null
+    import spark.implicits._
+    val odd = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("x", "y")
+      .select(operators.Similarity.dot(col("x"), col("y")).as("d"),
+        operators.Similarity.dotSpec(col("x"), col("y")).as("s"))
+      .collect()(0)
+    assert(odd.isNullAt(0) && odd.isNullAt(1))
+  }
+
   test("approx_count_distinct (HLL) within 5% of exact") {
     val li = Tables.t(spark, sf, "lineitem")
     val r = li.agg(
