@@ -4,7 +4,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,12 +25,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * non-surrogate text.
   */
 case class MinHashSigExpr(child: Expression, n: Int, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
   private val P = TextFunctions.HashMod
+
+  /** Codegen: call the JVM kernel through a captured reference instead of
+    * CodegenFallback — the surrounding operators stay inside ONE
+    * whole-stage-codegen region (fallback would force the whole stage
+    * back to interpreted eval; the kernel itself is already a tight
+    * loop, so a virtual call is all codegen needs to emit).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, input => {
+      val r = ctx.freshName("sig")
+      s"""
+         |Object $r = $ref.compute($input);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+         |}
+       """.stripMargin
+    })
+  }
+
+  def compute(input: Any): Any = nullSafeEval(input)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString

@@ -71,8 +71,11 @@ object ChunkIO {
     * Row-at-a-time `readParquetRows` (the parquet example API) remains as
     * the fallback for schema shapes the vectorized reader rejects.
     */
-  private def readParquetVectorized(path: Path, schema: StructType,
-                                    conf: Configuration): RowReader = {
+  /** Construct + initialize Spark's vectorized reader for one chunk file
+    * (shared by the row-materializing and ColumnarBatch paths).
+    */
+  private def vectorizedReader(path: Path, schema: StructType, conf: Configuration)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
     import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
     val c = new Configuration(conf)
     // the keys Spark's ParquetFileFormat seeds before handing a split to
@@ -95,6 +98,36 @@ object ChunkIO {
     val reader = new VectorizedParquetRecordReader(
       null, "CORRECTED", "", "CORRECTED", "", false, 4096)
     reader.initialize(split, ctx)
+    reader
+  }
+
+  /** Batch-level chunk reader: surfaces the vectorized reader's
+    * `ColumnarBatch`es directly — zero per-row materialization. The
+    * DSv2 columnar path ([[ColumnarChunkReader]]) zips these across
+    * property groups; batch vectors are REUSED on each `nextBatch`, so
+    * a batch must be fully consumed before advancing.
+    */
+  trait BatchReader extends AutoCloseable {
+    def nextBatch(): Boolean
+    def batch(): org.apache.spark.sql.vectorized.ColumnarBatch
+  }
+
+  def readParquetBatches(path: Path, schema: StructType,
+                         conf: Configuration): BatchReader = {
+    val reader = vectorizedReader(path, schema, conf)
+    reader.enableReturningBatches()
+    new BatchReader {
+      private var closed = false
+      override def nextBatch(): Boolean = reader.nextKeyValue()
+      override def batch(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+      override def close(): Unit = if (!closed) { closed = true; reader.close() }
+    }
+  }
+
+  private def readParquetVectorized(path: Path, schema: StructType,
+                                    conf: Configuration): RowReader = {
+    val reader = vectorizedReader(path, schema, conf)
     new RowReader {
       private var closed = false
       private var advanced = false

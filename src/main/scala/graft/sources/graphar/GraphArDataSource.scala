@@ -365,8 +365,30 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
     }
   }
 
+  /** Columnar emission is safe when no per-row work is pushed into the
+    * readers: full-chunk scans (no id-seek slice — rowStart is always 0),
+    * no property predicates, and every opened file is parquet (the
+    * vectorized reader is the batch source). Spark requires the
+    * row/columnar choice to be uniform across a scan's partitions, so
+    * this is decided scan-level, not per partition.
+    */
+  private lazy val columnarEligible: Boolean =
+    !countStar && idFilter.isEmpty && propFilters.isEmpty && (info match {
+      case Left(v) =>
+        val names = required.fieldNames.toSet
+        v.propertyGroups.forall(g =>
+          !g.properties.exists(pr => names.contains(pr.name)) || g.fileType == "parquet")
+      case Right(e) =>
+        val names = required.fieldNames.toSet
+        val needAdj = names.contains(GraphArMeta.SrcIndexCol) ||
+          names.contains(GraphArMeta.DstIndexCol)
+        (!needAdj || e.adjLists.head.fileType == "parquet") &&
+          e.propertyGroups.forall(g =>
+            !g.properties.exists(pr => names.contains(pr.name)) || g.fileType == "parquet")
+    })
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraphArReaderFactory(required, propFilters, serConf)
+    new GraphArReaderFactory(required, propFilters, serConf, columnarEligible)
 }
 
 case class CountPartition(count: Long) extends InputPartition
@@ -378,7 +400,7 @@ case class EdgeChunkPartition(info: EdgeInfo, al: GarAdjList, part: Long,
                               chunk: Long, rowStart: Long, rowEnd: Long) extends InputPartition
 
 class GraphArReaderFactory(required: StructType, propFilters: Array[Filter],
-                           serConf: SerializableHadoopConf)
+                           serConf: SerializableHadoopConf, columnar: Boolean)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -387,15 +409,36 @@ class GraphArReaderFactory(required: StructType, propFilters: Array[Filter],
       case p: VertexChunkPartition => new VertexChunkReader(p, required, propFilters, serConf)
       case p: EdgeChunkPartition => new EdgeChunkReader(p, required, propFilters, serConf)
     }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case PackedPartition(ps) =>
+        new ConcatReader(ps.map(p => () => createColumnarReader(p)))
+      case p: VertexChunkPartition =>
+        new ColumnarChunkReader(
+          () => GraphArColumnar.vertexGroups(p, required, serConf.value),
+          required, _ => p.chunk * p.info.chunkSize, p.rowEnd)
+      case p: EdgeChunkPartition =>
+        new ColumnarChunkReader(
+          () => GraphArColumnar.edgeGroups(p, required, serConf.value),
+          required,
+          n => throw new IllegalStateException(s"$n should come from the adjacency file"),
+          p.rowEnd)
+      case other =>
+        throw new IllegalStateException(s"no columnar reader for $other")
+    }
 }
 
 /** Chains sub-readers of a PackedPartition; opens each lazily so a
   * pushed limit/stats-skip never touches later chunks' files.
   */
-class ConcatReader(subs: Seq[() => PartitionReader[InternalRow]])
-  extends PartitionReader[InternalRow] {
+class ConcatReader[T](subs: Seq[() => PartitionReader[T]])
+  extends PartitionReader[T] {
   private var idx = 0
-  private var cur: PartitionReader[InternalRow] = _
+  private var cur: PartitionReader[T] = _
   override def next(): Boolean = {
     while (true) {
       if (cur == null) {
@@ -407,7 +450,7 @@ class ConcatReader(subs: Seq[() => PartitionReader[InternalRow]])
     }
     false // unreachable
   }
-  override def get(): InternalRow = cur.get()
+  override def get(): T = cur.get()
   override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 

@@ -71,6 +71,30 @@ class PlanSpec extends AnyFunSuite {
       s"scan emitted $scanRows rows; expected $n (< $total)")
   }
 
+  test("columnar boundary: full parquet scan emits ColumnarBatches, filtered scan stays row-based") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val v = spark.read.format("graphar").option("path", yaml)
+      .option("type", "Part").load()
+    // full scan → batches cross the DSv2 boundary; Spark inserts
+    // ColumnarToRow for the row-based consumers downstream
+    val full = v.select(col("_graphArVertexIndex"), col("p_partkey"), col("p_name"))
+    assert(full.count() > 0)
+    assert(plan(full).contains("ColumnarToRow"),
+      s"full parquet scan not columnar:\n${plan(full)}")
+    // columnar values must equal the row path's (same data, same order)
+    val viaColumnar = full.collect().map(_.toSeq).toSeq
+    val viaRow = v.filter(col("p_partkey") > Long.MinValue) // residual → row path
+      .select(col("_graphArVertexIndex"), col("p_partkey"), col("p_name"))
+    assert(!plan(viaRow).contains("ColumnarToRow"),
+      s"property-filtered scan should be row-based:\n${plan(viaRow)}")
+    assert(viaRow.collect().map(_.toSeq).toSeq == viaColumnar)
+    // edge scan: adjacency + property zip, columnar too
+    val e = spark.read.format("graphar").option("path", yaml)
+      .option("src", "Part").option("type", "link").option("dst", "Part").load()
+    assert(plan(e).contains("ColumnarToRow"), s"edge scan not columnar:\n${plan(e)}")
+    assert(e.count() > 0)
+  }
+
   test("footer-stats chunk skip: out-of-range predicate excludes the file") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     val info = graft.meta.GraphArMeta.loadGraph(yaml).vertex("Part")
