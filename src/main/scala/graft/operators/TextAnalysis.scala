@@ -81,6 +81,45 @@ object TextAnalysis {
         col("doc_id"),
         fingerprint(col("text")).as("fp"),
         charHash(col("text"), lit(1)).as("roll_hash"))
+    },
+
+    // TF-IDF keyword extraction: top-3 scoring terms per document.
+    // Rational idf (N/df instead of ln(N/df)) keeps every value an exact
+    // IEEE division of integers — bit-identical across engines, same
+    // ranking behavior for fixed tf. Scale: doc-term counts shuffle on
+    // (doc_id, term); the df table is vocabulary-sized and broadcasts.
+    "t_tfidf" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val n = docs.count() // 1-row driver aggregate, never data-sized
+      val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "term")
+        .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+      scored.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("score"))
+    },
+
+    // Unigram-LM quality score: a document's mean corpus-frequency of
+    // its tokens (the no-log cousin of LM perplexity filters à la
+    // C4/Dolma). Integer count sums keep aggregation order-independent;
+    // the two divisions are fixed-order exact IEEE ops. Scale: token →
+    // count join broadcasts the vocabulary; per-doc aggregation is a
+    // map-side-combinable integer sum.
+    "t_unigram_lm" -> { (s, d) =>
+      val terms = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val total = terms.count() // scalar corpus size
+      terms.join(broadcast(counts), "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+        .select(col("doc_id"), col("n"),
+          ((col("s") * lit(1.0)) / col("n") / lit(total)).as("lm_score"))
     }
   )
 
@@ -137,6 +176,34 @@ object TextAnalysis {
          |  list_reduce(list_prepend(CAST(1 AS BIGINT),
          |    list_transform(regexp_extract_all(text, '.'), c -> CAST(ord(c) AS BIGINT))),
          |    (acc, x) -> (acc * 31 + x) % $HashMod) AS roll_hash
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "t_tfidf" ->
+      """WITH tt AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tt GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * (SELECT count(*) FROM documents) AS DOUBLE) / df.df AS score
+        |  FROM tf JOIN df ON tf.term = df.term),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "t_unigram_lm" ->
+      """WITH tt AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY term),
+        |d AS (SELECT doc_id, CAST(sum(c.c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |      FROM tt JOIN c ON tt.term = c.term GROUP BY doc_id)
+        |SELECT doc_id, n,
+        |  CAST(s AS DOUBLE) / n / (SELECT count(*) FROM tt) AS lm_score
+        |FROM d""".stripMargin
   )
 }
