@@ -64,27 +64,68 @@ class GraphArDataSource extends TableProvider with DataSourceRegister {
     (g, which)
   }
 
+  /** The target type doesn't exist yet (new graph, or a new type in an
+    * existing graph) — legal only as a WRITE target. Distinguished from
+    * option errors, which keep propagating.
+    */
+  private def metaOrNew(options: CaseInsensitiveStringMap)
+      : Either[(GraphInfo, Either[VertexInfo, EdgeInfo]), Unit] =
+    try Left(meta(options))
+    catch {
+      case _: java.io.FileNotFoundException => Right(()) // graph yaml absent
+      case e: IllegalArgumentException
+        if e.getMessage != null && e.getMessage.startsWith("no ") => Right(())
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    meta(options)._2 match {
-      case Left(v) => v.schema
-      case Right(e) => e.schema
+    metaOrNew(options) match {
+      case Left((_, Left(v))) => v.schema
+      case Left((_, Right(e))) => e.schema
+      // write target: the real schema comes with the data (the tables
+      // declare ACCEPT_ANY_SCHEMA, so Spark skips compatibility checks)
+      case Right(_) => StructType(Nil)
     }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    meta(options)._2 match {
-      case Left(v) => new GraphArVertexTable(v)
-      case Right(e) => new GraphArEdgeTable(e)
+    metaOrNew(options) match {
+      case Left((_, Left(v))) => new GraphArVertexTable(v)
+      case Left((_, Right(e))) => new GraphArEdgeTable(e)
+      case Right(_) => new GraphArNewTable(options.get("type"), schema)
     }
   }
 
-  override def supportsExternalMetadata(): Boolean = false
+  override def supportsExternalMetadata(): Boolean = true
 }
 
-abstract class GraphArTable extends Table with SupportsRead {
+abstract class GraphArTable extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  // BATCH_WRITE routes DataFrameWriter.save into the v2 write plans;
+  // V1_BATCH_WRITE then dispatches our V1Write bridge inside them
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraphArWriteBuilder(info)
+}
+
+/** Write-only target for a type that doesn't exist yet; reads fail with
+  * Spark's capability error instead of an empty scan.
+  */
+class GraphArNewTable(typeName: String, writeSchema: StructType)
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = s"$typeName.new"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraphArWriteBuilder(info)
 }
 
 class GraphArVertexTable(val info: VertexInfo) extends GraphArTable {

@@ -1,0 +1,138 @@
+package graft.sources.graphar
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.meta.{GraphArMeta, GraphInfo}
+
+/** DSv2 write path: `df.write.format("graphar")` (the reference is
+  * strictly read-only — writes throw, graphar_catalog.cpp:61-76 — so
+  * this whole surface is beyond-reference).
+  *
+  * {{{
+  *   df.write.format("graphar").option("path", "/g/MyGraph.yaml")
+  *     .option("type", "Person").mode("append").save()        // vertices
+  *   edges.write.format("graphar").option("path", "/g/MyGraph.yaml")
+  *     .option("src", "Person").option("type", "knows")
+  *     .option("dst", "Person").mode("append").save()         // edges
+  * }}}
+  *
+  * Implemented as a `V1Write` bridge onto [[GraphArWriter]] — the
+  * distributed writer already owns the hard parts (part-aligned
+  * `repartitionAndSortWithinPartitions`, rolling chunk files, CSR
+  * offset tables, task-attempt staging commit). A native `BatchWrite`
+  * would have to re-express that exact shuffle through
+  * `RequiresDistributionAndOrdering`, which cannot state "hash rows to
+  * ⌊id / chunkSize⌋ partitions" — the bridge keeps the placement logic
+  * in one place.
+  *
+  * Semantics: a write targets ONE vertex or edge type inside the graph;
+  * the graph yaml is created or updated to list it. `append` adds a NEW
+  * type (appending rows to an existing chunked type would renumber
+  * indices, so it is rejected); `overwrite` replaces the type.
+  *
+  * Options: `chunk_size`, `file_type` (parquet|csv|orc); edges also
+  * `src_chunk_size`/`dst_chunk_size`, `layouts` ("src,dst"), and
+  * `src_vertex_count`/`dst_vertex_count` — the counts default to the
+  * graph's own vertex metadata when the endpoint types already exist.
+  *
+  * Row order defines the vertex index (sort first if the index must
+  * follow a key); a `_graphArVertexIndex` column, if present, is used
+  * as the explicit order and dropped. Edge frames may name endpoints
+  * either (src, dst) or (_graphArSrcIndex, _graphArDstIndex).
+  */
+object GraphArWriteSupport {
+
+  def doWrite(data: DataFrame, options: CaseInsensitiveStringMap,
+              overwrite: Boolean): Unit = {
+    val yamlPath = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("option 'path' (graph yaml) is required"))
+    val conf = data.sparkSession.sessionState.newHadoopConf()
+    val p = new Path(yamlPath)
+    val fs = p.getFileSystem(conf)
+    val base = Option(p.getParent).map(_.toString).getOrElse(".")
+    val graphName = p.getName.stripSuffix(".yaml")
+    val existing: Option[GraphInfo] =
+      if (fs.exists(p)) Some(GraphArMeta.loadGraph(yamlPath, conf)) else None
+    val t = Option(options.get("type")).getOrElse(
+      throw new IllegalArgumentException("option 'type' is required"))
+    val ft = Option(options.get("file_type")).getOrElse("parquet")
+    def lopt(key: String, dflt: Long): Long =
+      Option(options.get(key)).map(_.toLong).getOrElse(dflt)
+
+    if (!options.containsKey("src") && !options.containsKey("dst")) {
+      // ------------------------------------------------------- vertices
+      if (existing.exists(_.vertices.exists(_.vertexType == t)) && !overwrite)
+        throw new IllegalStateException(
+          s"vertex type '$t' already exists in $graphName — appending rows " +
+            "would renumber the chunked index; use mode(\"overwrite\") to replace it")
+      val df = if (data.columns.contains(GraphArMeta.VertexIndexCol))
+        data.orderBy(GraphArMeta.VertexIndexCol).drop(GraphArMeta.VertexIndexCol)
+      else data
+      GraphArWriter.writeVertices(df, base,
+        GraphArWriter.VertexSpec(t, lopt("chunk_size", 1L << 20), ft))
+      updateGraphYaml(existing, base, graphName, addVertex = Some(t), addEdge = None)
+    } else {
+      // ---------------------------------------------------------- edges
+      val src = Option(options.get("src")).getOrElse(
+        throw new IllegalArgumentException("edge write needs both 'src' and 'dst'"))
+      val dst = Option(options.get("dst")).getOrElse(
+        throw new IllegalArgumentException("edge write needs both 'src' and 'dst'"))
+      if (existing.exists(_.edges.exists(e =>
+            e.srcType == src && e.edgeType == t && e.dstType == dst)) && !overwrite)
+        throw new IllegalStateException(
+          s"edge type '${src}_${t}_$dst' already exists in $graphName — " +
+            "use mode(\"overwrite\") to replace it")
+      def vcount(vt: String, key: String): Long =
+        Option(options.get(key)).map(_.toLong)
+          .orElse(existing.flatMap(_.vertices.find(_.vertexType == vt))
+            .map(_.vertexCount(conf)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"need option '$key' (or an existing '$vt' vertex type in the graph " +
+              "to take the count from)"))
+      val spec = GraphArWriter.EdgeSpec(src, t, dst,
+        srcVertexCount = vcount(src, "src_vertex_count"),
+        dstVertexCount = vcount(dst, "dst_vertex_count"),
+        chunkSize = lopt("chunk_size", 1L << 22),
+        srcChunkSize = lopt("src_chunk_size", 1L << 20),
+        dstChunkSize = lopt("dst_chunk_size", 1L << 20),
+        fileType = ft,
+        layouts = Option(options.get("layouts"))
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("src", "dst")))
+      val df = data
+        .withColumnRenamed(GraphArMeta.SrcIndexCol, "src")
+        .withColumnRenamed(GraphArMeta.DstIndexCol, "dst")
+      GraphArWriter.writeEdges(df, base, spec)
+      updateGraphYaml(existing, base, graphName,
+        addVertex = None, addEdge = Some(spec.name))
+    }
+  }
+
+  /** Rewrite `<base>/<graph>.yaml` with the union of the graph's current
+    * types and the one just written (idempotent on overwrite).
+    */
+  private def updateGraphYaml(existing: Option[GraphInfo], base: String,
+                              graphName: String, addVertex: Option[String],
+                              addEdge: Option[String]): Unit = {
+    val vts = existing.map(_.vertices.map(_.vertexType)).getOrElse(Seq.empty)
+    val ens = existing.map(_.edges.map(e => s"${e.srcType}_${e.edgeType}_${e.dstType}"))
+      .getOrElse(Seq.empty)
+    GraphArWriter.writeGraphYaml(base, graphName,
+      (vts ++ addVertex).distinct, (ens ++ addEdge).distinct)
+  }
+}
+
+class GraphArWriteBuilder(info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, ov: Boolean): Unit =
+        GraphArWriteSupport.doWrite(data, info.options(), overwrite || ov)
+    }
+  }
+}

@@ -138,4 +138,54 @@ class RoundTripSpec extends AnyFunSuite {
       .select("_graphArSrcIndex").collect().map(_.getLong(0)).toSet
     assert(hopDst === Set(0L, 1L))
   }
+
+  test("DSv2 write path: df.write.format(graphar) creates graph, append adds types, overwrite replaces") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gar_dsv2w").toString
+    val yaml = s"$dir/W.yaml"
+    // 1. vertices into a brand-new graph
+    val people = (0 until 50).map(i => (s"name$i", i * 2)).toDF("nm", "age")
+    people.write.format("graphar").option("path", yaml)
+      .option("type", "Person").option("chunk_size", "16").mode("append").save()
+    val v = spark.read.format("graphar").option("path", yaml)
+      .option("type", "Person").load()
+    assert(v.count() === 50)
+    assert(v.filter(col("_graphArVertexIndex") === 7L)
+      .select("nm").collect()(0).getString(0) === "name7")
+    // 2. append of the SAME type is rejected (would renumber the index)
+    val err = intercept[Exception] {
+      people.write.format("graphar").option("path", yaml)
+        .option("type", "Person").mode("append").save()
+    }
+    assert(err.getMessage.contains("overwrite"), err.getMessage)
+    // 3. edges: vertex counts default to the graph's own metadata
+    val edges = Seq((0L, 1L, 1.5), (0L, 3L, 2.5), (3L, 49L, 3.5), (48L, 0L, 4.5))
+      .toDF("src", "dst", "w")
+    edges.write.format("graphar").option("path", yaml)
+      .option("src", "Person").option("type", "knows").option("dst", "Person")
+      .option("chunk_size", "2").option("src_chunk_size", "16")
+      .option("dst_chunk_size", "16").mode("append").save()
+    val e = spark.read.format("graphar").option("path", yaml)
+      .option("src", "Person").option("type", "knows").option("dst", "Person").load()
+    assert(e.count() === 4)
+    assert(e.filter(col("_graphArSrcIndex") === 0L).count() === 2) // CSR seek path
+    assert(e.filter(col("_graphArDstIndex") === 0L)
+      .select("_graphArSrcIndex").collect()(0).getLong(0) === 48L)
+    // 4. overwrite replaces the vertex type; index column defines order
+    val fewer = Seq((10L, "z10"), (0L, "z0"), (5L, "z5"))
+      .toDF("_graphArVertexIndex", "nm")
+      .withColumn("age", lit(1))
+    // _graphArVertexIndex orders the rows then drops; 3 rows → ids 0,1,2
+    fewer.write.format("graphar").option("path", yaml)
+      .option("type", "Person").option("chunk_size", "16").mode("overwrite").save()
+    val v2 = spark.read.format("graphar").option("path", yaml)
+      .option("type", "Person").load()
+    assert(v2.count() === 3)
+    assert(v2.orderBy("_graphArVertexIndex").select("nm")
+      .collect().map(_.getString(0)).toSeq === Seq("z0", "z5", "z10"))
+    // the edge type written earlier is still listed in the graph yaml
+    assert(spark.read.format("graphar").option("path", yaml)
+      .option("src", "Person").option("type", "knows").option("dst", "Person")
+      .load().count() === 4)
+  }
 }
