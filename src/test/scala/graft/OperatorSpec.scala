@@ -59,6 +59,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(!rows.exists(_.getLong(0) < 300L), "hot bucket not dropped")
   }
 
+  test("ColumnarChunkReader realigns groups that batch on different boundaries") {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    import graft.sources.graphar.{ChunkIO, ColumnarChunkReader}
+    // group A: 100 rows in batches of 7; group B: same rows in batches of 13
+    def fakeReader(batchSize: Int, field: String): (ChunkIO.BatchReader, StructType) = {
+      val sch = StructType(Seq(StructField(field, LongType, nullable = false)))
+      val r = new ChunkIO.BatchReader {
+        private var next = 0L
+        private var b: ColumnarBatch = _
+        override def nextBatch(): Boolean = {
+          if (next >= 100) return false
+          val n = math.min(batchSize.toLong, 100 - next).toInt
+          val v = new OnHeapColumnVector(n, LongType)
+          (0 until n).foreach(i => v.putLong(i, (next + i) * (if (field == "a") 1 else 10)))
+          b = new ColumnarBatch(Array(v), n)
+          next += n
+          true
+        }
+        override def batch(): ColumnarBatch = b
+        override def close(): Unit = ()
+      }
+      (r, sch)
+    }
+    val required = StructType(Seq(
+      StructField("_graphArVertexIndex", LongType, nullable = false),
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    val reader = new ColumnarChunkReader(
+      () => Seq(fakeReader(7, "a"), fakeReader(13, "b")),
+      required, _ => 1000L, totalRows = 100)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    while (reader.next()) {
+      val batch = reader.get()
+      (0 until batch.numRows).foreach { i =>
+        rows += ((batch.column(0).getLong(i), batch.column(1).getLong(i),
+          batch.column(2).getLong(i)))
+      }
+    }
+    reader.close()
+    assert(rows.size === 100)
+    assert(rows.zipWithIndex.forall { case ((idx, a, b), i) =>
+      idx == 1000L + i && a == i.toLong && b == i * 10L
+    }, s"misaligned zip: ${rows.take(20)}")
+  }
+
   test("compiled dot/cosine expressions match the HOF spec bit-for-bit") {
     val emb = Tables.t(spark, sf, "embeddings").limit(200)
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
