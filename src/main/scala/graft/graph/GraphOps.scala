@@ -115,21 +115,25 @@ object GraphOps {
     if (srcId == dstId) return 0L
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"))
-    var visited = Seq(srcId).toDF("v")
-    var frontier = visited
+    // visited = the union view over already-checkpointed frontiers — each
+    // level's anti-join reads cached partitions; nothing is re-written
+    var visitedParts = List(Seq(srcId).toDF("v"))
+    var frontier = visitedParts.head
     var depth = 0L
     while (depth < maxDepth) {
       depth += 1
+      // lazy checkpoint: the stats job below both computes and caches the
+      // frontier — ONE Spark job per level (eager would add a second)
       val next = e.join(frontier.select(col("v")), e("src") === col("v"))
         .select(col("dst").as("v")).distinct()
-        .join(visited, Seq("v"), "left_anti")
-        .localCheckpoint(true)
+        .join(visitedParts.reduce(_ unionAll _), Seq("v"), "left_anti")
+        .localCheckpoint(false)
       // one driver round-trip per level: frontier size + target hit
       val stats = next.agg(count(lit(1)).as("n"),
         sum(when(col("v") === dstId, 1L).otherwise(0L)).as("hit")).collect()(0)
       if (stats.getLong(0) == 0) return -1L // count first: sum is null on empty
       if (stats.getLong(1) > 0) return depth
-      visited = visited.unionAll(next).localCheckpoint(true)
+      visitedParts ::= next
       frontier = next
     }
     -1L
@@ -157,15 +161,17 @@ object GraphOps {
       val e = edges.select(col("src"), col("dst"))
       val targets = typedLit(active0.map { case (i, _, d0) => i -> d0 }.toMap)
       var frontier = active0.map { case (i, s0, _) => (i, s0) }.toDF("pid", "v")
-      var visited = frontier
+      // union view over checkpointed frontiers (see bfsLength)
+      var visitedParts = List(frontier)
       var activePids = active0.map(_._1).toSet
       var depth = 0L
       while (activePids.nonEmpty && depth < maxDepth) {
         depth += 1
+        // lazy checkpoint: the per-level stats job materializes it
         val next = e.join(frontier, e("src") === frontier("v"))
           .select(col("pid"), col("dst").as("v")).distinct()
-          .join(visited, Seq("pid", "v"), "left_anti")
-          .localCheckpoint(true)
+          .join(visitedParts.reduce(_ unionAll _), Seq("pid", "v"), "left_anti")
+          .localCheckpoint(false)
         // one driver round-trip per LEVEL for the whole batch: per-pair
         // frontier size + target-hit flag (P rows, never data-sized)
         val stats = next.groupBy(col("pid"))
@@ -183,7 +189,7 @@ object GraphOps {
         }
         activePids = activePids.filterNot(results.contains)
         if (activePids.nonEmpty) {
-          visited = visited.unionAll(next).localCheckpoint(true)
+          visitedParts ::= next
           frontier = next.filter(col("pid").isInCollection(activePids))
         }
       }
@@ -211,50 +217,52 @@ object GraphOps {
     val fwd = edges.select(col("src"), col("dst"))
     val bwd = edges.select(col("dst").as("src"), col("src").as("dst"))
 
-    // visited sets carry (v, depth-at-first-visit)
-    var visS = Seq((srcId, 0L)).toDF("v", "d")
-    var visT = Seq((dstId, 0L)).toDF("v", "d")
-    var frontS = visS
-    var frontT = visT
+    // visited sets carry (v, depth-at-first-visit), kept as union views
+    // over checkpointed frontiers (see bfsLength)
+    var visS = List(Seq((srcId, 0L)).toDF("v", "d"))
+    var visT = List(Seq((dstId, 0L)).toDF("v", "d"))
+    var frontS = visS.head
+    var frontT = visT.head
     var depthS = 0L
     var depthT = 0L
     var sizeS = 1L
     var sizeT = 1L
     var best = Long.MaxValue
 
-    def meetMin(): Long = {
-      val m = visS.as("s").join(visT.as("t"), col("s.v") === col("t.v"))
-        .agg(min(col("s.d") + col("t.d"))).collect()(0)
-      if (m.isNullAt(0)) Long.MaxValue else m.getLong(0)
-    }
-
     // exhaustion (n == 0) returns from inside the loop, so only the
     // best-meet bound and maxDepth govern the condition
     while (depthS + depthT + 1 < best && depthS + depthT < maxDepth) {
       val expandSource = sizeS <= sizeT
-      val (e, front, vis, depth) =
-        if (expandSource) (fwd, frontS, visS, depthS) else (bwd, frontT, visT, depthT)
+      val (e, front, visParts, otherParts, depth) =
+        if (expandSource) (fwd, frontS, visS, visT, depthS)
+        else (bwd, frontT, visT, visS, depthT)
       val nd = depth + 1
       val next = e.join(front.select(col("v")), e("src") === col("v"))
         .select(col("dst").as("v")).distinct()
-        .join(vis, Seq("v"), "left_anti")
+        .join(visParts.map(_.select(col("v"))).reduce(_ unionAll _),
+          Seq("v"), "left_anti")
         .withColumn("d", lit(nd))
-        .localCheckpoint(true)
-      val n = next.count()
+        .localCheckpoint(false) // lazy: the stats job materializes it
+      // ONE job per level: frontier size + best meet against the OTHER
+      // side's visited. Incremental meet-checking is complete: any meet
+      // vertex enters the later of the two sides at some level, and is
+      // checked against the earlier side right then. visited v's are
+      // unique per side, so the left join preserves the row count.
+      val other = otherParts.reduce(_ unionAll _)
+      val r = next.as("n").join(other.as("o"), col("n.v") === col("o.v"), "left")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("n.d") + col("o.d")).as("meet")).collect()(0)
+      val n = r.getLong(0)
+      best = math.min(best, if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))
       if (expandSource) {
-        frontS = next; visS = visS.unionAll(next).localCheckpoint(true)
-        depthS = nd; sizeS = n
+        frontS = next; visS ::= next; depthS = nd; sizeS = n
       } else {
-        frontT = next; visT = visT.unionAll(next).localCheckpoint(true)
-        depthT = nd; sizeT = n
+        frontT = next; visT ::= next; depthT = nd; sizeT = n
       }
       if (n == 0) {
-        // one side exhausted: no new meets can appear beyond current best
-        val m = meetMin()
-        return if (math.min(best, m) == Long.MaxValue) -1L
-               else math.min(best, m)
+        // one side exhausted: no new meets can ever appear
+        return if (best == Long.MaxValue) -1L else best
       }
-      best = math.min(best, meetMin())
     }
     if (best == Long.MaxValue || best > maxDepth) -1L else best
   }
