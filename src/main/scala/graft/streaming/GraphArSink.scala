@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/** Streaming GraphAr sink: versioned graph snapshots.
+  *
+  * GraphAr's chunked layout is immutable — rows cannot be appended to a
+  * written type without renumbering its index — so the streaming shape
+  * is SNAPSHOTS: each micro-batch writes a complete graph under
+  * `<base>/v<batchId>/` and then atomically repoints `<base>/LATEST`
+  * (a one-line file holding the current snapshot dir). Readers resolve
+  * [[latestYaml]] and always see a fully-committed graph; a crash
+  * mid-write leaves LATEST on the previous snapshot. Old versions stay
+  * until [[prune]] — they are cheap directory renames away from a
+  * time-travel story.
+  *
+  * Feed it an aggregated stream in COMPLETE output mode (e.g. the
+  * running edge list of a relationship aggregation) so each batch holds
+  * the whole graph, not a delta.
+  */
+object GraphArSink {
+
+  /** Attach the sink to a streaming edge DataFrame with columns
+    * (src, dst, properties...). Vertex counts must cover every id the
+    * stream can produce.
+    */
+  def edges(stream: DataFrame, base: String, graphName: String,
+            srcType: String, edgeType: String, dstType: String,
+            vertexCount: Long, chunkSize: Long = 1L << 18,
+            vertexChunkSize: Long = 1L << 12): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("complete").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val dir = s"$base/v$batchId"
+        val spark = batch.sparkSession
+        val conf = spark.sessionState.newHadoopConf()
+        graft.sources.graphar.GraphArWriter.writeEdges(batch, dir,
+          graft.sources.graphar.GraphArWriter.EdgeSpec(
+            srcType, edgeType, dstType,
+            srcVertexCount = vertexCount, dstVertexCount = vertexCount,
+            chunkSize = chunkSize,
+            srcChunkSize = vertexChunkSize, dstChunkSize = vertexChunkSize))
+        val yaml = graft.sources.graphar.GraphArWriter.writeGraphYaml(
+          dir, graphName, Seq.empty, Seq(s"${srcType}_${edgeType}_$dstType"))
+        commitLatest(base, yaml, conf)
+    }
+
+  /** Atomic pointer swap: write LATEST.tmp, rename over LATEST. */
+  private def commitLatest(base: String, yaml: String,
+                           conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val latest = new Path(s"$base/LATEST")
+    val tmp = new Path(s"$base/.LATEST.tmp")
+    val fs = latest.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(yaml.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(latest)) fs.delete(latest, false)
+    if (!fs.rename(tmp, latest))
+      throw new java.io.IOException(s"LATEST pointer swap failed for $base")
+  }
+
+  /** Resolve the current snapshot's graph yaml (null if none committed). */
+  def latestYaml(spark: org.apache.spark.sql.SparkSession, base: String): String = {
+    val latest = new Path(s"$base/LATEST")
+    val fs = latest.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(latest)) return null
+    val in = fs.open(latest)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Delete all snapshot dirs except the `keep` most recent (and never
+    * the one LATEST points at).
+    */
+  def prune(spark: org.apache.spark.sql.SparkSession, base: String,
+            keep: Int = 2): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(conf)
+    if (!fs.exists(basePath)) return
+    val current = Option(latestYaml(spark, base))
+      .map(y => new Path(y).getParent.getName).toSet
+    val versions = fs.listStatus(basePath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => scala.util.Try(s.getPath.getName.drop(1).toLong).toOption
+        .map(_ -> s.getPath))
+      .sortBy(-_._1)
+    versions.drop(keep).foreach { case (_, p) =>
+      if (!current.contains(p.getName)) fs.delete(p, true)
+    }
+  }
+}

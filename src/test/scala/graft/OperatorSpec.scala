@@ -162,6 +162,44 @@ class OperatorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming GraphAr sink: versioned snapshots, atomic LATEST, prune") {
+    import spark.implicits._
+    import graft.streaming.GraphArSink
+    val base = java.nio.file.Files.createTempDirectory("gar_sink").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    // complete-mode running edge aggregate: (src, dst) pairs seen so far
+    val agg = stream.toDF().toDF("s", "d")
+      .groupBy(col("s").as("src"), col("d").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val q = GraphArSink.edges(agg, base, "Snap", "U", "knows", "U",
+      vertexCount = 100, chunkSize = 4, vertexChunkSize = 16).start()
+    try {
+      stream.addData((1L, 2L), (1L, 3L))
+      q.processAllAvailable()
+      val y1 = GraphArSink.latestYaml(spark, base)
+      assert(y1 != null && spark.read.format("graphar").option("path", y1)
+        .option("src", "U").option("type", "knows").option("dst", "U")
+        .load().count() === 2)
+      stream.addData((4L, 5L), (1L, 2L)) // dup edge → weight 2, not a new row
+      q.processAllAvailable()
+      val y2 = GraphArSink.latestYaml(spark, base)
+      assert(y2 != y1, "LATEST should advance to the new snapshot")
+      val snap2 = spark.read.format("graphar").option("path", y2)
+        .option("src", "U").option("type", "knows").option("dst", "U").load()
+      assert(snap2.count() === 3)
+      assert(snap2.filter(col("_graphArSrcIndex") === 1L && col("_graphArDstIndex") === 2L)
+        .select("w").collect()(0).getDouble(0) === 2.0)
+      // prune keeps the latest snapshot readable
+      GraphArSink.prune(spark, base, keep = 1)
+      assert(spark.read.format("graphar").option("path", GraphArSink.latestYaml(spark, base))
+        .option("src", "U").option("type", "knows").option("dst", "U")
+        .load().count() === 3)
+      assert(!new java.io.File(new java.io.File(y1).getParent).exists,
+        "pruned snapshot v0 should be gone")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids, keeps the rest") {
     import spark.implicits._
     val events = Tables.events(spark, "/root/testdata/sf0.001")
