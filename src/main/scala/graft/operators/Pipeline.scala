@@ -32,8 +32,46 @@ object Pipeline {
       .select(col("doc_id"), col("source"), length(col("text")).as("n_chars_kept"))
   }
 
+  /** Deterministic training-mix sampling: per-source rates applied via
+    * id-hash thresholding (`doc_id % 100 < rate`), the standard way a
+    * mixture spec ("50% of even sources, 25% of odd") is realized
+    * reproducibly — re-running selects the SAME documents, and the
+    * filter is map-side, so at 100 TB it prunes before any shuffle.
+    * Rates here key off the source suffix parity to stay re-derivable
+    * by an independent engine.
+    */
+  def trainMix(docs: DataFrame): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val rate = when(srcNum % 2 === 0, 50).otherwise(25)
+    docs.filter(pmod(col("doc_id"), lit(100)) < rate)
+      .select(col("doc_id"), col("source"), col("lang"),
+        rate.as("mix_rate"))
+  }
+
+  /** Token-budget packing: assign documents (in doc_id order) to
+    * fixed-budget bins by cumulative token count — the sequence-packing
+    * step before training ("pack into ~4096-token rows"). The running
+    * sum is an integer window aggregate (order-independent, exact), so
+    * the binning is bit-identical across engines. Per-source windows
+    * keep the cumsum partitioned — at 100 TB each source packs
+    * independently instead of one global serial window.
+    */
+  def tokenPack(docs: DataFrame, budget: Long = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum_tokens") - col("n_tokens")) / budget))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p_clean_corpus" -> { (s, d) => cleanCorpus(t(s, d, "documents")) }
+    "p_clean_corpus" -> { (s, d) => cleanCorpus(t(s, d, "documents")) },
+    "p_train_mix" -> { (s, d) => trainMix(t(s, d, "documents")) },
+    "p_token_pack" -> { (s, d) => tokenPack(t(s, d, "documents")) }
   )
 
   def oracle: Map[String, String] = {
@@ -48,7 +86,31 @@ object Pipeline {
         s"""WITH ${Dedup.minhashCtes(gatedRel)}
            |SELECT doc_id, source, length(text) AS n_chars_kept
            |FROM $gatedRel AS gated
-           |WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM verified WHERE jac >= 0.25)""".stripMargin
+           |WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM verified WHERE jac >= 0.25)""".stripMargin,
+
+      "p_train_mix" ->
+        """WITH r AS (
+          |  SELECT doc_id, source, lang,
+          |    CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+          |      THEN 50 ELSE 25 END AS mix_rate
+          |  FROM documents)
+          |SELECT doc_id, source, lang, mix_rate FROM r
+          |WHERE doc_id % 100 < mix_rate""".stripMargin,
+
+      "p_token_pack" ->
+        """WITH tok AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+          |      AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, source, n_tokens,
+          |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          |  FROM tok)
+          |SELECT doc_id, source, n_tokens, cum_tokens,
+          |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin
+          |FROM c""".stripMargin
     )
   }
 }

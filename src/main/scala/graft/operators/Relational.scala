@@ -235,6 +235,15 @@ object Relational {
         .na.fill(0L)
     },
 
+    // unpivot/melt: wide metric columns → long (key, metric, value) rows
+    "q20_unpivot" -> { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 50)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+    },
+
     // Gap-based sessionization (30 min), expressed with window functions;
     // the streaming twin uses flatMapGroupsWithState. Second-truncated
     // timestamps for ns-vs-µs oracle parity.
@@ -342,6 +351,17 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS h, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // UNION ALL spelling of unpivot — portable across engines
+    "q20_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey < 50
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 50
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 50""".stripMargin,
 
     "q15_window_funcs" ->
       """SELECT o_orderpriority, o_orderkey, rnk, drnk, prev_price, next_key, quartile
