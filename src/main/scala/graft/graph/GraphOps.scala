@@ -198,6 +198,47 @@ object GraphOps {
     pairs.zipWithIndex.map { case ((s0, d0), i) => (s0, d0, results(i)) }
   }
 
+  /** Connected components over the UNDIRECTED closure of the edge set,
+    * via min-label propagation: every vertex starts labeled with its own
+    * id; each iteration every vertex takes the min of its own and its
+    * neighbors' labels; fixpoint = component = min vertex id reachable.
+    * All-integer mins → deterministic and oracle-checkable.
+    *
+    * Scale notes: one shuffle join + one map-side-combinable min per
+    * iteration, O(diameter) iterations, labels checkpointed per round
+    * (lineage stays flat). For graphs with extreme diameters the
+    * star-contraction family converges in O(log d) rounds at the cost of
+    * mutating the edge set — label propagation keeps the edge table
+    * static (scan-friendly: it can stay bucketed by src across every
+    * iteration).
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(false)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      iter += 1
+      val prop = und.join(labels, und("src") === labels("v"))
+        .select(col("dst").as("v"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .localCheckpoint(false) // lazy: the changed-count job materializes it
+      changed = next.as("n")
+        .join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(col("label") < col("old")).count()
+      labels = next
+    }
+    und.unpersist(blocking = false)
+    labels.select(col("v"), col("label").as("component"))
+  }
+
   /** Bidirectional BFS: expands the source frontier along forward edges
     * and the target frontier along REVERSED edges, always growing the
     * smaller side; a meet at depths (dS, dT) witnesses a path of length

@@ -80,6 +80,10 @@ object GraphQueries {
       val rows = GraphOps.bfsLengths(s, e, bfsPairs, bfsMaxDepth)
       e.unpersist()
       rows.toDF("src_id", "dst_id", "len")
+    },
+    // undirected connected components via min-label propagation
+    "g_components" -> { (s, d) =>
+      GraphOps.connectedComponents(s, edgesFrom(s, d))
     }
   )
 
@@ -129,7 +133,16 @@ object GraphQueries {
       "g_bfs_length" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
       "g_bfs_bidi" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
       "g_bfs_multi" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
-      "g_bfs_exist" -> s"WITH RECURSIVE\n$ctes\n$existSelects"
+      "g_bfs_exist" -> s"WITH RECURSIVE\n$ctes\n$existSelects",
+      // component(v) = min vertex id reachable in the undirected closure
+      "g_components" ->
+        s"""WITH RECURSIVE e AS ($edgesSql),
+           |ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+           |reach(v, r) AS (
+           |  SELECT DISTINCT src AS v, src AS r FROM ue
+           |  UNION
+           |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
+           |SELECT v, min(r) AS component FROM reach GROUP BY v""".stripMargin
     )
   }
 }
