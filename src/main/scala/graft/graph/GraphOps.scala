@@ -198,6 +198,45 @@ object GraphOps {
     pairs.zipWithIndex.map { case ((s0, d0), i) => (s0, d0, results(i)) }
   }
 
+  /** PageRank (classic simplified form, no dangling-mass redistribution):
+    * rank = (1-d) + d · Σ_in rank(u)/outDeg(u), fixed iteration count.
+    *
+    * Scale notes: per iteration one join of the static (degree-annotated)
+    * edge table against the rank vector and one map-side-combinable sum —
+    * the edge table never moves, so pre-bucketing it by src makes every
+    * iteration shuffle only the O(V) rank vector. Checkpointed per round.
+    * No DuckDB oracle: rank sums are fp-accumulation-order-dependent, so
+    * cross-engine hashes are unsound — correctness is spec-tested against
+    * a driver-side power iteration instead (rows-only check in the gate).
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val links = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("odeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = verts.withColumn("rank", lit(1.0)).localCheckpoint(false)
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val contribs = links.join(ranks, links("src") === ranks("v"))
+        .select(col("dst").as("v"), (col("rank") / col("odeg")).as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("in_sum"))
+      ranks = verts.join(contribs, Seq("v"), "left")
+        .select(col("v"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint(i == iters) // lazy mid-stream; eager on the last
+    }
+    links.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    ranks
+  }
+
   /** Connected components over the UNDIRECTED closure of the edge set,
     * via min-label propagation: every vertex starts labeled with its own
     * id; each iteration every vertex takes the min of its own and its

@@ -84,6 +84,12 @@ object GraphQueries {
     // undirected connected components via min-label propagation
     "g_components" -> { (s, d) =>
       GraphOps.connectedComponents(s, edgesFrom(s, d))
+    },
+    // PageRank: no SQL oracle (fp-order-dependent sums) → rows-only
+    // check in the gate; numeric correctness is spec-tested against a
+    // driver-side power iteration (HopProps)
+    "g_pagerank" -> { (s, d) =>
+      GraphOps.pageRank(s, edgesFrom(s, d))
     }
   )
 

@@ -97,4 +97,44 @@ object HopProps extends Properties("graft.hops") {
       val expected = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
       got == expected
     }
+
+  property("connectedComponents = min reachable id in undirected closure") =
+    forAll(genGraph) { case (edges, _) =>
+      edges.isEmpty || {
+        val got = GraphOps.connectedComponents(spark, toDf(edges)).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute force: undirected reachability fixpoint
+        val und = (edges ++ edges.map(_.swap)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        val expected = verts.map { v0 =>
+          var seen = Set(v0)
+          var frontier = Set(v0)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(v => und.getOrElse(v, Set.empty)).diff(seen)
+            seen ++= frontier
+          }
+          v0 -> seen.min
+        }.toMap
+        got == expected
+      }
+    }
+
+  property("pageRank matches driver-side power iteration within 1e-9") =
+    forAll(genGraph) { case (edges, _) =>
+      edges.isEmpty || {
+        val got = GraphOps.pageRank(spark, toDf(edges), iters = 10).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val d = 0.85
+        val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        val odeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+        var ranks = verts.map(_ -> 1.0).toMap
+        (1 to 10).foreach { _ =>
+          val in = edges.groupBy(_._2).view.mapValues(
+            _.map { case (s, _) => ranks(s) / odeg(s) }.sum).toMap
+          ranks = verts.map(v => v -> ((1 - d) + d * in.getOrElse(v, 0.0))).toMap
+        }
+        verts.forall(v => math.abs(got(v) - ranks(v)) < 1e-9)
+      }
+    }
 }
