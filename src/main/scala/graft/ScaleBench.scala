@@ -71,6 +71,11 @@ object ScaleBench {
     val es = g.edgesStd("Part", "link", "Part")
     time("path_exist_pair")(GraphOps.bfsLength(spark, es,
       GraphQueries.RootVid, 7L + 9 * v, 10))
+    val esP = es.persist()
+    esP.count()
+    time("connected_components")(GraphOps.connectedComponents(spark, esP).count())
+    time("pagerank_10iter")(GraphOps.pageRank(spark, esP, iters = 10).count())
+    esP.unpersist()
     spark.stop()
   }
 }

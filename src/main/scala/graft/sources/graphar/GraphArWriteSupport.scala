@@ -63,6 +63,18 @@ object GraphArWriteSupport {
     def lopt(key: String, dflt: Long): Long =
       Option(options.get(key)).map(_.toLong).getOrElse(dflt)
 
+    // fail fast at the driver: every written column must be one of
+    // GraphAr's 7 primitives (garType throws on anything else) —
+    // otherwise the first failure would surface mid-job in an executor
+    data.schema.fields.foreach { f =>
+      try graft.meta.GraphArMeta.garType(f.dataType)
+      catch {
+        case _: IllegalArgumentException => throw new IllegalArgumentException(
+          s"column '${f.name}': ${f.dataType.simpleString} is not a GraphAr type " +
+            "(bool/int32/int64/float/double/string/date)")
+      }
+    }
+
     if (!options.containsKey("src") && !options.containsKey("dst")) {
       // ------------------------------------------------------- vertices
       if (existing.exists(_.vertices.exists(_.vertexType == t)) && !overwrite)
