@@ -45,6 +45,39 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
       === "Graft Sam ⚡")
   }
 
+  test("SQL scalar functions graft_minhash_sig/graft_dot/graft_cosine match the Column API") {
+    import org.apache.spark.sql.functions._
+    graft.functions.ScalarSqlFunctions.register(spark)
+    // minhash: SQL form ≡ compiled expression wrapper, default + explicit (n, k)
+    Tables.t(spark, sf, "documents").limit(50).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_minhash_sig(text) AS s, graft_minhash_sig(text, 2, 4) AS s24 FROM docs_sql")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+    val viaCol = Tables.t(spark, sf, "documents").limit(50)
+      .select(col("doc_id"),
+        graft.functions.MinHashSigExpr.minhashSig(col("text")).as("s"),
+        graft.functions.MinHashSigExpr.minhashSig(col("text"), 2, 4).as("s24"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+    assert(viaSql === viaCol)
+    // dot/cosine: SQL form ≡ compiled kernels on a self-join sample
+    Tables.t(spark, sf, "embeddings").limit(20).createOrReplaceTempView("emb_sql")
+    val diff = spark.sql(
+      """SELECT a.vec_id, b.vec_id,
+        |  graft_dot(a.embedding, b.embedding) AS d,
+        |  graft_cosine(a.embedding, b.embedding) AS c
+        |FROM emb_sql a JOIN emb_sql b ON a.vec_id < b.vec_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(diff.nonEmpty)
+    val byCol = Tables.t(spark, sf, "embeddings").limit(20).as("a")
+      .join(Tables.t(spark, sf, "embeddings").limit(20).as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        operators.Similarity.dot(col("a.embedding"), col("b.embedding")).as("d"),
+        operators.Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(diff.toSet === byCol.toSet)
+  }
+
   test("SQL TVFs two_hop/one_more_hop/edges_vertex match the Scala API") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     val g = GraphArGraph(spark, yaml)
