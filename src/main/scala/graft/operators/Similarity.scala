@@ -125,6 +125,38 @@ object Similarity {
       .select(col("q_id"), col("bucket"), col("n_id"), col("rank"))
   }
 
+  /** Multi-probe LSH: each query probes its own bucket PLUS every
+    * Hamming-1 neighbor bucket (one sign bit flipped) — recall recovery
+    * for near-duplicates that straddle a hyperplane, at (nBits+1)× the
+    * probe reads instead of 2^nBits. Buckets are disjoint, so candidate
+    * sets never duplicate.
+    */
+  def lshTopKMultiProbe(emb: DataFrame, queryIds: Column, k: Int,
+                        nBits: Int = 8, hpBase: Long = 100): DataFrame = {
+    val hp = emb.filter(col("vec_id") >= hpBase && col("vec_id") < hpBase + nBits)
+      .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"))
+    val sigs = emb.join(broadcast(hp), lit(true))
+      .withColumn("bit",
+        when(dot(col("embedding"), col("h_emb")) > 0,
+          pow(lit(2.0), col("h_id") - hpBase).cast("long")).otherwise(lit(0L)))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = emb.join(sigs, "vec_id")
+    // probes = own bucket + each single-bit flip
+    val flips = (0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val q = bucketed.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(array(col("bucket") +: flips: _*)).as("q_probe"))
+    val scored = bucketed
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+      .join(broadcast(q), col("bucket") === col("q_probe") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("bucket"), col("n_id"), col("rank"))
+  }
+
   // ------------------------------------------------------- persisted ANN
   //
   // The scale path the recompute variants above only simulate: the corpus
@@ -283,6 +315,9 @@ object Similarity {
     "sim_lsh_stored" -> { (s, d) =>
       lshTopKStored(s, s"${indexDir(s, d)}/lsh",
         t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
+    },
+    "sim_lsh_multiprobe" -> { (s, d) =>
+      lshTopKMultiProbe(t(s, d, "embeddings"), col("vec_id") < 8, 3)
     }
   )
 
@@ -343,7 +378,37 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, bucket, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
 
+  private lazy val lshMultiProbeOracleSql: String =
+    s"""WITH hp AS (
+       |  SELECT vec_id AS h_id, embedding AS h_emb FROM embeddings
+       |  WHERE vec_id >= 100 AND vec_id < 108),
+       |sigs AS (
+       |  SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN ${dotSql("e.embedding", "hp.h_emb")} > 0
+       |      THEN CAST(pow(2, hp.h_id - 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id),
+       |bucketed AS (
+       |  SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e
+       |  JOIN sigs s ON s.vec_id = e.vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+       |      FROM bucketed WHERE vec_id < 8),
+       |probes AS (
+       |  SELECT q_id, q_emb,
+       |    xor(q_bucket, CAST(CASE WHEN i = -1 THEN 0 ELSE pow(2, i) END AS BIGINT))
+       |      AS q_probe
+       |  FROM q CROSS JOIN (SELECT unnest(range(-1, 8)) AS i)),
+       |scored AS (
+       |  SELECT q_id, b.bucket, b.vec_id AS n_id,
+       |    ${cosSql("q_emb", "b.embedding")} AS cos
+       |  FROM bucketed b JOIN probes p ON b.bucket = p.q_probe AND p.q_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT q_id, bucket, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, bucket, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "sim_lsh_multiprobe" -> lshMultiProbeOracleSql,
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
          |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
