@@ -59,6 +59,31 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-dedup by MinHash signature: the streaming twin of
+    * the batch LSH dedup's candidate key. Documents whose texts collapse
+    * to the SAME full signature (identical after tokenization, or
+    * shingle-identical rewrites) keep only the first arrival; state is
+    * watermark-bounded. The signature is the compiled one-pass
+    * expression, so the map side is identical to the batch operator.
+    * Full-signature equality is the sound streaming key — per-band
+    * matching would need cross-row verify state (the batch operator's
+    * exact-Jaccard stage) to reject LSH false positives.
+    */
+  def signatureDedupStream(docs: DataFrame, watermark: String = "1 hour",
+                           n: Int = 3, k: Int = 8): DataFrame =
+    docs
+      .withColumn("sig",
+        graft.functions.MinHashSigExpr.minhashSig(col("text"), n, k))
+      // null signature (fewer than n tokens) → the raw text is the key,
+      // so short docs only dedup on exact equality (concat_ws would fold
+      // a null array to "" — an explicit branch keeps the cases apart)
+      .withColumn("sig_key",
+        when(col("sig").isNull, concat(lit("raw:"), col("text")))
+          .otherwise(concat_ws(",", col("sig").cast("array<string>"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig_key")
+      .drop("sig", "sig_key")
+
   /** Gap-based sessionization with explicit state — the streaming twin of
     * q12_sessionize. Emits a session when `gapSeconds` of event-time
     * silence elapses for a user (detected on the next event, or on state

@@ -200,6 +200,42 @@ class OperatorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming signature near-dedup keeps first arrival per MinHash signature") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.signatureDedupStream(
+      stream.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("sigdedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, t(0), "the quick brown fox jumps over the lazy dog today"),
+        (2L, t(1), "the  quick   brown fox jumps over the lazy dog today"), // same tokens
+        (3L, t(2), "a completely different document about spark engines"),
+        (4L, t(3), "the quick brown fox jumps over the lazy dog today"), // exact dup
+        (5L, t(4), "short"), // < n tokens → raw-text key
+        (6L, t(5), "short"), // exact short dup
+        (7L, t(6), "tiny"))
+      q.processAllAvailable()
+      val ids = spark.table("sigdedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // 2 and 4 collapse into 1's signature; 6 collapses into 5's raw key
+      assert(ids === Set(1L, 3L, 5L, 7L), s"got $ids")
+      // batch twin: the same signature key yields the same groups
+      val batchKeys = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "the  quick   brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text")
+        .select(functions.MinHashSigExpr.minhashSig(col("text")).cast("string").as("k"))
+        .collect().map(_.getString(0)).toSet
+      assert(batchKeys.size === 1, "whitespace variants must share one signature")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids, keeps the rest") {
     import spark.implicits._
     val events = Tables.events(spark, "/root/testdata/sf0.001")
