@@ -20,7 +20,8 @@ object SparkEntry {
       (operators.Similarity.queries, operators.Similarity.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (operators.Multimodal.queries, operators.Multimodal.oracle),
-      (operators.Pipeline.queries, operators.Pipeline.oracle)
+      (operators.Pipeline.queries, operators.Pipeline.oracle),
+      (operators.AsOf.queries, operators.AsOf.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
