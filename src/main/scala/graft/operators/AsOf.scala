@@ -43,6 +43,29 @@ object AsOf {
       .drop("_is_left", rightVal)
   }
 
+  /** Range (interval-containment) join: all (point, interval) pairs with
+    * `start <= point.time <= end` per key. Spark would plan the raw
+    * inequality as a broadcast-nested-loop; instead time is bucketized
+    * (width ≥ typical interval length), intervals explode into the few
+    * buckets they cover, and the join is an EQUI-join on (key, bucket)
+    * with exact containment as a residual filter — shuffle on hashable
+    * keys, no pair enumeration. Multi-bucket intervals can duplicate a
+    * pair pre-filter only if a pair matches in two buckets, which
+    * containment precludes (a point lives in exactly one bucket).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                time: String, start: String, end: String,
+                bucketSeconds: Long): DataFrame = {
+    val pb = points.withColumn("_bucket",
+      floor(col(time).cast("long") / bucketSeconds))
+    val ib = intervals.withColumn("_bucket",
+      explode(sequence(floor(col(start).cast("long") / bucketSeconds),
+        floor(col(end).cast("long") / bucketSeconds))))
+    pb.join(ib, Seq(key, "_bucket"))
+      .filter(col(time) >= col(start) && col(time) <= col(end))
+      .drop("_bucket")
+  }
+
   // --------------------------------------------------------------- queries
 
   /** clicks ASOF LEFT JOIN purchases per user: each click carries the
@@ -63,8 +86,25 @@ object AsOf {
         col("value"), col("asof_pv"))
   }
 
+  /** clicks within the 2-hour attribution window after any purchase
+    * by the same user (all matching pairs — range-join semantics).
+    */
+  private def rangeQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("tss"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tss").as("w_start")).distinct()
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 7200 SECONDS"))
+    rangeJoin(clicks, windows, "user_id", "tss", "w_start", "w_end", 7200L)
+      .select(col("user_id"), col("event_id"), col("tss"), col("w_start"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q21_asof" -> asofQuery
+    "q21_asof" -> asofQuery,
+    "q22_range_join" -> rangeQuery
   )
 
   /** DuckDB's native ASOF JOIN is the oracle — our windowed
@@ -80,6 +120,20 @@ object AsOf {
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT c.user_id, c.event_id, c.tss, c.value, p.pv AS asof_pv
         |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND p.tss <= c.tss""".stripMargin
+        |  ON c.user_id = p.user_id AND p.tss <= c.tss""".stripMargin,
+
+    // plain inequality join in DuckDB (it plans an IEJoin natively) —
+    // our bucketized equi-join must produce exactly these pairs
+    "q22_range_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS tss
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT DISTINCT user_id, date_trunc('second', ts) AS w_start,
+        |    date_trunc('second', ts) + INTERVAL 7200 SECONDS AS w_end
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, c.tss, w.w_start
+        |FROM c JOIN w ON c.user_id = w.user_id
+        |  AND c.tss >= w.w_start AND c.tss <= w.w_end""".stripMargin
   )
 }
