@@ -198,6 +198,26 @@ object GraphOps {
     pairs.zipWithIndex.map { case ((s0, d0), i) => (s0, d0, results(i)) }
   }
 
+  /** Triangle count over the undirected simple graph (self-loops and
+    * duplicate/reverse edges collapsed). Canonical a<b orientation makes
+    * each triangle appear exactly once in the 3-way join. Scale notes:
+    * two shuffle joins on vertex keys; the classic skew refinement
+    * (orient edges low-degree → high-degree) drops in here if hub
+    * vertices dominate — at the current shape AQE's skew-join split
+    * covers it.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val e1 = und.select(col("a"), col("b"))
+    val e2 = und.select(col("a").as("b"), col("b").as("c"))
+    val e3 = und.select(col("a").as("a2"), col("b").as("c2"))
+    e1.join(e2, "b")
+      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** PageRank (classic simplified form, no dangling-mass redistribution):
     * rank = (1-d) + d · Σ_in rank(u)/outDeg(u), fixed iteration count.
     *

@@ -90,6 +90,9 @@ object GraphQueries {
     // driver-side power iteration (HopProps)
     "g_pagerank" -> { (s, d) =>
       GraphOps.pageRank(s, edgesFrom(s, d))
+    },
+    "g_triangles" -> { (s, d) =>
+      GraphOps.triangleCount(edgesFrom(s, d))
     }
   )
 
@@ -148,7 +151,15 @@ object GraphQueries {
            |  SELECT DISTINCT src AS v, src AS r FROM ue
            |  UNION
            |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
-           |SELECT v, min(r) AS component FROM reach GROUP BY v""".stripMargin
+           |SELECT v, min(r) AS component FROM reach GROUP BY v""".stripMargin,
+      "g_triangles" ->
+        s"""WITH e AS ($edgesSql),
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst)
+           |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM und e1 JOIN und e2 ON e2.a = e1.b
+           |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
     )
   }
 }
