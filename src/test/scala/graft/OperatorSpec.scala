@@ -128,6 +128,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(odd.isNullAt(0) && odd.isNullAt(1))
   }
 
+  test("sketches: approx_percentile within 1% rank error, count_min never undercounts") {
+    val li = Tables.t(spark, sf, "lineitem")
+    // approx_percentile vs exact percentile on a continuous column
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx")).collect()(0)
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    // rank guarantee: the approx median's true rank is within accuracy⁻¹
+    val n = li.count()
+    val rankOfApprox = li.filter(col("l_extendedprice") <= approx).count()
+    assert(math.abs(rankOfApprox.toDouble / n - 0.5) < 0.01,
+      s"approx median $approx at rank ${rankOfApprox.toDouble / n} (exact $exact)")
+    // count-min sketch: point estimates can only OVERcount
+    val cms = li.select(expr(
+      "count_min_sketch(l_returnflag, 0.001d, 0.99d, 1)").as("s")).collect()(0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(cms.getAs[Array[Byte]](0)))
+    val exactCounts = li.groupBy("l_returnflag").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1))
+    exactCounts.foreach { case (k, c) =>
+      // the agg adds string values as UTF-8 bytes → query the same way
+      val est = sketch.estimateCount(k.getBytes("UTF-8"))
+      assert(est >= c && est <= (c * 1.01).toLong + 10,
+        s"count-min for '$k': est $est vs exact $c")
+    }
+  }
+
   test("approx_count_distinct (HLL) within 5% of exact") {
     val li = Tables.t(spark, sf, "lineitem")
     val r = li.agg(
