@@ -119,15 +119,20 @@ object GraphOps {
     // level's anti-join reads cached partitions; nothing is re-written
     var visitedParts = List(Seq(srcId).toDF("v"))
     var frontier = visitedParts.head
+    var frontierSize = 1L
     var depth = 0L
     while (depth < maxDepth) {
       depth += 1
-      // lazy checkpoint: the stats job below both computes and caches the
-      // frontier — ONE Spark job per level (eager would add a second)
-      val next = e.join(frontier.select(col("v")), e("src") === col("v"))
+      // the previous level's stats give the frontier's exact size (lazy
+      // checkpoints hide it from the planner): small frontiers broadcast
+      // so the edge side NEVER shuffles — the frontier-join design every
+      // level; past the cap fall back to a shuffle join (huge frontiers
+      // must stay distributed)
+      val f = frontSide(frontier.select(col("v")), frontierSize)
+      val next = e.join(f, e("src") === col("v"))
         .select(col("dst").as("v")).distinct()
         .join(visitedParts.reduce(_ unionAll _), Seq("v"), "left_anti")
-        .localCheckpoint(false)
+        .localCheckpoint(false) // lazy: the stats job materializes it
       // one driver round-trip per level: frontier size + target hit
       val stats = next.agg(count(lit(1)).as("n"),
         sum(when(col("v") === dstId, 1L).otherwise(0L)).as("hit")).collect()(0)
@@ -135,9 +140,19 @@ object GraphOps {
       if (stats.getLong(1) > 0) return depth
       visitedParts ::= next
       frontier = next
+      frontierSize = stats.getLong(0)
     }
     -1L
   }
+
+  /** Frontier rows per level below which the frontier side of the
+    * expansion join broadcasts (known exactly from the previous level's
+    * stats). ~8 bytes/row → 8 MB at the default.
+    */
+  val BroadcastFrontierCap = 1000000L
+
+  private def frontSide(f: DataFrame, size: Long): DataFrame =
+    if (size <= BroadcastFrontierCap) broadcast(f) else f
 
   def bfsExists(spark: SparkSession, edges: DataFrame, srcId: Long, dstId: Long,
                 maxDepth: Int = 10): Boolean =
@@ -161,14 +176,17 @@ object GraphOps {
       val e = edges.select(col("src"), col("dst"))
       val targets = typedLit(active0.map { case (i, _, d0) => i -> d0 }.toMap)
       var frontier = active0.map { case (i, s0, _) => (i, s0) }.toDF("pid", "v")
+      var frontierSize = active0.size.toLong
       // union view over checkpointed frontiers (see bfsLength)
       var visitedParts = List(frontier)
       var activePids = active0.map(_._1).toSet
       var depth = 0L
       while (activePids.nonEmpty && depth < maxDepth) {
         depth += 1
-        // lazy checkpoint: the per-level stats job materializes it
-        val next = e.join(frontier, e("src") === frontier("v"))
+        // lazy checkpoint: the per-level stats job materializes it;
+        // small frontiers broadcast (size known from last level's stats)
+        val f = frontSide(frontier, frontierSize)
+        val next = e.join(f, e("src") === f("v"))
           .select(col("pid"), col("dst").as("v")).distinct()
           .join(visitedParts.reduce(_ unionAll _), Seq("pid", "v"), "left_anti")
           .localCheckpoint(false)
@@ -191,6 +209,8 @@ object GraphOps {
         if (activePids.nonEmpty) {
           visitedParts ::= next
           frontier = next.filter(col("pid").isInCollection(activePids))
+          frontierSize = stats.filter(r => activePids.contains(r.getInt(0)))
+            .map(_.getLong(1)).sum
         }
       }
       activePids.foreach(results(_) = -1L)
@@ -337,7 +357,9 @@ object GraphOps {
         if (expandSource) (fwd, frontS, visS, visT, depthS)
         else (bwd, frontT, visT, visS, depthT)
       val nd = depth + 1
-      val next = e.join(front.select(col("v")), e("src") === col("v"))
+      val f = frontSide(front.select(col("v")),
+        if (expandSource) sizeS else sizeT)
+      val next = e.join(f, e("src") === col("v"))
         .select(col("dst").as("v")).distinct()
         .join(visParts.map(_.select(col("v"))).reduce(_ unionAll _),
           Seq("v"), "left_anti")
