@@ -117,4 +117,17 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
 
   def bfsExists(srcId: Long, dstId: Long, maxDepth: Int = 10): Boolean =
     bfsLength(srcId, dstId, maxDepth) != -1L
+
+  /** Analytics over one edge type (see [[GraphOps]] for the scale
+    * designs): undirected connected components, PageRank, triangles.
+    */
+  def connectedComponents(src: String, t: String, dst: String): DataFrame =
+    GraphOps.connectedComponents(spark, edgesStd(src, t, dst))
+
+  def pageRank(src: String, t: String, dst: String, iters: Int = 10,
+               damping: Double = 0.85): DataFrame =
+    GraphOps.pageRank(spark, edgesStd(src, t, dst), iters, damping)
+
+  def triangleCount(src: String, t: String, dst: String): DataFrame =
+    GraphOps.triangleCount(edgesStd(src, t, dst))
 }

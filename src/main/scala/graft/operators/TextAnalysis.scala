@@ -104,6 +104,29 @@ object TextAnalysis {
         .select(col("doc_id"), col("rank"), col("term"), col("score"))
     },
 
+    // Context-window chunking: split documents into overlapping
+    // fixed-token windows (the pre-training "pack long docs into model
+    // context" step). 64-token windows, stride 48 (16 overlap); the
+    // last window may be shorter. Pure per-row array arithmetic —
+    // map-side, exploding only the chunk index.
+    "t_chunk" -> { (s, d) =>
+      val sz = 64
+      val step = 48
+      t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+        // nChunks = 1 + max(0, ceil((n - size) / step))
+        .withColumn("nc",
+          lit(1L) + greatest(
+            floor((col("n") - sz + (step - 1)) / lit(step.toDouble)).cast("long"),
+            lit(0L)))
+        .withColumn("chunk_idx", explode(sequence(lit(0L), col("nc") - 1)))
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", slice(col("t"), (col("chunk_idx") * step + 1).cast("int"),
+            lit(sz))).as("chunk_text"),
+          least(lit(sz.toLong), col("n") - col("chunk_idx") * step).as("n_tokens"))
+    },
+
     // Unigram-LM quality score: a document's mean corpus-frequency of
     // its tokens (the no-log cousin of LM perplexity filters à la
     // C4/Dolma). Integer count sums keep aggregation order-independent;
@@ -194,6 +217,21 @@ object TextAnalysis {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
         |  FROM scored)
         |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "t_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(range(0, 1 + CAST(greatest(floor((n - 64 + 47) / 48.0), 0) AS BIGINT)))
+        |      AS chunk_idx
+        |  FROM tok)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
+        |  least(CAST(64 AS BIGINT), n - chunk_idx * 48) AS n_tokens
+        |FROM c""".stripMargin,
 
     "t_unigram_lm" ->
       """WITH tt AS (
