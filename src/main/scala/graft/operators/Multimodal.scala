@@ -124,8 +124,37 @@ object Multimodal {
       val media = t(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       sampleFrames(media)
+    },
+    // STUB embedder: k rolling-hash projections of the content → a
+    // float vector (a real one would run a vision/audio encoder on the
+    // decoded media; deterministic here so the oracle can recompute).
+    // The gate sees per-dim doubles (float-array stringification differs
+    // between pandas/duckdb renderers; float→double casts are exact and
+    // render identically); the array column itself feeds m_embed_topk.
+    "m_embed" -> { (s, d) =>
+      embedStub(t(s, d, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id") +:
+          (0 until 8).map(i =>
+            element_at(col("embedding"), i + 1).cast("double").as(s"d$i")): _*)
+    },
+    // → straight into the ANN operator: top-3 neighbors of docs 0-3 by
+    // cosine over the derived embeddings (the multimodal→similarity
+    // pipeline end-to-end, oracle re-runs the whole chain)
+    "m_embed_topk" -> { (s, d) =>
+      val emb = embedStub(t(s, d, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      Similarity.bruteForceTopK(emb, col("vec_id") < 4, 3)
     }
   )
+
+  /** Deterministic 8-dim embedding: dim i = charHash(text, seed=i+1)
+    * scaled to [0, 1). Pure column expressions — map-side, codegen'd.
+    */
+  def embedStub(docs: DataFrame, dims: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+      array((1 to dims).map(i =>
+        (pmod(graft.functions.TextFunctions.charHash(col("text"), lit(i)), lit(1000L)) /
+          lit(1000.0)).cast("float")): _*).as("embedding"))
 
   def oracle: Map[String, String] = Map(
     "m_features" ->
@@ -148,6 +177,44 @@ object Multimodal {
       """WITH m AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h FROM documents)
         |SELECT doc_id, i AS frame_idx,
         |  md5(substring(h, CAST(1 + i * ((length(h) // 2) // 4) * 2 AS INTEGER), 32)) AS frame_hash
-        |FROM m, (SELECT unnest(range(0, 4)) AS i)""".stripMargin
+        |FROM m, (SELECT unnest(range(0, 4)) AS i)""".stripMargin,
+
+    "m_embed" -> {
+      val dims = (0 until 8).map(i =>
+        s"CAST(CAST((${embedHashSql(i + 1)} % 1000) / 1000.0 AS FLOAT) AS DOUBLE) AS d$i")
+        .mkString(",\n  ")
+      s"SELECT doc_id,\n  $dims\nFROM documents"
+    },
+
+    "m_embed_topk" -> {
+      val dimList = (1 to 8).map(i =>
+        s"CAST((${embedHashSql(i)} % 1000) / 1000.0 AS FLOAT)").mkString(", ")
+      s"""WITH emb AS (SELECT doc_id AS vec_id, [$dimList] AS embedding FROM documents),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb WHERE vec_id < 4),
+         |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM emb),
+         |scored AS (
+         |  SELECT q_id, n_id, $embCosSql AS cos
+         |  FROM c JOIN q ON q_id <> n_id),
+         |ranked AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+    }
   )
+
+  /** DuckDB twin of `TextFunctions.charHash(text, seed)`. */
+  private def embedHashSql(seed: Int): String =
+    s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
+      s"list_transform(regexp_extract_all(text, '.'), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.TextFunctions.HashMod})"
+
+  /** 8-dim sequential-fold cosine (mirrors Similarity.dotSql shapes). */
+  private def embCosSql: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 9), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), " +
+        s"(acc, v) -> acc + v)"
+    s"${dot("q_emb", "n_emb")} / sqrt(${dot("q_emb", "q_emb")}) / sqrt(${dot("n_emb", "n_emb")})"
+  }
 }
