@@ -81,6 +81,11 @@ object GraphArWriteSupport {
         throw new IllegalStateException(
           s"vertex type '$t' already exists in $graphName — appending rows " +
             "would renumber the chunked index; use mode(\"overwrite\") to replace it")
+      // overwrite: clear the type dir first — a smaller/differently-
+      // grouped rewrite must not leave stale chunk files behind (reads
+      // are governed by vertex_count, but orphans pollute the layout)
+      val vdir = new Path(s"$base/vertex/$t")
+      if (overwrite && fs.exists(vdir)) fs.delete(vdir, true)
       val df = if (data.columns.contains(GraphArMeta.VertexIndexCol))
         data.orderBy(GraphArMeta.VertexIndexCol).drop(GraphArMeta.VertexIndexCol)
       else data
@@ -114,6 +119,8 @@ object GraphArWriteSupport {
         fileType = ft,
         layouts = Option(options.get("layouts"))
           .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("src", "dst")))
+      val edir = new Path(s"$base/edge/${spec.name}")
+      if (overwrite && fs.exists(edir)) fs.delete(edir, true)
       val df = data
         .withColumnRenamed(GraphArMeta.SrcIndexCol, "src")
         .withColumnRenamed(GraphArMeta.DstIndexCol, "dst")

@@ -187,5 +187,10 @@ class RoundTripSpec extends AnyFunSuite {
     assert(spark.read.format("graphar").option("path", yaml)
       .option("src", "Person").option("type", "knows").option("dst", "Person")
       .load().count() === 4)
+    // overwrite cleared the old layout: 50-row write had chunks 0..3,
+    // the 3-row rewrite must leave only chunk0 (no stale files)
+    val chunkFiles = new java.io.File(s"$dir/vertex/Person/props")
+      .listFiles().map(_.getName).filter(_.startsWith("chunk")).sorted
+    assert(chunkFiles.toSeq === Seq("chunk0"), chunkFiles.mkString(","))
   }
 }
