@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Compiled float-vector kernels for the ANN operators.
   *
@@ -24,6 +25,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 abstract class FloatVecBinaryExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  /** Both inputs must be array<float>: the kernel reads elements with
+    * `getFloat`, which on a double/decimal-backed array would silently
+    * reinterpret bytes. SQL users of graft_dot/graft_cosine get a clean
+    * analysis error instead (cast to array<float> explicitly).
+    */
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"${getClass.getSimpleName} requires (array<float>, array<float>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
 
   protected def leftNullableElems: Boolean =
     left.dataType.asInstanceOf[ArrayType].containsNull

@@ -315,6 +315,11 @@ object GraphOps {
       labels = next
     }
     und.unpersist(blocking = false)
+    // labels move one hop per iteration, so a component with diameter >
+    // maxIter would silently come back WRONG — fail loudly instead
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(a component's diameter exceeds it) — raise maxIter")
     labels.select(col("v"), col("label").as("component"))
   }
 

@@ -209,12 +209,6 @@ object Multimodal {
       s"list_transform(regexp_extract_all(text, '.'), c -> CAST(ord(c) AS BIGINT))), " +
       s"(acc, x) -> (acc * 31 + x) % ${graft.functions.TextFunctions.HashMod})"
 
-  /** 8-dim sequential-fold cosine (mirrors Similarity.dotSql shapes). */
-  private def embCosSql: String = {
-    def dot(x: String, y: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, 9), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), " +
-        s"(acc, v) -> acc + v)"
-    s"${dot("q_emb", "n_emb")} / sqrt(${dot("q_emb", "q_emb")}) / sqrt(${dot("n_emb", "n_emb")})"
-  }
+  /** 8-dim sequential-fold cosine — Similarity's shared parity fold. */
+  private def embCosSql: String = Similarity.cosSql("q_emb", "n_emb", dims = 8)
 }

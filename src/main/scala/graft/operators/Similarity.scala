@@ -322,15 +322,17 @@ object Similarity {
   )
 
   /** Dot/cosine in DuckDB with the same op order as the Spark side
-    * (sequential list_reduce sum; cosine = dot / sqrt / sqrt).
+    * (sequential list_reduce sum; cosine = dot / sqrt / sqrt). Shared
+    * with Multimodal's embed-chain oracle — one copy of the
+    * parity-critical fold.
     */
-  private def dotSql(x: String, y: String): String =
+  private[operators] def dotSql(x: String, y: String, dims: Int = 64): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      s"list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), " +
+      s"list_transform(range(1, ${dims + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), " +
       s"(acc, v) -> acc + v)"
 
-  private def cosSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / sqrt(${dotSql(a, a)}) / sqrt(${dotSql(b, b)})"
+  private[operators] def cosSql(a: String, b: String, dims: Int = 64): String =
+    s"${dotSql(a, b, dims)} / sqrt(${dotSql(a, a, dims)}) / sqrt(${dotSql(b, b, dims)})"
 
   private lazy val ivfOracleSql: String =
     s"""WITH cent AS (

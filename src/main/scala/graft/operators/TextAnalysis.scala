@@ -90,13 +90,16 @@ object TextAnalysis {
     // (doc_id, term); the df table is vocabulary-sized and broadcasts.
     "t_tfidf" -> { (s, d) =>
       val docs = t(s, d, "documents")
-      val n = docs.count() // 1-row driver aggregate, never data-sized
+      // N as a broadcast 1-row aggregate INSIDE the job (a driver-side
+      // count() would be a second scan of the table per invocation)
+      val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
       val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(df), "term")
-        .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", (col("tf") * col("_n_docs")).cast("double") / col("df"))
       scored.withColumn("rank",
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
@@ -137,12 +140,15 @@ object TextAnalysis {
       val terms = t(s, d, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
-      val total = terms.count() // scalar corpus size
+      // corpus size as a broadcast 1-row aggregate, not a second
+      // tokenize+explode pass via a driver-side count()
+      val total = terms.agg(count(lit(1)).as("_corpus_tokens"))
       terms.join(broadcast(counts), "term")
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
         .select(col("doc_id"), col("n"),
-          ((col("s") * lit(1.0)) / col("n") / lit(total)).as("lm_score"))
+          ((col("s") * lit(1.0)) / col("n") / col("_corpus_tokens")).as("lm_score"))
     }
   )
 

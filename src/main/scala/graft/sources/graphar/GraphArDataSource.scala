@@ -66,15 +66,19 @@ class GraphArDataSource extends TableProvider with DataSourceRegister {
 
   /** The target type doesn't exist yet (new graph, or a new type in an
     * existing graph) — legal only as a WRITE target. Distinguished from
-    * option errors, which keep propagating.
+    * option errors, which keep propagating. The Right side carries the
+    * original error message so a READ of the missing type can still fail
+    * with the precise "no vertex type ..." diagnostic.
     */
   private def metaOrNew(options: CaseInsensitiveStringMap)
-      : Either[(GraphInfo, Either[VertexInfo, EdgeInfo]), Unit] =
+      : Either[(GraphInfo, Either[VertexInfo, EdgeInfo]), String] =
     try Left(meta(options))
     catch {
-      case _: java.io.FileNotFoundException => Right(()) // graph yaml absent
+      case e: java.io.FileNotFoundException => // graph yaml absent
+        Right(s"graph yaml not found: ${e.getMessage}")
       case e: IllegalArgumentException
-        if e.getMessage != null && e.getMessage.startsWith("no ") => Right(())
+        if e.getMessage != null && e.getMessage.startsWith("no ") =>
+        Right(e.getMessage)
     }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -92,7 +96,7 @@ class GraphArDataSource extends TableProvider with DataSourceRegister {
     metaOrNew(options) match {
       case Left((_, Left(v))) => new GraphArVertexTable(v)
       case Left((_, Right(e))) => new GraphArEdgeTable(e)
-      case Right(_) => new GraphArNewTable(options.get("type"), schema)
+      case Right(why) => new GraphArNewTable(options.get("type"), schema, why)
     }
   }
 
@@ -112,17 +116,24 @@ abstract class GraphArTable extends Table with SupportsRead
     new GraphArWriteBuilder(info)
 }
 
-/** Write-only target for a type that doesn't exist yet; reads fail with
-  * Spark's capability error instead of an empty scan.
+/** Write-only target for a type that doesn't exist yet. Declares
+  * BATCH_READ so a READ of a mistyped/missing type reaches
+  * newScanBuilder and fails with the precise original diagnostic
+  * ("no vertex type 'X' in graph ...") instead of Spark's generic
+  * capability error.
   */
-class GraphArNewTable(typeName: String, writeSchema: StructType)
-  extends Table with org.apache.spark.sql.connector.catalog.SupportsWrite {
+class GraphArNewTable(typeName: String, writeSchema: StructType, whyMissing: String)
+  extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"$typeName.new"
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalArgumentException(
+      s"cannot read '$typeName': $whyMissing (this target only accepts writes)")
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraphArWriteBuilder(info)

@@ -77,20 +77,28 @@ object GraphArWriteSupport {
 
     if (!options.containsKey("src") && !options.containsKey("dst")) {
       // ------------------------------------------------------- vertices
-      if (existing.exists(_.vertices.exists(_.vertexType == t)) && !overwrite)
+      val typeExists = existing.exists(_.vertices.exists(_.vertexType == t))
+      if (typeExists && !overwrite)
         throw new IllegalStateException(
           s"vertex type '$t' already exists in $graphName — appending rows " +
             "would renumber the chunked index; use mode(\"overwrite\") to replace it")
-      // overwrite: clear the type dir first — a smaller/differently-
-      // grouped rewrite must not leave stale chunk files behind (reads
-      // are governed by vertex_count, but orphans pollute the layout)
-      val vdir = new Path(s"$base/vertex/$t")
-      if (overwrite && fs.exists(vdir)) fs.delete(vdir, true)
       val df = if (data.columns.contains(GraphArMeta.VertexIndexCol))
         data.orderBy(GraphArMeta.VertexIndexCol).drop(GraphArMeta.VertexIndexCol)
       else data
-      GraphArWriter.writeVertices(df, base,
-        GraphArWriter.VertexSpec(t, lopt("chunk_size", 1L << 20), ft))
+      val spec = GraphArWriter.VertexSpec(t, lopt("chunk_size", 1L << 20), ft)
+      if (typeExists) {
+        // overwrite of an existing type: run the WHOLE write job into a
+        // staging base first — the input plan may READ the type being
+        // replaced (self-overwrite), and a failed job must not destroy
+        // the old data — then swap dirs (also drops the old write's
+        // surplus chunk files, so no orphans survive a smaller rewrite)
+        stagedReplace(fs, base, s".stage_v_$t",
+          Seq(s"vertex/$t", s"$t.vertex.yaml")) { stage =>
+          GraphArWriter.writeVertices(df, stage, spec)
+        }
+      } else {
+        GraphArWriter.writeVertices(df, base, spec)
+      }
       updateGraphYaml(existing, base, graphName, addVertex = Some(t), addEdge = None)
     } else {
       // ---------------------------------------------------------- edges
@@ -98,8 +106,9 @@ object GraphArWriteSupport {
         throw new IllegalArgumentException("edge write needs both 'src' and 'dst'"))
       val dst = Option(options.get("dst")).getOrElse(
         throw new IllegalArgumentException("edge write needs both 'src' and 'dst'"))
-      if (existing.exists(_.edges.exists(e =>
-            e.srcType == src && e.edgeType == t && e.dstType == dst)) && !overwrite)
+      val typeExists = existing.exists(e0 =>
+        e0.edges.exists(e => e.srcType == src && e.edgeType == t && e.dstType == dst))
+      if (typeExists && !overwrite)
         throw new IllegalStateException(
           s"edge type '${src}_${t}_$dst' already exists in $graphName — " +
             "use mode(\"overwrite\") to replace it")
@@ -119,15 +128,46 @@ object GraphArWriteSupport {
         fileType = ft,
         layouts = Option(options.get("layouts"))
           .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("src", "dst")))
-      val edir = new Path(s"$base/edge/${spec.name}")
-      if (overwrite && fs.exists(edir)) fs.delete(edir, true)
       val df = data
         .withColumnRenamed(GraphArMeta.SrcIndexCol, "src")
         .withColumnRenamed(GraphArMeta.DstIndexCol, "dst")
-      GraphArWriter.writeEdges(df, base, spec)
+      if (typeExists) {
+        stagedReplace(fs, base, s".stage_e_${spec.name}",
+          Seq(s"edge/${spec.name}", s"${spec.name}.edge.yaml")) { stage =>
+          GraphArWriter.writeEdges(df, stage, spec)
+        }
+      } else {
+        GraphArWriter.writeEdges(df, base, spec)
+      }
       updateGraphYaml(existing, base, graphName,
         addVertex = None, addEdge = Some(spec.name))
     }
+  }
+
+  /** Run `job` against a staging base dir, then move the produced
+    * `artifacts` (paths relative to base) into their final locations.
+    * The old data stays intact until the job has fully succeeded — a
+    * failure leaves only a stage dir to clean up, and a plan that reads
+    * the data being replaced reads the OLD files throughout the job.
+    * The remaining non-atomic window is the per-artifact delete+rename
+    * metadata ops, not the data write.
+    */
+  private def stagedReplace(fs: org.apache.hadoop.fs.FileSystem, base: String,
+                            stageName: String, artifacts: Seq[String])
+                           (job: String => Unit): Unit = {
+    val stage = s"$base/$stageName"
+    val stagePath = new Path(stage)
+    if (fs.exists(stagePath)) fs.delete(stagePath, true) // dead prior attempt
+    job(stage)
+    artifacts.foreach { rel =>
+      val fin = new Path(s"$base/$rel")
+      val staged = new Path(s"$stage/$rel")
+      if (fs.exists(fin)) fs.delete(fin, true)
+      if (Option(fin.getParent).exists(p => !fs.exists(p))) fs.mkdirs(fin.getParent)
+      if (!fs.rename(staged, fin))
+        throw new java.io.IOException(s"overwrite swap failed: $staged -> $fin")
+    }
+    fs.delete(stagePath, true)
   }
 
   /** Rewrite `<base>/<graph>.yaml` with the union of the graph's current

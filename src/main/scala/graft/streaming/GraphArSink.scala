@@ -47,7 +47,12 @@ object GraphArSink {
         commitLatest(base, yaml, conf)
     }
 
-  /** Atomic pointer swap: write LATEST.tmp, rename over LATEST. */
+  /** Atomic pointer swap: write LATEST.tmp, then overwrite-rename onto
+    * LATEST in one filesystem op (`FileContext` rename with OVERWRITE —
+    * atomic on HDFS-like stores). A crash at any point leaves LATEST on
+    * the previous snapshot; there is no delete-then-rename window where
+    * no pointer exists.
+    */
   private def commitLatest(base: String, yaml: String,
                            conf: org.apache.hadoop.conf.Configuration): Unit = {
     val latest = new Path(s"$base/LATEST")
@@ -55,9 +60,9 @@ object GraphArSink {
     val fs = latest.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(yaml.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(latest)) fs.delete(latest, false)
-    if (!fs.rename(tmp, latest))
-      throw new java.io.IOException(s"LATEST pointer swap failed for $base")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(latest.toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(latest),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Resolve the current snapshot's graph yaml (null if none committed). */

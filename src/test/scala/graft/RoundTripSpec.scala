@@ -192,5 +192,18 @@ class RoundTripSpec extends AnyFunSuite {
     val chunkFiles = new java.io.File(s"$dir/vertex/Person/props")
       .listFiles().map(_.getName).filter(_.startsWith("chunk")).sorted
     assert(chunkFiles.toSeq === Seq("chunk0"), chunkFiles.mkString(","))
+    // SELF-overwrite: the input plan reads the very type being replaced —
+    // the staged write must complete against the old files before the swap
+    val selfDerived = spark.read.format("graphar").option("path", yaml)
+      .option("type", "Person").load()
+      .filter(col("nm") =!= "z5")
+      .select(col("nm"), (col("age") + 100).as("age"))
+    selfDerived.write.format("graphar").option("path", yaml)
+      .option("type", "Person").option("chunk_size", "16").mode("overwrite").save()
+    val v3 = spark.read.format("graphar").option("path", yaml)
+      .option("type", "Person").load()
+    assert(v3.count() === 2)
+    assert(v3.select("nm").collect().map(_.getString(0)).toSet === Set("z0", "z10"))
+    assert(v3.filter(col("age") < 100).count() === 0)
   }
 }
