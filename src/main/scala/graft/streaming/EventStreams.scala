@@ -84,6 +84,30 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("sig_key")
       .drop("sig", "sig_key")
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * range join (`operators.AsOf.rangeJoin`): clicks join purchases by
+    * the same user within `windowSeconds` AFTER the purchase. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark evicts join state once a purchase can no longer
+    * match any future click — bounded state on two unbounded streams.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      windowSeconds: Long = 7200,
+                      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") >= col("purchase_ts") &&
+        col("click_ts") <= col("purchase_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("click_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Gap-based sessionization with explicit state — the streaming twin of
     * q12_sessionize. Emits a session when `gapSeconds` of event-time
     * silence elapses for a user (detected on the next event, or on state

@@ -189,6 +189,43 @@ class OperatorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    // (user, event_id, ts): purchases at 0 and 5000s; clicks around them
+    val clicks = Seq((1L, 10L, ts(100)), (1L, 11L, ts(7300)), (1L, 12L, ts(7150)),
+      (2L, 20L, ts(100)), (1L, 13L, ts(4999)))
+    val purchases = Seq((1L, ts(0)), (1L, ts(5000)), (3L, ts(0)))
+    val cStream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pStream = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = EventStreams.attributionJoin(
+      cStream.toDF().toDF("user_id", "event_id", "ts"),
+      pStream.toDF().toDF("user_id", "ts"))
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      cStream.addData(clicks)
+      pStream.addData(purchases)
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("click_id", "purchase_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      // batch twin over the same rows
+      val want = operators.AsOf.rangeJoin(
+        clicks.toDF("user_id", "click_id", "tss"),
+        purchases.toDF("user_id", "w_start")
+          .withColumn("w_end", col("w_start") + expr("INTERVAL 7200 SECONDS")),
+        "user_id", "tss", "w_start", "w_end", 7200L)
+        .select("click_id", "w_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(got === want, s"stream $got vs batch $want")
+      assert(got.nonEmpty && got.contains((13L, ts(0))) && !got.contains((11L, ts(0))))
+    } finally q.stop()
+  }
+
   test("streaming GraphAr sink: versioned snapshots, atomic LATEST, prune") {
     import spark.implicits._
     import graft.streaming.GraphArSink
