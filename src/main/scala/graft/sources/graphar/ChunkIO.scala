@@ -60,6 +60,21 @@ object ChunkIO {
     */
   trait RowReader extends Iterator[Array[Any]] with AutoCloseable
 
+  /** Open several readers; if the k-th open throws, the k-1 already
+    * opened are closed before rethrowing — a missing/corrupt file in one
+    * property group must not leak the other groups' handles on a
+    * long-lived executor.
+    */
+  def openAll[T <: AutoCloseable](opens: Seq[() => T]): Seq[T] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[T]
+    try { opens.foreach(o => acc += o()); acc.toSeq }
+    catch {
+      case e: Throwable =>
+        acc.foreach(r => try r.close() catch { case _: Throwable => () })
+        throw e
+    }
+  }
+
   /** Vectorized parquet chunk decode via Spark's own
     * `VectorizedParquetRecordReader` — columnar page decode, requested-
     * schema projection inside the file, and no per-row `Group` object
@@ -393,8 +408,15 @@ object ChunkIO {
         if (rec == null) close()
         rec != null
       }
+      private var recNo = 0L
       override def next(): Array[Any] = {
         val (parts, qs) = rec
+        recNo += 1
+        // a ragged record (foreign/hand-edited chunk) must fail with a
+        // diagnosable error, not an ArrayIndexOutOfBounds deep in a task
+        if (parts.length < header.length) throw new IllegalArgumentException(
+          s"csv record $recNo of $path has ${parts.length} cells, " +
+            s"header has ${header.length}")
         val row = new Array[Any](schema.length)
         var i = 0
         while (i < schema.length) {

@@ -28,14 +28,16 @@ object GraphArColumnar {
   def vertexGroups(p: VertexChunkPartition, required: StructType,
                    conf: Configuration): Seq[(ChunkIO.BatchReader, StructType)] = {
     val requiredNames = required.fieldNames.toSet
-    p.info.propertyGroups.flatMap { g =>
+    val specs = p.info.propertyGroups.flatMap { g =>
       val sch = StructType(g.properties
         .filter(pr => requiredNames.contains(pr.name))
         .map(pr => StructField(pr.name, GraphArMeta.sparkType(pr.dataType), pr.isNullable)))
       if (sch.isEmpty) None
-      else Some((ChunkIO.readParquetBatches(
-        new Path(s"${p.info.dir}${g.prefix}chunk${p.chunk}"), sch, conf), sch))
+      else Some((new Path(s"${p.info.dir}${g.prefix}chunk${p.chunk}"), sch))
     }
+    ChunkIO.openAll(specs.map { case (path, sch) =>
+      () => ChunkIO.readParquetBatches(path, sch, conf)
+    }).zip(specs.map(_._2))
   }
 
   /** Per-file batch readers for an edge chunk. Unlike the row path, the
@@ -52,19 +54,20 @@ object GraphArColumnar {
       .filter(f => requiredNames.contains(f.name)))
     val adj =
       if (adjSch.isEmpty) None
-      else Some((ChunkIO.readParquetBatches(
-        new Path(s"${p.info.adjDir(p.al)}adj_list/part${p.part}/chunk${p.chunk}"),
-        adjSch, conf), adjSch))
+      else Some((new Path(s"${p.info.adjDir(p.al)}adj_list/part${p.part}/chunk${p.chunk}"),
+        adjSch))
     val pgs = p.info.propertyGroups.flatMap { g =>
       val sch = StructType(g.properties
         .filter(pr => requiredNames.contains(pr.name))
         .map(pr => StructField(pr.name, GraphArMeta.sparkType(pr.dataType), pr.isNullable)))
       if (sch.isEmpty) None
-      else Some((ChunkIO.readParquetBatches(
-        new Path(s"${p.info.adjDir(p.al)}${g.prefix}part${p.part}/chunk${p.chunk}"),
-        sch, conf), sch))
+      else Some((new Path(s"${p.info.adjDir(p.al)}${g.prefix}part${p.part}/chunk${p.chunk}"),
+        sch))
     }
-    adj.toSeq ++ pgs
+    val specs = adj.toSeq ++ pgs
+    ChunkIO.openAll(specs.map { case (path, sch) =>
+      () => ChunkIO.readParquetBatches(path, sch, conf)
+    }).zip(specs.map(_._2))
   }
 }
 
@@ -86,8 +89,13 @@ class ColumnarChunkReader(open: () => Seq[(ChunkIO.BatchReader, StructType)],
                           totalRows: Long)
   extends PartitionReader[ColumnarBatch] {
 
-  private var opened = false
-  private lazy val groups = { val g = open(); opened = true; g }
+  // explicit var, not a lazy val: failed lazy init would re-run open()
+  // (re-opening files) when close() touches it after an error
+  private var groupsV: Seq[(ChunkIO.BatchReader, StructType)] = null
+  private def groups: Seq[(ChunkIO.BatchReader, StructType)] = {
+    if (groupsV == null) groupsV = open() // open() is leak-safe (openAll)
+    groupsV
+  }
 
   /** required field → Left(synthetic name) | Right((group, column)). */
   private lazy val fieldSources: Array[Either[String, (Int, Int)]] =
@@ -149,7 +157,10 @@ class ColumnarChunkReader(open: () => Seq[(ChunkIO.BatchReader, StructType)],
   }
 
   override def get(): ColumnarBatch = out
-  override def close(): Unit = if (opened) groups.foreach(_._1.close())
+  override def close(): Unit = if (groupsV != null) {
+    groupsV.foreach(_._1.close())
+    groupsV = null
+  }
 }
 
 /** Read-only view of `v` shifted by `off` rows — realigns

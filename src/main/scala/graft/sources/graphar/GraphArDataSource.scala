@@ -51,10 +51,21 @@ import graft.util.SerializableHadoopConf
 class GraphArDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graphar"
 
+  // Spark calls inferSchema then getTable on the SAME provider instance
+  // per load(); memoize the parsed yamls so table resolution costs one
+  // pass of driver-side FS round-trips, not two (GraphInfo loads every
+  // vertex/edge yaml of the graph)
+  @volatile private var cachedGraph: (String, GraphInfo) = _
+
   private def meta(options: CaseInsensitiveStringMap): (GraphInfo, Either[VertexInfo, EdgeInfo]) = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("option 'path' (graph yaml) is required"))
-    val g = GraphArMeta.loadGraph(path)
+    val cached = cachedGraph
+    val g = if (cached != null && cached._1 == path) cached._2 else {
+      val loaded = GraphArMeta.loadGraph(path)
+      cachedGraph = (path, loaded)
+      loaded
+    }
     val t = Option(options.get("type")).getOrElse(
       throw new IllegalArgumentException("option 'type' is required"))
     val which =
@@ -268,14 +279,8 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
       case (Right(e), Some((c, vid))) =>
         val al = if (c == GraphArMeta.DstIndexCol) e.adjList("dst").get
                  else e.adjList("src").get
-        val vcs = e.alignedChunkSize(al)
-        val n = e.alignedVertexCount(al, conf)
-        if (vid < 0 || vid >= n) 0L
-        else {
-          val offs = e.offsetsOfPart(al, vid / vcs, conf)
-          val local = (vid % vcs).toInt
-          if (local + 1 < offs.length) offs(local + 1) - offs(local) else 0L
-        }
+        // two offset entries, not the whole (≤1M-row) offset chunk
+        e.offsetPair(al, vid, conf).map { case (b, en) => en - b }.getOrElse(0L)
       case (Right(e), None) =>
         e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)
     }
@@ -378,18 +383,17 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
     idFilter match {
       case Some((_, vid)) =>
         val vcs = e.alignedChunkSize(al)
-        val nVerts = e.alignedVertexCount(al, conf)
-        if (vid < 0 || vid >= nVerts) return Array.empty
+        // two offset entries, not the whole offset chunk (the reference's
+        // single-vertex pushdown shape, edges_vertex.cpp:68-128)
+        val pair = e.offsetPair(al, vid, conf)
+        if (pair.isEmpty) return Array.empty
         val part = vid / vcs
-        val offsets = e.offsetsOfPart(al, part, conf)
-        val local = (vid % vcs).toInt
-        if (local + 1 >= offsets.length) return Array.empty
-        val begin = offsets(local)
+        val begin = pair.get._1
         // a fully-pushed LIMIT must also bound the id-seek slice (Spark
         // removes its own Limit operator when pushLimit succeeded);
         // guard: begin + MaxValue would overflow, so only add when set
-        val end = limit.map(l => math.min(offsets(local + 1), begin + l.toLong))
-          .getOrElse(offsets(local + 1))
+        val end = limit.map(l => math.min(pair.get._2, begin + l.toLong))
+          .getOrElse(pair.get._2)
         if (begin >= end) return Array.empty
         // adjacency chunks covering [begin, end) within this part
         (begin / cs to (end - 1) / cs).map { ck =>
@@ -545,12 +549,19 @@ abstract class ChunkZipReader(required: StructType, propFilters: Array[Filter],
     propFilters.isEmpty || statsCheckFiles.forall(
       PropFilters.parquetChunkCanMatch(_, propFilters.toSeq, conf))
 
-  private var itersOpened = false
-  private lazy val iters = {
-    val its = groupIters
-    its.foreach { case (it, _) => var i = 0L; while (i < rowStart && it.hasNext) { it.next(); i += 1 } }
-    itersOpened = true
-    its
+  // explicit var, NOT a lazy val: a failed lazy init would retry (and
+  // re-open files) when close() touches it after an error. The field is
+  // assigned BEFORE the seek loop, so close() on a failing task releases
+  // the already-open readers; groupIters itself is open-safe (openAll).
+  private var itersV: Seq[(ChunkIO.RowReader, StructType)] = null
+  private def iters: Seq[(ChunkIO.RowReader, StructType)] = {
+    if (itersV == null) {
+      itersV = groupIters
+      itersV.foreach { case (it, _) =>
+        var i = 0L; while (i < rowStart && it.hasNext) { it.next(); i += 1 }
+      }
+    }
+    itersV
   }
   private lazy val fieldSources: Array[Either[String, (Int, Int)]] =
     required.fields.map { f =>
@@ -626,8 +637,11 @@ abstract class ChunkZipReader(required: StructType, propFilters: Array[Filter],
     InternalRow.fromSeq(vals.toSeq)
     }
   // only close what was actually opened — close() on a never-advanced
-  // reader must not force the lazy file opens just to shut them
-  override def close(): Unit = if (itersOpened) iters.foreach(_._1.close())
+  // reader must not open files just to shut them
+  override def close(): Unit = if (itersV != null) {
+    itersV.foreach(_._1.close())
+    itersV = null
+  }
 }
 
 class VertexChunkReader(p: VertexChunkPartition, required: StructType,
@@ -648,16 +662,16 @@ class VertexChunkReader(p: VertexChunkPartition, required: StructType,
 
   override protected def groupIters: Seq[(ChunkIO.RowReader, StructType)] = {
     val requiredNames = required.fieldNames.toSet
-    p.info.propertyGroups.flatMap { g =>
+    val specs = p.info.propertyGroups.flatMap { g =>
       val sch = StructType(g.properties
         .filter(pr => requiredNames.contains(pr.name))
         .map(pr => StructField(pr.name, GraphArMeta.sparkType(pr.dataType), pr.isNullable)))
       if (sch.isEmpty) None // projection pushdown: skip whole group file
-      else {
-        val path = new Path(s"${p.info.dir}${g.prefix}chunk${p.chunk}")
-        Some((ChunkIO.readRows(path, g.fileType, sch, conf), sch))
-      }
+      else Some((new Path(s"${p.info.dir}${g.prefix}chunk${p.chunk}"), g.fileType, sch))
     }
+    ChunkIO.openAll(specs.map { case (path, ft, sch) =>
+      () => ChunkIO.readRows(path, ft, sch, conf)
+    }).zip(specs.map(_._3))
   }
 }
 
@@ -682,23 +696,22 @@ class EdgeChunkReader(p: EdgeChunkPartition, required: StructType,
     val adjSchemaAll = StructType(Seq(
       StructField(GraphArMeta.SrcIndexCol, LongType, nullable = false),
       StructField(GraphArMeta.DstIndexCol, LongType, nullable = false)))
-    val adjSch = StructType(adjSchemaAll.filter(f => requiredNames.contains(f.name)))
-    val adjPath = new Path(s"${p.info.adjDir(p.al)}adj_list/part${p.part}/chunk${p.chunk}")
+    val adjSch0 = StructType(adjSchemaAll.filter(f => requiredNames.contains(f.name)))
+    val adjSch = if (adjSch0.isEmpty) adjSchemaAll else adjSch0
     // always open the adjacency file (it drives row positions even if only
     // properties are projected)
-    val adj = (ChunkIO.readRows(adjPath, p.al.fileType,
-      if (adjSch.isEmpty) adjSchemaAll else adjSch, conf),
-      if (adjSch.isEmpty) adjSchemaAll else adjSch)
-    val pgs = p.info.propertyGroups.flatMap { g =>
-      val sch = StructType(g.properties
-        .filter(pr => requiredNames.contains(pr.name))
-        .map(pr => StructField(pr.name, GraphArMeta.sparkType(pr.dataType), pr.isNullable)))
-      if (sch.isEmpty) None
-      else {
-        val path = new Path(s"${p.info.adjDir(p.al)}${g.prefix}part${p.part}/chunk${p.chunk}")
-        Some((ChunkIO.readRows(path, g.fileType, sch, conf), sch))
+    val adjPath = new Path(s"${p.info.adjDir(p.al)}adj_list/part${p.part}/chunk${p.chunk}")
+    val specs = (adjPath, p.al.fileType, adjSch) +:
+      p.info.propertyGroups.flatMap { g =>
+        val sch = StructType(g.properties
+          .filter(pr => requiredNames.contains(pr.name))
+          .map(pr => StructField(pr.name, GraphArMeta.sparkType(pr.dataType), pr.isNullable)))
+        if (sch.isEmpty) None
+        else Some((new Path(s"${p.info.adjDir(p.al)}${g.prefix}part${p.part}/chunk${p.chunk}"),
+          g.fileType, sch))
       }
-    }
-    adj +: pgs
+    ChunkIO.openAll(specs.map { case (path, ft, sch) =>
+      () => ChunkIO.readRows(path, ft, sch, conf)
+    }).zip(specs.map(_._3))
   }
 }

@@ -99,7 +99,7 @@ object GraphArWriteSupport {
       } else {
         GraphArWriter.writeVertices(df, base, spec)
       }
-      updateGraphYaml(existing, base, graphName, addVertex = Some(t), addEdge = None)
+      updateGraphYaml(yamlPath, base, graphName, addVertex = Some(t), addEdge = None, conf)
     } else {
       // ---------------------------------------------------------- edges
       val src = Option(options.get("src")).getOrElse(
@@ -139,8 +139,8 @@ object GraphArWriteSupport {
       } else {
         GraphArWriter.writeEdges(df, base, spec)
       }
-      updateGraphYaml(existing, base, graphName,
-        addVertex = None, addEdge = Some(spec.name))
+      updateGraphYaml(yamlPath, base, graphName,
+        addVertex = None, addEdge = Some(spec.name), conf)
     }
   }
 
@@ -170,17 +170,25 @@ object GraphArWriteSupport {
     fs.delete(stagePath, true)
   }
 
-  /** Rewrite `<base>/<graph>.yaml` with the union of the graph's current
-    * types and the one just written (idempotent on overwrite).
+  /** Rewrite `<base>/<graph>.yaml` with the union of the graph's CURRENT
+    * types and the one just written (idempotent on overwrite). The yaml
+    * is re-loaded here, not taken from the pre-job snapshot — a
+    * concurrent write of another type that committed while this job ran
+    * must not be erased (the race narrows to the metadata rewrite).
     */
-  private def updateGraphYaml(existing: Option[GraphInfo], base: String,
+  private def updateGraphYaml(yamlPath: String, base: String,
                               graphName: String, addVertex: Option[String],
-                              addEdge: Option[String]): Unit = {
-    val vts = existing.map(_.vertices.map(_.vertexType)).getOrElse(Seq.empty)
-    val ens = existing.map(_.edges.map(e => s"${e.srcType}_${e.edgeType}_${e.dstType}"))
+                              addEdge: Option[String],
+                              conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new Path(yamlPath)
+    val fresh =
+      if (p.getFileSystem(conf).exists(p)) Some(GraphArMeta.loadGraph(yamlPath, conf))
+      else None
+    val vts = fresh.map(_.vertices.map(_.vertexType)).getOrElse(Seq.empty)
+    val ens = fresh.map(_.edges.map(e => s"${e.srcType}_${e.edgeType}_${e.dstType}"))
       .getOrElse(Seq.empty)
     GraphArWriter.writeGraphYaml(base, graphName,
-      (vts ++ addVertex).distinct, (ens ++ addEdge).distinct)
+      (vts ++ addVertex).distinct, (ens ++ addEdge).distinct, conf)
   }
 }
 

@@ -227,25 +227,30 @@ object GraphArWriter {
         }
         try {
           var lastAligned = -1L
-          it.foreach { case ((aligned, _), row) =>
-            if (aligned < partStartVertex || aligned >= partStartVertex + vertsInPart)
-              throw new IllegalArgumentException(
-                s"edge ${if (alignedBy == "src") "src" else "dst"} id $aligned " +
-                  s"outside the declared aligned vertex count $alignedCount")
-            if (edgeCount % cs == 0) roll()
-            val s = row.getLong(srcIdx); val d = row.getLong(dstIdx)
-            adjSink.write(Array[Any](s, d))
-            if (propSink != null)
-              propSink.write(propIdxs.map(i => toIo(row, i, schema)).toArray)
-            // advance cumulative offsets for vertices in (lastAligned, aligned]
-            val local = (aligned - partStartVertex).toInt
-            var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
-            while (v <= local) { offsets(v) = edgeCount; v += 1 }
-            lastAligned = aligned
-            edgeCount += 1
+          try {
+            it.foreach { case ((aligned, _), row) =>
+              if (aligned < partStartVertex || aligned >= partStartVertex + vertsInPart)
+                throw new IllegalArgumentException(
+                  s"edge ${if (alignedBy == "src") "src" else "dst"} id $aligned " +
+                    s"outside the declared aligned vertex count $alignedCount")
+              if (edgeCount % cs == 0) roll()
+              val s = row.getLong(srcIdx); val d = row.getLong(dstIdx)
+              adjSink.write(Array[Any](s, d))
+              if (propSink != null)
+                propSink.write(propIdxs.map(i => toIo(row, i, schema)).toArray)
+              // advance cumulative offsets for vertices in (lastAligned, aligned]
+              val local = (aligned - partStartVertex).toInt
+              var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
+              while (v <= local) { offsets(v) = edgeCount; v += 1 }
+              lastAligned = aligned
+              edgeCount += 1
+            }
+          } finally {
+            // close BEFORE commit/abort: a throw above must not leak the
+            // sink handles (abort deletes the staged files underneath them)
+            if (adjSink != null) { adjSink.close(); adjSink = null }
+            if (propSink != null) { propSink.close(); propSink = null }
           }
-          if (adjSink != null) adjSink.close()
-          if (propSink != null) propSink.close()
           // fill trailing boundaries (zero chunks is valid; the offset
           // table then says all-empty)
           var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
@@ -265,7 +270,14 @@ object GraphArWriter {
   private def toIo(row: Row, i: Int, schema: StructType): Any = {
     if (row.isNullAt(i)) null
     else schema(i).dataType match {
-      case DateType => row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt
+      // spark.sql.datetime.java8API.enabled decides which date class
+      // rows carry — handle both, don't hard-cast
+      case DateType => row.get(i) match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+        case other => throw new IllegalArgumentException(
+          s"unexpected date representation: ${other.getClass}")
+      }
       case _ => row.get(i)
     }
   }
@@ -340,7 +352,8 @@ object GraphArWriter {
   }
 
   def writeGraphYaml(baseDir: String, name: String, vertexTypes: Seq[String],
-                     edgeNames: Seq[String]): String = {
+                     edgeNames: Seq[String],
+                     conf: Configuration = new Configuration()): String = {
     val sb = new StringBuilder
     sb.append(s"name: $name\n")
     sb.append("vertices: \n")
@@ -349,7 +362,9 @@ object GraphArWriter {
     edgeNames.foreach(e => sb.append(s"  - $e.edge.yaml\n"))
     sb.append("version: gar/v1\n")
     val p = s"$baseDir/$name.yaml"
-    writeText(new Path(p), sb.toString)
+    // conf matters: the graph yaml is the entry point — it must land on
+    // the same filesystem/credentials as the data the session wrote
+    writeText(new Path(p), sb.toString, conf)
     p
   }
 }

@@ -105,8 +105,26 @@ object PropFilters {
   /** Per-column [min, max] + hasNulls from one parquet row group. */
   private final case class ColStats(min: Any, max: Any, hasNulls: Boolean)
 
+  /** Parquet min/max statistics EXCLUDE NaN (per spec), while Spark
+    * orders NaN above every value and NaN = NaN is true — so min/max
+    * reasoning is unsound for float/double comparisons (a chunk whose
+    * stats say max=2.0 may hold NaN rows that match `> 5.0`). Those
+    * filters never skip on stats; the per-row test (Double.compare ==
+    * Spark's NaN order) still applies.
+    */
+  private def fpLiteral(v: Any): Boolean = norm(v) match {
+    case _: java.lang.Float | _: java.lang.Double => true
+    case _ => false
+  }
+
   /** Can this row group possibly satisfy `f`? Missing stats → true. */
   private def canMatch(f: Filter, stats: Map[String, ColStats]): Boolean = f match {
+    case EqualTo(_, v) if fpLiteral(v) => true
+    case GreaterThan(_, v) if fpLiteral(v) => true
+    case GreaterThanOrEqual(_, v) if fpLiteral(v) => true
+    case LessThan(_, v) if fpLiteral(v) => true
+    case LessThanOrEqual(_, v) if fpLiteral(v) => true
+    case In(_, vs) if vs.exists(fpLiteral) => true
     case EqualTo(c, v) => stats.get(c).forall(s =>
       cmp(v, s.min).forall(_ >= 0) && cmp(v, s.max).forall(_ <= 0))
     case GreaterThan(c, v) => stats.get(c).forall(s => cmp(s.max, v).forall(_ > 0))

@@ -43,7 +43,7 @@ object GraphArSink {
             chunkSize = chunkSize,
             srcChunkSize = vertexChunkSize, dstChunkSize = vertexChunkSize))
         val yaml = graft.sources.graphar.GraphArWriter.writeGraphYaml(
-          dir, graphName, Seq.empty, Seq(s"${srcType}_${edgeType}_$dstType"))
+          dir, graphName, Seq.empty, Seq(s"${srcType}_${edgeType}_$dstType"), conf)
         commitLatest(base, yaml, conf)
     }
 
