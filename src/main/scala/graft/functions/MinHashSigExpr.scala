@@ -62,7 +62,11 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int)
     var hi = text.length
     while (lo < hi && text.charAt(lo) == ' ') lo += 1
     while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
-    val toks = text.substring(lo, hi).toLowerCase(Locale.ROOT).split("\\s+")
+    // limit -1: KEEP trailing empty tokens — Spark's split (and DuckDB's
+    // regexp_split_to_array) keep them, and text ending in non-space
+    // whitespace survives the space-only trim above; Java's default
+    // limit 0 would drop them and diverge from the declarative spec
+    val toks = text.substring(lo, hi).toLowerCase(Locale.ROOT).split("\\s+", -1)
     if (toks.length < n) return null
     val seen = new java.util.HashSet[String]()
     val mins = Array.fill(k)(Long.MaxValue)

@@ -89,11 +89,16 @@ object GraphSqlFunctions {
     * Refuses graphs whose edge-count METADATA exceeds `maxBroadcastEdges`
     * (checked before any scan or collect, so an oversized graph costs one
     * metadata read, not a driver OOM); the error names the distributed
-    * alternative. Override the bound consciously for big executors.
+    * alternative. The default is sized for what `buildCsr`'s collect
+    * actually materializes on the driver — BOXED java.lang.Long elements
+    * inside Row/WrappedArray (~50-80 bytes per edge transiently, an
+    * order of magnitude above the final 8-byte CSR entry) — so ~8M edges
+    * is a few hundred MB of driver heap. Override consciously for big
+    * drivers.
     */
   def register(spark: SparkSession, graph: GraphArGraph, prefix: String = "",
                maxDepth: Int = 15,
-               maxBroadcastEdges: Long = 50_000_000L): Broadcast[Csr] = {
+               maxBroadcastEdges: Long = 8_000_000L): Broadcast[Csr] = {
     val e = graph.info.edges.head
     val conf = spark.sessionState.newHadoopConf()
     val nEdges = e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)

@@ -18,7 +18,12 @@ object Bucketed {
     * creating them on first use per (session, sf).
     */
   def tables(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = synchronized {
-    val sfName = new java.io.File(sfDir).getName.replace(".", "_")
+    // key on the FULL canonical path (hashed into the table name):
+    // basename-only keys would silently reuse another dir's buckets when
+    // two data dirs share a basename (/x/sf0.01 vs /y/sf0.01)
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val sfName = new java.io.File(sfDir).getName.replace(".", "_") + "_" +
+      Integer.toHexString(canonical.hashCode)
     val (liName, oName) = (s"li_bucketed_$sfName", s"orders_bucketed_$sfName")
     val key = spark.hashCode() + "/" + sfName
     if (!registered.contains(key) || !spark.catalog.tableExists(liName)) {

@@ -66,6 +66,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
                       threshold: Double = 0.25,
                       maxBandBucket: Long = Long.MaxValue): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands (else sig minima are silently unused)")
     val r = k / bands
     // Signatures via the compiled one-pass expression (MinHashSigExpr —
     // same integers as the declarative spec, ~10× faster), lazily cached:
@@ -153,7 +155,10 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band bucketing guarantees recall only to Hamming 3")
-    val sigs = simhashSignatures(docs).localCheckpoint(true) // feeds 3 branches
+    // lazy: feeds 3 branches, first touching action materializes once
+    // (eager would run a full tokenize+simhash job at plan-build time)
+    val sigs = simhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band key b = bits [8b, 8b+8) = floor(sig / 2^(8b)) % 256 — plain
     // arithmetic (sig < 2^32, exact in double) so DuckDB's `>> &` mirrors it
     val banded = sigs.select(col("doc_id"),

@@ -89,9 +89,11 @@ object Pipeline {
            |WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM verified WHERE jac >= 0.25)""".stripMargin,
 
       "p_train_mix" ->
+        // TRY_CAST: a digitless source gives '' — Spark's cast yields
+        // null (→ rate 25); a plain CAST here would abort the query
         """WITH r AS (
           |  SELECT doc_id, source, lang,
-          |    CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+          |    CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
           |      THEN 50 ELSE 25 END AS mix_rate
           |  FROM documents)
           |SELECT doc_id, source, lang, mix_rate FROM r

@@ -66,17 +66,47 @@ object Similarity {
     * for recall (each vector belongs to exactly one cluster, so probe
     * candidate sets are disjoint).
     */
-  def ivfTopK(emb: DataFrame, queryIds: Column, k: Int, modulo: Int = 40,
-              nProbe: Int = 1): DataFrame = {
-    val cent = emb.filter(col("vec_id") % modulo === 0)
+  // -------- shared ANN subtrees: recompute probes, index BUILD, and
+  // stored PROBES all derive from these — they must stay bit-identical
+  // or a persisted index disagrees with its probes. One copy each.
+
+  /** Deterministic centroid set: the `vec_id % modulo == 0` subset. */
+  private def ivfCentroids(emb: DataFrame, modulo: Int): DataFrame =
+    emb.filter(col("vec_id") % modulo === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    // map-side assignment: broadcast centroids, ranked by cosine (tie → c_id);
-    // materialized once — it feeds the query and probe branches
+
+  /** Rank each vector's centroids by cosine (tie → c_id): map-side
+    * broadcast join → (vec_id, embedding, c_id, arank).
+    */
+  private def ivfRanked(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val ranked = emb.join(broadcast(cent), lit(true))
+    vecs.join(broadcast(cent), lit(true))
       .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
       .withColumn("arank", row_number().over(aw))
       .select(col("vec_id"), col("embedding"), col("c_id"), col("arank"))
+  }
+
+  /** Corpus-drawn hyperplanes: vec_ids hpBase..hpBase+nBits-1. */
+  private def lshHyperplanes(emb: DataFrame, nBits: Int, hpBase: Long): DataFrame =
+    emb.filter(col("vec_id") >= hpBase && col("vec_id") < hpBase + nBits)
+      .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"))
+
+  /** Sign-of-dot bit value for one (embedding, hyperplane) pairing. */
+  private def lshBit(embC: Column, hEmb: Column, hId: Column, hpBase: Long): Column =
+    when(dot(embC, hEmb) > 0,
+      pow(lit(2.0), hId - hpBase).cast("long")).otherwise(lit(0L))
+
+  /** Full sign signatures: (vec_id, bucket). */
+  private def lshSignatures(emb: DataFrame, hp: DataFrame, hpBase: Long): DataFrame =
+    emb.join(broadcast(hp), lit(true))
+      .withColumn("bit", lshBit(col("embedding"), col("h_emb"), col("h_id"), hpBase))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+
+  def ivfTopK(emb: DataFrame, queryIds: Column, k: Int, modulo: Int = 40,
+              nProbe: Int = 1): DataFrame = {
+    val cent = ivfCentroids(emb, modulo)
+    // assignment materialized once — it feeds the query and probe branches
+    val ranked = ivfRanked(emb, cent)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
     val assigned = ranked.filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
@@ -103,13 +133,7 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryIds: Column, k: Int, nBits: Int = 8,
               hpBase: Long = 100): DataFrame = {
-    val hp = emb.filter(col("vec_id") >= hpBase && col("vec_id") < hpBase + nBits)
-      .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"))
-    val sigs = emb.join(broadcast(hp), lit(true))
-      .withColumn("bit",
-        when(dot(col("embedding"), col("h_emb")) > 0,
-          pow(lit(2.0), col("h_id") - hpBase).cast("long")).otherwise(lit(0L)))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    val sigs = lshSignatures(emb, lshHyperplanes(emb, nBits, hpBase), hpBase)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // signature subtree feeds two join branches
     val bucketed = emb.join(sigs, "vec_id")
     val q = bucketed.filter(queryIds)
@@ -133,13 +157,7 @@ object Similarity {
     */
   def lshTopKMultiProbe(emb: DataFrame, queryIds: Column, k: Int,
                         nBits: Int = 8, hpBase: Long = 100): DataFrame = {
-    val hp = emb.filter(col("vec_id") >= hpBase && col("vec_id") < hpBase + nBits)
-      .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"))
-    val sigs = emb.join(broadcast(hp), lit(true))
-      .withColumn("bit",
-        when(dot(col("embedding"), col("h_emb")) > 0,
-          pow(lit(2.0), col("h_id") - hpBase).cast("long")).otherwise(lit(0L)))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    val sigs = lshSignatures(emb, lshHyperplanes(emb, nBits, hpBase), hpBase)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = emb.join(sigs, "vec_id")
     // probes = own bucket + each single-bit flip
@@ -170,12 +188,8 @@ object Similarity {
     * (nearest centroid), `dir/centroids` as a small side table.
     */
   def writeIvfIndex(emb: DataFrame, dir: String, modulo: Int = 40): Unit = {
-    val cent = emb.filter(col("vec_id") % modulo === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    emb.join(broadcast(cent), lit(true))
-      .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
-      .withColumn("arank", row_number().over(aw))
+    val cent = ivfCentroids(emb, modulo)
+    ivfRanked(emb, cent)
       .filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors")
@@ -190,11 +204,7 @@ object Similarity {
   def ivfTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
                     k: Int, nProbe: Int = 1): DataFrame = {
     val cent = spark.read.parquet(s"$dir/centroids")
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val q = queries.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cent), lit(true))
-      .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
-      .withColumn("arank", row_number().over(aw))
+    val q = ivfRanked(queries.select(col("vec_id"), col("embedding")), cent)
       .filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("c_id").as("q_probe"))
@@ -202,7 +212,10 @@ object Similarity {
     val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
     val scored = spark.read.parquet(s"$dir/vectors")
       .where(col("cluster").isin(probes: _*)) // static partition pruning
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cluster"))
+      // partition-column inference can narrow cluster to INT; the
+      // recompute variant returns LONG — keep the schemas identical
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("cluster").cast("long").as("cluster"))
       .join(broadcast(q), col("cluster") === col("q_probe") && col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -217,13 +230,8 @@ object Similarity {
     */
   def writeLshIndex(emb: DataFrame, dir: String, nBits: Int = 8,
                     hpBase: Long = 100): Unit = {
-    val hp = emb.filter(col("vec_id") >= hpBase && col("vec_id") < hpBase + nBits)
-      .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"))
-    val sigs = emb.join(broadcast(hp), lit(true))
-      .withColumn("bit",
-        when(dot(col("embedding"), col("h_emb")) > 0,
-          pow(lit(2.0), col("h_id") - hpBase).cast("long")).otherwise(lit(0L)))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    val hp = lshHyperplanes(emb, nBits, hpBase)
+    val sigs = lshSignatures(emb, hp, hpBase)
     emb.join(sigs, "vec_id")
       .select(col("vec_id"), col("embedding"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/vectors")
@@ -238,9 +246,7 @@ object Similarity {
     val hp = spark.read.parquet(s"$dir/hyperplanes")
     val q = queries.select(col("vec_id"), col("embedding"))
       .join(broadcast(hp), lit(true))
-      .withColumn("bit",
-        when(dot(col("embedding"), col("h_emb")) > 0,
-          pow(lit(2.0), col("h_id") - hpBase).cast("long")).otherwise(lit(0L)))
+      .withColumn("bit", lshBit(col("embedding"), col("h_emb"), col("h_id"), hpBase))
       .groupBy(col("vec_id"))
       // embedding is identical across a vec_id's hp rows; first() is exact
       .agg(sum(col("bit")).as("q_bucket"), first(col("embedding")).as("q_emb"))
@@ -249,7 +255,9 @@ object Similarity {
     val probes = q.select(col("q_bucket")).distinct().collect().map(_.getLong(0))
     val scored = spark.read.parquet(s"$dir/vectors")
       .where(col("bucket").isin(probes: _*)) // static partition pruning
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+      // cast: partition-column inference can narrow bucket to INT
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("bucket").cast("long").as("bucket"))
       .join(broadcast(q), col("bucket") === col("q_bucket") && col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -262,7 +270,11 @@ object Similarity {
     * GraphArQueries.fixture): IVF + LSH layouts under /tmp/graft_ann.
     */
   def indexDir(spark: SparkSession, sfDir: String): String = synchronized {
-    val name = new java.io.File(sfDir).getName
+    // full-path hash in the fixture key: basename-only would reuse a
+    // DIFFERENT corpus's index when two data dirs share a basename
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_" +
+      Integer.toHexString(canonical.hashCode)
     val base = s"/tmp/graft_ann/$name"
     val marker = new org.apache.hadoop.fs.Path(s"$base/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)

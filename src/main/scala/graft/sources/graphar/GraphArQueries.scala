@@ -27,7 +27,11 @@ object GraphArQueries {
     * yaml path. Deterministic location derived from the sf name.
     */
   def fixture(spark: SparkSession, sfDir: String): String = synchronized {
-    val name = new java.io.File(sfDir).getName
+    // full-path hash: basename-only fixture keys would reuse a stale
+    // graph when two data dirs share a basename
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_" +
+      Integer.toHexString(canonical.hashCode)
     val base = s"/tmp/graft_graphar/$name"
     val yaml = s"$base/TestGraph.yaml"
     val marker = new Path(s"$base/_SUCCESS")

@@ -129,11 +129,17 @@ object EventStreams {
             } else if (e.ts.getTime - st.lastTs.getTime > gapSeconds * 1000) {
               out += Session(userId, st.sessionStart, st.lastTs, st.nEvents, st.totalValue)
               st = SessionState(e.ts, e.ts, 1L, e.value)
+            } else if (st.sessionStart.getTime - e.ts.getTime > gapSeconds * 1000) {
+              // cross-batch event more than a gap OLDER than the current
+              // session's start: the batch twin (globally sorted) would
+              // have closed it as its own earlier session — emit it as
+              // one, leave the current session untouched
+              out += Session(userId, e.ts, e.ts, 1L, e.value)
             } else {
-              // a late (cross-batch out-of-order) event must not move
-              // lastTs backwards (false session split) and must pull
-              // sessionStart back if it precedes it (matching the batch
-              // twin, which sees globally sorted events)
+              // a late (cross-batch out-of-order) event within the gap
+              // must not move lastTs backwards (false session split) and
+              // pulls sessionStart back if it precedes it (matching the
+              // batch twin, which sees globally sorted events)
               val last = if (e.ts.getTime > st.lastTs.getTime) e.ts else st.lastTs
               val start = if (e.ts.getTime < st.sessionStart.getTime) e.ts else st.sessionStart
               st = SessionState(start, last, st.nEvents + 1, st.totalValue + e.value)

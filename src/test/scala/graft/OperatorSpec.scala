@@ -106,6 +106,28 @@ class OperatorSpec extends AnyFunSuite {
     }, s"misaligned zip: ${rows.take(20)}")
   }
 
+  test("minhash kernel matches declarative spec on whitespace edge cases") {
+    import spark.implicits._
+    import graft.functions.{MinHashSigExpr, TextFunctions}
+    // trailing \n survives the space-only trim → Spark split keeps a
+    // trailing empty token; the kernel must tokenize identically
+    val docs = Seq(
+      "alpha beta gamma delta",
+      "alpha beta gamma delta\n",      // trailing non-space whitespace
+      "\talpha beta gamma",            // leading non-space whitespace
+      "  alpha beta gamma  ",          // space-trimmed clean
+      "a  b\t\tc d").toDF("text")
+    val toks = TextFunctions.tokens(col("text"))
+    val spec = when(size(toks) >= 3,
+      TextFunctions.minhashSignature(
+        array_distinct(TextFunctions.shingles(toks, 3)), 8))
+    val diff = docs.select(
+        MinHashSigExpr.minhashSig(col("text")).as("kernel"), spec.as("spec"))
+      .filter(col("kernel").cast("string") =!= col("spec").cast("string") ||
+        col("kernel").isNull =!= col("spec").isNull)
+    assert(diff.count() === 0, diff.collect().mkString(";"))
+  }
+
   test("compiled dot/cosine expressions match the HOF spec bit-for-bit") {
     val emb = Tables.t(spark, sf, "embeddings").limit(200)
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
