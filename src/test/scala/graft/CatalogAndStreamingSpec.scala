@@ -100,4 +100,32 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
       assert(all.nonEmpty)
     } finally q.stop()
   }
+
+  test("sessionize: cross-batch event a gap OLDER than session start becomes its own session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("late_sess_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Event(1L, ts(5000), 7L, "click", 1.0)) // batch 1: t=5000
+      q.processAllAvailable()
+      stream.addData(Event(2L, ts(0), 7L, "click", 2.0))    // batch 2: t=0, 5000s older
+      q.processAllAvailable()
+      // flush the open session via a far-future event
+      stream.addData(Event(3L, ts(100000), 7L, "click", 3.0))
+      q.processAllAvailable()
+      val sessions = spark.table("late_sess_out").as[EventStreams.Session]
+        .collect().sortBy(_.session_start.getTime)
+      // batch twin (globally sorted) sees [0,0] and [5000,5000]: two
+      // sessions — the late event must NOT merge into [0,5000]
+      assert(sessions.length === 2, sessions.mkString(";"))
+      assert(sessions(0).session_start === ts(0) && sessions(0).session_end === ts(0)
+        && sessions(0).n_events === 1L)
+      assert(sessions(1).session_start === ts(5000) && sessions(1).session_end === ts(5000))
+    } finally q.stop()
+  }
 }
