@@ -16,6 +16,13 @@ object Tables {
     * Spark's vectorized reader rejects. Read them as raw nanos
     * (legacy.parquet.nanosAsLong) and truncate to microsecond
     * TimestampType — all downstream uses truncate to >= second anyway.
+    *
+    * KNOWN TRADE: the conf flip is session-wide and deliberately NOT
+    * restored — nanosAsLong is consulted at physical-planning time (an
+    * action on this lazy frame), so a save/restore around the read would
+    * race the plan; there is no per-read option for it. Other
+    * TIMESTAMP(NANOS) parquet in the same session will also surface as
+    * LongType.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -36,18 +36,32 @@ class GraphArCatalog extends TableCatalog {
     catalogName = name
     val path = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       s"catalog $name: option 'spark.sql.catalog.$name.path' (graph yaml) is required"))
-    graph = GraphArMeta.loadGraph(path)
+    // SESSION Hadoop conf: the graph may live on s3a/hdfs with
+    // credentials configured via spark.hadoop.* — a default
+    // Configuration would silently drop them
+    graph = GraphArMeta.loadGraph(path,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   }
 
   override def name(): String = catalogName
 
+  /** Only the default (empty) namespace exists — the TableCatalog
+    * contract wants unknown namespaces to ERROR, not silently resolve.
+    */
+  private def requireDefaultNs(namespace: Array[String]): Unit =
+    if (namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        Seq(catalogName) ++ namespace.toSeq)
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireDefaultNs(namespace)
     val vs = graph.vertices.map(v => Identifier.of(namespace, s"${v.vertexType}.vertex"))
     val es = graph.edges.map(e => Identifier.of(namespace, s"${e.name}.edge"))
     (vs ++ es).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
+    requireDefaultNs(ident.namespace())
     val n = ident.name()
     graph.vertices.find(v => s"${v.vertexType}.vertex" == n)
       .map(new GraphArVertexTable(_))

@@ -22,7 +22,8 @@ import graft.meta.{EdgeInfo, GraphArMeta, GraphInfo}
   */
 final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
 
-  val info: GraphInfo = GraphArMeta.loadGraph(yamlPath)
+  val info: GraphInfo =
+    GraphArMeta.loadGraph(yamlPath, spark.sessionState.newHadoopConf())
 
   def vertices(vertexType: String): DataFrame =
     spark.read.format("graphar").option("path", yamlPath)
@@ -60,7 +61,7 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
     val al = e.adjList(alignedBy).getOrElse(throw new IllegalArgumentException(
       s"edge ${e.name} has no ordered_by_$alignedBy layout"))
     val conf = sessionConf
-    val serConf = new graft.util.SerializableHadoopConf(conf)
+    val serConf = graft.util.SerializableHadoopConf(conf)
     val nParts = e.numParts(al, conf).toInt
     val vcs = e.alignedChunkSize(al)
     val rows = spark.sparkContext

@@ -175,8 +175,11 @@ object GraphArMeta {
   /** Read a single-int64-column chunk file (offset tables). */
   def readInt64Column(path: Path, fileType: String, conf: Configuration): Array[Long] = {
     val schema = StructType(Seq(StructField("_graphArOffset", LongType, nullable = false)))
-    graft.sources.graphar.ChunkIO.readRows(path, fileType, schema, conf)
-      .map(_(0).asInstanceOf[Long]).toArray
+    val it = graft.sources.graphar.ChunkIO.readRows(path, fileType, schema, conf)
+    // finally-close: a throw mid-read (corrupt chunk) must not leak the
+    // handle — these run inside executor flatMaps (degreesFast)
+    try it.map(_(0).asInstanceOf[Long]).toArray
+    finally it.close()
   }
 
   /** Read `count` entries of an int64-column chunk starting at `start`,
@@ -220,7 +223,11 @@ object GraphArMeta {
 
   def loadVertexInfo(path: Path, baseDir: String, conf: Configuration): VertexInfo = {
     val m = loadYaml(path, conf)
-    VertexInfo(str(m, "type"), lng(m, "chunk_size"), str(m, "prefix"),
+    val t = str(m, "type")
+    // GraphAr treats top-level prefix as optional with a conventional
+    // default — a missing key must not become a literal "null" segment
+    val prefix = Option(str(m, "prefix")).getOrElse(s"vertex/$t/")
+    VertexInfo(t, lng(m, "chunk_size"), prefix,
       parsePropertyGroups(m), baseDir)
   }
 
@@ -230,9 +237,11 @@ object GraphArMeta {
       GarAdjList(str(a, "aligned_by"), bool(a, "ordered", dflt = true),
         str(a, "file_type"), Option(str(a, "prefix")).getOrElse(""))
     }
-    EdgeInfo(str(m, "src_type"), str(m, "edge_type"), str(m, "dst_type"),
+    val (s, t, d) = (str(m, "src_type"), str(m, "edge_type"), str(m, "dst_type"))
+    val prefix = Option(str(m, "prefix")).getOrElse(s"edge/${s}_${t}_$d/")
+    EdgeInfo(s, t, d,
       bool(m, "directed", dflt = true), lng(m, "chunk_size"),
-      lng(m, "src_chunk_size"), lng(m, "dst_chunk_size"), str(m, "prefix"),
+      lng(m, "src_chunk_size"), lng(m, "dst_chunk_size"), prefix,
       adj, parsePropertyGroups(m), baseDir)
   }
 

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.meta._
-import graft.util.SerializableHadoopConf
+import org.apache.spark.util.SerializableConfiguration
 
 /** Spark DataSource V2 connector for Apache GraphAr graphs.
   *
@@ -62,7 +62,9 @@ class GraphArDataSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("option 'path' (graph yaml) is required"))
     val cached = cachedGraph
     val g = if (cached != null && cached._1 == path) cached._2 else {
-      val loaded = GraphArMeta.loadGraph(path)
+      // session conf: yaml may live behind spark.hadoop.*-configured fs
+      val loaded = GraphArMeta.loadGraph(path,
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
       cachedGraph = (path, loaded)
       loaded
     }
@@ -179,7 +181,7 @@ class GraphArScanBuilder(info: Either[VertexInfo, EdgeInfo])
   private val fullSchema = info.fold(_.schema, _.schema)
   // session conf captured at planning time so executor-side chunk I/O
   // keeps S3/HDFS credentials and fs.* settings (not a default conf)
-  private val serConf = new SerializableHadoopConf(
+  private val serConf = graft.util.SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -250,7 +252,7 @@ class GraphArScanBuilder(info: Either[VertexInfo, EdgeInfo])
 class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
                   idFilter: Option[(String, Long)], propFilters: Array[Filter],
                   limit: Option[Int], countStar: Boolean,
-                  serConf: SerializableHadoopConf)
+                  serConf: SerializableConfiguration)
   extends Scan with Batch with SupportsReportStatistics {
 
   private def conf = serConf.value
@@ -456,7 +458,7 @@ case class EdgeChunkPartition(info: EdgeInfo, al: GarAdjList, part: Long,
                               chunk: Long, rowStart: Long, rowEnd: Long) extends InputPartition
 
 class GraphArReaderFactory(required: StructType, propFilters: Array[Filter],
-                           serConf: SerializableHadoopConf, columnar: Boolean)
+                           serConf: SerializableConfiguration, columnar: Boolean)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -527,7 +529,7 @@ class SingleRowReader(n: Long) extends PartitionReader[InternalRow] {
   * unopened; surviving chunks emit only rows that pass the predicates.
   */
 abstract class ChunkZipReader(required: StructType, propFilters: Array[Filter],
-                              serConf: SerializableHadoopConf)
+                              serConf: SerializableConfiguration)
   extends PartitionReader[InternalRow] {
   protected def conf: Configuration = serConf.value
 
@@ -645,7 +647,7 @@ abstract class ChunkZipReader(required: StructType, propFilters: Array[Filter],
 }
 
 class VertexChunkReader(p: VertexChunkPartition, required: StructType,
-                        propFilters: Array[Filter], serConf: SerializableHadoopConf)
+                        propFilters: Array[Filter], serConf: SerializableConfiguration)
   extends ChunkZipReader(required, propFilters, serConf) {
   override protected def rowStart: Long = p.rowStart
   override protected def rowEnd: Long = p.rowEnd
@@ -676,7 +678,7 @@ class VertexChunkReader(p: VertexChunkPartition, required: StructType,
 }
 
 class EdgeChunkReader(p: EdgeChunkPartition, required: StructType,
-                      propFilters: Array[Filter], serConf: SerializableHadoopConf)
+                      propFilters: Array[Filter], serConf: SerializableConfiguration)
   extends ChunkZipReader(required, propFilters, serConf) {
   override protected def rowStart: Long = p.rowStart
   override protected def rowEnd: Long = p.rowEnd

@@ -103,7 +103,7 @@ object GraphArWriter {
   def writeVertices(df: DataFrame, baseDir: String, spec: VertexSpec,
                     groups: Seq[(String, Seq[String])] = Seq.empty): Long = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
-    val serConf = new graft.util.SerializableHadoopConf(conf)
+    val serConf = graft.util.SerializableHadoopConf(conf)
     val schema = df.schema
     val effGroups: Seq[(String, Seq[String])] =
       if (groups.nonEmpty) groups else Seq("props" -> schema.fieldNames.toSeq)
@@ -162,7 +162,7 @@ object GraphArWriter {
     */
   def writeEdges(df: DataFrame, baseDir: String, spec: EdgeSpec): Long = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
-    val serConf = new graft.util.SerializableHadoopConf(conf)
+    val serConf = graft.util.SerializableHadoopConf(conf)
     val schema = df.schema
     val propFields = schema.fields.filterNot(f => f.name == "src" || f.name == "dst")
     val dir = s"$baseDir/edge/${spec.name}/"
@@ -184,7 +184,7 @@ object GraphArWriter {
                           propFields: Array[StructField], layoutDir: String,
                           alignedBy: String, alignedCount: Long, vcs: Long,
                           spec: EdgeSpec,
-                          serConf: graft.util.SerializableHadoopConf): Long = {
+                          serConf: org.apache.spark.util.SerializableConfiguration): Long = {
     val srcIdx = schema.fieldIndex("src")
     val dstIdx = schema.fieldIndex("dst")
     val propIdxs = propFields.map(f => schema.fieldIndex(f.name))

@@ -1,27 +1,17 @@
 package graft.util
 
-import java.io.{ObjectInputStream, ObjectOutputStream}
-
 import org.apache.hadoop.conf.Configuration
 
-/** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper ships
-  * the session's Hadoop configuration (S3/HDFS credentials, fs.* settings)
-  * into DSv2 reader factories and writer tasks via its own write/readFields
-  * codec — the standard pattern for sending a Configuration with a Spark
-  * closure. Without it, executor-side chunk I/O would silently run on a
-  * default `new Configuration()` and drop session credentials.
+/** Ships the session's Hadoop configuration (S3/HDFS credentials, fs.*
+  * settings) into DSv2 reader factories and writer tasks. Without it,
+  * executor-side chunk I/O would silently run on a default
+  * `new Configuration()` and drop session credentials.
+  *
+  * Type alias onto Spark's own `SerializableConfiguration` (public
+  * `@DeveloperApi` since 2.x, identical write/readFields codec) — no
+  * reason to maintain a parallel implementation.
   */
-class SerializableHadoopConf(@transient var value: Configuration)
-  extends Serializable {
-
-  private def writeObject(out: ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-
-  private def readObject(in: ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
-  }
+object SerializableHadoopConf {
+  def apply(value: Configuration): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(value)
 }
