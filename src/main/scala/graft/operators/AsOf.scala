@@ -37,10 +37,17 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("_is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn(s"asof_$value",
-        last(col(rightVal), ignoreNulls = true).over(w))
+    // Propagate a struct marking right-row PRESENCE, not value
+    // non-nullness: a right row whose value is NULL must still win the
+    // as-of match (and yield NULL), exactly as DuckDB ASOF JOIN does —
+    // `last(value, ignoreNulls)` would instead skip it and leak an older
+    // non-null value forward.
+    u.withColumn("_r_state",
+        last(when(col("_is_left") === 0, struct(col(rightVal))),
+          ignoreNulls = true).over(w))
       .filter(col("_is_left") === 1)
-      .drop("_is_left", rightVal)
+      .withColumn(s"asof_$value", col("_r_state")(rightVal))
+      .drop("_is_left", rightVal, "_r_state")
   }
 
   /** Range (interval-containment) join: all (point, interval) pairs with

@@ -122,8 +122,16 @@ class ColumnarChunkReader(open: () => Seq[(ChunkIO.BatchReader, StructType)],
     if (emitted >= totalRows) return false
     if (groups.isEmpty) {
       val n = math.min(4096L, totalRows - emitted).toInt
-      val vecs: Array[ColumnVector] = required.fields.map(f =>
-        new LongRangeVector(syntheticBase(f.name) + emitted): ColumnVector)
+      // Serve ONLY the known synthetic index columns from arithmetic;
+      // fieldSources throws "column not found" for any other required
+      // field, matching the row path — fabricating index values for a
+      // real property column would be silent corruption.
+      val vecs: Array[ColumnVector] = fieldSources.map {
+        case Left(name) =>
+          new LongRangeVector(syntheticBase(name) + emitted): ColumnVector
+        case Right(_) => throw new IllegalStateException(
+          "non-synthetic column mapped to a property group but no group was opened")
+      }
       out = new ColumnarBatch(vecs, n)
       emitted += n
       return true

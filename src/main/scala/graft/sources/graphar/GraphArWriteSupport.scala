@@ -128,9 +128,20 @@ object GraphArWriteSupport {
         fileType = ft,
         layouts = Option(options.get("layouts"))
           .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("src", "dst")))
-      val df = data
-        .withColumnRenamed(GraphArMeta.SrcIndexCol, "src")
-        .withColumnRenamed(GraphArMeta.DstIndexCol, "dst")
+      // Accept either naming convention (src/dst or the connector's
+      // _graphArSrcIndex/_graphArDstIndex), but never both at once —
+      // an unconditional rename would produce duplicate column names
+      // and writeEdges' schema.fieldIndex would silently pick one.
+      def toPlain(d: DataFrame, idx: String, plain: String): DataFrame =
+        (d.columns.contains(idx), d.columns.contains(plain)) match {
+          case (true, true) => throw new IllegalArgumentException(
+            s"edge frame has both '$idx' and '$plain' columns — drop one " +
+              "before writing (ambiguous endpoint column)")
+          case (true, false) => d.withColumnRenamed(idx, plain)
+          case _ => d
+        }
+      val df = toPlain(toPlain(data, GraphArMeta.SrcIndexCol, "src"),
+        GraphArMeta.DstIndexCol, "dst")
       if (typeExists) {
         stagedReplace(fs, base, s".stage_e_${spec.name}",
           Seq(s"edge/${spec.name}", s"${spec.name}.edge.yaml")) { stage =>

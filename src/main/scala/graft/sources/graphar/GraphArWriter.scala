@@ -69,8 +69,18 @@ object GraphArWriter {
     def commit(): Unit = staged.foreach { case (tmp, fin) =>
       val fs = fin.getFileSystem(conf)
       if (fs.exists(fin)) fs.delete(fin, false)
-      if (!fs.rename(tmp, fin))
-        throw new java.io.IOException(s"commit rename $tmp -> $fin failed")
+      if (!fs.rename(tmp, fin)) {
+        // Racing successful attempts write byte-identical files, so a
+        // failed rename whose destination was just installed by the other
+        // attempt (same length) is a success, not an error.
+        val racedIdentical =
+          try fs.exists(fin) && fs.exists(tmp) &&
+            fs.getFileStatus(fin).getLen == fs.getFileStatus(tmp).getLen
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!racedIdentical)
+          throw new java.io.IOException(s"commit rename $tmp -> $fin failed")
+        fs.delete(tmp, false)
+      }
     }
     def abort(): Unit = staged.foreach { case (tmp, _) =>
       val fs = tmp.getFileSystem(conf)

@@ -77,13 +77,25 @@ object PropFilters {
     case (x: java.lang.Number, y: java.lang.Number) =>
       if (x.isInstanceOf[java.lang.Float] || x.isInstanceOf[java.lang.Double] ||
         y.isInstanceOf[java.lang.Float] || y.isInstanceOf[java.lang.Double])
-        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+        // Spark SQL treats -0.0 = 0.0 (Double.compare does not) — fold
+        // negative zero before comparing; NaN keeps Double.compare's
+        // greater-than-everything order, which matches Spark's.
+        Some(java.lang.Double.compare(zeroNorm(x.doubleValue()),
+          zeroNorm(y.doubleValue())))
       else Some(java.lang.Long.compare(x.longValue(), y.longValue()))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) =>
+      // Spark/parquet order strings by UTF-8 bytes (code points), not
+      // Java's UTF-16 code units — the orders differ for
+      // supplementary-plane characters, and a divergence here breaks the
+      // "pushed filter can only read MORE rows" invariant.
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
     case (x: java.lang.Boolean, y: java.lang.Boolean) =>
       Some(java.lang.Boolean.compare(x, y))
     case _ => None
   }
+
+  private def zeroNorm(d: Double): Double = if (d == 0.0d) 0.0d else d
 
   /** Evaluate one accepted filter against a row (`get` = column → raw
     * JVM value per ChunkIO's representation, null when absent).
