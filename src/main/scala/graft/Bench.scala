@@ -83,11 +83,16 @@ object Bench {
     timed("path_exist") {
       val es = g.edgesStd("Part", "link", "Part").persist()
       try {
-        es.count() // materialize once; the reference also reads the graph per call
-        // batched BFS: the whole pair set advances through one frontier
-        // join per level (L jobs total, not pairs×L); per-pair bfsLength
-        // and the bidirectional variant remain for single-path workloads
-        GraphOps.bfsLengths(spark, es, GraphQueries.bfsPairs, GraphQueries.bfsMaxDepth)
+        // materialize once AND learn the edge count; the reference also
+        // reads the graph per call
+        val n = es.count()
+        // cost-based BFS: below the CSR threshold the whole pair batch is
+        // answered from a collected adjacency in ONE job; above it, the
+        // batched distributed frontier loop (one join per level for all
+        // pairs) — the strategy choice is the same size-driven call Spark
+        // makes for broadcast vs sort-merge joins
+        GraphOps.bfsLengthsAuto(spark, es, GraphQueries.bfsPairs,
+          GraphQueries.bfsMaxDepth, edgeCount = n)
       } finally es.unpersist() // a bfs failure must not leak the cache
     }
 

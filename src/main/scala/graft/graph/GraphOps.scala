@@ -218,6 +218,43 @@ object GraphOps {
     pairs.zipWithIndex.map { case ((s0, d0), i) => (s0, d0, results(i)) }
   }
 
+  /** Edge count below which [[bfsLengthsAuto]] collects the adjacency
+    * into a compact CSR and answers the whole batch in memory. Sized for
+    * what the collect transiently materializes on the driver (boxed rows,
+    * ~50-80 B/edge) — same reasoning as
+    * [[GraphSqlFunctions.register]]'s guard. Override per session with
+    * `spark.graft.bfs.maxBroadcastEdges`.
+    */
+  val DefaultCsrMaxEdges = 8000000L
+
+  /** Cost-based BFS: picks the execution strategy from the edge count,
+    * the way Spark picks broadcast-hash vs sort-merge joins from table
+    * sizes. Below the threshold the adjacency is collected once into a
+    * compact CSR (int offsets + long targets) and every pair runs as an
+    * in-memory early-exit BFS — a single Spark job regardless of depth,
+    * which beats the per-level job latency of the distributed loop by
+    * orders of magnitude on small graphs (this is the reference's
+    * single-node design, `bfs.cpp:94-134`, kept only where it is safe).
+    * At or past the threshold it falls back to [[bfsLengths]], the
+    * distributed frontier join with no single-machine bound.
+    *
+    * `edgeCount` avoids a counting job when the caller already knows it
+    * (connector metadata, a prior count); pass -1 to have it counted.
+    */
+  def bfsLengthsAuto(spark: SparkSession, edges: DataFrame,
+                     pairs: Seq[(Long, Long)], maxDepth: Int = 10,
+                     edgeCount: Long = -1L): Seq[(Long, Long, Long)] = {
+    val threshold = spark.conf.getOption("spark.graft.bfs.maxBroadcastEdges")
+      .map(_.toLong).getOrElse(DefaultCsrMaxEdges)
+    val n = if (edgeCount >= 0) edgeCount else edges.count()
+    if (n <= threshold) {
+      val csr = GraphSqlFunctions.buildCsr(spark, edges.select(col("src"), col("dst")))
+      pairs.map { case (s0, d0) =>
+        (s0, d0, GraphSqlFunctions.bfs(csr, s0, d0, maxDepth))
+      }
+    } else bfsLengths(spark, edges, pairs, maxDepth)
+  }
+
   /** Triangle count over the undirected simple graph (self-loops and
     * duplicate/reverse edges collapsed). Canonical a<b orientation makes
     * each triangle appear exactly once in the 3-way join. Scale notes:

@@ -81,6 +81,16 @@ object GraphQueries {
       e.unpersist()
       rows.toDF("src_id", "dst_id", "len")
     },
+    // cost-based strategy pick: at gate scale this takes the CSR path
+    // (collect + in-memory batch BFS) — must match the same oracle as
+    // the distributed variants
+    "g_bfs_auto" -> { (s, d) =>
+      import s.implicits._
+      val e = edgesFrom(s, d).persist()
+      val rows = GraphOps.bfsLengthsAuto(s, e, bfsPairs, bfsMaxDepth)
+      e.unpersist()
+      rows.toDF("src_id", "dst_id", "len")
+    },
     // undirected connected components via min-label propagation.
     // Gate runs on the <512 induced subgraph: the DuckDB oracle is a
     // reachability closure whose working set is O(component²) pairs —
@@ -148,6 +158,7 @@ object GraphQueries {
       "g_bfs_length" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
       "g_bfs_bidi" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
       "g_bfs_multi" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
+      "g_bfs_auto" -> s"WITH RECURSIVE\n$ctes\n$bfsSelects",
       "g_bfs_exist" -> s"WITH RECURSIVE\n$ctes\n$existSelects",
       // component(v) = min vertex id reachable in the undirected closure
       // (<512 induced subgraph — see the queries entry)

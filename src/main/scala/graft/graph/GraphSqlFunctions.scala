@@ -35,30 +35,36 @@ object GraphSqlFunctions {
 
   def buildCsr(spark: SparkSession, edgesStd: org.apache.spark.sql.DataFrame): Csr = {
     import org.apache.spark.sql.functions._
-    val rows = edgesStd.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("ns"))
-      .collect()
-    val srcs = rows.map(_.getLong(0))
-    val index = srcs.zipWithIndex.toMap
-    val offsets = new Array[Int](rows.length + 1)
+    // a plain collect is one shuffle-free job (vs groupBy+collect_list's
+    // full shuffle); the (src,dst) sort happens driver-side on primitive
+    // arrays, which at the guarded ≤8M-edge scale is milliseconds
+    val rows = edgesStd.select(col("src"), col("dst")).collect()
     // fail fast (not silently overflow) past Int-addressable targets —
     // register()'s metadata guard normally refuses long before this
-    val totalL = rows.iterator.map(_.getSeq[Long](1).length.toLong).sum
-    require(totalL <= Int.MaxValue - 8,
-      s"graph has $totalL edges — beyond a broadcastable CSR; " +
+    require(rows.length <= Int.MaxValue - 8,
+      s"graph has ${rows.length} edges — beyond a broadcastable CSR; " +
         "use GraphArGraph.bfsLength (distributed frontier BFS) instead")
-    var total = 0
-    rows.zipWithIndex.foreach { case (r, i) =>
-      offsets(i) = total; total += r.getSeq[Long](1).length
+    val srcA = new Array[Long](rows.length)
+    val dstA = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      srcA(i) = rows(i).getLong(0); dstA(i) = rows(i).getLong(1); i += 1
     }
-    offsets(rows.length) = total
-    val targets = new Array[Long](total)
+    val order = Array.range(0, rows.length).sortBy(k => (srcA(k), dstA(k)))
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val offsetsBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val targets = new Array[Long](rows.length)
     var p = 0
-    rows.foreach { r => r.getSeq[Long](1).foreach { d => targets(p) = d; p += 1 } }
-    Csr(offsets, targets, index)
+    order.foreach { k =>
+      val s = srcA(k)
+      if (!index.contains(s)) { index(s) = offsetsBuf.length; offsetsBuf += p }
+      targets(p) = dstA(k); p += 1
+    }
+    offsetsBuf += p
+    Csr(offsetsBuf.toArray, targets, index.toMap)
   }
 
-  private def bfs(csr: Csr, src: Long, dst: Long, maxDepth: Int): Long = {
+  private[graph] def bfs(csr: Csr, src: Long, dst: Long, maxDepth: Int): Long = {
     if (src == dst) return 0L
     val visited = mutable.HashSet(src)
     var frontier = List(src)

@@ -90,6 +90,22 @@ object HopProps extends Properties("graft.hops") {
       uni == bi
     }
 
+  property("bfsLengthsAuto: CSR path = distributed path = per-pair BFS") =
+    forAll(genGraph) { case (edges, vid) =>
+      val df = toDf(edges)
+      val pairs = Seq((vid, (vid + 1) % 3), (vid, vid), ((vid * 3 + 1) % 5, vid))
+      val perPair = pairs.map { case (a, b) =>
+        (a, b, GraphOps.bfsLength(spark, df, a, b, 12))
+      }
+      // force each strategy via the session threshold conf
+      spark.conf.set("spark.graft.bfs.maxBroadcastEdges", Long.MaxValue.toString)
+      val viaCsr = GraphOps.bfsLengthsAuto(spark, df, pairs, 12)
+      spark.conf.set("spark.graft.bfs.maxBroadcastEdges", "0")
+      val viaDist = try GraphOps.bfsLengthsAuto(spark, df, pairs, 12)
+      finally spark.conf.unset("spark.graft.bfs.maxBroadcastEdges")
+      viaCsr == perPair && viaDist == perPair
+    }
+
   property("degrees = per-src edge counts") =
     forAll(genGraph) { case (edges, _) =>
       val got = GraphOps.degrees(toDf(edges)).collect()
