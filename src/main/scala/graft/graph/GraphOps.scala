@@ -360,6 +360,73 @@ object GraphOps {
     labels.select(col("v"), col("label").as("component"))
   }
 
+  /** Single-source shortest paths over weighted edges (`src, dst, w`),
+    * bounded Bellman-Ford: `iters` rounds of
+    * dᵢ₊₁(v) = min(dᵢ(v), min over e(u,v) of dᵢ(u)+w). After `iters`
+    * rounds the result is exact for every path of ≤ iters hops — the
+    * bounded form is what a DuckDB oracle can unroll, and all-integer
+    * mins make it hash-exact across engines.
+    *
+    * Scale notes: same shape as [[connectedComponents]] — the static
+    * edge table never moves (bucket it by src and every iteration
+    * shuffles only the O(V) distance vector); min is map-side
+    * combinable; distances checkpointed per round so lineage stays flat.
+    */
+  def sssp(spark: SparkSession, edges: DataFrame, source: Long,
+           iters: Int = 8): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = spark.range(1)
+      .select(lit(source).cast("long").as("v"), lit(0L).as("d"))
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val relaxed = dist.join(e, dist("v") === e("src"))
+        .select(e("dst").as("v"), (dist("d") + e("w")).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint(i == iters) // lazy mid-stream; eager on the last
+    }
+    e.unpersist(blocking = false)
+    dist.select(col("v"), col("d").as("dist"))
+  }
+
+  /** Bounded k-core peel over the undirected simple graph (self-loops
+    * dropped): `rounds` iterations of "delete every vertex whose degree
+    * is < k, and all its edges". With enough rounds this is exactly the
+    * k-core; the FIXED round count is what makes the operator
+    * oracle-checkable (the DuckDB oracle unrolls the same rounds, so
+    * both engines compute the identical intermediate even if the peel
+    * hasn't converged). Returns each surviving vertex with its degree
+    * inside the surviving subgraph.
+    *
+    * Scale notes: each round is one map-side-combinable degree count +
+    * two semi-joins against the (shrinking) vertex-keep set. The keep
+    * set is O(V) in round 1 — too big to broadcast-hint blindly — so the
+    * join strategy is left to AQE, which switches to broadcast as the
+    * peel shrinks it below the threshold.
+    */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int,
+            rounds: Int = 6): DataFrame = {
+    var und = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .unionAll(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val keep = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kv"))
+      und = und
+        .join(keep, und("src") === keep("kv"), "left_semi")
+        .join(keep, und("dst") === keep("kv"), "left_semi")
+        .localCheckpoint(r == rounds) // lazy mid-stream; eager on the last
+    }
+    und.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Bidirectional BFS: expands the source frontier along forward edges
     * and the target frontier along REVERSED edges, always growing the
     * smaller side; a meet at depths (dS, dT) witnesses a path of length

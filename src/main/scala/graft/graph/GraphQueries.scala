@@ -101,16 +101,107 @@ object GraphQueries {
       GraphOps.connectedComponents(s,
         edgesFrom(s, d).filter(col("src") < 512 && col("dst") < 512))
     },
-    // PageRank: no SQL oracle (fp-order-dependent sums) → rows-only
-    // check in the gate; numeric correctness is spec-tested against a
-    // driver-side power iteration (HopProps)
+    // PageRank, hash-checked against an unrolled power-iteration CTE.
+    // Raw rank sums are fp-accumulation-order-dependent (Spark's partial
+    // aggregation vs DuckDB's single-threaded sum differ in the last
+    // bits), so the gate compares ranks quantized to integer micro-units:
+    // floor(rank·1e6 + 0.5) — pure fp arithmetic on both engines, no
+    // decimal-string rounding dialect involved. Cross-engine drift is
+    // ~1e-15 while the grid step is 1e-6, so quantization absorbs it.
+    // Full-precision numeric correctness stays spec-tested against a
+    // driver-side power iteration (HopProps).
     "g_pagerank" -> { (s, d) =>
       GraphOps.pageRank(s, edgesFrom(s, d))
+        .select(col("v"),
+          floor(col("rank") * lit(1e6) + lit(0.5)).as("rank_micro"))
     },
     "g_triangles" -> { (s, d) =>
       GraphOps.triangleCount(edgesFrom(s, d))
+    },
+    // weighted SSSP, 8 bounded Bellman-Ford rounds from the root; the
+    // edge weight is derived from (src, dst) so the oracle re-derives
+    // it without an extra column: w = (src·31 + dst) mod 7 + 1
+    "g_sssp" -> { (s, d) =>
+      GraphOps.sssp(s,
+        edgesFrom(s, d).withColumn("w",
+          pmod(col("src") * 31 + col("dst"), lit(7L)) + 1),
+        RootVid, iters = SsspIters)
+    },
+    // bounded k-core peel (k=20 converges within the 6 fixed rounds on
+    // this graph; the oracle unrolls the same 6 rounds so the hashes
+    // agree even where it wouldn't converge)
+    "g_kcore" -> { (s, d) =>
+      GraphOps.kCore(s, edgesFrom(s, d), KCoreK, rounds = KCoreRounds)
     }
   )
+
+  val SsspIters = 8
+  val KCoreK = 20
+  val KCoreRounds = 6
+
+  /** Unrolled bounded Bellman-Ford mirroring [[GraphOps.sssp]]. */
+  private def ssspSql: String = {
+    val steps = (1 to SsspIters).map { i =>
+      s"""d$i AS (
+         |  SELECT v, min(d) AS d FROM (
+         |    SELECT v, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, d${i - 1}.d + e.w AS d
+         |    FROM d${i - 1} JOIN e ON e.src = d${i - 1}.v)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT src, dst, (src * 31 + dst) % 7 + 1 AS w FROM ($edgesSql)),
+       |d0 AS (SELECT CAST($RootVid AS BIGINT) AS v, CAST(0 AS BIGINT) AS d),
+       |$steps
+       |SELECT v, d AS dist FROM d$SsspIters""".stripMargin
+  }
+
+  /** Unrolled bounded k-core peel mirroring [[GraphOps.kCore]]. */
+  private def kcoreSql: String = {
+    val steps = (1 to KCoreRounds).map { i =>
+      s"""k$i AS (
+         |  SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $KCoreK),
+         |e$i AS (
+         |  SELECT e${i - 1}.src, e${i - 1}.dst FROM e${i - 1}
+         |  JOIN k$i a ON a.src = e${i - 1}.src
+         |  JOIN k$i b ON b.src = e${i - 1}.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM ($edgesSql) WHERE src <> dst
+       |    UNION ALL
+       |    SELECT dst AS src, src AS dst FROM ($edgesSql) WHERE src <> dst)),
+       |$steps
+       |SELECT src AS v, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$KCoreRounds GROUP BY src""".stripMargin
+  }
+
+  /** Unrolled 10-iteration power iteration mirroring [[GraphOps.pageRank]]
+    * exactly: multigraph contributions (duplicate edges count twice),
+    * rank₀ = 1.0, rankᵢ₊₁(v) = 0.15 + 0.85·Σ_in rankᵢ(u)/odeg(u), no
+    * dangling-mass redistribution. Output quantized to micro-units (see
+    * the queries entry for why).
+    */
+  private def pageRankSql: String = {
+    val iters = 10
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v, 0.15 + 0.85 * coalesce(s.in_sum, 0.0) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT links.dst AS v, sum(r${i - 1}.rank / links.odeg) AS in_sum
+         |    FROM links JOIN r${i - 1} ON r${i - 1}.v = links.src
+         |    GROUP BY links.dst) s ON s.v = verts.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |links AS (SELECT e.src, e.dst, deg.odeg FROM e JOIN deg ON deg.src = e.src),
+       |r0 AS (SELECT v, 1.0 AS rank FROM verts),
+       |$steps
+       |SELECT v, CAST(floor(rank * 1000000.0 + 0.5) AS BIGINT) AS rank_micro
+       |FROM r$iters""".stripMargin
+  }
 
   def oracle: Map[String, String] = {
     val roots = bfsPairs.map(_._1).distinct
@@ -171,6 +262,9 @@ object GraphQueries {
            |  UNION
            |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
            |SELECT v, min(r) AS component FROM reach GROUP BY v""".stripMargin,
+      "g_pagerank" -> pageRankSql,
+      "g_sssp" -> ssspSql,
+      "g_kcore" -> kcoreSql,
       "g_triangles" ->
         s"""WITH e AS ($edgesSql),
            |und AS (

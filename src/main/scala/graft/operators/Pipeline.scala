@@ -68,8 +68,32 @@ object Pipeline {
         col("cum_tokens"), col("bin"))
   }
 
+  /** Benchmark-decontamination: flag training documents that share a
+    * word n-gram with the held-out benchmark slice (the standard
+    * pre-training hygiene pass — e.g. "drop any doc containing a test-set
+    * 13-gram"; n=4 here because the synthetic vocabulary is tiny).
+    * The benchmark slice is the deterministic `doc_id % 50 == 0` subset
+    * so an independent engine re-derives it.
+    *
+    * Scale shape: the benchmark n-gram set is small and broadcast; the
+    * (huge) training side explodes its n-grams map-side and the join +
+    * count are partial-aggregated before any shuffle — the corpus text
+    * itself never moves.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 4): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), n)).as("sh"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    val train = sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    train.join(broadcast(bench), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_clean_corpus" -> { (s, d) => cleanCorpus(t(s, d, "documents")) },
+    "p_decontaminate" -> { (s, d) => decontaminate(t(s, d, "documents")) },
     "p_train_mix" -> { (s, d) => trainMix(t(s, d, "documents")) },
     "p_token_pack" -> { (s, d) => tokenPack(t(s, d, "documents")) }
   )
@@ -87,6 +111,21 @@ object Pipeline {
            |SELECT doc_id, source, length(text) AS n_chars_kept
            |FROM $gatedRel AS gated
            |WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM verified WHERE jac >= 0.25)""".stripMargin,
+
+      "p_decontaminate" ->
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 4 THEN
+          |      list_transform(range(1, len(t) - 2),
+          |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+          |    ELSE [] END) AS sh
+          |  FROM toks),
+          |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 50 = 0),
+          |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 50 <> 0)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          |FROM tr JOIN bench USING (g) GROUP BY doc_id""".stripMargin,
 
       "p_train_mix" ->
         // TRY_CAST: a digitless source gives '' — Spark's cast yields

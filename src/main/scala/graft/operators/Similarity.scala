@@ -289,6 +289,35 @@ object Similarity {
     base
   }
 
+  /** SemDeDup-style semantic dedup: cluster the corpus (nearest
+    * deterministic centroid — the same assignment the IVF index uses),
+    * then within each cluster drop every vector that has a
+    * cosine-≥-threshold pair with a smaller-id vector. Output is the
+    * kept set with its cluster.
+    *
+    * Scale shape: assignment is a broadcast argmin (map-side); the
+    * pairwise pass is confined to within-cluster blocks — O(Σ|cluster|²)
+    * instead of corpus² — and at 100 TB runs over the bucketed IVF
+    * layout so each block is one partition's self-join.
+    */
+  def semDedup(emb: DataFrame, modulo: Int = 40,
+               threshold: Double = 0.4): DataFrame = {
+    val assigned = ivfRanked(emb, ivfCentroids(emb, modulo))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds the pair join twice + the anti join
+    val a = assigned.select(col("cluster").as("a_cluster"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = assigned.select(col("cluster").as("b_cluster"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val dropped = a.join(b,
+        col("a_cluster") === col("b_cluster") && col("a_id") < col("b_id"))
+      .filter(cosine(col("a_emb"), col("b_emb")) >= threshold)
+      .select(col("b_id")).distinct()
+    assigned.join(dropped, assigned("vec_id") === dropped("b_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a label block. */
   def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
@@ -311,6 +340,9 @@ object Similarity {
     },
     "d_embed_dup" -> { (s, d) =>
       embeddingDupPairs(t(s, d, "embeddings"), 0.4)
+    },
+    "d_semdedup" -> { (s, d) =>
+      semDedup(t(s, d, "embeddings"))
     },
     "sim_lsh" -> { (s, d) =>
       lshTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
@@ -465,6 +497,25 @@ object Similarity {
     // persisting the index must not change a single result row
     "sim_ivf_stored" -> ivfOracleSql,
     "sim_lsh_stored" -> lshOracleSql,
+
+    "d_semdedup" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id % 40 = 0),
+         |ranked AS (
+         |  SELECT e.vec_id, e.embedding, cent.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
+         |  FROM embeddings e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS cluster FROM ranked WHERE arank = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id AS b_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT vec_id, cluster FROM assigned
+         |WHERE vec_id NOT IN (SELECT b_id FROM dropped)""".stripMargin,
 
     "d_embed_dup" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,

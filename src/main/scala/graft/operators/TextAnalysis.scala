@@ -54,6 +54,23 @@ object TextAnalysis {
             (acc, x) => acc + x) * lit(1.0) / size(col("t"))).as("avg_token_len"))
     },
 
+    // repetition signal (Gopher-style quality gate): fraction of word
+    // 3-grams that are repeats of an earlier 3-gram in the same doc.
+    // Integer counts hash exactly; the ratio is a single division of
+    // those ints (no fp accumulation), so it is cross-engine-stable.
+    // Map-side only — the shingle arrays never leave their partition.
+    "t_repetition" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_ngrams"),
+          (size(col("sh")) - size(array_distinct(col("sh")))).cast("long")
+            .as("n_dup"))
+        .withColumn("rep_ratio",
+          when(col("n_ngrams") > 0,
+            col("n_dup") * lit(1.0) / col("n_ngrams")).otherwise(lit(0.0)))
+    },
+
     // token counting: whitespace vs BPE-ish regex segmentation
     "t_tokens" -> { (s, d) =>
       t(s, d, "documents").select(
@@ -183,6 +200,21 @@ object TextAnalysis {
          |  ${lexSql("en")} * 1.0 / len(t) AS stopword_ratio,
          |  list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t) AS avg_token_len
          |FROM ($tokSql)""".stripMargin,
+
+    "t_repetition" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+         |      list_transform(range(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |    ELSE [] END AS sh
+         |  FROM ($tokSql))
+         |SELECT doc_id,
+         |  CAST(len(sh) AS BIGINT) AS n_ngrams,
+         |  CAST(len(sh) - len(list_distinct(sh)) AS BIGINT) AS n_dup,
+         |  CASE WHEN len(sh) > 0
+         |    THEN (len(sh) - len(list_distinct(sh))) * 1.0 / len(sh)
+         |    ELSE 0.0 END AS rep_ratio
+         |FROM s""".stripMargin,
 
     "t_tokens" ->
       """SELECT doc_id,

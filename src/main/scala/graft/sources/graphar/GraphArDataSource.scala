@@ -57,9 +57,37 @@ class GraphArDataSource extends TableProvider with DataSourceRegister {
   // vertex/edge yaml of the graph)
   @volatile private var cachedGraph: (String, GraphInfo) = _
 
+  /** `path` names a graph yaml directly; alternatively `snapshotBase`
+    * points at a [[graft.streaming.GraphArSink]] versioned layout and
+    * `snapshot` selects "latest" (default) or a version number — the
+    * time-travel read path over the sink's immutable snapshots.
+    */
+  private def resolvePath(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse {
+      val base = Option(options.get("snapshotBase")).getOrElse(
+        throw new IllegalArgumentException(
+          "option 'path' (graph yaml) or 'snapshotBase' (versioned snapshot layout) is required"))
+      val spark = org.apache.spark.sql.SparkSession.active
+      val sel = Option(options.get("snapshot")).getOrElse("latest")
+      // note: messages here must NOT start with "no " — metaOrNew treats
+      // that prefix as "type missing → legal write target", and a
+      // snapshot-resolution failure is never a write target
+      if (sel.equalsIgnoreCase("latest")) {
+        val y = graft.streaming.GraphArSink.latestYaml(spark, base)
+        if (y == null) throw new IllegalArgumentException(
+          s"snapshotBase $base has no committed snapshot (LATEST pointer absent)")
+        y
+      } else {
+        val v = try sel.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"option 'snapshot' must be 'latest' or a version number, got '$sel'")
+        }
+        graft.streaming.GraphArSink.snapshotYaml(spark, base, v)
+      }
+    }
+
   private def meta(options: CaseInsensitiveStringMap): (GraphInfo, Either[VertexInfo, EdgeInfo]) = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("option 'path' (graph yaml) is required"))
+    val path = resolvePath(options)
     val cached = cachedGraph
     val g = if (cached != null && cached._1 == path) cached._2 else {
       // session conf: yaml may live behind spark.hadoop.*-configured fs

@@ -75,6 +75,54 @@ object GraphArSink {
     finally in.close()
   }
 
+  /** Committed snapshot versions under `base`, ascending. A version is
+    * committed iff its graph yaml exists — the yaml is written LAST in
+    * the batch (after every chunk file), so a crash mid-write leaves a
+    * partial `v<id>` dir that this listing skips.
+    */
+  def versions(spark: org.apache.spark.sql.SparkSession,
+               base: String): Seq[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(conf)
+    if (!fs.exists(basePath)) return Seq.empty
+    fs.listStatus(basePath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => scala.util.Try(s.getPath.getName.drop(1).toLong).toOption
+        .filter(_ => graphYamlIn(fs, s.getPath).isDefined))
+      .sorted
+  }
+
+  /** Time travel: resolve the graph yaml of snapshot `version`. Fails
+    * with the committed-version list if that snapshot doesn't exist (or
+    * was pruned / never finished committing).
+    */
+  def snapshotYaml(spark: org.apache.spark.sql.SparkSession, base: String,
+                   version: Long): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(s"$base/v$version")
+    val fs = dir.getFileSystem(conf)
+    val yaml = if (fs.exists(dir)) graphYamlIn(fs, dir) else None
+    // message must not start with "no " — the DSv2 provider's metaOrNew
+    // reserves that prefix for legal write-target resolution
+    yaml.getOrElse(throw new IllegalArgumentException(
+      s"snapshot v$version under $base is missing or uncommitted; " +
+        s"committed versions: [${versions(spark, base).mkString(", ")}]"))
+      .toString
+  }
+
+  /** The graph yaml inside one snapshot dir: the top-level `*.yaml` that
+    * is not a per-type `*.vertex.yaml` / `*.edge.yaml`.
+    */
+  private def graphYamlIn(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: Path): Option[Path] =
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .find { p =>
+        val n = p.getName
+        n.endsWith(".yaml") && !n.endsWith(".vertex.yaml") &&
+          !n.endsWith(".edge.yaml")
+      }
+
   /** Delete all snapshot dirs except the `keep` most recent (and never
     * the one LATEST points at).
     */

@@ -136,6 +136,40 @@ object HopProps extends Properties("graft.hops") {
       }
     }
 
+  property("sssp = bounded Bellman-Ford brute force") =
+    forAll(genGraph) { case (edges, vid) =>
+      val s = spark
+      import s.implicits._
+      val weighted = edges.map { case (a, b) => (a, b, (a * 31 + b) % 7 + 1) }
+      val got = GraphOps.sssp(spark,
+          weighted.toDF("src", "dst", "w"), vid, iters = 6).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var dist = Map(vid -> 0L)
+      (1 to 6).foreach { _ =>
+        val relaxed = weighted.flatMap { case (a, b, w) =>
+          dist.get(a).map(d0 => b -> (d0 + w))
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      }
+      got == dist
+    }
+
+  property("kCore = bounded peel brute force") =
+    forAll(genGraph) { case (edges, _) =>
+      val got = GraphOps.kCore(spark, toDf(edges), k = 2, rounds = 8).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      (1 to 8).foreach { _ =>
+        val deg = und.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= 2).keySet
+        und = und.filter(e => keep(e._1) && keep(e._2))
+      }
+      val expected = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      got == expected
+    }
+
   property("pageRank matches driver-side power iteration within 1e-9") =
     forAll(genGraph) { case (edges, _) =>
       edges.isEmpty || {

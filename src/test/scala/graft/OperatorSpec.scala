@@ -276,6 +276,22 @@ class OperatorSpec extends AnyFunSuite {
       assert(snap2.count() === 3)
       assert(snap2.filter(col("_graphArSrcIndex") === 1L && col("_graphArDstIndex") === 2L)
         .select("w").collect()(0).getDouble(0) === 2.0)
+      // time travel: versions list, read-by-version, read-latest-by-base
+      assert(GraphArSink.versions(spark, base) === Seq(0L, 1L))
+      val snap0 = spark.read.format("graphar")
+        .option("snapshotBase", base).option("snapshot", "0")
+        .option("src", "U").option("type", "knows").option("dst", "U").load()
+      assert(snap0.count() === 2, "snapshot 0 must still show the pre-batch-1 graph")
+      val snapLatest = spark.read.format("graphar")
+        .option("snapshotBase", base)
+        .option("src", "U").option("type", "knows").option("dst", "U").load()
+      assert(snapLatest.count() === 3)
+      val badVersion = intercept[IllegalArgumentException] {
+        spark.read.format("graphar")
+          .option("snapshotBase", base).option("snapshot", "7")
+          .option("src", "U").option("type", "knows").option("dst", "U").load()
+      }
+      assert(badVersion.getMessage.contains("committed versions: [0, 1]"))
       // prune keeps the latest snapshot readable
       GraphArSink.prune(spark, base, keep = 1)
       assert(spark.read.format("graphar").option("path", GraphArSink.latestYaml(spark, base))
@@ -283,6 +299,8 @@ class OperatorSpec extends AnyFunSuite {
         .load().count() === 3)
       assert(!new java.io.File(new java.io.File(y1).getParent).exists,
         "pruned snapshot v0 should be gone")
+      assert(GraphArSink.versions(spark, base) === Seq(1L),
+        "pruned version must drop out of the committed list")
     } finally q.stop()
   }
 
