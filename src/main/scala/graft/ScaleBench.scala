@@ -75,6 +75,9 @@ object ScaleBench {
     esP.count()
     time("connected_components")(GraphOps.connectedComponents(spark, esP).count())
     time("pagerank_10iter")(GraphOps.pageRank(spark, esP, iters = 10).count())
+    time("sssp_8iter")(GraphOps.sssp(spark,
+      esP.withColumn("w", lit(1L)), GraphQueries.RootVid).count())
+    time("kcore_k20")(GraphOps.kCore(spark, esP, 20).count())
     esP.unpersist()
     spark.stop()
   }

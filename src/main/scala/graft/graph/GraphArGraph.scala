@@ -131,4 +131,17 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
 
   def triangleCount(src: String, t: String, dst: String): DataFrame =
     GraphOps.triangleCount(edgesStd(src, t, dst))
+
+  /** Unweighted single-source shortest paths (edge weight 1) — the
+    * bounded-relaxation form of [[GraphOps.sssp]]; pass a property-derived
+    * weight column via the GraphOps API directly for weighted graphs.
+    */
+  def sssp(src: String, t: String, dst: String, source: Long,
+           iters: Int = 8): DataFrame =
+    GraphOps.sssp(spark,
+      edgesStd(src, t, dst).withColumn("w", lit(1L)), source, iters)
+
+  def kCore(src: String, t: String, dst: String, k: Int,
+            rounds: Int = 6): DataFrame =
+    GraphOps.kCore(spark, edgesStd(src, t, dst), k, rounds)
 }

@@ -400,31 +400,46 @@ object GraphOps {
     * hasn't converged). Returns each surviving vertex with its degree
     * inside the surviving subgraph.
     *
-    * Scale notes: each round is one map-side-combinable degree count +
-    * two semi-joins against the (shrinking) vertex-keep set. The keep
-    * set is O(V) in round 1 — too big to broadcast-hint blindly — so the
-    * join strategy is left to AQE, which switches to broadcast as the
-    * peel shrinks it below the threshold.
+    * Scale notes: the edge table is built once, persisted, and NEVER
+    * rewritten — each round maintains only the O(V) alive-degree vector:
+    * a round removes the below-k vertices and updates survivors' degrees
+    * by subtracting their edge counts INTO the just-removed set (one
+    * join of the static edge table against the removal set — tiny after
+    * round 1, so AQE broadcasts it — plus a map-side-combinable count).
+    * Equivalent to re-counting degrees on the peeled subgraph, without
+    * shuffling or checkpointing the edges every round (which made the
+    * naive form 5× slower at 6M edges, docs/SCALE.md).
     */
   def kCore(spark: SparkSession, edges: DataFrame, k: Int,
             rounds: Int = 6): DataFrame = {
-    var und = edges.filter(col("src") =!= col("dst"))
+    val und = edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .unionAll(edges.filter(col("src") =!= col("dst"))
         .select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (v, deg) over alive vertices; deg = degree in the alive-induced
+    // subgraph, maintained incrementally
+    var deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
     var r = 0
     while (r < rounds) {
       r += 1
-      val keep = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("kv"))
-      und = und
-        .join(keep, und("src") === keep("kv"), "left_semi")
-        .join(keep, und("dst") === keep("kv"), "left_semi")
+      val removed = deg.filter(col("deg") < k).select(col("src").as("rv"))
+      val delta = und.join(removed, und("dst") === col("rv"))
+        .groupBy(col("src")).agg(count(lit(1)).as("gone"))
+      deg = deg.filter(col("deg") >= k)
+        .join(delta, Seq("src"), "left")
+        .select(col("src"),
+          (col("deg") - coalesce(col("gone"), lit(0L))).as("deg"))
         .localCheckpoint(r == rounds) // lazy mid-stream; eager on the last
     }
-    und.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_deg"))
+    und.unpersist(blocking = false)
+    // a survivor whose neighbors ALL peeled away has no edges left in
+    // the induced subgraph — the degree-count form omits it, so the
+    // incremental form must too
+    deg.filter(col("deg") > 0)
+      .select(col("src").as("v"), col("deg").as("core_deg"))
   }
 
   /** Bidirectional BFS: expands the source frontier along forward edges

@@ -77,6 +77,15 @@ object GraphTableFunctions {
     op(g, s, t, d, longArg(fn, args.last)).queryExecution.analyzed
   }
 
+  private def wholeGraphBuilder(fn: String,
+                                op: (GraphArGraph, String, String, String) => org.apache.spark.sql.DataFrame)
+  : Seq[Expression] => LogicalPlan = { args =>
+    if (args.size != 1 && args.size != 4)
+      throw new IllegalArgumentException(s"$fn(graph_yaml[, src, type, dst])")
+    val (g, s, t, d) = resolveEdge(fn, args.head, args.drop(1))
+    op(g, s, t, d).queryExecution.analyzed
+  }
+
   private def degreesBuilder: Seq[Expression] => LogicalPlan = { args =>
     if (args.size != 1 && args.size != 4)
       throw new IllegalArgumentException("edges_vertex(graph_yaml[, src, type, dst])")
@@ -95,7 +104,25 @@ object GraphTableFunctions {
       hopBuilder("one_more_hop", (g, s, t, d, vid) => g.oneMoreHop(s, t, d, vid))),
     (FunctionIdentifier("edges_vertex"),
       new ExpressionInfo(getClass.getName, "edges_vertex"),
-      degreesBuilder)
+      degreesBuilder),
+    // beyond-reference analytics, same arg shapes: (yaml[, s,t,d]) for
+    // whole-graph ops, (yaml[, s,t,d], n) where n = source vid / k
+    (FunctionIdentifier("connected_components"),
+      new ExpressionInfo(getClass.getName, "connected_components"),
+      wholeGraphBuilder("connected_components",
+        (g, s, t, d) => g.connectedComponents(s, t, d))),
+    (FunctionIdentifier("page_rank"),
+      new ExpressionInfo(getClass.getName, "page_rank"),
+      wholeGraphBuilder("page_rank", (g, s, t, d) => g.pageRank(s, t, d))),
+    (FunctionIdentifier("triangle_count"),
+      new ExpressionInfo(getClass.getName, "triangle_count"),
+      wholeGraphBuilder("triangle_count", (g, s, t, d) => g.triangleCount(s, t, d))),
+    (FunctionIdentifier("graph_sssp"),
+      new ExpressionInfo(getClass.getName, "graph_sssp"),
+      hopBuilder("graph_sssp", (g, s, t, d, vid) => g.sssp(s, t, d, vid))),
+    (FunctionIdentifier("graph_kcore"),
+      new ExpressionInfo(getClass.getName, "graph_kcore"),
+      hopBuilder("graph_kcore", (g, s, t, d, k) => g.kCore(s, t, d, k.toInt)))
   )
 
   /** Runtime registration into an existing session. */

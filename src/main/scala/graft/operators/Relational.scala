@@ -114,6 +114,22 @@ object Relational {
           col("n"), col("qty"))
     },
 
+    // Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
+    // (rf, ls) detail + rf subtotal + grand total, one shuffle — Spark
+    // expands the sets map-side and partial-aggregates before exchange.
+    "q23_grouping_sets" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+    },
+
     // Semi/anti joins (EXISTS / NOT EXISTS): customers with no orders +
     // count of customers with orders. Anti side stays distributed.
     "q9_semi_anti" -> { (s, d) =>
@@ -329,6 +345,14 @@ object Relational {
         |  coalesce(l_linestatus, 'ALL') AS ls,
         |  count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q23_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
 
     "q9_semi_anti" ->
       """SELECT c_custkey, 'no_orders' AS status FROM customer

@@ -35,8 +35,19 @@ import graft.meta.GraphArMeta
   */
 object GraphArWriter {
 
+  /** `maxTasks`: cap on write-shuffle tasks for this type. By default
+    * one task writes one vertex chunk (resp. one aligned-vertex part of
+    * the edge CSR) — the natural unit, since each chunk file has exactly
+    * one writer. On graphs whose chunkSize makes chunks tiny relative to
+    * the cluster (millions of 4 KB chunks → per-task overhead dominates)
+    * set maxTasks ≈ 3× cluster parallelism and each task packs a
+    * CONSECUTIVE run of chunks/parts — the write-side mirror of the read
+    * path's chunk-packed scan tasks. Output bytes are identical either
+    * way (verified by RoundTripSpec).
+    */
   final case class VertexSpec(vertexType: String, chunkSize: Long = 1L << 20,
-                              fileType: String = "parquet")
+                              fileType: String = "parquet",
+                              maxTasks: Option[Int] = None)
 
   final case class EdgeSpec(srcType: String, edgeType: String, dstType: String,
                             srcVertexCount: Long, dstVertexCount: Long,
@@ -44,8 +55,23 @@ object GraphArWriter {
                             srcChunkSize: Long = 1L << 20,
                             dstChunkSize: Long = 1L << 20,
                             fileType: String = "parquet",
-                            layouts: Seq[String] = Seq("src", "dst")) {
+                            layouts: Seq[String] = Seq("src", "dst"),
+                            maxTasks: Option[Int] = None) {
     def name: String = s"${srcType}_${edgeType}_${dstType}"
+  }
+
+  /** units-per-task for packing `units` work units into ≤ maxTasks. */
+  private def packFactor(units: Int, maxTasks: Option[Int]): Int =
+    maxTasks.filter(_ > 0).map(mt => (units + mt - 1) / mt).getOrElse(1)
+
+  /** Partitioner composing [[IdPartitioner]] with task packing: ids map
+    * to their chunk, consecutive `factor` chunks share one task.
+    */
+  private class PackedIdPartitioner(nUnits: Int, chunkSize: Long, factor: Int)
+    extends Partitioner {
+    private val inner = new IdPartitioner(nUnits, chunkSize)
+    override def numPartitions: Int = (inner.numPartitions + factor - 1) / factor
+    override def getPartition(key: Any): Int = inner.getPartition(key) / factor
   }
 
   /** Task-attempt output staging: every file a task writes goes to a
@@ -134,26 +160,40 @@ object GraphArWriter {
         cols.map(c => schema.fieldIndex(c)))
     }
     implicit val ord: Ordering[Long] = Ordering.Long
+    val factor = packFactor(nChunks, spec.maxTasks)
     val counts = indexed
-      .repartitionAndSortWithinPartitions(new IdPartitioner(nChunks, cs))
+      .repartitionAndSortWithinPartitions(new PackedIdPartitioner(nChunks, cs, factor))
       .mapPartitions { it =>
         val taskConf = serConf.value
         val files = new TaskFiles(taskConf)
-        val chunk = TaskContext.getPartitionId()
-        val sinks = groupSchemas.map { case (gName, fields, idxs) =>
-          val p = files.stage(new Path(s"$dir$gName/chunk$chunk"))
-          (ChunkIO.openSink(p, ft, StructType(fields), taskConf), idxs)
+        // ids arrive sorted, so a task's chunks fill strictly in order;
+        // roll the per-group sinks on each chunk boundary (factor chunks
+        // per task; ids are dense 0..n-1, so no chunk in range is empty)
+        var chunk = -1L
+        var sinks: Seq[(ChunkIO.RowSink, Seq[Int])] = null
+        def closeSinks(): Unit = if (sinks != null) {
+          sinks.foreach(_._1.close()); sinks = null
+        }
+        def roll(c: Long): Unit = {
+          closeSinks()
+          chunk = c
+          sinks = groupSchemas.map { case (gName, fields, idxs) =>
+            val p = files.stage(new Path(s"$dir$gName/chunk$chunk"))
+            (ChunkIO.openSink(p, ft, StructType(fields), taskConf), idxs)
+          }
         }
         var n = 0L
         try {
           try {
-            it.foreach { case (_, row) =>
+            it.foreach { case (i, row) =>
+              val c = i / cs
+              if (c != chunk) roll(c)
               sinks.foreach { case (sink, idxs) =>
-                sink.write(idxs.map(i => toIo(row, i, schema)).toArray)
+                sink.write(idxs.map(fi => toIo(row, fi, schema)).toArray)
               }
               n += 1
             }
-          } finally sinks.foreach(_._1.close())
+          } finally closeSinks()
           files.commit()
         } catch { case e: Throwable => files.abort(); throw e }
         Iterator.single(n)
@@ -161,6 +201,15 @@ object GraphArWriter {
 
     indexed.unpersist(blocking = false)
     val total = counts.sum
+    if (total == 0) {
+      // empty type: keep the layout self-describing with one empty
+      // chunk0 per group (pre-packing behavior; readers need no special
+      // case for a missing directory)
+      groupSchemas.foreach { case (gName, fields, _) =>
+        ChunkIO.writeRows(new Path(s"$dir$gName/chunk0"), ft,
+          StructType(fields), Iterator.empty, conf)
+      }
+    }
     GraphArMeta.writeInt64(new Path(s"${dir}vertex_count"), total, conf)
     writeVertexYaml(baseDir, spec, effGroups, schema, conf)
     total
@@ -211,17 +260,28 @@ object GraphArWriter {
       val key = if (alignedBy == "src") (s, d) else (d, s)
       (key, r)
     }
+    val factor = packFactor(nParts, spec.maxTasks)
     val counts = keyed
-      .repartitionAndSortWithinPartitions(new IdPartitioner(nParts, vcs))
+      .repartitionAndSortWithinPartitions(new PackedIdPartitioner(nParts, vcs, factor))
       .mapPartitions { it =>
         val conf = serConf.value
         val files = new TaskFiles(conf)
-        val part = TaskContext.getPartitionId()
-        val partStartVertex = part.toLong * vcs
-        val vertsInPart = math.min(vcs, alignedCount - partStartVertex).toInt
-        val offsets = new Array[Long](math.max(vertsInPart, 0) + 1)
+        // a task owns the consecutive aligned-vertex parts
+        // [task·factor, min(nParts, (task+1)·factor)); rows arrive sorted
+        // by (aligned, other), so parts fill strictly in order. EVERY
+        // part in range gets its offset table + edge_count file, edges
+        // or not — readers rely on their presence.
+        val task = TaskContext.getPartitionId()
+        val partLo = task * factor
+        val partHi = math.min(nParts.toLong, partLo.toLong + factor).toInt
+        var totalEdges = 0L
+        var part = -1
+        var partStartVertex = 0L
+        var vertsInPart = 0
+        var offsets: Array[Long] = null
         var edgeCount = 0L
         var chunkIdx = -1L
+        var lastAligned = -1L
         var adjSink: ChunkIO.RowSink = null
         var propSink: ChunkIO.RowSink = null
         def roll(): Unit = {
@@ -235,14 +295,44 @@ object GraphArWriter {
               new Path(s"${layoutDir}props/part$part/chunk$chunkIdx")), ft, propSchema, conf)
           else null
         }
+        def closeSinks(): Unit = {
+          // close BEFORE commit/abort: a throw above must not leak the
+          // sink handles (abort deletes the staged files underneath them)
+          if (adjSink != null) { adjSink.close(); adjSink = null }
+          if (propSink != null) { propSink.close(); propSink = null }
+        }
+        def startPart(p: Int): Unit = {
+          part = p
+          partStartVertex = p.toLong * vcs
+          vertsInPart = math.min(vcs, alignedCount - partStartVertex).toInt
+          offsets = new Array[Long](math.max(vertsInPart, 0) + 1)
+          edgeCount = 0L; chunkIdx = -1L; lastAligned = -1L
+        }
+        // fill trailing offset boundaries (zero chunks is valid; the
+        // offset table then says all-empty), write the part's offset
+        // table + edge count
+        def finishPart(): Unit = if (part >= 0) {
+          closeSinks()
+          var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
+          while (v <= vertsInPart) { offsets(v) = edgeCount; v += 1 }
+          ChunkIO.writeRows(files.stage(new Path(s"${layoutDir}offset/chunk$part")), ft,
+            StructType(Seq(StructField("_graphArOffset", LongType, nullable = false))),
+            offsets.iterator.map(o => Array[Any](o)), conf)
+          GraphArMeta.writeInt64(files.stage(
+            new Path(s"${layoutDir}edge_count$part")), edgeCount, conf)
+          totalEdges += edgeCount
+          part = -1
+        }
         try {
-          var lastAligned = -1L
+          var nextPart = partLo
           try {
             it.foreach { case ((aligned, _), row) =>
-              if (aligned < partStartVertex || aligned >= partStartVertex + vertsInPart)
+              if (aligned < partLo.toLong * vcs || aligned >= alignedCount)
                 throw new IllegalArgumentException(
                   s"edge ${if (alignedBy == "src") "src" else "dst"} id $aligned " +
                     s"outside the declared aligned vertex count $alignedCount")
+              val p = (aligned / vcs).toInt
+              while (nextPart <= p) { finishPart(); startPart(nextPart); nextPart += 1 }
               if (edgeCount % cs == 0) roll()
               val s = row.getLong(srcIdx); val d = row.getLong(dstIdx)
               adjSink.write(Array[Any](s, d))
@@ -255,24 +345,14 @@ object GraphArWriter {
               lastAligned = aligned
               edgeCount += 1
             }
-          } finally {
-            // close BEFORE commit/abort: a throw above must not leak the
-            // sink handles (abort deletes the staged files underneath them)
-            if (adjSink != null) { adjSink.close(); adjSink = null }
-            if (propSink != null) { propSink.close(); propSink = null }
-          }
-          // fill trailing boundaries (zero chunks is valid; the offset
-          // table then says all-empty)
-          var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
-          while (v <= vertsInPart) { offsets(v) = edgeCount; v += 1 }
-          ChunkIO.writeRows(files.stage(new Path(s"${layoutDir}offset/chunk$part")), ft,
-            StructType(Seq(StructField("_graphArOffset", LongType, nullable = false))),
-            offsets.iterator.map(o => Array[Any](o)), conf)
-          GraphArMeta.writeInt64(files.stage(
-            new Path(s"${layoutDir}edge_count$part")), edgeCount, conf)
+            // flush the open part and emit empty tables for any unseen
+            // trailing parts in this task's range
+            while (nextPart < partHi) { finishPart(); startPart(nextPart); nextPart += 1 }
+            finishPart()
+          } finally closeSinks()
           files.commit()
         } catch { case e: Throwable => files.abort(); throw e }
-        Iterator.single(edgeCount)
+        Iterator.single(totalEdges)
       }.collect()
     counts.sum
   }

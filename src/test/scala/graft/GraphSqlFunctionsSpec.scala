@@ -101,6 +101,39 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
     assert(sqlMax === apiMax)
   }
 
+  test("analytics TVFs connected_components/page_rank/graph_sssp/graph_kcore match the Scala API") {
+    import org.apache.spark.sql.functions.col
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val g = GraphArGraph(spark, yaml)
+    graph.GraphTableFunctions.register(spark)
+    val vid = graph.GraphQueries.RootVid
+
+    val sqlCc = spark.sql(s"SELECT * FROM connected_components('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sqlCc === g.connectedComponents("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+
+    val sqlPr = spark.sql(s"SELECT count(*) FROM page_rank('$yaml') WHERE rank > 1.0")
+      .collect()(0).getLong(0)
+    assert(sqlPr === g.pageRank("Part", "link", "Part")
+      .filter(col("rank") > 1.0).count())
+
+    val sqlTri = spark.sql(s"SELECT * FROM triangle_count('$yaml')")
+      .collect()(0).getLong(0)
+    assert(sqlTri === g.triangleCount("Part", "link", "Part")
+      .collect()(0).getLong(0))
+
+    val sqlSssp = spark.sql(s"SELECT * FROM graph_sssp('$yaml', $vid)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sqlSssp === g.sssp("Part", "link", "Part", vid)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+
+    val sqlCore = spark.sql(s"SELECT * FROM graph_kcore('$yaml', 20)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sqlCore === g.kCore("Part", "link", "Part", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("register refuses an over-threshold graph from metadata alone") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     val g = GraphArGraph(spark, yaml)

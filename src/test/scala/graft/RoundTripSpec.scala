@@ -139,6 +139,52 @@ class RoundTripSpec extends AnyFunSuite {
     assert(hopDst === Set(0L, 1L))
   }
 
+  test("packed write tasks (maxTasks) produce byte-identical layout to one-chunk-per-task") {
+    import spark.implicits._
+    def degreeMap(yaml: String): Map[Long, Long] =
+      graph.GraphArGraph(spark, yaml).degreesFast("T", "e", "T")
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+
+    // 25 vertices / chunkSize 4 → 7 chunks; edges over 25 aligned
+    // vertices / srcChunkSize 4 → 7 CSR parts; maxTasks 3 packs ~3
+    // units per task, including a trailing part range with no edges
+    val verts = (0 until 25).map(i => (i, s"v$i")).toDF("x", "name")
+    val edges = Seq((0L, 1L, 1.0), (0L, 2L, 2.0), (1L, 2L, 3.0), (5L, 0L, 4.0),
+      (5L, 9L, 5.0), (9L, 5L, 6.0), (10L, 11L, 7.0))
+      .toDF("src", "dst", "w")
+    val dirs = Seq(None, Some(3)).map { mt =>
+      val dir = Files.createTempDirectory(s"gar_pack_${mt.getOrElse(0)}").toString
+      GraphArWriter.writeVertices(verts, dir,
+        GraphArWriter.VertexSpec("T", chunkSize = 4, maxTasks = mt))
+      GraphArWriter.writeEdges(edges, dir,
+        GraphArWriter.EdgeSpec("T", "e", "T", srcVertexCount = 25,
+          dstVertexCount = 25, chunkSize = 2, srcChunkSize = 4,
+          dstChunkSize = 4, maxTasks = mt))
+      GraphArWriter.writeGraphYaml(dir, "G", Seq("T"), Seq("T_e_T"))
+      s"$dir/G.yaml"
+    }
+    val Seq(plainYaml, packedYaml) = dirs
+    def readV(y: String) = spark.read.format("graphar").option("path", y)
+      .option("type", "T").load().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+    def readE(y: String) = spark.read.format("graphar").option("path", y)
+      .option("src", "T").option("type", "e").option("dst", "T").load()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(readV(packedYaml) === readV(plainYaml))
+    assert(readE(packedYaml) === readE(plainYaml))
+    assert(readE(packedYaml).size === 7)
+    // offset tables must agree too (degrees come straight from them),
+    // including parts whose vertices have no edges
+    assert(degreeMap(packedYaml) === degreeMap(plainYaml))
+    // CSR seek still lands on the right rows in the packed layout
+    val hop5 = spark.read.format("graphar").option("path", packedYaml)
+      .option("src", "T").option("type", "e").option("dst", "T").load()
+      .filter(col("_graphArSrcIndex") === 5L)
+      .select("_graphArDstIndex").collect().map(_.getLong(0)).toSet
+    assert(hop5 === Set(0L, 9L))
+  }
+
   test("DSv2 write path: df.write.format(graphar) creates graph, append adds types, overwrite replaces") {
     import spark.implicits._
     val dir = Files.createTempDirectory("gar_dsv2w").toString
