@@ -282,9 +282,10 @@ object GraphOps {
     * edge table against the rank vector and one map-side-combinable sum —
     * the edge table never moves, so pre-bucketing it by src makes every
     * iteration shuffle only the O(V) rank vector. Checkpointed per round.
-    * No DuckDB oracle: rank sums are fp-accumulation-order-dependent, so
-    * cross-engine hashes are unsound — correctness is spec-tested against
-    * a driver-side power iteration instead (rows-only check in the gate).
+    * Gate: hash-checked against an unrolled power-iteration DuckDB
+    * oracle after quantizing ranks to integer micro-units (raw sums are
+    * fp-accumulation-order-dependent; see GraphQueries for the boundary
+    * audit), plus spec-tested against a driver-side power iteration.
     */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10,
                damping: Double = 0.85): DataFrame = {

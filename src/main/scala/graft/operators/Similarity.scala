@@ -302,10 +302,15 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, modulo: Int = 40,
                threshold: Double = 0.4): DataFrame = {
+    // lazy localCheckpoint, not persist: the assignment feeds the pair
+    // join twice + the anti join, and checkpoint blocks are released by
+    // the ContextCleaner when the plan is GC'd (a persist here would pin
+    // cache for the session unless explicitly unpersisted, which a
+    // lazily-returned DataFrame has no good point to do)
     val assigned = ivfRanked(emb, ivfCentroids(emb, modulo))
       .filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds the pair join twice + the anti join
+      .localCheckpoint(false)
     val a = assigned.select(col("cluster").as("a_cluster"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = assigned.select(col("cluster").as("b_cluster"),

@@ -56,6 +56,8 @@ class GraphArDataSource extends TableProvider with DataSourceRegister {
   // pass of driver-side FS round-trips, not two (GraphInfo loads every
   // vertex/edge yaml of the graph)
   @volatile private var cachedGraph: (String, GraphInfo) = _
+  // (snapshotBase → resolved latest yaml), pinned for this instance
+  @volatile private var resolvedLatest: (String, String) = _
 
   /** `path` names a graph yaml directly; alternatively `snapshotBase`
     * points at a [[graft.streaming.GraphArSink]] versioned layout and
@@ -73,10 +75,19 @@ class GraphArDataSource extends TableProvider with DataSourceRegister {
       // that prefix as "type missing → legal write target", and a
       // snapshot-resolution failure is never a write target
       if (sel.equalsIgnoreCase("latest")) {
-        val y = graft.streaming.GraphArSink.latestYaml(spark, base)
-        if (y == null) throw new IllegalArgumentException(
-          s"snapshotBase $base has no committed snapshot (LATEST pointer absent)")
-        y
+        // resolve LATEST once per provider instance (Spark reuses the
+        // instance across inferSchema/getTable of one load()): a sink
+        // commit between the two calls must not tear schema and scan
+        // across different snapshots
+        val cached = resolvedLatest
+        if (cached != null && cached._1 == base) cached._2
+        else {
+          val y = graft.streaming.GraphArSink.latestYaml(spark, base)
+          if (y == null) throw new IllegalArgumentException(
+            s"snapshotBase $base has no committed snapshot (LATEST pointer absent)")
+          resolvedLatest = (base, y)
+          y
+        }
       } else {
         val v = try sel.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(

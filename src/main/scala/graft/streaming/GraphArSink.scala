@@ -86,10 +86,14 @@ object GraphArSink {
     val basePath = new Path(base)
     val fs = basePath.getFileSystem(conf)
     if (!fs.exists(basePath)) return Seq.empty
+    val expected = expectedYamlName(spark, base)
     fs.listStatus(basePath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .flatMap(s => scala.util.Try(s.getPath.getName.drop(1).toLong).toOption
-        .filter(_ => graphYamlIn(fs, s.getPath).isDefined))
+        // Try: a concurrent prune() can delete the dir between the base
+        // listing and this per-dir probe — treat it as not committed
+        .filter(_ => scala.util.Try(graphYamlIn(fs, s.getPath, expected))
+          .toOption.exists(_.isDefined)))
       .sorted
   }
 
@@ -102,7 +106,11 @@ object GraphArSink {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new Path(s"$base/v$version")
     val fs = dir.getFileSystem(conf)
-    val yaml = if (fs.exists(dir)) graphYamlIn(fs, dir) else None
+    val yaml =
+      if (fs.exists(dir))
+        scala.util.Try(graphYamlIn(fs, dir, expectedYamlName(spark, base)))
+          .toOption.flatten
+      else None
     // message must not start with "no " — the DSv2 provider's metaOrNew
     // reserves that prefix for legal write-target resolution
     yaml.getOrElse(throw new IllegalArgumentException(
@@ -111,17 +119,34 @@ object GraphArSink {
       .toString
   }
 
-  /** The graph yaml inside one snapshot dir: the top-level `*.yaml` that
-    * is not a per-type `*.vertex.yaml` / `*.edge.yaml`.
+  /** The graph yaml's filename, learned from the LATEST pointer when one
+    * exists (every snapshot of a sink shares the graph name, so this is
+    * exact even for graph names that LOOK like per-type yamls, e.g.
+    * "social.edge" → "social.edge.yaml"). None → fall back to the
+    * suffix heuristic in [[graphYamlIn]].
+    */
+  private def expectedYamlName(spark: org.apache.spark.sql.SparkSession,
+                               base: String): Option[String] =
+    Option(latestYaml(spark, base)).map(y => new Path(y).getName)
+
+  /** The graph yaml inside one snapshot dir: the `expected` filename if
+    * known, else the top-level `*.yaml` that is not a per-type
+    * `*.vertex.yaml` / `*.edge.yaml`.
     */
   private def graphYamlIn(fs: org.apache.hadoop.fs.FileSystem,
-                          dir: Path): Option[Path] =
-    fs.listStatus(dir).toSeq.map(_.getPath)
-      .find { p =>
-        val n = p.getName
-        n.endsWith(".yaml") && !n.endsWith(".vertex.yaml") &&
-          !n.endsWith(".edge.yaml")
-      }
+                          dir: Path, expected: Option[String]): Option[Path] =
+    expected match {
+      case Some(name) =>
+        val p = new Path(dir, name)
+        if (fs.exists(p)) Some(p) else None
+      case None =>
+        fs.listStatus(dir).toSeq.map(_.getPath)
+          .find { p =>
+            val n = p.getName
+            n.endsWith(".yaml") && !n.endsWith(".vertex.yaml") &&
+              !n.endsWith(".edge.yaml")
+          }
+    }
 
   /** Delete all snapshot dirs except the `keep` most recent (and never
     * the one LATEST points at).
