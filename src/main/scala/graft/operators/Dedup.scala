@@ -140,6 +140,26 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Duplicate-cluster assignment: the transitive closure of the
+    * verified near-dup pair graph — every document in a dup CLUSTER gets
+    * the cluster's min doc_id as its canonical id (keep-lowest-id at the
+    * cluster level, where [[dropNearDuplicates]] works pair-level). A
+    * composition of the dedup family with the graph family: the pair set
+    * is the edge list, connected components labels it.
+    *
+    * Scale shape: the pair graph is ORDERS smaller than the corpus
+    * (only verified near-dups), so the component iteration runs on a
+    * tiny edge set; the corpus itself never joins in.
+    */
+  def dupClusters(spark: SparkSession, docs: DataFrame, n: Int = 3,
+                  k: Int = 8, bands: Int = 4,
+                  threshold: Double = 0.25): DataFrame = {
+    val pairs = minhashLshPairs(docs, n, k, bands, threshold)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    graft.graph.GraphOps.connectedComponents(spark, pairs)
+      .select(col("v").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   /** Per-document 32-bit SimHash signature. */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
@@ -193,6 +213,7 @@ object Dedup {
       dropNearDuplicates(t(s, d, "documents"))
         .select(col("doc_id"), col("lang"), col("source"))
     },
+    "d_dup_clusters" -> { (s, d) => dupClusters(s, t(s, d, "documents")) },
     "d_simhash" -> { (s, d) => simhashSignatures(t(s, d, "documents")) },
     "d_simhash_pairs" -> { (s, d) => simhashPairs(t(s, d, "documents")) }
   )
@@ -262,6 +283,18 @@ object Dedup {
     "d_minhash_lsh" ->
       s"""WITH ${minhashCtes("documents")}
          |SELECT a_id, b_id, jac FROM verified WHERE jac >= 0.25""".stripMargin,
+
+    // same closure formulation as the g_components oracle, over the
+    // verified-pair edge list instead of the lineitem graph
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |pairs AS (SELECT a_id AS src, b_id AS dst FROM verified WHERE jac >= 0.25),
+         |ue AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT src AS v, src AS r FROM ue
+         |  UNION
+         |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
+         |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin,
 
     "d_simhash_pairs" ->
       s"""WITH h AS (

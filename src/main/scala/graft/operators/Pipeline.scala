@@ -91,7 +91,31 @@ object Pipeline {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Deterministic corpus shuffle — the "shuffle before training" step,
+    * made reproducible: sort key = md5(seed ‖ doc_id), shard = the key's
+    * first hex char, rank = position within the shard. Re-running with
+    * the same seed yields the identical order; changing the seed
+    * re-shuffles.
+    *
+    * Scale shape: sharding first keeps the window PARTITIONED — each
+    * shard sorts independently (no global single-partition row_number);
+    * at 100 TB the shards are written as separate files and a training
+    * job streams them in (shard, rank) order.
+    */
+  def shuffleDeterministic(docs: DataFrame,
+                           seed: String = "seed42"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        md5(concat(lit(seed + "-"), col("doc_id").cast("string")))
+          .as("sort_key"))
+      .withColumn("shard", substring(col("sort_key"), 1, 1))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_shuffle" -> { (s, d) => shuffleDeterministic(t(s, d, "documents")) },
     "p_clean_corpus" -> { (s, d) => cleanCorpus(t(s, d, "documents")) },
     "p_decontaminate" -> { (s, d) => decontaminate(t(s, d, "documents")) },
     "p_train_mix" -> { (s, d) => trainMix(t(s, d, "documents")) },
@@ -111,6 +135,16 @@ object Pipeline {
            |SELECT doc_id, source, length(text) AS n_chars_kept
            |FROM $gatedRel AS gated
            |WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM verified WHERE jac >= 0.25)""".stripMargin,
+
+      "p_shuffle" ->
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    md5('seed42-' || CAST(doc_id AS VARCHAR)) AS sort_key
+          |  FROM documents)
+          |SELECT doc_id, sort_key, substr(sort_key, 1, 1) AS shard,
+          |  CAST(row_number() OVER (PARTITION BY substr(sort_key, 1, 1)
+          |    ORDER BY sort_key, doc_id) AS BIGINT) AS rank
+          |FROM s""".stripMargin,
 
       "p_decontaminate" ->
         """WITH toks AS (
