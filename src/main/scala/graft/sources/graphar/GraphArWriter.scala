@@ -218,12 +218,29 @@ object GraphArWriter {
   /** Write one edge type from a DataFrame with columns (src: long,
     * dst: long, properties...). Writes each requested layout
     * (ordered_by_source / ordered_by_dest) with its CSR offset tables.
+    *
+    * `groups` splits the property columns into named property groups
+    * (default: one group "props" holding every non-src/dst column) —
+    * the reader's projection pushdown then skips whole group files when
+    * none of their columns are required, exactly as for vertices.
     */
-  def writeEdges(df: DataFrame, baseDir: String, spec: EdgeSpec): Long = {
+  def writeEdges(df: DataFrame, baseDir: String, spec: EdgeSpec,
+                 groups: Seq[(String, Seq[String])] = Seq.empty): Long = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val serConf = graft.util.SerializableHadoopConf(conf)
     val schema = df.schema
     val propFields = schema.fields.filterNot(f => f.name == "src" || f.name == "dst")
+    val effGroups: Seq[(String, Seq[String])] =
+      if (groups.nonEmpty) {
+        val grouped = groups.flatMap(_._2)
+        require(grouped.distinct.size == grouped.size,
+          s"writeEdges: a property may appear in only one group")
+        val missing = propFields.map(_.name).toSet -- grouped.toSet
+        require(missing.isEmpty,
+          s"writeEdges: properties ${missing.mkString(", ")} not assigned to any group")
+        groups
+      } else if (propFields.isEmpty) Seq.empty
+      else Seq("props" -> propFields.map(_.name).toSeq)
     val dir = s"$baseDir/edge/${spec.name}/"
     var total = 0L
     spec.layouts.foreach { alignedBy =>
@@ -231,29 +248,33 @@ object GraphArWriter {
         if (alignedBy == "src") s"${dir}ordered_by_source/" else s"${dir}ordered_by_dest/"
       val alignedCount = if (alignedBy == "src") spec.srcVertexCount else spec.dstVertexCount
       val vcs = if (alignedBy == "src") spec.srcChunkSize else spec.dstChunkSize
-      total = writeLayout(df, schema, propFields, layoutDir, alignedBy,
+      total = writeLayout(df, schema, effGroups, layoutDir, alignedBy,
         alignedCount, vcs, spec, serConf)
       GraphArMeta.writeInt64(new Path(s"${layoutDir}vertex_count"), alignedCount, conf)
     }
-    writeEdgeYaml(baseDir, spec, propFields, conf)
+    writeEdgeYaml(baseDir, spec, effGroups, schema, conf)
     total
   }
 
   private def writeLayout(df: DataFrame, schema: StructType,
-                          propFields: Array[StructField], layoutDir: String,
+                          groups: Seq[(String, Seq[String])], layoutDir: String,
                           alignedBy: String, alignedCount: Long, vcs: Long,
                           spec: EdgeSpec,
                           serConf: org.apache.spark.util.SerializableConfiguration): Long = {
     val srcIdx = schema.fieldIndex("src")
     val dstIdx = schema.fieldIndex("dst")
-    val propIdxs = propFields.map(f => schema.fieldIndex(f.name))
+    // (group name, schema of its columns, their indexes in the input row)
+    val groupSpecs: Seq[(String, StructType, Array[Int])] = groups.map {
+      case (gName, cols) =>
+        (gName, StructType(cols.map(c => schema(schema.fieldIndex(c)))),
+          cols.map(schema.fieldIndex).toArray)
+    }
     val cs = spec.chunkSize
     val ft = spec.fileType
     val nParts = math.max(1L, (alignedCount + vcs - 1) / vcs).toInt
     val adjSchema = StructType(Seq(
       StructField(GraphArMeta.SrcIndexCol, LongType, nullable = false),
       StructField(GraphArMeta.DstIndexCol, LongType, nullable = false)))
-    val propSchema = StructType(propFields.toSeq)
 
     val keyed = df.rdd.map { r =>
       val s = r.getLong(srcIdx); val d = r.getLong(dstIdx)
@@ -283,23 +304,24 @@ object GraphArWriter {
         var chunkIdx = -1L
         var lastAligned = -1L
         var adjSink: ChunkIO.RowSink = null
-        var propSink: ChunkIO.RowSink = null
+        var propSinks: Seq[(ChunkIO.RowSink, Array[Int])] = null
         def roll(): Unit = {
           if (adjSink != null) adjSink.close()
-          if (propSink != null) propSink.close()
+          if (propSinks != null) propSinks.foreach(_._1.close())
           chunkIdx += 1
           adjSink = ChunkIO.openSink(files.stage(
             new Path(s"${layoutDir}adj_list/part$part/chunk$chunkIdx")), ft, adjSchema, conf)
-          propSink = if (propFields.nonEmpty)
-            ChunkIO.openSink(files.stage(
-              new Path(s"${layoutDir}props/part$part/chunk$chunkIdx")), ft, propSchema, conf)
-          else null
+          propSinks = groupSpecs.map { case (gName, gSchema, idxs) =>
+            (ChunkIO.openSink(files.stage(
+              new Path(s"$layoutDir$gName/part$part/chunk$chunkIdx")), ft, gSchema, conf),
+              idxs)
+          }
         }
         def closeSinks(): Unit = {
           // close BEFORE commit/abort: a throw above must not leak the
           // sink handles (abort deletes the staged files underneath them)
           if (adjSink != null) { adjSink.close(); adjSink = null }
-          if (propSink != null) { propSink.close(); propSink = null }
+          if (propSinks != null) { propSinks.foreach(_._1.close()); propSinks = null }
         }
         def startPart(p: Int): Unit = {
           part = p
@@ -336,8 +358,9 @@ object GraphArWriter {
               if (edgeCount % cs == 0) roll()
               val s = row.getLong(srcIdx); val d = row.getLong(dstIdx)
               adjSink.write(Array[Any](s, d))
-              if (propSink != null)
-                propSink.write(propIdxs.map(i => toIo(row, i, schema)).toArray)
+              propSinks.foreach { case (sink, idxs) =>
+                sink.write(idxs.map(i => toIo(row, i, schema)))
+              }
               // advance cumulative offsets for vertices in (lastAligned, aligned]
               val local = (aligned - partStartVertex).toInt
               var v = math.max(lastAligned - partStartVertex + 1, 0).toInt
@@ -406,7 +429,8 @@ object GraphArWriter {
   }
 
   private def writeEdgeYaml(baseDir: String, spec: EdgeSpec,
-                            propFields: Array[StructField],
+                            groups: Seq[(String, Seq[String])],
+                            schema: StructType,
                             conf: Configuration): Unit = {
     val sb = new StringBuilder
     sb.append(s"src_type: ${spec.srcType}\n")
@@ -425,16 +449,19 @@ object GraphArWriter {
       sb.append(s"    file_type: ${spec.fileType}\n")
       sb.append(s"    prefix: $prefix\n")
     }
-    if (propFields.nonEmpty) {
+    if (groups.nonEmpty) {
       sb.append("property_groups: \n")
-      sb.append(s"  - file_type: ${spec.fileType}\n")
-      sb.append("    prefix: props/\n")
-      sb.append("    properties: \n")
-      propFields.foreach { f =>
-        sb.append(s"      - name: ${f.name}\n")
-        sb.append(s"        data_type: ${GraphArMeta.garType(f.dataType)}\n")
-        sb.append(s"        is_primary: false\n")
-        sb.append(s"        is_nullable: ${f.nullable}\n")
+      groups.foreach { case (gName, cols) =>
+        sb.append(s"  - file_type: ${spec.fileType}\n")
+        sb.append(s"    prefix: $gName/\n")
+        sb.append("    properties: \n")
+        cols.foreach { c =>
+          val f = schema(schema.fieldIndex(c))
+          sb.append(s"      - name: ${f.name}\n")
+          sb.append(s"        data_type: ${GraphArMeta.garType(f.dataType)}\n")
+          sb.append(s"        is_primary: false\n")
+          sb.append(s"        is_nullable: ${f.nullable}\n")
+        }
       }
     }
     sb.append("version: gar/v1\n")

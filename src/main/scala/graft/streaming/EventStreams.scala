@@ -84,6 +84,26 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("sig_key")
       .drop("sig", "sig_key")
 
+  /** Streaming benchmark-decontamination — the streaming twin of
+    * `operators.Pipeline.decontaminate`: incoming documents are DROPPED
+    * when they share a word n-gram with the static benchmark n-gram set
+    * (the "never train on test data" gate, applied at ingest). The
+    * benchmark n-gram set is collected ONCE driver-side (benchmark sets
+    * are small by nature) and shipped as a literal array, so the filter
+    * is a pure map-side `arrays_overlap` — stateless, no watermark, no
+    * join state; per-microbatch work is one codegen'd scan. (An
+    * anti-join formulation would make the per-doc distinct a stateful
+    * streaming aggregation — needlessly.)
+    */
+  def decontaminateStream(docs: DataFrame, benchGrams: DataFrame,
+                          n: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions._
+    val grams = benchGrams.select(col("g")).collect().map(_.getString(0))
+    if (grams.isEmpty) docs
+    else docs.filter(!arrays_overlap(
+      shingles(tokens(col("text")), n), array(grams.map(lit): _*)))
+  }
+
   /** Stream-stream interval join — the streaming twin of the batch
     * range join (`operators.AsOf.rangeJoin`): clicks join purchases by
     * the same user within `windowSeconds` AFTER the purchase. Both

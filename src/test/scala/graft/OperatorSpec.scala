@@ -211,6 +211,37 @@ class OperatorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops exactly the batch operator's flagged docs") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val docsDf = docs.toDF("doc_id", "text")
+    // the batch operator's benchmark slice and its flagged doc set
+    val benchGrams = docsDf.filter(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(shingles(tokens(col("text")), 4))).as("g"))
+      .distinct()
+    val flagged = operators.Pipeline.decontaminate(docsDf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "fixture should contain contaminated docs")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val training = docs.filter { case (id, _) => id % 50 != 0 }
+    val q = EventStreams.decontaminateStream(
+        stream.toDF().toDF("doc_id", "text"), benchGrams)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(training)
+      q.processAllAvailable()
+      val kept = spark.table("decon_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === training.map(_._1).toSet -- flagged,
+        "stream must keep exactly the batch operator's clean set")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch range join") {
     import spark.implicits._
     import graft.streaming.EventStreams

@@ -139,6 +139,40 @@ class RoundTripSpec extends AnyFunSuite {
     assert(hopDst === Set(0L, 1L))
   }
 
+  test("edge property groups: split columns into group files, read back, project one group") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gar_egroups").toString
+    val edges = Seq((0L, 1L, 1.5, "a"), (0L, 2L, 2.5, "b"), (1L, 2L, 3.5, "c"))
+      .toDF("src", "dst", "w", "tag")
+    GraphArWriter.writeEdges(edges, dir,
+      GraphArWriter.EdgeSpec("T", "e", "T", srcVertexCount = 3, dstVertexCount = 3,
+        chunkSize = 2, srcChunkSize = 2, dstChunkSize = 2),
+      groups = Seq("weights" -> Seq("w"), "labels" -> Seq("tag")))
+    GraphArWriter.writeVertices((0 until 3).map(Tuple1(_)).toDF("x"), dir,
+      GraphArWriter.VertexSpec("T", 4))
+    GraphArWriter.writeGraphYaml(dir, "G", Seq("T"), Seq("T_e_T"))
+    // both group dirs exist under both layouts
+    for (layout <- Seq("ordered_by_source", "ordered_by_dest");
+         g <- Seq("weights", "labels"))
+      assert(new java.io.File(s"$dir/edge/T_e_T/$layout/$g/part0/chunk0").exists,
+        s"$layout/$g chunk missing")
+    val back = spark.read.format("graphar").option("path", s"$dir/G.yaml")
+      .option("src", "T").option("type", "e").option("dst", "T").load()
+    assert(back.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).sorted.toSeq
+      === Seq((0L, 1L, 1.5, "a"), (0L, 2L, 2.5, "b"), (1L, 2L, 3.5, "c")))
+    // single-group projection still answers (and a CSR seek on top)
+    val wOnly = back.filter(col("_graphArSrcIndex") === 0L).select("w")
+      .collect().map(_.getDouble(0)).toSet
+    assert(wOnly === Set(1.5, 2.5))
+    // misconfigured groups fail fast
+    intercept[IllegalArgumentException] {
+      GraphArWriter.writeEdges(edges, dir + "_bad",
+        GraphArWriter.EdgeSpec("T", "e", "T", 3, 3),
+        groups = Seq("weights" -> Seq("w"))) // tag unassigned
+    }
+  }
+
   test("packed write tasks (maxTasks) produce byte-identical layout to one-chunk-per-task") {
     import spark.implicits._
     def degreeMap(yaml: String): Map[Long, Long] =
