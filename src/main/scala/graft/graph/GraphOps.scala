@@ -443,6 +443,33 @@ object GraphOps {
       .select(col("src").as("v"), col("deg").as("core_deg"))
   }
 
+  /** Link-prediction neighbor overlap vs one vertex: for every other
+    * vertex v, |N(vid) ∩ N(v)| and |N(vid) ∪ N(v)| over distinct
+    * OUT-neighbor sets — the integer core of common-neighbors /
+    * Jaccard / Adamic-Adar scoring, kept as exact counts (ratios are a
+    * trailing map; integer outputs hash exactly cross-engine).
+    *
+    * Scale shape: N(vid) is one vertex's neighbor list — broadcast — so
+    * the candidate pass is a map-side semi-join of the edge table; only
+    * the per-candidate counts (O(V)) shuffle. The all-pairs variant of
+    * this operator is the classic self-join blow-up; anchoring one side
+    * at a vertex (or a small vertex set) is the shape that scales.
+    */
+  def neighborOverlap(edges: DataFrame, vid: Long,
+                      minCommon: Long = 3): DataFrame = {
+    val nRoot = edges.filter(col("src") === vid).select(col("dst")).distinct()
+    val common = edges.join(broadcast(nRoot), "dst")
+      .filter(col("src") =!= vid)
+      .groupBy(col("src")).agg(countDistinct(col("dst")).as("n_common"))
+    val outDeg = edges.groupBy(col("src"))
+      .agg(countDistinct(col("dst")).as("n_out"))
+    val rootDeg = nRoot.agg(count(lit(1)).as("n_root"))
+    common.join(outDeg, "src").crossJoin(broadcast(rootDeg))
+      .filter(col("n_common") >= minCommon)
+      .select(col("src").as("v"), col("n_common"),
+        (col("n_out") + col("n_root") - col("n_common")).as("n_union"))
+  }
+
   /** Bidirectional BFS: expands the source frontier along forward edges
     * and the target frontier along REVERSED edges, always growing the
     * smaller side; a meet at depths (dS, dT) witnesses a path of length

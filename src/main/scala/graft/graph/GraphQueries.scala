@@ -137,6 +137,10 @@ object GraphQueries {
     // agree even where it wouldn't converge)
     "g_kcore" -> { (s, d) =>
       GraphOps.kCore(s, edgesFrom(s, d), KCoreK, rounds = KCoreRounds)
+    },
+    // link-prediction overlap counts vs the root (integer-exact)
+    "g_neighbor_overlap" -> { (s, d) =>
+      GraphOps.neighborOverlap(edgesFrom(s, d), RootVid)
     }
   )
 
@@ -270,6 +274,19 @@ object GraphQueries {
       "g_pagerank" -> pageRankSql,
       "g_sssp" -> ssspSql,
       "g_kcore" -> kcoreSql,
+      "g_neighbor_overlap" ->
+        s"""WITH e AS ($edgesSql),
+           |nroot AS (SELECT DISTINCT dst FROM e WHERE src = $RootVid),
+           |common AS (
+           |  SELECT e.src, count(DISTINCT e.dst) AS n_common
+           |  FROM e JOIN nroot ON nroot.dst = e.dst
+           |  WHERE e.src <> $RootVid GROUP BY e.src),
+           |odeg AS (SELECT src, count(DISTINCT dst) AS n_out FROM e GROUP BY src),
+           |rdeg AS (SELECT count(*) AS n_root FROM nroot)
+           |SELECT common.src AS v, CAST(n_common AS BIGINT) AS n_common,
+           |  CAST(n_out + n_root - n_common AS BIGINT) AS n_union
+           |FROM common JOIN odeg ON odeg.src = common.src CROSS JOIN rdeg
+           |WHERE n_common >= 3""".stripMargin,
       "g_triangles" ->
         s"""WITH e AS ($edgesSql),
            |und AS (

@@ -289,6 +289,55 @@ object Similarity {
     base
   }
 
+  /** Product-quantization ANN (asymmetric distance): split the `dims`-d
+    * embedding into `m` subspaces; per subspace, code every vector as
+    * its max-inner-product sub-centroid (codebook = the deterministic
+    * `vec_id % modulo == 0` subset, sliced). A query scores a candidate
+    * as Σ_m ⟨q_sub_m, centroid(code_m)⟩ — m codebook lookups instead of
+    * a full-vector scan.
+    *
+    * Scale story: codes are m bytes per vector (vs dims·4) — the corpus
+    * representation that fits a billion vectors in executor memory; the
+    * query-side lookup table is (m × K) floats, broadcast. The partial
+    * dots are summed by an ORDER-PINNED fold (sorted by subspace, then
+    * sequential aggregate) so scores are bit-identical cross-engine —
+    * a plain SUM would be accumulation-order-dependent.
+    */
+  def pqTopK(emb: DataFrame, queryIds: Column, k: Int, m: Int = 8,
+             dims: Int = 64, modulo: Int = 40): DataFrame = {
+    val subDim = dims / m
+    val subCol = (v: Column, mc: Column) => slice(v, mc * subDim + 1, lit(subDim))
+    val ms = explode(sequence(lit(0), lit(m - 1)))
+    val codebook = ivfCentroids(emb, modulo)
+      .withColumn("m", ms)
+      .select(col("m"), col("c_id"), subCol(col("c_emb"), col("m")).as("c_sub"))
+    val aw = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("pdot").desc, col("c_id"))
+    val codes = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("m", ms)
+      .withColumn("v_sub", subCol(col("embedding"), col("m")))
+      .join(broadcast(codebook), "m")
+      .withColumn("pdot", dot(col("v_sub"), col("c_sub")))
+      .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
+      .select(col("vec_id").as("n_id"), col("m"), col("c_id"))
+    val lut = emb.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("m", ms)
+      .join(broadcast(codebook), "m")
+      .withColumn("pdot", dot(subCol(col("q_emb"), col("m")), col("c_sub")))
+      .select(col("q_id"), col("m"), col("c_id"), col("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("m", "c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("pdot")))).as("parts"))
+      .withColumn("score", aggregate(col("parts"), lit(0.0),
+        (acc, x) => acc + x.getField("pdot")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** SemDeDup-style semantic dedup: cluster the corpus (nearest
     * deterministic centroid — the same assignment the IVF index uses),
     * then within each cluster drop every vector that has a
@@ -348,6 +397,9 @@ object Similarity {
     },
     "d_semdedup" -> { (s, d) =>
       semDedup(t(s, d, "embeddings"))
+    },
+    "sim_pq" -> { (s, d) =>
+      pqTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
     },
     "sim_lsh" -> { (s, d) =>
       lshTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
@@ -502,6 +554,44 @@ object Similarity {
     // persisting the index must not change a single result row
     "sim_ivf_stored" -> ivfOracleSql,
     "sim_lsh_stored" -> lshOracleSql,
+
+    // same subspace slicing, max-inner-product coding, and ORDER-PINNED
+    // partial-dot fold as pqTopK (array_agg(... ORDER BY m) + list_reduce
+    // mirrors sort_array(collect_list) + aggregate)
+    "sim_pq" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id % 40 = 0),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |codebook AS (
+         |  SELECT m, c_id, list_slice(c_emb, m*8 + 1, m*8 + 8) AS c_sub
+         |  FROM cent CROSS JOIN ms),
+         |vs AS (
+         |  SELECT vec_id, m, list_slice(embedding, m*8 + 1, m*8 + 8) AS v_sub
+         |  FROM embeddings CROSS JOIN ms),
+         |codes AS (
+         |  SELECT vec_id AS n_id, m, c_id FROM (
+         |    SELECT vs.vec_id, vs.m, cb.c_id,
+         |      row_number() OVER (PARTITION BY vs.vec_id, vs.m
+         |        ORDER BY ${dotSql("v_sub", "c_sub", 8)} DESC, cb.c_id) AS r
+         |    FROM vs JOIN codebook cb ON cb.m = vs.m)
+         |  WHERE r = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS q_id, q.m, cb.c_id,
+         |    ${dotSql("q.v_sub", "cb.c_sub", 8)} AS pdot
+         |  FROM (SELECT * FROM vs WHERE vec_id < 8) q
+         |  JOIN codebook cb ON cb.m = q.m),
+         |scored AS (
+         |  SELECT q_id, n_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      array_agg(pdot ORDER BY m)), (acc, v) -> acc + v) AS score
+         |  FROM codes JOIN lut USING (m, c_id)
+         |  WHERE q_id <> n_id GROUP BY q_id, n_id),
+         |ranked AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
 
     "d_semdedup" ->
       s"""WITH cent AS (
