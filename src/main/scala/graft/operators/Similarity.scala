@@ -286,6 +286,15 @@ object Similarity {
       writeLshIndex(emb, s"$base/lsh")
       fs.create(marker, true).close()
     }
+    // pq landed later than ivf/lsh: its own marker lets an existing
+    // fixture gain the pq layout without a full rebuild
+    val pqMarker = new org.apache.hadoop.fs.Path(s"$base/pq/_INDEX_SUCCESS")
+    if (!fs.exists(pqMarker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/pq")))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/pq"), true)
+      writePqIndex(t(spark, sfDir, "embeddings"), s"$base/pq")
+      fs.create(pqMarker, true).close()
+    }
     base
   }
 
@@ -303,29 +312,46 @@ object Similarity {
     * sequential aggregate) so scores are bit-identical cross-engine —
     * a plain SUM would be accumulation-order-dependent.
     */
-  def pqTopK(emb: DataFrame, queryIds: Column, k: Int, m: Int = 8,
-             dims: Int = 64, modulo: Int = 40): DataFrame = {
-    val subDim = dims / m
-    val subCol = (v: Column, mc: Column) => slice(v, mc * subDim + 1, lit(subDim))
-    val ms = explode(sequence(lit(0), lit(m - 1)))
-    val codebook = ivfCentroids(emb, modulo)
-      .withColumn("m", ms)
-      .select(col("m"), col("c_id"), subCol(col("c_emb"), col("m")).as("c_sub"))
+  private def pqSub(v: Column, mc: Column, subDim: Int): Column =
+    slice(v, mc * subDim + 1, lit(subDim))
+
+  /** Per-subspace codebook: (m, c_id, c_sub). */
+  private def pqCodebook(emb: DataFrame, m: Int, dims: Int,
+                         modulo: Int): DataFrame =
+    ivfCentroids(emb, modulo)
+      .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("m"), col("c_id"),
+        pqSub(col("c_emb"), col("m"), dims / m).as("c_sub"))
+
+  /** PQ codes: (n_id, m, c_id) — each vector's max-inner-product
+    * sub-centroid per subspace.
+    */
+  private def pqCodes(emb: DataFrame, codebook: DataFrame, m: Int,
+                      dims: Int): DataFrame = {
     val aw = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("pdot").desc, col("c_id"))
-    val codes = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("m", ms)
-      .withColumn("v_sub", subCol(col("embedding"), col("m")))
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("v_sub", pqSub(col("embedding"), col("m"), dims / m))
       .join(broadcast(codebook), "m")
       .withColumn("pdot", dot(col("v_sub"), col("c_sub")))
       .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
       .select(col("vec_id").as("n_id"), col("m"), col("c_id"))
-    val lut = emb.filter(queryIds)
+  }
+
+  /** Query lookup table: (q_id, m, c_id, pdot). */
+  private def pqLut(queries: DataFrame, codebook: DataFrame, m: Int,
+                    dims: Int): DataFrame =
+    queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("m", ms)
+      .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
       .join(broadcast(codebook), "m")
-      .withColumn("pdot", dot(subCol(col("q_emb"), col("m")), col("c_sub")))
+      .withColumn("pdot",
+        dot(pqSub(col("q_emb"), col("m"), dims / m), col("c_sub")))
       .select(col("q_id"), col("m"), col("c_id"), col("pdot"))
+
+  /** ADC scoring + top-k over a codes table (recomputed or stored). */
+  private def pqScored(codes: DataFrame, lut: DataFrame, k: Int): DataFrame = {
     val scored = codes.join(broadcast(lut), Seq("m", "c_id"))
       .filter(col("q_id") =!= col("n_id"))
       .groupBy(col("q_id"), col("n_id"))
@@ -336,6 +362,34 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  def pqTopK(emb: DataFrame, queryIds: Column, k: Int, m: Int = 8,
+             dims: Int = 64, modulo: Int = 40): DataFrame = {
+    val cb = pqCodebook(emb, m, dims, modulo)
+    pqScored(pqCodes(emb, cb, m, dims),
+      pqLut(emb.filter(queryIds), cb, m, dims), k)
+  }
+
+  /** Build the PQ index layout: the m-byte-per-vector codes table plus
+    * the tiny codebook — at a billion vectors this is the ~8 GB table
+    * that replaces a 256 GB float corpus for first-pass retrieval.
+    */
+  def writePqIndex(emb: DataFrame, dir: String, m: Int = 8,
+                   dims: Int = 64, modulo: Int = 40): Unit = {
+    val cb = pqCodebook(emb, m, dims, modulo)
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    pqCodes(emb, cb, m, dims).write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Probe a stored PQ index: the full-precision corpus is never read —
+    * only the stored codes + codebook and the query vectors.
+    */
+  def pqTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
+                   k: Int, m: Int = 8, dims: Int = 64): DataFrame = {
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
+    pqScored(codes, pqLut(queries, cb, m, dims), k)
   }
 
   /** SemDeDup-style semantic dedup: cluster the corpus (nearest
@@ -401,6 +455,10 @@ object Similarity {
     "sim_pq" -> { (s, d) =>
       pqTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
     },
+    "sim_pq_stored" -> { (s, d) =>
+      pqTopKStored(s, s"${indexDir(s, d)}/pq",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
+    },
     "sim_lsh" -> { (s, d) =>
       lshTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
     },
@@ -434,6 +492,41 @@ object Similarity {
 
   private[operators] def cosSql(a: String, b: String, dims: Int = 64): String =
     s"${dotSql(a, b, dims)} / sqrt(${dotSql(a, a, dims)}) / sqrt(${dotSql(b, b, dims)})"
+
+  private lazy val pqOracleSql: String =
+    s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id % 40 = 0),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |codebook AS (
+         |  SELECT m, c_id, list_slice(c_emb, m*8 + 1, m*8 + 8) AS c_sub
+         |  FROM cent CROSS JOIN ms),
+         |vs AS (
+         |  SELECT vec_id, m, list_slice(embedding, m*8 + 1, m*8 + 8) AS v_sub
+         |  FROM embeddings CROSS JOIN ms),
+         |codes AS (
+         |  SELECT vec_id AS n_id, m, c_id FROM (
+         |    SELECT vs.vec_id, vs.m, cb.c_id,
+         |      row_number() OVER (PARTITION BY vs.vec_id, vs.m
+         |        ORDER BY ${dotSql("v_sub", "c_sub", 8)} DESC, cb.c_id) AS r
+         |    FROM vs JOIN codebook cb ON cb.m = vs.m)
+         |  WHERE r = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS q_id, q.m, cb.c_id,
+         |    ${dotSql("q.v_sub", "cb.c_sub", 8)} AS pdot
+         |  FROM (SELECT * FROM vs WHERE vec_id < 8) q
+         |  JOIN codebook cb ON cb.m = q.m),
+         |scored AS (
+         |  SELECT q_id, n_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      array_agg(pdot ORDER BY m)), (acc, v) -> acc + v) AS score
+         |  FROM codes JOIN lut USING (m, c_id)
+         |  WHERE q_id <> n_id GROUP BY q_id, n_id),
+         |ranked AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
 
   private lazy val ivfOracleSql: String =
     s"""WITH cent AS (
@@ -557,41 +650,10 @@ object Similarity {
 
     // same subspace slicing, max-inner-product coding, and ORDER-PINNED
     // partial-dot fold as pqTopK (array_agg(... ORDER BY m) + list_reduce
-    // mirrors sort_array(collect_list) + aggregate)
-    "sim_pq" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-         |  WHERE vec_id % 40 = 0),
-         |ms AS (SELECT unnest(range(0, 8)) AS m),
-         |codebook AS (
-         |  SELECT m, c_id, list_slice(c_emb, m*8 + 1, m*8 + 8) AS c_sub
-         |  FROM cent CROSS JOIN ms),
-         |vs AS (
-         |  SELECT vec_id, m, list_slice(embedding, m*8 + 1, m*8 + 8) AS v_sub
-         |  FROM embeddings CROSS JOIN ms),
-         |codes AS (
-         |  SELECT vec_id AS n_id, m, c_id FROM (
-         |    SELECT vs.vec_id, vs.m, cb.c_id,
-         |      row_number() OVER (PARTITION BY vs.vec_id, vs.m
-         |        ORDER BY ${dotSql("v_sub", "c_sub", 8)} DESC, cb.c_id) AS r
-         |    FROM vs JOIN codebook cb ON cb.m = vs.m)
-         |  WHERE r = 1),
-         |lut AS (
-         |  SELECT q.vec_id AS q_id, q.m, cb.c_id,
-         |    ${dotSql("q.v_sub", "cb.c_sub", 8)} AS pdot
-         |  FROM (SELECT * FROM vs WHERE vec_id < 8) q
-         |  JOIN codebook cb ON cb.m = q.m),
-         |scored AS (
-         |  SELECT q_id, n_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      array_agg(pdot ORDER BY m)), (acc, v) -> acc + v) AS score
-         |  FROM codes JOIN lut USING (m, c_id)
-         |  WHERE q_id <> n_id GROUP BY q_id, n_id),
-         |ranked AS (
-         |  SELECT q_id, n_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
-         |  FROM scored)
-         |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    // mirrors sort_array(collect_list) + aggregate); the stored probe
+    // shares it verbatim — persisting the codes must not change a row
+    "sim_pq" -> pqOracleSql,
+    "sim_pq_stored" -> pqOracleSql,
 
     "d_semdedup" ->
       s"""WITH cent AS (

@@ -157,6 +157,44 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(thresholdKey, saved)
   }
 
+  test("p_decontaminate: benchmark n-gram set broadcast, no cartesian product") {
+    val df = operators.Pipeline.queries("p_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("sim_pq: codebook and lookup table broadcast, order-pinned fold present") {
+    val df = operators.Similarity.queries("sim_pq")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"codebook/LUT not broadcast:\n$p")
+    // the order-pinned fold groups the partial dots first (collect_list
+    // + sort + sequential aggregate); cross-engine exactness itself is
+    // what the sim_pq oracle hash verifies
+    assert(p.contains("collect_list"), s"fold not via grouped parts in:\n$p")
+  }
+
+  test("stored PQ probe never reads the embeddings corpus") {
+    val base = operators.Similarity.indexDir(spark, sf)
+    val queries = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 8)
+    val df = operators.Similarity.pqTopKStored(spark, s"$base/pq", queries, 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // corpus-side inputs must be the stored codes/codebook parquet only;
+    // the only embeddings.parquet scan allowed is the small query side
+    // (vec_id < 8 pushed down)
+    val embScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("embeddings"))
+      .toSeq
+    assert(embScans.forall(_.contains("LessThan(vec_id,8)")),
+      s"full-corpus embeddings scan in stored-PQ probe:\n${embScans.mkString("\n")}")
+    assert(p.contains("codes") && p.contains("codebook"),
+      s"stored codes/codebook not read:\n$p")
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan only after execution; `*(n)` marks
     // WholeStageCodegen stages in the final plan string
