@@ -317,11 +317,20 @@ object Similarity {
 
   /** Per-subspace codebook: (m, c_id, c_sub). */
   private def pqCodebook(emb: DataFrame, m: Int, dims: Int,
-                         modulo: Int): DataFrame =
+                         modulo: Int): DataFrame = {
+    requirePqDims(m, dims)
     ivfCentroids(emb, modulo)
       .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
       .select(col("m"), col("c_id"),
         pqSub(col("c_emb"), col("m"), dims / m).as("c_sub"))
+  }
+
+  /** Subspaces must tile the vector exactly — a non-dividing m would
+    * silently drop the trailing dims from coding AND scoring.
+    */
+  private def requirePqDims(m: Int, dims: Int): Unit =
+    require(m > 0 && dims % m == 0,
+      s"PQ subspace count m=$m must divide dims=$dims")
 
   /** PQ codes: (n_id, m, c_id) — each vector's max-inner-product
     * sub-centroid per subspace.
@@ -387,6 +396,7 @@ object Similarity {
     */
   def pqTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
                    k: Int, m: Int = 8, dims: Int = 64): DataFrame = {
+    requirePqDims(m, dims)
     val cb = spark.read.parquet(s"$dir/codebook")
     val codes = spark.read.parquet(s"$dir/codes")
     pqScored(codes, pqLut(queries, cb, m, dims), k)

@@ -60,6 +60,33 @@ object GraphArWriter {
     def name: String = s"${srcType}_${edgeType}_${dstType}"
   }
 
+  /** Validate an explicit property-group spec against the available
+    * property columns: every property assigned exactly once, no unknown
+    * or endpoint columns, unique group names, and no group name that
+    * collides with the layout's reserved directories. Shared by the
+    * vertex and edge writers so the two contracts cannot diverge.
+    */
+  private def validateGroups(api: String, groups: Seq[(String, Seq[String])],
+                             propNames: Set[String],
+                             reserved: Set[String]): Unit = {
+    val names = groups.map(_._1)
+    require(names.distinct.size == names.size,
+      s"$api: duplicate group name(s) ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val clash = names.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"$api: group name(s) ${clash.mkString(", ")} collide with reserved layout dirs")
+    val assigned = groups.flatMap(_._2)
+    require(assigned.distinct.size == assigned.size,
+      s"$api: a property may appear in only one group " +
+        s"(${assigned.diff(assigned.distinct).distinct.mkString(", ")})")
+    val unknown = assigned.filterNot(propNames.contains)
+    require(unknown.isEmpty,
+      s"$api: unknown or non-property column(s) ${unknown.mkString(", ")}")
+    val missing = propNames -- assigned.toSet
+    require(missing.isEmpty,
+      s"$api: properties ${missing.mkString(", ")} not assigned to any group")
+  }
+
   /** units-per-task for packing `units` work units into ≤ maxTasks. */
   private def packFactor(units: Int, maxTasks: Option[Int]): Int =
     maxTasks.filter(_ > 0).map(mt => (units + mt - 1) / mt).getOrElse(1)
@@ -142,7 +169,11 @@ object GraphArWriter {
     val serConf = graft.util.SerializableHadoopConf(conf)
     val schema = df.schema
     val effGroups: Seq[(String, Seq[String])] =
-      if (groups.nonEmpty) groups else Seq("props" -> schema.fieldNames.toSeq)
+      if (groups.nonEmpty) {
+        validateGroups("writeVertices", groups, schema.fieldNames.toSet,
+          reserved = Set.empty)
+        groups
+      } else Seq("props" -> schema.fieldNames.toSeq)
     val dir = s"$baseDir/vertex/${spec.vertexType}/"
     val cs = spec.chunkSize
     val ft = spec.fileType
@@ -232,12 +263,8 @@ object GraphArWriter {
     val propFields = schema.fields.filterNot(f => f.name == "src" || f.name == "dst")
     val effGroups: Seq[(String, Seq[String])] =
       if (groups.nonEmpty) {
-        val grouped = groups.flatMap(_._2)
-        require(grouped.distinct.size == grouped.size,
-          s"writeEdges: a property may appear in only one group")
-        val missing = propFields.map(_.name).toSet -- grouped.toSet
-        require(missing.isEmpty,
-          s"writeEdges: properties ${missing.mkString(", ")} not assigned to any group")
+        validateGroups("writeEdges", groups, propFields.map(_.name).toSet,
+          reserved = Set("adj_list", "offset"))
         groups
       } else if (propFields.isEmpty) Seq.empty
       else Seq("props" -> propFields.map(_.name).toSeq)
@@ -404,16 +431,17 @@ object GraphArWriter {
     try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
-  private def writeVertexYaml(baseDir: String, spec: VertexSpec,
-                              groups: Seq[(String, Seq[String])],
-                              schema: StructType, conf: Configuration): Unit = {
-    val sb = new StringBuilder
-    sb.append(s"type: ${spec.vertexType}\n")
-    sb.append(s"chunk_size: ${spec.chunkSize}\n")
-    sb.append(s"prefix: vertex/${spec.vertexType}/\n")
+  /** One copy of the `property_groups:` YAML block — shared by the
+    * vertex and edge yaml writers so the emitted format cannot diverge.
+    */
+  private def appendPropertyGroups(sb: StringBuilder,
+                                   groups: Seq[(String, Seq[String])],
+                                   schema: StructType,
+                                   fileType: String): Unit = {
+    if (groups.isEmpty) return
     sb.append("property_groups: \n")
     groups.foreach { case (gName, cols) =>
-      sb.append(s"  - file_type: ${spec.fileType}\n")
+      sb.append(s"  - file_type: $fileType\n")
       sb.append(s"    prefix: $gName/\n")
       sb.append("    properties: \n")
       cols.foreach { c =>
@@ -424,6 +452,16 @@ object GraphArWriter {
         sb.append(s"        is_nullable: ${f.nullable}\n")
       }
     }
+  }
+
+  private def writeVertexYaml(baseDir: String, spec: VertexSpec,
+                              groups: Seq[(String, Seq[String])],
+                              schema: StructType, conf: Configuration): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"type: ${spec.vertexType}\n")
+    sb.append(s"chunk_size: ${spec.chunkSize}\n")
+    sb.append(s"prefix: vertex/${spec.vertexType}/\n")
+    appendPropertyGroups(sb, groups, schema, spec.fileType)
     sb.append("version: gar/v1\n")
     writeText(new Path(s"$baseDir/${spec.vertexType}.vertex.yaml"), sb.toString, conf)
   }
@@ -449,21 +487,7 @@ object GraphArWriter {
       sb.append(s"    file_type: ${spec.fileType}\n")
       sb.append(s"    prefix: $prefix\n")
     }
-    if (groups.nonEmpty) {
-      sb.append("property_groups: \n")
-      groups.foreach { case (gName, cols) =>
-        sb.append(s"  - file_type: ${spec.fileType}\n")
-        sb.append(s"    prefix: $gName/\n")
-        sb.append("    properties: \n")
-        cols.foreach { c =>
-          val f = schema(schema.fieldIndex(c))
-          sb.append(s"      - name: ${f.name}\n")
-          sb.append(s"        data_type: ${GraphArMeta.garType(f.dataType)}\n")
-          sb.append(s"        is_primary: false\n")
-          sb.append(s"        is_nullable: ${f.nullable}\n")
-        }
-      }
-    }
+    appendPropertyGroups(sb, groups, schema, spec.fileType)
     sb.append("version: gar/v1\n")
     writeText(new Path(s"$baseDir/${spec.name}.edge.yaml"), sb.toString, conf)
   }

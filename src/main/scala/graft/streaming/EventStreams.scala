@@ -100,8 +100,11 @@ object EventStreams {
     import graft.functions.TextFunctions._
     val grams = benchGrams.select(col("g")).collect().map(_.getString(0))
     if (grams.isEmpty) docs
+    // typedlit: ONE array literal, not one expression node per n-gram
+    // (a large benchmark suite as array(lit, lit, ...) would blow past
+    // codegen method limits and slow every micro-batch's planning)
     else docs.filter(!arrays_overlap(
-      shingles(tokens(col("text")), n), array(grams.map(lit): _*)))
+      shingles(tokens(col("text")), n), typedlit(grams.toSeq)))
   }
 
   /** Stream-stream interval join — the streaming twin of the batch
