@@ -47,6 +47,27 @@ object GraphArSink {
         commitLatest(base, yaml, conf)
     }
 
+  /** Vertex-table snapshots: each micro-batch writes the complete
+    * vertex set (sorted by `orderCol` so `_graphArVertexIndex` is
+    * deterministic — complete-mode aggregate output order is not) as a
+    * vertex-only graph, then repoints LATEST. Same commit protocol and
+    * time-travel surface as [[edges]].
+    */
+  def vertices(stream: DataFrame, base: String, graphName: String,
+               vertexType: String, orderCol: String,
+               chunkSize: Long = 1L << 18): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("complete").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val dir = s"$base/v$batchId"
+        val conf = batch.sparkSession.sessionState.newHadoopConf()
+        graft.sources.graphar.GraphArWriter.writeVertices(
+          batch.orderBy(orderCol), dir,
+          graft.sources.graphar.GraphArWriter.VertexSpec(vertexType, chunkSize))
+        val yaml = graft.sources.graphar.GraphArWriter.writeGraphYaml(
+          dir, graphName, Seq(vertexType), Seq.empty, conf)
+        commitLatest(base, yaml, conf)
+    }
+
   /** Atomic pointer swap: write LATEST.tmp, then overwrite-rename onto
     * LATEST in one filesystem op (`FileContext` rename with OVERWRITE —
     * atomic on HDFS-like stores). A crash at any point leaves LATEST on

@@ -335,6 +335,35 @@ class OperatorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming vertex snapshots: deterministic index order, time travel") {
+    import spark.implicits._
+    import graft.streaming.GraphArSink
+    val base = java.nio.file.Files.createTempDirectory("gar_vsink").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val agg = stream.toDF().toDF("uid", "s")
+      .groupBy(col("uid")).agg(max(col("s")).as("best"))
+    val q = GraphArSink.vertices(agg, base, "VSnap", "U", orderCol = "uid",
+      chunkSize = 4).start()
+    try {
+      stream.addData((3L, 1.0), (1L, 2.0))
+      q.processAllAvailable()
+      stream.addData((2L, 5.0), (3L, 9.0))
+      q.processAllAvailable()
+      assert(GraphArSink.versions(spark, base) === Seq(0L, 1L))
+      val latest = spark.read.format("graphar")
+        .option("snapshotBase", base).option("type", "U").load()
+        .orderBy("_graphArVertexIndex")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // index follows uid order deterministically; max-aggregate applied
+      assert(latest.toSeq === Seq((0L, 1L, 2.0), (1L, 2L, 5.0), (2L, 3L, 9.0)))
+      val v0 = spark.read.format("graphar")
+        .option("snapshotBase", base).option("snapshot", "0")
+        .option("type", "U").load().count()
+      assert(v0 === 2)
+    } finally q.stop()
+  }
+
   test("streaming signature near-dedup keeps first arrival per MinHash signature") {
     import spark.implicits._
     import graft.streaming.EventStreams

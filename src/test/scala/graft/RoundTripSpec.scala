@@ -165,12 +165,28 @@ class RoundTripSpec extends AnyFunSuite {
     val wOnly = back.filter(col("_graphArSrcIndex") === 0L).select("w")
       .collect().map(_.getDouble(0)).toSet
     assert(wOnly === Set(1.5, 2.5))
-    // misconfigured groups fail fast
-    intercept[IllegalArgumentException] {
-      GraphArWriter.writeEdges(edges, dir + "_bad",
-        GraphArWriter.EdgeSpec("T", "e", "T", 3, 3),
-        groups = Seq("weights" -> Seq("w"))) // tag unassigned
-    }
+    // misconfigured groups fail fast, before any file is staged
+    def badWrite(gs: Seq[(String, Seq[String])]): IllegalArgumentException =
+      intercept[IllegalArgumentException] {
+        GraphArWriter.writeEdges(edges, dir + "_bad",
+          GraphArWriter.EdgeSpec("T", "e", "T", 3, 3), groups = gs)
+      }
+    assert(badWrite(Seq("weights" -> Seq("w"))) // tag unassigned
+      .getMessage.contains("not assigned"))
+    assert(badWrite(Seq("g" -> Seq("w"), "g" -> Seq("tag"))) // dup group name
+      .getMessage.contains("duplicate group name"))
+    assert(badWrite(Seq("adj_list" -> Seq("w", "tag"))) // reserved dir
+      .getMessage.contains("reserved"))
+    assert(badWrite(Seq("g" -> Seq("w", "tag", "src"))) // endpoint col
+      .getMessage.contains("non-property"))
+    assert(badWrite(Seq("g" -> Seq("w", "tag", "wieght"))) // typo'd col
+      .getMessage.contains("wieght"))
+    // vertex path enforces the same contract (no silent column drop)
+    assert(intercept[IllegalArgumentException] {
+      GraphArWriter.writeVertices(
+        Seq((1, "a")).toDF("x", "y"), dir + "_vbad",
+        GraphArWriter.VertexSpec("T", 4), groups = Seq("g" -> Seq("x")))
+    }.getMessage.contains("not assigned"))
   }
 
   test("packed write tasks (maxTasks) produce byte-identical layout to one-chunk-per-task") {
