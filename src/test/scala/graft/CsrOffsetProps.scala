@@ -65,4 +65,37 @@ object CsrOffsetProps extends Properties("graft.csr") {
       val scanOk = scan == expected
       fastOk && scanOk && seekOk
     }
+
+  private val genPacked: Gen[(List[(Long, Long)], Int)] = for {
+    edges <- genEdges
+    maxTasks <- Gen.choose(1, 5)
+  } yield (edges, maxTasks)
+
+  property("packed write (maxTasks) ≡ unpacked: rows, offsets, seeks") =
+    forAll(genPacked) { case (edges, maxTasks) =>
+      val s = spark
+      import s.implicits._
+      val nVerts = 17L
+      def write(mt: Option[Int]): String = {
+        val dir = Files.createTempDirectory(s"csr_pack").toString
+        GraphArWriter.writeEdges(edges.toDF("src", "dst"), dir,
+          GraphArWriter.EdgeSpec("T", "e", "T", srcVertexCount = nVerts,
+            dstVertexCount = nVerts, chunkSize = 3, srcChunkSize = 5,
+            dstChunkSize = 5, maxTasks = mt))
+        GraphArWriter.writeVertices((0L until nVerts).map(Tuple1(_)).toDF("x"), dir,
+          GraphArWriter.VertexSpec("T", 4, maxTasks = mt))
+        GraphArWriter.writeGraphYaml(dir, "G", Seq("T"), Seq("T_e_T"))
+        s"$dir/G.yaml"
+      }
+      val (plain, packed) = (write(None), write(Some(maxTasks)))
+      def edgesOf(y: String) = GraphArGraph(spark, y).edgesStd("T", "e", "T")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      def degOf(y: String) = GraphArGraph(spark, y).degreesFast("T", "e", "T")
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      val probe = edges.head._1
+      edgesOf(packed) == edgesOf(plain) &&
+        degOf(packed) == degOf(plain) &&
+        GraphArGraph(spark, packed).oneHop("T", "e", "T", probe).count() ==
+          GraphArGraph(spark, plain).oneHop("T", "e", "T", probe).count()
+    }
 }
