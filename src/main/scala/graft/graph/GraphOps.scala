@@ -275,6 +275,38 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-vertex local clustering coefficient over the undirected simple
+    * graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) where tri(v) counts
+    * triangles containing v. The ratio is ONE IEEE division of exact
+    * integers, so it is cross-engine bit-stable.
+    *
+    * Scale notes: same canonical a<b 3-way join as [[triangleCount]]
+    * (two shuffle joins on vertex keys); per-triangle rows explode ×3
+    * into (vertex, 1) pairs for a map-side-combinable count. The
+    * low→high-degree orientation refinement drops in unchanged if hub
+    * vertices dominate.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val e2 = und.select(col("a").as("b"), col("b").as("c"))
+    val e3 = und.select(col("a").as("a2"), col("b").as("c2"))
+    val tri = und.join(e2, "b")
+      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("v"), "left")
+      .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc",
+        when(col("deg") >= 2,
+          col("tri") * lit(2.0) / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)))
+  }
+
   /** PageRank (classic simplified form, no dangling-mass redistribution):
     * rank = (1-d) + d · Σ_in rank(u)/outDeg(u), fixed iteration count.
     *

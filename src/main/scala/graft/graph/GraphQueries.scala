@@ -141,6 +141,11 @@ object GraphQueries {
     // link-prediction overlap counts vs the root (integer-exact)
     "g_neighbor_overlap" -> { (s, d) =>
       GraphOps.neighborOverlap(edgesFrom(s, d), RootVid)
+    },
+    // per-vertex local clustering coefficient; the only double is ONE
+    // division of exact integers (cross-engine bit-stable)
+    "g_clustering" -> { (s, d) =>
+      GraphOps.clusteringCoefficients(edgesFrom(s, d))
     }
   )
 
@@ -294,7 +299,27 @@ object GraphQueries {
            |  FROM e WHERE src <> dst)
            |SELECT CAST(count(*) AS BIGINT) AS n_triangles
            |FROM und e1 JOIN und e2 ON e2.a = e1.b
-           |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
+           |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+      "g_clustering" ->
+        s"""WITH e AS ($edgesSql),
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst),
+           |deg AS (
+           |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+           |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+           |  GROUP BY v),
+           |tri AS (
+           |  SELECT v, CAST(count(*) AS BIGINT) AS tri FROM (
+           |    SELECT unnest([e1.a, e1.b, e2.b]) AS v
+           |    FROM und e1 JOIN und e2 ON e2.a = e1.b
+           |    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+           |  GROUP BY v)
+           |SELECT deg.v, deg.deg, COALESCE(tri.tri, 0) AS tri,
+           |  CASE WHEN deg.deg >= 2
+           |    THEN COALESCE(tri.tri, 0) * 2.0 / (deg.deg * (deg.deg - 1))
+           |    ELSE 0.0 END AS lcc
+           |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin
     )
   }
 }

@@ -160,6 +160,41 @@ object Dedup {
       .select(col("v").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** Exact-substring duplication detection (the "long shared span"
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): token-aligned windows of `n` consecutive tokens,
+    * hashed; any window appearing in >= 2 distinct documents marks each
+    * host document as carrying duplicated text. Output per doc: total
+    * distinct windows and how many of them are shared with another doc.
+    * Token alignment (vs fixed char-offset strides) makes matches
+    * offset-invariant — a span shared at different positions in two
+    * documents still collides.
+    *
+    * Scale shape: the shuffle carries (doc_id, 128-bit window hash) —
+    * never window text (hashed map-side); window-frequency groupBy and
+    * the per-doc count are both map-side-combinable. Row volume is
+    * O(tokens) per document; at 100 TB a stride >1 trades recall for
+    * volume and drops in as a `filter(i % stride = 0)` on the shingle
+    * index without changing the plan shape.
+    */
+  def substringDupCounts(docs: DataFrame, n: Int = 8): DataFrame = {
+    // distinct windows per doc, hashed before leaving the map side;
+    // persisted because dup-detection and per-doc totals both consume it
+    val w = docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("win"))
+      .select(col("doc_id"), md5(col("win")).as("wh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc windows are distinct, so count(*) per hash = #docs holding it
+    val dup = w.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("wh"))
+    val perDoc = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = w.join(dup, "wh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dupw"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dupw"), lit(0L)).as("n_dup_windows"))
+  }
+
   /** Per-document 32-bit SimHash signature. */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
@@ -215,7 +250,8 @@ object Dedup {
     },
     "d_dup_clusters" -> { (s, d) => dupClusters(s, t(s, d, "documents")) },
     "d_simhash" -> { (s, d) => simhashSignatures(t(s, d, "documents")) },
-    "d_simhash_pairs" -> { (s, d) => simhashPairs(t(s, d, "documents")) }
+    "d_simhash_pairs" -> { (s, d) => simhashPairs(t(s, d, "documents")) },
+    "d_substring" -> { (s, d) => substringDupCounts(t(s, d, "documents")) }
   )
 
   // Shared SQL fragments for the oracles (DuckDB list lambdas mirror the
@@ -260,7 +296,25 @@ object Dedup {
        |      len(list_distinct(sa.sh || sb.sh)) AS jac
        |  FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)""".stripMargin
 
+  // n=8 token windows, mirroring substringDupCounts's shingles(,8)
+  private val winConcat = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+
   def oracle: Map[String, String] = Map(
+    "d_substring" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
+         |      i -> $winConcat) ELSE [] END) AS sh
+         |  FROM ($tokSqlDocs)),
+         |w AS (SELECT doc_id, md5(unnest(sh)) AS wh FROM s),
+         |dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+         |        FROM w GROUP BY doc_id),
+         |dp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dupw
+         |       FROM w JOIN dup USING (wh) GROUP BY doc_id)
+         |SELECT per.doc_id, per.n_windows, COALESCE(dp.dupw, 0) AS n_dup_windows
+         |FROM per LEFT JOIN dp USING (doc_id)""".stripMargin,
+
     "d_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_dups

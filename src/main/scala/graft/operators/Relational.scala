@@ -279,10 +279,81 @@ object Relational {
           min(col("tss")).as("start_ts"),
           max(col("tss")).as("end_ts"),
           round(sum(col("value")), 2).as("session_value"))
+    },
+
+    // Dataset profiling (dataset-card / SUMMARIZE-style stats):
+    // count, null count, exact distinct count, and extrema per column,
+    // unpivoted to one row per column.
+    "q24_profile" -> { (s, d) =>
+      profile(t(s, d, "lineitem"),
+        numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"),
+        strCols = Seq("l_returnflag", "l_linestatus"))
     }
   )
 
+  /** One-pass column profile: a single aggregate computes n / nulls /
+    * exact distincts / extrema for every requested column, then explode
+    * unpivots the 1-row result to a row per column — the table is
+    * scanned ONCE regardless of column count. (The multi-distinct agg
+    * plans through Expand — rows ×(columns+1) pre-shuffle, still one
+    * scan; swap countDistinct for approx_count_distinct at 100 TB if
+    * exactness isn't needed.) Numeric extrema surface as doubles,
+    * string extrema as strings, each null for the other family.
+    */
+  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (numCols ++ strCols).flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))
+      }
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    def base(c: String) = Seq(
+      lit(c).as("col_name"), col("n"),
+      col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"))
+    val rows =
+      numCols.map { c =>
+        struct(base(c) ++ Seq(
+          col(s"min_$c").cast("double").as("min_num"),
+          col(s"max_$c").cast("double").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str")): _*)
+      } ++ strCols.map { c =>
+        struct(base(c) ++ Seq(
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col(s"min_$c").as("min_str"),
+          col(s"max_$c").as("max_str")): _*)
+      }
+    a.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q24_profile" -> {
+      val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val aggs = (numCols ++ strCols).map { c =>
+        s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c,
+           |    count(DISTINCT $c) AS nd_$c, min($c) AS min_$c, max($c) AS max_$c""".stripMargin
+      }.mkString(",\n    ")
+      val rows = numCols.map { c =>
+        s"""SELECT '$c' AS col_name, n, nn_$c AS n_null, nd_$c AS n_distinct,
+           |  CAST(min_$c AS DOUBLE) AS min_num, CAST(max_$c AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a""".stripMargin
+      } ++ strCols.map { c =>
+        s"""SELECT '$c' AS col_name, n, nn_$c AS n_null, nd_$c AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min_$c AS min_str, max_$c AS max_str FROM a""".stripMargin
+      }
+      s"""WITH a AS (
+         |  SELECT count(*) AS n,
+         |    $aggs
+         |  FROM lineitem)
+         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

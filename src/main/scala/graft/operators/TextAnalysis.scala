@@ -14,6 +14,32 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** PII patterns, restricted to syntax Java regex (Spark) and RE2
+    * (DuckDB oracle) interpret identically: character classes, bounded
+    * repeats, `\b` word anchors — no lookaround, no backrefs.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction: per-row match counts for emails / IPv4
+    * addresses / phone numbers, plus the text with every match replaced
+    * by a typed placeholder. Pure column expressions — map-side only, no
+    * shuffle, the text never leaves its partition. Redaction order
+    * (email → ip → phone) is fixed: the patterns are disjoint on any
+    * single span, so order only matters for determinism, not results.
+    */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+
   private def lexScores(toksCol: String) =
     Lexicons.map { case (lang, words) =>
       lang -> lexiconHits(col(toksCol), words)
@@ -147,6 +173,28 @@ object TextAnalysis {
           least(lit(sz.toLong), col("n") - col("chunk_idx") * step).as("n_tokens"))
     },
 
+    // PII detect + redact. The synthetic corpus is digit- and @-free
+    // (verified), so a deterministic PII suffix derived from doc_id is
+    // appended first — variable counts (a second email every 3rd doc, a
+    // phone every 2nd) exercise real match multiplicity; the oracle
+    // re-derives the same suffix and must agree on counts AND the
+    // redacted text's fingerprint.
+    "t_pii" -> { (s, d) =>
+      val withPii = t(s, d, "documents").select(col("doc_id"), concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" cc ops@example.org"))
+          .otherwise(lit("")),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)), lit(".0.1"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" call 415-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+      piiRedact(withPii, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("redacted")).as("redacted_fp"))
+    },
+
     // Unigram-LM quality score: a document's mean corpus-frequency of
     // its tokens (the no-log cousin of LM perplexity filters à la
     // C4/Dolma). Integer count sums keep aggregation order-independent;
@@ -177,7 +225,33 @@ object TextAnalysis {
     s"len(list_filter(t, w -> list_contains($words, w)))"
   }
 
+  // Same pattern strings the Spark side uses, as they appear to RE2.
+  private val emailReSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4ReSql = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneReSql = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
   def oracle: Map[String, String] = Map(
+    "t_pii" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    substring(text, 1, 40) || ' contact user' || doc_id ||
+         |    '@example.com' ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' cc ops@example.org' ELSE '' END ||
+         |    ' from 10.' || (doc_id % 256) || '.0.1' ||
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$emailReSql')) AS n_emails,
+         |  len(regexp_extract_all(text, '$ipv4ReSql')) AS n_ips,
+         |  len(regexp_extract_all(text, '$phoneReSql')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$emailReSql', '<EMAIL>', 'g'),
+         |    '$ipv4ReSql', '<IP>', 'g'),
+         |    '$phoneReSql', '<PHONE>', 'g')) AS redacted_fp
+         |FROM p""".stripMargin,
+
     "t_langid" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang AS claimed_lang,

@@ -421,4 +421,70 @@ class OperatorSpec extends AnyFunSuite {
       assert(ids.toSet === events.map(_.event_id).toSet)
     } finally q.stop()
   }
+
+  test("substringDupCounts matches a brute-force token-window census") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val got = operators.Dedup.substringDupCounts(docs, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val windows = raw.map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      id -> toks.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val counts = windows.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+    val want = windows.map { case (id, ws) =>
+      (id, ws.size.toLong, ws.count(w => counts(w) >= 2).toLong)
+    }.toSet
+    assert(got === want)
+  }
+
+  test("piiRedact counts and redacts emails, ips, phones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at a.b%c@mail-host.org or x@y.io from 192.168.0.1"),
+      (2L, "call 415-555-0042 or 212-555-9999; bad ip 999.999 stays"),
+      (3L, "no pii here at all")).toDF("id", "text")
+    val out = operators.TextAnalysis.piiRedact(df, "text")
+      .select("id", "n_emails", "n_ips", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) === ((2, 1, 0, "reach me at <EMAIL> or <EMAIL> from <IP>")))
+    assert(out(2L) === ((0, 0, 2, "call <PHONE> or <PHONE>; bad ip 999.999 stays")))
+    assert(out(3L) === ((0, 0, 0, "no pii here at all")))
+  }
+
+  test("clusteringCoefficients matches hand-computed values on a known graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every vertex lcc=1) + a path 4-5-6 (5 has deg 2,
+    // no triangle → 0; 6 deg 1 → 0); duplicate + reverse edges collapse
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (5L, 5L), (4L, 5L)).toDF("src", "dst")
+    val res = graph.GraphOps.clusteringCoefficients(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(res(1L) === ((3L, 3L, 1.0)))
+    assert(res(2L) === ((3L, 3L, 1.0)))
+    assert(res(3L) === ((3L, 3L, 1.0)))
+    assert(res(4L) === ((4L, 3L, 0.5)))  // neighbors {1,2,3,5}: 3 of 6 pairs linked
+    assert(res(5L) === ((2L, 0L, 0.0)))
+    assert(res(6L) === ((1L, 0L, 0.0)))
+  }
+
+  test("profile counts nulls, distincts, and extrema per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.5), Some("a")), (Some(2.5), None), (None, Some("b")),
+      (Some(2.5), Some("a"))).toDF("x", "s")
+    val rows = operators.Relational.profile(df, Seq("x"), Seq("s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = rows("x")
+    assert((x.getLong(1), x.getLong(2), x.getLong(3)) === ((4L, 1L, 2L)))
+    assert((x.getDouble(4), x.getDouble(5)) === ((1.5, 2.5)))
+    assert(x.isNullAt(6) && x.isNullAt(7))
+    val sRow = rows("s")
+    assert((sRow.getLong(1), sRow.getLong(2), sRow.getLong(3)) === ((4L, 1L, 2L)))
+    assert(sRow.isNullAt(4) && sRow.isNullAt(5))
+    assert((sRow.getString(6), sRow.getString(7)) === (("a", "b")))
+  }
 }
