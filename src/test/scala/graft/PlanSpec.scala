@@ -195,6 +195,48 @@ class PlanSpec extends AnyFunSuite {
       s"stored codes/codebook not read:\n$p")
   }
 
+  test("q24_profile: one scan serves every profiled column (Expand, partial agg)") {
+    val df = operators.Relational.queries("q24_profile")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // AQE's toString appends the pre-execution "Initial Plan" — count
+    // scans in the final plan only
+    val finalP = p.split("== Initial Plan ==")(0)
+    val scans = finalP.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"profile rescanned the table ($scans scans):\n$finalP")
+    assert(p.contains("Expand"), s"multi-distinct agg should plan Expand:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("t_pii: pure map-side — no shuffle anywhere in the plan") {
+    val df = operators.TextAnalysis.queries("t_pii")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PII redaction should not shuffle:\n$p")
+  }
+
+  test("d_substring: window text hashed before the shuffle, no cartesian") {
+    val df = operators.Dedup.queries("d_substring")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    assert(p.contains("partial_count"), s"window census not map-combined:\n$p")
+    // every Exchange row must carry ids/hashes only — never the window text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("win")),
+      s"window text crosses a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("g_clustering: triangle join is equi-join based, aggregates partial") {
+    val df = graph.GraphQueries.queries("g_clustering")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"non-equi triangle join in:\n$p")
+    assert(p.contains("partial_count"), s"degree/tri counts not map-combined:\n$p")
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan only after execution; `*(n)` marks
     // WholeStageCodegen stages in the final plan string
