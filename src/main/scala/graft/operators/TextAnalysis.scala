@@ -40,6 +40,29 @@ object TextAnalysis {
         regexp_replace(regexp_replace(regexp_replace(col(textCol),
           EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
 
+  /** Linear bag-of-words quality classifier (the CCNet / GPT-3 "quality
+    * filter" shape): per-token weights, summed per document, thresholded.
+    * Weights here are DETERMINISTIC pseudo-weights derived from each
+    * token's own hash (w = charHash(tok, seed) % 2001 − 1000 ∈
+    * [−1000, 1000]) so the oracle can re-derive them; a trained model
+    * swaps in a broadcast (term → weight) lookup without changing the
+    * plan shape. Integer weight sums are accumulation-order-independent
+    * and the normalization is one exact IEEE division — cross-engine
+    * stable. The whole operator is a per-row array fold: map-side only,
+    * no explode, no shuffle.
+    */
+  def classifierScore(docs: DataFrame, seed: Int = 13,
+                      threshold: Double = 0.0): DataFrame = {
+    val toks = tokens(col("text"))
+    val ws = transform(toks, tok =>
+      pmod(charHash(tok, lit(seed)), lit(2001L)) - 1000L)
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(ws, lit(0L), (acc, x) => acc + x).as("score_int"))
+      .withColumn("score", col("score_int") * lit(1.0) / col("n_tokens"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
   private def lexScores(toksCol: String) =
     Lexicons.map { case (lang, words) =>
       lang -> lexiconHits(col(toksCol), words)
@@ -195,6 +218,10 @@ object TextAnalysis {
           md5(col("redacted")).as("redacted_fp"))
     },
 
+    // model-based quality filter: hashed linear scorer (see
+    // classifierScore); map-side only
+    "t_classifier" -> { (s, d) => classifierScore(t(s, d, "documents")) },
+
     // Unigram-LM quality score: a document's mean corpus-frequency of
     // its tokens (the no-log cousin of LM perplexity filters à la
     // C4/Dolma). Integer count sums keep aggregation order-independent;
@@ -230,7 +257,25 @@ object TextAnalysis {
   private val ipv4ReSql = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val phoneReSql = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
+  // seeded polynomial char hash, mirroring TextFunctions.charHash
+  private def chashSql(sExpr: String, seed: Int): String =
+    s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
+      s"list_transform(regexp_extract_all($sExpr, '.'), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $HashMod)"
+
   def oracle: Map[String, String] = Map(
+    "t_classifier" ->
+      s"""SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(list_sum(list_transform(t, tok ->
+         |    ${chashSql("tok", 13)} % 2001 - 1000)) AS BIGINT) AS score_int,
+         |  CAST(list_sum(list_transform(t, tok ->
+         |    ${chashSql("tok", 13)} % 2001 - 1000)) AS BIGINT) * 1.0 / len(t) AS score,
+         |  CAST(list_sum(list_transform(t, tok ->
+         |    ${chashSql("tok", 13)} % 2001 - 1000)) AS BIGINT) * 1.0 / len(t) >= 0.0
+         |    AS keep
+         |FROM ($tokSql)""".stripMargin,
+
     "t_pii" ->
       s"""WITH p AS (
          |  SELECT doc_id,

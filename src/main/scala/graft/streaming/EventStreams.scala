@@ -107,6 +107,16 @@ object EventStreams {
       shingles(tokens(col("text")), n), typedlit(grams.toSeq)))
   }
 
+  /** Streaming PII scrubbing — the streaming twin of
+    * `operators.TextAnalysis.piiRedact`. The batch operator is already
+    * pure column expressions (no shuffle, no state), so it applies to an
+    * unbounded stream VERBATIM: stateless, no watermark, per-microbatch
+    * work is one codegen'd scan. This is the payoff of keeping pipeline
+    * operators map-side — the batch/stream split disappears.
+    */
+  def piiScrubStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.operators.TextAnalysis.piiRedact(docs, textCol)
+
   /** Stream-stream interval join — the streaming twin of the batch
     * range join (`operators.AsOf.rangeJoin`): clicks join purchases by
     * the same user within `windowSeconds` AFTER the purchase. Both

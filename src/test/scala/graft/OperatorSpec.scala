@@ -422,6 +422,46 @@ class OperatorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII scrub matches the batch redaction row-for-row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.co from 10.0.0.1"),
+      (2L, "call 415-555-0042 twice 415-555-0042"),
+      (3L, "clean text")).toDF("doc_id", "text")
+    val want = operators.TextAnalysis.piiRedact(docs, "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .collect().map(_.toSeq).toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.piiScrubStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, "mail a@b.co from 10.0.0.1"),
+        (2L, "call 415-555-0042 twice 415-555-0042"), (3L, "clean text")))
+      q.processAllAvailable()
+      val got = spark.table("pii_out")
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+        .collect().map(_.toSeq).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("classifierScore: integer weight sums match a driver-side fold") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val got = operators.TextAnalysis.classifierScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mod = graft.functions.TextFunctions.HashMod
+    def chash(s: String, seed: Long): Long =
+      s.codePoints.toArray.foldLeft(seed)((acc, c) => (acc * 31 + c) % mod)
+    for ((id, text) <- docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))) {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val scoreInt = toks.map(t => chash(t, 13) % 2001 - 1000).sum
+      assert(got(id) === ((toks.length.toLong, scoreInt)), s"doc $id")
+    }
+  }
+
   test("substringDupCounts matches a brute-force token-window census") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val got = operators.Dedup.substringDupCounts(docs, n = 8).collect()
