@@ -78,6 +78,7 @@ object ScaleBench {
     time("sssp_8iter")(GraphOps.sssp(spark,
       esP.withColumn("w", lit(1L)), GraphQueries.RootVid).count())
     time("kcore_k20")(GraphOps.kCore(spark, esP, 20).count())
+    time("clustering_coef")(GraphOps.clusteringCoefficients(esP).count())
     esP.unpersist()
     spark.stop()
   }

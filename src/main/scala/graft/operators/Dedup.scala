@@ -160,6 +160,57 @@ object Dedup {
       .select(col("v").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** MinHash band keys (doc_id, band, key) for [[incrementalNearDups]]:
+    * signatures via the compiled expression, banded to `bands` keys/doc.
+    */
+  private def bandKeys(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    docs.select(col("doc_id"),
+        graft.functions.MinHashSigExpr.minhashSig(col("text"), n, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws("_", (0 until r).map(j =>
+            element_at(col("sig"), b * r + j + 1)): _*).as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Incremental near-dedup — the production shape for a GROWING corpus:
+    * flag documents of an incoming DELTA batch that near-duplicate an
+    * EXISTING corpus, without ever re-pairing the corpus against itself.
+    * Band keys of the delta join band keys of the corpus (at cluster
+    * scale the corpus side is a PERSISTED signature table, computed once
+    * per document ever ingested); exact-Jaccard verification runs only
+    * on the cross candidates, each side semi-join-pruned to candidate
+    * ids before shingling. Emits (d_id, c_id, jac) verified pairs — the
+    * ingest gate drops or links `d_id`s from there.
+    */
+  def incrementalNearDups(corpus: DataFrame, delta: DataFrame, n: Int = 3,
+                          k: Int = 8, bands: Int = 4,
+                          threshold: Double = 0.25): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands (else sig minima are silently unused)")
+    val cand = bandKeys(delta, n, k, bands)
+      .select(col("doc_id").as("d_id"), col("band"), col("key"))
+      .join(bandKeys(corpus, n, k, bands)
+          .select(col("doc_id").as("c_id"), col("band").as("b2"), col("key").as("k2")),
+        col("band") === col("b2") && col("key") === col("k2"))
+      .select(col("d_id"), col("c_id"))
+      .dropDuplicates("d_id", "c_id")
+    val dIds = cand.select(col("d_id").as("doc_id")).distinct()
+    val cIds = cand.select(col("c_id").as("doc_id")).distinct()
+    val shD = shingleSets(delta.join(dIds, Seq("doc_id"), "left_semi"), n)
+      .select(col("doc_id").as("d_id"), col("sh").as("d_sh"))
+    val shC = shingleSets(corpus.join(cIds, Seq("doc_id"), "left_semi"), n)
+      .select(col("doc_id").as("c_id"), col("sh").as("c_sh"))
+    cand.join(shD, "d_id").join(shC, "c_id")
+      .withColumn("jac",
+        size(array_intersect(col("d_sh"), col("c_sh"))) * lit(1.0) /
+          size(array_union(col("d_sh"), col("c_sh"))))
+      .filter(col("jac") >= threshold)
+      .select(col("d_id"), col("c_id"), col("jac"))
+  }
+
   /** Exact-substring duplication detection (the "long shared span"
     * signal of Lee et al., "Deduplicating Training Data Makes Language
     * Models Better"): token-aligned windows of `n` consecutive tokens,
@@ -251,7 +302,14 @@ object Dedup {
     "d_dup_clusters" -> { (s, d) => dupClusters(s, t(s, d, "documents")) },
     "d_simhash" -> { (s, d) => simhashSignatures(t(s, d, "documents")) },
     "d_simhash_pairs" -> { (s, d) => simhashPairs(t(s, d, "documents")) },
-    "d_substring" -> { (s, d) => substringDupCounts(t(s, d, "documents")) }
+    "d_substring" -> { (s, d) => substringDupCounts(t(s, d, "documents")) },
+    // incremental ingest gate: even doc_ids = existing corpus, odd = delta
+    "d_incremental" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      incrementalNearDups(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }
   )
 
   // Shared SQL fragments for the oracles (DuckDB list lambdas mirror the
@@ -299,7 +357,36 @@ object Dedup {
   // n=8 token windows, mirroring substringDupCounts's shingles(,8)
   private val winConcat = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
 
+  /** Shingle/signature/band CTE chain over one relation, suffix-named so
+    * two sides can coexist in one query (the incremental oracle).
+    */
+  private def bandCtes(docsRel: String, sfx: String): String =
+    s"""s$sfx AS (${shSql(docsRel)}),
+       |base$sfx AS (
+       |  SELECT doc_id, sh, list_transform(sh, s2 -> ${chash("s2", "1")}) AS bh
+       |  FROM s$sfx WHERE len(sh) > 0),
+       |sig$sfx AS (
+       |  SELECT doc_id, sh, list_transform(range(1, 9), k ->
+       |    list_min(list_transform(bh, h -> ((k*2+1) * h + k*31 + 7) % $HashMod))) AS sig
+       |  FROM base$sfx),
+       |bands$sfx AS (
+       |  SELECT doc_id, b, sig[2*b + 1] || '_' || sig[2*b + 2] AS key
+       |  FROM sig$sfx, (SELECT unnest(range(0, 4)) AS b))""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "d_incremental" ->
+      s"""WITH ${bandCtes("(SELECT * FROM documents WHERE doc_id % 2 = 0)", "c")},
+         |${bandCtes("(SELECT * FROM documents WHERE doc_id % 2 = 1)", "d")},
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS d_id, c.doc_id AS c_id
+         |  FROM bandsd d JOIN bandsc c ON d.b = c.b AND d.key = c.key)
+         |SELECT d_id, c_id,
+         |  len(list_intersect(sd.sh, sc.sh)) * 1.0 /
+         |    len(list_distinct(sd.sh || sc.sh)) AS jac
+         |FROM cand JOIN sd ON sd.doc_id = d_id JOIN sc ON sc.doc_id = c_id
+         |WHERE len(list_intersect(sd.sh, sc.sh)) * 1.0 /
+         |    len(list_distinct(sd.sh || sc.sh)) >= 0.25""".stripMargin,
+
     "d_substring" ->
       s"""WITH s AS (
          |  SELECT doc_id, list_distinct(

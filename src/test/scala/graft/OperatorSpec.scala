@@ -462,6 +462,20 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNearDups finds exactly the cross-side subset of the self-join pairs") {
+    val docs = Tables.t(spark, sf, "documents")
+    val all = operators.Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val wantCross = all.filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(wantCross.nonEmpty, "fixture should contain cross-parity near-dups")
+    val got = operators.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map { case (d, c, j) => (math.min(d, c), math.max(d, c), j) }.toSet
+    assert(got === wantCross)
+  }
+
   test("substringDupCounts matches a brute-force token-window census") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val got = operators.Dedup.substringDupCounts(docs, n = 8).collect()
