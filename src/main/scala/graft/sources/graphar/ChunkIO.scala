@@ -140,6 +140,65 @@ object ChunkIO {
     }
   }
 
+  /** Batch-level ORC chunk decode: the ORC reader's own
+    * `VectorizedRowBatch` columns are wrapped as Spark `ColumnVector`s
+    * (OrcVectorBridge → Spark's null/repeating-aware adapters) — no
+    * per-row materialization, matching the parquet batch path. Column
+    * pruning happens INSIDE the file via the include mask (unselected
+    * streams never decode). CSV stays row-based: its parser is
+    * inherently row-at-a-time.
+    */
+  def readOrcBatches(path: Path, schema: StructType,
+                     conf: Configuration): BatchReader = {
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    val reader = org.apache.orc.OrcFile.createReader(
+      path, org.apache.orc.OrcFile.readerOptions(conf))
+    val fileSchema = reader.getSchema
+    val names = fileSchema.getFieldNames
+    val colIdx = schema.fields.map(f => names.indexOf(f.name))
+    colIdx.zip(schema.fields).foreach { case (i, f) =>
+      if (i < 0) throw new IllegalArgumentException(
+        s"column ${f.name} not in orc schema of $path")
+    }
+    val include = new Array[Boolean](fileSchema.getMaximumId + 1)
+    include(0) = true
+    colIdx.foreach { i =>
+      val child = fileSchema.getChildren.get(i)
+      (child.getId to child.getMaximumId).foreach(id => include(id) = true)
+    }
+    val rows = reader.rows(reader.options().include(include))
+    val vrb = fileSchema.createRowBatch(4096)
+    new BatchReader {
+      private var closed = false
+      private var out: ColumnarBatch = _
+      override def nextBatch(): Boolean = {
+        val more = rows.nextBatch(vrb)
+        if (more) {
+          val vecs: Array[ColumnVector] = colIdx.zip(schema.fields).map {
+            case (i, f) =>
+              org.apache.spark.sql.execution.datasources.orc.OrcVectorBridge
+                .wrap(f.dataType, vrb.cols(i)): ColumnVector
+          }
+          out = new ColumnarBatch(vecs, vrb.size)
+        }
+        more
+      }
+      override def batch(): ColumnarBatch = out
+      override def close(): Unit = if (!closed) { closed = true; rows.close() }
+    }
+  }
+
+  /** Batch reader dispatch for the columnar scan path (parquet + orc;
+    * csv has no vectorized decode and is rejected at eligibility time).
+    */
+  def readBatches(path: Path, fileType: String, schema: StructType,
+                  conf: Configuration): BatchReader = fileType match {
+    case "parquet" => readParquetBatches(path, schema, conf)
+    case "orc" => readOrcBatches(path, schema, conf)
+    case other => throw new IllegalArgumentException(
+      s"no batch reader for file_type $other")
+  }
+
   private def readParquetVectorized(path: Path, schema: StructType,
                                     conf: Configuration): RowReader = {
     val reader = vectorizedReader(path, schema, conf)

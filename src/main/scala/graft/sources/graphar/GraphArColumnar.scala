@@ -33,11 +33,11 @@ object GraphArColumnar {
         .filter(pr => requiredNames.contains(pr.name))
         .map(pr => StructField(pr.name, GraphArMeta.sparkType(pr.dataType), pr.isNullable)))
       if (sch.isEmpty) None
-      else Some((new Path(s"${p.info.dir}${g.prefix}chunk${p.chunk}"), sch))
+      else Some((new Path(s"${p.info.dir}${g.prefix}chunk${p.chunk}"), g.fileType, sch))
     }
-    ChunkIO.openAll(specs.map { case (path, sch) =>
-      () => ChunkIO.readParquetBatches(path, sch, conf)
-    }).zip(specs.map(_._2))
+    ChunkIO.openAll(specs.map { case (path, ft, sch) =>
+      () => ChunkIO.readBatches(path, ft, sch, conf)
+    }).zip(specs.map(_._3))
   }
 
   /** Per-file batch readers for an edge chunk. Unlike the row path, the
@@ -55,19 +55,19 @@ object GraphArColumnar {
     val adj =
       if (adjSch.isEmpty) None
       else Some((new Path(s"${p.info.adjDir(p.al)}adj_list/part${p.part}/chunk${p.chunk}"),
-        adjSch))
+        p.al.fileType, adjSch))
     val pgs = p.info.propertyGroups.flatMap { g =>
       val sch = StructType(g.properties
         .filter(pr => requiredNames.contains(pr.name))
         .map(pr => StructField(pr.name, GraphArMeta.sparkType(pr.dataType), pr.isNullable)))
       if (sch.isEmpty) None
       else Some((new Path(s"${p.info.adjDir(p.al)}${g.prefix}part${p.part}/chunk${p.chunk}"),
-        sch))
+        g.fileType, sch))
     }
     val specs = adj.toSeq ++ pgs
-    ChunkIO.openAll(specs.map { case (path, sch) =>
-      () => ChunkIO.readParquetBatches(path, sch, conf)
-    }).zip(specs.map(_._2))
+    ChunkIO.openAll(specs.map { case (path, ft, sch) =>
+      () => ChunkIO.readBatches(path, ft, sch, conf)
+    }).zip(specs.map(_._3))
   }
 }
 

@@ -464,24 +464,25 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
 
   /** Columnar emission is safe when no per-row work is pushed into the
     * readers: full-chunk scans (no id-seek slice — rowStart is always 0),
-    * no property predicates, and every opened file is parquet (the
-    * vectorized reader is the batch source). Spark requires the
-    * row/columnar choice to be uniform across a scan's partitions, so
-    * this is decided scan-level, not per partition.
+    * no property predicates, and every opened file has a vectorized
+    * decoder (parquet or orc; csv's parser is row-at-a-time). Spark
+    * requires the row/columnar choice to be uniform across a scan's
+    * partitions, so this is decided scan-level, not per partition.
     */
+  private val batchable = Set("parquet", "orc")
   private lazy val columnarEligible: Boolean =
     !countStar && idFilter.isEmpty && propFilters.isEmpty && (info match {
       case Left(v) =>
         val names = required.fieldNames.toSet
         v.propertyGroups.forall(g =>
-          !g.properties.exists(pr => names.contains(pr.name)) || g.fileType == "parquet")
+          !g.properties.exists(pr => names.contains(pr.name)) || batchable(g.fileType))
       case Right(e) =>
         val names = required.fieldNames.toSet
         val needAdj = names.contains(GraphArMeta.SrcIndexCol) ||
           names.contains(GraphArMeta.DstIndexCol)
-        (!needAdj || e.adjLists.head.fileType == "parquet") &&
+        (!needAdj || batchable(e.adjLists.head.fileType)) &&
           e.propertyGroups.forall(g =>
-            !g.properties.exists(pr => names.contains(pr.name)) || g.fileType == "parquet")
+            !g.properties.exists(pr => names.contains(pr.name)) || batchable(g.fileType))
     })
 
   override def createReaderFactory(): PartitionReaderFactory =

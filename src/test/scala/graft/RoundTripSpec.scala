@@ -55,6 +55,25 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("orc full scan crosses the DSv2 boundary columnar, values match the row path") {
+    val dir = Files.createTempDirectory("gar_orc_col").toString
+    GraphArWriter.writeVertices(sampleDf, dir,
+      GraphArWriter.VertexSpec("T", chunkSize = 40, fileType = "orc"),
+      groups = Seq("g1" -> Seq("b", "i32", "i64", "f"), "g2" -> Seq("d", "s", "dt")))
+    GraphArWriter.writeGraphYaml(dir, "G", Seq("T"), Seq.empty)
+    val v = spark.read.format("graphar")
+      .option("path", s"$dir/G.yaml").option("type", "T").load()
+    val full = v.select(col("_graphArVertexIndex"), col("i64"), col("s"), col("dt"))
+    assert(full.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"orc full scan not columnar:\n${full.queryExecution.executedPlan}")
+    val viaColumnar = full.collect().map(_.toSeq).toSeq
+    // a residual property predicate forces the row path — same values
+    val viaRow = v.filter(col("i64") > Long.MinValue)
+      .select(col("_graphArVertexIndex"), col("i64"), col("s"), col("dt"))
+    assert(!viaRow.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(viaRow.collect().map(_.toSeq).toSeq === viaColumnar)
+  }
+
   test("multi-type graph: two vertex types + edge type through the catalog") {
     import spark.implicits._
     val dir = Files.createTempDirectory("gar_multi").toString
