@@ -579,17 +579,19 @@ abstract class ChunkZipReader(required: StructType, propFilters: Array[Filter],
   protected def rowEnd: Long
   /** synthetic column value for the current absolute row position. */
   protected def synthetic(name: String, pos: Long): Any
-  /** parquet group files that hold a filter-referenced column — their
-    * footer stats decide whether this chunk can be skipped unopened.
+  /** (file, fileType) of group files that hold a filter-referenced
+    * column — their statistics (parquet footer / orc file stats) decide
+    * whether this chunk can be skipped unopened.
     */
-  protected def statsCheckFiles: Seq[Path] = Seq.empty
+  protected def statsCheckFiles: Seq[(Path, String)] = Seq.empty
 
   protected final def filterRefs: Set[String] =
     propFilters.flatMap(_.references).toSet
 
   private lazy val chunkCanMatch: Boolean =
-    propFilters.isEmpty || statsCheckFiles.forall(
-      PropFilters.parquetChunkCanMatch(_, propFilters.toSeq, conf))
+    propFilters.isEmpty || statsCheckFiles.forall { case (path, ft) =>
+      PropFilters.chunkCanMatch(path, ft, propFilters.toSeq, conf)
+    }
 
   // explicit var, NOT a lazy val: a failed lazy init would retry (and
   // re-open files) when close() touches it after an error. The field is
@@ -694,11 +696,11 @@ class VertexChunkReader(p: VertexChunkPartition, required: StructType,
   override protected def synthetic(name: String, pos: Long): Any =
     p.chunk * p.info.chunkSize + pos
 
-  override protected def statsCheckFiles: Seq[Path] = {
+  override protected def statsCheckFiles: Seq[(Path, String)] = {
     val refs = filterRefs
     p.info.propertyGroups.collect {
-      case g if g.fileType == "parquet" && g.properties.exists(pr => refs.contains(pr.name)) =>
-        new Path(s"${p.info.dir}${g.prefix}chunk${p.chunk}")
+      case g if g.properties.exists(pr => refs.contains(pr.name)) =>
+        (new Path(s"${p.info.dir}${g.prefix}chunk${p.chunk}"), g.fileType)
     }
   }
 
@@ -725,11 +727,12 @@ class EdgeChunkReader(p: EdgeChunkPartition, required: StructType,
   override protected def synthetic(name: String, pos: Long): Any =
     throw new IllegalStateException(s"$name should come from the adjacency file")
 
-  override protected def statsCheckFiles: Seq[Path] = {
+  override protected def statsCheckFiles: Seq[(Path, String)] = {
     val refs = filterRefs
     p.info.propertyGroups.collect {
-      case g if g.fileType == "parquet" && g.properties.exists(pr => refs.contains(pr.name)) =>
-        new Path(s"${p.info.adjDir(p.al)}${g.prefix}part${p.part}/chunk${p.chunk}")
+      case g if g.properties.exists(pr => refs.contains(pr.name)) =>
+        (new Path(s"${p.info.adjDir(p.al)}${g.prefix}part${p.part}/chunk${p.chunk}"),
+          g.fileType)
     }
   }
 

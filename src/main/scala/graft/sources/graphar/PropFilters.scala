@@ -196,4 +196,59 @@ object PropFilters {
     case b: Binary => b.toStringUsingUTF8
     case x => x
   }
+
+  /** Format dispatch for the chunk-skip decision; formats without
+    * readable statistics (csv) always read.
+    */
+  def chunkCanMatch(path: Path, fileType: String, filters: Seq[Filter],
+                    conf: Configuration): Boolean = fileType match {
+    case "parquet" => parquetChunkCanMatch(path, filters, conf)
+    case "orc" => orcChunkCanMatch(path, filters, conf)
+    case _ => true
+  }
+
+  /** Chunk-level skip from ORC file-level column statistics (GraphAr
+    * chunks are small files, typically one stripe — file granularity is
+    * the stripe granularity). Only integer/date/boolean stats are
+    * consulted: fp literals are stats-exempt in [[canMatch]] (NaN is
+    * outside min/max), and STRING stats are ignored because ORC writers
+    * compute string extrema in Java UTF-16 order, which diverges from
+    * Spark's UTF-8 order on supplementary-plane characters — range
+    * reasoning over them could skip rows the residual filter would keep.
+    * Any stats hiccup → read the chunk.
+    */
+  def orcChunkCanMatch(path: Path, filters: Seq[Filter],
+                       conf: Configuration): Boolean = {
+    if (filters.isEmpty) return true
+    try {
+      val reader = org.apache.orc.OrcFile.createReader(
+        path, org.apache.orc.OrcFile.readerOptions(conf))
+      try {
+        val schema = reader.getSchema
+        val names = schema.getFieldNames
+        val colStats = reader.getStatistics
+        val stats = scala.collection.mutable.Map.empty[String, ColStats]
+        var i = 0
+        while (i < names.size()) {
+          val st = colStats(schema.getChildren.get(i).getId)
+          if (st.getNumberOfValues > 0) st match {
+            case s: org.apache.orc.IntegerColumnStatistics =>
+              stats(names.get(i)) = ColStats(s.getMinimum, s.getMaximum, st.hasNull)
+            case s: org.apache.orc.DateColumnStatistics =>
+              stats(names.get(i)) = ColStats(s.getMinimumDayOfEpoch.toInt,
+                s.getMaximumDayOfEpoch.toInt, st.hasNull)
+            case s: org.apache.orc.BooleanColumnStatistics =>
+              // min = "are there any false", max = "are there any true"
+              stats(names.get(i)) = ColStats(s.getFalseCount == 0L,
+                s.getTrueCount > 0L, st.hasNull)
+            case _ => // double/float/string: excluded (see scaladoc)
+          }
+          i += 1
+        }
+        filters.forall(canMatch(_, stats.toMap))
+      } finally reader.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => true // stats unavailable → scan
+    }
+  }
 }

@@ -112,6 +112,30 @@ class PlanSpec extends AnyFunSuite {
       "in-range equality must keep the chunk")
   }
 
+  test("orc file-stats chunk skip: out-of-range predicate excludes, strings never skip") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+    import graft.sources.graphar.{GraphArWriter, PropFilters}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gar_orc_stats").toString
+    val df = (0 until 50).map(i => (i.toLong, s"name$i")).toDF("k", "s")
+    GraphArWriter.writeVertices(df, dir,
+      GraphArWriter.VertexSpec("T", chunkSize = 64, fileType = "orc"))
+    GraphArWriter.writeGraphYaml(dir, "G", Seq("T"), Seq.empty)
+    val info = graft.meta.GraphArMeta.loadGraph(s"$dir/G.yaml").vertex("T")
+    val chunk0 = new org.apache.hadoop.fs.Path(
+      s"${info.dir}${info.propertyGroups.head.prefix}chunk0")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    assert(!PropFilters.orcChunkCanMatch(chunk0, Seq(EqualTo("k", 1000L)), conf),
+      "impossible equality should be excluded by orc stats")
+    assert(!PropFilters.orcChunkCanMatch(chunk0, Seq(GreaterThan("k", 49L)), conf))
+    assert(PropFilters.orcChunkCanMatch(chunk0, Seq(EqualTo("k", 10L)), conf),
+      "in-range equality must keep the chunk")
+    // string extrema are order-unsafe (UTF-16 vs UTF-8) — never skip
+    assert(PropFilters.orcChunkCanMatch(chunk0, Seq(LessThan("s", "aaaa")), conf),
+      "string stats must not be used for skipping")
+  }
+
   test("stored IVF probe reads only the probed cluster partitions") {
     val base = operators.Similarity.indexDir(spark, sf)
     val queries = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 8)
