@@ -144,4 +144,7 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
   def kCore(src: String, t: String, dst: String, k: Int,
             rounds: Int = 6): DataFrame =
     GraphOps.kCore(spark, edgesStd(src, t, dst), k, rounds)
+
+  def clusteringCoefficients(src: String, t: String, dst: String): DataFrame =
+    GraphOps.clusteringCoefficients(edgesStd(src, t, dst))
 }

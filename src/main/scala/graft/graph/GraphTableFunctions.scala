@@ -115,6 +115,10 @@ object GraphTableFunctions {
     (FunctionIdentifier("triangle_count"),
       new ExpressionInfo(getClass.getName, "triangle_count"),
       wholeGraphBuilder("triangle_count", (g, s, t, d) => g.triangleCount(s, t, d))),
+    (FunctionIdentifier("clustering_coef"),
+      new ExpressionInfo(getClass.getName, "clustering_coef"),
+      wholeGraphBuilder("clustering_coef",
+        (g, s, t, d) => g.clusteringCoefficients(s, t, d))),
     (FunctionIdentifier("graph_sssp"),
       new ExpressionInfo(getClass.getName, "graph_sssp"),
       hopBuilder("graph_sssp", (g, s, t, d, vid) => g.sssp(s, t, d, vid))),

@@ -132,6 +132,13 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(sqlCore === g.kCore("Part", "link", "Part", 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+
+    val sqlLcc = spark.sql(s"SELECT * FROM clustering_coef('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(sqlLcc === g.clusteringCoefficients("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq)
   }
 
   test("register refuses an over-threshold graph from metadata alone") {
