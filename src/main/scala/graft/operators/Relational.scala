@@ -288,6 +288,32 @@ object Relational {
       profile(t(s, d, "lineitem"),
         numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"),
         strCols = Seq("l_returnflag", "l_linestatus"))
+    },
+
+    // Ordered funnel (view → click → purchase): per user the earliest
+    // view, the earliest click strictly after it, the earliest purchase
+    // strictly after that; output = users surviving each stage. Each
+    // stage scans events filtered to ONE event type (pushdown-prunable)
+    // and shuffles only (user_id, ts); the stage-to-stage joins run on
+    // the already-aggregated per-user tables, which are orders smaller
+    // than the event log. Second-truncated for ns-vs-µs oracle parity.
+    "q25_funnel" -> { (s, d) =>
+      val e = t(s, d, "events").select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tss")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("tss") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("tss")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("tss") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("tss")).as("t3"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage("1_view", s1)
+        .unionAll(stage("2_click", s2))
+        .unionAll(stage("3_purchase", s3))
     }
   )
 
@@ -353,6 +379,21 @@ object Relational {
          |  FROM lineitem)
          |${rows.mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    "q25_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS tss FROM events),
+        |s1 AS (SELECT user_id, min(tss) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(tss) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND tss > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(tss) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND tss > t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL
+        |SELECT '2_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s2
+        |UNION ALL
+        |SELECT '3_purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s3""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

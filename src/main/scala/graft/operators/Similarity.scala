@@ -102,6 +102,33 @@ object Similarity {
       .withColumn("bit", lshBit(col("embedding"), col("h_emb"), col("h_id"), hpBase))
       .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
 
+  /** All-pairs approximate kNN join: EVERY corpus vector gets its top-k
+    * nearest (by cosine, tie → n_id) within its IVF cluster block — the
+    * building block for SNN graphs, SemDeDup-style thresholds, and
+    * link-by-neighbor pipelines. Unlike [[ivfTopK]] (a query set probing
+    * the corpus), both sides here are the whole corpus; the
+    * nearest-centroid blocking confines pairwise work to within-cluster
+    * blocks, so the join is Σ|cluster|² instead of |corpus|² — the same
+    * property that makes [[semDedup]] tractable. At scale the assigned
+    * table is the persisted cluster-partitioned layout, so each block
+    * joins co-located.
+    */
+  def knnJoin(emb: DataFrame, k: Int = 3, modulo: Int = 40): DataFrame = {
+    val cent = ivfCentroids(emb, modulo)
+    val assigned = ivfRanked(emb, cent).filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = assigned.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("cluster").as("n_cluster"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("n_id"))
+    assigned
+      .join(b, col("cluster") === col("n_cluster") && col("vec_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("embedding"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("cluster"), col("n_id"), col("rank"))
+  }
+
   def ivfTopK(emb: DataFrame, queryIds: Column, k: Int, modulo: Int = 40,
               nProbe: Int = 1): DataFrame = {
     val cent = ivfCentroids(emb, modulo)
@@ -462,6 +489,9 @@ object Similarity {
     "d_semdedup" -> { (s, d) =>
       semDedup(t(s, d, "embeddings"))
     },
+    "sim_knn_join" -> { (s, d) =>
+      knnJoin(t(s, d, "embeddings"))
+    },
     "sim_pq" -> { (s, d) =>
       pqTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
     },
@@ -664,6 +694,28 @@ object Similarity {
     // shares it verbatim — persisting the codes must not change a row
     "sim_pq" -> pqOracleSql,
     "sim_pq_stored" -> pqOracleSql,
+
+    "sim_knn_join" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id % 40 = 0),
+         |ranked AS (
+         |  SELECT e.vec_id, e.embedding, cent.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
+         |  FROM embeddings e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS cluster FROM ranked WHERE arank = 1),
+         |scored AS (
+         |  SELECT a.vec_id, a.cluster, b.vec_id AS n_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+         |rankedk AS (
+         |  SELECT vec_id, cluster, n_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT vec_id, cluster, n_id, rank FROM rankedk WHERE rank <= 3""".stripMargin,
 
     "d_semdedup" ->
       s"""WITH cent AS (
