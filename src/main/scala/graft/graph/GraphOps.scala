@@ -255,25 +255,60 @@ object GraphOps {
     } else bfsLengths(spark, edges, pairs, maxDepth)
   }
 
-  /** Triangle count over the undirected simple graph (self-loops and
-    * duplicate/reverse edges collapsed). Canonical a<b orientation makes
-    * each triangle appear exactly once in the 3-way join. Scale notes:
-    * two shuffle joins on vertex keys; the classic skew refinement
-    * (orient edges low-degree → high-degree) drops in here if hub
-    * vertices dominate — at the current shape AQE's skew-join split
-    * covers it.
+  /** Undirected simple edge set (self-loops and duplicate/reverse edges
+    * collapsed), canonical a<b.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val und = edges.select(
+  private def undirectedSimple(edges: DataFrame): DataFrame =
+    edges.select(
         least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val e1 = und.select(col("a"), col("b"))
-    val e2 = und.select(col("a").as("b"), col("b").as("c"))
-    val e3 = und.select(col("a").as("a2"), col("b").as("c2"))
-    e1.join(e2, "b")
-      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
-      .agg(count(lit(1)).as("n_triangles"))
+
+  /** Degree-ordered orientation: each undirected edge points from its
+    * (degree, id)-smaller endpoint to the larger. The order is total, so
+    * every triangle has exactly one source vertex, and the wedge fan-out
+    * at any vertex is bounded by its ORIENTED out-degree — O(√E) — not
+    * its raw degree. This is the classic hub-skew refinement: under
+    * plain a<b orientation a hub of degree d contributes O(d²) wedge
+    * pairs; here high-degree vertices sit late in the order and receive
+    * edges instead of fanning them out. Returns (x, y, ky) with
+    * ky = struct(deg_y, y), the orientation key wedges canonicalize by.
+    */
+  private def orientedEdges(edges: DataFrame): DataFrame = {
+    val und = undirectedSimple(edges)
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(ka < kb, col("a")).otherwise(col("b")).as("x"),
+        when(ka < kb, col("b")).otherwise(col("a")).as("y"),
+        when(ka < kb, kb).otherwise(ka).as("ky"))
   }
+
+  /** Each triangle exactly once, as its (source, mid, far) vertex triple
+    * under the degree order: wedge pairs at every source joined against
+    * the oriented closing edge.
+    */
+  private def triangleTriples(edges: DataFrame): DataFrame = {
+    val o = orientedEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = o.select(col("x"), col("y").as("u"), col("ky").as("ku"))
+      .join(o.select(col("x"), col("y").as("w"), col("ky").as("kw")), "x")
+      .filter(col("ku") < col("kw"))
+      .select(col("x"), col("u"), col("w"))
+    wedges.join(o.select(col("x").as("u"), col("y").as("w")), Seq("u", "w"))
+      .select(col("x"), col("u"), col("w"))
+  }
+
+  /** Triangle count over the undirected simple graph. Degree-ordered
+    * orientation (see [[orientedEdges]]) keeps the wedge join skew-proof;
+    * results are identical to the naive a<b 3-way join (each triangle
+    * counted exactly once), pinned by the DuckDB oracle.
+    */
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangleTriples(edges).agg(count(lit(1)).as("n_triangles"))
 
   /** Per-vertex local clustering coefficient over the undirected simple
     * graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) where tri(v) counts
@@ -287,17 +322,12 @@ object GraphOps {
     * vertices dominate.
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val und = edges.select(
-        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val und = undirectedSimple(edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val e2 = und.select(col("a").as("b"), col("b").as("c"))
-    val e3 = und.select(col("a").as("a2"), col("b").as("c2"))
-    val tri = und.join(e2, "b")
-      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
-      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+    val tri = triangleTriples(und.select(col("a").as("src"), col("b").as("dst")))
+      .select(explode(array(col("x"), col("u"), col("w"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("tri"))
     deg.join(tri, Seq("v"), "left")
       .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))

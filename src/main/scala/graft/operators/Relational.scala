@@ -314,6 +314,22 @@ object Relational {
       stage("1_view", s1)
         .unionAll(stage("2_click", s2))
         .unionAll(stage("3_purchase", s3))
+    },
+
+    // Cohort retention: users grouped by first-activity week, counted in
+    // each later week they return. Two aggregates over (user, week)
+    // pairs — the event log collapses to per-user-week rows first (the
+    // only full-data shuffle), cohorts join on the tiny per-user table.
+    "q26_retention" -> { (s, d) =>
+      val e = t(s, d, "events").select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      val uw = e.distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      uw.join(cohort, "user_id")
+        .withColumn("weeks_later",
+          floor(datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+        .groupBy(col("cohort_wk"), col("weeks_later"))
+        .agg(count(lit(1)).as("n_users"))
     }
   )
 
@@ -394,6 +410,17 @@ object Relational {
         |SELECT '2_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s2
         |UNION ALL
         |SELECT '3_purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s3""".stripMargin,
+
+    "q26_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+        |SELECT cohort_wk,
+        |  CAST(floor((uw.wk - cohort_wk) / 7.0) AS BIGINT) AS weeks_later,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM uw JOIN cohort ON uw.user_id = cohort.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
