@@ -211,6 +211,37 @@ object Dedup {
       .select(col("d_id"), col("c_id"), col("jac"))
   }
 
+  /** Bloom-filter ingest gate — EXACT dedup of an incoming delta batch
+    * against an existing corpus, with a Bloom prefilter so the novel
+    * majority never reaches the join. The filter is built DISTRIBUTED
+    * (`stat.bloomFilter` tree-aggregates mergeable per-partition blooms;
+    * only the fixed-size bitset reaches the driver) over the corpus
+    * fingerprints, then broadcast; delta rows whose fingerprint the
+    * bloom rejects are DEFINITELY novel and short-circuit past the join,
+    * and only bloom-positives (true dups + the fpp sliver of false
+    * positives) are verified by an exact anti-join. Output is exact
+    * regardless of fpp — the bloom only routes, it never decides.
+    *
+    * Scale shape: at 100 TB the corpus fingerprint set is a persisted
+    * table and its bloom a saved sketch merged per ingest; per batch the
+    * shuffle carries only the ~fpp-sized suspect set, not the delta.
+    * The probe is a scalar over broadcast state (a UDF is justified
+    * here: the sketch probe has no Column-function equivalent).
+    */
+  def bloomGate(spark: SparkSession, corpus: DataFrame, delta: DataFrame,
+                expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    val corpusFp = corpus.select(fingerprint(col("text")).as("fp"))
+    val bf = corpusFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContain(s))
+    val d = delta.withColumn("fp", fingerprint(col("text")))
+    val novel = d.filter(!mightContain(col("fp")))
+    val verified = d.filter(mightContain(col("fp")))
+      .join(corpusFp, Seq("fp"), "left_anti")
+    novel.unionByName(verified)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Exact-substring duplication detection (the "long shared span"
     * signal of Lee et al., "Deduplicating Training Data Makes Language
     * Models Better"): token-aligned windows of `n` consecutive tokens,
@@ -309,6 +340,13 @@ object Dedup {
       incrementalNearDups(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
+    },
+    // bloom-prefiltered exact ingest gate over the same corpus/delta split
+    "d_bloom_gate" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      bloomGate(s,
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
     }
   )
 
@@ -374,6 +412,14 @@ object Dedup {
        |  FROM sig$sfx, (SELECT unnest(range(0, 4)) AS b))""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the bloom is invisible to semantics: novel = fingerprint not in corpus
+    "d_bloom_gate" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) NOT IN (
+        |    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |    FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
+
     "d_incremental" ->
       s"""WITH ${bandCtes("(SELECT * FROM documents WHERE doc_id % 2 = 0)", "c")},
          |${bandCtes("(SELECT * FROM documents WHERE doc_id % 2 = 1)", "d")},

@@ -114,12 +114,57 @@ object Pipeline {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Per-source document cap — the web-corpus "domain cap" (bound how
+    * much any one domain/source can contribute, so crawl-heavy hosts
+    * don't dominate the mix): keep the `cap` highest-value documents per
+    * source, priority = (n_chars DESC, doc_id) so the selection is
+    * deterministic under re-runs.
+    *
+    * Scale shape: one shuffle keyed by source over (id, source, n_chars)
+    * only — the text never moves — and row_number short-circuits: with a
+    * WindowGroupLimit-capable plan Spark stops ranking a partition after
+    * `cap` rows. A pathologically hot source is bounded by the cap
+    * itself: output per source is <= cap regardless of input skew.
+    */
+  def sourceCap(docs: DataFrame, cap: Int = 40): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+  }
+
+  /** Deterministic stratified sampling: exactly min(k, |stratum|)
+    * documents per language, chosen by md5(seed ‖ doc_id) order — a
+    * reproducible per-stratum uniform sample (same seed → same docs),
+    * the "equal-representation eval slice" builder. Unlike the rate-based
+    * [[trainMix]], this guarantees exact per-stratum COUNTS.
+    *
+    * Scale shape: same partitioned-window discipline as [[sourceCap]] —
+    * the shuffle carries (id, lang, 32-byte key), per-stratum ranking
+    * stops at k, and strata sample independently in parallel.
+    */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 30,
+                       seed: String = "s7"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("sample_key"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit(seed + "-"), col("doc_id").cast("string")))
+          .as("sample_key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perStratum)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_shuffle" -> { (s, d) => shuffleDeterministic(t(s, d, "documents")) },
     "p_clean_corpus" -> { (s, d) => cleanCorpus(t(s, d, "documents")) },
     "p_decontaminate" -> { (s, d) => decontaminate(t(s, d, "documents")) },
     "p_train_mix" -> { (s, d) => trainMix(t(s, d, "documents")) },
-    "p_token_pack" -> { (s, d) => tokenPack(t(s, d, "documents")) }
+    "p_token_pack" -> { (s, d) => tokenPack(t(s, d, "documents")) },
+    "p_source_cap" -> { (s, d) => sourceCap(t(s, d, "documents")) },
+    "p_stratified" -> { (s, d) => stratifiedSample(t(s, d, "documents")) }
   )
 
   def oracle: Map[String, String] = {
@@ -171,6 +216,26 @@ object Pipeline {
           |  FROM documents)
           |SELECT doc_id, source, lang, mix_rate FROM r
           |WHERE doc_id % 100 < mix_rate""".stripMargin,
+
+      "p_source_cap" ->
+        """WITH r AS (
+          |  SELECT doc_id, source, n_chars,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+          |  FROM documents)
+          |SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 40""".stripMargin,
+
+      "p_stratified" ->
+        """WITH s AS (
+          |  SELECT doc_id, lang,
+          |    md5('s7-' || CAST(doc_id AS VARCHAR)) AS sample_key
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, lang,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY sample_key, doc_id) AS BIGINT) AS rk
+          |  FROM s)
+          |SELECT doc_id, lang, rk FROM r WHERE rk <= 30""".stripMargin,
 
       "p_token_pack" ->
         """WITH tok AS (

@@ -38,6 +38,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("bloomGate == plain exact anti-join, and bloom routes novel docs past it") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val got = operators.Dedup.bloomGate(spark, corpus, delta)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val want = delta.withColumn("fp", fp)
+      .join(corpus.select(fp.as("fp")), Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // routing: a fingerprint absent from the corpus is (almost surely at
+    // fpp=0.01) rejected by the bloom — the short-circuit path is live
+    val bf = corpus.select(fp.as("fp")).stat.bloomFilter("fp", 100000L, 0.01)
+    val novelFps = delta.withColumn("fp", fp)
+      .join(corpus.select(fp.as("fp")), Seq("fp"), "left_anti")
+      .select("fp").collect().map(_.getString(0))
+    assert(novelFps.count(!bf.mightContain(_)) > novelFps.length / 2,
+      "bloom prefilter rejects almost no novel docs — short-circuit path dead")
+  }
+
+  test("sourceCap bounds every source at the cap; stratifiedSample takes exact per-lang counts") {
+    val docs = Tables.t(spark, sf, "documents")
+    val capped = operators.Pipeline.sourceCap(docs, cap = 7)
+      .groupBy("source").count().collect()
+    assert(capped.forall(_.getLong(1) <= 7L))
+    assert(capped.exists(_.getLong(1) == 7L), "cap never binding — test data too small")
+    val sampled = operators.Pipeline.stratifiedSample(docs, perStratum = 9)
+    val got = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.min(9L, r.getLong(1))).toMap
+    assert(got === want)
+    // determinism: same seed → identical doc set
+    val again = operators.Pipeline.stratifiedSample(docs, perStratum = 9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("minhashLshPairs hot-band cap drops oversized buckets, keeps the rest") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
