@@ -316,6 +316,18 @@ object Relational {
         .unionAll(stage("3_purchase", s3))
     },
 
+    // Correlated subqueries — the ONE relational surface not yet
+    // exercised: a correlated scalar subquery (per-customer average,
+    // phrased as sum/count in DECIMAL so both engines compare exactly —
+    // fp `avg` summation order is engine-dependent) plus a correlated
+    // EXISTS. Same SQL text runs on both engines; Catalyst decorrelates
+    // both subqueries into aggregate+join (no per-row re-execution), so
+    // at 100 TB this plans as two shuffles on o_custkey, not O(n) probes.
+    "q27_correlated" -> { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(CorrelatedSql)
+    },
+
     // Cohort retention: users grouped by first-activity week, counted in
     // each later week they return. Two aggregates over (user, week)
     // pairs — the event log collapses to per-user-week rows first (the
@@ -372,7 +384,25 @@ object Relational {
     a.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** One SQL text, two engines: an above-per-customer-average filter
+    * (correlated scalar subqueries, exact decimal arithmetic) with a
+    * correlated EXISTS gate on the customer having an urgent order.
+    */
+  val CorrelatedSql: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders o2
+      |     WHERE o2.o_custkey = o.o_custkey)
+      |  > (SELECT CAST(sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+      |        AS DECIMAL(38,2))
+      |     FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |  AND EXISTS (SELECT 1 FROM orders o4
+      |    WHERE o4.o_custkey = o.o_custkey
+      |      AND o4.o_orderpriority = '1-URGENT')""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q27_correlated" -> CorrelatedSql,
     "q24_profile" -> {
       val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
       val strCols = Seq("l_returnflag", "l_linestatus")

@@ -261,6 +261,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"degree/tri counts not map-combined:\n$p")
   }
 
+  test("p_source_cap / p_stratified: rank limit truncates groups MAP-SIDE (WindowGroupLimit Partial)") {
+    for (q <- Seq("p_source_cap", "p_stratified")) {
+      val p = plan(operators.Pipeline.queries(q)(spark, sf))
+      // Partial = each task pre-truncates its groups to the cap BEFORE the
+      // shuffle; without it a hot source/stratum ships all its rows
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"$q rank filter not pushed into WindowGroupLimit Partial:\n$p")
+    }
+  }
+
+  test("q27_correlated: subqueries decorrelate to equi-joins, never per-row probes") {
+    val p = plan(operators.Relational.queries("q27_correlated")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery planned as nested loop:\n$p")
+    assert(p.contains("HashAggregate"), s"no decorrelated aggregate in:\n$p")
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan only after execution; `*(n)` marks
     // WholeStageCodegen stages in the final plan string
