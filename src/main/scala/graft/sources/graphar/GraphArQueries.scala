@@ -58,6 +58,45 @@ object GraphArQueries {
     yaml
   }
 
+  /** Build (once) a versioned mutation fixture: v0 = the lineitem edge
+    * multigraph, v1 = v0 plus a deterministic delta (rescaled key pairs,
+    * quantity+100), v2 = v1 minus every (src, dst) with src % 41 = 0 —
+    * an init → addEdges → removeEdges history whose every state is
+    * re-derivable by the oracle from lineitem alone.
+    */
+  def mutationFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_mut_" +
+      Integer.toHexString(canonical.hashCode)
+    val base = s"/tmp/graft_graphar/$name"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return base
+    if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+    val v = GraphQueries.V
+    val li = t(spark, sfDir, "lineitem")
+    val baseEdges = li.select(
+      expr(s"l_orderkey % $v").as("src"),
+      expr(s"l_partkey % $v").as("dst"),
+      col("l_quantity").as("quantity"))
+    GraphArMutations.initEdges(spark, base, baseEdges, "MutGraph",
+      GraphArWriter.EdgeSpec("Part", "link", "Part",
+        srcVertexCount = v, dstVertexCount = v,
+        chunkSize = 2048, srcChunkSize = 1024, dstChunkSize = 1024))
+    val delta = li.filter(expr("l_orderkey % 97 = 0")).select(
+      expr(s"(l_orderkey * 7) % $v").as("src"),
+      expr(s"(l_partkey * 3) % $v").as("dst"),
+      (col("l_quantity") + 100).as("quantity"))
+    GraphArMutations.addEdges(spark, base, delta)
+    // removal keys: every present pair whose src is a multiple of 41 —
+    // anti-join semantics drop all multigraph copies of each key
+    GraphArMutations.removeEdges(spark, base,
+      baseEdges.unionByName(delta).filter(col("src") % 41 === 0)
+        .select(col("src"), col("dst")))
+    fs.create(marker, true).close()
+    base
+  }
+
   def vertices(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.format("graphar").option("path", fixture(spark, sfDir))
       .option("type", "Part").load()
@@ -116,6 +155,20 @@ object GraphArQueries {
     "ga_degree_of_vertex" -> { (s, d) =>
       graft.graph.GraphArGraph(s, fixture(s, d))
         .degreeOfVertex("Part", "link", "Part", GraphQueries.RootVid)
+    },
+    // mutation verbs: LATEST after init → addEdges → removeEdges equals
+    // the relational union/anti-join the oracle computes from lineitem
+    "ga_mutate" -> { (s, d) =>
+      s.read.format("graphar").option("snapshotBase", mutationFixture(s, d))
+        .option("src", "Part").option("type", "link").option("dst", "Part")
+        .load()
+    },
+    // time travel: v0 is untouched by the two later mutations
+    "ga_time_travel" -> { (s, d) =>
+      s.read.format("graphar").option("snapshotBase", mutationFixture(s, d))
+        .option("snapshot", "0")
+        .option("src", "Part").option("type", "link").option("dst", "Part")
+        .load()
     }
   )
 
@@ -139,6 +192,16 @@ object GraphArQueries {
     "ga_degree_of_vertex" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS degree,
          |  CAST(${GraphQueries.RootVid} AS BIGINT) AS grapharId
-         |FROM ($edgeSql) WHERE "_graphArSrcIndex" = ${GraphQueries.RootVid}""".stripMargin
+         |FROM ($edgeSql) WHERE "_graphArSrcIndex" = ${GraphQueries.RootVid}""".stripMargin,
+    "ga_mutate" ->
+      s"""WITH base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
+         |    l_partkey % ${GraphQueries.V} AS d, l_quantity AS q FROM lineitem),
+         |delta AS (SELECT (l_orderkey * 7) % ${GraphQueries.V} AS s,
+         |    (l_partkey * 3) % ${GraphQueries.V} AS d, l_quantity + 100 AS q
+         |  FROM lineitem WHERE l_orderkey % 97 = 0),
+         |unioned AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+         |SELECT s AS "_graphArSrcIndex", d AS "_graphArDstIndex", q AS quantity
+         |FROM unioned WHERE s % 41 <> 0""".stripMargin,
+    "ga_time_travel" -> edgeSql
   )
 }

@@ -74,8 +74,8 @@ object GraphArSink {
     * the previous snapshot; there is no delete-then-rename window where
     * no pointer exists.
     */
-  private def commitLatest(base: String, yaml: String,
-                           conf: org.apache.hadoop.conf.Configuration): Unit = {
+  private[graft] def commitLatest(base: String, yaml: String,
+                                  conf: org.apache.hadoop.conf.Configuration): Unit = {
     val latest = new Path(s"$base/LATEST")
     val tmp = new Path(s"$base/.LATEST.tmp")
     val fs = latest.getFileSystem(conf)

@@ -321,4 +321,41 @@ class RoundTripSpec extends AnyFunSuite {
     assert(v3.select("nm").collect().map(_.getString(0)).toSet === Set("z0", "z10"))
     assert(v3.filter(col("age") < 100).count() === 0)
   }
+
+  test("mutation verbs: init/add/remove version history, time travel, LATEST repoint, vertex-count growth") {
+    import spark.implicits._
+    import graft.sources.graphar.GraphArMutations
+    import graft.streaming.GraphArSink
+    val base = Files.createTempDirectory("gar_mut").toString
+    val spec = GraphArWriter.EdgeSpec("N", "link", "N",
+      srcVertexCount = 8, dstVertexCount = 8,
+      chunkSize = 4, srcChunkSize = 4, dstChunkSize = 4)
+    val e0 = Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 3.0)).toDF("src", "dst", "w")
+    assert(GraphArMutations.initEdges(spark, base, e0, "Mut", spec) === 0L)
+    // add two edges, one to a vertex beyond the declared count (grown)
+    val v1 = GraphArMutations.addEdges(spark, base,
+      Seq((3L, 9L, 4.0), (0L, 2L, 5.0)).toDF("src", "dst", "w"),
+      newVertexCount = Some(10L))
+    assert(v1 === 1L)
+    // remove every copy of (1,2) — and a no-op key that matches nothing
+    val v2 = GraphArMutations.removeEdges(spark, base,
+      Seq((1L, 2L), (7L, 7L)).toDF("src", "dst"))
+    assert(v2 === 2L)
+    def readV(sel: String) = spark.read.format("graphar")
+      .option("snapshotBase", base).option("snapshot", sel)
+      .option("src", "N").option("type", "link").option("dst", "N").load()
+      .select(col("_graphArSrcIndex"), col("_graphArDstIndex"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(GraphArSink.versions(spark, base) === Seq(0L, 1L, 2L))
+    assert(readV("latest") ===
+      Set((0L, 1L, 1.0), (2L, 3L, 3.0), (3L, 9L, 4.0), (0L, 2L, 5.0)))
+    assert(readV("1") === readV("latest") + ((1L, 2L, 2.0)))
+    assert(readV("0") === Set((0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 3.0)))
+    // the grown vertex count persists into v2's metadata (degree of 9 works)
+    val conf = spark.sessionState.newHadoopConf()
+    val info = graft.meta.GraphArMeta.loadGraph(
+      GraphArSink.latestYaml(spark, base), conf)
+    val al = info.edges.head.adjList("src").get
+    assert(info.edges.head.alignedVertexCount(al, conf) === 10L)
+  }
 }
