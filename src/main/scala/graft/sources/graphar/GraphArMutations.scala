@@ -90,6 +90,75 @@ object GraphArMutations {
     writeVersion(spark, base, next, mutate(cur), info.name, spec)
   }
 
+  /** Bootstrap a versioned vertex graph: writes `base/v0` and commits
+    * LATEST — the batch twin of [[GraphArSink.vertices]]. Rows are
+    * sorted by `orderCol` so `_graphArVertexIndex` is deterministic.
+    */
+  def initVertices(spark: SparkSession, base: String, rows: DataFrame,
+                   graphName: String, spec: GraphArWriter.VertexSpec,
+                   orderCol: String): Long =
+    writeVertexVersion(spark, base, 0L, rows.orderBy(orderCol), graphName, spec)
+
+  /** Property upsert: version N+1 = version N with `updates` rows
+    * replacing same-key rows and novel-key rows appended — the standard
+    * dimension-table maintenance verb, as a snapshot. Keys match on
+    * `orderCol`, which also re-sorts the result so the vertex index
+    * stays deterministic (ids of vertices AFTER an insertion point
+    * shift, exactly like any re-written GraphAr vertex table — edge
+    * tables referencing the old numbering belong to the old snapshot).
+    */
+  def upsertVertices(spark: SparkSession, base: String, updates: DataFrame,
+                     orderCol: String): Long =
+    commitVertices(spark, base, cur =>
+      cur.join(updates.select(col(orderCol)), Seq(orderCol), "left_anti")
+        .unionByName(updates), orderCol)
+
+  /** Delete vertices whose `orderCol` key appears in `keys`. */
+  def removeVertices(spark: SparkSession, base: String, keys: DataFrame,
+                     orderCol: String): Long =
+    commitVertices(spark, base,
+      cur => cur.join(keys.select(col(orderCol)), Seq(orderCol), "left_anti"),
+      orderCol)
+
+  /** General copy-on-write vertex commit: `mutate` sees version N's
+    * property columns (synthetic index dropped — it is derived from row
+    * order, not stored identity) and returns the next table, re-sorted
+    * by `orderCol` before writing.
+    */
+  def commitVertices(spark: SparkSession, base: String,
+                     mutate: DataFrame => DataFrame, orderCol: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val curYaml = GraphArSink.latestYaml(spark, base)
+    require(curYaml != null, s"no committed snapshot under $base — initVertices first")
+    val info = GraphArMeta.loadGraph(curYaml, conf)
+    require(info.vertices.size == 1 && info.edges.isEmpty,
+      s"commitVertices mutates single-vertex-type graphs (the versioned-" +
+        s"sink layout); ${info.name} has ${info.vertices.size} vertex and " +
+        s"${info.edges.size} edge types")
+    val v = info.vertices.head
+    val cur = spark.read.format("graphar").option("path", curYaml)
+      .option("type", v.vertexType).load()
+      .drop(GraphArMeta.VertexIndexCol)
+    val spec = GraphArWriter.VertexSpec(v.vertexType, v.chunkSize,
+      v.propertyGroups.headOption.map(_.fileType).getOrElse("parquet"))
+    val next = GraphArSink.versions(spark, base).max + 1
+    writeVertexVersion(spark, base, next, mutate(cur).orderBy(orderCol),
+      info.name, spec)
+  }
+
+  private def writeVertexVersion(spark: SparkSession, base: String,
+                                 version: Long, rows: DataFrame,
+                                 graphName: String,
+                                 spec: GraphArWriter.VertexSpec): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = s"$base/v$version"
+    GraphArWriter.writeVertices(rows, dir, spec)
+    val yaml = GraphArWriter.writeGraphYaml(dir, graphName,
+      Seq(spec.vertexType), Seq.empty, conf)
+    GraphArSink.commitLatest(base, yaml, conf)
+    version
+  }
+
   private def writeVersion(spark: SparkSession, base: String, version: Long,
                            edges: DataFrame, graphName: String,
                            spec: GraphArWriter.EdgeSpec): Long = {

@@ -358,4 +358,31 @@ class RoundTripSpec extends AnyFunSuite {
     val al = info.edges.head.adjList("src").get
     assert(info.edges.head.alignedVertexCount(al, conf) === 10L)
   }
+
+  test("vertex mutation verbs: upsert replaces and appends, remove deletes, index re-derived") {
+    import spark.implicits._
+    import graft.sources.graphar.GraphArMutations
+    import graft.streaming.GraphArSink
+    val base = Files.createTempDirectory("gar_vmut").toString
+    val v0 = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "nm")
+    GraphArMutations.initVertices(spark, base, v0, "VMut",
+      GraphArWriter.VertexSpec("T", chunkSize = 2), orderCol = "k")
+    // upsert: replace k=20, insert k=15 (shifts later indices)
+    GraphArMutations.upsertVertices(spark, base,
+      Seq((20L, "B"), (15L, "x")).toDF("k", "nm"), orderCol = "k")
+    GraphArMutations.removeVertices(spark, base,
+      Seq(Tuple1(10L)).toDF("k"), orderCol = "k")
+    def readV(sel: String) = spark.read.format("graphar")
+      .option("snapshotBase", base).option("snapshot", sel)
+      .option("type", "T").load()
+      .orderBy("_graphArVertexIndex")
+      .select("_graphArVertexIndex", "k", "nm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(GraphArSink.versions(spark, base) === Seq(0L, 1L, 2L))
+    assert(readV("1") ===
+      Seq((0L, 10L, "a"), (1L, 15L, "x"), (2L, 20L, "B"), (3L, 30L, "c")))
+    assert(readV("latest") ===
+      Seq((0L, 15L, "x"), (1L, 20L, "B"), (2L, 30L, "c")))
+    assert(readV("0") === Seq((0L, 10L, "a"), (1L, 20L, "b"), (2L, 30L, "c")))
+  }
 }
