@@ -159,6 +159,103 @@ object GraphArMutations {
     version
   }
 
+  // ------------------------------------------------------------- delta log
+  //
+  // A full snapshot per mutation is the right DURABILITY unit but the
+  // wrong WRITE unit at 100 TB (every commit rewrites the edge table).
+  // The delta log fixes the cost: stageDelta appends a tiny parquet pair
+  // (adds + remove-keys) in O(delta); readers fold staged deltas over
+  // the last full snapshot in order; compactDeltas folds them INTO the
+  // next full snapshot (one rewrite amortizing any number of stages)
+  // and retires the log. Same shape as log-structured table formats:
+  // cheap appends, periodic compaction, snapshots stay the scan path.
+
+  /** Stage a delta without rewriting the snapshot: `adds` rows (src,
+    * dst, props...) and/or `removeKeys` (src, dst). O(delta) I/O. The
+    * staged dir becomes visible to [[currentEdges]] only when its
+    * `_COMMITTED` marker lands (written last), so a crash mid-stage
+    * leaves an invisible partial dir. Returns the delta sequence number.
+    */
+  def stageDelta(spark: SparkSession, base: String,
+                 adds: Option[DataFrame] = None,
+                 removeKeys: Option[DataFrame] = None): Long = synchronized {
+    require(adds.nonEmpty || removeKeys.nonEmpty, "empty delta")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    val next = stagedDeltas(spark, base).lastOption.map(_ + 1).getOrElse(0L)
+    val dir = s"$base/delta/d$next"
+    adds.foreach(_.write.mode("overwrite").parquet(s"$dir/adds"))
+    removeKeys.foreach(_.select(col("src"), col("dst")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/removes"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
+    next
+  }
+
+  /** Committed delta sequence numbers, ascending. */
+  def stagedDeltas(spark: SparkSession, base: String): Seq[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$base/delta")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMITTED")))
+      .flatMap(s => scala.util.Try(s.getPath.getName.drop(1).toLong).toOption)
+      .sorted
+  }
+
+  /** The edge table as of LATEST snapshot + every staged delta, folded
+    * in sequence (an add staged before a remove of the same key IS
+    * removed, and vice versa). Standard (src, dst, props...) names.
+    * Scan cost: one snapshot scan + one union/anti-join per staged
+    * delta — compact before the log grows past a handful.
+    */
+  def currentEdges(spark: SparkSession, base: String): DataFrame = {
+    val curYaml = GraphArSink.latestYaml(spark, base)
+    require(curYaml != null, s"no committed snapshot under $base")
+    val conf = spark.sessionState.newHadoopConf()
+    val info = GraphArMeta.loadGraph(curYaml, conf)
+    val e = info.edges.head
+    val snap = spark.read.format("graphar").option("path", curYaml)
+      .option("src", e.srcType).option("type", e.edgeType)
+      .option("dst", e.dstType).load()
+      .withColumnRenamed(GraphArMeta.SrcIndexCol, "src")
+      .withColumnRenamed(GraphArMeta.DstIndexCol, "dst")
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    stagedDeltas(spark, base).foldLeft(snap) { (cur, k) =>
+      val dir = s"$base/delta/d$k"
+      val withAdds =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/adds")))
+          cur.unionByName(spark.read.parquet(s"$dir/adds"))
+        else cur
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/removes")))
+        withAdds.join(spark.read.parquet(s"$dir/removes"),
+          Seq("src", "dst"), "left_anti")
+      else withAdds
+    }
+  }
+
+  /** Fold every staged delta into one new full snapshot (ONE rewrite
+    * amortizing the whole log), then retire the log. Returns the new
+    * version, or -1 if there was nothing staged.
+    */
+  def compactDeltas(spark: SparkSession, base: String,
+                    newVertexCount: Option[Long] = None): Long = synchronized {
+    val staged = stagedDeltas(spark, base)
+    if (staged.isEmpty) return -1L
+    val folded = currentEdges(spark, base)
+    // materialize before the snapshot swap: the folded plan reads the
+    // CURRENT snapshot's files, and writeEdges reshuffles (no overlap
+    // hazard — the new version lands in its own v-dir), but the delta
+    // dirs must outlive the plan's execution, hence delete AFTER commit
+    val v = commitEdges(spark, base, _ => folded, newVertexCount)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    staged.foreach(k => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$base/delta/d$k"), true))
+    v
+  }
+
   private def writeVersion(spark: SparkSession, base: String, version: Long,
                            edges: DataFrame, graphName: String,
                            spec: GraphArWriter.EdgeSpec): Long = {

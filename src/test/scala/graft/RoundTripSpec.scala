@@ -359,6 +359,38 @@ class RoundTripSpec extends AnyFunSuite {
     assert(info.edges.head.alignedVertexCount(al, conf) === 10L)
   }
 
+  test("delta log: staged adds/removes fold in order, compaction amortizes to one rewrite") {
+    import spark.implicits._
+    import graft.sources.graphar.GraphArMutations
+    import graft.streaming.GraphArSink
+    val base = Files.createTempDirectory("gar_delta").toString
+    val spec = GraphArWriter.EdgeSpec("N", "link", "N",
+      srcVertexCount = 8, dstVertexCount = 8,
+      chunkSize = 4, srcChunkSize = 4, dstChunkSize = 4)
+    GraphArMutations.initEdges(spark, base,
+      Seq((0L, 1L, 1.0), (1L, 2L, 2.0)).toDF("src", "dst", "w"), "D", spec)
+    // d0: add two edges; d1: remove one original + one just-added
+    assert(GraphArMutations.stageDelta(spark, base,
+      adds = Some(Seq((2L, 3L, 3.0), (3L, 4L, 4.0)).toDF("src", "dst", "w"))) === 0L)
+    assert(GraphArMutations.stageDelta(spark, base,
+      removeKeys = Some(Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"))) === 1L)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Set((0L, 1L, 1.0), (2L, 3L, 3.0))
+    assert(asSet(GraphArMutations.currentEdges(spark, base)) === want)
+    // snapshot itself untouched while the log is pending
+    assert(GraphArSink.versions(spark, base) === Seq(0L))
+    // compaction: one rewrite, log retired, LATEST now equals the fold
+    val v = GraphArMutations.compactDeltas(spark, base)
+    assert(v === 1L)
+    assert(GraphArMutations.stagedDeltas(spark, base).isEmpty)
+    assert(asSet(GraphArMutations.currentEdges(spark, base)) === want)
+    assert(GraphArSink.versions(spark, base) === Seq(0L, 1L))
+    // idempotent on an empty log
+    assert(GraphArMutations.compactDeltas(spark, base) === -1L)
+  }
+
   test("vertex mutation verbs: upsert replaces and appends, remove deletes, index re-derived") {
     import spark.implicits._
     import graft.sources.graphar.GraphArMutations
