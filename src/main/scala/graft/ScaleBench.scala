@@ -80,6 +80,41 @@ object ScaleBench {
     time("kcore_k20")(GraphOps.kCore(spark, esP, 20).count())
     time("clustering_coef")(GraphOps.clusteringCoefficients(esP).count())
     esP.unpersist()
+
+    // Mutation cost at this scale: full copy-on-write commit vs O(delta)
+    // staging vs one compaction amortizing the staged log. 4th arg
+    // ("mutations") opts in — the mutation base is rebuilt per run.
+    if (args.length > 3 && args(3) == "mutations") {
+      val mutBase = s"$base/../${new java.io.File(sfDir).getName}_x${replicas}_mut"
+      val fs2 = new Path(mutBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs2.exists(new Path(mutBase))) fs2.delete(new Path(mutBase), true)
+      val delta = spark.range(1000).select(
+        (col("id") % (v * replicas)).as("src"),
+        ((col("id") * 31 + 7) % (v * replicas)).as("dst"),
+        lit(1.0).as("quantity"))
+      val e0 = g.edgesStd("Part", "link", "Part")
+        .withColumn("quantity", lit(1.0))
+      // single-shot: each commit mutates state, so repetition would
+      // measure a different (growing) history, not the same op
+      def once(label: String)(f: => Any): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"SCALE $label best=${(System.nanoTime() - t0) / 1e9}%.3f all=single")
+      }
+      once("mut_init_full_write")(
+        graft.sources.graphar.GraphArMutations.initEdges(spark, mutBase, e0,
+          "MutScale", GraphArWriter.EdgeSpec("Part", "link", "Part",
+            srcVertexCount = v * replicas, dstVertexCount = v * replicas,
+            chunkSize = 1 << 18, srcChunkSize = 1 << 13, dstChunkSize = 1 << 13)))
+      once("mut_add_full_rewrite")(
+        graft.sources.graphar.GraphArMutations.addEdges(spark, mutBase, delta))
+      once("mut_stage_delta")(
+        graft.sources.graphar.GraphArMutations.stageDelta(spark, mutBase,
+          adds = Some(delta)))
+      once("mut_read_with_deltas")(
+        graft.sources.graphar.GraphArMutations.currentEdges(spark, mutBase).count())
+      once("mut_compact")(
+        graft.sources.graphar.GraphArMutations.compactDeltas(spark, mutBase))
+    }
     spark.stop()
   }
 }

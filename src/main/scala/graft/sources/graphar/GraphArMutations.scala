@@ -235,6 +235,16 @@ object GraphArMutations {
     }
   }
 
+  /** SQL exposure of the delta-folded table: registers
+    * `currentEdges(base)` as temp view `name`. A view (not a DSv2
+    * option) on purpose — the fold is a plan of unions/anti-joins above
+    * the snapshot scan, which is exactly what a Spark view IS; pushing
+    * it inside the connector would hide joins from Catalyst.
+    */
+  def registerCurrentView(spark: SparkSession, base: String,
+                          name: String): Unit =
+    currentEdges(spark, base).createOrReplaceTempView(name)
+
   /** Fold every staged delta into one new full snapshot (ONE rewrite
     * amortizing the whole log), then retire the log. Returns the new
     * version, or -1 if there was nothing staged.
