@@ -65,6 +65,13 @@ object GraphArMutations {
     val conf = spark.sessionState.newHadoopConf()
     val curYaml = GraphArSink.latestYaml(spark, base)
     require(curYaml != null, s"no committed snapshot under $base — initEdges first")
+    // a commit reads the SNAPSHOT, not the folded view — with a staged
+    // log pending, staged removes would re-apply on top of this commit's
+    // adds, reordering history. Refuse rather than silently diverge.
+    // (compactDeltas itself clears the log before calling back in here.)
+    require(compacting.get() || stagedDeltas(spark, base).isEmpty,
+      s"staged deltas pending under $base — compactDeltas (or discard " +
+        "the delta dirs) before committing a snapshot mutation")
     val info = GraphArMeta.loadGraph(curYaml, conf)
     require(info.edges.size == 1 && info.vertices.isEmpty,
       s"commitEdges mutates single-edge-type graphs (the versioned-sink " +
@@ -249,6 +256,13 @@ object GraphArMutations {
     * amortizing the whole log), then retire the log. Returns the new
     * version, or -1 if there was nothing staged.
     */
+  /** True while compactDeltas drives its own commit — the one caller
+    * allowed to commit with a staged log present (it IS the fold).
+    */
+  private val compacting = new java.lang.ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   def compactDeltas(spark: SparkSession, base: String,
                     newVertexCount: Option[Long] = None): Long = synchronized {
     val staged = stagedDeltas(spark, base)
@@ -258,7 +272,10 @@ object GraphArMutations {
     // CURRENT snapshot's files, and writeEdges reshuffles (no overlap
     // hazard — the new version lands in its own v-dir), but the delta
     // dirs must outlive the plan's execution, hence delete AFTER commit
-    val v = commitEdges(spark, base, _ => folded, newVertexCount)
+    compacting.set(true)
+    val v =
+      try commitEdges(spark, base, _ => folded, newVertexCount)
+      finally compacting.set(false)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
     staged.foreach(k => fs.delete(

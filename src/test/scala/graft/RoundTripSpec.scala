@@ -389,6 +389,16 @@ class RoundTripSpec extends AnyFunSuite {
     assert(GraphArSink.versions(spark, base) === Seq(0L, 1L))
     // idempotent on an empty log
     assert(GraphArMutations.compactDeltas(spark, base) === -1L)
+    // a snapshot commit with a staged log pending is refused (staged
+    // removes would re-apply over the commit's adds — history reorder)
+    GraphArMutations.stageDelta(spark, base,
+      adds = Some(Seq((5L, 6L, 6.0)).toDF("src", "dst", "w")))
+    val err = intercept[IllegalArgumentException] {
+      GraphArMutations.addEdges(spark, base,
+        Seq((6L, 7L, 7.0)).toDF("src", "dst", "w"))
+    }
+    assert(err.getMessage.contains("compactDeltas"), err.getMessage)
+    assert(GraphArMutations.compactDeltas(spark, base) === 2L)
   }
 
   test("vertex mutation verbs: upsert replaces and appends, remove deletes, index re-derived") {
