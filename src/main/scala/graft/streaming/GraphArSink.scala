@@ -68,6 +68,34 @@ object GraphArSink {
         commitLatest(base, yaml, conf)
     }
 
+  /** Delta-log streaming ingest — the APPEND-mode shape: each
+    * micro-batch is staged as an O(batch) delta over the last full
+    * snapshot ([[graft.sources.graphar.GraphArMutations.stageDelta]]),
+    * and every `compactEvery` batches the log is folded into one new
+    * snapshot. Unlike [[edges]] (COMPLETE mode, full rewrite per batch)
+    * the per-batch cost is proportional to the batch, not the graph —
+    * the streaming twin of the log-structured mutation verbs. Readers
+    * use `GraphArMutations.currentEdges` (or `registerCurrentView`) for
+    * read-your-writes, or the plain snapshot for scan-path reads.
+    *
+    * Requires an initial snapshot (`GraphArMutations.initEdges`) so the
+    * edge spec/metadata exist before the stream starts.
+    */
+  def edgeDeltas(stream: DataFrame, base: String,
+                 compactEvery: Int = 10): DataStreamWriter[Row] = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty)
+          graft.sources.graphar.GraphArMutations.stageDelta(
+            spark, base, adds = Some(batch))
+        if ((batchId + 1) % compactEvery == 0)
+          graft.sources.graphar.GraphArMutations.compactDeltas(spark, base)
+        ()
+    }
+  }
+
   /** Atomic pointer swap: write LATEST.tmp, then overwrite-rename onto
     * LATEST in one filesystem op (`FileContext` rename with OVERWRITE —
     * atomic on HDFS-like stores). A crash at any point leaves LATEST on

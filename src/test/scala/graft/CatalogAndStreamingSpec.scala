@@ -128,4 +128,35 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
       assert(sessions(1).session_start === ts(5000) && sessions(1).session_end === ts(5000))
     } finally q.stop()
   }
+
+  test("streaming delta ingest: batches stage O(batch) deltas, periodic compaction folds them") {
+    import spark.implicits._
+    import graft.sources.graphar.{GraphArMutations, GraphArWriter}
+    import graft.streaming.GraphArSink
+    val base = java.nio.file.Files.createTempDirectory("gar_stream_delta").toString
+    GraphArMutations.initEdges(spark, base,
+      Seq((0L, 1L, 1.0)).toDF("src", "dst", "w"), "SD",
+      GraphArWriter.EdgeSpec("N", "link", "N",
+        srcVertexCount = 8, dstVertexCount = 8,
+        chunkSize = 4, srcChunkSize = 4, dstChunkSize = 4))
+    val stream = MemoryStream[(Long, Long, Double)](spark)
+    val q = GraphArSink.edgeDeltas(
+      stream.toDF().toDF("src", "dst", "w"), base, compactEvery = 2)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      stream.addData((1L, 2L, 2.0)); q.processAllAvailable() // batch 0: staged
+      assert(GraphArMutations.stagedDeltas(spark, base).nonEmpty)
+      assert(graft.streaming.GraphArSink.versions(spark, base) === Seq(0L))
+      stream.addData((2L, 3L, 3.0)); q.processAllAvailable() // batch 1: compacts
+      assert(GraphArMutations.stagedDeltas(spark, base).isEmpty)
+      assert(graft.streaming.GraphArSink.versions(spark, base) === Seq(0L, 1L))
+      stream.addData((3L, 4L, 4.0)); q.processAllAvailable() // batch 2: staged
+      val got = GraphArMutations.currentEdges(spark, base)
+        .select("src", "dst", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set((0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 3.0), (3L, 4L, 4.0)))
+      // read-your-writes view includes the still-staged batch 2
+      assert(GraphArMutations.stagedDeltas(spark, base).nonEmpty)
+    } finally q.stop()
+  }
 }
