@@ -32,8 +32,13 @@ object GraphArMutations {
     * (src, dst, properties...). Returns the committed version (0).
     */
   def initEdges(spark: SparkSession, base: String, edges: DataFrame,
-                graphName: String, spec: GraphArWriter.EdgeSpec): Long =
+                graphName: String, spec: GraphArWriter.EdgeSpec): Long = {
+    val existing = GraphArSink.versions(spark, base)
+    require(existing.isEmpty,
+      s"$base already holds versions [${existing.mkString(", ")}] — " +
+        "init would repoint LATEST backwards; use commitEdges/addEdges")
     writeVersion(spark, base, 0L, edges, graphName, spec)
+  }
 
   /** Append edges: version N+1 = version N ∪ `delta` (multiset union —
     * GraphAr edge tables are multigraphs; dedup in `delta` first if you
@@ -188,6 +193,19 @@ object GraphArMutations {
                  removeKeys: Option[DataFrame] = None): Long = synchronized {
     require(adds.nonEmpty || removeKeys.nonEmpty, "empty delta")
     val conf = spark.sessionState.newHadoopConf()
+    // fail at STAGE time, not at the eventual fold: an adds frame whose
+    // columns don't match the snapshot's edge schema would otherwise
+    // poison the log and break every later currentEdges/compactDeltas
+    adds.foreach { df =>
+      val curYaml = GraphArSink.latestYaml(spark, base)
+      require(curYaml != null, s"no committed snapshot under $base — initEdges first")
+      val e = GraphArMeta.loadGraph(curYaml, conf).edges.head
+      val want = Set("src", "dst") ++ e.propertyGroups.flatMap(_.properties.map(_.name))
+      val got = df.columns.toSet
+      require(got == want,
+        s"delta adds columns ${got.mkString("(", ", ", ")")} don't match " +
+          s"the edge schema ${want.mkString("(", ", ", ")")}")
+    }
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
     val next = stagedDeltas(spark, base).lastOption.map(_ + 1).getOrElse(0L)
     val dir = s"$base/delta/d$next"

@@ -399,6 +399,18 @@ class RoundTripSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("compactDeltas"), err.getMessage)
     assert(GraphArMutations.compactDeltas(spark, base) === 2L)
+    // re-init on a live base is refused (would repoint LATEST backwards)
+    val err2 = intercept[IllegalArgumentException] {
+      GraphArMutations.initEdges(spark, base,
+        Seq((0L, 1L, 1.0)).toDF("src", "dst", "w"), "D", spec)
+    }
+    assert(err2.getMessage.contains("repoint"), err2.getMessage)
+    // schema-mismatched adds are rejected at STAGE time, not at the fold
+    val err3 = intercept[IllegalArgumentException] {
+      GraphArMutations.stageDelta(spark, base,
+        adds = Some(Seq((1L, 2L, "oops")).toDF("src", "dst", "not_w")))
+    }
+    assert(err3.getMessage.contains("edge schema"), err3.getMessage)
   }
 
   test("vertex mutation verbs: upsert replaces and appends, remove deletes, index re-derived") {
