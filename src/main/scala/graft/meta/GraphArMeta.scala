@@ -34,7 +34,7 @@ final case class GarAdjList(alignedBy: String, ordered: Boolean,
 
 final case class VertexInfo(vertexType: String, chunkSize: Long, prefix: String,
                             propertyGroups: Seq[GarPropertyGroup], baseDir: String) {
-  def dir: String = s"$baseDir/$prefix"
+  def dir: String = GraphArMeta.resolveDir(baseDir, prefix)
   /** vertex_count: bare little-endian int64 (reference func.cpp:65-72). */
   def vertexCount(conf: Configuration): Long =
     GraphArMeta.readInt64(new Path(s"${dir}vertex_count"), conf)
@@ -57,7 +57,7 @@ final case class EdgeInfo(srcType: String, edgeType: String, dstType: String,
                           adjLists: Seq[GarAdjList],
                           propertyGroups: Seq[GarPropertyGroup], baseDir: String) {
   def name: String = s"${srcType}_${edgeType}_${dstType}"
-  def dir: String = s"$baseDir/$prefix"
+  def dir: String = GraphArMeta.resolveDir(baseDir, prefix)
   def adjList(alignedBy: String): Option[GarAdjList] =
     adjLists.find(_.alignedBy == alignedBy)
   def adjDir(al: GarAdjList): String = s"$dir${al.prefix}"
@@ -126,6 +126,19 @@ object GraphArMeta {
   val SrcIndexCol = "_graphArSrcIndex"
   val DstIndexCol = "_graphArDstIndex"
   val GidCol = "grapharId"
+
+  /** A prefix is normally relative to the graph yaml's directory, but an
+    * absolute path or full URI stands alone — that is how one snapshot
+    * version references an unchanged table's data files in an earlier
+    * version's directory without copying bytes (multi-type mutation
+    * commits). Mirrors GraphAr's FileSystemFromUriOrPath acceptance of
+    * both forms (reference func.cpp:126,132-148).
+    */
+  private[graft] def resolveDir(baseDir: String, prefix: String): String = {
+    val absolute = prefix.startsWith("/") ||
+      scala.util.Try(new Path(prefix).isAbsolute).getOrElse(false)
+    if (absolute) prefix else s"$baseDir/$prefix"
+  }
 
   /** GraphAr type → Spark type (reference func.cpp:18-28: exactly these 7
     * primitives; anything else throws).

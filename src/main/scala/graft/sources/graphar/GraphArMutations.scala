@@ -1,5 +1,6 @@
 package graft.sources.graphar
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -81,25 +82,146 @@ object GraphArMutations {
     require(info.edges.size == 1 && info.vertices.isEmpty,
       s"commitEdges mutates single-edge-type graphs (the versioned-sink " +
         s"layout); ${info.name} has ${info.vertices.size} vertex and " +
-        s"${info.edges.size} edge types")
+        s"${info.edges.size} edge types — use commitEdgesOf")
     val e = info.edges.head
-    val al = e.adjLists.head
-    val cur = spark.read.format("graphar").option("path", curYaml)
+    val cur = readEdgeTable(spark, curYaml, e)
+    val next = GraphArSink.versions(spark, base).max + 1
+    writeVersion(spark, base, next, mutate(cur), info.name,
+      specOf(e, conf, newVertexCount))
+  }
+
+  // ------------------------------------------------- multi-edge-type graphs
+  //
+  // A graph with several edge types mutates ONE type per commit; the new
+  // version rewrites only that type's table and REFERENCES every other
+  // table's data files in the previous version's directory via an
+  // absolute `prefix:` in the copied yaml — zero bytes copied for
+  // unchanged types, exactly how manifest-based table formats version a
+  // multi-table dataset. References chain: a type last rewritten at v1
+  // is referenced by v2, v3, ... all pointing at v1's real files.
+
+  /** Bootstrap a versioned multi-edge-type graph: writes all tables to
+    * `base/v0` and commits LATEST. Each entry: (edge table with (src,
+    * dst, properties...) columns, its spec). Returns version 0.
+    */
+  def initEdgeTypes(spark: SparkSession, base: String, graphName: String,
+                    tables: Seq[(DataFrame, GraphArWriter.EdgeSpec)]): Long = {
+    val existing = GraphArSink.versions(spark, base)
+    require(existing.isEmpty,
+      s"$base already holds versions [${existing.mkString(", ")}] — " +
+        "init would repoint LATEST backwards; use commitEdgesOf")
+    require(tables.nonEmpty, "no edge tables")
+    val names = tables.map(_._2.name)
+    require(names.distinct == names, s"duplicate edge-type names: $names")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = s"$base/v0"
+    tables.foreach { case (df, spec) => GraphArWriter.writeEdges(df, dir, spec) }
+    val yaml = GraphArWriter.writeGraphYaml(dir, graphName, Seq.empty, names, conf)
+    GraphArSink.commitLatest(base, yaml, conf)
+    0L
+  }
+
+  /** Copy-on-write commit of ONE edge type in a multi-type graph:
+    * rewrites `Src_type_Dst` = `edgeName`'s table into v(N+1), references
+    * every other edge type's (and any vertex type's) data unchanged from
+    * its current location, atomically repoints LATEST. Returns the new
+    * version number.
+    */
+  def commitEdgesOf(spark: SparkSession, base: String, edgeName: String,
+                    mutate: DataFrame => DataFrame,
+                    newVertexCount: Option[Long] = None): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val curYaml = GraphArSink.latestYaml(spark, base)
+    require(curYaml != null, s"no committed snapshot under $base — initEdgeTypes first")
+    require(compacting.get() || stagedDeltasIn(spark, deltaRoot(base, Some(edgeName))).isEmpty,
+      s"staged deltas pending for $edgeName under $base — compactDeltasOf " +
+        "(or discard the delta dirs) before committing a snapshot mutation")
+    val info = GraphArMeta.loadGraph(curYaml, conf)
+    val e = info.edges.find(_.name == edgeName).getOrElse(
+      throw new IllegalArgumentException(s"no edge type '$edgeName' in " +
+        s"${info.name}; has [${info.edges.map(_.name).mkString(", ")}]"))
+    val cur = readEdgeTable(spark, curYaml, e)
+    val next = GraphArSink.versions(spark, base).max + 1
+    val dir = s"$base/v$next"
+    GraphArWriter.writeEdges(mutate(cur), dir, specOf(e, conf, newVertexCount))
+    // unchanged types: copy the yaml, repoint its prefix at the old data
+    info.edges.filterNot(_.name == edgeName).foreach { o =>
+      referenceYaml(new Path(o.baseDir, s"${o.name}.edge.yaml"),
+        new Path(dir, s"${o.name}.edge.yaml"), o.dir, conf)
+    }
+    info.vertices.foreach { v =>
+      referenceYaml(new Path(v.baseDir, s"${v.vertexType}.vertex.yaml"),
+        new Path(dir, s"${v.vertexType}.vertex.yaml"), v.dir, conf)
+    }
+    val yaml = GraphArWriter.writeGraphYaml(dir, info.name,
+      info.vertices.map(_.vertexType), info.edges.map(_.name), conf)
+    GraphArSink.commitLatest(base, yaml, conf)
+    next
+  }
+
+  /** Append edges to one type of a multi-type graph (multiset union). */
+  def addEdgesOf(spark: SparkSession, base: String, edgeName: String,
+                 delta: DataFrame, newVertexCount: Option[Long] = None): Long =
+    commitEdgesOf(spark, base, edgeName, cur => cur.unionByName(delta),
+      newVertexCount)
+
+  /** Remove (src, dst) keys from one type of a multi-type graph. */
+  def removeEdgesOf(spark: SparkSession, base: String, edgeName: String,
+                    keys: DataFrame): Long =
+    commitEdgesOf(spark, base, edgeName,
+      cur => cur.join(keys.select(col("src"), col("dst")).distinct(),
+        Seq("src", "dst"), "left_anti"))
+
+  /** Version N's table of one edge type, with (src, dst, props) names. */
+  private def readEdgeTable(spark: SparkSession, yaml: String,
+                            e: graft.meta.EdgeInfo): DataFrame =
+    spark.read.format("graphar").option("path", yaml)
       .option("src", e.srcType).option("type", e.edgeType)
       .option("dst", e.dstType).load()
       .withColumnRenamed(GraphArMeta.SrcIndexCol, "src")
       .withColumnRenamed(GraphArMeta.DstIndexCol, "dst")
+
+  /** Reconstruct the writer spec of an existing edge table. */
+  private def specOf(e: graft.meta.EdgeInfo,
+                     conf: org.apache.hadoop.conf.Configuration,
+                     newVertexCount: Option[Long]): GraphArWriter.EdgeSpec = {
     val srcCount = e.adjList("src").map(e.alignedVertexCount(_, conf))
     val dstCount = e.adjList("dst").map(e.alignedVertexCount(_, conf))
     val declared = srcCount.orElse(dstCount).get
-    val spec = GraphArWriter.EdgeSpec(e.srcType, e.edgeType, e.dstType,
+    GraphArWriter.EdgeSpec(e.srcType, e.edgeType, e.dstType,
       srcVertexCount = newVertexCount.getOrElse(srcCount.getOrElse(declared)),
       dstVertexCount = newVertexCount.getOrElse(dstCount.getOrElse(declared)),
       chunkSize = e.chunkSize,
       srcChunkSize = e.srcChunkSize, dstChunkSize = e.dstChunkSize,
-      fileType = al.fileType, layouts = e.adjLists.map(_.alignedBy))
-    val next = GraphArSink.versions(spark, base).max + 1
-    writeVersion(spark, base, next, mutate(cur), info.name, spec)
+      fileType = e.adjLists.head.fileType, layouts = e.adjLists.map(_.alignedBy))
+  }
+
+  /** Copy a vertex/edge yaml into the new version dir with its top-level
+    * `prefix:` repointed at the table's CURRENT resolved data dir, made
+    * absolute (fs-qualified) so the reference survives any later version
+    * directory. Every yaml in the versioned layout is writer-emitted, so
+    * the non-indented `prefix:` line always exists.
+    */
+  private def referenceYaml(from: Path, to: Path, dataDir: String,
+                            conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = from.getFileSystem(conf)
+    val in = fs.open(from)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+    val qualified = {
+      val p = new Path(dataDir.stripSuffix("/"))
+      p.getFileSystem(conf).makeQualified(p).toString + "/"
+    }
+    val rewritten = text.linesWithSeparators.map { line =>
+      if (line.startsWith("prefix: ")) s"prefix: $qualified\n" else line
+    }.mkString
+    require(rewritten != text || text.contains(s"prefix: $qualified"),
+      s"$from has no top-level prefix line to repoint")
+    val out = fs.create(to, true)
+    try out.write(rewritten.getBytes("UTF-8")) finally out.close()
   }
 
   /** Bootstrap a versioned vertex graph: writes `base/v0` and commits
@@ -190,25 +312,48 @@ object GraphArMutations {
     */
   def stageDelta(spark: SparkSession, base: String,
                  adds: Option[DataFrame] = None,
-                 removeKeys: Option[DataFrame] = None): Long = synchronized {
+                 removeKeys: Option[DataFrame] = None): Long =
+    stageDeltaIn(spark, base, None, adds, removeKeys)
+
+  /** Stage a delta against ONE type of a multi-type graph. Each type has
+    * its own log (`base/delta/<Src_type_Dst>/`), staged and compacted
+    * independently. O(delta) I/O, same `_COMMITTED` visibility rule.
+    */
+  def stageDeltaOf(spark: SparkSession, base: String, edgeName: String,
+                   adds: Option[DataFrame] = None,
+                   removeKeys: Option[DataFrame] = None): Long =
+    stageDeltaIn(spark, base, Some(edgeName), adds, removeKeys)
+
+  /** Per-type logs live under `base/delta/<name>/`; the single-type log
+    * keeps the flat `base/delta/` layout. (Names matching `d<digits>`
+    * would collide with the flat layout's entries, but GraphAr edge-type
+    * names are `Src_type_Dst` triples — underscores never parse as a
+    * sequence number, and [[stagedDeltasIn]] requires the numeric form.)
+    */
+  private def deltaRoot(base: String, edgeName: Option[String]): String =
+    edgeName.fold(s"$base/delta")(n => s"$base/delta/$n")
+
+  private def stageDeltaIn(spark: SparkSession, base: String,
+                           edgeName: Option[String],
+                           adds: Option[DataFrame],
+                           removeKeys: Option[DataFrame]): Long = synchronized {
     require(adds.nonEmpty || removeKeys.nonEmpty, "empty delta")
     val conf = spark.sessionState.newHadoopConf()
     // fail at STAGE time, not at the eventual fold: an adds frame whose
     // columns don't match the snapshot's edge schema would otherwise
     // poison the log and break every later currentEdges/compactDeltas
     adds.foreach { df =>
-      val curYaml = GraphArSink.latestYaml(spark, base)
-      require(curYaml != null, s"no committed snapshot under $base — initEdges first")
-      val e = GraphArMeta.loadGraph(curYaml, conf).edges.head
+      val e = resolveEdge(spark, base, edgeName, conf)
       val want = Set("src", "dst") ++ e.propertyGroups.flatMap(_.properties.map(_.name))
       val got = df.columns.toSet
       require(got == want,
         s"delta adds columns ${got.mkString("(", ", ", ")")} don't match " +
           s"the edge schema ${want.mkString("(", ", ", ")")}")
     }
-    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
-    val next = stagedDeltas(spark, base).lastOption.map(_ + 1).getOrElse(0L)
-    val dir = s"$base/delta/d$next"
+    val root = deltaRoot(base, edgeName)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val next = stagedDeltasIn(spark, root).lastOption.map(_ + 1).getOrElse(0L)
+    val dir = s"$root/d$next"
     adds.foreach(_.write.mode("overwrite").parquet(s"$dir/adds"))
     removeKeys.foreach(_.select(col("src"), col("dst")).distinct()
       .write.mode("overwrite").parquet(s"$dir/removes"))
@@ -216,10 +361,38 @@ object GraphArMutations {
     next
   }
 
+  /** The named edge type (or the single type when `edgeName` is None) of
+    * the LATEST snapshot.
+    */
+  private def resolveEdge(spark: SparkSession, base: String,
+                          edgeName: Option[String],
+                          conf: org.apache.hadoop.conf.Configuration): graft.meta.EdgeInfo = {
+    val curYaml = GraphArSink.latestYaml(spark, base)
+    require(curYaml != null, s"no committed snapshot under $base — init first")
+    val info = GraphArMeta.loadGraph(curYaml, conf)
+    edgeName match {
+      case None =>
+        require(info.edges.size == 1,
+          s"${info.name} has ${info.edges.size} edge types — name one")
+        info.edges.head
+      case Some(n) => info.edges.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no edge type '$n' in " +
+          s"${info.name}; has [${info.edges.map(_.name).mkString(", ")}]"))
+    }
+  }
+
   /** Committed delta sequence numbers, ascending. */
-  def stagedDeltas(spark: SparkSession, base: String): Seq[Long] = {
+  def stagedDeltas(spark: SparkSession, base: String): Seq[Long] =
+    stagedDeltasIn(spark, deltaRoot(base, None))
+
+  /** Committed delta sequence numbers of one edge type's log, ascending. */
+  def stagedDeltasOf(spark: SparkSession, base: String,
+                     edgeName: String): Seq[Long] =
+    stagedDeltasIn(spark, deltaRoot(base, Some(edgeName)))
+
+  private def stagedDeltasIn(spark: SparkSession, root: String): Seq[Long] = {
     val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(s"$base/delta")
+    val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).toSeq
@@ -235,20 +408,23 @@ object GraphArMutations {
     * Scan cost: one snapshot scan + one union/anti-join per staged
     * delta — compact before the log grows past a handful.
     */
-  def currentEdges(spark: SparkSession, base: String): DataFrame = {
-    val curYaml = GraphArSink.latestYaml(spark, base)
-    require(curYaml != null, s"no committed snapshot under $base")
+  def currentEdges(spark: SparkSession, base: String): DataFrame =
+    currentEdgesIn(spark, base, None)
+
+  /** One edge type of a multi-type graph, folded with ITS staged log. */
+  def currentEdgesOf(spark: SparkSession, base: String,
+                     edgeName: String): DataFrame =
+    currentEdgesIn(spark, base, Some(edgeName))
+
+  private def currentEdgesIn(spark: SparkSession, base: String,
+                             edgeName: Option[String]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val info = GraphArMeta.loadGraph(curYaml, conf)
-    val e = info.edges.head
-    val snap = spark.read.format("graphar").option("path", curYaml)
-      .option("src", e.srcType).option("type", e.edgeType)
-      .option("dst", e.dstType).load()
-      .withColumnRenamed(GraphArMeta.SrcIndexCol, "src")
-      .withColumnRenamed(GraphArMeta.DstIndexCol, "dst")
+    val e = resolveEdge(spark, base, edgeName, conf)
+    val snap = readEdgeTable(spark, GraphArSink.latestYaml(spark, base), e)
+    val root = deltaRoot(base, edgeName)
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
-    stagedDeltas(spark, base).foldLeft(snap) { (cur, k) =>
-      val dir = s"$base/delta/d$k"
+    stagedDeltasIn(spark, root).foldLeft(snap) { (cur, k) =>
+      val dir = s"$root/d$k"
       val withAdds =
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/adds")))
           cur.unionByName(spark.read.parquet(s"$dir/adds"))
@@ -270,6 +446,11 @@ object GraphArMutations {
                           name: String): Unit =
     currentEdges(spark, base).createOrReplaceTempView(name)
 
+  /** Per-type SQL exposure for multi-type graphs. */
+  def registerCurrentViewOf(spark: SparkSession, base: String,
+                            edgeName: String, name: String): Unit =
+    currentEdgesOf(spark, base, edgeName).createOrReplaceTempView(name)
+
   /** Fold every staged delta into one new full snapshot (ONE rewrite
     * amortizing the whole log), then retire the log. Returns the new
     * version, or -1 if there was nothing staged.
@@ -282,22 +463,40 @@ object GraphArMutations {
   }
 
   def compactDeltas(spark: SparkSession, base: String,
-                    newVertexCount: Option[Long] = None): Long = synchronized {
-    val staged = stagedDeltas(spark, base)
+                    newVertexCount: Option[Long] = None): Long =
+    compactDeltasIn(spark, base, None, newVertexCount)
+
+  /** Fold one edge type's staged log into a new snapshot version (only
+    * that type's table rewrites; the rest is referenced unchanged), then
+    * retire that log. Other types' logs are untouched — they keep
+    * folding over the new LATEST, whose referenced data is identical.
+    */
+  def compactDeltasOf(spark: SparkSession, base: String, edgeName: String,
+                      newVertexCount: Option[Long] = None): Long =
+    compactDeltasIn(spark, base, Some(edgeName), newVertexCount)
+
+  private def compactDeltasIn(spark: SparkSession, base: String,
+                              edgeName: Option[String],
+                              newVertexCount: Option[Long]): Long = synchronized {
+    val root = deltaRoot(base, edgeName)
+    val staged = stagedDeltasIn(spark, root)
     if (staged.isEmpty) return -1L
-    val folded = currentEdges(spark, base)
+    val folded = currentEdgesIn(spark, base, edgeName)
     // materialize before the snapshot swap: the folded plan reads the
     // CURRENT snapshot's files, and writeEdges reshuffles (no overlap
     // hazard — the new version lands in its own v-dir), but the delta
     // dirs must outlive the plan's execution, hence delete AFTER commit
     compacting.set(true)
     val v =
-      try commitEdges(spark, base, _ => folded, newVertexCount)
+      try edgeName match {
+        case None => commitEdges(spark, base, _ => folded, newVertexCount)
+        case Some(n) => commitEdgesOf(spark, base, n, _ => folded, newVertexCount)
+      }
       finally compacting.set(false)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
     staged.foreach(k => fs.delete(
-      new org.apache.hadoop.fs.Path(s"$base/delta/d$k"), true))
+      new org.apache.hadoop.fs.Path(s"$root/d$k"), true))
     v
   }
 

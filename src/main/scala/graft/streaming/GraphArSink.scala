@@ -197,8 +197,11 @@ object GraphArSink {
           }
     }
 
-  /** Delete all snapshot dirs except the `keep` most recent (and never
-    * the one LATEST points at).
+  /** Delete all snapshot dirs except the `keep` most recent — never the
+    * one LATEST points at, and never a dir whose data files a kept
+    * version still REFERENCES (multi-type mutation commits rewrite one
+    * table and point the others' yaml prefixes at the older version's
+    * files — see GraphArMutations.commitEdgesOf).
     */
   def prune(spark: org.apache.spark.sql.SparkSession, base: String,
             keep: Int = 2): Unit = {
@@ -213,8 +216,24 @@ object GraphArSink {
       .flatMap(s => scala.util.Try(s.getPath.getName.drop(1).toLong).toOption
         .map(_ -> s.getPath))
       .sortBy(-_._1)
+    val expected = expectedYamlName(spark, base)
+    // data dirs every surviving version resolves its tables to — one
+    // level is enough, references always point at the RESOLVED dir
+    val referenced: Set[String] = versions.take(keep).map(_._2)
+      .flatMap { vp =>
+        graphYamlIn(fs, vp, expected).toSeq.flatMap { y =>
+          scala.util.Try {
+            val g = graft.meta.GraphArMeta.loadGraph(y.toString, conf)
+            g.vertices.map(_.dir) ++ g.edges.map(_.dir)
+          }.getOrElse(Seq.empty)
+        }
+      }
+      .map(d => fs.makeQualified(new Path(d.stripSuffix("/"))).toString)
+      .toSet
     versions.drop(keep).foreach { case (_, p) =>
-      if (!current.contains(p.getName)) fs.delete(p, true)
+      val q = fs.makeQualified(p).toString + "/"
+      val isReferenced = referenced.exists(_.startsWith(q))
+      if (!current.contains(p.getName) && !isReferenced) fs.delete(p, true)
     }
   }
 }

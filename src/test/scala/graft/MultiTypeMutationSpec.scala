@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.graphar.{GraphArMutations, GraphArWriter}
+import graft.streaming.GraphArSink
+
+/** Multi-edge-type mutation commits: one commit rewrites ONE type's
+  * table; every other type is served by REFERENCE (absolute yaml prefix
+  * into the older version's directory — no bytes copied). Per-type delta
+  * logs stage and compact independently, and prune never deletes a
+  * version dir a kept version still references.
+  */
+class MultiTypeMutationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val nVerts = 20L
+  private def spec(t: String) = GraphArWriter.EdgeSpec(
+    "Person", t, "Person", srcVertexCount = nVerts, dstVertexCount = nVerts,
+    chunkSize = 16, srcChunkSize = 8, dstChunkSize = 8)
+
+  private def edgeDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def pairs(df: DataFrame): Seq[(Long, Long)] =
+    df.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  private val knows0 = (0L until 15L).map(i => (i, (i + 1) % nVerts))
+  private val likes0 = (0L until 10L).map(i => (i * 2 % nVerts, (i * 3 + 1) % nVerts))
+
+  private def freshGraph(): String = {
+    val base = Files.createTempDirectory("gar_multi").toString
+    GraphArMutations.initEdgeTypes(spark, base, "Social",
+      Seq((edgeDf(knows0), spec("knows")), (edgeDf(likes0), spec("likes"))))
+    base
+  }
+
+  test("commit of one type leaves the other served by reference, not copy") {
+    val base = freshGraph()
+    val v = GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq((17L, 18L), (18L, 19L))))
+    assert(v == 1L)
+    // knows reflects the mutation; likes is byte-identical to v0
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_knows_Person"))
+      == (knows0 ++ Seq((17L, 18L), (18L, 19L))).sorted)
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_likes_Person"))
+      == likes0.sorted)
+    // the unchanged type's data dir does NOT exist under v1 — its yaml
+    // references v0's files
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(base).getFileSystem(conf)
+    assert(!fs.exists(new Path(s"$base/v1/edge/Person_likes_Person")))
+    assert(fs.exists(new Path(s"$base/v1/edge/Person_knows_Person")))
+    // time travel to v0 still sees the original knows table
+    val v0 = spark.read.format("graphar")
+      .option("snapshotBase", base).option("snapshot", "0")
+      .option("src", "Person").option("type", "knows").option("dst", "Person")
+      .load()
+      .withColumnRenamed("_graphArSrcIndex", "src")
+      .withColumnRenamed("_graphArDstIndex", "dst")
+    assert(pairs(v0) == knows0.sorted)
+  }
+
+  test("references chain across versions and survive further commits") {
+    val base = freshGraph()
+    GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq((17L, 18L))))                       // v1: likes -> v0
+    GraphArMutations.removeEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq((0L, 1L))))                         // v2: likes -> v0 still
+    val v = GraphArMutations.addEdgesOf(spark, base, "Person_likes_Person",
+      edgeDf(Seq((5L, 5L))))                         // v3: knows -> v2
+    assert(v == 3L)
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_knows_Person"))
+      == (knows0.filterNot(_ == (0L, 1L)) :+ (17L, 18L)).sorted)
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_likes_Person"))
+      == (likes0 :+ (5L, 5L)).sorted)
+  }
+
+  test("per-type delta logs stage, fold, and compact independently") {
+    val base = freshGraph()
+    GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((11L, 13L)))))
+    GraphArMutations.stageDeltaOf(spark, base, "Person_likes_Person",
+      removeKeys = Some(edgeDf(Seq(likes0.head))))
+    // each fold sees only its own log
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_knows_Person"))
+      == (knows0 :+ (11L, 13L)).sorted)
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_likes_Person"))
+      == likes0.filterNot(_ == likes0.head).sorted)
+    // compacting knows retires ONLY its log and rewrites only its table
+    val v = GraphArMutations.compactDeltasOf(spark, base, "Person_knows_Person")
+    assert(v == 1L)
+    assert(GraphArMutations.stagedDeltasOf(spark, base, "Person_knows_Person").isEmpty)
+    assert(GraphArMutations.stagedDeltasOf(spark, base, "Person_likes_Person").size == 1)
+    // likes' staged remove still folds, now over the new LATEST
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_likes_Person"))
+      == likes0.filterNot(_ == likes0.head).sorted)
+    // ... and compacts into v2 on its own
+    assert(GraphArMutations.compactDeltasOf(spark, base, "Person_likes_Person") == 2L)
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_likes_Person"))
+      == likes0.filterNot(_ == likes0.head).sorted)
+  }
+
+  test("snapshot commit refuses while that type's delta log is staged") {
+    val base = freshGraph()
+    GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((1L, 2L)))))
+    intercept[IllegalArgumentException] {
+      GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
+        edgeDf(Seq((3L, 4L))))
+    }
+    // the OTHER type is free to commit — its table is independent
+    val v = GraphArMutations.addEdgesOf(spark, base, "Person_likes_Person",
+      edgeDf(Seq((3L, 4L))))
+    assert(v == 1L)
+  }
+
+  test("prune keeps a version dir that a kept version still references") {
+    val base = freshGraph()
+    GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq((17L, 18L))))                       // v1: likes -> v0
+    GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq((18L, 19L))))                       // v2: likes -> v0
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(base).getFileSystem(conf)
+    GraphArSink.prune(spark, base, keep = 1)
+    // v0 holds likes' only copy — must survive; v1 is prunable
+    assert(fs.exists(new Path(s"$base/v0")))
+    assert(!fs.exists(new Path(s"$base/v1")))
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_likes_Person"))
+      == likes0.sorted)
+  }
+}
