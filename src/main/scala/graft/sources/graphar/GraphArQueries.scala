@@ -97,6 +97,50 @@ object GraphArQueries {
     base
   }
 
+  /** Build (once) a versioned MULTI-edge-type fixture: v0 holds two edge
+    * types (`link` from lineitem, `ship` from orders) sharing the Part
+    * vertex space; v1 mutates ONLY `link` (addEdgesOf), leaving `ship`
+    * served by zero-copy reference into v0's files; a staged per-type
+    * delta then removes `ship` keys with src % 53 = 0 WITHOUT a snapshot
+    * commit. Every state is re-derivable by the oracle from the raw
+    * parquet.
+    */
+  def multiTypeFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_mmut_" +
+      Integer.toHexString(canonical.hashCode)
+    val base = s"/tmp/graft_graphar/$name"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return base
+    if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+    val v = GraphQueries.V
+    val link = t(spark, sfDir, "lineitem").select(
+      expr(s"l_orderkey % $v").as("src"),
+      expr(s"l_partkey % $v").as("dst"),
+      col("l_quantity").as("quantity"))
+    val ship = t(spark, sfDir, "orders").select(
+      expr(s"o_orderkey % $v").as("src"),
+      expr(s"o_custkey % $v").as("dst"),
+      col("o_totalprice").as("price"))
+    def spec(t: String) = GraphArWriter.EdgeSpec("Part", t, "Part",
+      srcVertexCount = v, dstVertexCount = v,
+      chunkSize = 2048, srcChunkSize = 1024, dstChunkSize = 1024)
+    GraphArMutations.initEdgeTypes(spark, base, "MultiGraph",
+      Seq((link, spec("link")), (ship, spec("ship"))))
+    val delta = t(spark, sfDir, "lineitem")
+      .filter(expr("l_orderkey % 89 = 0")).select(
+        expr(s"(l_orderkey * 11) % $v").as("src"),
+        expr(s"(l_partkey * 5) % $v").as("dst"),
+        (col("l_quantity") + 50).as("quantity"))
+    GraphArMutations.addEdgesOf(spark, base, "Part_link_Part", delta)
+    GraphArMutations.stageDeltaOf(spark, base, "Part_ship_Part",
+      removeKeys = Some(ship.filter(col("src") % 53 === 0)
+        .select(col("src"), col("dst"))))
+    fs.create(marker, true).close()
+    base
+  }
+
   def vertices(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.format("graphar").option("path", fixture(spark, sfDir))
       .option("type", "Part").load()
@@ -169,6 +213,18 @@ object GraphArQueries {
         .option("snapshot", "0")
         .option("src", "Part").option("type", "link").option("dst", "Part")
         .load()
+    },
+    // the MUTATED type of a multi-type graph at LATEST (v1 = v0 ∪ delta)
+    "ga_multi_mutate" -> { (s, d) =>
+      s.read.format("graphar").option("snapshotBase", multiTypeFixture(s, d))
+        .option("src", "Part").option("type", "link").option("dst", "Part")
+        .load()
+    },
+    // the UNCHANGED type of the same graph, served by zero-copy reference
+    // from v0's files and folded with its own staged remove log
+    "ga_multi_ref" -> { (s, d) =>
+      GraphArMutations.currentEdgesOf(s, multiTypeFixture(s, d),
+        "Part_ship_Part")
     }
   )
 
@@ -202,6 +258,18 @@ object GraphArQueries {
          |unioned AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
          |SELECT s AS "_graphArSrcIndex", d AS "_graphArDstIndex", q AS quantity
          |FROM unioned WHERE s % 41 <> 0""".stripMargin,
-    "ga_time_travel" -> edgeSql
+    "ga_time_travel" -> edgeSql,
+    "ga_multi_mutate" ->
+      s"""WITH base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
+         |    l_partkey % ${GraphQueries.V} AS d, l_quantity AS q FROM lineitem),
+         |delta AS (SELECT (l_orderkey * 11) % ${GraphQueries.V} AS s,
+         |    (l_partkey * 5) % ${GraphQueries.V} AS d, l_quantity + 50 AS q
+         |  FROM lineitem WHERE l_orderkey % 89 = 0)
+         |SELECT s AS "_graphArSrcIndex", d AS "_graphArDstIndex", q AS quantity
+         |FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)""".stripMargin,
+    "ga_multi_ref" ->
+      s"""SELECT o_orderkey % ${GraphQueries.V} AS src,
+         |  o_custkey % ${GraphQueries.V} AS dst, o_totalprice AS price
+         |FROM orders WHERE (o_orderkey % ${GraphQueries.V}) % 53 <> 0""".stripMargin
   )
 }
