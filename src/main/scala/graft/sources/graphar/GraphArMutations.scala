@@ -264,6 +264,11 @@ object GraphArMutations {
     val conf = spark.sessionState.newHadoopConf()
     val curYaml = GraphArSink.latestYaml(spark, base)
     require(curYaml != null, s"no committed snapshot under $base — initVertices first")
+    // same reorder hazard as edge commits: a snapshot commit under a
+    // staged vertex log would have the staged upserts re-apply on top
+    require(compacting.get() || stagedVertexDeltas(spark, base).isEmpty,
+      s"staged vertex deltas pending under $base — compactVertexDeltas " +
+        "(or discard the vdelta dirs) before committing a snapshot mutation")
     val info = GraphArMeta.loadGraph(curYaml, conf)
     require(info.vertices.size == 1 && info.edges.isEmpty,
       s"commitVertices mutates single-vertex-type graphs (the versioned-" +
@@ -498,6 +503,135 @@ object GraphArMutations {
     staged.foreach(k => fs.delete(
       new org.apache.hadoop.fs.Path(s"$root/d$k"), true))
     v
+  }
+
+  // ------------------------------------------------------ vertex delta log
+  //
+  // The edge log's twin for vertex tables: upserts and removes keyed by
+  // the table's orderCol, staged in O(delta), folded over the snapshot
+  // at read time, compacted into one rewrite. The synthetic vertex index
+  // is row-order-derived, so the FOLDED VIEW exposes property columns
+  // only — indexes materialize at compaction, when commitVertices
+  // re-sorts by orderCol.
+
+  /** Stage a vertex delta: `upserts` rows (full property schema; same-
+    * key rows replace, novel keys append) and/or `removeKeys` (orderCol
+    * values), applied in that order within one delta. `orderCol` is
+    * recorded with the delta and must match across the log.
+    */
+  def stageVertexDelta(spark: SparkSession, base: String, orderCol: String,
+                       upserts: Option[DataFrame] = None,
+                       removeKeys: Option[DataFrame] = None): Long = synchronized {
+    require(upserts.nonEmpty || removeKeys.nonEmpty, "empty delta")
+    val conf = spark.sessionState.newHadoopConf()
+    val v = resolveVertex(spark, base, conf)
+    val props = v.propertyGroups.flatMap(_.properties.map(_.name)).toSet
+    require(props.contains(orderCol),
+      s"orderCol '$orderCol' is not a property of ${v.vertexType} " +
+        s"(${props.mkString(", ")})")
+    upserts.foreach { df =>
+      val got = df.columns.toSet
+      require(got == props,
+        s"upsert columns ${got.mkString("(", ", ", ")")} don't match the " +
+          s"vertex property schema ${props.mkString("(", ", ", ")")}")
+    }
+    removeKeys.foreach(df => require(df.columns.contains(orderCol),
+      s"removeKeys must carry the '$orderCol' key column"))
+    val staged = stagedVertexDeltas(spark, base)
+    staged.headOption.foreach { k =>
+      val prior = readOrderCol(spark, base, k, conf)
+      require(prior == orderCol,
+        s"log already staged under orderCol '$prior'; got '$orderCol'")
+    }
+    val root = s"$base/vdelta"
+    val fs = new Path(root).getFileSystem(conf)
+    val next = staged.lastOption.map(_ + 1).getOrElse(0L)
+    val dir = s"$root/d$next"
+    upserts.foreach(_.write.mode("overwrite").parquet(s"$dir/upserts"))
+    removeKeys.foreach(_.select(col(orderCol)).distinct()
+      .write.mode("overwrite").parquet(s"$dir/removes"))
+    val out = fs.create(new Path(s"$dir/_ORDER_COL"), true)
+    try out.write(orderCol.getBytes("UTF-8")) finally out.close()
+    fs.create(new Path(s"$dir/_COMMITTED"), true).close()
+    next
+  }
+
+  /** Committed vertex-delta sequence numbers, ascending. */
+  def stagedVertexDeltas(spark: SparkSession, base: String): Seq[Long] =
+    stagedDeltasIn(spark, s"$base/vdelta")
+
+  /** The vertex table's PROPERTY columns as of LATEST snapshot + every
+    * staged vertex delta folded in sequence (within a delta: upserts,
+    * then removes). No synthetic index — it is derived from row order
+    * and only exists in committed snapshots; sort by the orderCol and
+    * `row_number() - 1` if a provisional index is needed.
+    */
+  def currentVertices(spark: SparkSession, base: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val v = resolveVertex(spark, base, conf)
+    val snap = spark.read.format("graphar")
+      .option("path", GraphArSink.latestYaml(spark, base))
+      .option("type", v.vertexType).load()
+      .drop(GraphArMeta.VertexIndexCol)
+    val staged = stagedVertexDeltas(spark, base)
+    val orderCol = staged.headOption.map(k => readOrderCol(spark, base, k, conf))
+    val fs = new Path(base).getFileSystem(conf)
+    staged.foldLeft(snap) { (cur, k) =>
+      val dir = s"$base/vdelta/d$k"
+      val key = orderCol.get
+      val withUps =
+        if (fs.exists(new Path(s"$dir/upserts"))) {
+          val up = spark.read.parquet(s"$dir/upserts")
+          cur.join(up.select(col(key)), Seq(key), "left_anti")
+            .unionByName(up.select(cur.columns.map(col).toSeq: _*))
+        } else cur
+      if (fs.exists(new Path(s"$dir/removes")))
+        withUps.join(spark.read.parquet(s"$dir/removes"), Seq(key), "left_anti")
+      else withUps
+    }
+  }
+
+  /** Fold the staged vertex log into one new snapshot version (one
+    * rewrite, index re-derived from the recorded orderCol sort), then
+    * retire the log. Returns the new version, or -1 if nothing staged.
+    */
+  def compactVertexDeltas(spark: SparkSession, base: String): Long = synchronized {
+    val staged = stagedVertexDeltas(spark, base)
+    if (staged.isEmpty) return -1L
+    val conf = spark.sessionState.newHadoopConf()
+    val orderCol = readOrderCol(spark, base, staged.head, conf)
+    val folded = currentVertices(spark, base)
+    compacting.set(true)
+    val v =
+      try commitVertices(spark, base, _ => folded, orderCol)
+      finally compacting.set(false)
+    val fs = new Path(base).getFileSystem(conf)
+    staged.foreach(k => fs.delete(new Path(s"$base/vdelta/d$k"), true))
+    v
+  }
+
+  private def readOrderCol(spark: SparkSession, base: String, k: Long,
+                           conf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new Path(s"$base/vdelta/d$k/_ORDER_COL")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** The single vertex type of the LATEST snapshot. */
+  private def resolveVertex(spark: SparkSession, base: String,
+                            conf: org.apache.hadoop.conf.Configuration): graft.meta.VertexInfo = {
+    val curYaml = GraphArSink.latestYaml(spark, base)
+    require(curYaml != null, s"no committed snapshot under $base — initVertices first")
+    val info = GraphArMeta.loadGraph(curYaml, conf)
+    require(info.vertices.size == 1,
+      s"${info.name} has ${info.vertices.size} vertex types — vertex " +
+        "delta logs support the single-type versioned-sink layout")
+    info.vertices.head
   }
 
   private def writeVersion(spark: SparkSession, base: String, version: Long,
