@@ -505,6 +505,56 @@ object GraphArMutations {
     v
   }
 
+  // ---------------------------------------------------- change data feed
+
+  /** The multiset row diff of one edge type between two committed
+    * snapshot versions: every row appears once per net copy added
+    * (`_change_type = 'insert'`) or removed (`'delete'`) going from
+    * `fromVersion` to `toVersion`. Columns: (src, dst, props...,
+    * _change_type).
+    *
+    * Shape: tag each side ±1, group by ALL columns, sum — one shuffle,
+    * no join (so null property values compare equal, which an equi-join
+    * would get wrong), multigraph-correct because net counts carry
+    * multiplicity. Rows identical in both versions never leave the
+    * partial aggregate.
+    */
+  def edgeChanges(spark: SparkSession, base: String,
+                  fromVersion: Long, toVersion: Long,
+                  edgeName: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = edgesAt(spark, base, fromVersion, edgeName)
+    val b = edgesAt(spark, base, toVersion, edgeName)
+    val cols = a.columns.toSeq.map(col)
+    val tagged = a.withColumn("_sign", lit(-1L))
+      .unionByName(b.withColumn("_sign", lit(1L)))
+    tagged.groupBy(cols: _*).agg(sum("_sign").as("_delta"))
+      .filter(col("_delta") =!= 0L)
+      .withColumn("_change_type",
+        when(col("_delta") > 0, "insert").otherwise("delete"))
+      .withColumn("_copy",
+        explode(array_repeat(lit(1), abs(col("_delta")).cast("int"))))
+      .select(cols :+ col("_change_type"): _*)
+  }
+
+  /** One edge type's table at a specific committed version. */
+  private def edgesAt(spark: SparkSession, base: String, version: Long,
+                      edgeName: Option[String]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val yaml = GraphArSink.snapshotYaml(spark, base, version)
+    val info = GraphArMeta.loadGraph(yaml, conf)
+    val e = edgeName match {
+      case None =>
+        require(info.edges.size == 1,
+          s"${info.name} has ${info.edges.size} edge types — name one")
+        info.edges.head
+      case Some(n) => info.edges.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no edge type '$n' in " +
+          s"${info.name}; has [${info.edges.map(_.name).mkString(", ")}]"))
+    }
+    readEdgeTable(spark, yaml, e)
+  }
+
   // ------------------------------------------------------ vertex delta log
   //
   // The edge log's twin for vertex tables: upserts and removes keyed by

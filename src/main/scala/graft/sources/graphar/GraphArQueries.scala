@@ -225,6 +225,12 @@ object GraphArQueries {
     "ga_multi_ref" -> { (s, d) =>
       GraphArMutations.currentEdgesOf(s, multiTypeFixture(s, d),
         "Part_ship_Part")
+    },
+    // change data feed: net multiset row diff v0 -> v2 of the mutation
+    // history (inserts from the surviving delta, deletes from the
+    // src%41 removal), one row per net copy
+    "ga_changes" -> { (s, d) =>
+      GraphArMutations.edgeChanges(s, mutationFixture(s, d), 0L, 2L)
     }
   )
 
@@ -270,6 +276,23 @@ object GraphArQueries {
     "ga_multi_ref" ->
       s"""SELECT o_orderkey % ${GraphQueries.V} AS src,
          |  o_custkey % ${GraphQueries.V} AS dst, o_totalprice AS price
-         |FROM orders WHERE (o_orderkey % ${GraphQueries.V}) % 53 <> 0""".stripMargin
+         |FROM orders WHERE (o_orderkey % ${GraphQueries.V}) % 53 <> 0""".stripMargin,
+    "ga_changes" ->
+      s"""WITH base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
+         |    l_partkey % ${GraphQueries.V} AS d, l_quantity AS q FROM lineitem),
+         |delta AS (SELECT (l_orderkey * 7) % ${GraphQueries.V} AS s,
+         |    (l_partkey * 3) % ${GraphQueries.V} AS d, l_quantity + 100 AS q
+         |  FROM lineitem WHERE l_orderkey % 97 = 0),
+         |v2 AS (SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+         |  WHERE s % 41 <> 0),
+         |tagged AS (SELECT s, d, q, -1 AS sign FROM base
+         |  UNION ALL SELECT s, d, q, 1 AS sign FROM v2),
+         |net AS (SELECT s, d, q, CAST(sum(sign) AS BIGINT) AS dl
+         |  FROM tagged GROUP BY 1, 2, 3 HAVING sum(sign) <> 0)
+         |SELECT src, dst, quantity, "_change_type" FROM (
+         |  SELECT s AS src, d AS dst, q AS quantity,
+         |    CASE WHEN dl > 0 THEN 'insert' ELSE 'delete' END AS "_change_type",
+         |    unnest(generate_series(1, CAST(abs(dl) AS BIGINT))) AS i
+         |  FROM net)""".stripMargin
   )
 }

@@ -127,6 +127,30 @@ class MultiTypeMutationSpec extends AnyFunSuite {
     assert(v == 1L)
   }
 
+  test("edgeChanges yields the net multiset diff between versions") {
+    val base = freshGraph()
+    // v1: add a duplicate of an existing edge and one new edge to knows
+    GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq(knows0.head, (17L, 18L))))
+    // v2: remove (1,2) from knows
+    GraphArMutations.removeEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq((1L, 2L))))
+    def changes(from: Long, to: Long): Seq[(Long, Long, String)] =
+      GraphArMutations.edgeChanges(spark, base, from, to,
+        Some("Person_knows_Person"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted
+    assert(changes(0L, 1L) ==
+      Seq((knows0.head._1, knows0.head._2, "insert"), (17L, 18L, "insert")).sorted)
+    assert(changes(1L, 2L) == Seq((1L, 2L, "delete")))
+    // net diff across the whole history: dup-insert + new edge - removed
+    assert(changes(0L, 2L) ==
+      Seq((knows0.head._1, knows0.head._2, "insert"), (17L, 18L, "insert"),
+        (1L, 2L, "delete")).sorted)
+    // identical versions diff to empty
+    assert(changes(2L, 2L).isEmpty)
+  }
+
   test("prune keeps a version dir that a kept version still references") {
     val base = freshGraph()
     GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
