@@ -2,7 +2,7 @@ package graft.sources.graphar
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
 
 import graft.meta.GraphArMeta
 import graft.streaming.GraphArSink
@@ -584,6 +584,14 @@ object GraphArMutations {
       require(got == props,
         s"upsert columns ${got.mkString("(", ", ", ")")} don't match the " +
           s"vertex property schema ${props.mkString("(", ", ", ")")}")
+      // one row per key, or the fold's replace semantics are undefined —
+      // an O(delta) check, and deltas are small by design
+      val Array(n, uniq) = df.agg(count(lit(1)), countDistinct(col(orderCol)))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == uniq,
+        s"upsert frame has ${n - uniq} duplicate '$orderCol' keys — " +
+          "pre-reduce the delta to one row per key (last-write-wins is " +
+          "the caller's ordering decision)")
     }
     removeKeys.foreach(df => require(df.columns.contains(orderCol),
       s"removeKeys must carry the '$orderCol' key column"))

@@ -96,6 +96,32 @@ object GraphArSink {
     }
   }
 
+  /** The vertex-table twin of [[edgeDeltas]]: each APPEND-mode
+    * micro-batch is staged as an O(batch) upsert delta keyed by
+    * `orderCol` (same-key rows replace, novel keys append), folded into
+    * one snapshot rewrite every `compactEvery` batches — per-batch cost
+    * proportional to the batch, not the table, vs [[vertices]]'
+    * COMPLETE-mode full rewrite. Readers use
+    * `GraphArMutations.currentVertices` for read-your-writes.
+    *
+    * Requires an initial snapshot (`GraphArMutations.initVertices`) so
+    * the vertex spec/metadata exist before the stream starts.
+    */
+  def vertexDeltas(stream: DataFrame, base: String, orderCol: String,
+                   compactEvery: Int = 10): DataStreamWriter[Row] = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty)
+          graft.sources.graphar.GraphArMutations.stageVertexDelta(
+            spark, base, orderCol, upserts = Some(batch))
+        if ((batchId + 1) % compactEvery == 0)
+          graft.sources.graphar.GraphArMutations.compactVertexDeltas(spark, base)
+        ()
+    }
+  }
+
   /** Atomic pointer swap: write LATEST.tmp, then overwrite-rename onto
     * LATEST in one filesystem op (`FileContext` rename with OVERWRITE —
     * atomic on HDFS-like stores). A crash at any point leaves LATEST on

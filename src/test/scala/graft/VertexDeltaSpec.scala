@@ -79,6 +79,30 @@ class VertexDeltaSpec extends AnyFunSuite {
     assert(GraphArMutations.compactVertexDeltas(spark, base) == 1L)
   }
 
+  test("streaming vertex delta ingest: stage per batch, compact on cadence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = fresh()
+    val stream = MemoryStream[(Long, String, Double)](spark)
+    val q = graft.streaming.GraphArSink.vertexDeltas(
+      stream.toDF().toDF("id", "name", "score"), base, "id", compactEvery = 2)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      stream.addData((3L, "c2", 30.0)); q.processAllAvailable() // b0: staged
+      assert(GraphArMutations.stagedVertexDeltas(spark, base).nonEmpty)
+      assert(graft.streaming.GraphArSink.versions(spark, base) == Seq(0L))
+      stream.addData((2L, "b", 2.0)); q.processAllAvailable()   // b1: compacts
+      assert(GraphArMutations.stagedVertexDeltas(spark, base).isEmpty)
+      assert(graft.streaming.GraphArSink.versions(spark, base) == Seq(0L, 1L))
+      stream.addData((6L, "f", 6.0)); q.processAllAvailable()   // b2: staged
+      // read-your-writes: snapshot ⊕ still-staged batch 2
+      assert(byId(GraphArMutations.currentVertices(spark, base)) ==
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c2", 30.0),
+          (5L, "e", 5.0), (6L, "f", 6.0)))
+    } finally q.stop()
+  }
+
   test("stage-time validation: schema, key column, orderCol consistency") {
     val base = fresh()
     intercept[IllegalArgumentException] {   // wrong upsert schema
