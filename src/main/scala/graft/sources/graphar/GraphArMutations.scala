@@ -521,10 +521,22 @@ object GraphArMutations {
     */
   def edgeChanges(spark: SparkSession, base: String,
                   fromVersion: Long, toVersion: Long,
-                  edgeName: Option[String] = None): DataFrame = {
+                  edgeName: Option[String] = None): DataFrame =
+    multisetDiff(edgesAt(spark, base, fromVersion, edgeName),
+      edgesAt(spark, base, toVersion, edgeName))
+
+  /** The change feed from a committed version to the CURRENT state —
+    * LATEST snapshot plus any staged-but-uncompacted deltas of that
+    * type — so a downstream consumer can sync without waiting for the
+    * next compaction.
+    */
+  def changesSince(spark: SparkSession, base: String, fromVersion: Long,
+                   edgeName: Option[String] = None): DataFrame =
+    multisetDiff(edgesAt(spark, base, fromVersion, edgeName),
+      currentEdgesIn(spark, base, edgeName))
+
+  private def multisetDiff(a: DataFrame, b: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val a = edgesAt(spark, base, fromVersion, edgeName)
-    val b = edgesAt(spark, base, toVersion, edgeName)
     val cols = a.columns.toSeq.map(col)
     val tagged = a.withColumn("_sign", lit(-1L))
       .unionByName(b.withColumn("_sign", lit(1L)))

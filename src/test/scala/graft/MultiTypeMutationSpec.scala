@@ -149,6 +149,14 @@ class MultiTypeMutationSpec extends AnyFunSuite {
         (1L, 2L, "delete")).sorted)
     // identical versions diff to empty
     assert(changes(2L, 2L).isEmpty)
+    // changesSince spans the staged-but-uncompacted log: stage one more
+    // add and the feed from v2 reports it without a compaction
+    GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((9L, 9L)))))
+    val since = GraphArMutations.changesSince(spark, base, 2L,
+      Some("Person_knows_Person"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(since == Seq((9L, 9L, "insert")))
   }
 
   test("prune keeps a version dir that a kept version still references") {
