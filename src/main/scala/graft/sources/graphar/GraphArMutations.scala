@@ -75,7 +75,7 @@ object GraphArMutations {
     // log pending, staged removes would re-apply on top of this commit's
     // adds, reordering history. Refuse rather than silently diverge.
     // (compactDeltas itself clears the log before calling back in here.)
-    require(compacting.get() || stagedDeltas(spark, base).isEmpty,
+    require(compacting.get() || liveDeltas(spark, base, None).isEmpty,
       s"staged deltas pending under $base — compactDeltas (or discard " +
         "the delta dirs) before committing a snapshot mutation")
     val info = GraphArMeta.loadGraph(curYaml, conf)
@@ -133,7 +133,7 @@ object GraphArMutations {
     val conf = spark.sessionState.newHadoopConf()
     val curYaml = GraphArSink.latestYaml(spark, base)
     require(curYaml != null, s"no committed snapshot under $base — initEdgeTypes first")
-    require(compacting.get() || stagedDeltasIn(spark, deltaRoot(base, Some(edgeName))).isEmpty,
+    require(compacting.get() || liveDeltas(spark, base, Some(edgeName)).isEmpty,
       s"staged deltas pending for $edgeName under $base — compactDeltasOf " +
         "(or discard the delta dirs) before committing a snapshot mutation")
     val info = GraphArMeta.loadGraph(curYaml, conf)
@@ -185,6 +185,14 @@ object GraphArMutations {
   private def specOf(e: graft.meta.EdgeInfo,
                      conf: org.apache.hadoop.conf.Configuration,
                      newVertexCount: Option[Long]): GraphArWriter.EdgeSpec = {
+    // the single count grows BOTH sides — only sound when src and dst
+    // share one vertex space; on a bipartite type it would silently
+    // redeclare the other side's count (phantom vertices, wrong degrees)
+    newVertexCount.foreach { _ =>
+      require(e.srcType == e.dstType,
+        s"newVertexCount grows a shared src/dst vertex space; ${e.name} " +
+          "has distinct vertex types — rewrite with an explicit EdgeSpec")
+    }
     val srcCount = e.adjList("src").map(e.alignedVertexCount(_, conf))
     val dstCount = e.adjList("dst").map(e.alignedVertexCount(_, conf))
     val declared = srcCount.orElse(dstCount).get
@@ -230,8 +238,13 @@ object GraphArMutations {
     */
   def initVertices(spark: SparkSession, base: String, rows: DataFrame,
                    graphName: String, spec: GraphArWriter.VertexSpec,
-                   orderCol: String): Long =
+                   orderCol: String): Long = {
+    val existing = GraphArSink.versions(spark, base)
+    require(existing.isEmpty,
+      s"$base already holds versions [${existing.mkString(", ")}] — " +
+        "init would repoint LATEST backwards; use commitVertices/upsertVertices")
     writeVertexVersion(spark, base, 0L, rows.orderBy(orderCol), graphName, spec)
+  }
 
   /** Property upsert: version N+1 = version N with `updates` rows
     * replacing same-key rows and novel-key rows appended — the standard
@@ -242,10 +255,19 @@ object GraphArMutations {
     * tables referencing the old numbering belong to the old snapshot).
     */
   def upsertVertices(spark: SparkSession, base: String, updates: DataFrame,
-                     orderCol: String): Long =
+                     orderCol: String): Long = {
+    // same key-uniqueness contract as stageVertexDelta: two update rows
+    // for one key would BOTH survive the anti-join + union and commit a
+    // duplicate-key snapshot
+    val Array(n, uniq) = updates.agg(count(lit(1)), countDistinct(col(orderCol)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == uniq,
+      s"updates frame has ${n - uniq} duplicate '$orderCol' keys — " +
+        "pre-reduce to one row per key")
     commitVertices(spark, base, cur =>
       cur.join(updates.select(col(orderCol)), Seq(orderCol), "left_anti")
         .unionByName(updates), orderCol)
+  }
 
   /** Delete vertices whose `orderCol` key appears in `keys`. */
   def removeVertices(spark: SparkSession, base: String, keys: DataFrame,
@@ -266,7 +288,7 @@ object GraphArMutations {
     require(curYaml != null, s"no committed snapshot under $base — initVertices first")
     // same reorder hazard as edge commits: a snapshot commit under a
     // staged vertex log would have the staged upserts re-apply on top
-    require(compacting.get() || stagedVertexDeltas(spark, base).isEmpty,
+    require(compacting.get() || liveVertexDeltas(spark, base).isEmpty,
       s"staged vertex deltas pending under $base — compactVertexDeltas " +
         "(or discard the vdelta dirs) before committing a snapshot mutation")
     val info = GraphArMeta.loadGraph(curYaml, conf)
@@ -317,17 +339,21 @@ object GraphArMutations {
     */
   def stageDelta(spark: SparkSession, base: String,
                  adds: Option[DataFrame] = None,
-                 removeKeys: Option[DataFrame] = None): Long =
-    stageDeltaIn(spark, base, None, adds, removeKeys)
+                 removeKeys: Option[DataFrame] = None,
+                 seq: Option[Long] = None): Long =
+    stageDeltaIn(spark, base, None, adds, removeKeys, seq)
 
   /** Stage a delta against ONE type of a multi-type graph. Each type has
     * its own log (`base/delta/<Src_type_Dst>/`), staged and compacted
     * independently. O(delta) I/O, same `_COMMITTED` visibility rule.
+    * `seq` pins the sequence number as an idempotency key (streaming
+    * replay): staging an already-committed seq is a no-op.
     */
   def stageDeltaOf(spark: SparkSession, base: String, edgeName: String,
                    adds: Option[DataFrame] = None,
-                   removeKeys: Option[DataFrame] = None): Long =
-    stageDeltaIn(spark, base, Some(edgeName), adds, removeKeys)
+                   removeKeys: Option[DataFrame] = None,
+                   seq: Option[Long] = None): Long =
+    stageDeltaIn(spark, base, Some(edgeName), adds, removeKeys, seq)
 
   /** Per-type logs live under `base/delta/<name>/`; the single-type log
     * keeps the flat `base/delta/` layout. (Names matching `d<digits>`
@@ -341,14 +367,18 @@ object GraphArMutations {
   private def stageDeltaIn(spark: SparkSession, base: String,
                            edgeName: Option[String],
                            adds: Option[DataFrame],
-                           removeKeys: Option[DataFrame]): Long = synchronized {
+                           removeKeys: Option[DataFrame],
+                           seq: Option[Long] = None): Long = synchronized {
     require(adds.nonEmpty || removeKeys.nonEmpty, "empty delta")
     val conf = spark.sessionState.newHadoopConf()
+    // resolve the snapshot unconditionally: a removes-only stage against
+    // an uninitialized base would otherwise commit a delta that poisons
+    // the log the moment initEdges creates v0
+    val e = resolveEdge(spark, base, edgeName, conf)
     // fail at STAGE time, not at the eventual fold: an adds frame whose
     // columns don't match the snapshot's edge schema would otherwise
     // poison the log and break every later currentEdges/compactDeltas
     adds.foreach { df =>
-      val e = resolveEdge(spark, base, edgeName, conf)
       val want = Set("src", "dst") ++ e.propertyGroups.flatMap(_.properties.map(_.name))
       val got = df.columns.toSet
       require(got == want,
@@ -357,14 +387,77 @@ object GraphArMutations {
     }
     val root = deltaRoot(base, edgeName)
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    val next = stagedDeltasIn(spark, root).lastOption.map(_ + 1).getOrElse(0L)
+    val committed = stagedDeltasIn(spark, root)
+    // explicit seq = idempotency key (streaming replay: a micro-batch
+    // re-delivered after a failure must not stage twice)
+    if (seq.exists(committed.contains)) return seq.get
+    val next = seq.getOrElse(committed.lastOption.map(_ + 1).getOrElse(0L))
     val dir = s"$root/d$next"
+    // a stage that crashed before its _COMMITTED marker leaves stale
+    // adds/removes files; writing over the dir piecemeal would make the
+    // crashed half visible alongside the new one — start clean
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     adds.foreach(_.write.mode("overwrite").parquet(s"$dir/adds"))
     removeKeys.foreach(_.select(col("src"), col("dst")).distinct()
       .write.mode("overwrite").parquet(s"$dir/removes"))
+    writeBaseVersion(spark, base, dir, conf)
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
     next
   }
+
+  /** Record the snapshot version a delta was staged against. A delta is
+    * DEAD once its type's table has been rewritten at a later version
+    * (every rewrite folds the whole live log — commits refuse
+    * otherwise), so readers can ignore it even if a crash between a
+    * compaction's commit and its log cleanup left the dir behind —
+    * without this, the folded delta would re-apply on top of the
+    * snapshot that already contains it.
+    */
+  private def writeBaseVersion(spark: SparkSession, base: String,
+                               dir: String,
+                               conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val v = GraphArSink.versions(spark, base).max
+    val p = new Path(s"$dir/_BASE_VERSION")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def baseVersionOf(root: String, k: Long,
+                            conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    val p = new Path(s"$root/d$k/_BASE_VERSION")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None  // pre-watermark log: treat as live
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      scala.util.Try(new String(out.toByteArray, "UTF-8").trim.toLong).toOption
+    } finally in.close()
+  }
+
+  /** The version whose directory holds this table's CURRENT data files
+    * (follows zero-copy references — the resolved dir is always under
+    * some `base/vN/`). None for non-versioned layouts.
+    */
+  private def rewriteVersionOf(resolvedDir: String): Option[Long] =
+    "/v(\\d+)/(?:edge|vertex)/".r.findFirstMatchIn(resolvedDir)
+      .map(_.group(1).toLong)
+
+  /** Committed deltas that are still LIVE: staged against (or after) the
+    * type's last rewrite. Dead dirs — leftovers of a compaction that
+    * crashed between commit and cleanup — are skipped by every reader
+    * and removed by the next compaction.
+    */
+  private def liveDeltasIn(spark: SparkSession, root: String,
+                           rewriteVersion: Option[Long],
+                           conf: org.apache.hadoop.conf.Configuration): Seq[Long] =
+    stagedDeltasIn(spark, root).filter { k =>
+      (baseVersionOf(root, k, conf), rewriteVersion) match {
+        case (Some(bv), Some(rv)) => bv >= rv
+        case _ => true
+      }
+    }
 
   /** The named edge type (or the single type when `edgeName` is None) of
     * the LATEST snapshot.
@@ -428,7 +521,7 @@ object GraphArMutations {
     val snap = readEdgeTable(spark, GraphArSink.latestYaml(spark, base), e)
     val root = deltaRoot(base, edgeName)
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
-    stagedDeltasIn(spark, root).foldLeft(snap) { (cur, k) =>
+    liveDeltasIn(spark, root, rewriteVersionOf(e.dir), conf).foldLeft(snap) { (cur, k) =>
       val dir = s"$root/d$k"
       val withAdds =
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/adds")))
@@ -446,6 +539,12 @@ object GraphArMutations {
     * option) on purpose — the fold is a plan of unions/anti-joins above
     * the snapshot scan, which is exactly what a Spark view IS; pushing
     * it inside the connector would hide joins from Catalyst.
+    *
+    * The registered plan pins the delta-dir file listings it saw: after
+    * a compaction deletes those dirs, re-register (or re-call
+    * currentEdges) — a held DataFrame over a retired log fails at
+    * execution with missing-file errors, by design rather than silently
+    * double-applying.
     */
   def registerCurrentView(spark: SparkSession, base: String,
                           name: String): Unit =
@@ -483,9 +582,17 @@ object GraphArMutations {
   private def compactDeltasIn(spark: SparkSession, base: String,
                               edgeName: Option[String],
                               newVertexCount: Option[Long]): Long = synchronized {
+    val conf = spark.sessionState.newHadoopConf()
     val root = deltaRoot(base, edgeName)
-    val staged = stagedDeltasIn(spark, root)
-    if (staged.isEmpty) return -1L
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    val e = resolveEdge(spark, base, edgeName, conf)
+    val all = stagedDeltasIn(spark, root)
+    val live = liveDeltasIn(spark, root, rewriteVersionOf(e.dir), conf)
+    // dead dirs = a prior compaction crashed between commit and cleanup;
+    // readers already ignore them, finish the cleanup here
+    all.diff(live).foreach(k => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$root/d$k"), true))
+    if (live.isEmpty) return -1L
     val folded = currentEdgesIn(spark, base, edgeName)
     // materialize before the snapshot swap: the folded plan reads the
     // CURRENT snapshot's files, and writeEdges reshuffles (no overlap
@@ -498,11 +605,17 @@ object GraphArMutations {
         case Some(n) => commitEdgesOf(spark, base, n, _ => folded, newVertexCount)
       }
       finally compacting.set(false)
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
-    staged.foreach(k => fs.delete(
+    live.foreach(k => fs.delete(
       new org.apache.hadoop.fs.Path(s"$root/d$k"), true))
     v
+  }
+
+  /** Live (non-superseded) deltas of one log — see [[liveDeltasIn]]. */
+  private def liveDeltas(spark: SparkSession, base: String,
+                         edgeName: Option[String]): Seq[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val e = resolveEdge(spark, base, edgeName, conf)
+    liveDeltasIn(spark, deltaRoot(base, edgeName), rewriteVersionOf(e.dir), conf)
   }
 
   // ---------------------------------------------------- change data feed
@@ -583,7 +696,8 @@ object GraphArMutations {
     */
   def stageVertexDelta(spark: SparkSession, base: String, orderCol: String,
                        upserts: Option[DataFrame] = None,
-                       removeKeys: Option[DataFrame] = None): Long = synchronized {
+                       removeKeys: Option[DataFrame] = None,
+                       seq: Option[Long] = None): Long = synchronized {
     require(upserts.nonEmpty || removeKeys.nonEmpty, "empty delta")
     val conf = spark.sessionState.newHadoopConf()
     val v = resolveVertex(spark, base, conf)
@@ -608,22 +722,35 @@ object GraphArMutations {
     removeKeys.foreach(df => require(df.columns.contains(orderCol),
       s"removeKeys must carry the '$orderCol' key column"))
     val staged = stagedVertexDeltas(spark, base)
-    staged.headOption.foreach { k =>
+    // consistency vs the LIVE log only — a dead leftover from a crashed
+    // compaction must not veto a fresh log under a different key
+    liveVertexDeltas(spark, base).headOption.foreach { k =>
       val prior = readOrderCol(spark, base, k, conf)
       require(prior == orderCol,
         s"log already staged under orderCol '$prior'; got '$orderCol'")
     }
     val root = s"$base/vdelta"
     val fs = new Path(root).getFileSystem(conf)
-    val next = staged.lastOption.map(_ + 1).getOrElse(0L)
+    if (seq.exists(staged.contains)) return seq.get  // replay: no-op
+    val next = seq.getOrElse(staged.lastOption.map(_ + 1).getOrElse(0L))
     val dir = s"$root/d$next"
+    // clear any crashed (uncommitted) leftover under the same seq
+    if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
     upserts.foreach(_.write.mode("overwrite").parquet(s"$dir/upserts"))
     removeKeys.foreach(_.select(col(orderCol)).distinct()
       .write.mode("overwrite").parquet(s"$dir/removes"))
     val out = fs.create(new Path(s"$dir/_ORDER_COL"), true)
     try out.write(orderCol.getBytes("UTF-8")) finally out.close()
+    writeBaseVersion(spark, base, dir, conf)
     fs.create(new Path(s"$dir/_COMMITTED"), true).close()
     next
+  }
+
+  /** Live (non-superseded) vertex deltas — see [[liveDeltasIn]]. */
+  private def liveVertexDeltas(spark: SparkSession, base: String): Seq[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val v = resolveVertex(spark, base, conf)
+    liveDeltasIn(spark, s"$base/vdelta", rewriteVersionOf(v.dir), conf)
   }
 
   /** Committed vertex-delta sequence numbers, ascending. */
@@ -643,7 +770,8 @@ object GraphArMutations {
       .option("path", GraphArSink.latestYaml(spark, base))
       .option("type", v.vertexType).load()
       .drop(GraphArMeta.VertexIndexCol)
-    val staged = stagedVertexDeltas(spark, base)
+    val staged = liveDeltasIn(spark, s"$base/vdelta",
+      rewriteVersionOf(v.dir), conf)
     val orderCol = staged.headOption.map(k => readOrderCol(spark, base, k, conf))
     val fs = new Path(base).getFileSystem(conf)
     staged.foldLeft(snap) { (cur, k) =>
@@ -666,17 +794,20 @@ object GraphArMutations {
     * retire the log. Returns the new version, or -1 if nothing staged.
     */
   def compactVertexDeltas(spark: SparkSession, base: String): Long = synchronized {
-    val staged = stagedVertexDeltas(spark, base)
-    if (staged.isEmpty) return -1L
     val conf = spark.sessionState.newHadoopConf()
-    val orderCol = readOrderCol(spark, base, staged.head, conf)
+    val fs = new Path(base).getFileSystem(conf)
+    val all = stagedVertexDeltas(spark, base)
+    val live = liveVertexDeltas(spark, base)
+    // leftovers of a compaction that crashed between commit and cleanup
+    all.diff(live).foreach(k => fs.delete(new Path(s"$base/vdelta/d$k"), true))
+    if (live.isEmpty) return -1L
+    val orderCol = readOrderCol(spark, base, live.head, conf)
     val folded = currentVertices(spark, base)
     compacting.set(true)
     val v =
       try commitVertices(spark, base, _ => folded, orderCol)
       finally compacting.set(false)
-    val fs = new Path(base).getFileSystem(conf)
-    staged.foreach(k => fs.delete(new Path(s"$base/vdelta/d$k"), true))
+    live.foreach(k => fs.delete(new Path(s"$base/vdelta/d$k"), true))
     v
   }
 

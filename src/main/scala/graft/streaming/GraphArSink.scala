@@ -87,9 +87,11 @@ object GraphArSink {
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // seq = batchId: foreachBatch is at-least-once, and a re-delivered
+        // batch must not stage twice (the keyed stage is a no-op on replay)
         if (!batch.isEmpty)
           graft.sources.graphar.GraphArMutations.stageDelta(
-            spark, base, adds = Some(batch))
+            spark, base, adds = Some(batch), seq = Some(batchId))
         if ((batchId + 1) % compactEvery == 0)
           graft.sources.graphar.GraphArMutations.compactDeltas(spark, base)
         ()
@@ -112,10 +114,19 @@ object GraphArSink {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, max, struct}
         val spark = batch.sparkSession
+        // several updates to one key can land in a single trigger
+        // interval; an append stream carries no event order, so reduce
+        // per key by the max property tuple — deterministic across
+        // replays, and stageVertexDelta requires unique keys
+        val others = batch.columns.filterNot(_ == orderCol).toSeq
+        val reduced = batch.groupBy(col(orderCol))
+          .agg(max(struct(others.map(col): _*)).as("_s"))
+          .select(col(orderCol) +: others.map(n => col(s"_s.$n").as(n)): _*)
         if (!batch.isEmpty)
           graft.sources.graphar.GraphArMutations.stageVertexDelta(
-            spark, base, orderCol, upserts = Some(batch))
+            spark, base, orderCol, upserts = Some(reduced), seq = Some(batchId))
         if ((batchId + 1) % compactEvery == 0)
           graft.sources.graphar.GraphArMutations.compactVertexDeltas(spark, base)
         ()
@@ -237,12 +248,18 @@ object GraphArSink {
     if (!fs.exists(basePath)) return
     val current = Option(latestYaml(spark, base))
       .map(y => new Path(y).getParent.getName).toSet
+    val expected = expectedYamlName(spark, base)
+    // only COMMITTED versions (yaml present — it is written last) count
+    // toward `keep` or are deletion candidates: a crashed partial dir
+    // must neither displace a committed version from the keep window nor
+    // be deleted out from under a possibly in-flight commit
     val versions = fs.listStatus(basePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .flatMap(s => scala.util.Try(s.getPath.getName.drop(1).toLong).toOption
         .map(_ -> s.getPath))
+      .filter { case (_, p) =>
+        scala.util.Try(graphYamlIn(fs, p, expected)).toOption.flatten.isDefined }
       .sortBy(-_._1)
-    val expected = expectedYamlName(spark, base)
     // data dirs every surviving version resolves its tables to — one
     // level is enough, references always point at the RESOLVED dir
     val referenced: Set[String] = versions.take(keep).map(_._2)

@@ -159,6 +159,43 @@ class MultiTypeMutationSpec extends AnyFunSuite {
     assert(since == Seq((9L, 9L, "insert")))
   }
 
+  test("a delta resurrected after compaction (crash before cleanup) stays dead") {
+    val base = freshGraph()
+    GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((11L, 13L)))))
+    // snapshot the staged dir, compact (folds + deletes it), restore it —
+    // simulating a crash between the compaction's commit and its cleanup
+    val src = new java.io.File(s"$base/delta/Person_knows_Person/d0")
+    val bak = new java.io.File(s"$base/d0_bak")
+    org.apache.commons.io.FileUtils.copyDirectory(src, bak)
+    assert(GraphArMutations.compactDeltasOf(spark, base, "Person_knows_Person") == 1L)
+    org.apache.commons.io.FileUtils.copyDirectory(bak, src)
+    // the resurrected delta was staged against v0; knows was rewritten at
+    // v1, so readers must NOT re-apply it
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_knows_Person"))
+      == (knows0 :+ (11L, 13L)).sorted)
+    // a snapshot commit is not blocked by the dead log
+    val v = GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq((17L, 18L))))
+    assert(v == 2L)
+    // the next compaction sweeps the dead dir and reports nothing staged
+    assert(GraphArMutations.compactDeltasOf(spark, base, "Person_knows_Person") == -1L)
+    assert(GraphArMutations.stagedDeltasOf(spark, base, "Person_knows_Person").isEmpty)
+  }
+
+  test("replaying a batch-keyed stage is a no-op (streaming at-least-once)") {
+    val base = freshGraph()
+    GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((11L, 13L)))), seq = Some(7L))
+    // replay of the same batch id must not stage a second copy
+    GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((11L, 13L)))), seq = Some(7L))
+    assert(GraphArMutations.stagedDeltasOf(spark, base, "Person_knows_Person")
+      == Seq(7L))
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_knows_Person"))
+      == (knows0 :+ (11L, 13L)).sorted)
+  }
+
   test("prune keeps a version dir that a kept version still references") {
     val base = freshGraph()
     GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",

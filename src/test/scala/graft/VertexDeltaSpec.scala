@@ -103,6 +103,22 @@ class VertexDeltaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("initVertices refuses a base that already holds versions") {
+    val base = fresh()
+    intercept[IllegalArgumentException] {
+      GraphArMutations.initVertices(spark, base, df(v0), "People",
+        GraphArWriter.VertexSpec("Person", chunkSize = 2), orderCol = "id")
+    }
+  }
+
+  test("upsertVertices rejects duplicate keys in the updates frame") {
+    val base = fresh()
+    intercept[IllegalArgumentException] {
+      GraphArMutations.upsertVertices(spark, base,
+        df(Seq((7L, "g", 7.0), (7L, "g2", 7.5))), "id")
+    }
+  }
+
   test("stage-time validation: schema, key column, orderCol consistency") {
     val base = fresh()
     intercept[IllegalArgumentException] {   // wrong upsert schema
