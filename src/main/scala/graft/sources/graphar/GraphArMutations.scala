@@ -662,6 +662,29 @@ object GraphArMutations {
       .select(cols :+ col("_change_type"): _*)
   }
 
+  /** The vertex-table change feed between two committed versions: one
+    * row per changed vertex row with `_change_type` insert/delete (an
+    * updated key shows as delete-of-old + insert-of-new). Property
+    * columns only — the synthetic index is row-order-derived and shifts
+    * wholesale on insertion, which is exactly why it is excluded here.
+    */
+  def vertexChanges(spark: SparkSession, base: String,
+                    fromVersion: Long, toVersion: Long): DataFrame =
+    multisetDiff(verticesAt(spark, base, fromVersion),
+      verticesAt(spark, base, toVersion))
+
+  private def verticesAt(spark: SparkSession, base: String,
+                         version: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val yaml = GraphArSink.snapshotYaml(spark, base, version)
+    val info = GraphArMeta.loadGraph(yaml, conf)
+    require(info.vertices.size == 1,
+      s"${info.name} has ${info.vertices.size} vertex types")
+    spark.read.format("graphar").option("path", yaml)
+      .option("type", info.vertices.head.vertexType).load()
+      .drop(GraphArMeta.VertexIndexCol)
+  }
+
   /** One edge type's table at a specific committed version. */
   private def edgesAt(spark: SparkSession, base: String, version: Long,
                       edgeName: Option[String]): DataFrame = {

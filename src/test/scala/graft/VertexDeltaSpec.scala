@@ -103,6 +103,22 @@ class VertexDeltaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vertexChanges reports updates as delete-of-old plus insert-of-new") {
+    val base = fresh()
+    GraphArMutations.stageVertexDelta(spark, base, "id",
+      upserts = Some(df(Seq((3L, "c2", 30.0), (2L, "b", 2.0)))),
+      removeKeys = Some(df(Seq((5L, "", 0.0))).select("id")))
+    GraphArMutations.compactVertexDeltas(spark, base)
+    val got = GraphArMutations.vertexChanges(spark, base, 0L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSeq.sorted
+    assert(got == Seq(
+      (2L, "b", 2.0, "insert"),          // new key
+      (3L, "c", 3.0, "delete"),          // updated key: old row out...
+      (3L, "c2", 30.0, "insert"),        // ...new row in
+      (5L, "e", 5.0, "delete")).sorted)  // removed key
+  }
+
   test("initVertices refuses a base that already holds versions") {
     val base = fresh()
     intercept[IllegalArgumentException] {
