@@ -673,6 +673,25 @@ object GraphArMutations {
     multisetDiff(verticesAt(spark, base, fromVersion),
       verticesAt(spark, base, toVersion))
 
+  /** Maintain an out-degree table incrementally from the change feed:
+    * `prev` is (grapharId, degree) as of the feed's `from` version,
+    * `changes` is [[edgeChanges]]/[[changesSince]] output. Cost is
+    * O(prev + changes) with one shuffle — at scale this replaces an
+    * O(edges) rescan with a fold over what actually changed, the point
+    * of having a CDF. Vertices never seen keep degree 0 only if present
+    * in `prev`; a grown id space appears as soon as it gains an edge.
+    */
+  def maintainDegrees(prev: DataFrame, changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val delta = changes.groupBy(col("src").as(GraphArMeta.GidCol))
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("degree"))
+    prev.select(col(GraphArMeta.GidCol), col("degree"))
+      .unionByName(delta)
+      .groupBy(GraphArMeta.GidCol)
+      .agg(sum("degree").as("degree"))
+  }
+
   private def verticesAt(spark: SparkSession, base: String,
                          version: Long): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()

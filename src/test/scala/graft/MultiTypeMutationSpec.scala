@@ -159,6 +159,29 @@ class MultiTypeMutationSpec extends AnyFunSuite {
     assert(since == Seq((9L, 9L, "insert")))
   }
 
+  test("maintainDegrees over the change feed matches a full recompute") {
+    import org.apache.spark.sql.functions._
+    val base = freshGraph()
+    GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq(knows0.head, (17L, 18L), (17L, 19L))))
+    GraphArMutations.removeEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq((1L, 2L))))
+    def fullDegrees(v: Long) = spark.read.format("graphar")
+      .option("snapshotBase", base).option("snapshot", v.toString)
+      .option("src", "Person").option("type", "knows").option("dst", "Person")
+      .load()
+      .groupBy(col("_graphArSrcIndex").as("grapharId"))
+      .agg(count(lit(1)).as("degree"))
+    val incr = GraphArMutations.maintainDegrees(fullDegrees(0L),
+      GraphArMutations.edgeChanges(spark, base, 0L, 2L,
+        Some("Person_knows_Person")))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical non-zero degrees; the incremental table additionally
+    // keeps explicit zero rows for vertices whose last edge was removed
+    assert(toMap(incr).filter(_._2 != 0L) == toMap(fullDegrees(2L)))
+  }
+
   test("a delta resurrected after compaction (crash before cleanup) stays dead") {
     val base = freshGraph()
     GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
