@@ -692,6 +692,57 @@ object GraphArMutations {
       .agg(sum("degree").as("degree"))
   }
 
+  /** Maintain an undirected connected-components labeling from an
+    * INSERT-ONLY change feed: a new edge can only MERGE components, so
+    * the merge structure is fully captured by the O(changes) graph of
+    * label pairs — union-find over that tiny graph on the driver, then
+    * one broadcast relabel of `prev`. Cost: O(prev) map-side + O(changes)
+    * driver work; no edge rescan, no iteration.
+    *
+    * `prev` is (grapharId, component); ids the feed introduces start as
+    * their own singleton component before merging. A feed containing
+    * deletes is refused — edge deletion can SPLIT a component, which
+    * only a recompute over the surviving edges can decide.
+    */
+  def maintainComponents(prev: DataFrame, changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(changes.filter(col("_change_type") === "delete").isEmpty,
+      "change feed contains deletes — a delete can split a component; " +
+        "recompute components over the surviving edges instead")
+    val inserts = changes.select(col("src"), col("dst"))
+    // label of every id the feed touches: its prev component, else itself
+    val ids = inserts.select(col("src").as(GraphArMeta.GidCol))
+      .unionByName(inserts.select(col("dst").as(GraphArMeta.GidCol))).distinct()
+    val touched = ids.join(prev, Seq(GraphArMeta.GidCol), "left")
+      .select(col(GraphArMeta.GidCol),
+        coalesce(col("component"), col(GraphArMeta.GidCol)).as("component"))
+    // O(changes) label pairs -> driver union-find (the CDF batch bounds
+    // this, not the graph)
+    val pairs = inserts
+      .join(touched.withColumnRenamed(GraphArMeta.GidCol, "src")
+        .withColumnRenamed("component", "_ca"), Seq("src"))
+      .join(touched.withColumnRenamed(GraphArMeta.GidCol, "dst")
+        .withColumnRenamed("component", "_cb"), Seq("dst"))
+      .select(col("_ca"), col("_cb")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val mapping = parent.keys.map(k => k -> find(k)).toMap
+    val remap = udf((c: Long) => mapping.getOrElse(c, c))
+    // relabel prev map-side (broadcast closure), add the feed's new ids
+    prev.select(col(GraphArMeta.GidCol), col("component"))
+      .unionByName(touched.join(prev.select(col(GraphArMeta.GidCol)),
+        Seq(GraphArMeta.GidCol), "left_anti"))
+      .withColumn("component", remap(col("component")))
+  }
+
   private def verticesAt(spark: SparkSession, base: String,
                          version: Long): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()

@@ -182,6 +182,26 @@ class MultiTypeMutationSpec extends AnyFunSuite {
     assert(toMap(incr).filter(_._2 != 0L) == toMap(fullDegrees(2L)))
   }
 
+  test("maintainComponents merges labels from an insert-only feed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // prev labeling: {0,1} -> 0, {2,3} -> 2, {4} -> 4 (undirected CCs)
+    val prev = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L), (4L, 4L))
+      .toDF("grapharId", "component")
+    // inserts: 1-2 merges {0,1} with {2,3}; 5-4 brings in new id 5
+    val feed = Seq((1L, 2L, "insert"), (5L, 4L, "insert"))
+      .toDF("src", "dst", "_change_type")
+    val got = GraphArMutations.maintainComponents(prev, feed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L))
+    // a feed with deletes is refused — deletion can split a component
+    intercept[IllegalArgumentException] {
+      GraphArMutations.maintainComponents(prev,
+        Seq((0L, 1L, "delete")).toDF("src", "dst", "_change_type"))
+    }
+  }
+
   test("a delta resurrected after compaction (crash before cleanup) stays dead") {
     val base = freshGraph()
     GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
