@@ -129,7 +129,24 @@ object GraphTableFunctions {
         if (k < 1 || k > Int.MaxValue) throw new IllegalArgumentException(
           s"graph_kcore: k must be in [1, ${Int.MaxValue}], got $k")
         g.kCore(s, t, d, k.toInt)
-      }))
+      })),
+    // change data feed over a VERSIONED base (not a graph yaml):
+    // graph_changes('/base', from_v, to_v [, 'Src_type_Dst'])
+    (FunctionIdentifier("graph_changes"),
+      new ExpressionInfo(getClass.getName, "graph_changes"),
+      { args =>
+        if (args.size != 3 && args.size != 4)
+          throw new IllegalArgumentException(
+            "graph_changes(snapshot_base, from_version, to_version[, edge_name])")
+        val base = strArg("graph_changes", args.head)
+        val name =
+          if (args.size == 4) Some(strArg("graph_changes", args(3))) else None
+        graft.sources.graphar.GraphArMutations.edgeChanges(
+            SparkSession.active, base,
+            longArg("graph_changes", args(1)), longArg("graph_changes", args(2)),
+            name)
+          .queryExecution.analyzed
+      })
   )
 
   /** Runtime registration into an existing session. */

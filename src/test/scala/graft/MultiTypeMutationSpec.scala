@@ -159,6 +159,18 @@ class MultiTypeMutationSpec extends AnyFunSuite {
     assert(since == Seq((9L, 9L, "insert")))
   }
 
+  test("graph_changes TVF serves the change feed to SQL") {
+    val base = freshGraph()
+    GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq((17L, 18L))))
+    graft.graph.GraphTableFunctions.register(spark)
+    val got = spark.sql(
+      s"SELECT src, dst, _change_type FROM graph_changes('$base', 0, 1, " +
+        "'Person_knows_Person')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((17L, 18L, "insert")))
+  }
+
   test("maintainDegrees over the change feed matches a full recompute") {
     import org.apache.spark.sql.functions._
     val base = freshGraph()
