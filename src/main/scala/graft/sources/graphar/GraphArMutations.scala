@@ -25,6 +25,18 @@ import graft.streaming.GraphArSink
   * distributed CSR sort (`repartitionAndSortWithinPartitions`, one task
   * per vertex-chunk part, optional task packing), and the union/anti
   * inputs shuffle only (src, dst, props) rows.
+  *
+  * ==Single-writer contract==
+  * Stage/commit/compact coordination is JVM-local (object-level
+  * `synchronized` + the `compacting` ThreadLocal): ONE driver process
+  * may mutate a given `base` at a time. Crash safety (a died writer
+  * leaves LATEST on the previous snapshot and at worst an invisible
+  * partial dir) holds, but two CONCURRENT writer processes can
+  * interleave stage/compact/commit into duplicate seq dirs or commit a
+  * snapshot mid-fold — the same contract as Delta Lake on stores
+  * without putIfAbsent. Readers are unrestricted: any number of
+  * processes may read any committed snapshot or the folded view
+  * concurrently with the single writer.
   */
 object GraphArMutations {
 
@@ -389,9 +401,19 @@ object GraphArMutations {
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val committed = stagedDeltasIn(spark, root)
     // explicit seq = idempotency key (streaming replay: a micro-batch
-    // re-delivered after a failure must not stage twice)
+    // re-delivered after a failure must not stage twice). The staged-dir
+    // check alone is NOT enough: compaction deletes the dirs after
+    // folding them into the snapshot, so a batch re-delivered after a
+    // crash between compactDeltas and the stream's checkpoint commit
+    // would re-stage adds the snapshot already contains (multiset union
+    // is not idempotent). The durable _MAX_SEQ watermark survives
+    // compaction and closes that window.
     if (seq.exists(committed.contains)) return seq.get
-    val next = seq.getOrElse(committed.lastOption.map(_ + 1).getOrElse(0L))
+    val watermark = maxSeqOf(root, conf)
+    if (seq.exists(s => watermark.exists(s <= _))) return seq.get
+    val next = seq.getOrElse(math.max(
+      committed.lastOption.map(_ + 1).getOrElse(0L),
+      watermark.map(_ + 1).getOrElse(0L)))
     val dir = s"$root/d$next"
     // a stage that crashed before its _COMMITTED marker leaves stale
     // adds/removes files; writing over the dir piecemeal would make the
@@ -403,7 +425,67 @@ object GraphArMutations {
       .write.mode("overwrite").parquet(s"$dir/removes"))
     writeBaseVersion(spark, base, dir, conf)
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
+    // watermark AFTER _COMMITTED: a crash in between leaves the dir
+    // visible, so the committed-seq check still deduplicates the replay;
+    // the reverse order would mark an unstaged batch as applied (loss)
+    advanceMaxSeq(root, next, conf)
+    maybeAutoCompact(spark, base, edgeName, root, e, conf)
     next
+  }
+
+  /** Auto-compaction: when the LIVE staged-delta count reaches
+    * `spark.graft.maxStagedDeltas` (default 32; <= 0 disables), fold the
+    * log into one snapshot right after the stage that crossed the line.
+    * Each staged delta adds a union + anti-join on top of every
+    * `currentEdges` plan — and the delta side has no CSR seek — so an
+    * unbounded log silently degrades reads; this bounds it.
+    */
+  private def maybeAutoCompact(spark: SparkSession, base: String,
+                               edgeName: Option[String], root: String,
+                               e: graft.meta.EdgeInfo,
+                               conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val cap = spark.conf.getOption("spark.graft.maxStagedDeltas")
+      .map(_.toInt).getOrElse(32)
+    if (cap <= 0) return
+    val live = liveDeltasIn(spark, root, rewriteVersionOf(e.dir), conf)
+    if (live.size >= cap) compactDeltasIn(spark, base, edgeName, None)
+  }
+
+  // -------------------------------------------------- replay watermark
+  //
+  // `<log root>/_MAX_SEQ` holds the highest delta seq ever committed to
+  // the log. Staged dirs encode which seqs were applied only until
+  // compaction deletes them; the watermark is the durable record that
+  // outlives the dirs. Written with the same tmp + atomic-overwrite-
+  // rename protocol as LATEST, so readers never observe a partial file.
+
+  private def maxSeqOf(root: String,
+                       conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    val p = new Path(s"$root/_MAX_SEQ")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      scala.util.Try(new String(out.toByteArray, "UTF-8").trim.toLong).toOption
+    } finally in.close()
+  }
+
+  /** Monotonically advance the log's watermark to `seq` (no-op if the
+    * current value is already >= seq).
+    */
+  private def advanceMaxSeq(root: String, seq: Long,
+                            conf: org.apache.hadoop.conf.Configuration): Unit = {
+    if (maxSeqOf(root, conf).exists(_ >= seq)) return
+    val p = new Path(s"$root/_MAX_SEQ")
+    val tmp = new Path(s"$root/._MAX_SEQ.tmp")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Record the snapshot version a delta was staged against. A delta is
@@ -588,6 +670,10 @@ object GraphArMutations {
     val e = resolveEdge(spark, base, edgeName, conf)
     val all = stagedDeltasIn(spark, root)
     val live = liveDeltasIn(spark, root, rewriteVersionOf(e.dir), conf)
+    // never delete a staged dir before the watermark covers its seq —
+    // the dir is the only OTHER replay record (repairs a stage that
+    // crashed between its _COMMITTED marker and its watermark write)
+    all.sorted.lastOption.foreach(advanceMaxSeq(root, _, conf))
     // dead dirs = a prior compaction crashed between commit and cleanup;
     // readers already ignore them, finish the cleanup here
     all.diff(live).foreach(k => fs.delete(
@@ -703,8 +789,19 @@ object GraphArMutations {
     * their own singleton component before merging. A feed containing
     * deletes is refused — edge deletion can SPLIT a component, which
     * only a recompute over the surviving edges can decide.
+    *
+    * The driver union-find is bounded: the collected set is the DISTINCT
+    * component-label pairs — O(batch) for the insert-only CDF batches
+    * this maintains, but nothing stops a caller replaying a huge feed
+    * range through it. Past `maxMergePairs` (default 8M ≈ a few hundred
+    * MB of boxed rows, same sizing as the buildCsr guard) the incremental
+    * shortcut no longer beats a recompute, so the call falls back to
+    * [[GraphOps.connectedComponents]] over `fallbackEdges` when given,
+    * else fails with that instruction rather than OOM-ing the driver.
     */
-  def maintainComponents(prev: DataFrame, changes: DataFrame): DataFrame = {
+  def maintainComponents(prev: DataFrame, changes: DataFrame,
+                         maxMergePairs: Int = 8000000,
+                         fallbackEdges: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(changes.filter(col("_change_type") === "delete").isEmpty,
       "change feed contains deletes — a delete can split a component; " +
@@ -717,14 +814,26 @@ object GraphArMutations {
       .select(col(GraphArMeta.GidCol),
         coalesce(col("component"), col(GraphArMeta.GidCol)).as("component"))
     // O(changes) label pairs -> driver union-find (the CDF batch bounds
-    // this, not the graph)
-    val pairs = inserts
+    // this, not the graph). take(cap+1) collects AT MOST cap+1 rows —
+    // an oversized feed is detected without materializing it.
+    val pairDf = inserts
       .join(touched.withColumnRenamed(GraphArMeta.GidCol, "src")
         .withColumnRenamed("component", "_ca"), Seq("src"))
       .join(touched.withColumnRenamed(GraphArMeta.GidCol, "dst")
         .withColumnRenamed("component", "_cb"), Seq("dst"))
       .select(col("_ca"), col("_cb")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val collected = pairDf.take(maxMergePairs + 1)
+    if (collected.length > maxMergePairs) {
+      val edges = fallbackEdges.getOrElse(throw new IllegalArgumentException(
+        s"change feed produced more than $maxMergePairs distinct merge " +
+          "pairs — the incremental shortcut would collect them all to the " +
+          "driver; pass fallbackEdges (the full current edge table) to " +
+          "recompute, or raise maxMergePairs"))
+      return graft.graph.GraphOps
+        .connectedComponents(edges.sparkSession, edges)
+        .select(col("v").as(GraphArMeta.GidCol), col("component"))
+    }
+    val pairs = collected.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -825,7 +934,14 @@ object GraphArMutations {
     val root = s"$base/vdelta"
     val fs = new Path(root).getFileSystem(conf)
     if (seq.exists(staged.contains)) return seq.get  // replay: no-op
-    val next = seq.getOrElse(staged.lastOption.map(_ + 1).getOrElse(0L))
+    // durable replay watermark — same hazard and protocol as the edge
+    // log (see stageDeltaIn): staged dirs die at compaction, _MAX_SEQ
+    // doesn't
+    val watermark = maxSeqOf(root, conf)
+    if (seq.exists(s => watermark.exists(s <= _))) return seq.get
+    val next = seq.getOrElse(math.max(
+      staged.lastOption.map(_ + 1).getOrElse(0L),
+      watermark.map(_ + 1).getOrElse(0L)))
     val dir = s"$root/d$next"
     // clear any crashed (uncommitted) leftover under the same seq
     if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
@@ -836,6 +952,12 @@ object GraphArMutations {
     try out.write(orderCol.getBytes("UTF-8")) finally out.close()
     writeBaseVersion(spark, base, dir, conf)
     fs.create(new Path(s"$dir/_COMMITTED"), true).close()
+    advanceMaxSeq(root, next, conf)
+    // same read-degradation bound as the edge log
+    val cap = spark.conf.getOption("spark.graft.maxStagedDeltas")
+      .map(_.toInt).getOrElse(32)
+    if (cap > 0 && liveVertexDeltas(spark, base).size >= cap)
+      compactVertexDeltas(spark, base)
     next
   }
 
@@ -891,6 +1013,9 @@ object GraphArMutations {
     val fs = new Path(base).getFileSystem(conf)
     val all = stagedVertexDeltas(spark, base)
     val live = liveVertexDeltas(spark, base)
+    // watermark must cover every dir this compaction may delete (see
+    // compactDeltasIn)
+    all.sorted.lastOption.foreach(advanceMaxSeq(s"$base/vdelta", _, conf))
     // leftovers of a compaction that crashed between commit and cleanup
     all.diff(live).foreach(k => fs.delete(new Path(s"$base/vdelta/d$k"), true))
     if (live.isEmpty) return -1L

@@ -251,6 +251,78 @@ class MultiTypeMutationSpec extends AnyFunSuite {
       == (knows0 :+ (11L, 13L)).sorted)
   }
 
+  test("a batch replayed AFTER compaction deleted its staged dir is still a no-op") {
+    val base = freshGraph()
+    GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((11L, 13L)))), seq = Some(0L))
+    // compaction folds d0 into v1 and deletes the staged dir — the seq's
+    // only in-log record; the durable _MAX_SEQ watermark must survive
+    assert(GraphArMutations.compactDeltasOf(spark, base, "Person_knows_Person") == 1L)
+    assert(GraphArMutations.stagedDeltasOf(spark, base, "Person_knows_Person").isEmpty)
+    // crash-replay of batch 0 (stream checkpoint never committed): must
+    // NOT re-stage adds the snapshot already contains
+    GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((11L, 13L)))), seq = Some(0L))
+    assert(GraphArMutations.stagedDeltasOf(spark, base, "Person_knows_Person").isEmpty)
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_knows_Person"))
+      == (knows0 :+ (11L, 13L)).sorted)
+    // a LATER batch still stages normally, and auto-assigned seqs resume
+    // past the watermark rather than colliding with retired numbers
+    val s = GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((14L, 15L)))), seq = Some(1L))
+    assert(s == 1L)
+    val auto = GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((15L, 16L)))))
+    assert(auto == 2L)
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_knows_Person"))
+      == (knows0 ++ Seq((11L, 13L), (14L, 15L), (15L, 16L))).sorted)
+  }
+
+  test("maintainComponents falls back to a full recompute past the pair cap") {
+    import spark.implicits._
+    val prev = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L), (4L, 4L))
+      .toDF("grapharId", "component")
+    val feed = Seq((1L, 2L, "insert"), (5L, 4L, "insert"))
+      .toDF("src", "dst", "_change_type")
+    // the full current edge set the fallback recomputes over: prev's
+    // implied edges plus the feed's inserts
+    val edges = Seq((0L, 1L), (2L, 3L), (1L, 2L), (5L, 4L)).toDF("src", "dst")
+    // cap of 1 < the feed's 2 distinct merge pairs -> fallback path
+    val got = GraphArMutations.maintainComponents(prev, feed,
+      maxMergePairs = 1, fallbackEdges = Some(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L))
+    // no fallback edges -> loud failure instead of a driver-sized collect
+    intercept[IllegalArgumentException] {
+      GraphArMutations.maintainComponents(prev, feed, maxMergePairs = 1)
+    }
+  }
+
+  test("the stage that reaches spark.graft.maxStagedDeltas auto-compacts the log") {
+    val base = freshGraph()
+    spark.conf.set("spark.graft.maxStagedDeltas", "2")
+    try {
+      GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+        adds = Some(edgeDf(Seq((11L, 13L)))))
+      assert(GraphArMutations.stagedDeltasOf(spark, base, "Person_knows_Person").size == 1)
+      // second stage crosses the threshold -> log folds into v1, retires
+      GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+        adds = Some(edgeDf(Seq((14L, 15L)))))
+      assert(GraphArMutations.stagedDeltasOf(spark, base, "Person_knows_Person").isEmpty)
+      assert(GraphArSink.versions(spark, base) == Seq(0L, 1L))
+      assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_knows_Person"))
+        == (knows0 ++ Seq((11L, 13L), (14L, 15L))).sorted)
+      // opt-out: <= 0 disables the policy
+      spark.conf.set("spark.graft.maxStagedDeltas", "0")
+      (0 until 3).foreach { _ =>
+        GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+          adds = Some(edgeDf(Seq((16L, 17L)))))
+      }
+      assert(GraphArMutations.stagedDeltasOf(spark, base, "Person_knows_Person").size == 3)
+    } finally spark.conf.unset("spark.graft.maxStagedDeltas")
+  }
+
   test("prune keeps a version dir that a kept version still references") {
     val base = freshGraph()
     GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
