@@ -22,6 +22,19 @@ import graft.sources.graphar.{GraphArEdgeTable, GraphArVertexTable}
   *               SELECT count(*) FROM g.`Person.vertex`;
   * }}}
   *
+  * Time travel over a VERSIONED layout (the streaming/mutation sinks'
+  * `base/vN` + LATEST protocol): instead of `path`, point the catalog at
+  * the base and optionally pin a version —
+  * {{{
+  *   spark.sql.catalog.g0 = graft.catalog.GraphArCatalog
+  *   spark.sql.catalog.g0.snapshotBase = /data/versioned
+  *   spark.sql.catalog.g0.snapshot = 0        // omit -> LATEST
+  *   SQL: SELECT count(*) FROM g0.`Part_link_Part.edge`;
+  * }}}
+  * A catalog instance resolves its snapshot ONCE at first use (Spark
+  * instantiates catalogs lazily and caches them per session) — pin two
+  * catalog names to compare versions side by side in one query.
+  *
   * Table naming matches the reference exactly: `<Type>.vertex` and
   * `<Src>_<type>_<Dst>.edge` (GetNameFromInfo, src/utils/func.cpp:55-63).
   * All DDL/DML throws, mirroring the reference's read-only catalog
@@ -34,13 +47,23 @@ class GraphArCatalog extends TableCatalog {
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    val path = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
-      s"catalog $name: option 'spark.sql.catalog.$name.path' (graph yaml) is required"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val path = Option(options.get("path"))
+      .orElse(Option(options.get("snapshotBase")).map { base =>
+        Option(options.get("snapshot")) match {
+          case Some(v) => graft.streaming.GraphArSink.snapshotYaml(spark, base, v.toLong)
+          case None => Option(graft.streaming.GraphArSink.latestYaml(spark, base))
+            .getOrElse(throw new IllegalArgumentException(
+              s"catalog $name: no committed snapshot under $base"))
+        }
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $name: option 'spark.sql.catalog.$name.path' (graph yaml) " +
+          s"or 'spark.sql.catalog.$name.snapshotBase' (versioned layout) is required"))
     // SESSION Hadoop conf: the graph may live on s3a/hdfs with
     // credentials configured via spark.hadoop.* — a default
     // Configuration would silently drop them
-    graph = GraphArMeta.loadGraph(path,
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    graph = GraphArMeta.loadGraph(path, spark.sessionState.newHadoopConf())
   }
 
   override def name(): String = catalogName

@@ -289,11 +289,11 @@ object GraphOps {
   }
 
   /** Each triangle exactly once, as its (source, mid, far) vertex triple
-    * under the degree order: wedge pairs at every source joined against
-    * the oriented closing edge.
+    * under the degree order: wedge pairs at every source (`o` is the
+    * [[orientedEdges]] table, persisted by the caller — it is read three
+    * times) joined against the oriented closing edge.
     */
-  private def triangleTriples(edges: DataFrame): DataFrame = {
-    val o = orientedEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+  private def triplesOf(o: DataFrame): DataFrame = {
     val wedges = o.select(col("x"), col("y").as("u"), col("ky").as("ku"))
       .join(o.select(col("x"), col("y").as("w"), col("ky").as("kw")), "x")
       .filter(col("ku") < col("kw"))
@@ -302,39 +302,64 @@ object GraphOps {
       .select(col("x"), col("u"), col("w"))
   }
 
+  /** Run `f` over the oriented-edge table. Eager (the default): persist
+    * the oriented table (it is read three times), materialize the
+    * (small — aggregated) result with an eager localCheckpoint, and
+    * unpersist the intermediate so repeated calls don't accumulate
+    * cached blocks for the session's lifetime — the same
+    * materialize-then-release shape as [[pageRank]]/[[sssp]]/[[kCore]].
+    * Non-eager: return the fully-lazy composable plan (no caching, no
+    * checkpoint) — for plan inspection and callers who manage caching.
+    */
+  private def withOriented(edges: DataFrame, eager: Boolean)
+                          (f: DataFrame => DataFrame): DataFrame =
+    if (!eager) f(orientedEdges(edges))
+    else {
+      val o = orientedEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      try f(o).localCheckpoint(true) finally o.unpersist(blocking = false)
+    }
+
   /** Triangle count over the undirected simple graph. Degree-ordered
     * orientation (see [[orientedEdges]]) keeps the wedge join skew-proof;
     * results are identical to the naive a<b 3-way join (each triangle
     * counted exactly once), pinned by the DuckDB oracle.
     */
-  def triangleCount(edges: DataFrame): DataFrame =
-    triangleTriples(edges).agg(count(lit(1)).as("n_triangles"))
+  def triangleCount(edges: DataFrame, eager: Boolean = true): DataFrame =
+    withOriented(edges, eager)(o =>
+      triplesOf(o).agg(count(lit(1)).as("n_triangles")))
 
   /** Per-vertex local clustering coefficient over the undirected simple
     * graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) where tri(v) counts
     * triangles containing v. The ratio is ONE IEEE division of exact
     * integers, so it is cross-engine bit-stable.
     *
-    * Scale notes: same canonical a<b 3-way join as [[triangleCount]]
-    * (two shuffle joins on vertex keys); per-triangle rows explode ×3
-    * into (vertex, 1) pairs for a map-side-combinable count. The
-    * low→high-degree orientation refinement drops in unchanged if hub
-    * vertices dominate.
+    * Scale notes: triangles come from the degree-ordered wedge join
+    * ([[orientedEdges]] / [[triplesOf]] — hub fan-out bounded by oriented
+    * out-degree, not raw degree); per-triangle rows explode ×3 into
+    * (vertex, 1) pairs for a map-side-combinable count, and the degree
+    * side is one map-side-combinable count over the undirected edge set.
+    * Output is O(V) rows, eagerly materialized (default) so the cached
+    * intermediates can be unpersisted before returning; `eager = false`
+    * returns the lazy uncached plan.
     */
-  def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val und = undirectedSimple(edges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val tri = triangleTriples(und.select(col("a").as("src"), col("b").as("dst")))
-      .select(explode(array(col("x"), col("u"), col("w"))).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
-    deg.join(tri, Seq("v"), "left")
-      .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
-      .withColumn("lcc",
-        when(col("deg") >= 2,
-          col("tri") * lit(2.0) / (col("deg") * (col("deg") - 1)))
-          .otherwise(lit(0.0)))
+  def clusteringCoefficients(edges: DataFrame, eager: Boolean = true): DataFrame = {
+    val und0 = undirectedSimple(edges)
+    val und = if (eager) und0.persist(StorageLevel.MEMORY_AND_DISK) else und0
+    try {
+      val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      withOriented(und.select(col("a").as("src"), col("b").as("dst")), eager) { o =>
+        val tri = triplesOf(o)
+          .select(explode(array(col("x"), col("u"), col("w"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+        deg.join(tri, Seq("v"), "left")
+          .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+          .withColumn("lcc",
+            when(col("deg") >= 2,
+              col("tri") * lit(2.0) / (col("deg") * (col("deg") - 1)))
+              .otherwise(lit(0.0)))
+      }
+    } finally if (eager) und.unpersist(blocking = false)
   }
 
   /** PageRank (classic simplified form, no dangling-mass redistribution):

@@ -234,7 +234,11 @@ object Dedup {
     val bf = corpusFp.stat.bloomFilter("fp", expectedItems, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfB.value.mightContain(s))
-    val d = delta.withColumn("fp", fingerprint(col("text")))
+    // null text has no fingerprint, so the gate cannot decide it: route
+    // it OUT explicitly (matching SQL NOT IN, which drops NULL-key rows)
+    // rather than letting the bloom's null-probe silently call it novel
+    val d = delta.filter(col("text").isNotNull)
+      .withColumn("fp", fingerprint(col("text")))
     val novel = d.filter(!mightContain(col("fp")))
     val verified = d.filter(mightContain(col("fp")))
       .join(corpusFp, Seq("fp"), "left_anti")

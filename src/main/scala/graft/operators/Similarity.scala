@@ -429,6 +429,34 @@ object Similarity {
     pqScored(codes, pqLut(queries, cb, m, dims), k)
   }
 
+  /** Retrieve-then-refine (the standard IVF-PQ serving shape): the ADC
+    * shortlist picks the top-`c` candidates per query from the m-byte
+    * codes, then ONLY those c rows are re-scored against their
+    * full-precision vectors with exact cosine and re-ranked to top-k.
+    * Refinement cost is bounded by c per query — never the corpus: the
+    * candidate→vector join carries O(queries × c) ids into the corpus
+    * table (at scale: a point-lookup-friendly join against the
+    * vec_id-partitioned embedding store), and the query side broadcasts.
+    * Recall improves over raw ADC exactly where quantization error
+    * reorders near-ties inside the shortlist.
+    */
+  def pqTopKRerank(emb: DataFrame, queryIds: Column, k: Int, c: Int = 10,
+                   m: Int = 8, dims: Int = 64, modulo: Int = 40): DataFrame = {
+    require(c >= k, s"shortlist size c=$c must be >= k=$k")
+    val cb = pqCodebook(emb, m, dims, modulo)
+    val q = emb.filter(queryIds)
+    val shortlist = pqScored(pqCodes(emb, cb, m, dims), pqLut(q, cb, m, dims), c)
+      .select(col("q_id"), col("n_id"))
+    val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val qv = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    shortlist.join(n, "n_id").join(broadcast(qv), "q_id")
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** SemDeDup-style semantic dedup: cluster the corpus (nearest
     * deterministic centroid — the same assignment the IVF index uses),
     * then within each cluster drop every vector that has a
@@ -499,6 +527,9 @@ object Similarity {
       pqTopKStored(s, s"${indexDir(s, d)}/pq",
         t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
     },
+    "sim_pq_rerank" -> { (s, d) =>
+      pqTopKRerank(t(s, d, "embeddings"), col("vec_id") < 8, 3, c = 10)
+    },
     "sim_lsh" -> { (s, d) =>
       lshTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
     },
@@ -533,7 +564,11 @@ object Similarity {
   private[operators] def cosSql(a: String, b: String, dims: Int = 64): String =
     s"${dotSql(a, b, dims)} / sqrt(${dotSql(a, a, dims)}) / sqrt(${dotSql(b, b, dims)})"
 
-  private lazy val pqOracleSql: String =
+  /** The PQ coding/LUT/ADC-scoring CTE chain up through `ranked` —
+    * shared by the plain, stored, and rerank oracles so all three pin
+    * the identical shortlist semantics.
+    */
+  private lazy val pqRankedCtes: String =
     s"""WITH cent AS (
          |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id % 40 = 0),
@@ -565,8 +600,29 @@ object Similarity {
          |ranked AS (
          |  SELECT q_id, n_id,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
-         |  FROM scored)
+         |  FROM scored)""".stripMargin
+
+  private lazy val pqOracleSql: String =
+    s"""$pqRankedCtes
          |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** ADC top-10 shortlist, exact-cosine re-rank to top-3 — mirrors
+    * [[pqTopKRerank]] (same shortlist CTEs, then full-precision cosine
+    * over only the shortlisted (q, n) pairs).
+    */
+  private lazy val pqRerankOracleSql: String =
+    s"""$pqRankedCtes,
+         |shortlist AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
+         |rerank AS (
+         |  SELECT s.q_id, s.n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings ne ON ne.vec_id = s.n_id
+         |  JOIN embeddings qe ON qe.vec_id = s.q_id),
+         |rr AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM rerank)
+         |SELECT q_id, n_id, rank FROM rr WHERE rank <= 3""".stripMargin
 
   private lazy val ivfOracleSql: String =
     s"""WITH cent AS (
@@ -694,6 +750,7 @@ object Similarity {
     // shares it verbatim — persisting the codes must not change a row
     "sim_pq" -> pqOracleSql,
     "sim_pq_stored" -> pqOracleSql,
+    "sim_pq_rerank" -> pqRerankOracleSql,
 
     "sim_knn_join" ->
       s"""WITH cent AS (

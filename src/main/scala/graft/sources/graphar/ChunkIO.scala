@@ -153,39 +153,46 @@ object ChunkIO {
     import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
     val reader = org.apache.orc.OrcFile.createReader(
       path, org.apache.orc.OrcFile.readerOptions(conf))
-    val fileSchema = reader.getSchema
-    val names = fileSchema.getFieldNames
-    val colIdx = schema.fields.map(f => names.indexOf(f.name))
-    colIdx.zip(schema.fields).foreach { case (i, f) =>
-      if (i < 0) throw new IllegalArgumentException(
-        s"column ${f.name} not in orc schema of $path")
-    }
-    val include = new Array[Boolean](fileSchema.getMaximumId + 1)
-    include(0) = true
-    colIdx.foreach { i =>
-      val child = fileSchema.getChildren.get(i)
-      (child.getId to child.getMaximumId).foreach(id => include(id) = true)
-    }
-    val rows = reader.rows(reader.options().include(include))
-    val vrb = fileSchema.createRowBatch(4096)
-    new BatchReader {
-      private var closed = false
-      private var out: ColumnarBatch = _
-      override def nextBatch(): Boolean = {
-        val more = rows.nextBatch(vrb)
-        if (more) {
-          val vecs: Array[ColumnVector] = colIdx.zip(schema.fields).map {
-            case (i, f) =>
-              org.apache.spark.sql.execution.datasources.orc.OrcVectorBridge
-                .wrap(f.dataType, vrb.cols(i)): ColumnVector
-          }
-          out = new ColumnarBatch(vecs, vrb.size)
-        }
-        more
+    // the RecordReader does not own the file Reader's stream on every
+    // ORC version — close BOTH, and don't leak the Reader if setup throws
+    try {
+      val fileSchema = reader.getSchema
+      val names = fileSchema.getFieldNames
+      val colIdx = schema.fields.map(f => names.indexOf(f.name))
+      colIdx.zip(schema.fields).foreach { case (i, f) =>
+        if (i < 0) throw new IllegalArgumentException(
+          s"column ${f.name} not in orc schema of $path")
       }
-      override def batch(): ColumnarBatch = out
-      override def close(): Unit = if (!closed) { closed = true; rows.close() }
-    }
+      val include = new Array[Boolean](fileSchema.getMaximumId + 1)
+      include(0) = true
+      colIdx.foreach { i =>
+        val child = fileSchema.getChildren.get(i)
+        (child.getId to child.getMaximumId).foreach(id => include(id) = true)
+      }
+      val rows = reader.rows(reader.options().include(include))
+      val vrb = fileSchema.createRowBatch(4096)
+      new BatchReader {
+        private var closed = false
+        private var out: ColumnarBatch = _
+        override def nextBatch(): Boolean = {
+          val more = rows.nextBatch(vrb)
+          if (more) {
+            val vecs: Array[ColumnVector] = colIdx.zip(schema.fields).map {
+              case (i, f) =>
+                org.apache.spark.sql.execution.datasources.orc.OrcVectorBridge
+                  .wrap(f.dataType, vrb.cols(i)): ColumnVector
+            }
+            out = new ColumnarBatch(vecs, vrb.size)
+          }
+          more
+        }
+        override def batch(): ColumnarBatch = out
+        override def close(): Unit = if (!closed) {
+          closed = true
+          try rows.close() finally reader.close()
+        }
+      }
+    } catch { case t: Throwable => reader.close(); throw t }
   }
 
   /** Batch reader dispatch for the columnar scan path (parquet + orc;
@@ -515,6 +522,8 @@ object ChunkIO {
     import org.apache.hadoop.hive.ql.exec.vector._
     val reader = org.apache.orc.OrcFile.createReader(
       path, org.apache.orc.OrcFile.readerOptions(conf))
+    // close the file Reader alongside the RecordReader (see readOrcBatches)
+    try {
     val fileSchema = reader.getSchema
     val colIdx = schema.fields.map(f => fileSchema.getFieldNames.indexOf(f.name))
     colIdx.zip(schema.fields).foreach { case (i, f) =>
@@ -525,7 +534,10 @@ object ChunkIO {
     val batch = fileSchema.createRowBatch()
     new RowReader {
       private var closed = false
-      override def close(): Unit = if (!closed) { closed = true; rows.close() }
+      override def close(): Unit = if (!closed) {
+        closed = true
+        try rows.close() finally reader.close()
+      }
       private var pos = 0
       private var more = rows.nextBatch(batch)
       override def hasNext: Boolean = {
@@ -559,6 +571,7 @@ object ChunkIO {
         row
       }
     }
+    } catch { case t: Throwable => reader.close(); throw t }
   }
 
   private class OrcSink(path: Path, schema: StructType, conf: Configuration)

@@ -141,6 +141,90 @@ object GraphArQueries {
     base
   }
 
+  /** Build (once) a fixture exercising the two property primitives the
+    * main fixture lacks: `bool` and `date`, written through the CSV
+    * chunk codec (the least-covered decode path — parquet/orc are
+    * format-library-backed; CSV bool/date parsing is ours). Dates are
+    * derived from o_orderkey, NOT from the timestamp column, so both
+    * engines compute them with zero timezone sensitivity; a sliver of
+    * null dates exercises CSV null decode under a date filter.
+    */
+  def typedFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_typed_" +
+      Integer.toHexString(canonical.hashCode)
+    val base = s"/tmp/graft_graphar/$name"
+    val yaml = s"$base/TypedGraph.yaml"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return yaml
+    if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+    val rows = t(spark, sfDir, "orders").orderBy(col("o_orderkey")).select(
+      col("o_orderkey"),
+      (col("o_orderkey") % 3 === 0).as("flag"),
+      when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(date_add(lit(java.sql.Date.valueOf("1992-01-01")),
+          (col("o_orderkey") % 2000).cast("int"))).as("odate"),
+      col("o_totalprice"))
+    GraphArWriter.writeVertices(rows, base,
+      GraphArWriter.VertexSpec("Order", chunkSize = 512, fileType = "csv"),
+      groups = Seq("keys" -> Seq("o_orderkey", "o_totalprice"),
+        "typed" -> Seq("flag", "odate")))
+    GraphArWriter.writeGraphYaml(base, "TypedGraph", Seq("Order"), Seq.empty)
+    fs.create(marker, true).close()
+    yaml
+  }
+
+  /** Build (once) a fixture through the STREAMING delta-ingest sink
+    * ([[graft.streaming.GraphArSink.edgeDeltas]]): v0 from lineitem,
+    * then three micro-batches of deterministic lineitem-derived deltas
+    * streamed through a MemoryStream with `compactEvery = 2` — so the
+    * final state is one compacted snapshot (v1 = v0 ∪ d0 ∪ d1) PLUS one
+    * still-staged delta (d2), exercising both the compacted and the
+    * staged read path under the oracle.
+    */
+  def streamDeltaFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_sdelta_" +
+      Integer.toHexString(canonical.hashCode)
+    val base = s"/tmp/graft_graphar/$name"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return base
+    if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+    val v = GraphQueries.V
+    val li = t(spark, sfDir, "lineitem")
+    GraphArMutations.initEdges(spark, base,
+      li.select(expr(s"l_orderkey % $v").as("src"),
+        expr(s"l_partkey % $v").as("dst"),
+        col("l_quantity").as("quantity")),
+      "StreamGraph",
+      GraphArWriter.EdgeSpec("Part", "link", "Part",
+        srcVertexCount = v, dstVertexCount = v,
+        chunkSize = 2048, srcChunkSize = 1024, dstChunkSize = 1024))
+    // delta batch k: the l_orderkey % 101 = k slice, keys rescaled per
+    // batch — tiny (O(|lineitem|/101)) so driver-side addData is fine
+    def delta(k: Int): Seq[(Long, Long, Double)] =
+      li.filter(expr(s"l_orderkey % 101 = $k")).select(
+          expr(s"(l_orderkey * ${7 + k}) % $v"),
+          expr(s"(l_partkey * ${3 + k}) % $v"),
+          col("l_quantity") + 200 + k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    import spark.implicits._
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)](spark)
+    val q = graft.streaming.GraphArSink.edgeDeltas(
+      stream.toDF().toDF("src", "dst", "quantity"), base, compactEvery = 2)
+      .option("checkpointLocation", s"$base/_ckpt").start()
+    try {
+      (0 until 3).foreach { k =>
+        stream.addData(delta(k)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    fs.create(marker, true).close()
+    base
+  }
+
   def vertices(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.format("graphar").option("path", fixture(spark, sfDir))
       .option("type", "Part").load()
@@ -226,6 +310,22 @@ object GraphArQueries {
       GraphArMutations.currentEdgesOf(s, multiTypeFixture(s, d),
         "Part_ship_Part")
     },
+    // streaming delta ingest end-to-end: three micro-batches through the
+    // append-mode sink, folded view = snapshot ∪ staged log vs the
+    // oracle's union over the same deterministic slices
+    "ga_stream_delta" -> { (s, d) =>
+      GraphArMutations.currentEdges(s, streamDeltaFixture(s, d))
+    },
+    // bool + date properties round-tripped through CSV chunks with BOTH
+    // filters pushed (bool equality; date range compared as epoch-day
+    // ints per the GraphAr date encoding — PropFilters.norm)
+    "ga_typed_props" -> { (s, d) =>
+      s.read.format("graphar").option("path", typedFixture(s, d))
+        .option("type", "Order").load()
+        .filter(col("flag") === true &&
+          col("odate") >= lit(java.sql.Date.valueOf("1994-01-01")) &&
+          col("odate") < lit(java.sql.Date.valueOf("1995-01-01")))
+    },
     // change data feed: net multiset row diff v0 -> v2 of the mutation
     // history (inserts from the surviving delta, deletes from the
     // src%41 removal), one row per net copy
@@ -277,6 +377,33 @@ object GraphArQueries {
       s"""SELECT o_orderkey % ${GraphQueries.V} AS src,
          |  o_custkey % ${GraphQueries.V} AS dst, o_totalprice AS price
          |FROM orders WHERE (o_orderkey % ${GraphQueries.V}) % 53 <> 0""".stripMargin,
+    "ga_stream_delta" ->
+      s"""WITH base AS (SELECT l_orderkey % ${GraphQueries.V} AS src,
+         |    l_partkey % ${GraphQueries.V} AS dst, l_quantity AS quantity
+         |  FROM lineitem),
+         |d0 AS (SELECT (l_orderkey * 7) % ${GraphQueries.V} AS src,
+         |    (l_partkey * 3) % ${GraphQueries.V} AS dst, l_quantity + 200 AS quantity
+         |  FROM lineitem WHERE l_orderkey % 101 = 0),
+         |d1 AS (SELECT (l_orderkey * 8) % ${GraphQueries.V} AS src,
+         |    (l_partkey * 4) % ${GraphQueries.V} AS dst, l_quantity + 201 AS quantity
+         |  FROM lineitem WHERE l_orderkey % 101 = 1),
+         |d2 AS (SELECT (l_orderkey * 9) % ${GraphQueries.V} AS src,
+         |    (l_partkey * 5) % ${GraphQueries.V} AS dst, l_quantity + 202 AS quantity
+         |  FROM lineitem WHERE l_orderkey % 101 = 2)
+         |SELECT * FROM base UNION ALL SELECT * FROM d0
+         |UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2""".stripMargin,
+    "ga_typed_props" ->
+      s"""WITH v AS (
+         |  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS "_graphArVertexIndex",
+         |    o_orderkey, (o_orderkey % 3 = 0) AS flag,
+         |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+         |      ELSE DATE '1992-01-01' + CAST(o_orderkey % 2000 AS INTEGER)
+         |    END AS odate,
+         |    o_totalprice
+         |  FROM orders)
+         |SELECT "_graphArVertexIndex", o_orderkey, o_totalprice, flag, odate
+         |FROM v
+         |WHERE flag AND odate >= DATE '1994-01-01' AND odate < DATE '1995-01-01'""".stripMargin,
     "ga_changes" ->
       s"""WITH base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
          |    l_partkey % ${GraphQueries.V} AS d, l_quantity AS q FROM lineitem),

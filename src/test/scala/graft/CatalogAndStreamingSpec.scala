@@ -129,6 +129,35 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("catalog time travel: snapshot-pinned catalogs read v0 and LATEST of a versioned graph") {
+    import spark.implicits._
+    import graft.sources.graphar.{GraphArMutations, GraphArWriter}
+    val base = java.nio.file.Files.createTempDirectory("gar_cat_tt").toString
+    GraphArMutations.initEdges(spark, base,
+      Seq((0L, 1L, 1.0), (1L, 2L, 2.0)).toDF("src", "dst", "w"), "TT",
+      GraphArWriter.EdgeSpec("N", "link", "N",
+        srcVertexCount = 8, dstVertexCount = 8,
+        chunkSize = 4, srcChunkSize = 4, dstChunkSize = 4))
+    GraphArMutations.addEdges(spark, base,
+      Seq((2L, 3L, 3.0), (3L, 4L, 4.0), (4L, 5L, 5.0)).toDF("src", "dst", "w"))
+    // two pinned catalogs: ttv0 reads version 0, ttl follows LATEST
+    spark.conf.set("spark.sql.catalog.ttv0", "graft.catalog.GraphArCatalog")
+    spark.conf.set("spark.sql.catalog.ttv0.snapshotBase", base)
+    spark.conf.set("spark.sql.catalog.ttv0.snapshot", "0")
+    spark.conf.set("spark.sql.catalog.ttl", "graft.catalog.GraphArCatalog")
+    spark.conf.set("spark.sql.catalog.ttl.snapshotBase", base)
+    assert(spark.sql("SELECT count(*) AS n FROM ttv0.`N_link_N.edge`")
+      .collect()(0).getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) AS n FROM ttl.`N_link_N.edge`")
+      .collect()(0).getLong(0) === 5L)
+    // both versions joinable side by side in one statement
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM ttl.`N_link_N.edge` l
+        |LEFT ANTI JOIN ttv0.`N_link_N.edge` v
+        |ON l._graphArSrcIndex = v._graphArSrcIndex""".stripMargin)
+      .collect()(0).getLong(0) === 3L)
+  }
+
   test("streaming delta ingest: batches stage O(batch) deltas, periodic compaction folds them") {
     import spark.implicits._
     import graft.sources.graphar.{GraphArMutations, GraphArWriter}

@@ -253,7 +253,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("g_clustering: triangle join is equi-join based, aggregates partial") {
-    val df = graph.GraphQueries.queries("g_clustering")(spark, sf)
+    // eager = false: the production path materializes + checkpoints (so
+    // its caches can be released); the lazy variant exposes the same
+    // plan shape for inspection
+    val df = graph.GraphOps.clusteringCoefficients(
+      graph.GraphQueries.edgesFrom(spark, sf), eager = false)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

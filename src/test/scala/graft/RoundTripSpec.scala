@@ -55,6 +55,34 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  for (ft <- Seq("parquet", "csv", "orc")) {
+    test(s"$ft pushed filters on bool and date properties") {
+      val dir = Files.createTempDirectory(s"gar_tf_$ft").toString
+      GraphArWriter.writeVertices(sampleDf, dir,
+        GraphArWriter.VertexSpec("T", chunkSize = 40, fileType = ft),
+        groups = Seq("g1" -> Seq("b", "i32", "i64", "f"), "g2" -> Seq("d", "s", "dt")))
+      GraphArWriter.writeGraphYaml(dir, "G", Seq("T"), Seq.empty)
+      val back = spark.read.format("graphar")
+        .option("path", s"$dir/G.yaml").option("type", "T").load()
+      // bool equality: PropFilters compares Booleans directly; rows 0,2,...
+      assert(back.filter(col("b") === true).count() === 50)
+      assert(back.filter(col("b") === false)
+        .select(min(col("i32"))).collect()(0).getInt(0) === 1)
+      // date range: compared as epoch-day ints (the GraphAr date
+      // encoding) — chunk stats can skip whole files, the per-row test
+      // keeps residual exactness; ids 50..59 carry days 19050..19059
+      val dLo = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19050L))
+      val dHi = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19060L))
+      val dateSel = back.filter(col("dt") >= dLo && col("dt") < dHi)
+      assert(dateSel.select(col("i32")).collect().map(_.getInt(0)).sorted
+        === (50 until 60).toArray)
+      // combined bool AND date, crossing both property groups
+      assert(back.filter(col("b") === true && col("dt") >= dLo && col("dt") < dHi)
+        .select(col("i32")).collect().map(_.getInt(0)).sorted
+        === Array(50, 52, 54, 56, 58))
+    }
+  }
+
   test("orc full scan crosses the DSv2 boundary columnar, values match the row path") {
     val dir = Files.createTempDirectory("gar_orc_col").toString
     GraphArWriter.writeVertices(sampleDf, dir,
