@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.graph.{GraphArGraph, GraphOps, GraphQueries}
+import graft.sources.graphar.GraphArWriter
+
+/** Power-law (Zipf) stress benchmark — the skew twin of [[ScaleBench]]
+  * (which replicates UNIFORM data and therefore cannot falsify any skew
+  * defense). Generates a deterministic edge list whose endpoints follow
+  * a Zipf-tail: `rank = floor(V^u)` with `u` hash-uniform in (0,1] —
+  * sampling frequency ∝ 1/rank, which yields a degree DISTRIBUTION with
+  * exponent α ≈ 2 (P[deg = d] ∝ d⁻²), the classic social/web-graph
+  * shape. The natural head of the distribution is the hub: vertex 1
+  * absorbs ≈ ln2/lnV of every endpoint draw (≈ 4.5% at V = 4M), i.e. a
+  * ~550K-degree hub at 12M edges and ~5.5M at 60M — far past the point
+  * where a skew-oblivious plan dies.
+  *
+  * What each timing validates (or falsifies):
+  *  - `degrees` vs `degrees_salted`: partial-aggregation skew handling
+  *    of a single mega-key vs the explicit two-phase salt.
+  *  - `one_hop_hub` / `one_more_hop_hub`: CSR offset seek + dedup'd
+  *    frontier semantics anchored AT the hub.
+  *  - `two_hop_mid`: dup-preserving two-hop from a mid-tail vertex (the
+  *    hub's dup-preserving two-hop is semantically quadratic — no
+  *    engine can return 10¹⁰ rows; anchoring mid-tail is the honest
+  *    workload).
+  *  - `bfs_hub_to_tail`: frontier expansion THROUGH the hub (the level-1
+  *    frontier is the hub's whole neighborhood).
+  *  - `triangles` / `clustering`: the degree-ordered orientation bound —
+  *    under naive a<b orientation the id-0-adjacent hub fans out
+  *    (hubdeg choose 2) wedges (≈ 10¹¹ at 12M edges); degree order
+  *    makes the hub a wedge SINK. `naive_triangles` (opt-in arg) times
+  *    the a<b plan for the gap.
+  *  - iterative analytics (components / pagerank / sssp / kcore): O(V)
+  *    vectors with one mega-row vertex.
+  *
+  * Fixture is written once as a real GraphAr graph (the CSR writer
+  * itself is under skew: the hub's vertex chunk holds most of the edge
+  * table in one sort task). Args: [edgesMillions] [reps] [naive_triangles].
+  */
+object ZipfBench {
+  def main(args: Array[String]): Unit = {
+    val millions = args.headOption.map(_.toInt).getOrElse(12)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val naive = args.contains("naive_triangles")
+    val spark = SparkSession.builder()
+      .appName("graft-zipf-bench").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val V = 4000000L
+    val E = millions * 1000000L
+    val base = s"/tmp/graft_graphar/zipf_${millions}m"
+    val yaml = s"$base/ZipfGraph.yaml"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+      // u in (0, 1]: hashed edge id -> 1e9 buckets; rank = floor(V^u)
+      def u(seed: Int) =
+        (pmod(xxhash64(col("id"), lit(seed)), lit(1000000000L)).cast("double")
+          + lit(1.0)) / lit(1.0e9)
+      def zipf(seed: Int) =
+        least(lit(V - 1), greatest(lit(1L),
+          floor(pow(lit(V.toDouble), u(seed))).cast("long")))
+      val edges = spark.range(E).select(
+        zipf(0x5eed1).as("src"), zipf(0x5eed2).as("dst"))
+      val n = GraphArWriter.writeEdges(edges, base,
+        GraphArWriter.EdgeSpec("Node", "link", "Node",
+          srcVertexCount = V, dstVertexCount = V,
+          chunkSize = 1 << 18, srcChunkSize = 1 << 13, dstChunkSize = 1 << 13))
+      GraphArWriter.writeGraphYaml(base, "ZipfGraph", Seq.empty, Seq("Node_link_Node"))
+      fs.create(marker, true).close()
+      println(s"ZIPF built $n edges at $base")
+    }
+
+    val g = GraphArGraph(spark, yaml)
+    val e = g.edges("Node", "link", "Node")
+    val es = g.edgesStd("Node", "link", "Node")
+
+    def time(label: String)(f: => Any): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"ZIPF $label best=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+
+    // the hub and a mid-tail anchor, measured not assumed
+    val hub = GraphOps.degrees(es).orderBy(col("degree").desc).limit(1)
+      .collect()(0)
+    val hubId = hub.getLong(1)
+    val hubDeg = hub.getLong(0)
+    val midId = GraphOps.degrees(es)
+      .filter(col("degree").between(50, 200)).orderBy(col("grapharId"))
+      .limit(1).collect()(0).getLong(1)
+    println(s"ZIPF hub=$hubId out_degree=$hubDeg mid=$midId V=$V E=$E")
+
+    time("edge_count")(e.count())
+    time("degrees")(GraphOps.degrees(es).count())
+    time("degrees_salted")(GraphOps.degreesSalted(es).count())
+    time("max_degree")(g.maxDegree("Node", "link", "Node").collect())
+    time("degree_distribution")(g.degreeDistribution("Node", "link", "Node").count())
+    time("one_hop_hub")(e.filter(col("_graphArSrcIndex") === hubId).count())
+    time("one_more_hop_hub")(GraphOps.oneMoreHop(es, hubId).count())
+    time("two_hop_mid")(GraphOps.twoHop(es, midId).count())
+    time("bfs_hub_to_tail")(GraphOps.bfsLength(spark, es, hubId, V - 2, 10))
+    val esP = es.persist()
+    esP.count()
+    time("connected_components")(GraphOps.connectedComponents(spark, esP).count())
+    time("pagerank_10iter")(GraphOps.pageRank(spark, esP, iters = 10).count())
+    time("sssp_8iter")(GraphOps.sssp(spark,
+      esP.withColumn("w", lit(1L)), hubId).count())
+    time("kcore_k20")(GraphOps.kCore(spark, esP, 20).count())
+    time("triangles")(GraphOps.triangleCount(esP).collect())
+    time("clustering_coef")(GraphOps.clusteringCoefficients(esP).count())
+    if (naive) {
+      // the unprotected plan: canonical a<b orientation, hub fans out
+      val und = esP.select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val w = und.select(col("a").as("x"), col("b").as("u"))
+        .join(und.select(col("a").as("x"), col("b").as("w")), "x")
+        .filter(col("u") < col("w"))
+      time("naive_triangles")(
+        w.join(und.select(col("a").as("u"), col("b").as("w")), Seq("u", "w"))
+          .count())
+    }
+    esP.unpersist()
+    spark.stop()
+  }
+}

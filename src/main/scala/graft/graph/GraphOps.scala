@@ -402,25 +402,98 @@ object GraphOps {
     ranks
   }
 
-  /** Connected components over the UNDIRECTED closure of the edge set,
-    * via min-label propagation: every vertex starts labeled with its own
-    * id; each iteration every vertex takes the min of its own and its
-    * neighbors' labels; fixpoint = component = min vertex id reachable.
-    * All-integer mins → deterministic and oracle-checkable.
+  /** Connected components over the UNDIRECTED closure of the edge set:
+    * min-label propagation over a STATIC, src-partitioned edge table,
+    * accelerated with pointer jumping. Each round:
+    *  1. propagate: l(v) ← min(l(v), min over neighbors u of l(u)) —
+    *     one join of the cached edge table (pre-partitioned on the join
+    *     key, so it is scanned in place and only the O(V) label vector
+    *     shuffles) + a map-side-combinable min;
+    *  2. jump: l(v) ← min(l(v), l(l(v))) — labels joined against
+    *     themselves (label values are vertex ids of the same component,
+    *     so l(l(v)) resolves and stays inside the component). Path
+    *     doubling: label chains halve per round, so high-diameter
+    *     components converge in O(log d) rounds instead of O(d).
+    * Fixpoint: labels constant along every edge ⇒ one label per
+    * component, and since label values are always ids FROM the component
+    * (min id only ever keeps itself), that label is the component's min
+    * vertex id — deterministic, oracle-checkable.
     *
-    * Scale notes: one shuffle join + one map-side-combinable min per
-    * iteration, O(diameter) iterations, labels checkpointed per round
-    * (lineage stays flat). For graphs with extreme diameters the
-    * star-contraction family converges in O(log d) rounds at the cost of
-    * mutating the edge set — label propagation keeps the edge table
-    * static (scan-friendly: it can stay bucketed by src across every
-    * iteration).
+    * Design note, measured not assumed (docs/SCALE.md round 5): the
+    * alternating large-star/small-star contraction (Kiveris et al.) was
+    * implemented and benchmarked as an alternative — 54 s vs 28 s here
+    * on the uniform 60M-edge fixture, because each phase re-shuffles and
+    * re-distincts the full edge multiset while this shape keeps the edge
+    * table static and moves only O(V) labels per round. Delta/frontier
+    * propagation was also measured (65 s): unlike BFS, min-label
+    * change-sets do NOT shrink geometrically mid-convergence.
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
                           maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    // LOCAL CONTRACTION first (the two-level / FastSV-style shape): each
+    // partition runs an in-memory union-find over ITS slice of the edge
+    // set — one embarrassingly-parallel pass, no shuffle — and emits a
+    // (vertex, local-root) mapping. Local roots are per-slice component
+    // minima, so the global component minimum is its own root in every
+    // slice it touches. The iterative phase then runs on the CONTRACTED
+    // graph (each vertex links its local roots to their minimum), which
+    // is typically 5-10× smaller than the raw undirected edge set —
+    // that factor multiplies into every propagation round.
+    val canon = undirectedSimple(edges)
+    val mapping = canon.select(col("a"), col("b")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet().iterator().asScala.map(v => (v, find(v)))
+      }.toDF("v", "r")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // a vertex split across slices stitches its local roots together:
+    // star edges from each root to the vertex's minimum root. collect_set
+    // is bounded by the partition count per vertex, never by degree.
+    val contracted = mapping.groupBy(col("v"))
+      .agg(min(col("r")).as("rm"), collect_set(col("r")).as("rs"))
+      .select(explode(col("rs")).as("src"), col("rm").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val rootLabels = labelPropagate(spark, contracted, maxIter)
+    // expand: every vertex takes its (unique) component via any of its
+    // local roots; roots with no cross-slice edge label themselves
+    val out = mapping
+      .join(rootLabels.withColumnRenamed("v", "r"), Seq("r"), "left")
+      .groupBy(col("v"))
+      .agg(min(coalesce(col("component"), col("r"))).as("component"))
+      .select(col("v"), col("component"))
+      .localCheckpoint(true)
+    mapping.unpersist(blocking = false)
+    out
+  }
+
+  /** Min-label propagation + pointer jumping over (src, dst) edges —
+    * the iterative core of [[connectedComponents]], run on the
+    * contracted root graph. See connectedComponents for semantics.
+    */
+  private def labelPropagate(spark: SparkSession, edges: DataFrame,
+                             maxIter: Int): DataFrame = {
+    // distinct() leaves the table hash-partitioned on (src, dst); the
+    // per-round join is on src ALONE, so without this repartition every
+    // round would re-shuffle the whole O(E) edge table out of cache
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
@@ -431,20 +504,24 @@ object GraphOps {
       iter += 1
       val prop = und.join(labels, und("src") === labels("v"))
         .select(col("dst").as("v"), col("label"))
-      val next = labels.unionAll(prop)
+      val stepped = labels.unionAll(prop)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
+      val next = stepped
+        .join(stepped.select(col("v").as("pv"), col("label").as("pl")),
+          col("label") === col("pv"))
+        .select(col("v"), least(col("label"), col("pl")).as("label"))
         .localCheckpoint(false) // lazy: the changed-count job materializes it
-      changed = next.as("n")
+      changed = next
         .join(labels.withColumnRenamed("label", "old"), "v")
         .filter(col("label") < col("old")).count()
       labels = next
     }
     und.unpersist(blocking = false)
-    // labels move one hop per iteration, so a component with diameter >
-    // maxIter would silently come back WRONG — fail loudly instead
+    // a non-converged labeling would silently come back WRONG — fail
+    // loudly instead (with jumping, rounds ~ log2(diameter))
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations " +
-        "(a component's diameter exceeds it) — raise maxIter")
+        "(a component's diameter vastly exceeds 2^$maxIter) — raise maxIter")
     labels.select(col("v"), col("label").as("component"))
   }
 
@@ -462,7 +539,10 @@ object GraphOps {
     */
   def sssp(spark: SparkSession, edges: DataFrame, source: Long,
            iters: Int = 8): DataFrame = {
+    // pre-partition on the per-round join key so the static edge table
+    // is never re-shuffled across iterations (see connectedComponents)
     val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = spark.range(1)
       .select(lit(source).cast("long").as("v"), lit(0L).as("d"))
@@ -500,11 +580,15 @@ object GraphOps {
     */
   def kCore(spark: SparkSession, edges: DataFrame, k: Int,
             rounds: Int = 6): DataFrame = {
+    // pre-partitioned on dst: the per-round removal join keys on dst, so
+    // the cached edge table is scanned in place even when round 1's
+    // removal set is too big for AQE's broadcast conversion
     val und = edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .unionAll(edges.filter(col("src") =!= col("dst"))
         .select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // (v, deg) over alive vertices; deg = degree in the alive-induced
     // subgraph, maintained incrementally
