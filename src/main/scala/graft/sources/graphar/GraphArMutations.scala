@@ -177,6 +177,96 @@ object GraphArMutations {
     commitEdgesOf(spark, base, edgeName, cur => cur.unionByName(delta),
       newVertexCount)
 
+  /** Bootstrap a versioned FULL graph — vertex types AND edge types in
+    * one snapshot lineage. Each vertex entry: (rows with property
+    * columns, its spec, the orderCol whose sort derives the vertex
+    * index). Each edge entry: (edge table with (src, dst, props...)
+    * columns, its spec). Commits `base/v0` and LATEST; mutate per-table
+    * afterwards with [[commitEdgesOf]] / [[commitVerticesOf]] — each
+    * commit rewrites ONE table and references the rest zero-copy.
+    */
+  def initGraph(spark: SparkSession, base: String, graphName: String,
+                vertexTables: Seq[(DataFrame, GraphArWriter.VertexSpec, String)],
+                edgeTables: Seq[(DataFrame, GraphArWriter.EdgeSpec)]): Long = {
+    val existing = GraphArSink.versions(spark, base)
+    require(existing.isEmpty,
+      s"$base already holds versions [${existing.mkString(", ")}] — " +
+        "init would repoint LATEST backwards")
+    require(vertexTables.nonEmpty || edgeTables.nonEmpty, "empty graph")
+    val vNames = vertexTables.map(_._2.vertexType)
+    val eNames = edgeTables.map(_._2.name)
+    require(vNames.distinct == vNames, s"duplicate vertex types: $vNames")
+    require(eNames.distinct == eNames, s"duplicate edge-type names: $eNames")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = s"$base/v0"
+    vertexTables.foreach { case (df, spec, orderCol) =>
+      GraphArWriter.writeVertices(df.orderBy(orderCol), dir, spec)
+    }
+    edgeTables.foreach { case (df, spec) => GraphArWriter.writeEdges(df, dir, spec) }
+    val yaml = GraphArWriter.writeGraphYaml(dir, graphName, vNames, eNames, conf)
+    GraphArSink.commitLatest(base, yaml, conf)
+    0L
+  }
+
+  /** Copy-on-write commit of ONE vertex type in a multi-type graph:
+    * rewrites that type's table into v(N+1) (re-sorted by `orderCol`, so
+    * the synthetic index is re-derived), references every other vertex
+    * type's and every edge type's data unchanged, repoints LATEST.
+    *
+    * Index-stability caveat: edge tables store vertex INDEXES. A mutate
+    * that only updates property values of existing keys keeps every
+    * index stable (row order is the orderCol sort), so edges stay
+    * consistent. A mutate that inserts or removes keys SHIFTS the
+    * indexes after the insertion point — edges referencing the old
+    * numbering belong to the old snapshot, and the caller owns
+    * re-deriving them (same contract as [[commitVertices]]).
+    */
+  def commitVerticesOf(spark: SparkSession, base: String, vertexType: String,
+                       mutate: DataFrame => DataFrame, orderCol: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val curYaml = GraphArSink.latestYaml(spark, base)
+    require(curYaml != null, s"no committed snapshot under $base — initGraph first")
+    val info = GraphArMeta.loadGraph(curYaml, conf)
+    val v = info.vertices.find(_.vertexType == vertexType).getOrElse(
+      throw new IllegalArgumentException(s"no vertex type '$vertexType' in " +
+        s"${info.name}; has [${info.vertices.map(_.vertexType).mkString(", ")}]"))
+    val cur = spark.read.format("graphar").option("path", curYaml)
+      .option("type", vertexType).load()
+      .drop(GraphArMeta.VertexIndexCol)
+    val spec = GraphArWriter.VertexSpec(vertexType, v.chunkSize,
+      v.propertyGroups.headOption.map(_.fileType).getOrElse("parquet"))
+    val next = GraphArSink.versions(spark, base).max + 1
+    val dir = s"$base/v$next"
+    GraphArWriter.writeVertices(mutate(cur).orderBy(orderCol), dir, spec)
+    info.vertices.filterNot(_.vertexType == vertexType).foreach { o =>
+      referenceYaml(new Path(o.baseDir, s"${o.vertexType}.vertex.yaml"),
+        new Path(dir, s"${o.vertexType}.vertex.yaml"), o.dir, conf)
+    }
+    info.edges.foreach { e =>
+      referenceYaml(new Path(e.baseDir, s"${e.name}.edge.yaml"),
+        new Path(dir, s"${e.name}.edge.yaml"), e.dir, conf)
+    }
+    val yaml = GraphArWriter.writeGraphYaml(dir, info.name,
+      info.vertices.map(_.vertexType), info.edges.map(_.name), conf)
+    GraphArSink.commitLatest(base, yaml, conf)
+    next
+  }
+
+  /** Property upsert of one vertex type in a multi-type graph — same
+    * key contract as [[upsertVertices]].
+    */
+  def upsertVerticesOf(spark: SparkSession, base: String, vertexType: String,
+                       updates: DataFrame, orderCol: String): Long = {
+    val Array(n, uniq) = updates.agg(count(lit(1)), countDistinct(col(orderCol)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == uniq,
+      s"updates frame has ${n - uniq} duplicate '$orderCol' keys — " +
+        "pre-reduce to one row per key")
+    commitVerticesOf(spark, base, vertexType, cur =>
+      cur.join(updates.select(col(orderCol)), Seq(orderCol), "left_anti")
+        .unionByName(updates), orderCol)
+  }
+
   /** Remove (src, dst) keys from one type of a multi-type graph. */
   def removeEdgesOf(spark: SparkSession, base: String, edgeName: String,
                     keys: DataFrame): Long =

@@ -225,6 +225,42 @@ object GraphArQueries {
     base
   }
 
+  /** Build (once) a versioned FULL graph (Part vertices + link edges in
+    * ONE snapshot lineage) and commit a vertex-table mutation: v0 =
+    * part-table vertices + lineitem edges; v1 = upsert doubling
+    * p_retailprice where p_size > 40 (property-only — key set unchanged,
+    * so vertex indexes stay stable and the edge table, served zero-copy
+    * from v0, remains consistent).
+    */
+  def fullGraphFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_full_" +
+      Integer.toHexString(canonical.hashCode)
+    val base = s"/tmp/graft_graphar/$name"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return base
+    if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+    val v = GraphQueries.V
+    val part = t(spark, sfDir, "part")
+    val edges = t(spark, sfDir, "lineitem").select(
+      expr(s"l_orderkey % $v").as("src"),
+      expr(s"l_partkey % $v").as("dst"),
+      col("l_quantity").as("quantity"))
+    GraphArMutations.initGraph(spark, base, "FullGraph",
+      vertexTables = Seq((part,
+        GraphArWriter.VertexSpec("Part", chunkSize = 512), "p_partkey")),
+      edgeTables = Seq((edges,
+        GraphArWriter.EdgeSpec("Part", "link", "Part",
+          srcVertexCount = v, dstVertexCount = v,
+          chunkSize = 2048, srcChunkSize = 1024, dstChunkSize = 1024))))
+    GraphArMutations.upsertVerticesOf(spark, base, "Part",
+      part.filter(col("p_size") > 40)
+        .withColumn("p_retailprice", col("p_retailprice") * 2), "p_partkey")
+    fs.create(marker, true).close()
+    base
+  }
+
   def vertices(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.format("graphar").option("path", fixture(spark, sfDir))
       .option("type", "Part").load()
@@ -310,6 +346,12 @@ object GraphArQueries {
       GraphArMutations.currentEdgesOf(s, multiTypeFixture(s, d),
         "Part_ship_Part")
     },
+    // vertex-table commit in a FULL (vertices + edges) versioned graph:
+    // LATEST reflects the upsert, indexes stable (property-only mutate)
+    "ga_vertex_mutate" -> { (s, d) =>
+      s.read.format("graphar").option("snapshotBase", fullGraphFixture(s, d))
+        .option("type", "Part").load()
+    },
     // streaming delta ingest end-to-end: three micro-batches through the
     // append-mode sink, folded view = snapshot ∪ staged log vs the
     // oracle's union over the same deterministic slices
@@ -377,6 +419,12 @@ object GraphArQueries {
       s"""SELECT o_orderkey % ${GraphQueries.V} AS src,
          |  o_custkey % ${GraphQueries.V} AS dst, o_totalprice AS price
          |FROM orders WHERE (o_orderkey % ${GraphQueries.V}) % 53 <> 0""".stripMargin,
+    "ga_vertex_mutate" ->
+      s"""SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS "_graphArVertexIndex",
+         |  p_partkey, p_name, p_brand, p_type, p_size,
+         |  CASE WHEN p_size > 40 THEN p_retailprice * 2 ELSE p_retailprice END
+         |    AS p_retailprice
+         |FROM part""".stripMargin,
     "ga_stream_delta" ->
       s"""WITH base AS (SELECT l_orderkey % ${GraphQueries.V} AS src,
          |    l_partkey % ${GraphQueries.V} AS dst, l_quantity AS quantity

@@ -323,6 +323,49 @@ class MultiTypeMutationSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.maxStagedDeltas")
   }
 
+  test("full graph: vertex-type commit rewrites one table, references vertices AND edges") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = Files.createTempDirectory("gar_full").toString
+    val people = (0L until 10L).map(i => (i, s"p$i", i * 10.0)).toDF("pid", "pname", "score")
+    GraphArMutations.initGraph(spark, base, "Full",
+      vertexTables = Seq((people,
+        GraphArWriter.VertexSpec("Person", chunkSize = 4), "pid")),
+      edgeTables = Seq((edgeDf(knows0), spec("knows"))))
+    // property-only upsert: key set unchanged -> vertex indexes stable
+    val v = GraphArMutations.upsertVerticesOf(spark, base, "Person",
+      Seq((3L, "p3", 999.0), (7L, "p7", 777.0)).toDF("pid", "pname", "score"), "pid")
+    assert(v == 1L)
+    val yaml = GraphArSink.latestYaml(spark, base)
+    val back = spark.read.format("graphar").option("path", yaml)
+      .option("type", "Person").load()
+    assert(back.filter(col("pid") === 3L).collect()(0).getAs[Double]("score") === 999.0)
+    assert(back.filter(col("pid") === 0L).collect()(0).getAs[Double]("score") === 0.0)
+    // index stability under property-only upsert
+    assert(back.filter(col("pid") === 7L).collect()(0)
+      .getAs[Long]("_graphArVertexIndex") === 7L)
+    // the edge table is served by zero-copy reference — no copy under v1
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(base).getFileSystem(conf)
+    assert(!fs.exists(new Path(s"$base/v1/edge/Person_knows_Person")))
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_knows_Person"))
+      == knows0.sorted)
+    // edge commit on the same graph references the vertex table back
+    val v2 = GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
+      edgeDf(Seq((17L, 18L))))
+    assert(v2 == 2L)
+    assert(!fs.exists(new Path(s"$base/v2/vertex/Person")))
+    val back2 = spark.read.format("graphar")
+      .option("path", GraphArSink.latestYaml(spark, base))
+      .option("type", "Person").load()
+    assert(back2.filter(col("pid") === 3L).collect()(0).getAs[Double]("score") === 999.0)
+    // time travel: v0 still serves the original property values
+    val v0 = spark.read.format("graphar")
+      .option("snapshotBase", base).option("snapshot", "0")
+      .option("type", "Person").load()
+    assert(v0.filter(col("pid") === 3L).collect()(0).getAs[Double]("score") === 30.0)
+  }
+
   test("prune keeps a version dir that a kept version still references") {
     val base = freshGraph()
     GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
