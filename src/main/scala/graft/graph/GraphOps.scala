@@ -546,14 +546,33 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = spark.range(1)
       .select(lit(source).cast("long").as("v"), lit(0L).as("d"))
+    // FRONTIER relaxation — per-round results identical to full
+    // Bellman-Ford (an unchanged u's d(u)+w term was already folded into
+    // d(v) the round u last changed; min is monotone), so the unrolled
+    // oracle is untouched — but each round relaxes only the out-edges of
+    // vertices whose distance improved, and small frontiers broadcast
+    // (the BFS shape). Early exit on an empty frontier is a no-op
+    // tail-cut: further rounds could not change anything.
+    var frontier = dist
+    var frontierSize = 1L
     var i = 0
-    while (i < iters) {
+    while (i < iters && frontierSize > 0) {
       i += 1
-      val relaxed = dist.join(e, dist("v") === e("src"))
-        .select(e("dst").as("v"), (dist("d") + e("w")).as("d"))
-      dist = dist.unionAll(relaxed)
+      val f = frontSide(
+        frontier.select(col("v").as("u"), col("d").as("du")), frontierSize)
+      val relaxed = f.join(e, col("u") === e("src"))
+        .select(e("dst").as("v"), (col("du") + e("w")).as("d"))
+      val next = dist.unionAll(relaxed)
         .groupBy(col("v")).agg(min(col("d")).as("d"))
-        .localCheckpoint(i == iters) // lazy mid-stream; eager on the last
+        .localCheckpoint(false) // lazy: the frontier-count job materializes it
+      val changed = next
+        .join(dist.withColumnRenamed("d", "old"), Seq("v"), "left")
+        .filter(col("old").isNull || col("d") < col("old"))
+        .select(col("v"), col("d"))
+        .localCheckpoint(false)
+      frontierSize = changed.count()
+      frontier = changed
+      dist = next
     }
     e.unpersist(blocking = false)
     dist.select(col("v"), col("d").as("dist"))
