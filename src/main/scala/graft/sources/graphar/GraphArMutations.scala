@@ -226,6 +226,12 @@ object GraphArMutations {
     val conf = spark.sessionState.newHadoopConf()
     val curYaml = GraphArSink.latestYaml(spark, base)
     require(curYaml != null, s"no committed snapshot under $base — initGraph first")
+    // same reorder hazard as edge commits: a snapshot commit under a
+    // staged per-type log would have the staged upserts re-apply on top
+    require(compacting.get() ||
+      liveVertexDeltasIn(spark, base, Some(vertexType)).isEmpty,
+      s"staged vertex deltas pending for $vertexType under $base — " +
+        "compactVertexDeltasOf (or discard the vdelta dirs) first")
     val info = GraphArMeta.loadGraph(curYaml, conf)
     val v = info.vertices.find(_.vertexType == vertexType).getOrElse(
       throw new IllegalArgumentException(s"no vertex type '$vertexType' in " +
@@ -981,6 +987,32 @@ object GraphArMutations {
   // only — indexes materialize at compaction, when commitVertices
   // re-sorts by orderCol.
 
+  /** Per-type vertex logs live under `base/vdelta/<Type>/`; the
+    * single-type log keeps the flat `base/vdelta/` layout. A vertex
+    * type named like `d<digits>` would collide with the flat layout's
+    * entries, so per-type staging rejects that form.
+    */
+  private def vdeltaRoot(base: String, vertexType: Option[String]): String = {
+    vertexType.foreach(t => require(!t.matches("d\\d+"),
+      s"vertex type '$t' collides with the delta-dir naming scheme"))
+    vertexType.fold(s"$base/vdelta")(t => s"$base/vdelta/$t")
+  }
+
+  /** The named vertex type (or the single type when None) of LATEST. */
+  private def resolveVertexIn(spark: SparkSession, base: String,
+                              vertexType: Option[String],
+                              conf: org.apache.hadoop.conf.Configuration): graft.meta.VertexInfo =
+    vertexType match {
+      case None => resolveVertex(spark, base, conf)
+      case Some(n) =>
+        val curYaml = GraphArSink.latestYaml(spark, base)
+        require(curYaml != null, s"no committed snapshot under $base — init first")
+        val info = GraphArMeta.loadGraph(curYaml, conf)
+        info.vertices.find(_.vertexType == n).getOrElse(
+          throw new IllegalArgumentException(s"no vertex type '$n' in " +
+            s"${info.name}; has [${info.vertices.map(_.vertexType).mkString(", ")}]"))
+    }
+
   /** Stage a vertex delta: `upserts` rows (full property schema; same-
     * key rows replace, novel keys append) and/or `removeKeys` (orderCol
     * values), applied in that order within one delta. `orderCol` is
@@ -989,10 +1021,29 @@ object GraphArMutations {
   def stageVertexDelta(spark: SparkSession, base: String, orderCol: String,
                        upserts: Option[DataFrame] = None,
                        removeKeys: Option[DataFrame] = None,
-                       seq: Option[Long] = None): Long = synchronized {
+                       seq: Option[Long] = None): Long =
+    stageVertexDeltaIn(spark, base, None, orderCol, upserts, removeKeys, seq)
+
+  /** Stage a vertex delta against ONE type of a multi-type graph. Each
+    * type has its own log (`base/vdelta/<Type>/`), staged and compacted
+    * independently — the vertex twin of [[stageDeltaOf]].
+    */
+  def stageVertexDeltaOf(spark: SparkSession, base: String, vertexType: String,
+                         orderCol: String,
+                         upserts: Option[DataFrame] = None,
+                         removeKeys: Option[DataFrame] = None,
+                         seq: Option[Long] = None): Long =
+    stageVertexDeltaIn(spark, base, Some(vertexType), orderCol, upserts,
+      removeKeys, seq)
+
+  private def stageVertexDeltaIn(spark: SparkSession, base: String,
+                                 vertexType: Option[String], orderCol: String,
+                                 upserts: Option[DataFrame],
+                                 removeKeys: Option[DataFrame],
+                                 seq: Option[Long]): Long = synchronized {
     require(upserts.nonEmpty || removeKeys.nonEmpty, "empty delta")
     val conf = spark.sessionState.newHadoopConf()
-    val v = resolveVertex(spark, base, conf)
+    val v = resolveVertexIn(spark, base, vertexType, conf)
     val props = v.propertyGroups.flatMap(_.properties.map(_.name)).toSet
     require(props.contains(orderCol),
       s"orderCol '$orderCol' is not a property of ${v.vertexType} " +
@@ -1013,15 +1064,15 @@ object GraphArMutations {
     }
     removeKeys.foreach(df => require(df.columns.contains(orderCol),
       s"removeKeys must carry the '$orderCol' key column"))
-    val staged = stagedVertexDeltas(spark, base)
+    val root = vdeltaRoot(base, vertexType)
+    val staged = stagedDeltasIn(spark, root)
     // consistency vs the LIVE log only — a dead leftover from a crashed
     // compaction must not veto a fresh log under a different key
-    liveVertexDeltas(spark, base).headOption.foreach { k =>
-      val prior = readOrderCol(spark, base, k, conf)
+    liveVertexDeltasIn(spark, base, vertexType).headOption.foreach { k =>
+      val prior = readOrderCol(root, k, conf)
       require(prior == orderCol,
         s"log already staged under orderCol '$prior'; got '$orderCol'")
     }
-    val root = s"$base/vdelta"
     val fs = new Path(root).getFileSystem(conf)
     if (seq.exists(staged.contains)) return seq.get  // replay: no-op
     // durable replay watermark — same hazard and protocol as the edge
@@ -1046,21 +1097,31 @@ object GraphArMutations {
     // same read-degradation bound as the edge log
     val cap = spark.conf.getOption("spark.graft.maxStagedDeltas")
       .map(_.toInt).getOrElse(32)
-    if (cap > 0 && liveVertexDeltas(spark, base).size >= cap)
-      compactVertexDeltas(spark, base)
+    if (cap > 0 && liveVertexDeltasIn(spark, base, vertexType).size >= cap)
+      compactVertexDeltasIn(spark, base, vertexType)
     next
   }
 
   /** Live (non-superseded) vertex deltas — see [[liveDeltasIn]]. */
-  private def liveVertexDeltas(spark: SparkSession, base: String): Seq[Long] = {
+  private def liveVertexDeltas(spark: SparkSession, base: String): Seq[Long] =
+    liveVertexDeltasIn(spark, base, None)
+
+  private def liveVertexDeltasIn(spark: SparkSession, base: String,
+                                 vertexType: Option[String]): Seq[Long] = {
     val conf = spark.sessionState.newHadoopConf()
-    val v = resolveVertex(spark, base, conf)
-    liveDeltasIn(spark, s"$base/vdelta", rewriteVersionOf(v.dir), conf)
+    val v = resolveVertexIn(spark, base, vertexType, conf)
+    liveDeltasIn(spark, vdeltaRoot(base, vertexType),
+      rewriteVersionOf(v.dir), conf)
   }
 
   /** Committed vertex-delta sequence numbers, ascending. */
   def stagedVertexDeltas(spark: SparkSession, base: String): Seq[Long] =
     stagedDeltasIn(spark, s"$base/vdelta")
+
+  /** Committed vertex-delta sequence numbers of one type's log. */
+  def stagedVertexDeltasOf(spark: SparkSession, base: String,
+                           vertexType: String): Seq[Long] =
+    stagedDeltasIn(spark, vdeltaRoot(base, Some(vertexType)))
 
   /** The vertex table's PROPERTY columns as of LATEST snapshot + every
     * staged vertex delta folded in sequence (within a delta: upserts,
@@ -1068,19 +1129,28 @@ object GraphArMutations {
     * and only exists in committed snapshots; sort by the orderCol and
     * `row_number() - 1` if a provisional index is needed.
     */
-  def currentVertices(spark: SparkSession, base: String): DataFrame = {
+  def currentVertices(spark: SparkSession, base: String): DataFrame =
+    currentVerticesIn(spark, base, None)
+
+  /** One vertex type of a multi-type graph, folded with ITS staged log. */
+  def currentVerticesOf(spark: SparkSession, base: String,
+                        vertexType: String): DataFrame =
+    currentVerticesIn(spark, base, Some(vertexType))
+
+  private def currentVerticesIn(spark: SparkSession, base: String,
+                                vertexType: Option[String]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val v = resolveVertex(spark, base, conf)
+    val v = resolveVertexIn(spark, base, vertexType, conf)
     val snap = spark.read.format("graphar")
       .option("path", GraphArSink.latestYaml(spark, base))
       .option("type", v.vertexType).load()
       .drop(GraphArMeta.VertexIndexCol)
-    val staged = liveDeltasIn(spark, s"$base/vdelta",
-      rewriteVersionOf(v.dir), conf)
-    val orderCol = staged.headOption.map(k => readOrderCol(spark, base, k, conf))
+    val root = vdeltaRoot(base, vertexType)
+    val staged = liveDeltasIn(spark, root, rewriteVersionOf(v.dir), conf)
+    val orderCol = staged.headOption.map(k => readOrderCol(root, k, conf))
     val fs = new Path(base).getFileSystem(conf)
     staged.foldLeft(snap) { (cur, k) =>
-      val dir = s"$base/vdelta/d$k"
+      val dir = s"$root/d$k"
       val key = orderCol.get
       val withUps =
         if (fs.exists(new Path(s"$dir/upserts"))) {
@@ -1098,30 +1168,46 @@ object GraphArMutations {
     * rewrite, index re-derived from the recorded orderCol sort), then
     * retire the log. Returns the new version, or -1 if nothing staged.
     */
-  def compactVertexDeltas(spark: SparkSession, base: String): Long = synchronized {
+  def compactVertexDeltas(spark: SparkSession, base: String): Long =
+    compactVertexDeltasIn(spark, base, None)
+
+  /** Fold one vertex type's staged log into a new snapshot (only that
+    * type's table rewrites — everything else referenced zero-copy via
+    * [[commitVerticesOf]]), then retire that log.
+    */
+  def compactVertexDeltasOf(spark: SparkSession, base: String,
+                            vertexType: String): Long =
+    compactVertexDeltasIn(spark, base, Some(vertexType))
+
+  private def compactVertexDeltasIn(spark: SparkSession, base: String,
+                                    vertexType: Option[String]): Long = synchronized {
     val conf = spark.sessionState.newHadoopConf()
+    val root = vdeltaRoot(base, vertexType)
     val fs = new Path(base).getFileSystem(conf)
-    val all = stagedVertexDeltas(spark, base)
-    val live = liveVertexDeltas(spark, base)
+    val all = stagedDeltasIn(spark, root)
+    val live = liveVertexDeltasIn(spark, base, vertexType)
     // watermark must cover every dir this compaction may delete (see
     // compactDeltasIn)
-    all.sorted.lastOption.foreach(advanceMaxSeq(s"$base/vdelta", _, conf))
+    all.sorted.lastOption.foreach(advanceMaxSeq(root, _, conf))
     // leftovers of a compaction that crashed between commit and cleanup
-    all.diff(live).foreach(k => fs.delete(new Path(s"$base/vdelta/d$k"), true))
+    all.diff(live).foreach(k => fs.delete(new Path(s"$root/d$k"), true))
     if (live.isEmpty) return -1L
-    val orderCol = readOrderCol(spark, base, live.head, conf)
-    val folded = currentVertices(spark, base)
+    val orderCol = readOrderCol(root, live.head, conf)
+    val folded = currentVerticesIn(spark, base, vertexType)
     compacting.set(true)
     val v =
-      try commitVertices(spark, base, _ => folded, orderCol)
+      try vertexType match {
+        case None => commitVertices(spark, base, _ => folded, orderCol)
+        case Some(n) => commitVerticesOf(spark, base, n, _ => folded, orderCol)
+      }
       finally compacting.set(false)
-    live.foreach(k => fs.delete(new Path(s"$base/vdelta/d$k"), true))
+    live.foreach(k => fs.delete(new Path(s"$root/d$k"), true))
     v
   }
 
-  private def readOrderCol(spark: SparkSession, base: String, k: Long,
+  private def readOrderCol(root: String, k: Long,
                            conf: org.apache.hadoop.conf.Configuration): String = {
-    val p = new Path(s"$base/vdelta/d$k/_ORDER_COL")
+    val p = new Path(s"$root/d$k/_ORDER_COL")
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {

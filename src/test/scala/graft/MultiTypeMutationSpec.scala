@@ -366,6 +366,58 @@ class MultiTypeMutationSpec extends AnyFunSuite {
     assert(v0.filter(col("pid") === 3L).collect()(0).getAs[Double]("score") === 30.0)
   }
 
+  test("per-type vertex delta logs stage, fold, and compact independently") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = Files.createTempDirectory("gar_vtyped").toString
+    val people = (0L until 8L).map(i => (i, i * 1.0)).toDF("pid", "score")
+    val orgs = (0L until 5L).map(i => (i, s"org$i")).toDF("oid", "oname")
+    GraphArMutations.initGraph(spark, base, "TwoV",
+      vertexTables = Seq(
+        (people, GraphArWriter.VertexSpec("Person", chunkSize = 4), "pid"),
+        (orgs, GraphArWriter.VertexSpec("Org", chunkSize = 4), "oid")),
+      edgeTables = Seq((edgeDf(knows0), spec("knows"))))
+    // each type stages against ITS OWN log
+    GraphArMutations.stageVertexDeltaOf(spark, base, "Person", "pid",
+      upserts = Some(Seq((3L, 333.0)).toDF("pid", "score")))
+    GraphArMutations.stageVertexDeltaOf(spark, base, "Org", "oid",
+      removeKeys = Some(Seq(Tuple1(4L)).toDF("oid")))
+    def score(df: org.apache.spark.sql.DataFrame, id: Long): Double =
+      df.filter(col("pid") === id).collect()(0).getAs[Double]("score")
+    assert(score(GraphArMutations.currentVerticesOf(spark, base, "Person"), 3L) === 333.0)
+    assert(GraphArMutations.currentVerticesOf(spark, base, "Org").count() === 4L)
+    // compacting Person retires ONLY its log; Org's delta still folds
+    val v = GraphArMutations.compactVertexDeltasOf(spark, base, "Person")
+    assert(v == 1L)
+    assert(GraphArMutations.stagedVertexDeltasOf(spark, base, "Person").isEmpty)
+    assert(GraphArMutations.stagedVertexDeltasOf(spark, base, "Org").size == 1)
+    // Person's snapshot carries the upsert; Org still references v0 data
+    val back = spark.read.format("graphar")
+      .option("path", GraphArSink.latestYaml(spark, base))
+      .option("type", "Person").load()
+    assert(score(back, 3L) === 333.0)
+    assert(GraphArMutations.currentVerticesOf(spark, base, "Org").count() === 4L)
+    // Org compacts into v2 on its own; the edge table never rewrote
+    assert(GraphArMutations.compactVertexDeltasOf(spark, base, "Org") == 2L)
+    assert(GraphArMutations.currentVerticesOf(spark, base, "Org").count() === 4L)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(base).getFileSystem(conf)
+    assert(!fs.exists(new Path(s"$base/v1/edge/Person_knows_Person")))
+    assert(!fs.exists(new Path(s"$base/v2/edge/Person_knows_Person")))
+    assert(pairs(GraphArMutations.currentEdgesOf(spark, base, "Person_knows_Person"))
+      == knows0.sorted)
+    // a snapshot commit refuses while that type's log is staged
+    GraphArMutations.stageVertexDeltaOf(spark, base, "Person", "pid",
+      upserts = Some(Seq((1L, 111.0)).toDF("pid", "score")))
+    intercept[IllegalArgumentException] {
+      GraphArMutations.upsertVerticesOf(spark, base, "Person",
+        Seq((2L, 222.0)).toDF("pid", "score"), "pid")
+    }
+    // the OTHER type commits freely
+    assert(GraphArMutations.upsertVerticesOf(spark, base, "Org",
+      Seq((0L, "zero")).toDF("oid", "oname"), "oid") == 3L)
+  }
+
   test("prune keeps a version dir that a kept version still references") {
     val base = freshGraph()
     GraphArMutations.addEdgesOf(spark, base, "Person_knows_Person",
