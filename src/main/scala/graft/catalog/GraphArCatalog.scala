@@ -35,20 +35,37 @@ import graft.sources.graphar.{GraphArEdgeTable, GraphArVertexTable}
   * instantiates catalogs lazily and caches them per session) — pin two
   * catalog names to compare versions side by side in one query.
   *
+  * ==Federation==
+  * `spark.sql.catalog.g.paths = /a/G1.yaml,/b/G2.yaml` attaches SEVERAL
+  * graphs under one catalog, each surfaced as a NAMESPACE named by its
+  * graph name:
+  * {{{
+  *   SHOW NAMESPACES IN g;                       -- G1, G2
+  *   SHOW TABLES IN g.G1;
+  *   SELECT ... FROM g.G1.`Person.vertex` JOIN g.G2.`Person.vertex` ...
+  * }}}
+  * Single-graph mode (`path`/`snapshotBase`) keeps the flat
+  * default-namespace layout above.
+  *
   * Table naming matches the reference exactly: `<Type>.vertex` and
   * `<Src>_<type>_<Dst>.edge` (GetNameFromInfo, src/utils/func.cpp:55-63).
   * All DDL/DML throws, mirroring the reference's read-only catalog
   * (graphar_catalog.cpp:38-85).
   */
-class GraphArCatalog extends TableCatalog {
+class GraphArCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
-  private var graph: GraphInfo = _
+  /** namespace (Nil for single-graph mode) → graph. Insertion-ordered. */
+  private var graphs: Seq[(Seq[String], GraphInfo)] = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     val spark = org.apache.spark.sql.SparkSession.active
-    val path = Option(options.get("path"))
+    // SESSION Hadoop conf: the graph may live on s3a/hdfs with
+    // credentials configured via spark.hadoop.* — a default
+    // Configuration would silently drop them
+    val conf = spark.sessionState.newHadoopConf()
+    val single = Option(options.get("path"))
       .orElse(Option(options.get("snapshotBase")).map { base =>
         Option(options.get("snapshot")) match {
           case Some(v) => graft.streaming.GraphArSink.snapshotYaml(spark, base, v.toLong)
@@ -57,34 +74,39 @@ class GraphArCatalog extends TableCatalog {
               s"catalog $name: no committed snapshot under $base"))
         }
       })
-      .getOrElse(throw new IllegalArgumentException(
-        s"catalog $name: option 'spark.sql.catalog.$name.path' (graph yaml) " +
-          s"or 'spark.sql.catalog.$name.snapshotBase' (versioned layout) is required"))
-    // SESSION Hadoop conf: the graph may live on s3a/hdfs with
-    // credentials configured via spark.hadoop.* — a default
-    // Configuration would silently drop them
-    graph = GraphArMeta.loadGraph(path, spark.sessionState.newHadoopConf())
+    graphs = single match {
+      case Some(path) => Seq(Seq.empty[String] -> GraphArMeta.loadGraph(path, conf))
+      case None =>
+        val paths = Option(options.get("paths")).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog $name: one of 'spark.sql.catalog.$name.path' (graph " +
+              "yaml), '.snapshotBase' (versioned layout), or '.paths' " +
+              "(comma-separated yamls, federated) is required"))
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val loaded = paths.map(p => GraphArMeta.loadGraph(p, conf))
+        val names = loaded.map(_.name)
+        require(names.distinct == names,
+          s"catalog $name: duplicate graph names across paths: $names")
+        loaded.map(g => Seq(g.name) -> g)
+    }
   }
 
   override def name(): String = catalogName
 
-  /** Only the default (empty) namespace exists — the TableCatalog
-    * contract wants unknown namespaces to ERROR, not silently resolve.
-    */
-  private def requireDefaultNs(namespace: Array[String]): Unit =
-    if (namespace.nonEmpty)
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
-        Seq(catalogName) ++ namespace.toSeq)
+  private def graphAt(namespace: Array[String]): GraphInfo =
+    graphs.collectFirst { case (ns, g) if ns == namespace.toSeq => g }
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        Seq(catalogName) ++ namespace.toSeq))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    requireDefaultNs(namespace)
+    val graph = graphAt(namespace)
     val vs = graph.vertices.map(v => Identifier.of(namespace, s"${v.vertexType}.vertex"))
     val es = graph.edges.map(e => Identifier.of(namespace, s"${e.name}.edge"))
     (vs ++ es).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
-    requireDefaultNs(ident.namespace())
+    val graph = graphAt(ident.namespace())
     val n = ident.name()
     graph.vertices.find(v => s"${v.vertexType}.vertex" == n)
       .map(new GraphArVertexTable(_))
@@ -94,10 +116,32 @@ class GraphArCatalog extends TableCatalog {
         Seq(catalogName) ++ ident.namespace().toSeq :+ n))
   }
 
+  // ----------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    graphs.collect { case (ns, _) if ns.nonEmpty => ns.toArray }.toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else { graphAt(namespace); Array.empty } // namespaces don't nest
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    graphs.exists(_._1 == namespace.toSeq)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    graphAt(namespace)
+    java.util.Collections.emptyMap()
+  }
+
   private def readOnly(): Nothing =
     throw new UnsupportedOperationException(
       s"GraphAr catalog '$catalogName' is read-only (matching the reference extension)")
 
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = readOnly()
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit = readOnly()
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = readOnly()
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = readOnly()

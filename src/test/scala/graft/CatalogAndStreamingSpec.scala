@@ -129,6 +129,35 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("federated catalog: several graphs as namespaces, cross-graph SQL join") {
+    import spark.implicits._
+    import graft.sources.graphar.GraphArWriter
+    def writeGraph(gname: String, n: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"gar_fed_$gname").toString
+      GraphArWriter.writeVertices(
+        (0L until n).map(i => (i, s"${gname}_$i")).toDF("uid", "uname"), dir,
+        GraphArWriter.VertexSpec("User", chunkSize = 4))
+      GraphArWriter.writeGraphYaml(dir, gname, Seq("User"), Seq.empty)
+      s"$dir/$gname.yaml"
+    }
+    val y1 = writeGraph("Alpha", 6)
+    val y2 = writeGraph("Beta", 9)
+    spark.conf.set("spark.sql.catalog.fed", "graft.catalog.GraphArCatalog")
+    spark.conf.set("spark.sql.catalog.fed.paths", s"$y1,$y2")
+    assert(spark.sql("SHOW NAMESPACES IN fed").collect()
+      .map(_.getString(0)).toSet === Set("Alpha", "Beta"))
+    assert(spark.sql("SHOW TABLES IN fed.Alpha").select("tableName")
+      .collect().map(_.getString(0)).toSet === Set("User.vertex"))
+    // cross-graph join in one statement
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM fed.Alpha.`User.vertex` a
+        |JOIN fed.Beta.`User.vertex` b ON a.uid = b.uid""".stripMargin)
+      .collect()(0).getLong(0) === 6L)
+    // unknown namespace errors, read-only DDL refused
+    intercept[Exception] { spark.sql("SHOW TABLES IN fed.Gamma").collect() }
+    intercept[Exception] { spark.sql("DROP TABLE fed.Alpha.`User.vertex`") }
+  }
+
   test("catalog time travel: snapshot-pinned catalogs read v0 and LATEST of a versioned graph") {
     import spark.implicits._
     import graft.sources.graphar.{GraphArMutations, GraphArWriter}
