@@ -146,6 +146,26 @@ object GraphTableFunctions {
             longArg("graph_changes", args(1)), longArg("graph_changes", args(2)),
             name)
           .queryExecution.analyzed
+      }),
+    // the delta-folded READ view over a versioned base for SQL users:
+    // graph_current_edges('/base'[, 'Src_type_Dst']) — the TVF twin of
+    // GraphArMutations.registerCurrentView, resolved fresh per query so
+    // it never pins a retired log's file listing
+    (FunctionIdentifier("graph_current_edges"),
+      new ExpressionInfo(getClass.getName, "graph_current_edges"),
+      { args =>
+        if (args.size != 1 && args.size != 2)
+          throw new IllegalArgumentException(
+            "graph_current_edges(snapshot_base[, edge_name])")
+        val base = strArg("graph_current_edges", args.head)
+        val df =
+          if (args.size == 2)
+            graft.sources.graphar.GraphArMutations.currentEdgesOf(
+              SparkSession.active, base, strArg("graph_current_edges", args(1)))
+          else
+            graft.sources.graphar.GraphArMutations.currentEdges(
+              SparkSession.active, base)
+        df.queryExecution.analyzed
       })
   )
 

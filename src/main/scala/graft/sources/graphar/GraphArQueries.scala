@@ -352,6 +352,12 @@ object GraphArQueries {
       s.read.format("graphar").option("snapshotBase", fullGraphFixture(s, d))
         .option("type", "Part").load()
     },
+    // vertex change data feed across the same upsert: each updated key
+    // appears as delete-of-old + insert-of-new, untouched keys never
+    // leave the partial aggregate
+    "ga_vertex_changes" -> { (s, d) =>
+      GraphArMutations.vertexChanges(s, fullGraphFixture(s, d), 0L, 1L)
+    },
     // streaming delta ingest end-to-end: three micro-batches through the
     // append-mode sink, folded view = snapshot ∪ staged log vs the
     // oracle's union over the same deterministic slices
@@ -425,6 +431,14 @@ object GraphArQueries {
          |  CASE WHEN p_size > 40 THEN p_retailprice * 2 ELSE p_retailprice END
          |    AS p_retailprice
          |FROM part""".stripMargin,
+    "ga_vertex_changes" ->
+      s"""SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         |  p_retailprice, 'delete' AS "_change_type"
+         |FROM part WHERE p_size > 40
+         |UNION ALL
+         |SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         |  p_retailprice * 2 AS p_retailprice, 'insert' AS "_change_type"
+         |FROM part WHERE p_size > 40""".stripMargin,
     "ga_stream_delta" ->
       s"""WITH base AS (SELECT l_orderkey % ${GraphQueries.V} AS src,
          |    l_partkey % ${GraphQueries.V} AS dst, l_quantity AS quantity

@@ -169,6 +169,13 @@ class MultiTypeMutationSpec extends AnyFunSuite {
         "'Person_knows_Person')")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == Seq((17L, 18L, "insert")))
+    // the folded-view TVF spans snapshot + staged log, resolved fresh
+    GraphArMutations.stageDeltaOf(spark, base, "Person_knows_Person",
+      adds = Some(edgeDf(Seq((18L, 19L)))))
+    val cur = spark.sql(
+      s"SELECT src, dst FROM graph_current_edges('$base', 'Person_knows_Person')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(cur == (knows0 ++ Seq((17L, 18L), (18L, 19L))).sorted)
   }
 
   test("maintainDegrees over the change feed matches a full recompute") {
