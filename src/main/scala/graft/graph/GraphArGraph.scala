@@ -147,4 +147,22 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
 
   def clusteringCoefficients(src: String, t: String, dst: String): DataFrame =
     GraphOps.clusteringCoefficients(edgesStd(src, t, dst))
+
+  def personalizedPageRank(src: String, t: String, dst: String,
+                           source: Long): DataFrame =
+    GraphOps.personalizedPageRank(spark, edgesStd(src, t, dst), Seq(source))
+
+  def sampleNeighbors(src: String, t: String, dst: String, k: Int): DataFrame =
+    GraphOps.sampleNeighbors(edgesStd(src, t, dst), k)
+
+  def randomWalk(src: String, t: String, dst: String, root: Long,
+                 steps: Int = 10): DataFrame =
+    GraphOps.randomWalks(spark, edgesStd(src, t, dst), Seq(root), steps)
+
+  /** GraphFrames-style motif matching over one edge type; see [[Motif]]
+    * for the pattern grammar.
+    */
+  def findMotif(src: String, t: String, dst: String,
+                pattern: String): DataFrame =
+    Motif.find(edgesStd(src, t, dst), pattern)
 }

@@ -730,4 +730,101 @@ object GraphOps {
     }
     if (best == Long.MaxValue || best > maxDepth) -1L else best
   }
+
+  /** Personalized PageRank: power iteration whose restart mass is
+    * concentrated on `sources` instead of spread uniformly — the ranking
+    * primitive behind "similar to these seed entities" retrieval.
+    * rank⁰(v) = [v ∈ S]; per iteration
+    * rank(v) = (1−d)·[v ∈ S] + d·Σ_{u→v} rank(u)/odeg(u).
+    *
+    * Same scale shape as [[pageRank]]: the (src, dst, odeg) link table is
+    * built once, persisted, and re-scanned in place; only the O(V) rank
+    * vector shuffles per iteration, and the source indicator is a
+    * broadcast-size literal IN-list (seed sets are small by use case).
+    */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame,
+                           sources: Seq[Long], iters: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    require(sources.nonEmpty, "personalizedPageRank needs at least one source")
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val links = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("odeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val restart = when(col("v").isin(sources: _*), lit(1.0)).otherwise(lit(0.0))
+    var ranks = verts.withColumn("rank", restart).localCheckpoint(false)
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val contribs = links.join(ranks, links("src") === ranks("v"))
+        .select(col("dst").as("v"), (col("rank") / col("odeg")).as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("in_sum"))
+      ranks = verts.join(contribs, Seq("v"), "left")
+        .select(col("v"),
+          (lit(1.0 - damping) * restart +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint(i == iters)
+    }
+    links.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    ranks
+  }
+
+  /** Deterministic per-vertex neighbor sampling (the GraphSAGE fan-out
+    * primitive): keep at most `k` out-edges per source, chosen by ranking
+    * each edge on md5(src ‖ dst ‖ seed). The hash makes the sample
+    * (a) uniform-ish per vertex, (b) reproducible across runs/engines —
+    * a training pipeline can re-materialize the exact same subgraph —
+    * and (c) expressible as ONE window over the edge table: a single
+    * hash-partitioned shuffle on src, no driver involvement, no RNG
+    * state. Skewed hubs cost one partition's sort of their edge list;
+    * the output is bounded at k·|V| rows regardless of edge count.
+    */
+  def sampleNeighbors(edges: DataFrame, k: Int,
+                      seed: String = "graft"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src"))
+      .orderBy(md5(concat_ws("_", col("src"), col("dst"), lit(seed))), col("dst"))
+    edges.select(col("src"), col("dst"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Deterministic pseudo-random walks (the node2vec/DeepWalk sampling
+    * primitive): one walk per root, `steps` transitions, where the walk
+    * at vertex v moves to the out-neighbor minimizing
+    * md5(walkId ‖ step ‖ dst ‖ seed) — a hash-seeded choice that is
+    * reproducible across runs and engines (no RNG state to checkpoint)
+    * while spreading successive steps across the neighbor set. A walk
+    * with no out-edge stops. Returns (walk, step, v) long-format rows,
+    * step 0 = the root itself.
+    *
+    * Scale shape: the frontier is one row per live walk — broadcast into
+    * the edge join, so the edge table never shuffles; each step is one
+    * broadcast join + a map-side-combinable min_by per walk. Batch all
+    * roots per step (one job per step, not per walk).
+    */
+  def randomWalks(spark: SparkSession, edges: DataFrame, roots: Seq[Long],
+                  steps: Int, seed: String = "graft"): DataFrame = {
+    require(roots.nonEmpty, "randomWalks needs at least one root")
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+    var frontier = roots.distinct.map(r => (r, r)).toDF("walk", "v")
+    var out = List(frontier.withColumn("step", lit(0L)))
+    var i = 0
+    while (i < steps) {
+      i += 1
+      frontier = e.join(broadcast(frontier), e("src") === frontier("v"))
+        .groupBy(col("walk"))
+        .agg(min_by(col("dst"),
+          md5(concat_ws("_", col("walk"), lit(i), col("dst"), lit(seed)))).as("v"))
+        .localCheckpoint() // frontier is O(|roots|): keep lineage flat
+      out ::= frontier.withColumn("step", lit(i.toLong))
+    }
+    out.reverse.reduce(_ unionAll _).select(col("walk"), col("step"), col("v"))
+  }
 }

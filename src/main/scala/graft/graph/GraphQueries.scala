@@ -146,8 +146,47 @@ object GraphQueries {
     // division of exact integers (cross-engine bit-stable)
     "g_clustering" -> { (s, d) =>
       GraphOps.clusteringCoefficients(edgesFrom(s, d))
+    },
+    // personalized PageRank seeded at PprSources, quantized to micro-
+    // units exactly like g_pagerank (same unrolled-CTE oracle shape)
+    "g_ppr" -> { (s, d) =>
+      GraphOps.personalizedPageRank(s, edgesFrom(s, d), PprSources)
+        .select(col("v"),
+          floor(col("rank") * lit(1e6) + lit(0.5)).as("rank_micro"))
+    },
+    // motif matching: directed 3-cycles counted per canonical anchor
+    // (a < b, a < c picks one rotation of each cycle)
+    "g_motif_cycle3" -> { (s, d) =>
+      Motif.find(edgesFrom(s, d), "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)")
+        .filter(col("a") < col("b") && col("a") < col("c"))
+        .groupBy(col("a")).agg(count(lit(1)).as("n_cycles"))
+    },
+    // motif with negation: open brokerage wedges a→b→c with NO a→c
+    // shortcut, counted per middle vertex b
+    "g_motif_broker" -> { (s, d) =>
+      Motif.find(edgesFrom(s, d), "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+        .filter(col("a") =!= col("c"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n_open"))
+    },
+    // deterministic GraphSAGE-style fan-out sample: ≤ SampleK out-edges
+    // per vertex ranked by md5(src‖dst‖seed) — both engines compute the
+    // identical hex digest, so the sampled subgraph hash-matches
+    "g_sample_neighbors" -> { (s, d) =>
+      GraphOps.sampleNeighbors(edgesFrom(s, d), SampleK, WalkSeed)
+        .withColumn("sample_rank", col("sample_rank").cast("long"))
+    },
+    // deterministic hash-seeded walks from WalkRoots (node2vec-style
+    // corpus generation); the oracle unrolls one arg_min CTE per step
+    "g_random_walk" -> { (s, d) =>
+      GraphOps.randomWalks(s, edgesFrom(s, d), WalkRoots, WalkSteps, WalkSeed)
     }
   )
+
+  val PprSources = Seq(42L, 7L, 3967L)
+  val SampleK = 2
+  val WalkRoots = Seq(42L, 7L, 977L, 3333L, 3967L)
+  val WalkSteps = 6
+  val WalkSeed = "graft"
 
   val SsspIters = 8
   val KCoreK = 20
@@ -189,6 +228,58 @@ object GraphQueries {
        |$steps
        |SELECT src AS v, CAST(count(*) AS BIGINT) AS core_deg
        |FROM e$KCoreRounds GROUP BY src""".stripMargin
+  }
+
+  /** Unrolled personalized power iteration mirroring
+    * [[GraphOps.personalizedPageRank]]: restart mass on PprSources only,
+    * rank⁰ = the source indicator, restart factor written `(1.0 - 0.85)`
+    * so both engines compute the identical double. Quantization as in
+    * [[pageRankSql]].
+    */
+  private def pprSql: String = {
+    val iters = 10
+    val seeds = PprSources.mkString(", ")
+    val ind = s"(CASE WHEN verts.v IN ($seeds) THEN 1.0 ELSE 0.0 END)"
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v,
+         |    (1.0 - 0.85) * $ind + 0.85 * coalesce(s.in_sum, 0.0) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT links.dst AS v, sum(r${i - 1}.rank / links.odeg) AS in_sum
+         |    FROM links JOIN r${i - 1} ON r${i - 1}.v = links.src
+         |    GROUP BY links.dst) s ON s.v = verts.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |links AS (SELECT e.src, e.dst, deg.odeg FROM e JOIN deg ON deg.src = e.src),
+       |r0 AS (SELECT v, CASE WHEN v IN ($seeds) THEN 1.0 ELSE 0.0 END AS rank
+       |       FROM verts),
+       |$steps
+       |SELECT v, CAST(floor(rank * 1000000.0 + 0.5) AS BIGINT) AS rank_micro
+       |FROM r$iters""".stripMargin
+  }
+
+  /** Unrolled hash-seeded walk mirroring [[GraphOps.randomWalks]]: one
+    * arg_min CTE per step; both engines rank candidates by the identical
+    * md5 hex digest, so the chosen successor matches exactly.
+    */
+  private def randomWalkSql: String = {
+    val rootRows = WalkRoots.map(r => s"($r)").mkString(", ")
+    val steps = (1 to WalkSteps).map { i =>
+      s"""w$i AS (
+         |  SELECT walk, arg_min(dst,
+         |    md5(concat_ws('_', walk, $i, dst, '$WalkSeed'))) AS v
+         |  FROM w${i - 1} JOIN e ON e.src = w${i - 1}.v GROUP BY walk)""".stripMargin
+    }.mkString(",\n")
+    val selects = (0 to WalkSteps).map { i =>
+      s"SELECT walk, CAST($i AS BIGINT) AS step, v FROM w$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS ($edgesSql),
+       |w0 AS (SELECT CAST(r AS BIGINT) AS walk, CAST(r AS BIGINT) AS v
+       |       FROM (VALUES $rootRows) t(r)),
+       |$steps
+       |$selects""".stripMargin
   }
 
   /** Unrolled 10-iteration power iteration mirroring [[GraphOps.pageRank]]
@@ -277,6 +368,36 @@ object GraphQueries {
            |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
            |SELECT v, min(r) AS component FROM reach GROUP BY v""".stripMargin,
       "g_pagerank" -> pageRankSql,
+      "g_ppr" -> pprSql,
+      "g_random_walk" -> randomWalkSql,
+      "g_sample_neighbors" ->
+        s"""WITH e AS ($edgesSql),
+           |r AS (
+           |  SELECT src, dst, row_number() OVER (
+           |    PARTITION BY src
+           |    ORDER BY md5(concat_ws('_', src, dst, '$WalkSeed')), dst)
+           |    AS sample_rank
+           |  FROM e)
+           |SELECT src, dst, sample_rank FROM r
+           |WHERE sample_rank <= $SampleK""".stripMargin,
+      "g_motif_cycle3" ->
+        s"""WITH e AS ($edgesSql)
+           |SELECT e1.src AS a, CAST(count(*) AS BIGINT) AS n_cycles
+           |FROM e e1
+           |JOIN e e2 ON e2.src = e1.dst
+           |JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src
+           |WHERE e1.src < e1.dst AND e1.src < e2.dst
+           |GROUP BY e1.src""".stripMargin,
+      "g_motif_broker" ->
+        s"""WITH e AS ($edgesSql),
+           |w AS (
+           |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+           |  FROM e e1 JOIN e e2 ON e2.src = e1.dst)
+           |SELECT w.b, CAST(count(*) AS BIGINT) AS n_open
+           |FROM w
+           |WHERE w.a <> w.c AND NOT EXISTS (
+           |  SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.c)
+           |GROUP BY w.b""".stripMargin,
       "g_sssp" -> ssspSql,
       "g_kcore" -> kcoreSql,
       "g_neighbor_overlap" ->

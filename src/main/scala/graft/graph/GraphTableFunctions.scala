@@ -130,6 +130,32 @@ object GraphTableFunctions {
           s"graph_kcore: k must be in [1, ${Int.MaxValue}], got $k")
         g.kCore(s, t, d, k.toInt)
       })),
+    (FunctionIdentifier("personalized_pagerank"),
+      new ExpressionInfo(getClass.getName, "personalized_pagerank"),
+      hopBuilder("personalized_pagerank",
+        (g, s, t, d, vid) => g.personalizedPageRank(s, t, d, vid))),
+    (FunctionIdentifier("sample_neighbors"),
+      new ExpressionInfo(getClass.getName, "sample_neighbors"),
+      hopBuilder("sample_neighbors", (g, s, t, d, k) => {
+        if (k < 1 || k > Int.MaxValue) throw new IllegalArgumentException(
+          s"sample_neighbors: k must be in [1, ${Int.MaxValue}], got $k")
+        g.sampleNeighbors(s, t, d, k.toInt)
+      })),
+    (FunctionIdentifier("random_walk"),
+      new ExpressionInfo(getClass.getName, "random_walk"),
+      hopBuilder("random_walk", (g, s, t, d, root) => g.randomWalk(s, t, d, root))),
+    // motif matching: graph_motif(yaml[, src, type, dst], '(a)-[]->(b); ...')
+    (FunctionIdentifier("graph_motif"),
+      new ExpressionInfo(getClass.getName, "graph_motif"),
+      { args =>
+        if (args.size != 2 && args.size != 5)
+          throw new IllegalArgumentException(
+            "graph_motif(graph_yaml[, src, type, dst], pattern)")
+        val (g, s, t, d) =
+          resolveEdge("graph_motif", args.head, args.slice(1, args.size - 1))
+        g.findMotif(s, t, d, strArg("graph_motif", args.last))
+          .queryExecution.analyzed
+      }),
     // change data feed over a VERSIONED base (not a graph yaml):
     // graph_changes('/base', from_v, to_v [, 'Src_type_Dst'])
     (FunctionIdentifier("graph_changes"),

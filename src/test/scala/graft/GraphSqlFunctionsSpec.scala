@@ -141,6 +141,35 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
       .sorted.toSeq)
   }
 
+  test("TVFs personalized_pagerank/sample_neighbors/random_walk/graph_motif match the Scala API") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val g = GraphArGraph(spark, yaml)
+    graph.GraphTableFunctions.register(spark)
+    val vid = graph.GraphQueries.RootVid
+
+    val sqlPpr = spark.sql(s"SELECT * FROM personalized_pagerank('$yaml', $vid)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(sqlPpr === g.personalizedPageRank("Part", "link", "Part", vid)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq)
+
+    val sqlSample = spark.sql(s"SELECT * FROM sample_neighbors('$yaml', 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(sqlSample === g.sampleNeighbors("Part", "link", "Part", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq)
+
+    val sqlWalk = spark.sql(s"SELECT * FROM random_walk('$yaml', $vid)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(sqlWalk.nonEmpty)
+    assert(sqlWalk === g.randomWalk("Part", "link", "Part", vid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+
+    val sqlMotif = spark.sql(
+      s"SELECT count(*) FROM graph_motif('$yaml', '(a)-[]->(b); (b)-[]->(c)')")
+      .collect()(0).getLong(0)
+    assert(sqlMotif === g.findMotif("Part", "link", "Part",
+      "(a)-[]->(b); (b)-[]->(c)").count())
+  }
+
   test("register refuses an over-threshold graph from metadata alone") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     val g = GraphArGraph(spark, yaml)
