@@ -79,6 +79,17 @@ object ScaleBench {
       esP.withColumn("w", lit(1L)), GraphQueries.RootVid).count())
     time("kcore_k20")(GraphOps.kCore(spark, esP, 20).count())
     time("clustering_coef")(GraphOps.clusteringCoefficients(esP).count())
+    time("ppr_10iter")(GraphOps.personalizedPageRank(spark, esP,
+      Seq(GraphQueries.RootVid)).count())
+    time("sample_neighbors_k4")(GraphOps.sampleNeighbors(esP, 4).count())
+    time("random_walk_64x10")(GraphOps.randomWalks(spark, esP,
+      (0L until 64L).map(i => i * 997L % (v * replicas)), steps = 10).count())
+    // motif counts enumerate the full match set — the honest cost of
+    // pattern matching; wedge volume grows with Σ in(b)·out(b)
+    time("motif_wedge")(graph.Motif.find(esP,
+      "(a)-[]->(b); (b)-[]->(c)").count())
+    time("motif_cycle3")(graph.Motif.find(esP,
+      "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)").count())
     esP.unpersist()
 
     // Mutation cost at this scale: full copy-on-write commit vs O(delta)

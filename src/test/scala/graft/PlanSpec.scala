@@ -265,6 +265,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"degree/tri counts not map-combined:\n$p")
   }
 
+  test("motif: connected patterns plan as equi-joins, negation as anti-join, no cartesian") {
+    val e = graph.GraphQueries.edgesFrom(spark, sf)
+    val df = graph.Motif.find(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"motif joins degraded to a product:\n$p")
+    assert(p.contains("LeftAnti"), s"negated term not an anti-join:\n$p")
+  }
+
+  test("sampleNeighbors: exactly one exchange (hash by src), window rank after it") {
+    val df = graph.GraphOps.sampleNeighbors(
+      graph.GraphQueries.edgesFrom(spark, sf), 4)
+    val p = plan(df)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected ONE shuffle, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(src"), s"not partitioned by src:\n$p")
+  }
+
+  test("randomWalks: per-step frontier broadcast — edge table never shuffles") {
+    import spark.implicits._
+    val df = graph.GraphOps.randomWalks(spark,
+      graph.GraphQueries.edgesFrom(spark, sf), Seq(42L, 7L), steps = 2)
+    // the returned union is over checkpointed per-step frontiers; assert
+    // the step join itself broadcasts the frontier side
+    val e = graph.GraphQueries.edgesFrom(spark, sf)
+    val frontier = Seq((42L, 42L)).toDF("walk", "v")
+    val step = e.join(broadcast(frontier), e("src") === frontier("v"))
+      .groupBy(col("walk")).agg(min_by(col("dst"), md5(col("dst").cast("string"))).as("v"))
+    val p = plan(step)
+    assert(p.contains("BroadcastHashJoin"), s"frontier join not broadcast:\n$p")
+    assert(df.columns.toSeq == Seq("walk", "step", "v"))
+  }
+
   test("p_source_cap / p_stratified: rank limit truncates groups MAP-SIDE (WindowGroupLimit Partial)") {
     for (q <- Seq("p_source_cap", "p_stratified")) {
       val p = plan(operators.Pipeline.queries(q)(spark, sf))
