@@ -125,6 +125,13 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
   def connectedComponents(src: String, t: String, dst: String): DataFrame =
     GraphOps.connectedComponents(spark, edgesStd(src, t, dst))
 
+  def stronglyConnectedComponents(src: String, t: String, dst: String): DataFrame =
+    GraphOps.stronglyConnectedComponents(spark, edgesStd(src, t, dst))
+
+  def labelPropagationCommunities(src: String, t: String, dst: String,
+                                  rounds: Int = 3): DataFrame =
+    GraphOps.labelPropagationCommunities(spark, edgesStd(src, t, dst), rounds)
+
   def pageRank(src: String, t: String, dst: String, iters: Int = 10,
                damping: Double = 0.85): DataFrame =
     GraphOps.pageRank(spark, edgesStd(src, t, dst), iters, damping)

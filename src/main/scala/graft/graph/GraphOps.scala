@@ -827,4 +827,164 @@ object GraphOps {
     }
     out.reverse.reduce(_ unionAll _).select(col("walk"), col("step"), col("v"))
   }
+
+  /** Max-label propagation with pointer jumping along DIRECTED edges:
+    * returns (v, label) where label = max vertex id that can reach v
+    * (every vertex reaches itself). The jump step is sound because
+    * reachability composes: if r reaches v and r' reaches r, r' reaches
+    * v. Same scale shape as [[labelPropagate]] — the static edge table
+    * is hash-partitioned on src once and re-scanned in place; only the
+    * O(V) label vector shuffles per round; rounds ≈ log₂(longest path).
+    */
+  private def directedMaxPropagate(spark: SparkSession, edges: DataFrame,
+                                   maxIter: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(false)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      iter += 1
+      val prop = e.join(labels, e("src") === labels("v"))
+        .select(e("dst").as("v"), col("label"))
+      val stepped = labels.unionAll(prop)
+        .groupBy(col("v")).agg(max(col("label")).as("label"))
+      // pointer jump: adopt the label of your current label's vertex
+      val next = stepped
+        .join(stepped.select(col("v").as("pv"), col("label").as("pl")),
+          col("label") === col("pv"), "left")
+        .select(col("v"),
+          greatest(col("label"), coalesce(col("pl"), col("label"))).as("label"))
+        .localCheckpoint(false)
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(col("label") > col("old")).count()
+      labels = next
+    }
+    e.unpersist(blocking = false)
+    if (changed > 0) throw new IllegalStateException(
+      s"directedMaxPropagate did not converge in $maxIter rounds — raise maxIter")
+    labels
+  }
+
+  /** Strongly connected components: (v, scc) where scc is the MINIMUM
+    * vertex id in v's SCC, over directed (src, dst) edges. No
+    * counterpart in the reference (its BFS is direction-following but
+    * component-blind); the algorithm is the distributed coloring shape
+    * (Orzan's coloring / FW-BW hybrid — the standard Pregel-style SCC):
+    *
+    *  1. color(v) = max id that reaches v (forward max propagation).
+    *     The color root c (color(c)=c) is the max id of its color class,
+    *     and every vertex on a path between same-colored vertices shares
+    *     the color, so class-internal reachability equals reachability.
+    *  2. confirm(v) = max same-colored id reachable FROM v (backward
+    *     propagation on the color-filtered reversed edges). confirm(v)
+    *     == color(v) ⇔ v and its root reach each other ⇔ they are in
+    *     the same SCC — peel those off with label = color.
+    *  3. Drop resolved vertices, repeat on the induced subgraph. Each
+    *     round resolves every "color-root" SCC, so chains and DAG tails
+    *     all resolve in round one; rounds grow only with nested SCC
+    *     pivot depth (small in practice).
+    *
+    * Labels are re-mapped to per-SCC minima at the end so the output is
+    * orientation-independent and matches the transitive-closure oracle.
+    *
+    * Scale shape: each propagation is the [[connectedComponents]] loop
+    * (static edge table in place, O(V) label vector shuffles, pointer
+    * jumping for log-round convergence); the outer peel only ever
+    * shrinks the edge set. No driver-side graph state.
+    */
+  def stronglyConnectedComponents(spark: SparkSession, edges: DataFrame,
+                                  maxRounds: Int = 20,
+                                  maxIter: Int = 50): DataFrame = {
+    var remaining = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var resolved = List.empty[DataFrame]
+    var round = 0
+    while (remaining.limit(1).count() > 0) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"stronglyConnectedComponents did not finish in $maxRounds peel " +
+          "rounds (pathologically nested SCC structure) — raise maxRounds")
+      val colors = directedMaxPropagate(spark, remaining, maxIter)
+      // keep only edges INSIDE one color class; reverse them, and ask:
+      // what is the max same-class id each vertex can reach? (== the
+      // class root iff the vertex is in the root's SCC)
+      val cSrc = colors.select(col("v").as("src"), col("label").as("csrc"))
+      val cDst = colors.select(col("v").as("dst"), col("label").as("cdst"))
+      val sameColor = remaining.join(cSrc, "src").join(cDst, "dst")
+        .filter(col("csrc") === col("cdst"))
+        .select(col("dst").as("src"), col("src").as("dst")) // reversed
+      val confirm = directedMaxPropagate(spark, sameColor, maxIter)
+        .withColumnRenamed("label", "back")
+      // vertices with no same-color edge never appear in `confirm`:
+      // they reach only themselves within their class, so back = v
+      val judged = colors
+        .join(confirm, Seq("v"), "left")
+        .select(col("v"), col("label").as("color"),
+          coalesce(col("back"), col("v")).as("back"))
+        .localCheckpoint(true)
+      resolved ::= judged.filter(col("back") === col("color"))
+        .select(col("v"), col("color").as("scc"))
+      val open = judged.filter(col("back") =!= col("color")).select(col("v"))
+      remaining = remaining
+        .join(open.withColumnRenamed("v", "src"), Seq("src"), "leftsemi")
+        .join(open.withColumnRenamed("v", "dst"), Seq("dst"), "leftsemi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      // vertices that became isolated by the peel are their own SCC
+      val stillOpen = remaining.select(col("src").as("v"))
+        .unionAll(remaining.select(col("dst").as("v"))).distinct()
+      resolved ::= open.join(stillOpen, Seq("v"), "leftanti")
+        .select(col("v"), col("v").as("scc"))
+    }
+    val labeled = resolved.reduce(_ unionAll _)
+    // canonicalize: SCC label = min member id (colors gave max ids)
+    val minOf = labeled.groupBy(col("scc")).agg(min(col("v")).as("mn"))
+    labeled.join(minOf, "scc").select(col("v"), col("mn").as("scc"))
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), deterministic variant: `rounds` fixed synchronous updates on
+    * the undirected simple graph, each vertex adopting the most frequent
+    * label among its neighbors with ties broken by MINIMUM label. Fixed
+    * round count + min tie-break make the output hash-exact across
+    * engines (async LPA is run-order-dependent and cannot be oracled).
+    *
+    * Scale shape: one shuffle per round — the neighbor-label count is a
+    * map-side-combinable groupBy on (v, label), and the argmax is
+    * `max_by` over a struct (count, -label), another partial-aggregable
+    * groupBy. The static undirected edge table is partitioned by src
+    * once and re-scanned; only the O(V) label vector moves per round.
+    */
+  def labelPropagationCommunities(spark: SparkSession, edges: DataFrame,
+                                  rounds: Int = 3): DataFrame = {
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    val canon = undirectedSimple(edges)
+    val ue = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ue.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(false)
+    var i = 0
+    while (i < rounds) {
+      i += 1
+      val counts = ue.join(labels, ue("dst") === labels("v"))
+        .groupBy(ue("src").as("u"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      labels = counts
+        .groupBy(col("u").as("v"))
+        .agg(max_by(col("label"), struct(col("n"), negate(col("label"))))
+          .as("label"))
+        .localCheckpoint(i == rounds)
+    }
+    ue.unpersist(blocking = false)
+    labels.select(col("v"), col("label").as("community"))
+  }
 }

@@ -101,6 +101,17 @@ object GraphQueries {
       GraphOps.connectedComponents(s,
         edgesFrom(s, d).filter(col("src") < 512 && col("dst") < 512))
     },
+    // SCC on the same <512 induced subgraph (the oracle is a DIRECTED
+    // two-way reachability closure — O(component²) pairs, so induced).
+    "g_scc" -> { (s, d) =>
+      GraphOps.stronglyConnectedComponents(s,
+        edgesFrom(s, d).filter(col("src") < 512 && col("dst") < 512))
+    },
+    // deterministic synchronous LPA, 3 rounds, min tie-break — the
+    // oracle unrolls the same 3 rounds (async LPA could not be oracled)
+    "g_communities" -> { (s, d) =>
+      GraphOps.labelPropagationCommunities(s, edgesFrom(s, d), rounds = 3)
+    },
     // PageRank, hash-checked against an unrolled power-iteration CTE.
     // Raw rank sums are fp-accumulation-order-dependent (Spark's partial
     // aggregation vs DuckDB's single-threaded sum differ in the last
@@ -367,6 +378,47 @@ object GraphQueries {
            |  UNION
            |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
            |SELECT v, min(r) AS component FROM reach GROUP BY v""".stripMargin,
+      // scc(v) = min u with v→*u AND u→*v in the directed closure of
+      // the <512 induced subgraph (mirrors the g_components shape)
+      "g_scc" ->
+        s"""WITH RECURSIVE e AS (
+           |  SELECT DISTINCT src, dst FROM ($edgesSql)
+           |  WHERE src < 512 AND dst < 512),
+           |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+           |reach(a, b) AS (
+           |  SELECT v, v FROM verts
+           |  UNION
+           |  SELECT reach.a, e.dst FROM reach JOIN e ON e.src = reach.b)
+           |SELECT r1.a AS v, CAST(min(r1.b) AS BIGINT) AS scc
+           |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+           |GROUP BY r1.a""".stripMargin,
+      // 3 unrolled synchronous LPA rounds over the undirected simple
+      // graph; per round: count neighbor labels, keep the most frequent
+      // with min-label tie-break (row_number mirrors Spark's max_by over
+      // struct(count, -label))
+      "g_communities" -> {
+        def round(prev: String, cur: String): String =
+          s"""c$cur AS (
+             |  SELECT ue.src AS v, l$prev.label, count(*) AS n
+             |  FROM ue JOIN l$prev ON l$prev.v = ue.dst
+             |  GROUP BY ue.src, l$prev.label),
+             |l$cur AS (
+             |  SELECT v, label FROM (
+             |    SELECT v, label,
+             |      row_number() OVER (PARTITION BY v ORDER BY n DESC, label) AS rn
+             |    FROM c$cur) WHERE rn = 1)""".stripMargin
+        s"""WITH e AS ($edgesSql),
+           |cn AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst),
+           |ue AS (SELECT a AS src, b AS dst FROM cn
+           |       UNION ALL SELECT b, a FROM cn),
+           |l0 AS (SELECT DISTINCT src AS v, src AS label FROM ue),
+           |${round("0", "1")},
+           |${round("1", "2")},
+           |${round("2", "3")}
+           |SELECT v, CAST(label AS BIGINT) AS community FROM l3""".stripMargin
+      },
       "g_pagerank" -> pageRankSql,
       "g_ppr" -> pprSql,
       "g_random_walk" -> randomWalkSql,

@@ -109,6 +109,14 @@ object GraphTableFunctions {
       new ExpressionInfo(getClass.getName, "connected_components"),
       wholeGraphBuilder("connected_components",
         (g, s, t, d) => g.connectedComponents(s, t, d))),
+    (FunctionIdentifier("strongly_connected_components"),
+      new ExpressionInfo(getClass.getName, "strongly_connected_components"),
+      wholeGraphBuilder("strongly_connected_components",
+        (g, s, t, d) => g.stronglyConnectedComponents(s, t, d))),
+    (FunctionIdentifier("graph_communities"),
+      new ExpressionInfo(getClass.getName, "graph_communities"),
+      wholeGraphBuilder("graph_communities",
+        (g, s, t, d) => g.labelPropagationCommunities(s, t, d))),
     (FunctionIdentifier("page_rank"),
       new ExpressionInfo(getClass.getName, "page_rank"),
       wholeGraphBuilder("page_rank", (g, s, t, d) => g.pageRank(s, t, d))),

@@ -103,6 +103,33 @@ object TextAnalysis {
             (acc, x) => acc + x) * lit(1.0) / size(col("t"))).as("avg_token_len"))
     },
 
+    // Gopher-style quality GATE (Rae et al. 2021 §A1.1, adapted to this
+    // corpus): word-count bounds, mean-word-length bounds, ≥2 distinct
+    // stopwords, and a type-token-ratio floor, combined into one keep
+    // flag. All signals are integer counts or a single division of two
+    // ints — hash-exact cross-engine. Map-side only: the token array
+    // never leaves its partition and the gate runs before any shuffle a
+    // downstream pipeline would add (filter-early at 100 TB).
+    "t_gopher" -> { (s, d) =>
+      val stops = Lexicons.head._2
+      t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_words"),
+          aggregate(transform(col("t"), w => length(w)), lit(0),
+            (acc, x) => acc + x).cast("long").as("sum_len"),
+          size(array_intersect(col("t"), array(stops.map(lit): _*)))
+            .cast("long").as("n_stop_kinds"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+        .withColumn("mean_word_len",
+          col("sum_len") * lit(1.0) / col("n_words"))
+        .withColumn("ttr", col("n_distinct") * lit(1.0) / col("n_words"))
+        .withColumn("keep",
+          col("n_words").between(30, 90) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("n_stop_kinds") >= 2 && col("ttr") > 0.3)
+    },
+
     // repetition signal (Gopher-style quality gate): fraction of word
     // 3-grams that are repeats of an earlier 3-gram in the same doc.
     // Integer counts hash exactly; the ratio is a single division of
@@ -319,6 +346,27 @@ object TextAnalysis {
          |  ${lexSql("en")} * 1.0 / len(t) AS stopword_ratio,
          |  list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t) AS avg_token_len
          |FROM ($tokSql)""".stripMargin,
+
+    "t_gopher" -> {
+      val stopList = Lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT)
+         |      AS sum_len,
+         |    CAST(len(list_intersect(t, $stopList)) AS BIGINT)
+         |      AS n_stop_kinds,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+         |  FROM ($tokSql))
+         |SELECT doc_id, n_words, sum_len, n_stop_kinds, n_distinct,
+         |  sum_len * 1.0 / n_words AS mean_word_len,
+         |  n_distinct * 1.0 / n_words AS ttr,
+         |  (n_words BETWEEN 30 AND 90
+         |    AND sum_len * 1.0 / n_words BETWEEN 3.0 AND 10.0
+         |    AND n_stop_kinds >= 2
+         |    AND n_distinct * 1.0 / n_words > 0.3) AS keep
+         |FROM g""".stripMargin
+    },
 
     "t_repetition" ->
       s"""WITH s AS (

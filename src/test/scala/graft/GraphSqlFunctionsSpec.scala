@@ -139,6 +139,16 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
     assert(sqlLcc === g.clusteringCoefficients("Part", "link", "Part")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sorted.toSeq)
+
+    val sqlScc = spark.sql(s"SELECT * FROM strongly_connected_components('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sqlScc === g.stronglyConnectedComponents("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+
+    val sqlLpa = spark.sql(s"SELECT * FROM graph_communities('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sqlLpa === g.labelPropagationCommunities("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
   test("TVFs personalized_pagerank/sample_neighbors/random_walk/graph_motif match the Scala API") {

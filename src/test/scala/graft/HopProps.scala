@@ -136,6 +136,51 @@ object HopProps extends Properties("graft.hops") {
       }
     }
 
+  property("stronglyConnectedComponents = mutual-reachability brute force") =
+    forAll(genGraph) { case (edges, _) =>
+      edges.isEmpty || {
+        val got = GraphOps.stronglyConnectedComponents(spark, toDf(edges))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        def reach(v0: Long): Set[Long] = {
+          var seen = Set(v0)
+          var frontier = Set(v0)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty)).diff(seen)
+            seen ++= frontier
+          }
+          seen
+        }
+        val fwd = verts.map(v => v -> reach(v)).toMap
+        val expected = verts.map { v =>
+          v -> fwd(v).filter(u => fwd(u).contains(v)).min
+        }.toMap
+        got == expected
+      }
+    }
+
+  property("labelPropagationCommunities = synchronous min-tie-break rounds") =
+    forAll(genGraph) { case (edges, _) =>
+      val simple = edges.filter(e => e._1 != e._2)
+      simple.isEmpty || {
+        val got = GraphOps.labelPropagationCommunities(spark, toDf(edges), 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val und = (simple ++ simple.map(_.swap)).distinct.groupBy(_._1)
+          .view.mapValues(_.map(_._2)).toMap
+        val verts = und.keySet
+        var labels = verts.map(v => v -> v).toMap
+        for (_ <- 1 to 3) {
+          labels = verts.map { v =>
+            val counts = und(v).groupBy(labels).view.mapValues(_.size)
+            // max count, then min label
+            v -> counts.toSeq.maxBy { case (l, n) => (n, -l) }._1
+          }.toMap
+        }
+        got == labels
+      }
+    }
+
   property("sssp = bounded Bellman-Ford brute force") =
     forAll(genGraph) { case (edges, vid) =>
       val s = spark
