@@ -90,6 +90,9 @@ object ScaleBench {
       "(a)-[]->(b); (b)-[]->(c)").count())
     time("motif_cycle3")(graph.Motif.find(esP,
       "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)").count())
+    time("scc")(GraphOps.stronglyConnectedComponents(spark, esP).count())
+    time("communities_3round")(
+      GraphOps.labelPropagationCommunities(spark, esP).count())
     esP.unpersist()
 
     // Mutation cost at this scale: full copy-on-write commit vs O(delta)

@@ -118,6 +118,13 @@ object ZipfBench {
     time("kcore_k20")(GraphOps.kCore(spark, esP, 20).count())
     time("triangles")(GraphOps.triangleCount(esP).collect())
     time("clustering_coef")(GraphOps.clusteringCoefficients(esP).count())
+    // hub-sensitive additions: the sample window sorts the hub's edge
+    // list in ONE task; LPA's count groupBy sees the hub's label mass
+    // but stays map-side combinable; SCC's propagation crosses the hub
+    time("sample_neighbors_k4")(GraphOps.sampleNeighbors(esP, 4).count())
+    time("communities_3round")(
+      GraphOps.labelPropagationCommunities(spark, esP).count())
+    time("scc")(GraphOps.stronglyConnectedComponents(spark, esP).count())
     if (naive) {
       // the unprotected plan: canonical a<b orientation, hub fans out
       val und = esP.select(

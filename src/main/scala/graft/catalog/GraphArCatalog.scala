@@ -2,13 +2,16 @@ package graft.catalog
 
 import java.util.{Map => JMap}
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.meta.{GraphArMeta, GraphInfo}
-import graft.sources.graphar.{GraphArEdgeTable, GraphArVertexTable}
+import graft.meta.{EdgeInfo, GraphArMeta, GraphInfo, VertexInfo}
+import graft.sources.graphar.{GraphArEdgeTable, GraphArMutations, GraphArVertexTable}
 
 /** Read-only Spark `TableCatalog` over one GraphAr graph — the analogue of
   * the reference's `ATTACH '<graph.yaml>' AS g (TYPE duckdb_graphar)`
@@ -57,6 +60,8 @@ class GraphArCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   /** namespace (Nil for single-graph mode) → graph. Insertion-ordered. */
   private var graphs: Seq[(Seq[String], GraphInfo)] = _
+  /** Set in `snapshotBase` mode: enables INSERT INTO as staged deltas. */
+  private var versionedBase: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -67,6 +72,7 @@ class GraphArCatalog extends TableCatalog with SupportsNamespaces {
     val conf = spark.sessionState.newHadoopConf()
     val single = Option(options.get("path"))
       .orElse(Option(options.get("snapshotBase")).map { base =>
+        versionedBase = Some(base)
         Option(options.get("snapshot")) match {
           case Some(v) => graft.streaming.GraphArSink.snapshotYaml(spark, base, v.toLong)
           case None => Option(graft.streaming.GraphArSink.latestYaml(spark, base))
@@ -109,9 +115,15 @@ class GraphArCatalog extends TableCatalog with SupportsNamespaces {
     val graph = graphAt(ident.namespace())
     val n = ident.name()
     graph.vertices.find(v => s"${v.vertexType}.vertex" == n)
-      .map(new GraphArVertexTable(_))
+      .map[Table] { v =>
+        versionedBase.fold[Table](new GraphArVertexTable(v))(
+          new GraphArVersionedVertexTable(v, _))
+      }
       .orElse(graph.edges.find(e => s"${e.name}.edge" == n)
-        .map(new GraphArEdgeTable(_)))
+        .map[Table] { e =>
+          versionedBase.fold[Table](new GraphArEdgeTable(e))(
+            new GraphArVersionedEdgeTable(e, _, perTypeLog = graph.edges.size > 1))
+        })
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName) ++ ident.namespace().toSeq :+ n))
   }
@@ -148,4 +160,70 @@ class GraphArCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
   override def dropTable(ident: Identifier): Boolean = readOnly()
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
+}
+
+/** Edge table of a VERSIONED (`snapshotBase`) catalog: reads serve the
+  * catalog's pinned snapshot; `INSERT INTO` appends as an O(delta)
+  * STAGED DELTA on the live log ([[GraphArMutations.stageDelta]]) — the
+  * SQL twin of `addEdges` staging. The pinned snapshot is immutable, so
+  * an insert never changes what this catalog reads; `graph_current_edges
+  * ('<base>')` (or the next compaction's snapshot) folds it. Single-type
+  * graphs use the flat `base/delta/` log, multi-type graphs the
+  * per-type `base/delta/<name>/` log — the same convention as the Scala
+  * mutation verbs. Only append is supported: INSERT OVERWRITE / TRUNCATE
+  * refuse (a snapshot rewrite is `commitSnapshot`, not DML).
+  *
+  * Schema note: ACCEPT_ANY_SCHEMA is deliberately NOT advertised (unlike
+  * the path-based writer) so Spark validates and aligns INSERT columns
+  * against the table schema — `(_graphArSrcIndex, _graphArDstIndex,
+  * props…)` — before the stage; the synthetic index columns are renamed
+  * to the log's (src, dst).
+  */
+class GraphArVersionedEdgeTable(info: EdgeInfo, base: String,
+                                perTypeLog: Boolean)
+  extends GraphArEdgeTable(info) {
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+  override def newWriteBuilder(w: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder =
+        throw new UnsupportedOperationException(
+          s"${info.name}.edge: INSERT OVERWRITE / TRUNCATE is not supported " +
+            "on a versioned graph — only INSERT INTO (append, staged as a " +
+            "delta); replace a snapshot with GraphArMutations.commitSnapshot")
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) truncate()
+              val adds = data
+                .withColumnRenamed(GraphArMeta.SrcIndexCol, "src")
+                .withColumnRenamed(GraphArMeta.DstIndexCol, "dst")
+              val spark = data.sparkSession
+              if (perTypeLog)
+                GraphArMutations.stageDeltaOf(spark, base, info.name,
+                  adds = Some(adds))
+              else
+                GraphArMutations.stageDelta(spark, base, adds = Some(adds))
+            }
+          }
+      }
+    }
+}
+
+/** Vertex table of a versioned catalog: vertex deltas are keyed UPSERTS
+  * (`stageVertexDelta` needs the order column as the upsert key), which
+  * bare INSERT syntax cannot carry — refuse with a pointer instead of
+  * failing deep in the path-based writer with a misleading "option
+  * 'path' is required".
+  */
+class GraphArVersionedVertexTable(info: VertexInfo, base: String)
+  extends GraphArVertexTable(info) {
+  override def newWriteBuilder(w: LogicalWriteInfo): WriteBuilder =
+    throw new UnsupportedOperationException(
+      s"${info.vertexType}.vertex: SQL INSERT is not supported for vertex " +
+        "types (a vertex delta is a keyed upsert — use " +
+        "GraphArMutations.stageVertexDelta / upsertVertices with the key " +
+        "column); edge tables of this catalog do accept INSERT INTO")
 }

@@ -187,6 +187,54 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 3L)
   }
 
+  test("catalog SQL INSERT INTO: edge appends stage deltas; overwrite and vertex insert refuse") {
+    import graft.sources.graphar.{GraphArMutations, GraphArWriter}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("gar_cat_ins").toString
+    GraphArMutations.initEdges(spark, base,
+      Seq((0L, 1L, 1.0), (1L, 2L, 2.0)).toDF("src", "dst", "w"), "INS",
+      GraphArWriter.EdgeSpec("N", "link", "N",
+        srcVertexCount = 8, dstVertexCount = 8,
+        chunkSize = 4, srcChunkSize = 4, dstChunkSize = 4))
+    spark.conf.set("spark.sql.catalog.ins", "graft.catalog.GraphArCatalog")
+    spark.conf.set("spark.sql.catalog.ins.snapshotBase", base)
+    // append: one staged delta, snapshot reads unchanged, folded view grows
+    spark.sql("INSERT INTO ins.`N_link_N.edge` VALUES (5, 6, CAST(6.0 AS DOUBLE))")
+    assert(GraphArMutations.stagedDeltas(spark, base).size === 1)
+    assert(spark.sql("SELECT count(*) AS n FROM ins.`N_link_N.edge`")
+      .collect()(0).getLong(0) === 2L) // pinned snapshot is immutable
+    val cur = GraphArMutations.currentEdges(spark, base)
+    assert(cur.count() === 3L)
+    assert(cur.filter(col("src") === 5L && col("dst") === 6L).count() === 1L)
+    // the TVF folds it for SQL users too
+    graph.GraphTableFunctions.register(spark)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graph_current_edges('$base')")
+      .collect()(0).getLong(0) === 3L)
+    // schema validation happens BEFORE staging: wrong arity refuses
+    intercept[Exception] {
+      spark.sql("INSERT INTO ins.`N_link_N.edge` VALUES (7, 8)")
+    }
+    assert(GraphArMutations.stagedDeltas(spark, base).size === 1)
+    // only append: INSERT OVERWRITE refuses; non-versioned catalogs refuse
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE ins.`N_link_N.edge` VALUES (9, 9, CAST(1.0 AS DOUBLE))")
+    }
+    // vertex insert refuses with the keyed-upsert pointer (vertex-only
+    // versioned base: initVertices refuses a base that holds versions)
+    val vbase = java.nio.file.Files.createTempDirectory("gar_cat_insv").toString
+    GraphArMutations.initVertices(spark, vbase,
+      Seq((0L, "a")).toDF("uid", "name"), "VG",
+      GraphArWriter.VertexSpec("User", chunkSize = 4), orderCol = "uid")
+    spark.conf.set("spark.sql.catalog.insv", "graft.catalog.GraphArCatalog")
+    spark.conf.set("spark.sql.catalog.insv.snapshotBase", vbase)
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO insv.`User.vertex` VALUES (1, 'b')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("stageVertexDelta")), msgs(ex).mkString(" | "))
+  }
+
   test("streaming delta ingest: batches stage O(batch) deltas, periodic compaction folds them") {
     import spark.implicits._
     import graft.sources.graphar.{GraphArMutations, GraphArWriter}
