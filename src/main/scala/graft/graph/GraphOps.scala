@@ -471,12 +471,19 @@ object GraphOps {
     val rootLabels = labelPropagate(spark, contracted, maxIter)
     // expand: every vertex takes its (unique) component via any of its
     // local roots; roots with no cross-slice edge label themselves
-    val out = mapping
+    val resolved = mapping
       .join(rootLabels.withColumnRenamed("v", "r"), Seq("r"), "left")
       .groupBy(col("v"))
       .agg(min(coalesce(col("component"), col("r"))).as("component"))
       .select(col("v"), col("component"))
-      .localCheckpoint(true)
+    // vertices whose ONLY edges are self-loops never enter the simple
+    // edge set (undirectedSimple drops loops) — they are their own
+    // singleton components, not absent rows
+    val loners = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v"))).distinct()
+      .join(mapping.select(col("v")), Seq("v"), "leftanti")
+      .select(col("v"), col("v").as("component"))
+    val out = resolved.unionAll(loners).localCheckpoint(true)
     mapping.unpersist(blocking = false)
     out
   }
@@ -826,6 +833,86 @@ object GraphOps {
       out ::= frontier.withColumn("step", lit(i.toLong))
     }
     out.reverse.reduce(_ unionAll _).select(col("walk"), col("step"), col("v"))
+  }
+
+  /** GraphSAGE-style layered ego-net extraction: for each root, sample
+    * `fanouts(0)` out-edges of the root (layer 1), then `fanouts(1)`
+    * out-edges of each layer-1 destination (layer 2), and so on — the
+    * minibatch neighborhood a GNN trainer materializes per seed batch.
+    * Sampling reuses [[sampleNeighbors]]' deterministic md5 ranking, so
+    * the same (graph, roots, fanouts, seed) always yields the same
+    * subgraph, and the per-vertex sample is SHARED across roots (one
+    * window pass per distinct fanout — not per root).
+    *
+    * Returns (root, layer, src, dst): the edges of each root's ego-net,
+    * layer ≥ 1. A destination reached twice by one root is expanded
+    * once per layer (frontiers are dedup'd per root).
+    *
+    * Scale shape: the sampled adjacency is bounded by k·|V| rows per
+    * distinct fanout; each layer is one join of that static table
+    * against a frontier bounded by |roots|·∏fanouts — broadcast-sized
+    * for training-style batches (64–1024 roots, fanouts ≤ 25). The full
+    * edge table shuffles once per distinct fanout (the window), never
+    * per layer or per root.
+    */
+  def sampleEgoNets(spark: SparkSession, edges: DataFrame, roots: Seq[Long],
+                    fanouts: Seq[Int], seed: String = "graft"): DataFrame = {
+    require(roots.nonEmpty, "sampleEgoNets needs at least one root")
+    require(fanouts.nonEmpty, "sampleEgoNets needs at least one fanout")
+    import spark.implicits._
+    // rank over the DISTINCT edge set: a multigraph's duplicate edges
+    // would otherwise occupy several of a vertex's k sample slots
+    val simple = edges.select(col("src"), col("dst")).distinct()
+    val sampled = fanouts.distinct
+      .map(k => k -> sampleNeighbors(simple, k, seed).select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+      .toMap
+    var frontier = roots.distinct.map(r => (r, r)).toDF("root", "v")
+    var out = List.empty[DataFrame]
+    fanouts.zipWithIndex.foreach { case (k, i) =>
+      val adj = sampled(k)
+      val step = adj.join(broadcast(frontier), adj("src") === frontier("v"))
+        .select(col("root"), lit(i + 1).as("layer"), col("src"), col("dst"))
+        .localCheckpoint(true) // bounded: |frontier| · k rows
+      out ::= step
+      frontier = step.select(col("root"), col("dst").as("v")).distinct()
+        .localCheckpoint(true)
+    }
+    sampled.values.foreach(_.unpersist(blocking = false))
+    out.reverse.reduce(_ unionAll _)
+  }
+
+  /** All-pairs Jaccard similarity over OUT-neighbor sets — the
+    * link-prediction / entity-resolution generalization of
+    * [[neighborOverlap]] (which scores one root against the rest).
+    * Emits (a, b, n_common, n_union, jaccard) for unordered pairs
+    * a < b sharing ≥ `minCommon` distinct out-neighbors.
+    *
+    * Scale shape: pairs are generated ONLY through shared destinations
+    * (join on dst over the distinct edge set, a < b) — vertices sharing
+    * nothing never meet, so the intermediate is Σ_w in(w)², not |V|².
+    * That sum is the honest cost of exact all-pairs similarity; on
+    * skewed graphs bound it upstream (drop super-popular destinations —
+    * standard practice for common-neighbor features — or switch to the
+    * MinHash/LSH family in [[graft.operators.Dedup]], which buckets
+    * instead of enumerating). The count/min aggregations are map-side
+    * combinable; the jaccard is one exact integer division.
+    */
+  def jaccardPairs(edges: DataFrame, minCommon: Int = 2): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val odeg = e.groupBy(col("src")).agg(count(lit(1)).as("n_out"))
+    val common = e.select(col("src").as("a"), col("dst"))
+      .join(e.select(col("src").as("b"), col("dst")), "dst")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    common
+      .join(odeg.select(col("src").as("a"), col("n_out").as("na")), "a")
+      .join(odeg.select(col("src").as("b"), col("n_out").as("nb")), "b")
+      .select(col("a"), col("b"), col("n_common"),
+        (col("na") + col("nb") - col("n_common")).as("n_union"))
+      .withColumn("jaccard", col("n_common") * lit(1.0) / col("n_union"))
   }
 
   /** Max-label propagation with pointer jumping along DIRECTED edges:

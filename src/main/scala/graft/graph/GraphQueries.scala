@@ -190,11 +190,25 @@ object GraphQueries {
     // corpus generation); the oracle unrolls one arg_min CTE per step
     "g_random_walk" -> { (s, d) =>
       GraphOps.randomWalks(s, edgesFrom(s, d), WalkRoots, WalkSteps, WalkSeed)
+    },
+    // layered GNN minibatch neighborhoods: fanouts (3, 2) from the walk
+    // roots, sampled with the SAME md5 ranking as g_sample_neighbors —
+    // the oracle unrolls one sampled-adjacency CTE per distinct fanout
+    "g_ego_nets" -> { (s, d) =>
+      GraphOps.sampleEgoNets(s, edgesFrom(s, d), WalkRoots, EgoFanouts,
+        WalkSeed)
+    },
+    // all-pairs common-out-neighbor similarity (link prediction);
+    // minCommon bounds the emitted pair set
+    "g_jaccard_pairs" -> { (s, d) =>
+      GraphOps.jaccardPairs(edgesFrom(s, d), JaccardMinCommon)
     }
   )
 
   val PprSources = Seq(42L, 7L, 3967L)
   val SampleK = 2
+  val EgoFanouts = Seq(3, 2)
+  val JaccardMinCommon = 8
   val WalkRoots = Seq(42L, 7L, 977L, 3333L, 3967L)
   val WalkSteps = 6
   val WalkSeed = "graft"
@@ -432,6 +446,53 @@ object GraphQueries {
            |  FROM e)
            |SELECT src, dst, sample_rank FROM r
            |WHERE sample_rank <= $SampleK""".stripMargin,
+      // layered ego-nets: one sampled-adjacency CTE per distinct fanout
+      // (identical md5 ranking to g_sample_neighbors), then one
+      // join-and-dedup per layer — the unrolled twin of sampleEgoNets
+      "g_ego_nets" -> {
+        def sampledCte(name: String, k: Int): String =
+          s"""$name AS (
+             |  SELECT src, dst FROM (
+             |    SELECT src, dst, row_number() OVER (
+             |      PARTITION BY src
+             |      ORDER BY md5(concat_ws('_', src, dst, '$WalkSeed')), dst)
+             |      AS rn
+             |    FROM de) WHERE rn <= $k)""".stripMargin
+        val rootRows = WalkRoots.map(r => s"(CAST($r AS BIGINT))").mkString(", ")
+        s"""WITH e AS ($edgesSql),
+           |de AS (SELECT DISTINCT src, dst FROM e),
+           |${sampledCte("s1", EgoFanouts(0))},
+           |${sampledCte("s2", EgoFanouts(1))},
+           |r AS (SELECT root FROM (VALUES $rootRows) AS t(root)),
+           |l1 AS (
+           |  SELECT r.root, 1 AS layer, s1.src, s1.dst
+           |  FROM r JOIN s1 ON s1.src = r.root),
+           |f1 AS (SELECT DISTINCT root, dst AS v FROM l1),
+           |l2 AS (
+           |  SELECT f1.root, 2 AS layer, s2.src, s2.dst
+           |  FROM f1 JOIN s2 ON s2.src = f1.v)
+           |SELECT root, layer, src, dst FROM l1
+           |UNION ALL SELECT root, layer, src, dst FROM l2""".stripMargin
+      },
+      // all-pairs Jaccard over distinct out-neighbor sets, pairs meet
+      // only through shared destinations; n >= $JaccardMinCommon bound
+      "g_jaccard_pairs" ->
+        s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+           |odeg AS (
+           |  SELECT src, CAST(count(*) AS BIGINT) AS n_out
+           |  FROM e GROUP BY src),
+           |common AS (
+           |  SELECT e1.src AS a, e2.src AS b,
+           |    CAST(count(*) AS BIGINT) AS n_common
+           |  FROM e e1 JOIN e e2 ON e2.dst = e1.dst AND e1.src < e2.src
+           |  GROUP BY e1.src, e2.src
+           |  HAVING count(*) >= $JaccardMinCommon)
+           |SELECT common.a, common.b, n_common,
+           |  CAST(da.n_out + db.n_out - n_common AS BIGINT) AS n_union,
+           |  n_common * 1.0 / (da.n_out + db.n_out - n_common) AS jaccard
+           |FROM common
+           |JOIN odeg da ON da.src = common.a
+           |JOIN odeg db ON db.src = common.b""".stripMargin,
       "g_motif_cycle3" ->
         s"""WITH e AS ($edgesSql)
            |SELECT e1.src AS a, CAST(count(*) AS BIGINT) AS n_cycles

@@ -181,6 +181,49 @@ object HopProps extends Properties("graft.hops") {
       }
     }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def sampleBrute(edges: List[(Long, Long)], k: Int): Set[(Long, Long)] =
+    edges.distinct.groupBy(_._1).values.flatMap { es =>
+      es.map(_._2).distinct
+        .sortBy(d => (md5Hex(s"${es.head._1}_${d}_graft"), d)).take(k)
+        .map(d => (es.head._1, d))
+    }.toSet
+
+  property("sampleEgoNets = layered expansion of the md5-ranked sample") =
+    forAll(genGraph) { case (edges, vid) =>
+      val fanouts = Seq(2, 1)
+      val roots = Seq(vid, (vid + 1) % 3)
+      val got = GraphOps.sampleEgoNets(spark, toDf(edges), roots, fanouts)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val s1 = sampleBrute(edges, fanouts(0))
+      val s2 = sampleBrute(edges, fanouts(1))
+      val l1 = for (r <- roots.distinct.toSet[Long]; e <- s1 if e._1 == r)
+        yield (r, 1, e._1, e._2)
+      val f1 = l1.map { case (r, _, _, d) => (r, d) }
+      val l2 = for ((r, v) <- f1; e <- s2 if e._1 == v) yield (r, 2, e._1, e._2)
+      got == l1 ++ l2
+    }
+
+  property("jaccardPairs = brute-force out-neighbor set overlap") =
+    forAll(genGraph) { case (edges, _) =>
+      val got = GraphOps.jaccardPairs(toDf(edges), minCommon = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val vs = out.keys.toSeq.sorted
+      val expected = (for {
+        i <- vs.indices; j <- (i + 1) until vs.size
+        a = vs(i); b = vs(j)
+        common = (out(a) & out(b)).size if common >= 1
+      } yield (a, b, common.toLong,
+        (out(a).size + out(b).size - common).toLong)).toSet
+      got == expected
+    }
+
   property("sssp = bounded Bellman-Ford brute force") =
     forAll(genGraph) { case (edges, vid) =>
       val s = spark
