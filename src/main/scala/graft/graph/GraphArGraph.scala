@@ -152,6 +152,13 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
             rounds: Int = 6): DataFrame =
     GraphOps.kCore(spark, edgesStd(src, t, dst), k, rounds)
 
+  def kTruss(src: String, t: String, dst: String, k: Int,
+             rounds: Int = 5): DataFrame =
+    GraphOps.kTruss(spark, edgesStd(src, t, dst), k, rounds)
+
+  def hits(src: String, t: String, dst: String, iters: Int = 8): DataFrame =
+    GraphOps.hits(spark, edgesStd(src, t, dst), iters)
+
   def clusteringCoefficients(src: String, t: String, dst: String): DataFrame =
     GraphOps.clusteringCoefficients(edgesStd(src, t, dst))
 

@@ -915,6 +915,111 @@ object GraphOps {
       .withColumn("jaccard", col("n_common") * lit(1.0) / col("n_union"))
   }
 
+  /** HITS hubs & authorities (Kleinberg's iterative form) over the
+    * DISTINCT directed edge set, fixed iteration count. Each iteration:
+    * auth(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v} auth(v), each
+    * half-step max-normalized (divide by the current maximum). Max
+    * normalization instead of the textbook L2: max over doubles is
+    * accumulation-order-independent, so the only cross-engine fp drift
+    * is the per-vertex sums themselves — the same class the pagerank
+    * oracle's micro-unit quantization already absorbs — while an L1/L2
+    * norm would add a global fp sum per half-step. Rankings (HITS'
+    * point) are unchanged by the choice of norm.
+    *
+    * Returns (v, hub, auth) for every vertex incident to an edge;
+    * sources with no in-edges get auth 0, sinks hub 0.
+    *
+    * Scale shape: the edge table is distinct'd once, hash-partitioned
+    * once per join key, and persisted — per iteration only the two O(V)
+    * score vectors shuffle, plus a 1-row max broadcast each half-step.
+    */
+  def hits(spark: SparkSession, edges: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"hits needs iters >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hubs = verts.withColumn("h", lit(1.0)).localCheckpoint(false)
+    var auths = verts.withColumn("a", lit(0.0))
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val aRaw = e.join(hubs.select(col("v").as("u"), col("h")),
+          col("src") === col("u"))
+        .groupBy(col("dst").as("v")).agg(sum(col("h")).as("ar"))
+      val aMax = aRaw.agg(max(col("ar")).as("am"))
+      auths = verts.join(aRaw, Seq("v"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("v"), (coalesce(col("ar"), lit(0.0)) / col("am")).as("a"))
+        .localCheckpoint(false)
+      val hRaw = e.join(auths.select(col("v").as("w"), col("a")),
+          col("dst") === col("w"))
+        .groupBy(col("src").as("v")).agg(sum(col("a")).as("hr"))
+      val hMax = hRaw.agg(max(col("hr")).as("hm"))
+      hubs = verts.join(hRaw, Seq("v"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("v"), (coalesce(col("hr"), lit(0.0)) / col("hm")).as("h"))
+        .localCheckpoint(false)
+    }
+    val out = hubs.join(auths, Seq("v")).localCheckpoint(true)
+    e.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    out
+  }
+
+  /** k-truss: the maximal subgraph of the undirected simple graph in
+    * which every edge closes at least k−2 triangles (within the
+    * subgraph). Bounded peel, mirroring [[kCore]]'s fixed-round shape so
+    * a DuckDB oracle can unroll the identical rounds: each round counts
+    * per-edge support via the degree-ordered wedge join ([[triplesOf]] —
+    * each surviving triangle charges its 3 canonical edges, a
+    * map-side-combinable count) and drops edges below k−2. Returns the
+    * surviving canonical edges (a < b) with their support in the FINAL
+    * subgraph (≥ k−2 once the peel has converged; `rounds` must cover
+    * convergence for the truss guarantee to hold, exactly like kCore).
+    *
+    * Scale shape: per round one orientation pass (two degree joins) and
+    * one wedge join whose fan-out is bounded by oriented out-degree
+    * (O(√E) — hub-skew-proof, see [[orientedEdges]]); the edge set only
+    * shrinks. Support counting per round beats maintaining supports
+    * incrementally here because edge deletions invalidate wedge pairs
+    * non-locally — the recount is one shuffle of the (shrinking) edge
+    * set, not O(deleted · degree) messages.
+    */
+  def kTruss(spark: SparkSession, edges: DataFrame, k: Int,
+             rounds: Int = 5): DataFrame = {
+    require(k >= 3, s"kTruss needs k >= 3, got $k")
+    require(rounds >= 1, s"kTruss needs rounds >= 1, got $rounds")
+    def supportOf(cur: DataFrame): DataFrame =
+      withOriented(cur.select(col("a").as("src"), col("b").as("dst")),
+        eager = false) { o =>
+        triplesOf(o.localCheckpoint(false))
+          .select(explode(array(
+            struct(least(col("x"), col("u")).as("a"),
+              greatest(col("x"), col("u")).as("b")),
+            struct(least(col("x"), col("w")).as("a"),
+              greatest(col("x"), col("w")).as("b")),
+            struct(least(col("u"), col("w")).as("a"),
+              greatest(col("u"), col("w")).as("b")))).as("ed"))
+          .select(col("ed.a").as("a"), col("ed.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      }
+    var cur = undirectedSimple(edges).localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      cur = cur.join(supportOf(cur), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+    }
+    cur.join(supportOf(cur), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint(true)
+  }
+
   /** Max-label propagation with pointer jumping along DIRECTED edges:
     * returns (v, label) where label = max vertex id that can reach v
     * (every vertex reaches itself). The jump step is sound because

@@ -202,11 +202,31 @@ object GraphQueries {
     // minCommon bounds the emitted pair set
     "g_jaccard_pairs" -> { (s, d) =>
       GraphOps.jaccardPairs(edgesFrom(s, d), JaccardMinCommon)
+    },
+    // HITS hubs/authorities, micro-quantized like g_pagerank (max
+    // normalization per half-step is fp-order-independent; only the
+    // per-vertex sums drift, absorbed by the quantization)
+    "g_hits" -> { (s, d) =>
+      GraphOps.hits(s, edgesFrom(s, d), HitsIters)
+        .select(col("v"),
+          floor(col("h") * lit(1e6) + lit(0.5)).as("hub_micro"),
+          floor(col("a") * lit(1e6) + lit(0.5)).as("auth_micro"))
+    },
+    // bounded k-truss peel (KTrussRounds covers convergence on this
+    // graph — verified by the fixpoint spec; the oracle unrolls the
+    // same rounds so hashes agree regardless)
+    "g_ktruss" -> { (s, d) =>
+      GraphOps.kTruss(s, edgesFrom(s, d), KTrussK, KTrussRounds)
     }
   )
 
   val PprSources = Seq(42L, 7L, 3967L)
   val SampleK = 2
+  val HitsIters = 8
+  // k=4 on this graph peels 48k → 4226 → 202 → 60 edges and is at
+  // fixpoint by round 3 (TrussProbe); 4 rounds = fixpoint + one spare
+  val KTrussK = 4
+  val KTrussRounds = 4
   val EgoFanouts = Seq(3, 2)
   val JaccardMinCommon = 8
   val WalkRoots = Seq(42L, 7L, 977L, 3333L, 3967L)
@@ -313,6 +333,78 @@ object GraphQueries {
     * dangling-mass redistribution. Output quantized to micro-units (see
     * the queries entry for why).
     */
+  /** Unrolled HITS mirroring [[GraphOps.hits]]: per iteration one
+    * authority half-step then one hub half-step, each max-normalized
+    * (max is fp-order-independent, so the division is cross-engine
+    * exact given equal inputs). Quantization as in [[pageRankSql]].
+    *
+    * Every CTE is MATERIALIZED: each `a$i`/`h$i` references its raw
+    * CTE twice (value + max subquery), and DuckDB inlines plain CTEs
+    * per reference — un-materialized, the 8-level chain expands
+    * exponentially (observed as thousands of parquet re-opens).
+    */
+  private def hitsSql: String = {
+    val steps = (1 to HitsIters).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT e.dst AS v, sum(h${i - 1}.h) AS ar
+         |  FROM e JOIN h${i - 1} ON h${i - 1}.v = e.src GROUP BY e.dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT verts.v,
+         |    coalesce(a${i}r.ar, 0.0) / (SELECT max(ar) FROM a${i}r) AS a
+         |  FROM verts LEFT JOIN a${i}r ON a${i}r.v = verts.v),
+         |h${i}r AS MATERIALIZED (
+         |  SELECT e.src AS v, sum(a$i.a) AS hr
+         |  FROM e JOIN a$i ON a$i.v = e.dst GROUP BY e.src),
+         |h$i AS MATERIALIZED (
+         |  SELECT verts.v,
+         |    coalesce(h${i}r.hr, 0.0) / (SELECT max(hr) FROM h${i}r) AS h
+         |  FROM verts LEFT JOIN h${i}r ON h${i}r.v = verts.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT v, 1.0 AS h FROM verts),
+       |$steps
+       |SELECT h$HitsIters.v,
+       |  CAST(floor(h$HitsIters.h * 1000000.0 + 0.5) AS BIGINT) AS hub_micro,
+       |  CAST(floor(a$HitsIters.a * 1000000.0 + 0.5) AS BIGINT) AS auth_micro
+       |FROM h$HitsIters JOIN a$HitsIters ON a$HitsIters.v = h$HitsIters.v""".stripMargin
+  }
+
+  /** Unrolled k-truss peel mirroring [[GraphOps.kTruss]]: per round,
+    * per-edge support = common neighbors of the endpoints over the
+    * current undirected edge set, then drop edges below k−2. The wedge
+    * enumeration differs from Spark's degree-ordered orientation but
+    * counts the same triangles — supports are exact integers.
+    */
+  private def ktrussSql: String = {
+    // MATERIALIZED throughout: each round references the previous ~3×
+    // (two und sides + the edge join) — see the hitsSql inlining note
+    def supCte(i: Int): String =
+      s"""und$i AS MATERIALIZED (
+         |  SELECT a, b FROM e$i UNION ALL SELECT b AS a, a AS b FROM e$i),
+         |sup$i AS MATERIALIZED (
+         |  SELECT n1.a AS a, n2.a AS b, CAST(count(*) AS BIGINT) AS support
+         |  FROM und$i n1 JOIN und$i n2 ON n2.b = n1.b AND n1.a < n2.a
+         |  JOIN e$i ed ON ed.a = n1.a AND ed.b = n2.a
+         |  GROUP BY n1.a, n2.a)""".stripMargin
+    val steps = (0 until KTrussRounds).map { i =>
+      s"""${supCte(i)},
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT a, b FROM sup$i WHERE support >= ${KTrussK - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM ($edgesSql) WHERE src <> dst),
+       |$steps,
+       |${supCte(KTrussRounds)}
+       |SELECT e$KTrussRounds.a, e$KTrussRounds.b,
+       |  coalesce(sup$KTrussRounds.support, CAST(0 AS BIGINT)) AS support
+       |FROM e$KTrussRounds
+       |LEFT JOIN sup$KTrussRounds
+       |  ON sup$KTrussRounds.a = e$KTrussRounds.a
+       |  AND sup$KTrussRounds.b = e$KTrussRounds.b""".stripMargin
+  }
+
   private def pageRankSql: String = {
     val iters = 10
     val steps = (1 to iters).map { i =>
@@ -434,6 +526,8 @@ object GraphQueries {
            |SELECT v, CAST(label AS BIGINT) AS community FROM l3""".stripMargin
       },
       "g_pagerank" -> pageRankSql,
+      "g_hits" -> hitsSql,
+      "g_ktruss" -> ktrussSql,
       "g_ppr" -> pprSql,
       "g_random_walk" -> randomWalkSql,
       "g_sample_neighbors" ->

@@ -138,6 +138,16 @@ object GraphTableFunctions {
           s"graph_kcore: k must be in [1, ${Int.MaxValue}], got $k")
         g.kCore(s, t, d, k.toInt)
       })),
+    (FunctionIdentifier("graph_ktruss"),
+      new ExpressionInfo(getClass.getName, "graph_ktruss"),
+      hopBuilder("graph_ktruss", (g, s, t, d, k) => {
+        if (k < 3 || k > Int.MaxValue) throw new IllegalArgumentException(
+          s"graph_ktruss: k must be in [3, ${Int.MaxValue}], got $k")
+        g.kTruss(s, t, d, k.toInt)
+      })),
+    (FunctionIdentifier("graph_hits"),
+      new ExpressionInfo(getClass.getName, "graph_hits"),
+      wholeGraphBuilder("graph_hits", (g, s, t, d) => g.hits(s, t, d))),
     (FunctionIdentifier("personalized_pagerank"),
       new ExpressionInfo(getClass.getName, "personalized_pagerank"),
       hopBuilder("personalized_pagerank",

@@ -258,6 +258,49 @@ object HopProps extends Properties("graft.hops") {
       got == expected
     }
 
+  property("hits matches driver-side max-normalized iteration within 1e-9") =
+    forAll(genGraph) { case (edges, _) =>
+      edges.isEmpty || {
+        val iters = 4
+        val got = GraphOps.hits(spark, toDf(edges), iters).collect()
+          .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        val de = edges.distinct
+        val verts = (de.map(_._1) ++ de.map(_._2)).distinct
+        var h = verts.map(_ -> 1.0).toMap
+        var a = Map.empty[Long, Double]
+        (1 to iters).foreach { _ =>
+          val ar = de.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+          val amax = ar.values.max
+          a = verts.map(v => v -> ar.getOrElse(v, 0.0) / amax).toMap
+          val hr = de.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+          val hmax = hr.values.max
+          h = verts.map(v => v -> hr.getOrElse(v, 0.0) / hmax).toMap
+        }
+        verts.forall(v => math.abs(got(v)._1 - h(v)) < 1e-9 &&
+          math.abs(got(v)._2 - a(v)) < 1e-9)
+      }
+    }
+
+  property("kTruss = brute-force bounded support peel") =
+    forAll(genGraph) { case (edges, _) =>
+      val k = 3
+      val rounds = 3
+      val got = GraphOps.kTruss(spark, toDf(edges), k, rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def support(s: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+        val adj = (s ++ s.map(e => (e._2, e._1))).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        s.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size.toLong }.toMap
+      }
+      var cur = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      (1 to rounds).foreach { _ =>
+        val sup = support(cur)
+        cur = cur.filter(e => sup(e) >= k - 2)
+      }
+      got == support(cur)
+    }
+
   property("pageRank matches driver-side power iteration within 1e-9") =
     forAll(genGraph) { case (edges, _) =>
       edges.isEmpty || {
