@@ -159,6 +159,9 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
   def hits(src: String, t: String, dst: String, iters: Int = 8): DataFrame =
     GraphOps.hits(spark, edgesStd(src, t, dst), iters)
 
+  def degreeAssortativity(src: String, t: String, dst: String): DataFrame =
+    GraphOps.degreeAssortativity(edgesStd(src, t, dst))
+
   def clusteringCoefficients(src: String, t: String, dst: String): DataFrame =
     GraphOps.clusteringCoefficients(edgesStd(src, t, dst))
 

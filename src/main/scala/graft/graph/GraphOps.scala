@@ -1020,6 +1020,54 @@ object GraphOps {
       .localCheckpoint(true)
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of the
+    * endpoint degrees over every directed orientation of the undirected
+    * simple edge set (both directions, so the statistic is symmetric).
+    * r > 0 = hubs attach to hubs; r < 0 = hubs attach to leaves —
+    * THE one-number summary of whether a graph is social-network-like
+    * or internet-like.
+    *
+    * All six moments are exact integer sums (order-independent, hash
+    * exact); the final correlation is one fixed expression tree over
+    * their double casts — no fp accumulation anywhere, so the double is
+    * cross-engine bit-stable. Returns 1 row:
+    * (n_pairs, sum_x, sum_xx, sum_xy, r).
+    *
+    * Scale shape: two map-side-combinable aggregations (degree count,
+    * moment sums) and one join of the edge table against the O(V)
+    * degree vector per side — no all-pairs anything; the moment
+    * aggregation collapses to 1 row before it reaches the driver.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = undirectedSimple(edges)
+    val bi = und.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(und.select(col("b").as("s"), col("a").as("t")))
+    val deg = bi.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val moments = bi
+      .join(deg.select(col("s"), col("deg").as("dx")), "s")
+      .join(deg.select(col("s").as("t"), col("deg").as("dy")), "t")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("dx")).as("sum_x"),
+        sum(col("dx") * col("dx")).as("sum_xx"),
+        sum(col("dx") * col("dy")).as("sum_xy"))
+    // by symmetry Σy = Σx and Σy² = Σx² (every edge appears in both
+    // orientations), so the Pearson denominator collapses. Products are
+    // taken over DOUBLE casts of the exact integer sums: n·Σxy would
+    // overflow int64 on a trillion-edge graph, and the double
+    // expression tree is fixed-order (no accumulation) so it stays
+    // cross-engine bit-stable.
+    // r is undefined on a degree-regular graph (zero variance): emit
+    // NULL, not an ANSI divide-by-zero (the oracle CASEs identically)
+    val num = col("n_pairs").cast("double") * col("sum_xy").cast("double") -
+      col("sum_x").cast("double") * col("sum_x").cast("double")
+    val den = col("n_pairs").cast("double") * col("sum_xx").cast("double") -
+      col("sum_x").cast("double") * col("sum_x").cast("double")
+    moments.select(
+      col("n_pairs"), col("sum_x"), col("sum_xx"), col("sum_xy"),
+      when(den =!= 0.0, num / den).as("r"))
+  }
+
   /** Max-label propagation with pointer jumping along DIRECTED edges:
     * returns (v, label) where label = max vertex id that can reach v
     * (every vertex reaches itself). The jump step is sound because

@@ -217,6 +217,11 @@ object GraphQueries {
     // same rounds so hashes agree regardless)
     "g_ktruss" -> { (s, d) =>
       GraphOps.kTruss(s, edgesFrom(s, d), KTrussK, KTrussRounds)
+    },
+    // degree assortativity: exact integer moments; the correlation is a
+    // fixed double expression over them (bit-stable cross-engine)
+    "g_assortativity" -> { (s, d) =>
+      GraphOps.degreeAssortativity(edgesFrom(s, d))
     }
   )
 
@@ -528,6 +533,35 @@ object GraphQueries {
       "g_pagerank" -> pageRankSql,
       "g_hits" -> hitsSql,
       "g_ktruss" -> ktrussSql,
+      // degree assortativity over both orientations of the undirected
+      // simple edge set; integer moments exact, double combine
+      // fixed-order (mirrors GraphOps.degreeAssortativity)
+      "g_assortativity" ->
+        s"""WITH und AS MATERIALIZED (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM ($edgesSql) WHERE src <> dst),
+           |bi AS MATERIALIZED (
+           |  SELECT a AS s, b AS t FROM und
+           |  UNION ALL SELECT b AS s, a AS t FROM und),
+           |deg AS MATERIALIZED (
+           |  SELECT s, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY s),
+           |m AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(dx.deg) AS BIGINT) AS sum_x,
+           |    CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sum_xx,
+           |    CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sum_xy
+           |  FROM bi
+           |  JOIN deg dx ON dx.s = bi.s
+           |  JOIN deg dy ON dy.s = bi.t)
+           |SELECT n_pairs, sum_x, sum_xx, sum_xy,
+           |  CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sum_xx AS DOUBLE) -
+           |            CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) <> 0.0
+           |    THEN (CAST(n_pairs AS DOUBLE) * CAST(sum_xy AS DOUBLE) -
+           |          CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) /
+           |         (CAST(n_pairs AS DOUBLE) * CAST(sum_xx AS DOUBLE) -
+           |          CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+           |  END AS r
+           |FROM m""".stripMargin,
       "g_ppr" -> pprSql,
       "g_random_walk" -> randomWalkSql,
       "g_sample_neighbors" ->

@@ -148,6 +148,10 @@ object GraphTableFunctions {
     (FunctionIdentifier("graph_hits"),
       new ExpressionInfo(getClass.getName, "graph_hits"),
       wholeGraphBuilder("graph_hits", (g, s, t, d) => g.hits(s, t, d))),
+    (FunctionIdentifier("graph_assortativity"),
+      new ExpressionInfo(getClass.getName, "graph_assortativity"),
+      wholeGraphBuilder("graph_assortativity",
+        (g, s, t, d) => g.degreeAssortativity(s, t, d))),
     (FunctionIdentifier("personalized_pagerank"),
       new ExpressionInfo(getClass.getName, "personalized_pagerank"),
       hopBuilder("personalized_pagerank",

@@ -268,6 +268,22 @@ object TextAnalysis {
         .crossJoin(broadcast(total))
         .select(col("doc_id"), col("n"),
           ((col("s") * lit(1.0)) / col("n") / col("_corpus_tokens")).as("lm_score"))
+    },
+
+    // rule-based token cleaning (the list-HOF shape C4/CCNet-style
+    // cleaners use): strip stopwords, emit the cleaned text plus the
+    // removal count. filter + array_join stay inside whole-stage
+    // codegen; map-side only — the text never leaves its partition.
+    "t_stopword_strip" -> { (s, d) =>
+      val stops = array(Lexicons.head._2.map(lit): _*)
+      t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          filter(col("t"), w => !array_contains(stops, w)).as("kept"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+          array_join(col("kept"), " ").as("cleaned"))
     }
   )
 
@@ -447,6 +463,18 @@ object TextAnalysis {
         |      FROM tt JOIN c ON tt.term = c.term GROUP BY doc_id)
         |SELECT doc_id, n,
         |  CAST(s AS DOUBLE) / n / (SELECT count(*) FROM tt) AS lm_score
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "t_stopword_strip" -> {
+      val stops = Lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(t) - len(k) AS BIGINT) AS n_removed,
+         |  array_to_string(k, ' ') AS cleaned
+         |FROM (
+         |  SELECT doc_id, t,
+         |    list_filter(t, w -> NOT list_contains($stops, w)) AS k
+         |  FROM ($tokSql))""".stripMargin
+    }
   )
 }

@@ -301,6 +301,28 @@ object HopProps extends Properties("graft.hops") {
       got == support(cur)
     }
 
+  property("degreeAssortativity = brute-force Pearson over endpoint degrees") =
+    forAll(genGraph) { case (edges, _) =>
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      und.isEmpty || {
+        val bi = und ++ und.map(_.swap)
+        val deg = bi.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val xs = bi.map { case (s, t) => (deg(s), deg(t)) }
+        val n = xs.size.toLong
+        val sx = xs.map(_._1).sum
+        val sxx = xs.map(p => p._1 * p._1).sum
+        val sxy = xs.map(p => p._1 * p._2).sum
+        val num = n.toDouble * sxy.toDouble - sx.toDouble * sx.toDouble
+        val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+        val row = GraphOps.degreeAssortativity(toDf(edges)).collect().head
+        row.getLong(0) == n && row.getLong(1) == sx &&
+          row.getLong(2) == sxx && row.getLong(3) == sxy &&
+          ((den == 0.0 && row.isNullAt(4)) ||
+            (den != 0.0 && math.abs(row.getDouble(4) - num / den) < 1e-12))
+      }
+    }
+
   property("pageRank matches driver-side power iteration within 1e-9") =
     forAll(genGraph) { case (edges, _) =>
       edges.isEmpty || {
