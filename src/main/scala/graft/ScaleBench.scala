@@ -93,6 +93,11 @@ object ScaleBench {
     time("scc")(GraphOps.stronglyConnectedComponents(spark, esP).count())
     time("communities_3round")(
       GraphOps.labelPropagationCommunities(spark, esP).count())
+    time("hits_8iter")(GraphOps.hits(spark, esP).count())
+    time("ktruss_k4_3r")(GraphOps.kTruss(spark, esP, 4, rounds = 3).count())
+    time("assortativity")(GraphOps.degreeAssortativity(esP).collect())
+    time("ego_nets_64r_f10x10")(GraphOps.sampleEgoNets(spark, esP,
+      (0L until 64L).map(i => i * 997L % (v * replicas)), Seq(10, 10)).count())
     esP.unpersist()
 
     // Mutation cost at this scale: full copy-on-write commit vs O(delta)

@@ -125,6 +125,17 @@ object ZipfBench {
     time("communities_3round")(
       GraphOps.labelPropagationCommunities(spark, esP).count())
     time("scc")(GraphOps.stronglyConnectedComponents(spark, esP).count())
+    // hub-sensitive additions round 2: hits' per-vertex sums see the
+    // hub's whole in/out mass (map-side combinable); ktruss' wedge join
+    // rides the same degree-ordered orientation bound as triangles;
+    // assortativity joins the O(E) orientation table against the degree
+    // vector ON the hub key (AQE skew-split territory); ego-nets anchor
+    // a root AT the hub (per-vertex sample bounded by k regardless)
+    time("hits_8iter")(GraphOps.hits(spark, esP).count())
+    time("ktruss_k4_3r")(GraphOps.kTruss(spark, esP, 4, rounds = 3).count())
+    time("assortativity")(GraphOps.degreeAssortativity(esP).collect())
+    time("ego_nets_hub_f10x10")(GraphOps.sampleEgoNets(spark, esP,
+      Seq(hubId, midId), Seq(10, 10)).count())
     if (naive) {
       // the unprotected plan: canonical a<b orientation, hub fans out
       val und = esP.select(

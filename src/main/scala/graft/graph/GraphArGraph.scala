@@ -162,6 +162,19 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
   def degreeAssortativity(src: String, t: String, dst: String): DataFrame =
     GraphOps.degreeAssortativity(edgesStd(src, t, dst))
 
+  def betweenness(src: String, t: String, dst: String, source: Long,
+                  maxDepth: Int = 4): DataFrame =
+    GraphOps.betweennessSampled(spark, edgesStd(src, t, dst), Seq(source),
+      maxDepth)
+
+  def closeness(src: String, t: String, dst: String, source: Long,
+                maxDepth: Int = 4): DataFrame =
+    GraphOps.harmonicCloseness(spark, edgesStd(src, t, dst), Seq(source),
+      maxDepth)
+
+  def adamicAdar(src: String, t: String, dst: String): DataFrame =
+    GraphOps.adamicAdarPairs(edgesStd(src, t, dst))
+
   def clusteringCoefficients(src: String, t: String, dst: String): DataFrame =
     GraphOps.clusteringCoefficients(edgesStd(src, t, dst))
 

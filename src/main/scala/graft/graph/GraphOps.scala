@@ -986,38 +986,70 @@ object GraphOps {
     * incrementally here because edge deletions invalidate wedge pairs
     * non-locally — the recount is one shuffle of the (shrinking) edge
     * set, not O(deleted · degree) messages.
+    *
+    * Memory discipline: the wedge join streams (wedge volume Σ od² can
+    * dwarf E on dense graphs — it spills through the join, it is never
+    * stored), and only ONE round's O(E) state is ever live: per round
+    * the oriented table and the surviving edge set are explicitly
+    * persisted, the round is driven by one count(), and the previous
+    * round's blocks are unpersisted before the next round starts
+    * (deterministic release — RDD-level localCheckpoint blocks would
+    * wait on the ContextCleaner's GC). A lazy-checkpoint chain here
+    * pinned every round's intermediates at once and OOMed at 5.8M
+    * edges (avg degree ≈300).
     */
   def kTruss(spark: SparkSession, edges: DataFrame, k: Int,
              rounds: Int = 5): DataFrame = {
     require(k >= 3, s"kTruss needs k >= 3, got $k")
     require(rounds >= 1, s"kTruss needs rounds >= 1, got $rounds")
-    def supportOf(cur: DataFrame): DataFrame =
-      withOriented(cur.select(col("a").as("src"), col("b").as("dst")),
-        eager = false) { o =>
-        triplesOf(o.localCheckpoint(false))
-          .select(explode(array(
-            struct(least(col("x"), col("u")).as("a"),
-              greatest(col("x"), col("u")).as("b")),
-            struct(least(col("x"), col("w")).as("a"),
-              greatest(col("x"), col("w")).as("b")),
-            struct(least(col("u"), col("w")).as("a"),
-              greatest(col("u"), col("w")).as("b")))).as("ed"))
-          .select(col("ed.a").as("a"), col("ed.b").as("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      }
-    var cur = undirectedSimple(edges).localCheckpoint(false)
+    // lazy O(cur)-row support plan over a caller-persisted oriented table
+    def supportOver(o: DataFrame): DataFrame =
+      triplesOf(o)
+        .select(explode(array(
+          struct(least(col("x"), col("u")).as("a"),
+            greatest(col("x"), col("u")).as("b")),
+          struct(least(col("x"), col("w")).as("a"),
+            greatest(col("x"), col("w")).as("b")),
+          struct(least(col("u"), col("w")).as("a"),
+            greatest(col("u"), col("w")).as("b")))).as("ed"))
+        .select(col("ed.a").as("a"), col("ed.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    def orientedOf(cur: DataFrame): DataFrame =
+      orientedEdges(cur.select(col("a").as("src"), col("b").as("dst")))
+    // persist + count gives deterministic materialization; the
+    // createDataFrame(rdd, schema) wrapper truncates the LOGICAL plan
+    // (persist alone does not — each round's plan embeds the previous
+    // round's ~4 times through the join + oriented self-join, so after
+    // 5 rounds the analyzer walks ~4^5 copies of the base plan and the
+    // driver heap dies on a 2-edge graph). The row conversion is O(cur)
+    // per round — noise next to the wedge join it feeds.
+    def materialize(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      (spark.createDataFrame(p.rdd, p.schema), p)
+    }
+    var (cur, curH) = materialize(undirectedSimple(edges))
     var r = 0
     while (r < rounds) {
       r += 1
-      cur = cur.join(supportOf(cur), Seq("a", "b"), "left")
-        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
-        .select(col("a"), col("b"))
-        .localCheckpoint(false)
+      val o = orientedOf(cur).persist(StorageLevel.MEMORY_AND_DISK)
+      val (next, nextH) = materialize(
+        cur.join(supportOver(o), Seq("a", "b"), "left")
+          .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+          .select(col("a"), col("b")))
+      o.unpersist(blocking = false)
+      curH.unpersist(blocking = false)
+      cur = next
+      curH = nextH
     }
-    cur.join(supportOf(cur), Seq("a", "b"), "left")
+    val oF = orientedOf(cur).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = cur.join(supportOver(oF), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
       .localCheckpoint(true)
+    oF.unpersist(blocking = false)
+    curH.unpersist(blocking = false)
+    out
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of the
@@ -1066,6 +1098,167 @@ object GraphOps {
     moments.select(
       col("n_pairs"), col("sum_x"), col("sum_xx"), col("sum_xy"),
       when(den =!= 0.0, num / den).as("r"))
+  }
+
+  /** Sampled betweenness centrality: Brandes' dependency accumulation
+    * from a FIXED source set, depth-bounded — the standard scale
+    * approximation (Brandes/Pich 2007): bc(v) = Σ_{s∈S} δ_s(v), where
+    * δ_s is the dependency of source s on v over shortest paths of
+    * length ≤ maxDepth. Directed, unweighted, over the DISTINCT edge
+    * set (multigraph duplicates would multiply path counts).
+    *
+    * Forward: batched level-synchronous BFS keyed by (source, vertex),
+    * accumulating σ (shortest-path counts — exact integers) per level.
+    * Backward: per level from the deepest, δ(v) = Σ over successors w
+    * one level deeper of (σ(v)/σ(w))·(1+δ(w)) — one join per level
+    * against the STATIC edge table. All |S| sources ride the same
+    * per-level joins (the frontier carries the source column), so the
+    * level count — not the source count — sets the number of jobs.
+    *
+    * Returns (v, bc) for every vertex reached by some source, the
+    * source rows themselves excluded per Brandes. σ ratios are exact
+    * integer divisions; the δ sums are the only fp accumulation
+    * (absorbed by the oracle's micro-quantization, like pagerank).
+    *
+    * Scale shape: per level one join of the edge table against an O(S·V)
+    * frontier + a map-side-combinable sum, forward and backward; edge
+    * table static, only frontier/δ vectors shuffle. 2·maxDepth joins
+    * total for ANY source count.
+    */
+  def betweennessSampled(spark: SparkSession, edges: DataFrame,
+                         sources: Seq[Long], maxDepth: Int = 4): DataFrame = {
+    require(sources.nonEmpty, "betweennessSampled needs at least one source")
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // forward: levels(l) = (s, v, sigma) at distance exactly l from s
+    val l0 = sources.distinct.map(s => (s, s, 1L)).toDF("s", "v", "sigma")
+      .localCheckpoint(false)
+    var levels = Vector(l0)
+    var visited = l0.select(col("s"), col("v")).localCheckpoint(false)
+    var l = 0
+    while (l < maxDepth) {
+      l += 1
+      val prev = levels.last
+      val next = e.join(prev.withColumnRenamed("v", "u"), col("src") === col("u"))
+        .groupBy(col("s"), col("dst").as("v")).agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("s", "v"), "leftanti")
+        .localCheckpoint(false)
+      levels :+= next
+      visited = visited.unionAll(next.select(col("s"), col("v")))
+        .localCheckpoint(false)
+    }
+    // backward: delta(depth) = 0; delta(l) from successors at l+1
+    var delta = levels(maxDepth)
+      .select(col("s"), col("v"), lit(0.0).as("delta"))
+    var acc = delta
+    var b = maxDepth
+    while (b > 0) {
+      b -= 1
+      val down = levels(b + 1)
+        .join(delta, Seq("s", "v"))
+        .select(col("s"), col("v").as("w"), col("sigma").as("sigma_w"),
+          col("delta").as("delta_w"))
+      val contrib = e.join(down, col("dst") === col("w"))
+        .select(col("s"), col("src").as("v"), col("sigma_w"), col("delta_w"))
+        .join(levels(b), Seq("s", "v"))
+        .select(col("s"), col("v"),
+          (col("sigma").cast("double") / col("sigma_w").cast("double") *
+            (lit(1.0) + col("delta_w"))).as("c"))
+        .groupBy(col("s"), col("v")).agg(sum(col("c")).as("contrib"))
+      delta = levels(b).join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"),
+          coalesce(col("contrib"), lit(0.0)).as("delta"))
+        .localCheckpoint(false)
+      acc = acc.unionAll(delta)
+    }
+    val out = acc.filter(col("s") =!= col("v"))
+      .groupBy(col("v")).agg(sum(col("delta")).as("bc"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Sampled harmonic closeness centrality: h(v) = Σ_{s∈S, d(s,v)≥1}
+    * 1/d(s,v), distances from a FIXED source set, depth-bounded — the
+    * sampled-pivot estimator (Eppstein/Wang 2004 shape) over the
+    * harmonic variant, which is well-defined on disconnected graphs
+    * (Boldi/Vigna 2014). Directed, unweighted, DISTINCT edge set.
+    *
+    * Same batched level-synchronous multi-source BFS as
+    * [[betweennessSampled]]'s forward pass (all sources ride one join
+    * per level; the frontier carries the source column), but instead of
+    * fp-summing 1/d terms it counts EXACT sources-at-distance-l per
+    * vertex and combines once with one fixed-order double expression
+    * `c1/1.0 + c2/2.0 + …` — integer counts are exact in both engines
+    * and the combine is the identical IEEE sequence, so the result is
+    * bit-stable cross-engine (same design as degreeAssortativity; no
+    * quantization needed).
+    *
+    * Scale shape: maxDepth joins of the static src-partitioned edge
+    * table against an O(S·V) frontier, one count-pivot aggregate.
+    */
+  def harmonicCloseness(spark: SparkSession, edges: DataFrame,
+                        sources: Seq[Long], maxDepth: Int = 4): DataFrame = {
+    require(sources.nonEmpty, "harmonicCloseness needs at least one source")
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = sources.distinct.map(s => (s, s)).toDF("s", "v")
+      .localCheckpoint(false)
+    var visited = frontier
+    var acc: DataFrame = null // (v, d) — one row per source at distance d
+    var l = 0
+    while (l < maxDepth) {
+      l += 1
+      val next = e.join(frontier.withColumnRenamed("v", "u"),
+          col("src") === col("u"))
+        .select(col("s"), col("dst").as("v")).distinct()
+        .join(visited, Seq("s", "v"), "leftanti")
+        .localCheckpoint(false)
+      visited = visited.unionAll(next).localCheckpoint(false)
+      val t = next.select(col("v"), lit(l).as("d"))
+      acc = if (acc == null) t else acc.unionAll(t)
+      frontier = next
+    }
+    val counts = (1 to maxDepth).map(d =>
+      count(when(col("d") === d, lit(1))).as(s"c$d"))
+    val harmonic = (1 to maxDepth)
+      .map(d => col(s"c$d").cast("double") / lit(d.toDouble))
+      .reduce(_ + _)
+    val out = acc.groupBy(col("v")).agg(counts.head, counts.tail: _*)
+      .select(col("v"), harmonic.as("harmonic"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Adamic–Adar link-prediction scores over shared out-neighbors:
+    * aa(a,b) = Σ_{w ∈ out(a) ∩ out(b)} 1/ln(indeg(w)) (Adamic/Adar
+    * 2003) — rarer shared destinations count more. DISTINCT edge set;
+    * indeg(w) ≥ 2 for every contributing w by construction (both a and
+    * b point at it), so ln is always positive. Like [[jaccardPairs]],
+    * pairs are generated ONLY through shared destinations (Σ in(w)²
+    * work, never |V|²) and a minCommon floor bounds the output. The
+    * per-pair fp sum is order-dependent → oracle-compared under
+    * micro-quantization (see the queries entry).
+    */
+  def adamicAdarPairs(edges: DataFrame, minCommon: Int = 2): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
+    e.select(col("src").as("a"), col("dst"))
+      .join(e.select(col("src").as("b"), col("dst")), "dst")
+      .filter(col("a") < col("b"))
+      .join(indeg, "dst")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("n_in").cast("double"))).as("aa"))
+      .filter(col("n_common") >= minCommon)
   }
 
   /** Max-label propagation with pointer jumping along DIRECTED edges:

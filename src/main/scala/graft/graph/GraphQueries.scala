@@ -222,10 +222,31 @@ object GraphQueries {
     // fixed double expression over them (bit-stable cross-engine)
     "g_assortativity" -> { (s, d) =>
       GraphOps.degreeAssortativity(edgesFrom(s, d))
+    },
+    // sampled betweenness (Brandes from the PPR source set, depth 4),
+    // micro-quantized: σ counts are exact ints, δ sums are the only fp
+    "g_betweenness" -> { (s, d) =>
+      GraphOps.betweennessSampled(s, edgesFrom(s, d), PprSources, BcDepth)
+        .select(col("v"),
+          floor(col("bc") * lit(1e6) + lit(0.5)).as("bc_micro"))
+    },
+    // sampled harmonic closeness from the same source set — exact
+    // per-level counts + one fixed-order double combine, bit-stable
+    // cross-engine (no quantization; see harmonicCloseness scaladoc)
+    "g_closeness" -> { (s, d) =>
+      GraphOps.harmonicCloseness(s, edgesFrom(s, d), PprSources, BcDepth)
+    },
+    // Adamic–Adar link prediction through shared destinations; the
+    // 1/ln(indeg) sum is the only fp accumulation → micro-quantized
+    "g_adamic_adar" -> { (s, d) =>
+      GraphOps.adamicAdarPairs(edgesFrom(s, d), JaccardMinCommon)
+        .select(col("a"), col("b"), col("n_common"),
+          floor(col("aa") * lit(1e6) + lit(0.5)).as("aa_micro"))
     }
   )
 
   val PprSources = Seq(42L, 7L, 3967L)
+  val BcDepth = 4
   val SampleK = 2
   val HitsIters = 8
   // k=4 on this graph peels 48k → 4226 → 202 → 60 edges and is at
@@ -338,6 +359,97 @@ object GraphQueries {
     * dangling-mass redistribution. Output quantized to micro-units (see
     * the queries entry for why).
     */
+  /** Unrolled Brandes mirroring [[GraphOps.betweennessSampled]]: per
+    * source a level-synchronous σ-counting BFS (exact integer path
+    * counts) then per-level dependency accumulation; δ expressions are
+    * written exactly as the Spark side computes them. MATERIALIZED
+    * everywhere (see the hitsSql inlining note). Quantization as in
+    * [[pageRankSql]].
+    */
+  private def betweennessSql: String = {
+    val perSource = PprSources.zipWithIndex.map { case (s, j) =>
+      val fwd = (1 to BcDepth).map { l =>
+        s"""lv${j}_$l AS MATERIALIZED (
+           |  SELECT e.dst AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
+           |  FROM e JOIN lv${j}_${l - 1} p ON p.v = e.src
+           |  WHERE e.dst NOT IN (SELECT v FROM vis${j}_${l - 1})
+           |  GROUP BY e.dst),
+           |vis${j}_$l AS MATERIALIZED (
+           |  SELECT v FROM vis${j}_${l - 1}
+           |  UNION ALL SELECT v FROM lv${j}_$l)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (BcDepth - 1 to 0 by -1).map { l =>
+        s"""del${j}_$l AS MATERIALIZED (
+           |  SELECT l.v, coalesce(c.contrib, 0.0) AS delta
+           |  FROM lv${j}_$l l LEFT JOIN (
+           |    SELECT e.src AS v,
+           |      sum(CAST(lb.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+           |        * (1.0 + w.delta)) AS contrib
+           |    FROM e
+           |    JOIN (SELECT lw.v, lw.sigma, d.delta
+           |          FROM lv${j}_${l + 1} lw
+           |          JOIN del${j}_${l + 1} d ON d.v = lw.v) w ON w.v = e.dst
+           |    JOIN lv${j}_$l lb ON lb.v = e.src
+           |    GROUP BY e.src) c ON c.v = l.v)""".stripMargin
+      }.mkString(",\n")
+      s"""lv${j}_0 AS MATERIALIZED (
+         |  SELECT CAST($s AS BIGINT) AS v, CAST(1 AS BIGINT) AS sigma),
+         |vis${j}_0 AS MATERIALIZED (SELECT v FROM lv${j}_0),
+         |$fwd,
+         |del${j}_$BcDepth AS MATERIALIZED (
+         |  SELECT v, 0.0 AS delta FROM lv${j}_$BcDepth),
+         |$bwd""".stripMargin
+    }.mkString(",\n")
+    val unions = PprSources.zipWithIndex.flatMap { case (s, j) =>
+      (0 to BcDepth).map(l =>
+        s"SELECT CAST($s AS BIGINT) AS s, v, delta FROM del${j}_$l")
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |$perSource,
+       |alldel AS (
+       |$unions)
+       |SELECT v, CAST(floor(sum(delta) * 1000000.0 + 0.5) AS BIGINT) AS bc_micro
+       |FROM alldel WHERE s <> v GROUP BY v""".stripMargin
+  }
+
+  /** Unrolled multi-source BFS mirroring [[GraphOps.harmonicCloseness]]:
+    * all sources ride one per-level CTE (the (s,v) anti-join is a NOT
+    * EXISTS); per vertex the sources-at-distance-l counts are exact
+    * integers and the final harmonic combine is written as the IDENTICAL
+    * fixed-order double expression the Spark side evaluates — bit-stable
+    * cross-engine, no quantization.
+    */
+  private def closenessSql: String = {
+    val srcRows = PprSources.map(s =>
+      s"SELECT CAST($s AS BIGINT) AS s, CAST($s AS BIGINT) AS v")
+      .mkString("\nUNION ALL\n")
+    val lvls = (1 to BcDepth).map { l =>
+      s"""lv$l AS MATERIALIZED (
+         |  SELECT DISTINCT p.s, e.dst AS v
+         |  FROM e JOIN lv${l - 1} p ON p.v = e.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${l - 1} x
+         |                    WHERE x.s = p.s AND x.v = e.dst)),
+         |vis$l AS MATERIALIZED (
+         |  SELECT s, v FROM vis${l - 1} UNION ALL SELECT s, v FROM lv$l)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BcDepth).map(l =>
+      s"SELECT v, $l AS d FROM lv$l").mkString("\nUNION ALL\n")
+    val counts = (1 to BcDepth).map(l =>
+      s"sum(CASE WHEN d = $l THEN 1 ELSE 0 END) AS c$l").mkString(", ")
+    val combine = (1 to BcDepth).map(l =>
+      s"CAST(c$l AS DOUBLE) / CAST($l AS DOUBLE)").mkString(" + ")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |lv0 AS MATERIALIZED (
+       |$srcRows),
+       |vis0 AS MATERIALIZED (SELECT s, v FROM lv0),
+       |$lvls,
+       |alld AS (
+       |$unions)
+       |SELECT v, $combine AS harmonic
+       |FROM (SELECT v, $counts FROM alld GROUP BY v)""".stripMargin
+  }
+
   /** Unrolled HITS mirroring [[GraphOps.hits]]: per iteration one
     * authority half-step then one hub half-step, each max-normalized
     * (max is fp-order-independent, so the division is cross-engine
@@ -533,6 +645,28 @@ object GraphQueries {
       "g_pagerank" -> pageRankSql,
       "g_hits" -> hitsSql,
       "g_ktruss" -> ktrussSql,
+      "g_betweenness" -> betweennessSql,
+      "g_closeness" -> closenessSql,
+      // Adamic–Adar through shared destinations: indeg(w) >= 2 for
+      // every contributing w (both a and b point at it) so ln is
+      // always positive; the fp sum is micro-quantized like pagerank
+      "g_adamic_adar" ->
+        s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+           |indeg AS (
+           |  SELECT dst, CAST(count(*) AS BIGINT) AS n_in
+           |  FROM e GROUP BY dst),
+           |pairs AS (
+           |  SELECT e1.src AS a, e2.src AS b,
+           |    CAST(count(*) AS BIGINT) AS n_common,
+           |    sum(CAST(1 AS DOUBLE) / ln(CAST(i.n_in AS DOUBLE))) AS aa
+           |  FROM e e1
+           |  JOIN e e2 ON e2.dst = e1.dst AND e1.src < e2.src
+           |  JOIN indeg i ON i.dst = e1.dst
+           |  GROUP BY e1.src, e2.src
+           |  HAVING count(*) >= $JaccardMinCommon)
+           |SELECT a, b, n_common,
+           |  CAST(floor(aa * 1000000.0 + 0.5) AS BIGINT) AS aa_micro
+           |FROM pairs""".stripMargin,
       // degree assortativity over both orientations of the undirected
       // simple edge set; integer moments exact, double combine
       // fixed-order (mirrors GraphOps.degreeAssortativity)

@@ -152,6 +152,18 @@ object GraphTableFunctions {
       new ExpressionInfo(getClass.getName, "graph_assortativity"),
       wholeGraphBuilder("graph_assortativity",
         (g, s, t, d) => g.degreeAssortativity(s, t, d))),
+    (FunctionIdentifier("graph_betweenness"),
+      new ExpressionInfo(getClass.getName, "graph_betweenness"),
+      hopBuilder("graph_betweenness",
+        (g, s, t, d, vid) => g.betweenness(s, t, d, vid))),
+    (FunctionIdentifier("graph_closeness"),
+      new ExpressionInfo(getClass.getName, "graph_closeness"),
+      hopBuilder("graph_closeness",
+        (g, s, t, d, vid) => g.closeness(s, t, d, vid))),
+    (FunctionIdentifier("graph_adamic_adar"),
+      new ExpressionInfo(getClass.getName, "graph_adamic_adar"),
+      wholeGraphBuilder("graph_adamic_adar",
+        (g, s, t, d) => g.adamicAdar(s, t, d))),
     (FunctionIdentifier("personalized_pagerank"),
       new ExpressionInfo(getClass.getName, "personalized_pagerank"),
       hopBuilder("personalized_pagerank",

@@ -301,6 +301,47 @@ object HopProps extends Properties("graft.hops") {
       got == support(cur)
     }
 
+  property("betweennessSampled = driver-side bounded Brandes") =
+    forAll(genGraph) { case (edges, vid) =>
+      edges.isEmpty || {
+        val depth = 3
+        val sources = Seq(vid, (vid + 2) % 3).distinct
+        val got = GraphOps.betweennessSampled(spark, toDf(edges), sources, depth)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val adj = edges.distinct.groupBy(_._1)
+          .view.mapValues(_.map(_._2).distinct).toMap
+        var bc = Map.empty[Long, Double].withDefaultValue(0.0)
+        var emitted = Set.empty[Long]
+        for (s <- sources) {
+          var lv = Vector(Map(s -> 1L))
+          var vis = Set(s)
+          for (l <- 0 until depth) {
+            val nxt = scala.collection.mutable.Map.empty[Long, Long]
+            for ((u, sig) <- lv(l); w <- adj.getOrElse(u, Nil) if !vis.contains(w))
+              nxt(w) = nxt.getOrElse(w, 0L) + sig
+            lv :+= nxt.toMap
+            vis ++= nxt.keySet
+          }
+          var delta = lv(depth).keys.map(_ -> 0.0).toMap
+          var accAll = delta.toList
+          for (l <- depth - 1 to 0 by -1) {
+            val next = lv(l + 1)
+            delta = lv(l).map { case (v, sig) =>
+              v -> adj.getOrElse(v, Nil).filter(next.contains).map { w =>
+                sig.toDouble / next(w).toDouble * (1.0 + delta(w))
+              }.sum
+            }
+            accAll ++= delta.toList
+          }
+          for ((v, dl) <- accAll if v != s) {
+            bc = bc.updated(v, bc(v) + dl); emitted += v
+          }
+        }
+        got.keySet == emitted &&
+          emitted.forall(v => math.abs(got(v) - bc(v)) < 1e-9)
+      }
+    }
+
   property("degreeAssortativity = brute-force Pearson over endpoint degrees") =
     forAll(genGraph) { case (edges, _) =>
       val und = edges.filter(e => e._1 != e._2)
@@ -320,6 +361,61 @@ object HopProps extends Properties("graft.hops") {
           row.getLong(2) == sxx && row.getLong(3) == sxy &&
           ((den == 0.0 && row.isNullAt(4)) ||
             (den != 0.0 && math.abs(row.getDouble(4) - num / den) < 1e-12))
+      }
+    }
+
+  property("harmonicCloseness = driver multi-source BFS, bit-equal combine") =
+    forAll(genGraph) { case (edges, vid) =>
+      edges.isEmpty || {
+        val depth = 3
+        val sources = Seq(vid, (vid + 1) % 3).distinct
+        val got = GraphOps.harmonicCloseness(spark, toDf(edges), sources, depth)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val adj = edges.distinct.groupBy(_._1)
+          .view.mapValues(_.map(_._2).distinct).toMap
+        // counts(v)(d) = number of sources at distance exactly d
+        val counts = scala.collection.mutable.Map
+          .empty[Long, Array[Long]].withDefault(_ => Array.fill(depth + 1)(0L))
+        for (s <- sources) {
+          var frontier = Set(s)
+          var vis = Set(s)
+          for (d <- 1 to depth) {
+            frontier = frontier.flatMap(u => adj.getOrElse(u, Nil)) -- vis
+            vis ++= frontier
+            frontier.foreach { v =>
+              val a = counts(v); a(d) += 1L; counts(v) = a
+            }
+          }
+        }
+        val exp = counts.toMap.map { case (v, a) =>
+          v -> (1 to depth).map(d => a(d).toDouble / d.toDouble)
+            .reduce(_ + _)
+        }
+        // bit-equal: same exact counts, same fixed-order IEEE combine
+        got.keySet == exp.keySet && exp.forall { case (v, h) => got(v) == h }
+      }
+    }
+
+  property("adamicAdarPairs = brute force over shared out-neighbors") =
+    forAll(genGraph) { case (edges, _) =>
+      val e = edges.distinct
+      e.isEmpty || {
+        val got = GraphOps.adamicAdarPairs(toDf(edges), minCommon = 1)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+          .toMap
+        val out = e.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val indeg = e.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val verts = out.keys.toSeq.sorted
+        val exp = (for {
+          a <- verts; b <- verts if a < b
+          common = out(a) intersect out(b) if common.nonEmpty
+        } yield (a, b) -> (common.size.toLong,
+          common.toSeq.map(w => 1.0 / math.log(indeg(w).toDouble)).sum))
+          .toMap
+        got.keySet == exp.keySet && exp.forall { case (k, (n, aa)) =>
+          got(k)._1 == n && math.abs(got(k)._2 - aa) < 1e-9
+        }
       }
     }
 
