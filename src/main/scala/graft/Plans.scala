@@ -80,7 +80,10 @@ object Plans {
       "g_assortativity (two degree joins collapse to a 1-row moment aggregate)" ->
         graph.GraphQueries.queries("g_assortativity")(spark, sfDir),
       "t_stopword_strip (list HOFs inside whole-stage codegen, zero exchanges)" ->
-        operators.TextAnalysis.queries("t_stopword_strip")(spark, sfDir)
+        operators.TextAnalysis.queries("t_stopword_strip")(spark, sfDir),
+      "g_adamic_adar (shared-dst equi-joins + map-combined pair counts)" ->
+        graph.GraphOps.adamicAdarPairs(
+          graph.GraphQueries.edgesFrom(spark, sfDir), minCommon = 8)
     )
 
     val sb = new StringBuilder

@@ -265,6 +265,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"degree/tri counts not map-combined:\n$p")
   }
 
+  test("g_adamic_adar: pairs generated only through equi-joined shared dst, counts partial") {
+    val df = graph.GraphOps.adamicAdarPairs(
+      graph.GraphQueries.edgesFrom(spark, sf), minCommon = 2)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"non-equi pair generation in:\n$p")
+    assert(p.contains("partial_count"), s"pair counts not map-combined:\n$p")
+  }
+
   test("motif: connected patterns plan as equi-joins, negation as anti-join, no cartesian") {
     val e = graph.GraphQueries.edgesFrom(spark, sf)
     val df = graph.Motif.find(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
