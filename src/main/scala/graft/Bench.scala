@@ -126,9 +126,15 @@ object Bench {
                    sfDir: String): Unit = {
     val qs = results.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + v }
       .mkString("{", ",", "}")
-    // total = QUERY time only: fixture_build is ETL, reported separately
+    // total = QUERY time only: fixture_build is ETL, reported separately.
+    // A failed query (sentinel -1.0) is EXCLUDED from the sum, so the
+    // failure is reported explicitly: `failed` lists the names and
+    // `ok` is false — cross-round totals are only comparable when the
+    // passing sets match.
+    val failed = results.iterator.collect { case (k, v) if v < 0 => k }.toSeq
+    val fj = failed.map(n => "\"" + jsonEscape(n) + "\"").mkString("[", ",", "]")
     val total = results.iterator
       .filter { case (k, v) => k != "fixture_build" && v >= 0 }.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${jsonEscape(sfDir)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${failed.isEmpty},"failed":$fj,"queries":$qs,"sf":"${jsonEscape(sfDir)}"}""")
   }
 }

@@ -580,4 +580,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(sRow.isNullAt(4) && sRow.isNullAt(5))
     assert((sRow.getString(6), sRow.getString(7)) === (("a", "b")))
   }
+
+  test("events loader: ts is TimestampType and every events-backed query executes") {
+    // Regression for round 5: the fixture's ts encoding switched from
+    // TIMESTAMP(NANOS) to TIMESTAMP(MICROS, NTZ) and the loader's
+    // nanos-as-long assumption silently failed ALL events queries out of
+    // the correctness suite. The loader now branches on the resolved
+    // schema; this pins the contract for any future encoding change.
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(ev.count() > 0)
+    val eventsBacked = Seq(
+      "q11_events_window", "q12_sessionize", "q13_json", "q18_pivot",
+      "q25_funnel", "q26_retention", "q21_asof", "q22_range_join")
+    for (q <- eventsBacked) {
+      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0, s"$q returned no rows")
+    }
+  }
 }
