@@ -21,7 +21,9 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (operators.Multimodal.queries, operators.Multimodal.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
-      (operators.AsOf.queries, operators.AsOf.oracle)
+      (operators.AsOf.queries, operators.AsOf.oracle),
+      (operators.Sketches.queries, operators.Sketches.oracle),
+      (operators.Layout.queries, operators.Layout.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

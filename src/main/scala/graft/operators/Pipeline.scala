@@ -157,7 +157,37 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("rk"))
   }
 
+  /** Deterministic weighted sampling (priority sampling): each document
+    * draws a pseudo-uniform u ∈ (0, 1] from md5(seed ‖ doc_id) and gets
+    * priority = weight / u; the k highest priorities per stratum are
+    * kept. Heavier documents win proportionally more often, yet the
+    * sample is a pure function of (seed, id, weight) — re-runs and
+    * independent engines select the SAME rows. The only floating-point
+    * ops are two IEEE-exact divisions (no transcendentals), so the
+    * priority ordering is bit-identical across engines.
+    *
+    * Scale shape: u and the priority are map-side column expressions;
+    * the per-stratum top-k is the same partitioned window-limit
+    * discipline as [[sourceCap]] — no global sort, text never moves.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 25,
+                     seed: String = "w9"): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit(seed + "-"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h + lit(1)) / lit(4294967296.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("priority").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars").cast("double") / u).as("priority"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_weighted_sample" -> { (s, d) => weightedSample(t(s, d, "documents")) },
     "p_shuffle" -> { (s, d) => shuffleDeterministic(t(s, d, "documents")) },
     "p_clean_corpus" -> { (s, d) => cleanCorpus(t(s, d, "documents")) },
     "p_decontaminate" -> { (s, d) => decontaminate(t(s, d, "documents")) },
@@ -175,6 +205,23 @@ object Pipeline {
          |   AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
          |         w -> list_contains($lex, w))) >= $MinStopwordHits)""".stripMargin
     Map(
+      "p_weighted_sample" ->
+        """WITH s AS (
+          |  SELECT doc_id, lang, n_chars,
+          |    CAST(('0x' || substr(md5('w9-' || CAST(doc_id AS VARCHAR)), 1, 8))
+          |      AS BIGINT) AS h
+          |  FROM documents),
+          |p AS (
+          |  SELECT doc_id, lang,
+          |    CAST(n_chars AS DOUBLE) / ((h + 1) / 4294967296.0) AS priority
+          |  FROM s),
+          |r AS (
+          |  SELECT doc_id, lang,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY priority DESC, doc_id) AS BIGINT) AS rk
+          |  FROM p)
+          |SELECT doc_id, lang, rk FROM r WHERE rk <= 25""".stripMargin,
+
       "p_clean_corpus" ->
         s"""WITH ${Dedup.minhashCtes(gatedRel)}
            |SELECT doc_id, source, length(text) AS n_chars_kept
