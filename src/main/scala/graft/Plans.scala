@@ -83,7 +83,13 @@ object Plans {
         operators.TextAnalysis.queries("t_stopword_strip")(spark, sfDir),
       "g_adamic_adar (shared-dst equi-joins + map-combined pair counts)" ->
         graph.GraphOps.adamicAdarPairs(
-          graph.GraphQueries.edgesFrom(spark, sfDir), minCommon = 8)
+          graph.GraphQueries.edgesFrom(spark, sfDir), minCommon = 8),
+      "s_heavy_hitters (broadcast CMS gate BELOW the one aggregation shuffle)" ->
+        operators.Sketches.queries("s_heavy_hitters")(spark, sfDir),
+      "p_weighted_sample (map-side priorities, WindowGroupLimit Partial rank)" ->
+        operators.Pipeline.queries("p_weighted_sample")(spark, sfDir),
+      "p_zorder read-back (2-D range filter pushed to the clustered scan)" ->
+        operators.Layout.queries("p_zorder")(spark, sfDir)
     )
 
     val sb = new StringBuilder

@@ -132,6 +132,10 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
                                   rounds: Int = 3): DataFrame =
     GraphOps.labelPropagationCommunities(spark, edgesStd(src, t, dst), rounds)
 
+  def louvainCommunities(src: String, t: String, dst: String,
+                         rounds: Int = 3): DataFrame =
+    GraphOps.louvainCommunities(spark, edgesStd(src, t, dst), rounds)
+
   def pageRank(src: String, t: String, dst: String, iters: Int = 10,
                damping: Double = 0.85): DataFrame =
     GraphOps.pageRank(spark, edgesStd(src, t, dst), iters, damping)

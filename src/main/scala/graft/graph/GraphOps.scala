@@ -1394,6 +1394,102 @@ object GraphOps {
     * groupBy. The static undirected edge table is partitioned by src
     * once and re-scanned; only the O(V) label vector moves per round.
     */
+  /** Louvain-style modularity communities: synchronous local-move
+    * rounds of the Louvain FIRST PHASE. Each round every vertex scores
+    * its neighboring communities (and staying put) by modularity gain
+    * and moves to the argmax. Two determinism devices make this
+    * oracle-checkable where classic async Louvain is not:
+    *
+    *   - the gain comparison is INTEGERIZED: for unweighted graphs
+    *     Δ ∝ e(v→c) − deg(v)·vol(c∖v)/2m, so comparing
+    *     score = 2m·e(v→c) − deg(v)·vol(c∖v) (all int64) ranks targets
+    *     identically in any engine — no floating point anywhere;
+    *   - moves are PARITY-GATED: round r only lets vertices with
+    *     v % 2 == r % 2 move. Synchronous moves of adjacent vertices
+    *     can oscillate (each jumps into the other's old community);
+    *     gating alternating halves makes every round a deterministic
+    *     improvement step, the standard distributed-Louvain trick.
+    *
+    * Ties prefer staying, then the smallest community id.
+    *
+    * Scale shape: identical to [[labelPropagationCommunities]] — the
+    * static edge table is hash-partitioned once and reused every round;
+    * per round only O(V) label/volume vectors shuffle (degrees, volumes,
+    * v→community counts are all partial-aggregated map-side). The
+    * argmax is a per-vertex window over candidate communities, bounded
+    * by deg(v) rows — hub fan-in, not all-pairs.
+    */
+  def louvainCommunities(spark: SparkSession, edges: DataFrame,
+                         rounds: Int = 3): DataFrame = {
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    val canon = undirectedSimple(edges)
+    val ue = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = ue.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val m = canon.count()
+    var labels = ue.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(false)
+    var r = 1
+    while (r <= rounds) {
+      val vol = labels.join(deg, "v")
+        .groupBy(col("label")).agg(sum(col("deg")).as("vol"))
+      val evc = ue.join(labels.withColumnRenamed("v", "_dv"),
+          ue("dst") === col("_dv"))
+        .groupBy(ue("src").as("v"), col("label"))
+        .agg(count(lit(1)).as("e"))
+      // a vertex none of whose neighbors share its community still needs
+      // its stay-option scored: add the missing (v, own, e=0) rows
+      val stayRows = labels.join(evc, Seq("v", "label"), "left_anti")
+        .withColumn("e", lit(0L))
+      val cand = evc.unionByName(stayRows)
+      val own = labels.withColumnRenamed("label", "own")
+      val scored = cand
+        .join(own, "v").join(deg, "v").join(vol, "label")
+        .withColumn("score",
+          lit(2L * m) * col("e") - col("deg") *
+            (col("vol") - when(col("label") === col("own"), col("deg"))
+              .otherwise(lit(0L))))
+        .withColumn("stay",
+          when(col("label") === col("own"), 1).otherwise(0))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+        .orderBy(col("score").desc, col("stay").desc, col("label"))
+      val best = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("label").as("best"))
+      labels = labels.join(best, "v")
+        .select(col("v"),
+          when(col("v") % 2 === lit(r % 2), col("best"))
+            .otherwise(col("label")).as("label"))
+        .localCheckpoint(r == rounds)
+      r += 1
+    }
+    ue.unpersist(blocking = false)
+    labels.select(col("v"), col("label").as("community"))
+  }
+
+  /** Newman modularity Q of a (v, community) partition over the
+    * undirected simple projection of `edges` — the objective
+    * [[louvainCommunities]] climbs; used by specs to compare partitions.
+    */
+  def modularityOf(edges: DataFrame, partition: DataFrame): Double = {
+    val canon = undirectedSimple(edges)
+    val m = canon.count().toDouble
+    if (m == 0) return 0.0
+    val pa = partition.select(col("v").as("a"), col("community").as("ca"))
+    val pb = partition.select(col("v").as("b"), col("community").as("cb"))
+    val eIn = canon.join(pa, "a").join(pb, "b")
+      .filter(col("ca") === col("cb")).count().toDouble
+    val deg = canon.select(col("a").as("v")).unionAll(canon.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val volSq = partition.join(deg, "v")
+      .groupBy(col("community")).agg(sum(col("deg")).as("vol"))
+      .agg(sum(col("vol") * col("vol"))).head.getLong(0).toDouble
+    eIn / m - volSq / (4.0 * m * m)
+  }
+
   def labelPropagationCommunities(spark: SparkSession, edges: DataFrame,
                                   rounds: Int = 3): DataFrame = {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")

@@ -112,6 +112,13 @@ object GraphQueries {
     "g_communities" -> { (s, d) =>
       GraphOps.labelPropagationCommunities(s, edgesFrom(s, d), rounds = 3)
     },
+    // Louvain first-phase local moves: integerized modularity-gain
+    // scores + parity-gated synchronous rounds make the classic
+    // un-oracle-able algorithm exactly reproducible in SQL (3 rounds
+    // unrolled in the oracle)
+    "g_louvain" -> { (s, d) =>
+      GraphOps.louvainCommunities(s, edgesFrom(s, d), rounds = 3)
+    },
     // PageRank, hash-checked against an unrolled power-iteration CTE.
     // Raw rank sums are fp-accumulation-order-dependent (Spark's partial
     // aggregation vs DuckDB's single-threaded sum differ in the last
@@ -640,6 +647,63 @@ object GraphQueries {
            |${round("0", "1")},
            |${round("1", "2")},
            |${round("2", "3")}
+           |SELECT v, CAST(label AS BIGINT) AS community FROM l3""".stripMargin
+      },
+      // Louvain first phase, 3 unrolled rounds mirroring
+      // GraphOps.louvainCommunities: all-integer gain scores
+      // (2m·e − deg·vol(c∖v)), stay-then-min-label tie-break, parity
+      // gate v % 2 = r % 2. CAST sums to BIGINT (HUGEINT trap).
+      // Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
+      // plain CTEs per reference, and with ~6 references per round the
+      // 3-round unroll re-computes the chain exponentially (it filled
+      // the disk with spill before this hint — 1.4 s after).
+      "g_louvain" -> {
+        def round(p: String, r: Int): String =
+          s"""vol$r AS MATERIALIZED (
+             |  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS vol
+             |  FROM l$p l JOIN deg d ON d.v = l.v GROUP BY l.label),
+             |evc$r AS MATERIALIZED (
+             |  SELECT ue.src AS v, l.label, CAST(count(*) AS BIGINT) AS e
+             |  FROM ue JOIN l$p l ON l.v = ue.dst GROUP BY ue.src, l.label),
+             |cand$r AS MATERIALIZED (
+             |  SELECT * FROM evc$r
+             |  UNION ALL
+             |  SELECT l.v, l.label, CAST(0 AS BIGINT) AS e FROM l$p l
+             |  WHERE NOT EXISTS (SELECT 1 FROM evc$r x
+             |                    WHERE x.v = l.v AND x.label = l.label)),
+             |sc$r AS MATERIALIZED (
+             |  SELECT c.v, c.label,
+             |    2 * m.m * c.e - d.deg *
+             |      (vo.vol - CASE WHEN c.label = l.label THEN d.deg ELSE 0 END)
+             |      AS score,
+             |    CASE WHEN c.label = l.label THEN 1 ELSE 0 END AS stay
+             |  FROM cand$r c
+             |  JOIN l$p l ON l.v = c.v
+             |  JOIN deg d ON d.v = c.v
+             |  JOIN vol$r vo ON vo.label = c.label
+             |  CROSS JOIN m),
+             |b$r AS MATERIALIZED (
+             |  SELECT v, label AS best FROM (
+             |    SELECT v, label, row_number() OVER (PARTITION BY v
+             |      ORDER BY score DESC, stay DESC, label) AS rn
+             |    FROM sc$r) WHERE rn = 1),
+             |l$r AS MATERIALIZED (
+             |  SELECT l.v,
+             |    CASE WHEN l.v % 2 = ${r % 2} THEN b.best ELSE l.label END AS label
+             |  FROM l$p l JOIN b$r b ON b.v = l.v)""".stripMargin
+        s"""WITH e AS ($edgesSql),
+           |cn AS MATERIALIZED (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst),
+           |ue AS MATERIALIZED (SELECT a AS src, b AS dst FROM cn
+           |       UNION ALL SELECT b, a FROM cn),
+           |deg AS MATERIALIZED (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+           |        FROM ue GROUP BY src),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM cn),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM ue),
+           |${round("0", 1)},
+           |${round("1", 2)},
+           |${round("2", 3)}
            |SELECT v, CAST(label AS BIGINT) AS community FROM l3""".stripMargin
       },
       "g_pagerank" -> pageRankSql,

@@ -117,6 +117,10 @@ object GraphTableFunctions {
       new ExpressionInfo(getClass.getName, "graph_communities"),
       wholeGraphBuilder("graph_communities",
         (g, s, t, d) => g.labelPropagationCommunities(s, t, d))),
+    (FunctionIdentifier("graph_louvain"),
+      new ExpressionInfo(getClass.getName, "graph_louvain"),
+      wholeGraphBuilder("graph_louvain",
+        (g, s, t, d) => g.louvainCommunities(s, t, d))),
     (FunctionIdentifier("page_rank"),
       new ExpressionInfo(getClass.getName, "page_rank"),
       wholeGraphBuilder("page_rank", (g, s, t, d) => g.pageRank(s, t, d))),

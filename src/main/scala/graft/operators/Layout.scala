@@ -49,14 +49,22 @@ object Layout {
     * sort. No global sort, no driver data; 100 TB writes as one shuffle.
     */
   def zorderWrite(df: DataFrame, colA: String, colB: String, path: String,
-                  numFiles: Int = 16, bits: Int = 8): Unit = {
+                  numFiles: Int = 16, bits: Int = 8): Unit =
+    zorderFrame(df, colA, colB, numFiles, bits)
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
+  /** The staged pre-write frame (z computed, range-exchanged, sorted
+    * within partitions) — exposed so plan tests can assert the shape:
+    * one range exchange, no global sort.
+    */
+  def zorderFrame(df: DataFrame, colA: String, colB: String,
+                  numFiles: Int = 16, bits: Int = 8): DataFrame = {
     val z = interleave(rankBucket(df, colA, 1 << bits),
       rankBucket(df, colB, 1 << bits), bits)
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Per-file (min, max) boxes of the two clustered columns — the stats

@@ -149,6 +149,11 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(sqlLpa === g.labelPropagationCommunities("Part", "link", "Part")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+
+    val sqlLouvain = spark.sql(s"SELECT * FROM graph_louvain('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sqlLouvain === g.louvainCommunities("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
   test("TVFs personalized_pagerank/sample_neighbors/random_walk/graph_motif match the Scala API") {

@@ -325,6 +325,64 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"no decorrelated aggregate in:\n$p")
   }
 
+  test("s_heavy_hitters: sketch gate filters BEFORE the one aggregation shuffle") {
+    val p = plan(operators.Sketches.queries("s_heavy_hitters")(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected ONE shuffle (hash by key), got $exchanges:\n$p")
+    // the gate (the UDF probe filter) must sit under the partial
+    // aggregate — BELOW the exchange in tree order (deeper = later
+    // line). There are two Filters: the post-agg n>=minCount and the
+    // gate; only the gate line mentions the UDF.
+    val lines = p.linesIterator.toSeq
+    val gateIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(gateIdx > exchangeIdx && gateIdx >= 0,
+      s"sketch gate not below the exchange (gate@$gateIdx, exchange@$exchangeIdx):\n$p")
+    assert(lines(gateIdx + 1).contains("FileScan") || lines.drop(gateIdx + 1)
+      .headOption.exists(_.contains("Scan")),
+      s"gate not directly above the scan:\n$p")
+  }
+
+  test("p_weighted_sample: priority is map-side, rank truncates via WindowGroupLimit Partial") {
+    val p = plan(operators.Pipeline.queries("p_weighted_sample")(spark, sf))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"weighted sample rank not pushed into WindowGroupLimit Partial:\n$p")
+  }
+
+  test("zorder write plan: ONE range exchange on the z-value, sort within partitions only") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val staged = operators.Layout.zorderFrame(li, "l_extendedprice", "l_quantity")
+    val p = plan(staged)
+    assert(p.contains("rangepartitioning(_z"), s"no range exchange on z:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$p")
+    // the only Sort must be the in-partition one (global=false)
+    val sorts = p.linesIterator.filter(_.contains("Sort ")).toSeq
+    assert(sorts.nonEmpty && sorts.forall(_.contains("false")),
+      s"global sort crept in:\n$sorts\n$p")
+  }
+
+  test("louvain round: edge table hash-partitioned once; labels join it (no edge re-shuffle)") {
+    // one synchronous round's evc aggregation over the persisted ue
+    // table: the plan must aggregate partial-first and shuffle only
+    // O(V·labels) rows, never re-exchange the edge table per round
+    val e = graph.GraphQueries.edgesFrom(spark, sf)
+    val canon = e.selectExpr("least(src,dst) AS a", "greatest(src,dst) AS b")
+      .filter(col("a") =!= col("b")).distinct()
+    val ue = canon.selectExpr("a AS src", "b AS dst")
+      .unionAll(canon.selectExpr("b AS src", "a AS dst"))
+      .repartition(col("src"))
+    val labels = ue.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    val evc = ue.join(labels.withColumnRenamed("v", "_dv"),
+        ue("dst") === col("_dv"))
+      .groupBy(ue("src").as("v2"), col("label")).agg(count(lit(1)).as("e"))
+    val p = plan(evc)
+    assert(p.contains("HashAggregate"), s"no partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in louvain round:\n$p")
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE finalizes the plan only after execution; `*(n)` marks
     // WholeStageCodegen stages in the final plan string
