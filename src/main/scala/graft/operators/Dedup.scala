@@ -160,6 +160,32 @@ object Dedup {
       .select(col("v").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** Keep-best-of-cluster dedup — the production COMBINE of the dedup
+    * and quality families: instead of keep-lowest-id, each near-dup
+    * cluster keeps its HIGHEST-QUALITY member (here `n_chars`, the
+    * stand-in for any quality score; tie → lowest doc_id) and every
+    * unclustered document survives. This is the FineWeb/RefinedWeb
+    * "representative selection" step.
+    *
+    * Scale shape: the cluster table is orders smaller than the corpus
+    * (only verified near-dups), so the rank window runs on a tiny
+    * table and both corpus joins (inner for clustered rows, anti for
+    * solo rows) broadcast the cluster side — the corpus never shuffles.
+    */
+  def keepBestOfCluster(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(spark, docs)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val clustered = docs.join(broadcast(clusters), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), (col("rk") === 1).as("keep"))
+    val solo = docs.join(broadcast(clusters), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(null).cast("long").as("cluster_id"),
+        lit(true).as("keep"))
+    clustered.unionByName(solo)
+  }
+
   /** MinHash band keys (doc_id, band, key) for [[incrementalNearDups]]:
     * signatures via the compiled expression, banded to `bands` keys/doc.
     */
@@ -335,6 +361,7 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("source"))
     },
     "d_dup_clusters" -> { (s, d) => dupClusters(s, t(s, d, "documents")) },
+    "d_keep_best" -> { (s, d) => keepBestOfCluster(s, t(s, d, "documents")) },
     "d_simhash" -> { (s, d) => simhashSignatures(t(s, d, "documents")) },
     "d_simhash_pairs" -> { (s, d) => simhashPairs(t(s, d, "documents")) },
     "d_substring" -> { (s, d) => substringDupCounts(t(s, d, "documents")) },
@@ -486,6 +513,26 @@ object Dedup {
          |  UNION
          |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
          |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin,
+
+    "d_keep_best" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |pairs AS (SELECT a_id AS src, b_id AS dst FROM verified WHERE jac >= 0.25),
+         |ue AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT src AS v, src AS r FROM ue
+         |  UNION
+         |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r),
+         |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |ranked AS (
+         |  SELECT d.doc_id, cl.cluster_id,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT doc_id, cluster_id, rk = 1 AS keep FROM ranked
+         |UNION ALL
+         |SELECT d.doc_id, CAST(NULL AS BIGINT) AS cluster_id, true AS keep
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)""".stripMargin,
 
     "d_simhash_pairs" ->
       s"""WITH h AS (

@@ -108,7 +108,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual-hash (aHash) near-duplicate detection over media — the
+    * image-dedup step of a multimodal ingest pipeline. A real decoder
+    * would downscale the image to a tiny grayscale grid; the STUB
+    * derives 32 deterministic pseudo-pixels from the content (seeded
+    * rolling hashes, so the oracle recomputes them), then applies the
+    * textbook aHash: bit i = pixel i above the image mean (compared as
+    * `32·p_i ≥ Σp` — integer cross-multiplication, no fp mean), packed
+    * into one 32-bit code per image.
+    *
+    * Pairing uses the same 4-band pigeonhole as SimHash text dedup
+    * (exhaustive for Hamming ≤ 3): images agreeing on ≥1 of 4 bytes
+    * collide, exact bit-count verifies. Scale shape: one int per image
+    * shuffles (never pixels or blobs), band buckets bound candidate
+    * fan-out, verification is a tiny-pair join — the image twin of the
+    * candidates-then-verify dedup family.
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.charHash
+    val px = transform(sequence(lit(0), lit(31)), i =>
+      pmod(charHash(col("text"), i + 100), lit(256L)))
+    val h = media
+      .select(col("doc_id"), px.as("p"))
+      .withColumn("psum", aggregate(col("p"), lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"),
+        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) =>
+          acc + when(element_at(col("p"), b.cast("int") + 1) * 32 >= col("psum"),
+            pow(lit(2.0), b).cast("long")).otherwise(lit(0L))).as("phash"))
+    // band key b = bits [8b, 8b+8) via plain arithmetic (phash < 2^32,
+    // exact in double) — the same mirror-able form SimHash banding uses
+    val bands = h.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("key",
+        pmod(floor(col("phash") / pow(lit(2.0), col("b") * 8)).cast("long"),
+          lit(256L)))
+    val a = bands.select(col("doc_id").as("a_id"), col("phash").as("a_hash"),
+      col("b"), col("key"))
+    val bb = bands.select(col("doc_id").as("b_id"), col("phash").as("b_hash"),
+      col("b").as("b2"), col("key").as("k2"))
+    a.join(bb, col("b") === col("b2") && col("key") === col("k2") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // perceptual-hash near-dup pairs over the stub-decoded media
+    "m_phash_dup" -> { (s, d) =>
+      phashPairs(t(s, d, "documents").select(col("doc_id"), col("text")))
+    },
     // ingest text as utf-8 "media" bytes, then run the decode pipeline
     "m_features" -> { (s, d) =>
       val media = t(s, d, "documents")
@@ -157,6 +208,28 @@ object Multimodal {
           lit(1000.0)).cast("float")): _*).as("embedding"))
 
   def oracle: Map[String, String] = Map(
+    "m_phash_dup" ->
+      s"""WITH px AS (
+         |  SELECT doc_id, list_transform(range(0, 32), i ->
+         |    ${varSeedHashSql("i + 100")} % 256) AS p
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+         |    CASE WHEN p[CAST(b AS INTEGER) + 1] * 32 >= list_sum(p)
+         |      THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS phash
+         |  FROM px),
+         |bands AS (
+         |  SELECT doc_id, phash, b, (phash >> CAST(8*b AS INTEGER)) & 255 AS key
+         |  FROM h, (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(bit_count(xor(ha.phash, hb.phash)) AS BIGINT) AS hamming
+         |FROM cand JOIN h ha ON ha.doc_id = a_id JOIN h hb ON hb.doc_id = b_id
+         |WHERE bit_count(xor(ha.phash, hb.phash)) <= 3""".stripMargin,
+
     "m_features" ->
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -202,6 +275,14 @@ object Multimodal {
          |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
     }
   )
+
+  /** DuckDB twin of `TextFunctions.charHash(text, <expr>)` with the
+    * seed given as a SQL expression (a lambda variable in practice).
+    */
+  private def varSeedHashSql(seedExpr: String): String =
+    s"list_reduce(list_prepend(CAST($seedExpr AS BIGINT), " +
+      s"list_transform(regexp_extract_all(text, '.'), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.TextFunctions.HashMod})"
 
   /** DuckDB twin of `TextFunctions.charHash(text, seed)`. */
   private def embedHashSql(seed: Int): String =

@@ -328,6 +328,32 @@ object Relational {
       s.sql(CorrelatedSql)
     },
 
+    // First-order Markov transition matrix over per-user event streams:
+    // P(next event type | current event type). One shuffle keys the log
+    // by user for the lag window (the same shuffle sessionization pays);
+    // the pair count groupBy is map-side combinable down to
+    // |types|² rows, and the row-probability denominator comes from a
+    // window over that tiny matrix — no second pass over the log. The
+    // probability is one exact BIGINT/BIGINT division, cross-engine
+    // stable. At 100 TB this is the canonical "user-journey model" scan:
+    // nothing but (user_id, ts, type) ever shuffles.
+    "q28_markov" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tss"), col("event_id"))
+      val trans = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("tss"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      trans.withColumn("p",
+          col("n") * lit(1.0) /
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"), col("p"))
+    },
+
     // Cohort retention: users grouped by first-activity week, counted in
     // each later week they return. Two aggregates over (user, week)
     // pairs — the event log collapses to per-user-week rows first (the
@@ -440,6 +466,19 @@ object Relational {
         |SELECT '2_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s2
         |UNION ALL
         |SELECT '3_purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s3""".stripMargin,
+
+    "q28_markov" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('second', ts), event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  n * 1.0 / sum(n) OVER (PARTITION BY from_type) AS p
+        |FROM m""".stripMargin,
 
     "q26_retention" ->
       """WITH uw AS (

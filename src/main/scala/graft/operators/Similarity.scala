@@ -504,7 +504,136 @@ object Similarity {
 
   // --------------------------------------------------------------- queries
 
+  /** Distributed Lloyd's k-means over the embedding corpus — the
+    * training step every IVF/PQ index above takes as given (their
+    * centroids are a deterministic sample; production systems train
+    * them with exactly this loop). Returns each vector's cluster after
+    * `iters` full Lloyd iterations from the `vec_id % modulo == 0`
+    * seed set, plus its squared distance to the final centroid.
+    *
+    * Exactness across engines — the usual k-means fp pitfalls are
+    * removed structurally, the same trick the Louvain oracle uses
+    * (integerized gains):
+    *  - embeddings are quantized once to integers, `q_i =
+    *    floor(x_i·2¹² + 0.5)` — scaling by a power of two is an exact
+    *    fp op, so quantization is bit-identical everywhere;
+    *  - a centroid is kept as the exact rational `(Σq, count)` — never
+    *    a floating mean, so iteration state is integer-exact and
+    *    accumulation-order-free;
+    *  - the assignment metric `‖cnt·q − s‖²/cnt²` needs one BIGINT
+    *    fold and ONE IEEE division — deterministic, and argmin ties
+    *    break on centroid id.
+    *
+    * Scale shape (one Lloyd iteration at 100 TB): centroid state is
+    * k·(64·8 B) — broadcast; assignment is map-side; the recompute is
+    * a posexplode to (cluster, dim, x) keys — a map-side-combinable
+    * integer sum shuffling k·64 partials per map task, the canonical
+    * mergeable-aggregation shape. Nothing corpus-sized ever shuffles.
+    */
+  def kmeansAssign(emb: DataFrame, modulo: Int = 40,
+                   iters: Int = 2): DataFrame = {
+    val qv = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 4096 + 0.5)).as("q"))
+    var state = qv.filter(col("vec_id") % modulo === 0)
+      .select(col("vec_id").as("c_id"), col("q").as("s"), lit(1L).as("cnt"))
+    var assigned: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val aw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("c_id"))
+      assigned = qv.join(broadcast(state), lit(true))
+        .withColumn("a", aggregate(
+          zip_with(col("q"), col("s"), (x, si) => {
+            val diff = col("cnt") * x - si; diff * diff
+          }),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("d",
+          col("a").cast("double") / (col("cnt") * col("cnt")).cast("double"))
+        .withColumn("rk", row_number().over(aw))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("q"), col("c_id").as("cluster"), col("d"))
+      it += 1
+      if (it < iters) {
+        val cnts = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cnt"))
+        val sums = assigned
+          .select(col("cluster"), posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy(col("cluster"), col("i")).agg(sum(col("x")).as("sx"))
+          .groupBy(col("cluster"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("sx")))),
+            st => st.getField("sx")).as("s"))
+        state = sums.join(cnts, "cluster")
+          .select(col("cluster").as("c_id"), col("s"), col("cnt"))
+      }
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("d"))
+  }
+
+  /** Scalar-quantized (SQ8) ANN: each dimension is affine-coded to one
+    * byte against per-dimension corpus [min, max] — a 4× (fp32) memory
+    * cut with no index structure, the quantization every serious vector
+    * store offers below PQ. Probing is asymmetric (full-precision query
+    * against DEQUANTIZED codes) for a top-`c` shortlist, then the exact
+    * top-`k` rerank over true embeddings — the same shortlist+refine
+    * contract as [[pqTopKRerank]], candidates bounded by `c` per query.
+    *
+    * Exactness: per-dim min/max are order-free (no fp accumulation);
+    * code = ⌊(x−mn)/(mx−mn)·255 + 0.5⌋ is a fixed-order IEEE chain, so
+    * codes are bit-identical cross-engine; ADC scores fold
+    * sequentially like every dot in this file.
+    *
+    * Scale shape: the stats row is 2×64 floats — a broadcast; coding is
+    * map-side; at rest the codes table is what you persist (byte[64]
+    * per row vs float[64]); the shortlist window shuffles only
+    * (query × corpus) scored ids, and the rerank touches `c` rows per
+    * query because the shortlist carries its embeddings along.
+    */
+  def sq8TopK(emb: DataFrame, queryIds: Column, k: Int,
+              c: Int = 10): DataFrame = {
+    val stats = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).cast("double").as("mn"),
+        max(col("x")).cast("double").as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+          st => st.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+          st => st.getField("mx")).as("mxs"))
+    // dequantized vector: dec_i = mn_i + code_i/255·(mx_i−mn_i); the
+    // code is materialized inline so nothing depends on fp re-derivation
+    val dec = transform(sequence(lit(1), lit(64)), i => {
+      val mn = element_at(col("mns"), i)
+      val mx = element_at(col("mxs"), i)
+      val x = element_at(col("embedding"), i).cast("double")
+      mn + floor((x - mn) / (mx - mn) * 255 + 0.5) / 255 * (mx - mn)
+    })
+    val coded = emb.crossJoin(broadcast(stats))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        dec.as("dec"))
+    val q = emb.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ws = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val shortlist = coded.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("adc", dotSpec(col("q_emb"), col("dec")))
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= c)
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    shortlist
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sq8" -> { (s, d) =>
+      sq8TopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
+    },
+    "sim_kmeans" -> { (s, d) =>
+      kmeansAssign(t(s, d, "embeddings"))
+    },
     "sim_topk" -> { (s, d) =>
       bruteForceTopK(t(s, d, "embeddings"), col("vec_id") < 8, 5)
     },
@@ -700,6 +829,87 @@ object Similarity {
        |SELECT q_id, bucket, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // two Lloyd iterations unrolled; integer state (Σq, cnt) and the
+    // ‖cnt·q − s‖²/cnt² metric keep every intermediate exact — see
+    // kmeansAssign's scaladoc
+    "sim_kmeans" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, list_transform(range(1, 65), i ->
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 4096 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |st0 AS (SELECT vec_id AS c_id, q AS s, CAST(1 AS BIGINT) AS cnt
+         |        FROM qv WHERE vec_id % 40 = 0),
+         |r1 AS (
+         |  SELECT vec_id, q, c_id,
+         |    CAST(a AS DOUBLE) / (cnt*cnt) AS d,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY CAST(a AS DOUBLE) / (cnt*cnt), c_id) AS rk
+         |  FROM (
+         |    SELECT vec_id, q, c_id, cnt,
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, 65), i ->
+         |          (cnt*q[i] - s[i]) * (cnt*q[i] - s[i]))),
+         |        (acc, v) -> acc + v) AS a
+         |    FROM qv CROSS JOIN st0)),
+         |asg1 AS (SELECT vec_id, q, c_id AS cluster FROM r1 WHERE rk = 1),
+         |cnt1 AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM asg1 GROUP BY cluster),
+         |sum1 AS (
+         |  SELECT cluster, i, CAST(sum(q[i]) AS BIGINT) AS sx
+         |  FROM asg1, (SELECT unnest(range(1, 65)) AS i) GROUP BY cluster, i),
+         |st1 AS (
+         |  SELECT s1.cluster AS c_id, array_agg(sx ORDER BY i) AS s, any_value(cnt) AS cnt
+         |  FROM sum1 s1 JOIN cnt1 ON s1.cluster = cnt1.cluster
+         |  GROUP BY s1.cluster),
+         |r2 AS (
+         |  SELECT vec_id, c_id,
+         |    CAST(a AS DOUBLE) / (cnt*cnt) AS d,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY CAST(a AS DOUBLE) / (cnt*cnt), c_id) AS rk
+         |  FROM (
+         |    SELECT vec_id, c_id, cnt,
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, 65), i ->
+         |          (cnt*q[i] - s[i]) * (cnt*q[i] - s[i]))),
+         |        (acc, v) -> acc + v) AS a
+         |    FROM qv CROSS JOIN st1))
+         |SELECT vec_id, c_id AS cluster, d FROM r2 WHERE rk = 1""".stripMargin,
+
+    // same affine code / dequantize / ADC-shortlist / exact-rerank
+    // chain as sq8TopK; floor((x−mn)/(mx−mn)·255+0.5) is a fixed-order
+    // IEEE chain so codes are bit-identical cross-engine
+    "sim_sq8" ->
+      s"""WITH st AS (
+         |  SELECT i, CAST(min(embedding[i]) AS DOUBLE) AS mn,
+         |    CAST(max(embedding[i]) AS DOUBLE) AS mx
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+         |sta AS (
+         |  SELECT array_agg(mn ORDER BY i) AS mns, array_agg(mx ORDER BY i) AS mxs
+         |  FROM st),
+         |coded AS (
+         |  SELECT vec_id AS n_id, embedding AS n_emb,
+         |    list_transform(range(1, 65), i ->
+         |      mns[i] + floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+         |        / (mxs[i] - mns[i]) * 255 + 0.5) / 255 * (mxs[i] - mns[i])) AS dec
+         |  FROM embeddings CROSS JOIN sta),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |      WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q_id, n_id, n_emb, q_emb, ${dotSql("q_emb", "dec")} AS adc
+         |  FROM coded JOIN q ON q_id <> n_id),
+         |short AS (
+         |  SELECT q_id, n_id, n_emb, q_emb,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS srank
+         |  FROM scored),
+         |rr AS (
+         |  SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS cos
+         |  FROM short WHERE srank <= 10),
+         |ranked AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM rr)
+         |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
     "sim_lsh_multiprobe" -> lshMultiProbeOracleSql,
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

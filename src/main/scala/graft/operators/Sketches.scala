@@ -89,17 +89,78 @@ object Sketches {
     df.agg(approx_percentile(col(valueCol),
       array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
 
+  /** Bloom-gated join — an EXPLICIT runtime row-level filter: build a
+    * Bloom filter over the (small, post-filter) dim side's join keys,
+    * prune the fact side MAP-SIDE before its shuffle, then run the real
+    * join. Results are exact regardless of fpp: false positives survive
+    * the gate but die in the join; the bloom never admits a row the
+    * join wouldn't.
+    *
+    * Scale shape: this is the semi-join reduction Spark's own runtime
+    * bloom filters (spark.sql.optimizer.runtime.bloomFilter.enabled)
+    * inject for shuffle joins — written out explicitly so the gate also
+    * works where the optimizer won't place one (e.g. ahead of an
+    * aggregation, or against a persisted fact table read by later
+    * jobs). On a 100 TB fact table with a 0.1%-selective dim filter,
+    * the shuffle carries ~fpp·rows instead of every row. The filter is
+    * built distributed (`stat.bloomFilter` tree-aggregates mergeable
+    * per-partition bitsets); only the fixed-size bitset reaches the
+    * driver. The probe UDF is justified like [[heavyHitters]]'s: a
+    * sketch probe has no Column-function equivalent.
+    */
+  def bloomJoin(spark: SparkSession, fact: DataFrame, dim: DataFrame,
+                factKey: String, dimKey: String,
+                expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    // an EMPTY dim side yields a null sketch from bloom_filter_agg and
+    // stat.bloomFilter NPEs on it; the join result is empty either way,
+    // so gate the whole fact side out (keeping the schema). The isEmpty
+    // probe is a limit-1 job over the dim side, which is small by
+    // contract — a bloom gate for a LARGE dim side would be pointless.
+    val keys = dim.select(col(dimKey)).na.drop()
+    if (keys.isEmpty) {
+      fact.filter(lit(false)).join(dim, col(factKey) === col(dimKey))
+    } else {
+      val bf = keys.stat.bloomFilter(dimKey, expectedItems, fpp)
+      val bc = spark.sparkContext.broadcast(bf)
+      val gate = udf((k: Long) => bc.value.mightContain(k))
+      fact.filter(col(factKey).isNotNull && gate(col(factKey)))
+        .join(dim, col(factKey) === col(dimKey))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact output (the CMS gate only prunes): oracle = plain HAVING
     "s_heavy_hitters" -> { (s, d) =>
       heavyHitters(s, t(s, d, "lineitem"), "l_partkey", minCount = 35)
         .withColumnRenamed("l_partkey", "key")
+    },
+    // revenue by supplier for one nation's suppliers: the bloom prunes
+    // lineitem ahead of the join shuffle; oracle = the plain join
+    "s_bloom_join" -> { (s, d) =>
+      val dim = t(s, d, "supplier")
+        .join(t(s, d, "nation").filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      bloomJoin(s, t(s, d, "lineitem"), dim, "l_suppkey", "s_suppkey")
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
     }
   )
 
   def oracle: Map[String, String] = Map(
     "s_heavy_hitters" ->
       """SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem GROUP BY 1 HAVING count(*) >= 35""".stripMargin
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 35""".stripMargin,
+
+    "s_bloom_join" ->
+      """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY s_suppkey, s_name""".stripMargin
   )
 }

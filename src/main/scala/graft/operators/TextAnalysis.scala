@@ -270,6 +270,40 @@ object TextAnalysis {
           ((col("s") * lit(1.0)) / col("n") / col("_corpus_tokens")).as("lm_score"))
     },
 
+    // CCNet-style perplexity bucketing: score every document with the
+    // unigram LM (same pipeline as t_unigram_lm), then split the corpus
+    // into head / middle / tail terciles — CCNet trains on "head",
+    // drops or down-weights "tail". The tercile thresholds are ONE
+    // exact interpolated-percentile aggregate (two doubles), broadcast
+    // back for a map-side bucket assignment — no global sort, no
+    // single-partition window. At 100 TB you'd swap the exact
+    // percentile for approxQuantile (a mergeable one-pass sketch) and
+    // keep the identical broadcast+bucket plan; the exact form here is
+    // what makes the oracle byte-comparable (percentile ↔ quantile_cont
+    // already hash-matches in q17). Higher lm_score = more-frequent
+    // tokens = "head", mirroring CCNet's low-perplexity bucket.
+    "t_ppl_buckets" -> { (s, d) =>
+      val terms = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val total = terms.agg(count(lit(1)).as("_corpus_tokens"))
+      val scored = terms.join(broadcast(counts), "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          ((col("s") * lit(1.0)) / col("n") / col("_corpus_tokens"))
+            .as("lm_score"))
+      val cuts = scored.agg(
+        expr("percentile(lm_score, 0.3333333333333333D)").as("_t1"),
+        expr("percentile(lm_score, 0.6666666666666666D)").as("_t2"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("lm_score"),
+          when(col("lm_score") <= col("_t1"), "tail")
+            .when(col("lm_score") <= col("_t2"), "middle")
+            .otherwise("head").as("bucket"))
+    },
+
     // rule-based token cleaning (the list-HOF shape C4/CCNet-style
     // cleaners use): strip stopwords, emit the cleaned text plus the
     // removal count. filter + array_join stay inside whole-stage
@@ -464,6 +498,26 @@ object TextAnalysis {
         |SELECT doc_id, n,
         |  CAST(s AS DOUBLE) / n / (SELECT count(*) FROM tt) AS lm_score
         |FROM d""".stripMargin,
+
+    "t_ppl_buckets" ->
+      """WITH tt AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c.c) AS BIGINT) * 1.0 / CAST(count(*) AS BIGINT)
+        |      / (SELECT count(*) FROM tt) AS lm_score
+        |  FROM tt JOIN c ON tt.term = c.term GROUP BY doc_id),
+        |cuts AS (
+        |  SELECT quantile_cont(lm_score, 0.3333333333333333) AS t1,
+        |         quantile_cont(lm_score, 0.6666666666666666) AS t2
+        |  FROM scored)
+        |SELECT doc_id, lm_score,
+        |  CASE WHEN lm_score <= t1 THEN 'tail'
+        |       WHEN lm_score <= t2 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM scored CROSS JOIN cuts""".stripMargin,
 
     "t_stopword_strip" -> {
       val stops = Lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
