@@ -89,7 +89,21 @@ object Plans {
       "p_weighted_sample (map-side priorities, WindowGroupLimit Partial rank)" ->
         operators.Pipeline.queries("p_weighted_sample")(spark, sfDir),
       "p_zorder read-back (2-D range filter pushed to the clustered scan)" ->
-        operators.Layout.queries("p_zorder")(spark, sfDir)
+        operators.Layout.queries("p_zorder")(spark, sfDir),
+      "sim_kmeans (broadcast centroid state; recompute = map-combinable int sums)" ->
+        operators.Similarity.queries("sim_kmeans")(spark, sfDir),
+      "sim_sq8 (broadcast per-dim stats; ADC shortlist + in-row exact rerank)" ->
+        operators.Similarity.queries("sim_sq8")(spark, sfDir),
+      "s_bloom_join (bloom gate prunes the fact side BELOW the join)" ->
+        operators.Sketches.queries("s_bloom_join")(spark, sfDir),
+      "q28_markov (one user-keyed shuffle; denominators from the tiny matrix)" ->
+        operators.Relational.queries("q28_markov")(spark, sfDir),
+      "m_phash_dup (one int per image shuffles; banded candidate join)" ->
+        operators.Multimodal.queries("m_phash_dup")(spark, sfDir),
+      "t_ppl_buckets (broadcast tercile cuts; map-side bucket assignment)" ->
+        operators.TextAnalysis.queries("t_ppl_buckets")(spark, sfDir),
+      "d_keep_best (tiny cluster table broadcast into both corpus joins)" ->
+        operators.Dedup.queries("d_keep_best")(spark, sfDir)
     )
 
     val sb = new StringBuilder

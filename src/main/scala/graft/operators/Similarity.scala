@@ -563,7 +563,8 @@ object Similarity {
           .agg(transform(
             array_sort(collect_list(struct(col("i"), col("sx")))),
             st => st.getField("sx")).as("s"))
-        state = sums.join(cnts, "cluster")
+        // both sides are k rows — keep the join off the shuffle path
+        state = sums.join(broadcast(cnts), "cluster")
           .select(col("cluster").as("c_id"), col("s"), col("cnt"))
       }
     }

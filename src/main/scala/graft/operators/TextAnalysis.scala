@@ -287,6 +287,9 @@ object TextAnalysis {
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
       val total = terms.agg(count(lit(1)).as("_corpus_tokens"))
+      // scored feeds BOTH the cuts aggregate and the final bucket pass;
+      // persist so the tokenize+explode+join chain runs once (lazy: the
+      // cuts job materializes it, the bucket pass reads the cache)
       val scored = terms.join(broadcast(counts), "term")
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
@@ -294,6 +297,7 @@ object TextAnalysis {
         .select(col("doc_id"),
           ((col("s") * lit(1.0)) / col("n") / col("_corpus_tokens"))
             .as("lm_score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cuts = scored.agg(
         expr("percentile(lm_score, 0.3333333333333333D)").as("_t1"),
         expr("percentile(lm_score, 0.6666666666666666D)").as("_t2"))

@@ -391,4 +391,61 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), s"no codegen spans in:\n$p")
   }
+
+  test("sim_kmeans: centroid state broadcast, recompute partial-aggregated, no SMJ") {
+    val p = plan(operators.Similarity.queries("sim_kmeans")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"state not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+    assert(p.contains("partial_sum"),
+      s"centroid recompute not map-side combined in:\n$p")
+  }
+
+  test("sim_sq8: per-dim stats broadcast; shortlist bounds the rerank (no 2nd corpus join)") {
+    val p = plan(operators.Similarity.queries("sim_sq8")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"stats/queries not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"unexpected shuffle join in:\n$p")
+    // embeddings scanned once for stats + once for coding + once for the
+    // query side = exactly 3 scans; a 4th would mean the rerank re-joins
+    // the corpus instead of using the embeddings carried in the shortlist
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings"))
+    assert(scans == 3, s"expected 3 embedding scans, got $scans in:\n$p")
+  }
+
+  test("s_bloom_join: sketch gate filters the fact side BELOW the join") {
+    val p = plan(operators.Sketches.queries("s_bloom_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+    // the UDF probe must sit in a Filter (scan stage), not post-join
+    val filterIdx = p.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("UDF"))
+    val joinIdx = p.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(filterIdx > joinIdx && joinIdx >= 0,
+      s"bloom gate not below the join in:\n$p") // tree prints top-down
+  }
+
+  test("q28_markov: no joins — one user shuffle, matrix-local denominators") {
+    val p = plan(operators.Relational.queries("q28_markov")(spark, sf))
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts not map-side combined in:\n$p")
+  }
+
+  test("m_phash_dup: equi-join on band keys only, never a cartesian") {
+    val p = plan(operators.Multimodal.queries("m_phash_dup")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pair join in:\n$p")
+  }
+
+  test("t_ppl_buckets: scored table cached once, bucket pass is windowless") {
+    val df = operators.TextAnalysis.queries("t_ppl_buckets")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"scored subtree not reused via cache in:\n$p")
+    assert(!p.contains("Window"), s"global window crept in:\n$p")
+  }
 }
