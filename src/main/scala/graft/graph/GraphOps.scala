@@ -1516,4 +1516,289 @@ object GraphOps {
     ue.unpersist(blocking = false)
     labels.select(col("v"), col("label").as("community"))
   }
+
+  /** Katz centrality: x ← 1 + α·Aᵀx for a fixed number of power
+    * iterations (β = 1). Same distributed shape as [[pageRank]] — one
+    * shuffle-join + map-side-combined sum per iteration over a static,
+    * persisted edge table; only the O(V) score vector moves between
+    * rounds. Multigraph semantics: parallel edges contribute once each
+    * (matching an adjacency matrix with integer multiplicities).
+    *
+    * Fixed iteration count (not convergence-tested) keeps the result a
+    * pure function of the input so the DuckDB oracle can unroll the
+    * same rounds. α must be < 1/λ_max for the classic fixpoint to
+    * converge; with fixed iterations any α is well-defined.
+    */
+  def katzCentrality(spark: SparkSession, edges: DataFrame, iters: Int = 6,
+                     alpha: Double = 0.005): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var x = verts.withColumn("score", lit(1.0)).localCheckpoint(false)
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val inSum = e.join(x, e("src") === x("v"))
+        .groupBy(e("dst").as("v")).agg(sum(col("score")).as("s"))
+      x = verts.join(inSum, Seq("v"), "left")
+        .select(col("v"),
+          (lit(1.0) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("score"))
+        .localCheckpoint(i == iters)
+    }
+    e.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    x
+  }
+
+  /** Regular path query (RPQ): vertices reachable from `root` along a
+    * path whose edge-label word is accepted by the given NFA. Evaluated
+    * as a BFS over the automaton-product graph — the frontier is a set
+    * of (vertex, state) pairs, expanded one join per round against the
+    * static labeled edge table, with a visited anti-join for
+    * termination. The automaton (a handful of transitions) is
+    * broadcast; the edge table never moves. The product state space
+    * bounds the frontier at |V|·|Q|, so the iteration terminates in at
+    * most |V|·|Q| rounds regardless of path length — `maxRounds` is a
+    * safety valve, not a semantic bound.
+    *
+    * The reference's `two_hop`/`one_more_hop` (hop.cpp:104-225) are the
+    * two fixed-length special cases of this operator.
+    *
+    * @param edges (src, dst, lbl) — lbl: long edge label
+    * @param transitions NFA transitions (fromState, label, toState)
+    * @param accept accepting states
+    * @return distinct reachable vertices in an accepting state: (v)
+    */
+  def regularPathQuery(spark: SparkSession, edges: DataFrame, root: Long,
+                       transitions: Seq[(Int, Long, Int)], accept: Set[Int],
+                       maxRounds: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trans = broadcast(
+      transitions.toDF("st0", "tlbl", "st1"))
+    var visited = Seq((root, 0)).toDF("v", "st").localCheckpoint(false)
+    var frontier = visited
+    var round = 0
+    var n = 1L
+    while (n > 0 && round < maxRounds) {
+      round += 1
+      val next = frontier.join(e, frontier("v") === e("src"))
+        .join(trans, frontier("st") === col("st0") && e("lbl") === col("tlbl"))
+        .select(e("dst").as("v"), col("st1").as("st")).distinct()
+        .join(visited.withColumnRenamed("v", "vv").withColumnRenamed("st", "sst"),
+          col("v") === col("vv") && col("st") === col("sst"), "left_anti")
+        .localCheckpoint(true) // eager: counted AND reused next round
+      n = next.count()
+      if (n > 0) {
+        visited = visited.unionAll(next).localCheckpoint(false)
+        frontier = next
+      }
+    }
+    e.unpersist(blocking = false)
+    val acceptDf = broadcast(accept.toSeq.toDF("ast"))
+    visited.join(acceptDf, col("st") === col("ast"), "left_semi")
+      .select(col("v")).distinct()
+  }
+
+  /** Exact neighborhood function: for each h in 1..maxH, the number of
+    * ordered pairs (u, v), u ≠ v, with directed distance(u, v) ≤ h.
+    * Computed by layered transitive closure — R_{h+1} = R_h ∪ (R_h ⋈ E)
+    * with distinct — whose working set is the closure itself (Θ(N(h))
+    * pairs). That is honest at gate scale but quadratic in the worst
+    * case; the 100 TB path is [[anfHll]], which carries O(V·m) register
+    * rows instead of O(V²) pairs. This exact version doubles as the
+    * tolerance reference for the sketch.
+    */
+  def neighborhoodFunction(spark: SparkSession, edges: DataFrame,
+                           maxH: Int): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var reach = e.select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(false)
+    val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    counts += ((1, reach.count()))
+    var h = 1
+    while (h < maxH) {
+      h += 1
+      reach = reach.unionAll(
+          reach.join(e, reach("v") === e("src"))
+            .select(col("u"), e("dst").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true) // eager: counted and joined next round
+      counts += ((h, reach.count()))
+    }
+    e.unpersist(blocking = false)
+    counts.toSeq.toDF("h", "n_pairs")
+  }
+
+  /** HyperLogLog-sketch approximate neighborhood function (ANF /
+    * HyperBall): every vertex carries an m=64-register HLL sketch of
+    * the set of vertices reachable from it; one propagation round
+    * element-maxes each vertex's registers with its out-neighbors'
+    * (register max is exactly sketch-union). Rows are the SPARSE
+    * (v, reg, rho) triples — at most V·m of them, versus the exact
+    * closure's O(V²) pairs — and each round is one join + map-side-
+    * combinable max per (v, reg): the scale path for diameter /
+    * effective-diameter estimation on graphs where the closure cannot
+    * be materialized.
+    *
+    * Determinism for the oracle: the per-vertex hash is the md5-prefix
+    * scheme shared with the DuckDB oracle dialect; rho uses the
+    * branch-free ctz identity bit_count((x & -x) - 1), and the raw HLL
+    * estimator (no small/large-range correction) is micro-quantized.
+    * Estimator bias at gate scale is irrelevant: the sketch is compared
+    * to [[neighborhoodFunction]] in a spec within HLL error bounds, and
+    * to the oracle bit-for-bit.
+    *
+    * @return (h, est_micro): quantized NF(h) estimate (self included:
+    *         pairs (u,v) with dist ≤ h, counting u itself at rho-time
+    *         since each vertex's own hash seeds its sketch)
+    */
+  def anfHll(spark: SparkSession, edges: DataFrame, maxH: Int): DataFrame = {
+    val m = AnfM
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+    // 60-bit positive hash from the md5 hex prefix — the exact
+    // expression the DuckDB oracle mirrors (conv() == CAST('0x…')).
+    // rho = ctz(h / m) + 1 via the branch-free identity
+    // ctz(x) = bit_count((x & -x) - 1), capped at AnfRhoCap so the
+    // register sum below stays integer-exact.
+    var regs = verts
+      .withColumn("h",
+        expr(s"cast(conv(substr(md5(concat('anf-', cast(v as string))), 1, 15), 16, 10) as bigint)"))
+      .select(col("v"), (col("h") % m).cast("int").as("reg"),
+        expr(s"cast(least(bit_count(((h div $m) & -(h div $m)) - 1) + 1, $AnfRhoCap) as int)")
+          .as("rho"))
+      .localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    var h = 0
+    while (h < maxH) {
+      h += 1
+      regs = regs.join(e, regs("v") === e("src"))
+        .select(e("dst").as("v"), col("reg"), col("rho"))
+        .unionAll(regs.select(col("v"), col("reg"), col("rho")))
+        .groupBy(col("v"), col("reg")).agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true) // eager: aggregated below and reused next round
+      // Raw HLL estimate per vertex, integerized for cross-engine
+      // determinism: register sum as exact BIGINT (2^(cap-rho) units,
+      // absent registers contribute 2^cap i.e. 2^-0), then ONE
+      // division and ONE quantized multiply per vertex — every fp op
+      // is single-rounded IEEE, no accumulation-order dependence —
+      // and the final NF(h) is an exact integer sum of the quantized
+      // per-vertex values.
+      val est = regs.groupBy(col("v"))
+        .agg(sum(expr(s"shiftleft(cast(1 as bigint), $AnfRhoCap - rho)")).as("isum"),
+          count(lit(1)).as("n_regs"))
+        .select((lit(AnfAlphaM2) /
+          ((col("isum") + (lit(m.toLong) - col("n_regs")) *
+            lit(1L << AnfRhoCap)).cast("double") / lit((1L << AnfRhoCap).toDouble)))
+          .as("raw"), (lit(m.toLong) - col("n_regs")).as("zeros"))
+        // standard small-range correction: raw HLL is badly biased
+        // below ~2.5m; linear counting m·ln(m/zeros) is the estimator
+        // there. ln is the one transcendental — cross-engine drift
+        // ~1 ulp (1e-14) vs the 1e-6 quantization grid.
+        .select(when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw")).as("card"))
+        .select(floor(col("card") * lit(1e6) + lit(0.5)).cast("long").as("cm"))
+        .agg(sum(col("cm"))).head.getLong(0)
+      out += ((h, est))
+    }
+    e.unpersist(blocking = false)
+    import spark.implicits._
+    out.toSeq.toDF("h", "est_micro")
+  }
+
+  /** HLL-ANF constants shared with the DuckDB oracle generator. */
+  val AnfM = 64
+  val AnfRhoCap = 40
+  /** alpha_64 · m² as one double literal — embedded verbatim in both
+    * engines' SQL so the constant is bit-identical. */
+  val AnfAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0
+
+  /** Minimum spanning forest via distributed Borůvka. Each round every
+    * component selects its minimum-weight outgoing edge under the total
+    * order (w, a, b) — distinct tie-breaks make the forest unique and
+    * the operator deterministic — then the chosen component-graph is
+    * contracted with [[connectedComponents]] (the merge graph has at
+    * most one edge per component, so contraction cost shrinks
+    * geometrically; ≤ log₂V rounds total). Only component labels and
+    * the O(components) chosen edges shuffle per round; the weighted
+    * edge table is static and persisted.
+    *
+    * Correctness is spec-tested against an in-memory Kruskal on the
+    * collected gate-scale graph (MstSpec); the oracle entry is
+    * rows-only (MST is not expressible in DuckDB SQL).
+    *
+    * @param edges (src, dst, w) directed input, treated as undirected
+    * @return chosen forest edges (a, b, w) with a < b
+    */
+  def minimumSpanningForest(spark: SparkSession, edges: DataFrame,
+                            maxRounds: Int = 20): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = canon.select(col("a").as("v"))
+      .unionAll(canon.select(col("b").as("v"))).distinct()
+      .withColumn("c", col("v"))
+      .localCheckpoint(false)
+    var chosen: DataFrame = null
+    var active = true
+    var round = 0
+    while (active && round < maxRounds) {
+      round += 1
+      // label both endpoints, keep inter-component edges only
+      val la = labels.select(col("v").as("a"), col("c").as("ca"))
+      val lb = labels.select(col("v").as("b"), col("c").as("cb"))
+      val ext = canon.join(la, "a").join(lb, "b")
+        .filter(col("ca") =!= col("cb"))
+      // min outgoing edge per component, from both sides
+      val cand = ext.select(col("ca").as("comp"), col("w"), col("a"), col("b"))
+        .unionAll(ext.select(col("cb").as("comp"), col("w"), col("a"), col("b")))
+      val picks = cand.groupBy(col("comp"))
+        .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
+        .distinct()
+        .localCheckpoint(true) // eager: counted, unioned, and contracted below
+      if (picks.isEmpty) {
+        active = false
+      } else {
+        chosen = if (chosen == null) picks else chosen.unionAll(picks)
+          .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+        chosen = chosen.localCheckpoint(true)
+        // contract: components of the merge graph (≤1 edge per comp)
+        val mergeEdges = picks
+          .join(la, "a").join(lb.withColumnRenamed("b", "b"), "b")
+          .select(col("ca").as("src"), col("cb").as("dst"))
+        val merged = connectedComponents(spark, mergeEdges)
+          .select(col("v").as("c"), col("component").as("cNew"))
+        labels = labels.join(merged, Seq("c"), "left")
+          .select(col("v"), coalesce(col("cNew"), col("c")).as("c"))
+          .localCheckpoint(true) // eager: next-round join input
+      }
+    }
+    canon.unpersist(blocking = false)
+    if (chosen == null)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.LongType))))
+    else chosen.select(col("a"), col("b"), col("w"))
+  }
 }

@@ -249,8 +249,60 @@ object GraphQueries {
       GraphOps.adamicAdarPairs(edgesFrom(s, d), JaccardMinCommon)
         .select(col("a"), col("b"), col("n_common"),
           floor(col("aa") * lit(1e6) + lit(0.5)).as("aa_micro"))
+    },
+    // Katz centrality, 6 unrolled power iterations, micro-quantized
+    // like g_pagerank (same fp-drift-vs-grid argument: values are
+    // O(1), drift ~1e-15, grid 1e-6)
+    "g_katz" -> { (s, d) =>
+      GraphOps.katzCentrality(s, edgesFrom(s, d), KatzIters, KatzAlpha)
+        .select(col("v"),
+          floor(col("score") * lit(1e6) + lit(0.5)).as("score_micro"))
+    },
+    // regular path query 0·1*·2 over hash-derived edge labels from
+    // RootVid — automaton-product BFS; the oracle is the (v, state)
+    // fixpoint as a recursive CTE
+    "g_rpq" -> { (s, d) =>
+      GraphOps.regularPathQuery(s, labeledEdges(s, d), RootVid,
+        RpqTransitions, RpqAccept)
+    },
+    // exact neighborhood function on the <1024 induced subgraph (the
+    // layered closure the oracle can also afford); the full-graph
+    // scale path is g_anf_hll
+    "g_anf" -> { (s, d) =>
+      GraphOps.neighborhoodFunction(s,
+        edgesFrom(s, d).filter(col("src") < 1024 && col("dst") < 1024),
+        AnfExactH)
+    },
+    // HyperBall/HLL sketch neighborhood function on the FULL graph —
+    // integer-exact register math + single-rounded per-vertex division
+    // makes the approximate estimator bit-reproducible in SQL
+    "g_anf_hll" -> { (s, d) =>
+      GraphOps.anfHll(s, edgesFrom(s, d), AnfHllH)
+    },
+    // Borůvka minimum spanning forest over the sssp edge weights.
+    // No SQL oracle (MST needs mutable components); correctness is
+    // spec-tested against in-memory Kruskal (MstSpec) — the driver
+    // records the weaker rows-only check for this entry.
+    "g_mst" -> { (s, d) =>
+      GraphOps.minimumSpanningForest(s,
+        edgesFrom(s, d).withColumn("w",
+          pmod(col("src") * 31 + col("dst"), lit(7L)) + 1))
+        .orderBy(col("a"), col("b"))
     }
   )
+
+  val KatzIters = 6
+  val KatzAlpha = 0.005
+  /** NFA for the RPQ pattern 0·(1)*·2 over lbl = (src·7 + dst) mod 3. */
+  val RpqTransitions: Seq[(Int, Long, Int)] =
+    Seq((0, 0L, 1), (1, 1L, 1), (1, 2L, 2))
+  val RpqAccept: Set[Int] = Set(2)
+  val AnfExactH = 4
+  val AnfHllH = 3
+
+  def labeledEdges(spark: SparkSession, dir: String): DataFrame =
+    edgesFrom(spark, dir)
+      .withColumn("lbl", pmod(col("src") * 7 + col("dst"), lit(3L)))
 
   val PprSources = Seq(42L, 7L, 3967L)
   val BcDepth = 4
@@ -879,7 +931,123 @@ object GraphQueries {
            |  CASE WHEN deg.deg >= 2
            |    THEN COALESCE(tri.tri, 0) * 2.0 / (deg.deg * (deg.deg - 1))
            |    ELSE 0.0 END AS lcc
-           |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin
+           |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin,
+      "g_katz" -> katzSql,
+      "g_rpq" -> rpqSql,
+      "g_anf" -> anfSql,
+      "g_anf_hll" -> anfHllSql
     )
+  }
+
+  /** Unrolled Katz power iteration mirroring [[GraphOps.katzCentrality]]:
+    * x₀ = 1, xᵢ₊₁(v) = 1 + α·Σ_{u→v} xᵢ(u) (multigraph), micro-quantized
+    * with the same drift-vs-grid argument as [[pageRankSql]]. */
+  private def katzSql: String = {
+    val steps = (1 to KatzIters).map { i =>
+      s"""x$i AS (
+         |  SELECT verts.v, 1.0 + $KatzAlpha * coalesce(s.in_sum, 0.0) AS score
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, sum(x${i - 1}.score) AS in_sum
+         |    FROM e JOIN x${i - 1} ON x${i - 1}.v = e.src
+         |    GROUP BY e.dst) s ON s.v = verts.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |x0 AS (SELECT v, 1.0 AS score FROM verts),
+       |$steps
+       |SELECT v, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+       |FROM x$KatzIters""".stripMargin
+  }
+
+  /** (v, state) fixpoint of the RPQ automaton product as a recursive
+    * CTE — UNION (not UNION ALL) dedup terminates it without a depth
+    * bound, exactly like [[GraphOps.regularPathQuery]]'s visited set. */
+  private def rpqSql: String = {
+    val transRows = RpqTransitions
+      .map { case (s0, l, s1) => s"($s0, $l, $s1)" }.mkString(", ")
+    val acceptList = RpqAccept.toSeq.sorted.mkString(", ")
+    s"""WITH RECURSIVE rpq AS (
+       |  SELECT CAST($RootVid AS BIGINT) AS v, 0 AS st
+       |  UNION
+       |  SELECT e.dst AS v, t.st1 AS st
+       |  FROM rpq
+       |  JOIN (SELECT src, dst, (src * 7 + dst) % 3 AS lbl FROM ($edgesSql)) e
+       |    ON e.src = rpq.v
+       |  JOIN (VALUES $transRows) t(st0, lbl, st1)
+       |    ON t.st0 = rpq.st AND t.lbl = e.lbl)
+       |SELECT DISTINCT v FROM rpq WHERE st IN ($acceptList)""".stripMargin
+  }
+
+  /** Unrolled layered transitive closure mirroring
+    * [[GraphOps.neighborhoodFunction]] on the <1024 induced subgraph. */
+  private def anfSql: String = {
+    val steps = (2 to AnfExactH).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT u, v FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT r${i - 1}.u, e.dst AS v
+         |    FROM r${i - 1} JOIN e ON e.src = r${i - 1}.v)
+         |  WHERE u <> v)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to AnfExactH).map { i =>
+      s"SELECT $i AS h, CAST(count(*) AS BIGINT) AS n_pairs FROM r$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM ($edgesSql)
+       |  WHERE src < 1024 AND dst < 1024 AND src <> dst),
+       |r1 AS MATERIALIZED (SELECT src AS u, dst AS v FROM e),
+       |$steps
+       |$selects""".stripMargin
+  }
+
+  /** Unrolled sparse-register HLL propagation mirroring
+    * [[GraphOps.anfHll]] bit-for-bit: same md5-prefix hash, same
+    * branch-free ctz, integer register sums, single-rounded per-vertex
+    * division, exact BIGINT total of the micro-quantized estimates. */
+  private def anfHllSql: String = {
+    val m = GraphOps.AnfM
+    val cap = GraphOps.AnfRhoCap
+    val unit = 1L << cap
+    val alphaM2 = "%.17g".format(GraphOps.AnfAlphaM2)
+    val steps = (1 to AnfHllH).map { i =>
+      s"""g$i AS MATERIALIZED (
+         |  SELECT v, reg, max(rho) AS rho FROM (
+         |    SELECT e.dst AS v, g${i - 1}.reg, g${i - 1}.rho
+         |    FROM g${i - 1} JOIN e ON e.src = g${i - 1}.v
+         |    UNION ALL
+         |    SELECT v, reg, rho FROM g${i - 1})
+         |  GROUP BY v, reg)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to AnfHllH).map { i =>
+      s"""SELECT $i AS h, CAST(sum(cm) AS BIGINT) AS est_micro FROM (
+         |  SELECT CAST(floor(
+         |    (CASE WHEN raw <= ${2.5 * m} AND zeros > 0
+         |       THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE))
+         |       ELSE raw END)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS cm
+         |  FROM (
+         |    SELECT $alphaM2 /
+         |        (CAST(isum + ($m - n_regs) * $unit AS DOUBLE) / $unit.0) AS raw,
+         |      $m - n_regs AS zeros
+         |    FROM (
+         |      SELECT v, CAST(sum(CAST(1 AS BIGINT) << ($cap - rho)) AS BIGINT) AS isum,
+         |        CAST(count(*) AS BIGINT) AS n_regs
+         |      FROM g$i GROUP BY v)))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM ($edgesSql) WHERE src <> dst),
+       |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |h0 AS (
+       |  SELECT v, CAST(('0x' || substr(md5('anf-' || CAST(v AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS h
+       |  FROM verts),
+       |g0 AS MATERIALIZED (
+       |  SELECT v, CAST(h % $m AS INTEGER) AS reg,
+       |    CAST(least(bit_count(((h // $m) & -(h // $m)) - 1) + 1, $cap)
+       |      AS INTEGER) AS rho
+       |  FROM h0),
+       |$steps
+       |$selects""".stripMargin
   }
 }

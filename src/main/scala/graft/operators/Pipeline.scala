@@ -186,7 +186,61 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("rk"))
   }
 
+  /** Deterministic GLOBAL row enumeration without a single-partition
+    * window: `orderBy` range-partitions the sort (every partition holds
+    * a contiguous key range, all partitions sort in parallel), then
+    * `zipWithIndex` assigns contiguous global indices per partition
+    * using only the O(partitions) per-partition counts. This is the
+    * scale-correct替 for `row_number() OVER (ORDER BY …)` — Spark
+    * executes that window on ONE partition — exactly the pattern that
+    * dies at 100 TB; this is the scale-correct replacement for
+    * `row_number() OVER (ORDER BY …)`. The sort keys must be a total
+    * order (include a unique id) for determinism.
+    */
+  def globalOrdinal(df: DataFrame,
+                    sortCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "ordinal", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Curriculum ordering: score every document (mean word length — a
+    * stand-in for any model-based difficulty signal), enumerate the
+    * corpus easy→hard with [[globalOrdinal]], and cut it into
+    * `phases` equal NTILE phases. The phase arithmetic reproduces SQL
+    * ntile exactly (first N mod T phases get the extra row) so the
+    * whole operator — including the distributed ranking — is
+    * oracle-checked against `ntile() OVER` + `row_number() OVER`.
+    * The difficulty score is one IEEE division: cross-engine ordering
+    * is bit-identical.
+    */
+  def curriculum(docs: DataFrame, phases: Int = 4): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      (col("n_chars").cast("double") /
+        size(tokens(col("text"))).cast("double")).as("difficulty"))
+    val ranked = globalOrdinal(scored, Seq(col("difficulty"), col("doc_id")))
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    // ntile(T): r = N mod T phases of size big = N/T + 1 first, then
+    // T - r phases of size small = N/T (all floor divisions)
+    val r = col("_n") % phases
+    val big = floor(col("_n") / phases).cast("long") + lit(1L)
+    val small = floor(col("_n") / phases).cast("long")
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("ordinal"),
+        when(col("ordinal") <= r * big,
+          floor((col("ordinal") - 1) / big).cast("long") + lit(1L))
+          .otherwise(r +
+            floor((col("ordinal") - 1 - r * big) / small).cast("long") + lit(1L))
+          .as("phase"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_curriculum" -> { (s, d) => curriculum(t(s, d, "documents")) },
     "p_weighted_sample" -> { (s, d) => weightedSample(t(s, d, "documents")) },
     "p_shuffle" -> { (s, d) => shuffleDeterministic(t(s, d, "documents")) },
     "p_clean_corpus" -> { (s, d) => cleanCorpus(t(s, d, "documents")) },
@@ -205,6 +259,17 @@ object Pipeline {
          |   AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
          |         w -> list_contains($lex, w))) >= $MinStopwordHits)""".stripMargin
     Map(
+      "p_curriculum" ->
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    CAST(n_chars AS DOUBLE) /
+          |      len(regexp_split_to_array(trim(lower(text)), '\s+')) AS difficulty
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS ordinal,
+          |  CAST(ntile(4) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS phase
+          |FROM s""".stripMargin,
+
       "p_weighted_sample" ->
         """WITH s AS (
           |  SELECT doc_id, lang, n_chars,

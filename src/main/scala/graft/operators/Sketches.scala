@@ -128,11 +128,50 @@ object Sketches {
     }
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch — unlike HLL, the
+    * estimator here is a DETERMINISTIC pure function of the value set
+    * (k smallest md5-derived 60-bit hashes; estimate (k−1)/r_k where
+    * r_k is the kth smallest hash normalized to (0,1]), so the sketch
+    * itself is DuckDB-oracle-checkable bit-for-bit, not just
+    * tolerance-tested. Every fp op is single-rounded IEEE (one cast,
+    * one exact power-of-two scale, one division, one quantized
+    * multiply) — no accumulation order anywhere.
+    *
+    * Scale shape: the hash is a map-side expression; "k smallest" is
+    * Spark's sort-limit (per-partition top-k, then a k-row merge on one
+    * reducer — never a global sort), and only k longs reach the final
+    * aggregate. The k-hash set is also a mergeable summary: union of
+    * per-partition KMVs = KMV of the union, the same persist-then-merge
+    * contract as [[distinctSketches]].
+    */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int = 256,
+                  seed: String = "kmv"): DataFrame = {
+    val unit = (1L << 60).toDouble
+    val hashes = df.select(
+        conv(substring(md5(concat(lit(seed + "-"),
+          col(valueCol).cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .where(col(valueCol).isNotNull).distinct()
+    hashes.orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
+      .select(col("n").as("n_used"),
+        floor(
+          when(col("n") < k, col("n").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (col("hk").cast("double") / lit(unit)))
+          * lit(1e6) + lit(0.5)).cast("long").as("est_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact output (the CMS gate only prunes): oracle = plain HAVING
     "s_heavy_hitters" -> { (s, d) =>
       heavyHitters(s, t(s, d, "lineitem"), "l_partkey", minCount = 35)
         .withColumnRenamed("l_partkey", "key")
+    },
+    // deterministic KMV sketch of distinct l_orderkey — the estimate
+    // itself is oracle-checked (see kmvDistinct scaladoc)
+    "s_kmv_distinct" -> { (s, d) =>
+      kmvDistinct(t(s, d, "lineitem"), "l_orderkey")
     },
     // revenue by supplier for one nation's suppliers: the bloom prunes
     // lineitem ahead of the join shuffle; oracle = the plain join
@@ -150,6 +189,19 @@ object Sketches {
   )
 
   def oracle: Map[String, String] = Map(
+    "s_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5('kmv-' ||
+        |    CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |a AS (SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS n FROM k)
+        |SELECT n AS n_used,
+        |  CAST(floor((CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |    ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS est_micro
+        |FROM a""".stripMargin,
+
     "s_heavy_hitters" ->
       """SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 HAVING count(*) >= 35""".stripMargin,

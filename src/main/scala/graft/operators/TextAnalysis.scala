@@ -68,7 +68,55 @@ object TextAnalysis {
       lang -> lexiconHits(col(toksCol), words)
     }
 
+  /** C4/CCNet-style boilerplate removal by corpus line frequency: split
+    * each document into fixed-width word "lines", count how many
+    * DISTINCT documents each line occurs in, and strip lines above the
+    * repetition threshold (navboxes, cookie banners, license footers —
+    * any fragment shared verbatim across documents).
+    *
+    * Scale shape: lines are md5-HASHED before the frequency groupBy, so
+    * the corpus-wide shuffle carries 32-byte digests, never text (the
+    * same text-stays-home discipline as the dedup family); the per-doc
+    * reassembly is a join on the hash plus one order-restoring
+    * sort_array over that document's own lines. Grouping by hash is
+    * result-equivalent to grouping by the line (md5 injective modulo a
+    * 2⁻⁶⁴ collision), which is what the oracle does.
+    *
+    * @return (doc_id, n_lines, n_boiler, clean_fp) — fingerprint of the
+    *         document with boilerplate lines removed, original order
+    */
+  def boilerplateStrip(docs: DataFrame, lineWords: Int = 3,
+                       minDocs: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("nl",
+        ceil(size(col("t")) / lit(lineWords.toDouble)).cast("long"))
+      .withColumn("line_idx", explode(sequence(lit(0L), col("nl") - 1)))
+      .select(col("doc_id"), col("line_idx"),
+        concat_ws(" ", slice(col("t"),
+          (col("line_idx") * lineWords + 1).cast("int"),
+          lit(lineWords))).as("line"))
+      .withColumn("lh", md5(col("line")))
+    val freq = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    lines.join(freq, "lh")
+      .withColumn("boiler", col("nd") >= minDocs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        md5(concat_ws(" ",
+          transform(
+            filter(
+              sort_array(collect_list(struct(col("line_idx"), col("line"),
+                col("boiler")))),
+              x => !x.getField("boiler")),
+            x => x.getField("line")))).as("clean_fp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus-frequency boilerplate line removal (C4/CCNet shape)
+    "t_boilerplate" -> { (s, d) => boilerplateStrip(t(s, d, "documents")) },
+
     // language-ID: argmax lexicon hits with fixed priority tie-break
     "t_langid" -> { (s, d) =>
       val base = t(s, d, "documents")
@@ -345,6 +393,29 @@ object TextAnalysis {
       s"(acc, x) -> (acc * 31 + x) % $HashMod)"
 
   def oracle: Map[String, String] = Map(
+    "t_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT))) AS line_idx
+        |  FROM tok),
+        |lines AS (
+        |  SELECT doc_id, line_idx,
+        |    array_to_string(t[CAST(line_idx * 3 + 1 AS INTEGER) :
+        |                      CAST(line_idx * 3 + 3 AS INTEGER)], ' ') AS line
+        |  FROM l),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+        |f AS (
+        |  SELECT lines.doc_id, lines.line_idx, lines.line, freq.nd >= 2 AS boiler
+        |  FROM lines JOIN freq USING (line))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  md5(coalesce(string_agg(CASE WHEN NOT boiler THEN line END, ' '
+        |    ORDER BY line_idx), '')) AS clean_fp
+        |FROM f GROUP BY doc_id""".stripMargin,
+
     "t_classifier" ->
       s"""SELECT doc_id,
          |  CAST(len(t) AS BIGINT) AS n_tokens,
