@@ -181,10 +181,53 @@ class GraphArCatalog extends TableCatalog with SupportsNamespaces {
   */
 class GraphArVersionedEdgeTable(info: EdgeInfo, base: String,
                                 perTypeLog: Boolean)
-  extends GraphArEdgeTable(info) {
+  extends GraphArEdgeTable(info) with SupportsDelete {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  /** SQL `DELETE FROM g.\`X.edge\` WHERE …` staged as an O(delta)
+    * remove on the live log — the DML twin of `removeEdges` staging,
+    * symmetric with INSERT INTO below. The delta log removes by edge
+    * KEY (src, dst), so only predicates over the two synthetic index
+    * columns are accepted: for those, "rows matching the predicate" and
+    * "rows whose key matches" are the same set, and the key anti-join
+    * deletes exactly the DELETE's row semantics. A predicate touching a
+    * property column could over-delete sibling rows sharing the key —
+    * `canDeleteWhere` refuses it up front (Spark reports the table
+    * can't handle the delete) instead of deleting the wrong rows.
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(GraphArKeyFilters.toColumn(_).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = filters.toSeq.map { f =>
+      GraphArKeyFilters.toColumn(f).getOrElse(throw new UnsupportedOperationException(
+        s"${info.name}.edge: DELETE predicate $f is not key-only " +
+          s"(${GraphArMeta.SrcIndexCol}/${GraphArMeta.DstIndexCol})"))
+    }.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val live =
+      if (perTypeLog) GraphArMutations.currentEdgesOf(spark, base, info.name)
+      else GraphArMutations.currentEdges(spark, base)
+    val keys = live
+      .withColumnRenamed("src", GraphArMeta.SrcIndexCol)
+      .withColumnRenamed("dst", GraphArMeta.DstIndexCol)
+      .filter(cond)
+      .select(
+        org.apache.spark.sql.functions.col(GraphArMeta.SrcIndexCol).as("src"),
+        org.apache.spark.sql.functions.col(GraphArMeta.DstIndexCol).as("dst"))
+      .distinct()
+    if (!keys.isEmpty) {
+      if (perTypeLog)
+        GraphArMutations.stageDeltaOf(spark, base, info.name,
+          removeKeys = Some(keys))
+      else GraphArMutations.stageDelta(spark, base, removeKeys = Some(keys))
+    }
+  }
   override def newWriteBuilder(w: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       override def truncate(): WriteBuilder =
@@ -210,6 +253,38 @@ class GraphArVersionedEdgeTable(info: EdgeInfo, base: String,
           }
       }
     }
+}
+
+/** V1-Filter → Column translation restricted to the two synthetic edge
+  * key columns (see [[GraphArVersionedEdgeTable.canDeleteWhere]] for why
+  * property predicates are refused). */
+private[catalog] object GraphArKeyFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  private val keyCols =
+    Set(GraphArMeta.SrcIndexCol, GraphArMeta.DstIndexCol)
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) if keyCols(a) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) if keyCols(a) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) if keyCols(a) => Some(col(a) >= lit(v))
+    case LessThan(a, v) if keyCols(a) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) if keyCols(a) => Some(col(a) <= lit(v))
+    case In(a, vs) if keyCols(a) =>
+      Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) if keyCols(a) => Some(col(a).isNull)
+    case IsNotNull(a) if keyCols(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** Vertex table of a versioned catalog: vertex deltas are keyed UPSERTS

@@ -183,6 +183,41 @@ object GraphArQueries {
     * still-staged delta (d2), exercising both the compacted and the
     * staged read path under the oracle.
     */
+  /** Versioned edge graph whose live log has absorbed one SQL
+    * `DELETE FROM <catalog>.\`Part_link_Part.edge\` WHERE <key preds>`
+    * — exercises the whole chain: catalog resolution → SupportsDelete →
+    * key-filter translation → staged remove delta → currentEdges fold.
+    * The oracle recomputes the same edge set with the predicate negated.
+    */
+  def sqlDeleteFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_sqldel_" +
+      Integer.toHexString(canonical.hashCode)
+    val base = s"/tmp/graft_graphar/$name"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return base
+    if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+    val v = GraphQueries.V
+    val li = t(spark, sfDir, "lineitem")
+    GraphArMutations.initEdges(spark, base,
+      li.select(expr(s"l_orderkey % $v").as("src"),
+        expr(s"l_partkey % $v").as("dst"),
+        col("l_quantity").as("quantity")),
+      "SqlDeleteGraph",
+      GraphArWriter.EdgeSpec("Part", "link", "Part",
+        srcVertexCount = v, dstVertexCount = v,
+        chunkSize = 2048, srcChunkSize = 1024, dstChunkSize = 1024))
+    val cat = "gdel_" + Integer.toHexString(canonical.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraphArCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.snapshotBase", base)
+    spark.sql(s"DELETE FROM $cat.`Part_link_Part.edge` " +
+      "WHERE `_graphArSrcIndex` < 400 AND `_graphArDstIndex` >= 1024")
+    fs.create(marker, true).close()
+    base
+  }
+
   def streamDeltaFixture(spark: SparkSession, sfDir: String): String = synchronized {
     val canonical = new java.io.File(sfDir).getCanonicalPath
     val name = new java.io.File(sfDir).getName + "_sdelta_" +
@@ -364,6 +399,11 @@ object GraphArQueries {
     "ga_stream_delta" -> { (s, d) =>
       GraphArMutations.currentEdges(s, streamDeltaFixture(s, d))
     },
+    // SQL DELETE through the versioned catalog (SupportsDelete →
+    // staged remove delta); result = live fold after the delete
+    "ga_sql_delete" -> { (s, d) =>
+      GraphArMutations.currentEdges(s, sqlDeleteFixture(s, d))
+    },
     // bool + date properties round-tripped through CSV chunks with BOTH
     // filters pushed (bool equality; date range compared as epoch-day
     // ints per the GraphAr date encoding — PropFilters.norm)
@@ -439,6 +479,12 @@ object GraphArQueries {
          |SELECT p_partkey, p_name, p_brand, p_type, p_size,
          |  p_retailprice * 2 AS p_retailprice, 'insert' AS "_change_type"
          |FROM part WHERE p_size > 40""".stripMargin,
+    "ga_sql_delete" ->
+      s"""SELECT l_orderkey % ${GraphQueries.V} AS src,
+         |  l_partkey % ${GraphQueries.V} AS dst, l_quantity AS quantity
+         |FROM lineitem
+         |WHERE NOT (l_orderkey % ${GraphQueries.V} < 400
+         |           AND l_partkey % ${GraphQueries.V} >= 1024)""".stripMargin,
     "ga_stream_delta" ->
       s"""WITH base AS (SELECT l_orderkey % ${GraphQueries.V} AS src,
          |    l_partkey % ${GraphQueries.V} AS dst, l_quantity AS quantity

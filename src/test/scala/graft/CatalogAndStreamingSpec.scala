@@ -235,6 +235,39 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("stageVertexDelta")), msgs(ex).mkString(" | "))
   }
 
+  test("catalog SQL DELETE: key predicates stage remove deltas; property predicates refuse") {
+    import graft.sources.graphar.{GraphArMutations, GraphArWriter}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("gar_cat_del").toString
+    GraphArMutations.initEdges(spark, base,
+      Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (2L, 3L, 4.0))
+        .toDF("src", "dst", "w"), "DEL",
+      GraphArWriter.EdgeSpec("N", "link", "N",
+        srcVertexCount = 8, dstVertexCount = 8,
+        chunkSize = 4, srcChunkSize = 4, dstChunkSize = 4))
+    spark.conf.set("spark.sql.catalog.del", "graft.catalog.GraphArCatalog")
+    spark.conf.set("spark.sql.catalog.del.snapshotBase", base)
+    // key-only predicate: stages one remove delta, pinned snapshot intact
+    spark.sql("DELETE FROM del.`N_link_N.edge` " +
+      "WHERE `_graphArSrcIndex` = 1 AND `_graphArDstIndex` >= 3")
+    assert(GraphArMutations.stagedDeltas(spark, base).size === 1)
+    assert(spark.sql("SELECT count(*) FROM del.`N_link_N.edge`")
+      .collect()(0).getLong(0) === 4L) // snapshot reads are immutable
+    val cur = GraphArMutations.currentEdges(spark, base)
+    assert(cur.count() === 3L)
+    assert(cur.filter(col("src") === 1L && col("dst") === 3L).count() === 0L)
+    // matching nothing stages nothing
+    spark.sql("DELETE FROM del.`N_link_N.edge` WHERE `_graphArSrcIndex` = 99")
+    assert(GraphArMutations.stagedDeltas(spark, base).size === 1)
+    // property predicate would over-delete sibling rows of the key —
+    // canDeleteWhere refuses and nothing is staged
+    intercept[Exception] {
+      spark.sql("DELETE FROM del.`N_link_N.edge` WHERE w > 1.5")
+    }
+    assert(GraphArMutations.stagedDeltas(spark, base).size === 1)
+    assert(GraphArMutations.currentEdges(spark, base).count() === 3L)
+  }
+
   test("streaming delta ingest: batches stage O(batch) deltas, periodic compaction folds them") {
     import spark.implicits._
     import graft.sources.graphar.{GraphArMutations, GraphArWriter}
