@@ -103,7 +103,17 @@ object Plans {
       "t_ppl_buckets (broadcast tercile cuts; map-side bucket assignment)" ->
         operators.TextAnalysis.queries("t_ppl_buckets")(spark, sfDir),
       "d_keep_best (tiny cluster table broadcast into both corpus joins)" ->
-        operators.Dedup.queries("d_keep_best")(spark, sfDir)
+        operators.Dedup.queries("d_keep_best")(spark, sfDir),
+      "g_katz (static links; only the O(V) score vector re-shuffles per iter)" ->
+        graph.GraphQueries.queries("g_katz")(spark, sfDir),
+      "g_triangles_approx (hash coin prunes BEFORE the wedge join)" ->
+        graph.GraphQueries.queries("g_triangles_approx")(spark, sfDir),
+      "s_kmv_distinct (map-side hash, per-partition top-k, k-row merge)" ->
+        operators.Sketches.queries("s_kmv_distinct")(spark, sfDir),
+      "t_boilerplate (line digests shuffle, text stays in its partition)" ->
+        operators.TextAnalysis.queries("t_boilerplate")(spark, sfDir),
+      "ga_sql_delete (remove deltas fold as anti-joins over the CSR scan)" ->
+        sources.graphar.GraphArQueries.queries("ga_sql_delete")(spark, sfDir)
     )
 
     val sb = new StringBuilder

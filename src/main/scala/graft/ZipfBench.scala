@@ -44,8 +44,11 @@ import graft.sources.graphar.GraphArWriter
 object ZipfBench {
   def main(args: Array[String]): Unit = {
     val millions = args.headOption.map(_.toInt).getOrElse(12)
-    val reps = if (args.length > 1) args(1).toInt else 3
+    val reps = if (args.length > 1 && args(1).forall(_.isDigit)) args(1).toInt else 3
     val naive = args.contains("naive_triangles")
+    // round-6 additions only (skip the round-5 suite already recorded
+    // in SCALE.md): katz / approx triangles / HLL-ANF / RPQ / MST
+    val r6only = args.contains("r6")
     val spark = SparkSession.builder()
       .appName("graft-zipf-bench").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -99,6 +102,36 @@ object ZipfBench {
       .filter(col("degree").between(50, 200)).orderBy(col("grapharId"))
       .limit(1).collect()(0).getLong(1)
     println(s"ZIPF hub=$hubId out_degree=$hubDeg mid=$midId V=$V E=$E")
+
+    if (r6only) {
+      val esP = es.persist()
+      esP.count()
+      // katz: pagerank's shuffle shape (one join+sum per iter over the
+      // static edge table); hub = one mega-row in the per-dst sum
+      time("katz_6iter")(GraphOps.katzCentrality(spark, esP).count())
+      // DOULION p=1/4 vs exact on the SAME container: wedge work
+      // shrinks ~p² — the approximate path past the scale where exact
+      // counting stops being feasible
+      if (!args.contains("noexact"))
+        time("triangles_exact")(GraphOps.triangleCount(esP).collect())
+      time("triangles_approx_p25")(GraphOps.triangleCountApprox(esP).collect())
+      // HyperBall sketch ANF: V×64 register rows bound the state (the
+      // exact closure here would be ~V² = 16T pairs — not runnable)
+      time("anf_hll_h3")(GraphOps.anfHll(spark, esP, 3).collect())
+      // automaton-product BFS from a mid-tail anchor; frontier crosses
+      // the hub at level ≤ 2
+      time("rpq_mid")(GraphOps.regularPathQuery(spark,
+        esP.withColumn("lbl", pmod(col("src") * 7 + col("dst"), lit(3L))),
+        midId, GraphQueries.RpqTransitions, GraphQueries.RpqAccept).count())
+      // Borůvka: per-round min-edge pick (map-side combinable) + CC
+      // contraction of the ≤|components| merge graph
+      time("mst")(GraphOps.minimumSpanningForest(spark,
+        esP.withColumn("w", pmod(col("src") * 31 + col("dst"), lit(7L)) + 1))
+        .count())
+      esP.unpersist()
+      spark.stop()
+      return
+    }
 
     time("edge_count")(e.count())
     time("degrees")(GraphOps.degrees(es).count())

@@ -328,6 +328,44 @@ object GraphOps {
     withOriented(edges, eager)(o =>
       triplesOf(o).agg(count(lit(1)).as("n_triangles")))
 
+  /** DOULION-style approximate triangle count: sparsify the undirected
+    * simple edge set by a DETERMINISTIC md5-hash coin (keep probability
+    * p = 1/`inv`), count triangles exactly on the sample with the same
+    * degree-ordered wedge join as [[triangleCount]], and scale by
+    * 1/p³ = inv³. This is the honest path past the scale where exact
+    * wedge volume (~E^1.5 on power-law graphs) stops being feasible —
+    * the sample's wedge work shrinks by ~p², and the estimator is
+    * unbiased with relative error ~1/√(p³·T).
+    *
+    * Everything is integer arithmetic (inv³ is an exact integer
+    * multiplier) and the coin is the shared md5-prefix hash, so the
+    * ESTIMATE ITSELF is reproducible bit-for-bit by the DuckDB oracle —
+    * the accuracy-vs-exact contract is spec-tested separately.
+    */
+  def triangleCountApprox(edges: DataFrame, inv: Int = 4,
+                          seed: String = "tri",
+                          eager: Boolean = true): DataFrame = {
+    require(inv >= 1, s"inv must be >= 1, got $inv")
+    val threshold = (1L << 32) / inv // keep iff 32-bit hash < 2^32/inv
+    // The coin is a pure function of the canonical pair, so it commutes
+    // with dedup — apply it to the RAW canonicalized rows, BEFORE the
+    // distinct: the coin is a map-side codegen filter, while the
+    // distinct is the first shuffle, and pre-filtering shrinks that
+    // shuffle (and everything downstream) by ~1/inv. Same result set.
+    val kept = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .filter(
+        conv(substring(md5(concat(lit(seed + "-"), col("a").cast("string"),
+          lit("_"), col("b").cast("string"))), 1, 8), 16, 10).cast("long")
+          < threshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+    triangleCount(kept, eager)
+      .select(col("n_triangles").as("n_sampled"),
+        (col("n_triangles") * lit(inv.toLong * inv * inv)).as("est_triangles"))
+  }
+
   /** Per-vertex local clustering coefficient over the undirected simple
     * graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) where tri(v) counts
     * triangles containing v. The ratio is ONE IEEE division of exact
@@ -1640,10 +1678,11 @@ object GraphOps {
     * HyperBall): every vertex carries an m=64-register HLL sketch of
     * the set of vertices reachable from it; one propagation round
     * element-maxes each vertex's registers with its out-neighbors'
-    * (register max is exactly sketch-union). Rows are the SPARSE
-    * (v, reg, rho) triples — at most V·m of them, versus the exact
-    * closure's O(V²) pairs — and each round is one join + map-side-
-    * combinable max per (v, reg): the scale path for diameter /
+    * (register max is exactly sketch-union). Registers travel as ONE
+    * packed 64-byte bank per vertex (BytewiseMaxAgg, partial-agg
+    * capable) — V rows of state versus the exact closure's O(V²)
+    * pairs, one shuffle row per edge per round, hub in-neighborhoods
+    * combined map-side: the scale path for diameter /
     * effective-diameter estimation on graphs where the closure cannot
     * be materialized.
     *
@@ -1666,26 +1705,47 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(col("src").as("v"))
       .unionAll(e.select(col("dst").as("v"))).distinct()
-    // 60-bit positive hash from the md5 hex prefix — the exact
-    // expression the DuckDB oracle mirrors (conv() == CAST('0x…')).
-    // rho = ctz(h / m) + 1 via the branch-free identity
-    // ctz(x) = bit_count((x & -x) - 1), capped at AnfRhoCap so the
-    // register sum below stays integer-exact.
+    // Registers are PACKED: one 64-byte bank per vertex, merged with
+    // the partial-agg-capable BytewiseMaxAgg. The sparse (v, reg, rho)
+    // layout (which the DuckDB oracle still uses — identical numbers,
+    // different physical shape) shuffles ×m rows per edge and lands a
+    // hub's whole in-neighborhood on one reducer; the packed bank
+    // keeps shuffle rows == edge rows and combines the hub MAP-SIDE.
+    // Measured at Zipf 12M (546K-degree hub): 324 s sparse → see
+    // SCALE.md for the packed number. The two UDFs are pack/unpack of
+    // a binary register bank — no Column built-in addresses bytes.
+    //
+    // Hash: 60-bit positive md5 hex prefix, mirrored by the oracle as
+    // CAST('0x…'); rho = ctz(h / m) + 1 via the branch-free identity
+    // bit_count((x & -x) - 1), capped at AnfRhoCap so the register sum
+    // stays integer-exact.
+    val pack = udf((reg: Int, rho: Int) => {
+      val b = new Array[Byte](m); b(reg) = rho.toByte; b
+    })
+    val stats = udf((b: Array[Byte]) => {
+      var isum = 0L; var zeros = 0L; var i = 0
+      while (i < b.length) {
+        val rho = b(i) & 0xff
+        if (rho == 0) zeros += 1L else isum += 1L << (AnfRhoCap - rho)
+        i += 1
+      }
+      (isum, zeros)
+    })
     var regs = verts
       .withColumn("h",
         expr(s"cast(conv(substr(md5(concat('anf-', cast(v as string))), 1, 15), 16, 10) as bigint)"))
-      .select(col("v"), (col("h") % m).cast("int").as("reg"),
-        expr(s"cast(least(bit_count(((h div $m) & -(h div $m)) - 1) + 1, $AnfRhoCap) as int)")
-          .as("rho"))
+      .select(col("v"), pack((col("h") % m).cast("int"),
+        expr(s"cast(least(bit_count(((h div $m) & -(h div $m)) - 1) + 1, $AnfRhoCap) as int)"))
+        .as("r"))
       .localCheckpoint(false)
-    val out = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     var h = 0
     while (h < maxH) {
       h += 1
       regs = regs.join(e, regs("v") === e("src"))
-        .select(e("dst").as("v"), col("reg"), col("rho"))
-        .unionAll(regs.select(col("v"), col("reg"), col("rho")))
-        .groupBy(col("v"), col("reg")).agg(max(col("rho")).as("rho"))
+        .select(e("dst").as("v"), col("r"))
+        .unionAll(regs.select(col("v"), col("r")))
+        .groupBy(col("v")).agg(graft.functions.HllRegAgg.bytewiseMax(col("r")).as("r"))
         .localCheckpoint(true) // eager: aggregated below and reused next round
       // Raw HLL estimate per vertex, integerized for cross-engine
       // determinism: register sum as exact BIGINT (2^(cap-rho) units,
@@ -1693,23 +1753,28 @@ object GraphOps {
       // division and ONE quantized multiply per vertex — every fp op
       // is single-rounded IEEE, no accumulation-order dependence —
       // and the final NF(h) is an exact integer sum of the quantized
-      // per-vertex values.
-      val est = regs.groupBy(col("v"))
-        .agg(sum(expr(s"shiftleft(cast(1 as bigint), $AnfRhoCap - rho)")).as("isum"),
-          count(lit(1)).as("n_regs"))
+      // per-vertex values. Small-range correction: raw HLL is badly
+      // biased below ~2.5m; linear counting m·ln(m/zeros) applies
+      // there (ln drift ~1 ulp vs the 1e-6 grid).
+      // the total is an exact DECIMAL(38,0) sum of the quantized
+      // per-vertex values: a BIGINT total overflows once NF(h) passes
+      // ~9.2·10¹² pairs (hit at Zipf 60M, where NF(3) ≈ V² ≈ 1.6·10¹³)
+      val est = regs
+        .select(stats(col("r")).as("s"))
+        .select(col("s._1").as("isum"), col("s._2").as("zeros"))
         .select((lit(AnfAlphaM2) /
-          ((col("isum") + (lit(m.toLong) - col("n_regs")) *
-            lit(1L << AnfRhoCap)).cast("double") / lit((1L << AnfRhoCap).toDouble)))
-          .as("raw"), (lit(m.toLong) - col("n_regs")).as("zeros"))
-        // standard small-range correction: raw HLL is badly biased
-        // below ~2.5m; linear counting m·ln(m/zeros) is the estimator
-        // there. ln is the one transcendental — cross-engine drift
-        // ~1 ulp (1e-14) vs the 1e-6 quantization grid.
+          ((col("isum") + col("zeros") * lit(1L << AnfRhoCap)).cast("double") /
+            lit((1L << AnfRhoCap).toDouble))).as("raw"),
+          col("zeros"))
         .select(when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
           .otherwise(col("raw")).as("card"))
-        .select(floor(col("card") * lit(1e6) + lit(0.5)).cast("long").as("cm"))
-        .agg(sum(col("cm"))).head.getLong(0)
+        .select(floor(col("card") * lit(1e6) + lit(0.5)).cast("decimal(28,0)").as("cm"))
+        // exact decimal sum (a BIGINT total overflows past ~9.2·10¹²
+        // pairs), then ONE deterministic cast to double — exact below
+        // 2^53 micro-units (every gate scale), identically rounded on
+        // both engines above it
+        .agg(sum(col("cm")).cast("double")).head.getDouble(0)
       out += ((h, est))
     }
     e.unpersist(blocking = false)

@@ -279,6 +279,23 @@ object GraphQueries {
     "g_anf_hll" -> { (s, d) =>
       GraphOps.anfHll(s, edgesFrom(s, d), AnfHllH)
     },
+    // DOULION sparsified triangle count (p = 1/4): the estimator is
+    // integer-exact and the hash coin is shared, so the ESTIMATE is
+    // oracle-checked; accuracy vs exact is spec-tested
+    "g_triangles_approx" -> { (s, d) =>
+      GraphOps.triangleCountApprox(edgesFrom(s, d))
+    },
+    // effective diameter off the HLL-ANF sketch: smallest h whose
+    // estimated reachable-pair mass covers 90% of the h=maxH mass —
+    // pure integer arithmetic over the oracle-checked est_micro values
+    "g_eff_diameter" -> { (s, d) =>
+      val nf = GraphOps.anfHll(s, edgesFrom(s, d), AnfHllH)
+      val total = nf.filter(col("h") === AnfHllH)
+        .select(col("est_micro").as("total_micro"))
+      nf.crossJoin(broadcast(total))
+        .filter(col("est_micro") * 10 >= col("total_micro") * 9)
+        .agg(min(col("h")).as("eff_diameter"))
+    },
     // Borůvka minimum spanning forest over the sssp edge weights.
     // No SQL oracle (MST needs mutable components); correctness is
     // spec-tested against in-memory Kruskal (MstSpec) — the driver
@@ -935,7 +952,27 @@ object GraphQueries {
       "g_katz" -> katzSql,
       "g_rpq" -> rpqSql,
       "g_anf" -> anfSql,
-      "g_anf_hll" -> anfHllSql
+      "g_anf_hll" -> anfHllSql,
+      "g_triangles_approx" ->
+        s"""WITH e AS ($edgesSql),
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst),
+           |kept AS (
+           |  SELECT a, b FROM und
+           |  WHERE CAST(('0x' || substr(md5('tri-' || CAST(a AS VARCHAR) ||
+           |    '_' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) < ${(1L << 32) / 4}),
+           |tri AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n
+           |  FROM kept e1 JOIN kept e2 ON e2.a = e1.b
+           |  JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b)
+           |SELECT n AS n_sampled, CAST(n * 64 AS BIGINT) AS est_triangles
+           |FROM tri""".stripMargin,
+      "g_eff_diameter" ->
+        s"""WITH nf AS ($anfHllSql)
+           |SELECT CAST(min(h) AS INTEGER) AS eff_diameter FROM nf
+           |WHERE est_micro * 10 >=
+           |  (SELECT est_micro FROM nf WHERE h = $AnfHllH) * 9""".stripMargin
     )
   }
 
@@ -1020,7 +1057,7 @@ object GraphQueries {
          |  GROUP BY v, reg)""".stripMargin
     }.mkString(",\n")
     val selects = (1 to AnfHllH).map { i =>
-      s"""SELECT $i AS h, CAST(sum(cm) AS BIGINT) AS est_micro FROM (
+      s"""SELECT $i AS h, CAST(sum(cm) AS DOUBLE) AS est_micro FROM (
          |  SELECT CAST(floor(
          |    (CASE WHEN raw <= ${2.5 * m} AND zeros > 0
          |       THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE))

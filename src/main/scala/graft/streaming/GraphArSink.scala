@@ -149,7 +149,27 @@ object GraphArSink {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(latest.toUri, conf)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(latest),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    autoPrune(base)
   }
+
+  /** Retention policy hook, run after every LATEST repoint: when
+    * `spark.graft.retainSnapshots` (count) and/or
+    * `spark.graft.retainSnapshotsMaxAgeSec` (age) is set, old snapshot
+    * dirs are pruned under the same safety rules as [[prune]] (never
+    * LATEST, never a referenced version; age applies ON TOP of the
+    * count — a version must be both outside the keep window AND older
+    * than the age floor to be deleted). Unset (the default) = retain
+    * everything, the pre-round-6 behavior.
+    */
+  private def autoPrune(base: String): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { spark =>
+      val keep = spark.conf.getOption("spark.graft.retainSnapshots")
+        .map(_.toInt)
+      val age = spark.conf.getOption("spark.graft.retainSnapshotsMaxAgeSec")
+        .map(_.toLong)
+      if (keep.isDefined || age.isDefined)
+        prune(spark, base, keep.getOrElse(2), age)
+    }
 
   /** Resolve the current snapshot's graph yaml (null if none committed). */
   def latestYaml(spark: org.apache.spark.sql.SparkSession, base: String): String = {
@@ -238,10 +258,13 @@ object GraphArSink {
     * one LATEST points at, and never a dir whose data files a kept
     * version still REFERENCES (multi-type mutation commits rewrite one
     * table and point the others' yaml prefixes at the older version's
-    * files — see GraphArMutations.commitEdgesOf).
+    * files — see GraphArMutations.commitEdgesOf). With `maxAgeSec`, a
+    * version additionally survives until it is at least that old
+    * (mtime-based) — the age floor COMPOSES with the count window, it
+    * never overrides it.
     */
   def prune(spark: org.apache.spark.sql.SparkSession, base: String,
-            keep: Int = 2): Unit = {
+            keep: Int = 2, maxAgeSec: Option[Long] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val basePath = new Path(base)
     val fs = basePath.getFileSystem(conf)
@@ -273,10 +296,15 @@ object GraphArSink {
       }
       .map(d => fs.makeQualified(new Path(d.stripSuffix("/"))).toString)
       .toSet
+    val cutoffMs = maxAgeSec.map(a => System.currentTimeMillis() - a * 1000L)
     versions.drop(keep).foreach { case (_, p) =>
       val q = fs.makeQualified(p).toString + "/"
       val isReferenced = referenced.exists(_.startsWith(q))
-      if (!current.contains(p.getName) && !isReferenced) fs.delete(p, true)
+      val oldEnough = cutoffMs.forall(c =>
+        scala.util.Try(fs.getFileStatus(p).getModificationTime).toOption
+          .forall(_ <= c))
+      if (!current.contains(p.getName) && !isReferenced && oldEnough)
+        fs.delete(p, true)
     }
   }
 }

@@ -65,7 +65,7 @@ class AnfRpqMstSpec extends AnyFunSuite {
     val exact = graph.GraphOps.neighborhoodFunction(spark, sub, 3)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val est = graph.GraphOps.anfHll(spark, sub, 3)
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     (1 to 3).foreach { h =>
       // sketch counts (u,v) pairs including v=u (each vertex seeds its
       // own sketch); exact counts u≠v pairs — add |V| before comparing
@@ -126,6 +126,18 @@ class AnfRpqMstSpec extends AnyFunSuite {
     got.foreach { case (v, s) =>
       assert(math.abs(s - x(v)) < 1e-9, s"v=$v got=$s want=${x(v)}")
     }
+  }
+
+  test("g_triangles_approx tracks the exact triangle count within sampling error") {
+    val e = graph.GraphQueries.edgesFrom(spark, "/root/testdata/sf0.01")
+    val exact = graph.GraphOps.triangleCount(e).head.getLong(0)
+    val row = graph.GraphOps.triangleCountApprox(e).head
+    val (sampled, est) = (row.getLong(0), row.getLong(1))
+    assert(sampled > 0)
+    // DOULION rel. error ~ 1/sqrt(p^3 T); generous 4σ-ish bound
+    val tol = 4.0 / math.sqrt(sampled.toDouble)
+    assert(math.abs(est - exact) / exact.toDouble < math.max(tol, 0.1),
+      s"est=$est exact=$exact sampled=$sampled tol=$tol")
   }
 
   test("s_kmv_distinct estimate is within 20% of the exact distinct count") {

@@ -268,6 +268,46 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     assert(GraphArMutations.currentEdges(spark, base).count() === 3L)
   }
 
+  test("retention policy: auto-prune respects the keep window, references, and LATEST") {
+    import graft.sources.graphar.{GraphArMutations, GraphArWriter}
+    import graft.streaming.GraphArSink
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("gar_retain").toString
+    def spec(t: String) = GraphArWriter.EdgeSpec("N", t, "N",
+      srcVertexCount = 8, dstVertexCount = 8,
+      chunkSize = 4, srcChunkSize = 4, dstChunkSize = 4)
+    try {
+      spark.conf.set("spark.graft.retainSnapshots", "1")
+      // v0: two edge types
+      GraphArMutations.initEdgeTypes(spark, base, "RG", Seq(
+        (Seq((0L, 1L, 1.0)).toDF("src", "dst", "w"), spec("link")),
+        (Seq((2L, 3L, 2.0)).toDF("src", "dst", "w"), spec("ship"))))
+      // v1 rewrites ONLY link; its ship yaml references v0's files, so
+      // the keep=1 auto-prune at this commit must NOT delete v0
+      GraphArMutations.addEdgesOf(spark, base, "N_link_N",
+        Seq((4L, 5L, 3.0)).toDF("src", "dst", "w"))
+      assert(GraphArSink.versions(spark, base) === Seq(0L, 1L))
+      // v2 rewrites ship too: v0 is now unreferenced and auto-pruned
+      GraphArMutations.addEdgesOf(spark, base, "N_ship_N",
+        Seq((6L, 7L, 4.0)).toDF("src", "dst", "w"))
+      assert(GraphArSink.versions(spark, base) === Seq(1L, 2L))
+      // v1 survives (v2's link yaml references its data); reads intact
+      assert(GraphArMutations.currentEdgesOf(spark, base, "N_link_N")
+        .count() === 2L)
+      assert(GraphArMutations.currentEdgesOf(spark, base, "N_ship_N")
+        .count() === 2L)
+      // an age floor composes: nothing this young is deleted even
+      // outside the keep window
+      spark.conf.set("spark.graft.retainSnapshotsMaxAgeSec", "3600")
+      GraphArMutations.addEdgesOf(spark, base, "N_link_N",
+        Seq((0L, 2L, 5.0)).toDF("src", "dst", "w"))
+      assert(GraphArSink.versions(spark, base) === Seq(1L, 2L, 3L))
+    } finally {
+      spark.conf.unset("spark.graft.retainSnapshots")
+      spark.conf.unset("spark.graft.retainSnapshotsMaxAgeSec")
+    }
+  }
+
   test("streaming delta ingest: batches stage O(batch) deltas, periodic compaction folds them") {
     import spark.implicits._
     import graft.sources.graphar.{GraphArMutations, GraphArWriter}

@@ -448,4 +448,40 @@ class PlanSpec extends AnyFunSuite {
       s"scored subtree not reused via cache in:\n$p")
     assert(!p.contains("Window"), s"global window crept in:\n$p")
   }
+
+  test("s_kmv_distinct: k smallest via per-partition top-k merge, no global sort") {
+    val p = plan(operators.Sketches.queries("s_kmv_distinct")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit-sort not planned as distributed top-k in:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global range sort crept in:\n$p")
+  }
+
+  test("t_boilerplate: the corpus-wide frequency shuffle carries line digests, not text") {
+    val p = plan(operators.TextAnalysis.queries("t_boilerplate")(spark, sf))
+    // every hash exchange key set that includes the line is the digest
+    // form (lh); the raw `line` string is never a shuffle key
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("line#")),
+      s"raw line text used as shuffle key in:\n${exchanges.mkString("\n")}")
+  }
+
+  test("g_triangles_approx: hash coin prunes below the wedge join, joins stay equi") {
+    val df = graph.GraphOps.triangleCountApprox(
+      graph.GraphQueries.edgesFrom(spark, sf), eager = false)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi wedge join in:\n$p")
+    // the sampling filter must sit under the first aggregation, i.e.
+    // appear in the same codegen subtree as the scan (conv(md5(...)))
+    assert(p.contains("md5"), s"hash coin missing from the plan:\n$p")
+  }
+
+  test("curriculum: ranked via range-partitioned sort (no single-partition window)") {
+    val df = operators.Pipeline.queries("p_curriculum")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"single-partition window crept into the global ranking:\n$p")
+  }
 }
