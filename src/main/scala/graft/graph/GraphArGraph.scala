@@ -179,6 +179,23 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
   def adamicAdar(src: String, t: String, dst: String): DataFrame =
     GraphOps.adamicAdarPairs(edgesStd(src, t, dst))
 
+  def katz(src: String, t: String, dst: String, iters: Int = 6,
+           alpha: Double = 0.005): DataFrame =
+    GraphOps.katzCentrality(spark, edgesStd(src, t, dst), iters, alpha)
+
+  def anf(src: String, t: String, dst: String, maxH: Int = 3): DataFrame =
+    GraphOps.anfHll(spark, edgesStd(src, t, dst), maxH)
+
+  def trianglesApprox(src: String, t: String, dst: String,
+                      inv: Int = 4): DataFrame =
+    GraphOps.triangleCountApprox(edgesStd(src, t, dst), inv)
+
+  def minimumSpanningForest(src: String, t: String, dst: String,
+                            weightExpr: String): DataFrame =
+    GraphOps.minimumSpanningForest(spark,
+      edgesStd(src, t, dst).withColumn("w",
+        org.apache.spark.sql.functions.expr(weightExpr)))
+
   def clusteringCoefficients(src: String, t: String, dst: String): DataFrame =
     GraphOps.clusteringCoefficients(edgesStd(src, t, dst))
 

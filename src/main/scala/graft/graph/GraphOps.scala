@@ -1555,6 +1555,60 @@ object GraphOps {
     labels.select(col("v"), col("label").as("community"))
   }
 
+  /** node2vec-style SECOND-ORDER biased walks: the successor choice
+    * from v depends on the previous vertex u — return to u is weighted
+    * `wBack`, a common neighbor of u and v `wCommon`, everything else
+    * `wFar` (the integer analogues of node2vec's 1/p, 1, 1/q). The
+    * draw is the deterministic weighted-choice trick shared with the
+    * DuckDB oracle: each candidate is replicated `weight` times with a
+    * tag, and the (md5(walk, step, w, tag), w)-minimum wins — P(w) =
+    * weight_w/Σweights, yet the walk is a pure function of (graph,
+    * roots, seed), so independent engines reproduce it exactly.
+    *
+    * Scale shape: the walk state is O(|roots|) and BROADCAST both into
+    * the candidate join and (as the distinct (u, w) probe set) into a
+    * left-semi against the static edge table for the common-neighbor
+    * test — the edge table is scanned, never shuffled, in either join.
+    * Step 0 has no predecessor (u = −1): no candidate can match it, so
+    * every first-step candidate uniformly weighs `wFar` — one code
+    * path, no special case.
+    */
+  def node2vecWalks(spark: SparkSession, edges: DataFrame, roots: Seq[Long],
+                    steps: Int, wBack: Int = 1, wCommon: Int = 4,
+                    wFar: Int = 2, seed: String = "n2v"): DataFrame = {
+    require(roots.nonEmpty, "node2vecWalks needs at least one root")
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+    var state = roots.distinct.map(r => (r, -1L, r)).toDF("walk", "u", "v")
+    var out = List(state.select(col("walk"), lit(0L).as("step"), col("v")))
+    var i = 0
+    while (i < steps) {
+      i += 1
+      val cand = e.join(broadcast(state), e("src") === state("v"))
+        .select(col("walk"), col("u"), col("v"), col("dst").as("w"))
+        .localCheckpoint() // O(|roots|·deg); probed twice below
+      val hits = e.select(col("src").as("u"), col("dst").as("w"))
+        .join(broadcast(cand.select(col("u"), col("w")).distinct()),
+          Seq("u", "w"), "left_semi")
+        .distinct()
+      state = cand
+        .join(broadcast(hits.withColumn("adj", lit(true))), Seq("u", "w"), "left")
+        .withColumn("wt",
+          when(col("w") === col("u"), lit(wBack))
+            .when(col("adj").isNotNull, lit(wCommon))
+            .otherwise(lit(wFar)))
+        .withColumn("t", explode(sequence(lit(0), col("wt") - 1)))
+        .withColumn("k",
+          md5(concat_ws("_", col("walk"), lit(i), col("w"), col("t"), lit(seed))))
+        .groupBy(col("walk"), col("v"))
+        .agg(min(struct(col("k"), col("w"))).as("m"))
+        .select(col("walk"), col("v").as("u"), col("m").getField("w").as("v"))
+        .localCheckpoint()
+      out ::= state.select(col("walk"), lit(i.toLong).as("step"), col("v"))
+    }
+    out.reverse.reduce(_ unionAll _)
+  }
+
   /** Katz centrality: x ← 1 + α·Aᵀx for a fixed number of power
     * iterations (β = 1). Same distributed shape as [[pageRank]] — one
     * shuffle-join + map-side-combined sum per iteration over a static,

@@ -279,6 +279,12 @@ object GraphQueries {
     "g_anf_hll" -> { (s, d) =>
       GraphOps.anfHll(s, edgesFrom(s, d), AnfHllH)
     },
+    // node2vec second-order biased walks (back 1 : common 4 : far 2),
+    // deterministic weighted choice — oracle unrolls the same steps
+    "g_node2vec" -> { (s, d) =>
+      GraphOps.node2vecWalks(s, edgesFrom(s, d), WalkRoots, N2vSteps,
+        seed = WalkSeed)
+    },
     // DOULION sparsified triangle count (p = 1/4): the estimator is
     // integer-exact and the hash coin is shared, so the ESTIMATE is
     // oracle-checked; accuracy vs exact is spec-tested
@@ -334,6 +340,7 @@ object GraphQueries {
   val WalkRoots = Seq(42L, 7L, 977L, 3333L, 3967L)
   val WalkSteps = 6
   val WalkSeed = "graft"
+  val N2vSteps = 4
 
   val SsspIters = 8
   val KCoreK = 20
@@ -950,6 +957,7 @@ object GraphQueries {
            |    ELSE 0.0 END AS lcc
            |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin,
       "g_katz" -> katzSql,
+      "g_node2vec" -> node2vecSql,
       "g_rpq" -> rpqSql,
       "g_anf" -> anfSql,
       "g_anf_hll" -> anfHllSql,
@@ -994,6 +1002,41 @@ object GraphQueries {
        |$steps
        |SELECT v, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
        |FROM x$KatzIters""".stripMargin
+  }
+
+  /** Unrolled node2vec steps mirroring [[GraphOps.node2vecWalks]]: the
+    * second-order weight is a CASE over (return / common-neighbor
+    * EXISTS / far), the weighted draw replicates each candidate
+    * `weight` times via a tag join, and arg_min over the shared md5
+    * digest picks the identical successor on both engines. */
+  private def node2vecSql: String = {
+    val (wBack, wCommon, wFar) = (1, 4, 2)
+    val maxW = Seq(wBack, wCommon, wFar).max
+    val rootRows = WalkRoots.map(r => s"($r)").mkString(", ")
+    val tagRows = (0 until maxW).map(t => s"($t)").mkString(", ")
+    val steps = (1 to N2vSteps).map { i =>
+      s"""c$i AS (
+         |  SELECT n${i - 1}.walk, n${i - 1}.u, n${i - 1}.v, e.dst AS w,
+         |    CASE WHEN e.dst = n${i - 1}.u THEN $wBack
+         |         WHEN EXISTS (SELECT 1 FROM e e2
+         |                      WHERE e2.src = n${i - 1}.u AND e2.dst = e.dst)
+         |           THEN $wCommon
+         |         ELSE $wFar END AS wt
+         |  FROM n${i - 1} JOIN e ON e.src = n${i - 1}.v),
+         |n$i AS (
+         |  SELECT walk, v AS u,
+         |    arg_min(w, md5(concat_ws('_', walk, $i, w, t.t, '$WalkSeed'))) AS v
+         |  FROM c$i JOIN (VALUES $tagRows) t(t) ON t.t < c$i.wt
+         |  GROUP BY walk, v)""".stripMargin
+    }.mkString(",\n")
+    val selects = (0 to N2vSteps).map { i =>
+      s"SELECT walk, CAST($i AS BIGINT) AS step, v FROM n$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS ($edgesSql),
+       |n0 AS (SELECT CAST(r AS BIGINT) AS walk, CAST(-1 AS BIGINT) AS u,
+       |       CAST(r AS BIGINT) AS v FROM (VALUES $rootRows) t(r)),
+       |$steps
+       |$selects""".stripMargin
   }
 
   /** (v, state) fixpoint of the RPQ automaton product as a recursive

@@ -168,6 +168,18 @@ object GraphTableFunctions {
       new ExpressionInfo(getClass.getName, "graph_adamic_adar"),
       wholeGraphBuilder("graph_adamic_adar",
         (g, s, t, d) => g.adamicAdar(s, t, d))),
+    (FunctionIdentifier("graph_katz"),
+      new ExpressionInfo(getClass.getName, "graph_katz"),
+      wholeGraphBuilder("graph_katz",
+        (g, s, t, d) => g.katz(s, t, d))),
+    (FunctionIdentifier("graph_anf"),
+      new ExpressionInfo(getClass.getName, "graph_anf"),
+      wholeGraphBuilder("graph_anf",
+        (g, s, t, d) => g.anf(s, t, d))),
+    (FunctionIdentifier("graph_triangles_approx"),
+      new ExpressionInfo(getClass.getName, "graph_triangles_approx"),
+      wholeGraphBuilder("graph_triangles_approx",
+        (g, s, t, d) => g.trianglesApprox(s, t, d))),
     (FunctionIdentifier("personalized_pagerank"),
       new ExpressionInfo(getClass.getName, "personalized_pagerank"),
       hopBuilder("personalized_pagerank",

@@ -169,6 +169,23 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
     },
 
+    // Sliding INTERVAL range frame (RANGE BETWEEN INTERVAL ... PRECEDING):
+    // per-user trailing-hour activity at every event. The summed value is
+    // integerized to cents first so the frame aggregate is exact integer
+    // math on both engines (a double frame-sum would be fp-order-bound).
+    "q29_interval_window" -> { (s, d) =>
+      t(s, d, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .selectExpr(
+          "event_id", "user_id",
+          """count(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS n_trailing_hour""",
+          """sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS cents_trailing_hour""")
+    },
+
     // Full window-function family: rank/dense_rank/lag/lead/ntile.
     "q15_window_funcs" -> { (s, d) =>
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -583,6 +600,17 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS h, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q29_interval_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_trailing_hour,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cents_trailing_hour
+        |FROM events""".stripMargin,
 
     // UNION ALL spelling of unpivot — portable across engines
     "q20_unpivot" ->

@@ -47,6 +47,66 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosinec(a, b)
 
+  /** Maximal-marginal-relevance diversified top-k: retrieve a top-`c`
+    * relevance shortlist per query, then greedily pick `k` results
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked —
+    * the standard RAG/retrieval diversifier that stops near-duplicate
+    * passages from filling the result list.
+    *
+    * Scale shape: the expensive part is the shortlist (the same
+    * broadcast-query brute scan as [[bruteForceTopK]], or any ANN
+    * variant); the greedy loop then runs on O(queries·c) rows with a
+    * c² pairwise-sim table per query — bounded by the shortlist, never
+    * by the corpus. Each greedy round is one join + windowed argmax
+    * over that tiny set. Determinism: greedy selection is a pure
+    * function of the cosine values (identical IEEE doubles on both
+    * engines — the same fold the oracle uses), with (score DESC, n_id)
+    * total-order tie-breaks, so the oracle unrolls the same k rounds.
+    */
+  def mmrTopK(emb: DataFrame, queryIds: Column, c: Int = 16, k: Int = 5,
+              lam: Double = 0.5): DataFrame = {
+    val q = emb.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val all = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
+    val cands = all.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("rel", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= c)
+      .select(col("q_id"), col("n_id"), col("rel"), col("n_emb"))
+      .localCheckpoint() // O(queries·c)
+    val sims = cands.select(col("q_id"), col("n_id").as("a"), col("n_emb").as("ea"))
+      .join(cands.select(col("q_id"), col("n_id").as("b"), col("n_emb").as("eb")),
+        "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        cosine(col("ea"), col("eb")).as("sim"))
+      .localCheckpoint() // O(queries·c²)
+    val first = cands
+      .withColumn("pr", row_number().over(w)).filter(col("pr") === 1)
+      .select(col("q_id"), col("n_id"), lit(1L).as("pick_rank"))
+    var selected = first.localCheckpoint()
+    var r = 1
+    while (r < k) {
+      r += 1
+      val remaining = cands.join(selected.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_anti")
+      val pen = remaining
+        .join(selected.select(col("q_id"), col("n_id").as("b")), "q_id")
+        .join(sims, Seq("q_id", "b"))
+        .filter(col("a") === col("n_id"))
+        .groupBy(col("q_id"), col("n_id"), col("rel"))
+        .agg(max(col("sim")).as("pen"))
+      val ws = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("n_id"))
+      val pick = pen
+        .withColumn("score", lit(lam) * col("rel") - lit(1.0 - lam) * col("pen"))
+        .withColumn("pr", row_number().over(ws)).filter(col("pr") === 1)
+        .select(col("q_id"), col("n_id"), lit(r.toLong).as("pick_rank"))
+      selected = selected.unionAll(pick).localCheckpoint()
+    }
+    selected
+  }
+
   /** Exact brute-force top-k cosine neighbors for a set of query ids. */
   def bruteForceTopK(emb: DataFrame, queryIds: Column, k: Int): DataFrame = {
     val q = emb.filter(queryIds)
@@ -638,6 +698,11 @@ object Similarity {
     "sim_topk" -> { (s, d) =>
       bruteForceTopK(t(s, d, "embeddings"), col("vec_id") < 8, 5)
     },
+    // MMR-diversified top-k over the same query set (λ = 0.5 — exactly
+    // representable, so both engines score with bit-identical doubles)
+    "sim_mmr" -> { (s, d) =>
+      mmrTopK(t(s, d, "embeddings"), col("vec_id") < 8)
+    },
     "sim_ivf" -> { (s, d) =>
       ivfTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
     },
@@ -753,6 +818,52 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |  FROM rerank)
          |SELECT q_id, n_id, rank FROM rr WHERE rank <= 3""".stripMargin
+
+  /** Unrolled greedy MMR mirroring [[mmrTopK]] (c=16, k=5, λ=0.5). */
+  private lazy val mmrOracleSql: String = {
+    val (c, k) = (16, 5)
+    val rounds = (2 to k).map { r =>
+      s"""s$r AS (
+         |  SELECT q_id, n_id, CAST($r AS BIGINT) AS pick_rank FROM (
+         |    SELECT p.q_id, p.n_id, row_number() OVER (
+         |      PARTITION BY p.q_id
+         |      ORDER BY 0.5 * p.rel - 0.5 * p.pen DESC, p.n_id) AS pr
+         |    FROM (
+         |      SELECT cn.q_id, cn.n_id, cn.rel, max(s.sim) AS pen
+         |      FROM cands cn
+         |      JOIN sel${r - 1} v ON v.q_id = cn.q_id
+         |      JOIN sims s ON s.q_id = cn.q_id AND s.a = cn.n_id
+         |        AND s.b = v.n_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} z
+         |                        WHERE z.q_id = cn.q_id AND z.n_id = cn.n_id)
+         |      GROUP BY cn.q_id, cn.n_id, cn.rel) p)
+         |  WHERE pr = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < 8),
+       |base AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+       |scored AS (
+       |  SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS rel, n_emb
+       |  FROM base JOIN q ON q_id <> n_id),
+       |cands AS (
+       |  SELECT q_id, n_id, rel, n_emb FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
+       |    FROM scored) WHERE rk <= $c),
+       |sims AS (
+       |  SELECT x.q_id, x.n_id AS a, y.n_id AS b,
+       |    ${cosSql("x.n_emb", "y.n_emb")} AS sim
+       |  FROM cands x JOIN cands y ON x.q_id = y.q_id AND x.n_id <> y.n_id),
+       |sel1 AS (
+       |  SELECT q_id, n_id, CAST(1 AS BIGINT) AS pick_rank FROM (
+       |    SELECT q_id, n_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY rel DESC, n_id) AS pr
+       |    FROM cands) WHERE pr = 1),
+       |$rounds
+       |SELECT q_id, n_id, pick_rank FROM sel$k""".stripMargin
+  }
 
   private lazy val ivfOracleSql: String =
     s"""WITH cent AS (
@@ -923,6 +1034,8 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |  FROM scored)
          |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "sim_mmr" -> mmrOracleSql,
 
     "sim_ivf" -> ivfOracleSql,
 

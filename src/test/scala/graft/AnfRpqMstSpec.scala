@@ -140,6 +140,42 @@ class AnfRpqMstSpec extends AnyFunSuite {
       s"est=$est exact=$exact sampled=$sampled tol=$tol")
   }
 
+  test("g_node2vec equals in-memory second-order weighted-choice replication") {
+    val edges = graph.GraphQueries.edgesFrom(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val edgeSet = edges.toSet
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val steps = graph.GraphQueries.N2vSteps
+    val want = scala.collection.mutable.Set[(Long, Long, Long)]()
+    graph.GraphQueries.WalkRoots.foreach { root =>
+      var u = -1L; var v = root
+      want += ((root, 0L, v))
+      var alive = true
+      (1 to steps).foreach { i =>
+        if (alive) adj.get(v) match {
+          case None => alive = false
+          case Some(ws) =>
+            val cands = ws.distinct.flatMap { w =>
+              val wt = if (w == u) 1 else if (edgeSet((u, w))) 4 else 2
+              (0 until wt).map(t =>
+                (md5hex(s"${root}_${i}_${w}_${t}_graft"), w))
+            }
+            val pick = cands.min._2
+            u = v; v = pick
+            want += ((root, i.toLong, v))
+        }
+      }
+    }
+    val got = graph.GraphQueries.queries("g_node2vec")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want.toSet,
+      s"extra=${(got -- want).take(5)} missing=${(want.toSet -- got).take(5)}")
+  }
+
   test("s_kmv_distinct estimate is within 20% of the exact distinct count") {
     val li = Tables.t(spark, sf, "lineitem")
     val exact = li.select("l_orderkey").distinct().count()
@@ -147,6 +183,20 @@ class AnfRpqMstSpec extends AnyFunSuite {
     val est = row.getLong(1) / 1e6
     // k=256 → standard error ≈ 1/√(k−2) ≈ 6.3%; 20% ≈ 3σ
     assert(math.abs(est - exact) / exact < 0.20, s"est=$est exact=$exact")
+  }
+
+  test("mmrTopK: first pick is the relevance top-1; picks are distinct and ranked") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+    val mmr = operators.Similarity.mmrTopK(emb, col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val top1 = operators.Similarity.bruteForceTopK(emb, col("vec_id") < 8, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mmr.groupBy(_._1).foreach { case (q, picks) =>
+      assert(picks.length == 5 && picks.map(_._2).distinct.length == 5)
+      assert(picks.map(_._3).sorted.toSeq == (1L to 5L))
+      assert(picks.find(_._3 == 1L).get._2 == top1(q),
+        s"q=$q first MMR pick != relevance top-1")
+    }
   }
 
   test("kmvDistinct is exact below k and merge-consistent") {

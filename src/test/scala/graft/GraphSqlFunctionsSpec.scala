@@ -156,6 +156,27 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
+  test("TVFs graph_katz/graph_anf/graph_triangles_approx match the Scala API") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val g = GraphArGraph(spark, yaml)
+    graph.GraphTableFunctions.register(spark)
+
+    val sqlKatz = spark.sql(s"SELECT * FROM graph_katz('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(sqlKatz === g.katz("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq)
+
+    val sqlAnf = spark.sql(s"SELECT * FROM graph_anf('$yaml')")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sorted.toSeq
+    assert(sqlAnf === g.anf("Part", "link", "Part")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sorted.toSeq)
+
+    val sqlTri = spark.sql(s"SELECT * FROM graph_triangles_approx('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sqlTri === g.trianglesApprox("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("TVFs personalized_pagerank/sample_neighbors/random_walk/graph_motif match the Scala API") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     val g = GraphArGraph(spark, yaml)
