@@ -123,6 +123,11 @@ object ZipfBench {
       time("rpq_mid")(GraphOps.regularPathQuery(spark,
         esP.withColumn("lbl", pmod(col("src") * 7 + col("dst"), lit(3L))),
         midId, GraphQueries.RpqTransitions, GraphQueries.RpqAccept).count())
+      // Luby MIS: per-round O(undecided) work, geometric shrink; the
+      // hub is knocked out in round 1 whichever side of the coin it
+      // lands on
+      time("mis")(GraphOps.maximalIndependentSet(spark, esP, rounds = 20)
+        .groupBy(col("st")).count().collect())
       // Borůvka: per-round min-edge pick (map-side combinable) + CC
       // contraction of the ≤|components| merge graph
       time("mst")(GraphOps.minimumSpanningForest(spark,

@@ -1555,6 +1555,77 @@ object GraphOps {
     labels.select(col("v"), col("label").as("community"))
   }
 
+  /** Luby's maximal independent set over the undirected simple graph,
+    * made deterministic (and therefore DuckDB-oracle-checkable) by
+    * replacing the per-round random priorities with round-salted
+    * md5-hash priorities: in round r, an undecided vertex enters the
+    * MIS iff its (priority, id) is strictly smaller than every
+    * undecided neighbor's, then its undecided neighbors drop out.
+    * Fixed `rounds` (undecided remainder reported as such) keeps the
+    * result a pure function of (graph, seed) for the unrolled oracle.
+    *
+    * Scale shape: per round one join of the static undirected edge
+    * table against the O(undecided) priority vector + a
+    * map-side-combinable min per vertex; the undecided set shrinks
+    * geometrically (Luby's classic analysis), so late rounds are
+    * near-free. Status vector is O(V).
+    *
+    * @return (v, st) with st ∈ {"in", "out", "undecided"}
+    */
+  def maximalIndependentSet(spark: SparkSession, edges: DataFrame,
+                            rounds: Int = 6, seed: String = "mis"): DataFrame = {
+    val canon = undirectedSimple(edges)
+    val ue = canon.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(canon.select(col("b").as("s"), col("a").as("t")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // iterate on the SHRINKING undecided set only; decided vertices
+    // accumulate outside the loop (never re-joined). First cut rebuilt
+    // the full O(V) status vector with two left joins per round —
+    // per-round cost GREW with round count (5.9 s by round 12, stats
+    // estimation churning on the compounding join tree); this shape is
+    // per-round O(undecided) and converged rounds are free.
+    var und = ue.select(col("s").as("v")).distinct().localCheckpoint(true)
+    var decided = List.empty[DataFrame]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val undH = und.withColumn("p",
+        expr(s"cast(conv(substr(md5(concat('$seed-$r-', cast(v as string))), 1, 15), 16, 10) as bigint)"))
+      // undecided→undecided edges only; min neighbor priority. Value
+      // comparisons only (no argmin), so the round is deterministic
+      // even under a (2^-61-improbable) hash collision: an equal
+      // priority just fails the strict <, and NEITHER side joins.
+      val e2 = ue
+        .join(undH.select(col("v").as("s"), col("p").as("ps")), "s")
+        .join(und.select(col("v").as("t")), "t")
+      val minN = e2.groupBy(col("t").as("v"))
+        .agg(min(col("ps")).as("mn"))
+      val newIn = undH.join(minN, Seq("v"), "left")
+        .filter(col("mn").isNull || col("p") < col("mn"))
+        .select(col("v"))
+        .localCheckpoint(true) // reused: decided union + knock-out joins
+      val newOut = ue
+        .join(newIn.withColumnRenamed("v", "s"), "s")
+        .select(col("t").as("v")).distinct()
+        .join(und, Seq("v"), "left_semi")
+        .join(newIn, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      decided ::= newIn.withColumn("st", lit("in"))
+      decided ::= newOut.withColumn("st", lit("out"))
+      und = und.join(newIn, Seq("v"), "left_anti")
+        .join(newOut, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      // a round that decides nothing more never will (fixed priorities
+      // per round don't matter — an empty undecided set stays empty,
+      // and emptiness is what terminates); converged early rounds make
+      // the remaining unrolled-oracle rounds no-ops, so parity holds
+      done = und.isEmpty
+    }
+    ue.unpersist(blocking = false)
+    (und.withColumn("st", lit("undecided")) :: decided).reduce(_ unionAll _)
+  }
+
   /** node2vec-style SECOND-ORDER biased walks: the successor choice
     * from v depends on the previous vertex u — return to u is weighted
     * `wBack`, a common neighbor of u and v `wCommon`, everything else

@@ -279,6 +279,14 @@ object GraphQueries {
     "g_anf_hll" -> { (s, d) =>
       GraphOps.anfHll(s, edgesFrom(s, d), AnfHllH)
     },
+    // Luby MIS, 4 deterministic hash-priority rounds on the <1024
+    // induced subgraph (keeps the unrolled oracle's per-round CTEs
+    // affordable); remainder reported as 'undecided'
+    "g_mis" -> { (s, d) =>
+      GraphOps.maximalIndependentSet(s,
+        edgesFrom(s, d).filter(col("src") < 1024 && col("dst") < 1024),
+        MisRounds)
+    },
     // node2vec second-order biased walks (back 1 : common 4 : far 2),
     // deterministic weighted choice — oracle unrolls the same steps
     "g_node2vec" -> { (s, d) =>
@@ -341,6 +349,7 @@ object GraphQueries {
   val WalkSteps = 6
   val WalkSeed = "graft"
   val N2vSteps = 4
+  val MisRounds = 4
 
   val SsspIters = 8
   val KCoreK = 20
@@ -957,6 +966,7 @@ object GraphQueries {
            |    ELSE 0.0 END AS lcc
            |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin,
       "g_katz" -> katzSql,
+      "g_mis" -> misSql,
       "g_node2vec" -> node2vecSql,
       "g_rpq" -> rpqSql,
       "g_anf" -> anfSql,
@@ -1002,6 +1012,46 @@ object GraphQueries {
        |$steps
        |SELECT v, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
        |FROM x$KatzIters""".stripMargin
+  }
+
+  /** Unrolled Luby rounds mirroring [[GraphOps.maximalIndependentSet]]
+    * on the <1024 induced subgraph: per round, round-salted md5
+    * priorities over the still-undecided set, strict-minimum test
+    * against undecided neighbors, neighbor knock-out. Priority-VALUE
+    * comparisons only, so both engines agree even on hash ties. */
+  private def misSql: String = {
+    def p(r: Int, v: String) =
+      s"CAST(('0x' || substr(md5('mis-$r-' || CAST($v AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val rounds = (1 to MisRounds).map { r =>
+      s"""u$r AS MATERIALIZED (SELECT v, ${p(r, "v")} AS p FROM st${r - 1} WHERE st = 'undecided'),
+         |mn$r AS MATERIALIZED (
+         |  SELECT ut.v, min(us.p) AS mn
+         |  FROM ue
+         |  JOIN u$r us ON us.v = ue.s
+         |  JOIN u$r ut ON ut.v = ue.t
+         |  GROUP BY ut.v),
+         |in$r AS MATERIALIZED (
+         |  SELECT u$r.v FROM u$r LEFT JOIN mn$r ON mn$r.v = u$r.v
+         |  WHERE mn$r.mn IS NULL OR u$r.p < mn$r.mn),
+         |out$r AS MATERIALIZED (
+         |  SELECT DISTINCT ue.t AS v FROM ue
+         |  JOIN in$r ON in$r.v = ue.s
+         |  WHERE ue.t NOT IN (SELECT v FROM in$r)),
+         |st$r AS MATERIALIZED (
+         |  SELECT s.v,
+         |    CASE WHEN s.st <> 'undecided' THEN s.st
+         |         WHEN s.v IN (SELECT v FROM in$r) THEN 'in'
+         |         WHEN s.v IN (SELECT v FROM out$r) THEN 'out'
+         |         ELSE 'undecided' END AS st
+         |  FROM st${r - 1} s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM ($edgesSql) WHERE src <> dst AND src < 1024 AND dst < 1024),
+       |ue AS MATERIALIZED (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+       |st0 AS MATERIALIZED (SELECT DISTINCT s AS v, 'undecided' AS st FROM ue),
+       |$rounds
+       |SELECT v, st FROM st$MisRounds""".stripMargin
   }
 
   /** Unrolled node2vec steps mirroring [[GraphOps.node2vecWalks]]: the

@@ -140,6 +140,26 @@ class AnfRpqMstSpec extends AnyFunSuite {
       s"est=$est exact=$exact sampled=$sampled tol=$tol")
   }
 
+  test("maximalIndependentSet: independent, maximal once converged, knock-outs justified") {
+    val e = graph.GraphQueries.edgesFrom(spark, sf)
+    val st = graph.GraphOps.maximalIndependentSet(spark, e, rounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val und = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    assert(!st.values.exists(_ == "undecided"), "20 rounds did not converge")
+    // independence: no edge inside the set
+    und.foreach { case (a, b) =>
+      assert(!(st(a) == "in" && st(b) == "in"), s"adjacent in-pair ($a,$b)")
+    }
+    // maximality: every out vertex has an in neighbor
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    st.foreach { case (v, s) =>
+      if (s == "out")
+        assert(nbrs(v).exists(st(_) == "in"), s"out vertex $v has no in neighbor")
+    }
+  }
+
   test("g_node2vec equals in-memory second-order weighted-choice replication") {
     val edges = graph.GraphQueries.edgesFrom(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
