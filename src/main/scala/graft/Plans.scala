@@ -113,7 +113,13 @@ object Plans {
       "t_boilerplate (line digests shuffle, text stays in its partition)" ->
         operators.TextAnalysis.queries("t_boilerplate")(spark, sfDir),
       "ga_sql_delete (remove deltas fold as anti-joins over the CSR scan)" ->
-        sources.graphar.GraphArQueries.queries("ga_sql_delete")(spark, sfDir)
+        sources.graphar.GraphArQueries.queries("ga_sql_delete")(spark, sfDir),
+      "sim_mmr (greedy rounds bounded by the shortlist, never the corpus)" ->
+        operators.Similarity.queries("sim_mmr")(spark, sfDir),
+      "q30_recursive (Spark 4 recursive CTE: UnionLoop over the edge scan)" ->
+        operators.Relational.queries("q30_recursive")(spark, sfDir),
+      "p_split (pure map-side hash assignment, no sample state)" ->
+        operators.Pipeline.queries("p_split")(spark, sfDir)
     )
 
     val sb = new StringBuilder

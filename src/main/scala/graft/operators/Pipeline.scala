@@ -239,7 +239,29 @@ object Pipeline {
           .as("phase"))
   }
 
+  /** Deterministic train/val/test assignment: split = a pure function
+    * of (seed, id) via the shared md5-prefix hash, bucketed on a 0-99
+    * range — re-runs, incremental ingests, and independent engines all
+    * assign every document the SAME split (no global sample(), no
+    * state). Map-side only; the property a 100 TB pipeline needs is
+    * exactly this idempotence: yesterday's train doc can never migrate
+    * into today's test set.
+    */
+  def deterministicSplit(docs: DataFrame, trainPct: Int = 80,
+                         valPct: Int = 10,
+                         seed: String = "split"): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val h = pmod(conv(substring(
+      md5(concat(lit(seed + "-"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(100L))
+    docs.select(col("doc_id"), col("source"),
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_split" -> { (s, d) => deterministicSplit(t(s, d, "documents")) },
     "p_curriculum" -> { (s, d) => curriculum(t(s, d, "documents")) },
     "p_weighted_sample" -> { (s, d) => weightedSample(t(s, d, "documents")) },
     "p_shuffle" -> { (s, d) => shuffleDeterministic(t(s, d, "documents")) },
@@ -259,6 +281,16 @@ object Pipeline {
          |   AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
          |         w -> list_contains($lex, w))) >= $MinStopwordHits)""".stripMargin
     Map(
+      "p_split" ->
+        """SELECT doc_id, source,
+          |  CASE
+          |    WHEN CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)),
+          |      1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+          |    WHEN CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)),
+          |      1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+          |    ELSE 'test' END AS split
+          |FROM documents""".stripMargin,
+
       "p_curriculum" ->
         """WITH s AS (
           |  SELECT doc_id,

@@ -169,6 +169,26 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
     },
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): bounded BFS depths over
+    // the lineitem-derived edge relation — the ONE relational construct
+    // the reference's host engine has that Spark only recently gained;
+    // the oracle is the IDENTICAL statement on DuckDB. Spark's
+    // recursion supports UNION ALL only (path enumeration, bounded by
+    // the depth guard); the min-depth aggregate on top restores BFS
+    // semantics.
+    "q30_recursive" -> { (s, d) =>
+      t(s, d, "lineitem").createOrReplaceTempView("li_rec")
+      s.sql(
+        s"""WITH RECURSIVE r(v, depth) AS (
+           |  SELECT CAST(42 AS BIGINT) AS v, CAST(0 AS BIGINT) AS depth
+           |  UNION ALL
+           |  SELECT l_partkey % 4096 AS v, r.depth + 1 AS depth
+           |  FROM r JOIN li_rec ON l_orderkey % 4096 = r.v
+           |  WHERE r.depth < 3)
+           |SELECT v, CAST(min(depth) AS BIGINT) AS depth
+           |FROM r GROUP BY v""".stripMargin)
+    },
+
     // Sliding INTERVAL range frame (RANGE BETWEEN INTERVAL ... PRECEDING):
     // per-user trailing-hour activity at every event. The summed value is
     // integerized to cents first so the frame aggregate is exact integer
@@ -600,6 +620,16 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS h, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q30_recursive" ->
+      """WITH RECURSIVE r(v, depth) AS (
+        |  SELECT CAST(42 AS BIGINT) AS v, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT l_partkey % 4096 AS v, r.depth + 1 AS depth
+        |  FROM r JOIN lineitem ON l_orderkey % 4096 = r.v
+        |  WHERE r.depth < 3)
+        |SELECT v, CAST(min(depth) AS BIGINT) AS depth
+        |FROM r GROUP BY v""".stripMargin,
 
     "q29_interval_window" ->
       """SELECT event_id, user_id,
