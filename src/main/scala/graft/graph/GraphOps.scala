@@ -1694,7 +1694,12 @@ object GraphOps {
     */
   def katzCentrality(spark: SparkSession, edges: DataFrame, iters: Int = 6,
                      alpha: Double = 0.005): DataFrame = {
+    // src-partitioned static side: every iteration joins the score
+    // vector on e.src, so pre-hashing the edge table once means only
+    // the O(V) vector re-shuffles per round (the SSSP frontier-relax
+    // lesson, docs/SCALE.md)
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(col("src").as("v"))
       .unionAll(e.select(col("dst").as("v"))).distinct()
