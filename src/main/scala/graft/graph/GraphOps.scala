@@ -1766,6 +1766,11 @@ object GraphOps {
       }
     }
     e.unpersist(blocking = false)
+    if (n > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"regularPathQuery: frontier still non-empty after maxRounds=" +
+          s"$maxRounds — result is a PARTIAL reachable set; raise " +
+          "maxRounds (the product BFS needs at most |V|*|Q| rounds)")
     val acceptDf = broadcast(accept.toSeq.toDF("ast"))
     visited.join(acceptDf, col("st") === col("ast"), "left_semi")
       .select(col("v")).distinct()

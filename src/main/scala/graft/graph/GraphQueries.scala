@@ -310,14 +310,19 @@ object GraphQueries {
         .filter(col("est_micro") * 10 >= col("total_micro") * 9)
         .agg(min(col("h")).as("eff_diameter"))
     },
-    // Borůvka minimum spanning forest over the sssp edge weights.
-    // No SQL oracle (MST needs mutable components); correctness is
-    // spec-tested against in-memory Kruskal (MstSpec) — the driver
-    // records the weaker rows-only check for this entry.
+    // Borůvka minimum spanning forest over the sssp edge weights, on
+    // the <512 induced subgraph (g_components pattern): the DuckDB
+    // oracle unrolls ⌈log₂512⌉=9 Borůvka rounds as CTEs — per round a
+    // min-(w,a,b) pick per component plus a recursive-closure
+    // contraction — and the distinct (w,a,b) total order makes the
+    // forest unique, so hashes match. The FULL-graph run stays in
+    // ZipfBench (105 s at Zipf 60M) and the Kruskal spec (MstSpec).
     "g_mst" -> { (s, d) =>
       GraphOps.minimumSpanningForest(s,
-        edgesFrom(s, d).withColumn("w",
-          pmod(col("src") * 31 + col("dst"), lit(7L)) + 1))
+        edgesFrom(s, d)
+          .filter(col("src") < MstInduced && col("dst") < MstInduced)
+          .withColumn("w",
+            pmod(col("src") * 31 + col("dst"), lit(7L)) + 1))
         .orderBy(col("a"), col("b"))
     }
   )
@@ -350,6 +355,11 @@ object GraphQueries {
   val WalkSeed = "graft"
   val N2vSteps = 4
   val MisRounds = 4
+  /** g_mst gate scope + unroll depth: the <`MstInduced` induced subgraph
+    * merges to its component fixpoint within ⌈log₂ MstInduced⌉ Borůvka
+    * rounds (components at least halve per round); later rounds no-op. */
+  val MstInduced = 512
+  val MstRounds = 9
 
   val SsspIters = 8
   val KCoreK = 20
@@ -967,6 +977,7 @@ object GraphQueries {
            |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin,
       "g_katz" -> katzSql,
       "g_mis" -> misSql,
+      "g_mst" -> mstSql,
       "g_node2vec" -> node2vecSql,
       "g_rpq" -> rpqSql,
       "g_anf" -> anfSql,
@@ -1052,6 +1063,61 @@ object GraphQueries {
        |st0 AS MATERIALIZED (SELECT DISTINCT s AS v, 'undecided' AS st FROM ue),
        |$rounds
        |SELECT v, st FROM st$MisRounds""".stripMargin
+  }
+
+  /** Unrolled Borůvka rounds mirroring [[GraphOps.minimumSpanningForest]]
+    * on the <[[MstInduced]] induced subgraph. Per round: every component
+    * picks its minimum outgoing edge under the total order (w, a, b) —
+    * row_number mirrors Spark's `min(struct(w, a, b))` — then the
+    * ≤|components|-edge merge graph is contracted with a recursive
+    * min-label reachability closure (the same closure shape as the
+    * g_components oracle, but on component labels, so it is tiny).
+    * Distinct (w, a, b) tie-breaks make the forest unique; both engines
+    * converge within [[MstRounds]] rounds and extra rounds no-op. */
+  private def mstSql: String = {
+    val rounds = (1 to MstRounds).map { r =>
+      val p = r - 1
+      s"""ext$r AS MATERIALIZED (
+         |  SELECT la.c AS ca, lb.c AS cb, cn.w, cn.a, cn.b
+         |  FROM cn JOIN lab$p la ON la.v = cn.a
+         |          JOIN lab$p lb ON lb.v = cn.b
+         |  WHERE la.c <> lb.c),
+         |pick$r AS MATERIALIZED (
+         |  SELECT DISTINCT a, b, w FROM (
+         |    SELECT comp, a, b, w,
+         |      row_number() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+         |    FROM (SELECT ca AS comp, w, a, b FROM ext$r
+         |          UNION ALL SELECT cb, w, a, b FROM ext$r))
+         |  WHERE rn = 1),
+         |me$r AS MATERIALIZED (
+         |  SELECT la.c AS s, lb.c AS t
+         |  FROM pick$r pk JOIN lab$p la ON la.v = pk.a
+         |                 JOIN lab$p lb ON lb.v = pk.b
+         |  UNION
+         |  SELECT lb.c, la.c
+         |  FROM pick$r pk JOIN lab$p la ON la.v = pk.a
+         |                 JOIN lab$p lb ON lb.v = pk.b),
+         |mr$r(c, rc) AS (
+         |  SELECT s, s FROM me$r
+         |  UNION
+         |  SELECT mr$r.c, me$r.t FROM mr$r JOIN me$r ON me$r.s = mr$r.rc),
+         |nl$r AS MATERIALIZED (SELECT c, min(rc) AS nc FROM mr$r GROUP BY c),
+         |lab$r AS MATERIALIZED (
+         |  SELECT l.v, COALESCE(nl.nc, l.c) AS c
+         |  FROM lab$p l LEFT JOIN nl$r nl ON nl.c = l.c)""".stripMargin
+    }.mkString(",\n")
+    val pickUnion = (1 to MstRounds)
+      .map(r => s"SELECT a, b, w FROM pick$r").mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE cn AS MATERIALIZED (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    CAST(min((src * 31 + dst) % 7 + 1) AS BIGINT) AS w
+       |  FROM ($edgesSql)
+       |  WHERE src <> dst AND src < $MstInduced AND dst < $MstInduced
+       |  GROUP BY least(src, dst), greatest(src, dst)),
+       |lab0 AS MATERIALIZED (
+       |  SELECT v, v AS c FROM (SELECT a AS v FROM cn UNION SELECT b FROM cn)),
+       |$rounds
+       |SELECT DISTINCT a, b, w FROM ($pickUnion)""".stripMargin
   }
 
   /** Unrolled node2vec steps mirroring [[GraphOps.node2vecWalks]]: the

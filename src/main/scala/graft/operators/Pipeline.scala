@@ -191,10 +191,9 @@ object Pipeline {
     * a contiguous key range, all partitions sort in parallel), then
     * `zipWithIndex` assigns contiguous global indices per partition
     * using only the O(partitions) per-partition counts. This is the
-    * scale-correct替 for `row_number() OVER (ORDER BY …)` — Spark
-    * executes that window on ONE partition — exactly the pattern that
-    * dies at 100 TB; this is the scale-correct replacement for
-    * `row_number() OVER (ORDER BY …)`. The sort keys must be a total
+    * scale-correct replacement for `row_number() OVER (ORDER BY …)` —
+    * Spark executes that window on ONE partition, exactly the pattern
+    * that dies at 100 TB. The sort keys must be a total
     * order (include a unique id) for determinism.
     */
   def globalOrdinal(df: DataFrame,
@@ -223,7 +222,11 @@ object Pipeline {
     val scored = docs.select(col("doc_id"),
       (col("n_chars").cast("double") /
         size(tokens(col("text"))).cast("double")).as("difficulty"))
+    // localCheckpoint: the ranked frame is consumed twice (the count
+    // aggregate below and the output projection) — without it the full
+    // range-partitioned sort + zipWithIndex would run twice
     val ranked = globalOrdinal(scored, Seq(col("difficulty"), col("doc_id")))
+      .localCheckpoint(false)
     val n = ranked.agg(count(lit(1)).as("_n"))
     // ntile(T): r = N mod T phases of size big = N/T + 1 first, then
     // T - r phases of size small = N/T (all floor divisions)

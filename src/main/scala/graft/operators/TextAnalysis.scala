@@ -89,6 +89,10 @@ object TextAnalysis {
                        minDocs: Int = 2): DataFrame = {
     val lines = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
+      // nl=0 (empty token array) must yield NO lines: sequence(0,-1)
+      // would descend and emit two phantom lines where the oracle's
+      // range(0,0) emits none — filter before the explode
+      .filter(size(col("t")) > 0)
       .withColumn("nl",
         ceil(size(col("t")) / lit(lineWords.toDouble)).cast("long"))
       .withColumn("line_idx", explode(sequence(lit(0L), col("nl") - 1)))

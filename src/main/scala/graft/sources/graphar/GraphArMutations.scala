@@ -129,7 +129,7 @@ object GraphArMutations {
     val dir = s"$base/v0"
     tables.foreach { case (df, spec) => GraphArWriter.writeEdges(df, dir, spec) }
     val yaml = GraphArWriter.writeGraphYaml(dir, graphName, Seq.empty, names, conf)
-    GraphArSink.commitLatest(base, yaml, conf)
+    GraphArSink.commitLatest(spark, base, yaml, conf)
     0L
   }
 
@@ -167,7 +167,7 @@ object GraphArMutations {
     }
     val yaml = GraphArWriter.writeGraphYaml(dir, info.name,
       info.vertices.map(_.vertexType), info.edges.map(_.name), conf)
-    GraphArSink.commitLatest(base, yaml, conf)
+    GraphArSink.commitLatest(spark, base, yaml, conf)
     next
   }
 
@@ -204,7 +204,7 @@ object GraphArMutations {
     }
     edgeTables.foreach { case (df, spec) => GraphArWriter.writeEdges(df, dir, spec) }
     val yaml = GraphArWriter.writeGraphYaml(dir, graphName, vNames, eNames, conf)
-    GraphArSink.commitLatest(base, yaml, conf)
+    GraphArSink.commitLatest(spark, base, yaml, conf)
     0L
   }
 
@@ -254,7 +254,7 @@ object GraphArMutations {
     }
     val yaml = GraphArWriter.writeGraphYaml(dir, info.name,
       info.vertices.map(_.vertexType), info.edges.map(_.name), conf)
-    GraphArSink.commitLatest(base, yaml, conf)
+    GraphArSink.commitLatest(spark, base, yaml, conf)
     next
   }
 
@@ -424,7 +424,7 @@ object GraphArMutations {
     GraphArWriter.writeVertices(rows, dir, spec)
     val yaml = GraphArWriter.writeGraphYaml(dir, graphName,
       Seq(spec.vertexType), Seq.empty, conf)
-    GraphArSink.commitLatest(base, yaml, conf)
+    GraphArSink.commitLatest(spark, base, yaml, conf)
     version
   }
 
@@ -1237,7 +1237,7 @@ object GraphArMutations {
     GraphArWriter.writeEdges(edges, dir, spec)
     val yaml = GraphArWriter.writeGraphYaml(dir, graphName, Seq.empty,
       Seq(spec.name), conf)
-    GraphArSink.commitLatest(base, yaml, conf)
+    GraphArSink.commitLatest(spark, base, yaml, conf)
     version
   }
 }

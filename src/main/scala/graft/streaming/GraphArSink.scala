@@ -44,7 +44,7 @@ object GraphArSink {
             srcChunkSize = vertexChunkSize, dstChunkSize = vertexChunkSize))
         val yaml = graft.sources.graphar.GraphArWriter.writeGraphYaml(
           dir, graphName, Seq.empty, Seq(s"${srcType}_${edgeType}_$dstType"), conf)
-        commitLatest(base, yaml, conf)
+        commitLatest(spark, base, yaml, conf)
     }
 
   /** Vertex-table snapshots: each micro-batch writes the complete
@@ -59,13 +59,14 @@ object GraphArSink {
     stream.writeStream.outputMode("complete").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val dir = s"$base/v$batchId"
-        val conf = batch.sparkSession.sessionState.newHadoopConf()
+        val spark = batch.sparkSession
+        val conf = spark.sessionState.newHadoopConf()
         graft.sources.graphar.GraphArWriter.writeVertices(
           batch.orderBy(orderCol), dir,
           graft.sources.graphar.GraphArWriter.VertexSpec(vertexType, chunkSize))
         val yaml = graft.sources.graphar.GraphArWriter.writeGraphYaml(
           dir, graphName, Seq(vertexType), Seq.empty, conf)
-        commitLatest(base, yaml, conf)
+        commitLatest(spark, base, yaml, conf)
     }
 
   /** Delta-log streaming ingest — the APPEND-mode shape: each
@@ -139,7 +140,8 @@ object GraphArSink {
     * the previous snapshot; there is no delete-then-rename window where
     * no pointer exists.
     */
-  private[graft] def commitLatest(base: String, yaml: String,
+  private[graft] def commitLatest(spark: org.apache.spark.sql.SparkSession,
+                                  base: String, yaml: String,
                                   conf: org.apache.hadoop.conf.Configuration): Unit = {
     val latest = new Path(s"$base/LATEST")
     val tmp = new Path(s"$base/.LATEST.tmp")
@@ -149,7 +151,7 @@ object GraphArSink {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(latest.toUri, conf)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(latest),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    autoPrune(base)
+    autoPrune(spark, base)
   }
 
   /** Retention policy hook, run after every LATEST repoint: when
@@ -161,15 +163,15 @@ object GraphArSink {
     * than the age floor to be deleted). Unset (the default) = retain
     * everything, the pre-round-6 behavior.
     */
-  private def autoPrune(base: String): Unit =
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { spark =>
-      val keep = spark.conf.getOption("spark.graft.retainSnapshots")
-        .map(_.toInt)
-      val age = spark.conf.getOption("spark.graft.retainSnapshotsMaxAgeSec")
-        .map(_.toLong)
-      if (keep.isDefined || age.isDefined)
-        prune(spark, base, keep.getOrElse(2), age)
-    }
+  private def autoPrune(spark: org.apache.spark.sql.SparkSession,
+                        base: String): Unit = {
+    val keep = spark.conf.getOption("spark.graft.retainSnapshots")
+      .map(_.toInt)
+    val age = spark.conf.getOption("spark.graft.retainSnapshotsMaxAgeSec")
+      .map(_.toLong)
+    if (keep.isDefined || age.isDefined)
+      prune(spark, base, keep.getOrElse(2), age)
+  }
 
   /** Resolve the current snapshot's graph yaml (null if none committed). */
   def latestYaml(spark: org.apache.spark.sql.SparkSession, base: String): String = {
