@@ -114,6 +114,8 @@ object Plans {
         operators.TextAnalysis.queries("t_boilerplate")(spark, sfDir),
       "ga_sql_delete (remove deltas fold as anti-joins over the CSR scan)" ->
         sources.graphar.GraphArQueries.queries("ga_sql_delete")(spark, sfDir),
+      "ga_sql_update (row-level upsert delta folds as anti-join + union)" ->
+        sources.graphar.GraphArQueries.queries("ga_sql_update")(spark, sfDir),
       "sim_mmr (greedy rounds bounded by the shortlist, never the corpus)" ->
         operators.Similarity.queries("sim_mmr")(spark, sfDir),
       "q30_recursive (Spark 4 recursive CTE: UnionLoop over the edge scan)" ->

@@ -62,9 +62,21 @@ class GraphArCatalog extends TableCatalog with SupportsNamespaces {
   private var graphs: Seq[(Seq[String], GraphInfo)] = _
   /** Set in `snapshotBase` mode: enables INSERT INTO as staged deltas. */
   private var versionedBase: Option[String] = None
+  private var catOptions: CaseInsensitiveStringMap = _
+
+  /** Upsert key for SQL UPDATE/DELETE/MERGE on a versioned vertex
+    * table: `.vertexKey.<Type>` beats the catalog-wide `.vertexKey`
+    * beats the type's first declared property (the conventional id
+    * column of a GraphAr vertex table).
+    */
+  private def vertexKeyOf(v: VertexInfo): String =
+    Option(catOptions.get(s"vertexKey.${v.vertexType}"))
+      .orElse(Option(catOptions.get("vertexKey")))
+      .getOrElse(v.propertyGroups.head.properties.head.name)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    catOptions = options
     val spark = org.apache.spark.sql.SparkSession.active
     // SESSION Hadoop conf: the graph may live on s3a/hdfs with
     // credentials configured via spark.hadoop.* — a default
@@ -117,7 +129,8 @@ class GraphArCatalog extends TableCatalog with SupportsNamespaces {
     graph.vertices.find(v => s"${v.vertexType}.vertex" == n)
       .map[Table] { v =>
         versionedBase.fold[Table](new GraphArVertexTable(v))(
-          new GraphArVersionedVertexTable(v, _))
+          new GraphArVersionedVertexTable(v, _, vertexKeyOf(v),
+            perTypeLog = graph.vertices.size > 1))
       }
       .orElse(graph.edges.find(e => s"${e.name}.edge" == n)
         .map[Table] { e =>
@@ -291,14 +304,61 @@ private[catalog] object GraphArKeyFilters {
   * (`stageVertexDelta` needs the order column as the upsert key), which
   * bare INSERT syntax cannot carry — refuse with a pointer instead of
   * failing deep in the path-based writer with a misleading "option
-  * 'path' is required".
+  * 'path' is required". SQL `UPDATE` / `DELETE` / `MERGE INTO` DO work:
+  * they carry the key through the row-level rewrite
+  * ([[VertexDeltaOperation]]) and stage as O(delta) upsert/remove
+  * entries on the vertex log. The key column is
+  * `spark.sql.catalog.<name>.vertexKey.<Type>` (or the catalog-wide
+  * `.vertexKey`), defaulting to the type's first property.
   */
-class GraphArVersionedVertexTable(info: VertexInfo, base: String)
-  extends GraphArVertexTable(info) {
+class GraphArVersionedVertexTable(info: VertexInfo, base: String,
+                                  keyCol: String, perTypeLog: Boolean)
+  extends GraphArVertexTable(info)
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  // NO ACCEPT_ANY_SCHEMA (unlike the path-based writer): with it, Spark
+  // skips UPDATE/MERGE assignment alignment, the command never becomes
+  // `aligned`, and the row-level rewrite silently refuses the table
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
+
+  // Schema = the PROPERTY columns only, with the key non-null (the
+  // upsert identity; Spark requires a non-nullable row ID before it
+  // accepts a delta-based UPDATE/MERGE). The synthetic
+  // _graphArVertexIndex moves to a METADATA column: it is derived from
+  // row order, not stored identity, so DML must not demand an
+  // assignment for it (MERGE INSERT aligns every schema column) — yet
+  // index joins against edge tables stay one explicit SELECT away.
+  override def schema(): StructType = StructType(
+    info.schema.fields.filterNot(_.name == GraphArMeta.VertexIndexCol)
+      .map(f => if (f.name == keyCol) f.copy(nullable = false) else f))
+
+  override def metadataColumns(): Array[
+      org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraphArMeta.VertexIndexCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "synthetic vertex index (row ordinal of the pinned snapshot)"
+    })
+
   override def newWriteBuilder(w: LogicalWriteInfo): WriteBuilder =
     throw new UnsupportedOperationException(
       s"${info.vertexType}.vertex: SQL INSERT is not supported for vertex " +
-        "types (a vertex delta is a keyed upsert — use " +
-        "GraphArMutations.stageVertexDelta / upsertVertices with the key " +
-        "column); edge tables of this catalog do accept INSERT INTO")
+        "types (a vertex delta is a keyed upsert — use SQL UPDATE/MERGE, " +
+        "or GraphArMutations.stageVertexDelta / upsertVertices with the " +
+        "key column); edge tables of this catalog do accept INSERT INTO")
+
+  override def newRowLevelOperationBuilder(
+      rl: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(info.schema.fieldNames.contains(keyCol),
+      s"${info.vertexType}.vertex: vertexKey '$keyCol' is not a column " +
+        s"(${info.schema.fieldNames.mkString(", ")})")
+    () => new VertexDeltaOperation(info, base, keyCol, perTypeLog,
+      rl.command())
+  }
 }

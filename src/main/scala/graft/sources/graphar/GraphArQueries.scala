@@ -218,6 +218,36 @@ object GraphArQueries {
     base
   }
 
+  /** Versioned VERTEX graph whose live log has absorbed one SQL
+    * `UPDATE <catalog>.\`Part.vertex\` SET … WHERE …` — the whole
+    * chain: catalog resolution → SupportsRowLevelOperations →
+    * delta-based rewrite (changed rows only) → staged upsert delta →
+    * currentVertices fold. The vertex key defaults to the first
+    * property (p_partkey). Mirrors [[sqlDeleteFixture]] for the DML
+    * triangle's UPDATE corner.
+    */
+  def sqlUpdateFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_squpd_" +
+      Integer.toHexString(canonical.hashCode)
+    val base = s"/tmp/graft_graphar/$name"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return base
+    if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+    GraphArMutations.initVertices(spark, base, t(spark, sfDir, "part"),
+      "SqlUpdateGraph", GraphArWriter.VertexSpec("Part", chunkSize = 512),
+      "p_partkey")
+    val cat = "gupd_" + Integer.toHexString(canonical.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraphArCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.snapshotBase", base)
+    spark.sql(s"UPDATE $cat.`Part.vertex` " +
+      "SET p_retailprice = p_retailprice * 2 WHERE p_size > 40")
+    fs.create(marker, true).close()
+    base
+  }
+
   def streamDeltaFixture(spark: SparkSession, sfDir: String): String = synchronized {
     val canonical = new java.io.File(sfDir).getCanonicalPath
     val name = new java.io.File(sfDir).getName + "_sdelta_" +
@@ -404,6 +434,11 @@ object GraphArQueries {
     "ga_sql_delete" -> { (s, d) =>
       GraphArMutations.currentEdges(s, sqlDeleteFixture(s, d))
     },
+    // SQL UPDATE through the versioned catalog (row-level delta
+    // rewrite → staged upsert delta); result = live fold after it
+    "ga_sql_update" -> { (s, d) =>
+      GraphArMutations.currentVertices(s, sqlUpdateFixture(s, d))
+    },
     // bool + date properties round-tripped through CSV chunks with BOTH
     // filters pushed (bool equality; date range compared as epoch-day
     // ints per the GraphAr date encoding — PropFilters.norm)
@@ -485,6 +520,11 @@ object GraphArQueries {
          |FROM lineitem
          |WHERE NOT (l_orderkey % ${GraphQueries.V} < 400
          |           AND l_partkey % ${GraphQueries.V} >= 1024)""".stripMargin,
+    "ga_sql_update" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |  CASE WHEN p_size > 40 THEN p_retailprice * 2
+        |       ELSE p_retailprice END AS p_retailprice
+        |FROM part""".stripMargin,
     "ga_stream_delta" ->
       s"""WITH base AS (SELECT l_orderkey % ${GraphQueries.V} AS src,
          |    l_partkey % ${GraphQueries.V} AS dst, l_quantity AS quantity

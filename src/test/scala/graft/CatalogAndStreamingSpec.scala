@@ -268,6 +268,61 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     assert(GraphArMutations.currentEdges(spark, base).count() === 3L)
   }
 
+  test("catalog SQL UPDATE/DELETE/MERGE on vertex tables: row-level deltas + time travel") {
+    import graft.sources.graphar.{GraphArMutations, GraphArWriter}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("gar_cat_upd").toString
+    GraphArMutations.initVertices(spark, base,
+      Seq((0L, "a", 10.0), (1L, "b", 20.0), (2L, "c", 30.0))
+        .toDF("uid", "name", "score"), "UPD",
+      GraphArWriter.VertexSpec("User", chunkSize = 4), orderCol = "uid")
+    spark.conf.set("spark.sql.catalog.upd", "graft.catalog.GraphArCatalog")
+    spark.conf.set("spark.sql.catalog.upd.snapshotBase", base)
+    // UPDATE: row-level rewrite stages ONE upsert delta of the changed
+    // rows; the pinned snapshot stays immutable
+    spark.sql("UPDATE upd.`User.vertex` SET score = score + 5 WHERE uid >= 1")
+    assert(GraphArMutations.stagedVertexDeltas(spark, base).size === 1)
+    assert(spark.sql("SELECT CAST(sum(score) AS DOUBLE) FROM upd.`User.vertex`")
+      .collect()(0).getDouble(0) === 60.0)
+    val afterUpd = GraphArMutations.currentVertices(spark, base)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(afterUpd === Map(0L -> 10.0, 1L -> 25.0, 2L -> 35.0))
+    // matching nothing stages nothing
+    spark.sql("UPDATE upd.`User.vertex` SET score = 0 WHERE uid = 99")
+    assert(GraphArMutations.stagedVertexDeltas(spark, base).size === 1)
+    // DELETE goes through the same row-level path — so (unlike the
+    // edge table's key-only SupportsDelete) a PROPERTY predicate is
+    // fine: the rewrite scans exact matching rows and removes by key
+    spark.sql("DELETE FROM upd.`User.vertex` WHERE name = 'a'")
+    assert(GraphArMutations.stagedVertexDeltas(spark, base).size === 2)
+    val afterDel = GraphArMutations.currentVertices(spark, base)
+    assert(afterDel.count() === 2L)
+    assert(afterDel.filter(col("uid") === 0L).count() === 0L)
+    // MERGE INTO: matched update + not-matched insert in one delta
+    Seq((2L, "c2", 1.0), (5L, "e", 50.0)).toDF("uid", "name", "score")
+      .createOrReplaceTempView("upd_src")
+    spark.sql(
+      """MERGE INTO upd.`User.vertex` t USING upd_src s ON t.uid = s.uid
+        |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.score = s.score
+        |WHEN NOT MATCHED THEN INSERT (uid, name, score)
+        |  VALUES (s.uid, s.name, s.score)""".stripMargin)
+    assert(GraphArMutations.stagedVertexDeltas(spark, base).size === 3)
+    val afterMerge = GraphArMutations.currentVertices(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(afterMerge === Set((1L, "b", 25.0), (2L, "c2", 1.0), (5L, "e", 50.0)))
+    // compaction folds the three deltas into v1; a snapshot-pinned
+    // catalog still time-travels to the pre-DML v0
+    GraphArMutations.compactVertexDeltas(spark, base)
+    assert(GraphArMutations.currentVertices(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet === afterMerge)
+    spark.conf.set("spark.sql.catalog.updv0", "graft.catalog.GraphArCatalog")
+    spark.conf.set("spark.sql.catalog.updv0.snapshotBase", base)
+    spark.conf.set("spark.sql.catalog.updv0.snapshot", "0")
+    assert(spark.sql("SELECT CAST(sum(score) AS DOUBLE) FROM updv0.`User.vertex`")
+      .collect()(0).getDouble(0) === 60.0)
+  }
+
   test("retention policy: auto-prune respects the keep window, references, and LATEST") {
     import graft.sources.graphar.{GraphArMutations, GraphArWriter}
     import graft.streaming.GraphArSink
