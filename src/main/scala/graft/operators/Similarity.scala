@@ -74,6 +74,16 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= c)
       .select(col("q_id"), col("n_id"), col("rel"), col("n_emb"))
       .localCheckpoint() // O(queries·c)
+    mmrGreedy(cands, k, lam)
+  }
+
+  /** The greedy diversification rounds over a caller-supplied candidate
+    * shortlist (q_id, n_id, rel, n_emb) — shared by the brute-force and
+    * the stored-ANN front ends; everything here is bounded by the
+    * shortlist, never the corpus.
+    */
+  private def mmrGreedy(cands: DataFrame, k: Int, lam: Double): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
     val sims = cands.select(col("q_id"), col("n_id").as("a"), col("n_emb").as("ea"))
       .join(cands.select(col("q_id"), col("n_id").as("b"), col("n_emb").as("eb")),
         "q_id")
@@ -105,6 +115,38 @@ object Similarity {
       selected = selected.unionAll(pick).localCheckpoint()
     }
     selected
+  }
+
+  /** MMR fed from a STORED IVF index instead of the corpus-wide brute
+    * scan: the relevance shortlist comes from the partition-pruned
+    * probe (same probe subtree as [[ivfTopKStored]] — the scan plans
+    * only the O(queries·nProbe) probed cluster directories), then the
+    * shared greedy rounds diversify it. This is the 100 TB composition:
+    * index once, and every MMR query's I/O is bounded by its probe set
+    * while the greedy work stays O(queries·c²).
+    */
+  def mmrTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
+                    c: Int = 16, k: Int = 5, lam: Double = 0.5,
+                    nProbe: Int = 1): DataFrame = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val q = ivfRanked(queries.select(col("vec_id"), col("embedding")), cent)
+      .filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("c_id").as("q_probe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
+    val cands = spark.read.parquet(s"$dir/vectors")
+      .where(col("cluster").isin(probes: _*)) // static partition pruning
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("cluster").cast("long").as("cluster"))
+      .join(broadcast(q),
+        col("cluster") === col("q_probe") && col("q_id") =!= col("n_id"))
+      .withColumn("rel", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= c)
+      .select(col("q_id"), col("n_id"), col("rel"), col("n_emb"))
+      .localCheckpoint() // O(queries·c)
+    mmrGreedy(cands, k, lam)
   }
 
   /** Exact brute-force top-k cosine neighbors for a set of query ids. */
@@ -743,6 +785,12 @@ object Similarity {
     },
     "sim_lsh_multiprobe" -> { (s, d) =>
       lshTopKMultiProbe(t(s, d, "embeddings"), col("vec_id") < 8, 3)
+    },
+    // MMR fed from the STORED IVF index (partition-pruned probe) —
+    // the scale composition the brute sim_mmr only gate-checks
+    "sim_mmr_stored" -> { (s, d) =>
+      mmrTopKStored(s, s"${indexDir(s, d)}/ivf",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), nProbe = 2)
     }
   )
 
@@ -819,9 +867,13 @@ object Similarity {
          |  FROM rerank)
          |SELECT q_id, n_id, rank FROM rr WHERE rank <= 3""".stripMargin
 
-  /** Unrolled greedy MMR mirroring [[mmrTopK]] (c=16, k=5, λ=0.5). */
-  private lazy val mmrOracleSql: String = {
-    val (c, k) = (16, 5)
+  /** Greedy-rounds tail shared by the brute and stored MMR oracles
+    * (k=5, λ=0.5): the caller's CTEs must define
+    * `cands`(q_id, n_id, rel, n_emb) — the shortlist semantics differ,
+    * the diversification must not.
+    */
+  private def mmrUnrolledSql(candsCtes: String): String = {
+    val k = 5
     val rounds = (2 to k).map { r =>
       s"""s$r AS (
          |  SELECT q_id, n_id, CAST($r AS BIGINT) AS pick_rank FROM (
@@ -840,18 +892,7 @@ object Similarity {
          |  WHERE pr = 1),
          |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-       |  WHERE vec_id < 8),
-       |base AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
-       |scored AS (
-       |  SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS rel, n_emb
-       |  FROM base JOIN q ON q_id <> n_id),
-       |cands AS (
-       |  SELECT q_id, n_id, rel, n_emb FROM (
-       |    SELECT *, row_number() OVER (
-       |      PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
-       |    FROM scored) WHERE rk <= $c),
+    s"""$candsCtes,
        |sims AS (
        |  SELECT x.q_id, x.n_id AS a, y.n_id AS b,
        |    ${cosSql("x.n_emb", "y.n_emb")} AS sim
@@ -864,6 +905,53 @@ object Similarity {
        |$rounds
        |SELECT q_id, n_id, pick_rank FROM sel$k""".stripMargin
   }
+
+  /** Unrolled greedy MMR mirroring [[mmrTopK]] (c=16, k=5, λ=0.5). */
+  private lazy val mmrOracleSql: String = mmrUnrolledSql(
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < 8),
+       |base AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+       |scored AS (
+       |  SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS rel, n_emb
+       |  FROM base JOIN q ON q_id <> n_id),
+       |cands AS (
+       |  SELECT q_id, n_id, rel, n_emb FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
+       |    FROM scored) WHERE rk <= 16)""".stripMargin)
+
+  /** [[mmrTopKStored]]'s oracle: the shortlist is the IVF probe
+    * (corpus assigned to nearest centroid, queries probing their
+    * nProbe=2 nearest clusters), then the SAME greedy rounds.
+    */
+  private lazy val mmrStoredOracleSql: String = mmrUnrolledSql(
+    s"""WITH cent AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % 40 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
+       |    FROM embeddings e CROSS JOIN cent)
+       |  WHERE arank = 1),
+       |qp AS (
+       |  SELECT q_id, q_emb, c_id AS q_probe FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
+       |    FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 8)
+       |  WHERE arank <= 2),
+       |scored AS (
+       |  SELECT q_id, a.vec_id AS n_id,
+       |    ${cosSql("q_emb", "a.embedding")} AS rel, a.embedding AS n_emb
+       |  FROM assigned a JOIN qp ON a.cluster = q_probe AND q_id <> a.vec_id),
+       |cands AS (
+       |  SELECT q_id, n_id, rel, n_emb FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
+       |    FROM scored) WHERE rk <= 16)""".stripMargin)
 
   private lazy val ivfOracleSql: String =
     s"""WITH cent AS (
@@ -1036,6 +1124,7 @@ object Similarity {
          |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     "sim_mmr" -> mmrOracleSql,
+    "sim_mmr_stored" -> mmrStoredOracleSql,
 
     "sim_ivf" -> ivfOracleSql,
 

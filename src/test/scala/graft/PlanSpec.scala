@@ -154,6 +154,30 @@ class PlanSpec extends AnyFunSuite {
     assert(probed < allParts, s"probe touched all $allParts clusters")
   }
 
+  test("stored-ANN → MMR: shortlist scan is partition-pruned, no corpus-wide join") {
+    val base = operators.Similarity.indexDir(spark, sf)
+    val queries = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 8)
+    val df = operators.Similarity.mmrTopKStored(
+      spark, s"$base/ivf", queries, nProbe = 2)
+    assert(df.collect().length <= 8 * 5)
+    // the greedy stages run over a localCheckpointed shortlist, so the
+    // gate inspects the probe subtree (identical construction in
+    // mmrTopKStored): its vectors scan must carry a static partition
+    // filter — candidates come from the probed directories, never a
+    // corpus-wide scan-and-join
+    val probeDf = operators.Similarity.ivfTopKStored(
+      spark, s"$base/ivf", queries, 16, nProbe = 2)
+    probeDf.collect()
+    val p = probeDf.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cluster"),
+      s"no static partition filter on cluster in:\n$p")
+    // and the probed candidate pool is strictly smaller than the corpus
+    val corpus = Tables.t(spark, sf, "embeddings").count()
+    val pool = spark.read.parquet(s"$base/ivf/vectors")
+      .join(probeDf.select(col("cluster")).distinct(), "cluster").count()
+    assert(pool < corpus, s"probe pool $pool did not prune corpus $corpus")
+  }
+
   test("connector one-hop: filtered scan reports exact (degree) statistics") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     val g = graph.GraphArGraph(spark, yaml)
