@@ -23,7 +23,8 @@ object SparkEntry {
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),
       (operators.Sketches.queries, operators.Sketches.oracle),
-      (operators.Layout.queries, operators.Layout.oracle)
+      (operators.Layout.queries, operators.Layout.oracle),
+      (streaming.StreamingQueries.queries, streaming.StreamingQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,215 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gate wiring for the WATERMARK semantics of the streaming
+  * twins: a deterministic late + out-of-order feed of the events table
+  * whose drop/keep outcome is fully SQL-expressible, so the DuckDB
+  * oracle can hash-check what the watermark actually did (the in-order
+  * feeds the spec uses never exercise the drop path).
+  *
+  * Feed construction (all integer arithmetic, mirrored in the oracle):
+  * events are cut into 4 event-time blocks by day quartile; rows with
+  * `event_id % 17 == 0` arrive one block LATE (their true block's
+  * successor batch). Batches are fed in block order, so a late row
+  * meets a watermark of `max(tss of prior batches) − 10 min`:
+  * mid-block stragglers are months of event-time late → DROPPED;
+  * block-tail stragglers are inside the 10-minute allowance → KEPT and
+  * merged into their (still-open) hour window. A final far-future
+  * flush event pushes the watermark past every real window so append
+  * mode emits them all; its own window stays open and never emits.
+  *
+  * Sum parity: per-value cast to DECIMAL(18,2) before SUM makes the
+  * aggregate order-independent and exact on both engines (streaming
+  * state merges in arrival order — a double sum would be
+  * accumulation-order-dependent), then one cast to DOUBLE.
+  */
+object StreamingQueries {
+
+  final case class Ev(event_id: Long, tss: Timestamp, event_type: String,
+                      value: Double)
+
+  val LateMod = 17L
+  val WatermarkSec = 600L
+  val Blocks = 4
+
+  private[streaming] def feedBatches(evs: Array[Ev]): IndexedSeq[Seq[Ev]] = {
+    val days = evs.map(_.tss.getTime / 86400000L)
+    val (dmin, dmax) = (days.min, days.max)
+    def block(e: Ev): Int =
+      (((e.tss.getTime / 86400000L - dmin) * Blocks) / (dmax - dmin + 1)).toInt
+    def batchOf(e: Ev): Int =
+      math.min(block(e) + (if (e.event_id % LateMod == 0) 1 else 0), Blocks)
+    (0 to Blocks).map(k => evs.filter(batchOf(_) == k).toSeq)
+  }
+
+  /** Run the watermarked hour-window aggregation over the late feed and
+    * return every emitted (closed) window. Deterministic: batch
+    * boundaries, watermark positions, and drops are pure functions of
+    * the data.
+    */
+  def lateFeedWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
+        col("event_type"), col("value"))
+      .as[Ev].collect()
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](spark)
+    val agg = stream.toDF()
+      .withWatermark("tss", s"$WatermarkSec seconds")
+      // append mode requires grouping on the watermarked window column
+      // itself (projecting .start pre-agg severs the watermark link)
+      .groupBy(window(col("tss"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"),
+        col("total_value"))
+    val name = "late_win_" + Integer.toHexString(sfDir.hashCode).filter(_ != '-')
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      feedBatches(evs).foreach { b =>
+        if (b.nonEmpty) { stream.addData(b); q.processAllAvailable() }
+      }
+      // flush: one far-future event closes every real window
+      stream.addData(Ev(-1L,
+        new Timestamp(evs.map(_.tss.getTime).max + 365L * 86400000L),
+        "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("event_type") =!= "flush")
+  }
+
+  /** Run the STATEFUL sessionize twin over a multi-batch feed: events
+    * cut into 4 day-quartile blocks fed in time order, ARRIVAL order
+    * scrambled within each batch (md5 of the id), one far-future flush
+    * event per user closing every real session. Sessions spanning
+    * block boundaries must be stitched by the state machine, so the
+    * oracle (the q12 batch sessionization) checks cross-batch state
+    * continuation end-to-end.
+    *
+    * Blocks stay time-ordered deliberately: within-batch disorder and
+    * in-gap cross-batch continuation are batch-equivalent BY
+    * CONSTRUCTION (the operator sorts each batch; time-partitioned
+    * sorted batches concatenate to the global sort), while unbounded
+    * cross-batch lateness provably is not — an event arriving two
+    * sessions late can never be merged with intermediate events it
+    * should have bridged (the state machine emits it standalone, the
+    * batch twin merges all three). That bounded-disorder contract is
+    * what a watermark formalizes; the late/drop semantics are
+    * oracle-checked on the windowed twin (st_window_late) and
+    * spec-checked for sessionize's two late branches.
+    *
+    * session_value is NOT emitted: streaming state accumulates doubles
+    * in processing order, so the sum is accumulation-order-dependent;
+    * counts and boundary timestamps are exact. The batch operator's
+    * values stay oracle-checked by q12_sessionize.
+    */
+  def blockFeedSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import EventStreams.{Event, Session}
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    val days = evs.map(_.ts.getTime / 86400000L)
+    val (dmin, dmax) = (days.min, days.max)
+    def block(e: Event): Int =
+      (((e.ts.getTime / 86400000L - dmin) * Blocks) / (dmax - dmin + 1)).toInt
+    def scramble(b: Array[Event]): Seq[Event] =
+      b.sortBy(e => java.util.UUID.nameUUIDFromBytes(
+        e.event_id.toString.getBytes("UTF-8")).toString).toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event](spark)
+    implicit val s: SparkSession = spark
+    val name = "block_sess_" + Integer.toHexString(sfDir.hashCode).filter(_ != '-')
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      (0 until Blocks).foreach { k =>
+        val b = evs.filter(block(_) == k)
+        if (b.nonEmpty) { stream.addData(scramble(b)); q.processAllAvailable() }
+      }
+      val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 365L * 86400000L)
+      stream.addData(evs.map(_.user_id).distinct.toSeq.map(u =>
+        Event(-1L - u, flushTs, u, "flush", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start"))
+    spark.table(name).as[Session].toDF()
+      .filter(col("session_start") < Timestamp.valueOf("2090-01-01 00:00:00"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start").as("start_ts"), col("session_end").as("end_ts"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_window_late" -> { (s, d) => lateFeedWindowCounts(s, d) },
+    "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) }
+  )
+
+  /** The oracle replays the same batch assignment and watermark rule in
+    * SQL: a row of batch b is DROPPED iff its hour-window end is <= the
+    * operative watermark `max(tss over batches < b) − 10 min` (Spark
+    * evicts a window's state once the watermark reaches its end, so a
+    * row arriving after that has nowhere to land). Kept rows aggregate
+    * exactly like the streaming query.
+    */
+  def oracle: Map[String, String] = Map(
+    "st_window_late" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, date_trunc('second', ts) AS tss, event_type,
+         |    value, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+         |  FROM events),
+         |bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ev),
+         |assigned AS (
+         |  SELECT ev.*,
+         |    LEAST(((day - dmin) * $Blocks) // (dmax - dmin + 1)
+         |      + CASE WHEN event_id % $LateMod = 0 THEN 1 ELSE 0 END,
+         |      $Blocks) AS b
+         |  FROM ev CROSS JOIN bounds),
+         |wm AS (
+         |  SELECT a.b, max(p.tss) - INTERVAL $WatermarkSec SECOND AS w
+         |  FROM (SELECT DISTINCT b FROM assigned) a
+         |  JOIN assigned p ON p.b < a.b GROUP BY a.b),
+         |kept AS (
+         |  SELECT a.* FROM assigned a LEFT JOIN wm ON wm.b = a.b
+         |  WHERE wm.w IS NULL
+         |     OR date_trunc('hour', a.tss) + INTERVAL 1 HOUR > wm.w)
+         |SELECT date_trunc('hour', tss) AS h, event_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM kept GROUP BY 1, 2""".stripMargin,
+    // the batch sessionization (q12 shape, sans the order-dependent
+    // value sum) — the streamed block feed must reproduce it exactly
+    "st_sessionize_stream" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS tss
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, tss,
+        |    lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev
+        |  FROM ev),
+        |flagged AS (
+        |  SELECT user_id, event_id, tss,
+        |    CASE WHEN prev IS NULL
+        |           OR CAST(floor(epoch(tss)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, tss,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(tss) AS start_ts, max(tss) AS end_ts
+        |FROM sess GROUP BY user_id, session_id""".stripMargin
+  )
+}

@@ -101,6 +101,65 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark semantics: in-allowance late row merges, beyond-allowance late row drops") {
+    import spark.implicits._
+    import graft.streaming.StreamingQueries.Ev
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("tss", "600 seconds")
+      .groupBy(window(col("tss"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_sem")
+      .outputMode("append").start()
+    try {
+      // batch 0: [10:00, 10:05] in hour-10; head of hour-12 at 12:00
+      stream.addData(Seq(Ev(1, ts(0), "a", 1.0), Ev(2, ts(300), "a", 1.0),
+        Ev(3, ts(7200), "a", 1.0)))
+      q.processAllAvailable() // watermark now 12:00 − 10 min = 11:50
+      // batch 1: 11:55 is 5 min late but INSIDE the allowance and its
+      // hour-11 window end (12:00) > 11:50 → must merge; 10:30 is an
+      // hour-10 row whose window closed at 11:00 <= 11:50 → must drop
+      stream.addData(Seq(Ev(4, ts(6900), "a", 1.0), Ev(5, ts(1800), "a", 1.0)))
+      q.processAllAvailable()
+      // flush every real window
+      stream.addData(Ev(-1, ts(10 * 86400), "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wm_sem").filter(col("event_type") === "a")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+    // hour-10 has the two on-time rows ONLY (10:30 dropped);
+    // hour-11 holds the merged late 11:55 row; hour-12 its head
+    assert(got === Map(
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:00") -> 2L,
+      java.sql.Timestamp.valueOf("2026-01-01 11:00:00") -> 1L,
+      java.sql.Timestamp.valueOf("2026-01-01 12:00:00") -> 1L), got.toString)
+  }
+
+  test("late-feed window gate equals its SQL watermark model at sf0.001") {
+    // same construction the st_window_late oracle hash-checks at sf0.01:
+    // replay batch assignment + watermark rule in Spark SQL over the
+    // batch table and compare row-for-row with the streamed result
+    import graft.streaming.StreamingQueries
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.lateFeedWindowCounts(spark, sf)
+      .collect().map(_.toSeq).toSet
+    Tables.events(spark, sf).createOrReplaceTempView("events")
+    val modeled = spark.sql(
+      StreamingQueries.oracle("st_window_late")
+        .replaceAll("// ", "DIV ") // DuckDB // -> Spark DIV
+        .replaceAll("epoch\\(ts\\)", "unix_timestamp(ts)")
+        .replaceAll("INTERVAL 600 SECOND", "INTERVAL 600 SECONDS")
+        .replaceAll("INTERVAL 1 HOUR", "INTERVAL 1 HOURS"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === modeled,
+      s"extra=${(streamed -- modeled).take(3)} missing=${(modeled -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize: cross-batch event a gap OLDER than session start becomes its own session") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
