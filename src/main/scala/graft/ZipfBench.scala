@@ -49,6 +49,12 @@ object ZipfBench {
     // round-6 additions only (skip the round-5 suite already recorded
     // in SCALE.md): katz / approx triangles / HLL-ANF / RPQ / MST
     val r6only = args.contains("r6")
+    // `only=<label>`: run exactly one timed query — the fresh-JVM
+    // isolation mode (scripts/zipf_isolated.sh launches one sbt JVM per
+    // query so iterative ops are not distorted by prior queries' heap
+    // pressure and code-cache state; SCALE.md's r6 interference note)
+    val only = args.collectFirst { case a if a.startsWith("only=") =>
+      a.stripPrefix("only=") }
     val spark = SparkSession.builder()
       .appName("graft-zipf-bench").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -86,21 +92,35 @@ object ZipfBench {
     val e = g.edges("Node", "link", "Node")
     val es = g.edgesStd("Node", "link", "Node")
 
-    def time(label: String)(f: => Any): Unit = {
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    def time(label: String)(f: => Any): Unit =
+      if (only.forall(_ == label)) {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"ZIPF $label best=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
       }
-      println(f"ZIPF $label best=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
-    }
 
-    // the hub and a mid-tail anchor, measured not assumed
-    val hub = GraphOps.degrees(es).orderBy(col("degree").desc).limit(1)
-      .collect()(0)
-    val hubId = hub.getLong(1)
-    val hubDeg = hub.getLong(0)
-    val midId = GraphOps.degrees(es)
-      .filter(col("degree").between(50, 200)).orderBy(col("grapharId"))
-      .limit(1).collect()(0).getLong(1)
+    // the hub and a mid-tail anchor, measured not assumed — cached in
+    // the fixture so per-query isolation JVMs don't re-pay two degree
+    // scans each
+    val anchorsPath = new Path(s"$base/_ANCHORS")
+    val (hubId, hubDeg, midId) =
+      if (fs.exists(anchorsPath)) {
+        val in = fs.open(anchorsPath)
+        val parts = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.split(' ') finally in.close()
+        (parts(0).toLong, parts(1).toLong, parts(2).toLong)
+      } else {
+        val hub = GraphOps.degrees(es).orderBy(col("degree").desc).limit(1)
+          .collect()(0)
+        val mid = GraphOps.degrees(es)
+          .filter(col("degree").between(50, 200)).orderBy(col("grapharId"))
+          .limit(1).collect()(0).getLong(1)
+        val out = fs.create(anchorsPath, true)
+        try out.write(s"${hub.getLong(1)} ${hub.getLong(0)} $mid".getBytes("UTF-8"))
+        finally out.close()
+        (hub.getLong(1), hub.getLong(0), mid)
+      }
     println(s"ZIPF hub=$hubId out_degree=$hubDeg mid=$midId V=$V E=$E")
 
     if (r6only) {

@@ -242,6 +242,27 @@ object GraphTableFunctions {
             graft.sources.graphar.GraphArMutations.currentEdges(
               SparkSession.active, base)
         df.queryExecution.analyzed
+      }),
+    // the vertex twin: graph_current_vertices('/base'[, 'Type']) — the
+    // read-your-writes view after SQL UPDATE/DELETE/MERGE staged vertex
+    // deltas (the catalog's pinned snapshot stays immutable until the
+    // next compaction folds the log)
+    (FunctionIdentifier("graph_current_vertices"),
+      new ExpressionInfo(getClass.getName, "graph_current_vertices"),
+      { args =>
+        if (args.size != 1 && args.size != 2)
+          throw new IllegalArgumentException(
+            "graph_current_vertices(snapshot_base[, vertex_type])")
+        val base = strArg("graph_current_vertices", args.head)
+        val df =
+          if (args.size == 2)
+            graft.sources.graphar.GraphArMutations.currentVerticesOf(
+              SparkSession.active, base,
+              strArg("graph_current_vertices", args(1)))
+          else
+            graft.sources.graphar.GraphArMutations.currentVertices(
+              SparkSession.active, base)
+        df.queryExecution.analyzed
       })
   )
 

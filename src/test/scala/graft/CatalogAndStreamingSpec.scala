@@ -380,6 +380,10 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.updv0.snapshot", "0")
     assert(spark.sql("SELECT CAST(sum(score) AS DOUBLE) FROM updv0.`User.vertex`")
       .collect()(0).getDouble(0) === 60.0)
+    // SQL-only read-your-writes: the vertex TVF folds the live log
+    graph.GraphTableFunctions.register(spark)
+    assert(spark.sql(s"SELECT count(*) FROM graph_current_vertices('$base')")
+      .collect()(0).getLong(0) === 3L)
   }
 
   test("retention policy: auto-prune respects the keep window, references, and LATEST") {
