@@ -2001,4 +2001,64 @@ object GraphOps {
             org.apache.spark.sql.types.LongType))))
     else chosen.select(col("a"), col("b"), col("w"))
   }
+
+  /** Time-respecting reachability (temporal BFS) over timestamped edges
+    * `(src, dst, ts)`: a path is valid iff its edge timestamps are
+    * non-decreasing, and a vertex's *arrival time* is the minimum, over
+    * valid paths of ≤ `rounds` edges, of the last edge's timestamp. The
+    * root arrives at `-1` ("before all time"), so every outgoing edge is
+    * eligible from it. This is the standard temporal-graph reachability
+    * semantics (an edge can only be taken at its own timestamp, after
+    * the traveller has arrived); plain BFS over the same edges
+    * OVERSTATES reachability because it ignores edge ordering in time.
+    *
+    * Bounded-round form for the same reason as [[sssp]]'s bounded
+    * Bellman-Ford: a DuckDB oracle unrolls the identical `rounds`
+    * relaxations, so both engines agree even short of the fixpoint.
+    * All-integer arrivals make the comparison hash-exact.
+    *
+    * Frontier relaxation is result-identical to full relaxation, by the
+    * same monotone-min argument as [[sssp]] — with one temporal twist:
+    * when `arr(u)` DECREASES, u's eligible out-edge set `{e : e.ts ≥
+    * arr(u)}` only GROWS, so every contribution folded under the old
+    * arrival is still folded, and only the improved vertices can emit
+    * anything new. Scale shape is exactly [[sssp]]'s: the static edge
+    * table is pre-partitioned on `src` and never reshuffled; each round
+    * moves only the O(V) arrival vector (min is map-side combinable);
+    * small frontiers broadcast.
+    *
+    * @return (v, arrival) for every vertex reachable in ≤ rounds edges
+    */
+  def temporalReachability(spark: SparkSession, edges: DataFrame,
+                           root: Long, rounds: Int = 8): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("ts"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var arr = spark.range(1)
+      .select(lit(root).cast("long").as("v"), lit(-1L).as("arr"))
+    var frontier = arr
+    var frontierSize = 1L
+    var i = 0
+    while (i < rounds && frontierSize > 0) {
+      i += 1
+      val f = frontSide(
+        frontier.select(col("v").as("u"), col("arr").as("au")), frontierSize)
+      val relaxed = f.join(e,
+          col("u") === e("src") && e("ts") >= col("au"))
+        .select(e("dst").as("v"), e("ts").as("arr"))
+      val next = arr.unionAll(relaxed)
+        .groupBy(col("v")).agg(min(col("arr")).as("arr"))
+        .localCheckpoint(false) // lazy: the frontier-count job materializes it
+      val changed = next
+        .join(arr.withColumnRenamed("arr", "old"), Seq("v"), "left")
+        .filter(col("old").isNull || col("arr") < col("old"))
+        .select(col("v"), col("arr"))
+        .localCheckpoint(false)
+      frontierSize = changed.count()
+      frontier = changed
+      arr = next
+    }
+    e.unpersist(blocking = false)
+    arr.select(col("v"), col("arr").as("arrival"))
+  }
 }

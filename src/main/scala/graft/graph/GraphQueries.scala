@@ -150,6 +150,16 @@ object GraphQueries {
           pmod(col("src") * 31 + col("dst"), lit(7L)) + 1),
         RootVid, iters = SsspIters)
     },
+    // time-respecting reachability: a path is valid only if edge
+    // timestamps never decrease along it. Timestamps are derived from
+    // (src, dst) so the oracle re-derives them without an extra column:
+    // ts = (src·13 + dst) mod 97. Same bounded-round contract as g_sssp.
+    "g_temporal_reach" -> { (s, d) =>
+      GraphOps.temporalReachability(s,
+        edgesFrom(s, d).withColumn("ts",
+          pmod(col("src") * 13 + col("dst"), lit(97L))),
+        RootVid, rounds = TemporalRounds)
+    },
     // bounded k-core peel (k=20 converges within the 6 fixed rounds on
     // this graph; the oracle unrolls the same 6 rounds so the hashes
     // agree even where it wouldn't converge)
@@ -362,6 +372,7 @@ object GraphQueries {
   val MstRounds = 9
 
   val SsspIters = 8
+  val TemporalRounds = 8
   val KCoreK = 20
   val KCoreRounds = 6
 
@@ -381,6 +392,29 @@ object GraphQueries {
        |d0 AS (SELECT CAST($RootVid AS BIGINT) AS v, CAST(0 AS BIGINT) AS d),
        |$steps
        |SELECT v, d AS dist FROM d$SsspIters""".stripMargin
+  }
+
+  /** Unrolled bounded temporal relaxation mirroring
+    * [[GraphOps.temporalReachability]]: per round, a vertex's arrival is
+    * the min over (kept arrivals) ∪ (timestamps of in-edges whose ts ≥
+    * the source's arrival). The root starts at −1 so all its out-edges
+    * are eligible; all-integer arrivals keep the hash exact.
+    */
+  private def temporalSql: String = {
+    val steps = (1 to TemporalRounds).map { i =>
+      s"""a$i AS (
+         |  SELECT v, min(arr) AS arr FROM (
+         |    SELECT v, arr FROM a${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, e.ts AS arr
+         |    FROM a${i - 1} JOIN e ON e.src = a${i - 1}.v AND e.ts >= a${i - 1}.arr)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT src, dst, (src * 13 + dst) % 97 AS ts FROM ($edgesSql)),
+       |a0 AS (SELECT CAST($RootVid AS BIGINT) AS v, CAST(-1 AS BIGINT) AS arr),
+       |$steps
+       |SELECT v, arr AS arrival FROM a$TemporalRounds""".stripMargin
   }
 
   /** Unrolled bounded k-core peel mirroring [[GraphOps.kCore]]. */
@@ -933,6 +967,7 @@ object GraphQueries {
            |  SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.c)
            |GROUP BY w.b""".stripMargin,
       "g_sssp" -> ssspSql,
+      "g_temporal_reach" -> temporalSql,
       "g_kcore" -> kcoreSql,
       "g_neighbor_overlap" ->
         s"""WITH e AS ($edgesSql),

@@ -350,6 +350,99 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Edit-distance similarity self-join: all document pairs with
+    * Levenshtein distance ≤ `k`, found WITHOUT an all-pairs comparison
+    * via PassJoin-style segment banding (Li, Deng, Feng — ICDE'11 /
+    * VLDB'12 family; public algorithm). The pigeonhole core: split the
+    * shorter string of a pair into `k+1` contiguous segments — at most
+    * `k` edit errors can touch at most `k` of them, so the longer
+    * string must contain at least one segment VERBATIM, displaced by at
+    * most `k` positions (the net insertions/deletions before it).
+    * Candidates therefore come from an EQUI-join on
+    * `(partner_len, segment_idx, segment_text)`: every string indexes
+    * its own `k+1` segments, and probes with the substrings that could
+    * match a segment of a `[len−k, len]`-length partner at a start
+    * shift of ±k — (k+1)²·(2k+1) ≈ 45 probe keys per doc at k=2,
+    * constant per row. Exact `levenshtein ≤ k` verifies the candidates.
+    *
+    * Strings of length ≤ k pigeonhole degenerately (empty segments
+    * match anywhere), so they take a broadcast side path against the
+    * ≤ 2k-length docs — an ~empty set on text corpora.
+    *
+    * Scale shape: no cross join anywhere — candidates are an equi-join
+    * whose keys carry only ~1/(k+1) of each text; full texts shuffle
+    * only for the verified candidate pairs (id-join after candidate
+    * dedup). Key skew from a corpus-wide boilerplate segment is diluted
+    * by (len, idx) in the key; a pathological repeated-prefix corpus
+    * takes the same hot-key cap treatment as [[minhashLshPairs]]'s
+    * bands. Complements [[minhashLshPairs]] (set overlap, prose-scale
+    * dups) with CHARACTER-level near-identity — the right tool for
+    * templated/OCR'd/version-bumped near-copies.
+    *
+    * @return (d1, d2, dist): unordered pairs (d1 < d2), dist ≤ k
+    */
+  def editDistanceJoin(docs: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val kL = k.toLong
+    val kp1 = (k + 1).toLong
+    val d = docs.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("len"))
+    val long = d.filter(col("len") > kL)
+    // segment layout of a length-l string: base = l div (k+1),
+    // rem = l mod (k+1); segment i has slen = base + (i < rem),
+    // start = i·base + min(i, rem) — earlier segments take the extra char
+    val idx = long.select(col("doc_id").as("a_id"), col("len").as("ls"),
+        explode(transform(sequence(lit(0L), lit(kL)), i => {
+          val base = floor(col("len") / kp1).cast("long")
+          val rem = pmod(col("len"), lit(kp1))
+          val slen = base + when(i < rem, lit(1L)).otherwise(lit(0L))
+          val start = i * base + least(i, rem)
+          struct(i.as("i"), col("text").substr(start + 1, slen).as("seg"))
+        })).as("s"))
+      .select(col("a_id"), col("ls"), col("s.i").as("i"), col("s.seg").as("seg"))
+      .filter(length(col("seg")) > 0)
+    // probe: for each partner length ls in [len−k, len] and segment i,
+    // every own substring of that segment's length starting within ±k
+    // of the segment's start (the shift window is never empty: the
+    // window brackets `start`, and start ≤ ls − slen ≤ len − slen)
+    val probe = long
+      .select(col("doc_id").as("b_id"), col("text"), col("len").as("lb"))
+      .withColumn("ls",
+        explode(sequence(greatest(col("lb") - kL, lit(1L)), col("lb"))))
+      .filter(col("ls") > kL)
+      .withColumn("i", explode(sequence(lit(0L), lit(kL))))
+      .withColumn("base", floor(col("ls") / kp1).cast("long"))
+      .withColumn("rem", pmod(col("ls"), lit(kp1)))
+      .withColumn("slen",
+        col("base") + when(col("i") < col("rem"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("start", col("i") * col("base") + least(col("i"), col("rem")))
+      .filter(col("slen") > 0)
+      .withColumn("p", explode(sequence(
+        greatest(col("start") - kL, lit(0L)),
+        least(col("start") + kL, col("lb") - col("slen")))))
+      .select(col("b_id"), col("ls"), col("i"),
+        col("text").substr(col("p") + 1, col("slen")).as("seg"))
+    val cand = idx.join(probe, Seq("ls", "i", "seg"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    // degenerate lengths (≤ k): any ≤ 2k-length partner is in range;
+    // broadcast nested loop over an ~empty side
+    val tinyCand = broadcast(
+        d.filter(col("len") <= kL).select(col("doc_id").as("a_id")))
+      .join(d.filter(col("len") <= 2 * kL).select(col("doc_id").as("b_id")),
+        col("a_id") =!= col("b_id"))
+    val ta = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val tb = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    cand.unionByName(tinyCand).dropDuplicates("a_id", "b_id")
+      .join(ta, "a_id").join(tb, "b_id")
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text")).cast("long"))
+      .filter(col("dist") <= kL)
+      .select(least(col("a_id"), col("b_id")).as("d1"),
+        greatest(col("a_id"), col("b_id")).as("d2"), col("dist"))
+      .dropDuplicates("d1", "d2")
+  }
+
   // --------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -378,6 +471,25 @@ object Dedup {
       bloomGate(s,
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
+    },
+    // character-level near-identity: PassJoin segment banding + exact
+    // levenshtein verify (oracle brute-forces the length-filtered pairs).
+    // The gate corpus has no raw texts within edit distance 2 of each
+    // other (500 distinct normalized texts; the minhash dups are
+    // TOKEN-level), so the entry runs on the 40-char normalized head —
+    // where 25 identical-head pairs exist — UNIONED with a deterministic
+    // single-deletion variant of every doc (drop char at doc_id mod 40),
+    // which plants dist-1 pairs (doc ↔ its variant) and dist-2 pairs
+    // (variants of same-head docs) so all three distances cross-check
+    "d_fuzzy_join" -> { (s, d) =>
+      val norm = t(s, d, "documents").select(col("doc_id"),
+        substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "),
+          1, 40).as("text"))
+      val p = pmod(col("doc_id"), lit(40L)).cast("int")
+      val variants = norm.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text").substr(lit(1), p),
+          col("text").substr(p + 2, lit(40))).as("text"))
+      editDistanceJoin(norm.unionByName(variants), k = 2)
     }
   )
 
@@ -443,6 +555,26 @@ object Dedup {
        |  FROM sig$sfx, (SELECT unnest(range(0, 4)) AS b))""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // banding is invisible to semantics: the oracle brute-forces the
+    // length-filtered pair space with the same exact levenshtein over
+    // the same head+variant corpus
+    "d_fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 40) AS t
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(t, 1, p) || substr(t, p + 2, 40) AS t
+        |  FROM (SELECT doc_id, doc_id % 40 AS p, t FROM n)),
+        |u AS (SELECT doc_id, t FROM n UNION ALL SELECT doc_id, t FROM v)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM u a JOIN u b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.t) - length(b.t)) <= 2
+        |WHERE levenshtein(a.t, b.t) <= 2""".stripMargin,
+
     // the bloom is invisible to semantics: novel = fingerprint not in corpus
     "d_bloom_gate" ->
       """SELECT doc_id, lang, source FROM documents
