@@ -623,6 +623,59 @@ object GraphOps {
     dist.select(col("v"), col("d").as("dist"))
   }
 
+  /** Source capacity for [[widestPaths]] — an integer stand-in for +∞
+    * that survives `least()` against any derived edge weight while
+    * staying exactly representable on both engines. */
+  val WidestSourceCap: Long = 1L << 62
+
+  /** Widest (bottleneck) path capacities from `source`: maximize, over
+    * all paths, the MINIMUM edge weight along the path — `iters` bounded
+    * max–min relaxation rounds (the tropical dual of [[sssp]]'s
+    * min–plus). Returns (v, cap) for every vertex reached within the
+    * round bound; the source reports [[WidestSourceCap]] (no incoming
+    * constraint). The FIXED round count keeps the operator
+    * oracle-checkable: the DuckDB oracle unrolls the same rounds, so
+    * both engines agree even where relaxation hasn't converged.
+    *
+    * Scale notes: identical shape to [[sssp]] — the static edge table is
+    * pre-partitioned on the per-round join key once and never moves;
+    * each round relaxes only the out-edges of vertices whose capacity
+    * IMPROVED (max–min relaxation is monotone, so a non-improved vertex
+    * contributes nothing new), small frontiers broadcast, and the
+    * max-combine is map-side partial over the O(V) capacity vector.
+    */
+  def widestPaths(spark: SparkSession, edges: DataFrame, source: Long,
+                  iters: Int = 8): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cap = spark.range(1)
+      .select(lit(source).cast("long").as("v"), lit(WidestSourceCap).as("c"))
+    var frontier = cap
+    var frontierSize = 1L
+    var i = 0
+    while (i < iters && frontierSize > 0) {
+      i += 1
+      val f = frontSide(
+        frontier.select(col("v").as("u"), col("c").as("cu")), frontierSize)
+      val relaxed = f.join(e, col("u") === e("src"))
+        .select(e("dst").as("v"), least(col("cu"), e("w")).as("c"))
+      val next = cap.unionAll(relaxed)
+        .groupBy(col("v")).agg(max(col("c")).as("c"))
+        .localCheckpoint(false) // lazy: the frontier-count job materializes it
+      val changed = next
+        .join(cap.withColumnRenamed("c", "old"), Seq("v"), "left")
+        .filter(col("old").isNull || col("c") > col("old"))
+        .select(col("v"), col("c"))
+        .localCheckpoint(false)
+      frontierSize = changed.count()
+      frontier = changed
+      cap = next
+    }
+    e.unpersist(blocking = false)
+    cap.select(col("v"), col("c").as("cap"))
+  }
+
   /** Bounded k-core peel over the undirected simple graph (self-loops
     * dropped): `rounds` iterations of "delete every vertex whose degree
     * is < k, and all its edges". With enough rounds this is exactly the

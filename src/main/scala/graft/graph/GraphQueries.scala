@@ -150,6 +150,15 @@ object GraphQueries {
           pmod(col("src") * 31 + col("dst"), lit(7L)) + 1),
         RootVid, iters = SsspIters)
     },
+    // widest (bottleneck) path: maximize the MINIMUM edge weight along
+    // a path — the max–min tropical dual of g_sssp, same bounded-round
+    // contract and the same derived weight w = (src·31 + dst) mod 7 + 1
+    "g_widest" -> { (s, d) =>
+      GraphOps.widestPaths(s,
+        edgesFrom(s, d).withColumn("w",
+          pmod(col("src") * 31 + col("dst"), lit(7L)) + 1),
+        RootVid, iters = SsspIters)
+    },
     // time-respecting reachability: a path is valid only if edge
     // timestamps never decrease along it. Timestamps are derived from
     // (src, dst) so the oracle re-derives them without an extra column:
@@ -392,6 +401,28 @@ object GraphQueries {
        |d0 AS (SELECT CAST($RootVid AS BIGINT) AS v, CAST(0 AS BIGINT) AS d),
        |$steps
        |SELECT v, d AS dist FROM d$SsspIters""".stripMargin
+  }
+
+  /** Unrolled bounded max–min relaxation mirroring
+    * [[GraphOps.widestPaths]] — [[ssspSql]] with (min, +) swapped for
+    * (max, least); all-integer capacities keep the hash exact.
+    */
+  private def widestSql: String = {
+    val steps = (1 to SsspIters).map { i =>
+      s"""c$i AS (
+         |  SELECT v, max(c) AS c FROM (
+         |    SELECT v, c FROM c${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, least(c${i - 1}.c, e.w) AS c
+         |    FROM c${i - 1} JOIN e ON e.src = c${i - 1}.v)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT src, dst, (src * 31 + dst) % 7 + 1 AS w FROM ($edgesSql)),
+       |c0 AS (SELECT CAST($RootVid AS BIGINT) AS v,
+       |              CAST(${GraphOps.WidestSourceCap} AS BIGINT) AS c),
+       |$steps
+       |SELECT v, c AS cap FROM c$SsspIters""".stripMargin
   }
 
   /** Unrolled bounded temporal relaxation mirroring
@@ -967,6 +998,7 @@ object GraphQueries {
            |  SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.c)
            |GROUP BY w.b""".stripMargin,
       "g_sssp" -> ssspSql,
+      "g_widest" -> widestSql,
       "g_temporal_reach" -> temporalSql,
       "g_kcore" -> kcoreSql,
       "g_neighbor_overlap" ->

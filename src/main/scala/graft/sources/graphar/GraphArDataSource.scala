@@ -590,7 +590,10 @@ abstract class ChunkZipReader(required: StructType, propFilters: Array[Filter],
 
   private lazy val chunkCanMatch: Boolean =
     propFilters.isEmpty || statsCheckFiles.forall { case (path, ft) =>
-      PropFilters.chunkCanMatch(path, ft, propFilters.toSeq, conf)
+      PropFilters.chunkCanMatch(path, ft, propFilters.toSeq, conf) &&
+        // complementary to min/max stats: point lookups on unsorted
+        // columns consult the optional per-chunk bloom sidecar
+        PropFilters.bloomChunkCanMatch(path, propFilters.toSeq, conf)
     }
 
   // explicit var, NOT a lazy val: a failed lazy init would retry (and

@@ -30,7 +30,9 @@ object GraphArQueries {
     // full-path hash: basename-only fixture keys would reuse a stale
     // graph when two data dirs share a basename
     val canonical = new java.io.File(sfDir).getCanonicalPath
-    val name = new java.io.File(sfDir).getName + "_" +
+    // "b1" = fixture layout revision (bloom sidecars added): a cached
+    // pre-revision fixture must rebuild, not be reused
+    val name = new java.io.File(sfDir).getName + "_b1_" +
       Integer.toHexString(canonical.hashCode)
     val base = s"/tmp/graft_graphar/$name"
     val yaml = s"$base/TestGraph.yaml"
@@ -42,7 +44,10 @@ object GraphArQueries {
 
     val part = t(spark, sfDir, "part").orderBy(col("p_partkey"))
     GraphArWriter.writeVertices(part, base,
-      GraphArWriter.VertexSpec("Part", chunkSize = 512, fileType = "parquet"))
+      GraphArWriter.VertexSpec("Part", chunkSize = 512, fileType = "parquet",
+        // p_name is unsorted high-cardinality: min/max stats can't prune
+        // point lookups on it, the per-chunk bloom sidecar can
+        bloomCols = Seq("p_name")))
 
     val edges = t(spark, sfDir, "lineitem").select(
       expr(s"l_orderkey % ${GraphQueries.V}").as("src"),
@@ -379,6 +384,16 @@ object GraphArQueries {
       vertices(s, d).filter(
         col("p_partkey") >= 100L && col("p_partkey") <= 180L && col("p_size") >= 20)
     },
+    // point lookup on the UNSORTED p_name column: footer min/max stats
+    // can't prune it (every chunk's string range spans the probe), the
+    // per-chunk bloom sidecar skips all but the matching/fpp chunks.
+    // The probe value is data-derived (p_name of partkey 42) so the same
+    // query text works at every sf; the driver-side lookup is one row.
+    "ga_bloom_lookup" -> { (s, d) =>
+      val probe = t(s, d, "part").filter(col("p_partkey") === 42L)
+        .select(col("p_name")).collect()(0).getString(0)
+      vertices(s, d).filter(col("p_name") === probe)
+    },
     // single-vertex degree from ONE offset pair (edges_vertex.cpp:68-128
     // pushdown): no scan, no job over edge data
     "ga_degree_of_vertex" -> { (s, d) =>
@@ -474,6 +489,9 @@ object GraphArQueries {
     "ga_prop_filter" ->
       s"""SELECT * FROM ($vertexSql)
          |WHERE p_partkey >= 100 AND p_partkey <= 180 AND p_size >= 20""".stripMargin,
+    "ga_bloom_lookup" ->
+      s"""SELECT * FROM ($vertexSql)
+         |WHERE p_name = (SELECT p_name FROM part WHERE p_partkey = 42)""".stripMargin,
     "ga_degree_of_vertex" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS degree,
          |  CAST(${GraphQueries.RootVid} AS BIGINT) AS grapharId

@@ -45,9 +45,18 @@ object GraphArWriter {
     * path's chunk-packed scan tasks. Output bytes are identical either
     * way (verified by RoundTripSpec).
     */
+  /** `bloomCols`: integral/string/date property columns to index with a
+    * per-chunk bloom-filter sidecar (`chunkN.bloom`, [[BloomSidecar]]).
+    * Complements footer min/max stats: point lookups (`=` / `IN`) on
+    * UNSORTED high-cardinality columns — where every chunk's min/max
+    * range spans the probe and stats prune nothing — skip all chunks
+    * but the (expected) fpp·nChunks false-positive ones unopened.
+    */
   final case class VertexSpec(vertexType: String, chunkSize: Long = 1L << 20,
                               fileType: String = "parquet",
-                              maxTasks: Option[Int] = None)
+                              maxTasks: Option[Int] = None,
+                              bloomCols: Seq[String] = Seq.empty,
+                              bloomFpp: Double = 0.01)
 
   final case class EdgeSpec(srcType: String, edgeType: String, dstType: String,
                             srcVertexCount: Long, dstVertexCount: Long,
@@ -186,9 +195,26 @@ object GraphArWriter {
       val n = indexed.count()
       math.max(1L, (n + cs - 1) / cs).toInt
     }
+    val bloomSet = {
+      val missing = spec.bloomCols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"writeVertices: bloomCols not in the schema: ${missing.mkString(", ")}")
+      spec.bloomCols.foreach { c =>
+        schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType | StringType |
+               DateType => // bloom-indexable
+          case dt => throw new IllegalArgumentException(
+            s"writeVertices: bloomCols column $c has type $dt — only " +
+              "integral, string and date columns are bloom-indexable")
+        }
+      }
+      spec.bloomCols.toSet
+    }
     val groupSchemas = effGroups.map { case (gName, cols) =>
       (gName, cols.map(c => schema(schema.fieldIndex(c))),
-        cols.map(c => schema.fieldIndex(c)))
+        cols.map(c => schema.fieldIndex(c)),
+        // (position inside the group row, column name) per bloomed column
+        cols.zipWithIndex.collect { case (c, gi) if bloomSet(c) => (gi, c) })
     }
     implicit val ord: Ordering[Long] = Ordering.Long
     val factor = packFactor(nChunks, spec.maxTasks)
@@ -201,16 +227,32 @@ object GraphArWriter {
         // roll the per-group sinks on each chunk boundary (factor chunks
         // per task; ids are dense 0..n-1, so no chunk in range is empty)
         var chunk = -1L
-        var sinks: Seq[(ChunkIO.RowSink, Seq[Int])] = null
+        var sinks: Seq[(ChunkIO.RowSink, Seq[Int],
+          Seq[(Int, String, org.apache.spark.util.sketch.BloomFilter)], Path)] = null
         def closeSinks(): Unit = if (sinks != null) {
-          sinks.foreach(_._1.close()); sinks = null
+          // sidecar written AFTER its chunk closes, so its mtime is never
+          // older (the reader's stale-sidecar guard relies on this)
+          sinks.foreach { case (sink, _, blooms, bloomPath) =>
+            sink.close()
+            if (bloomPath != null)
+              BloomSidecar.write(bloomPath, taskConf,
+                blooms.map { case (_, name, bf) => (name, bf) })
+          }
+          sinks = null
         }
         def roll(c: Long): Unit = {
           closeSinks()
           chunk = c
-          sinks = groupSchemas.map { case (gName, fields, idxs) =>
+          sinks = groupSchemas.map { case (gName, fields, idxs, bloomPos) =>
             val p = files.stage(new Path(s"$dir$gName/chunk$chunk"))
-            (ChunkIO.openSink(p, ft, StructType(fields), taskConf), idxs)
+            val blooms = bloomPos.map { case (gi, name) =>
+              (gi, name, org.apache.spark.util.sketch.BloomFilter.create(
+                math.min(cs, Int.MaxValue.toLong), spec.bloomFpp))
+            }
+            val bloomPath = if (bloomPos.nonEmpty)
+              files.stage(new Path(s"$dir$gName/chunk$chunk.bloom")) else null
+            (ChunkIO.openSink(p, ft, StructType(fields), taskConf), idxs,
+              blooms, bloomPath)
           }
         }
         var n = 0L
@@ -219,8 +261,21 @@ object GraphArWriter {
             it.foreach { case (i, row) =>
               val c = i / cs
               if (c != chunk) roll(c)
-              sinks.foreach { case (sink, idxs) =>
-                sink.write(idxs.map(fi => toIo(row, fi, schema)).toArray)
+              sinks.foreach { case (sink, idxs, blooms, _) =>
+                val vals = idxs.map(fi => toIo(row, fi, schema)).toArray
+                sink.write(vals)
+                blooms.foreach { case (gi, _, bf) =>
+                  vals(gi) match {
+                    case null => // bloom indexes non-null values only
+                    case b: Byte => bf.putLong(b.toLong)
+                    case sh: Short => bf.putLong(sh.toLong)
+                    case iv: Int => bf.putLong(iv.toLong) // incl. DATE days
+                    case l: Long => bf.putLong(l)
+                    case s: String => bf.putString(s)
+                    case other => throw new IllegalStateException(
+                      s"unexpected bloom value type ${other.getClass}")
+                  }
+                }
               }
               n += 1
             }
@@ -236,7 +291,7 @@ object GraphArWriter {
       // empty type: keep the layout self-describing with one empty
       // chunk0 per group (pre-packing behavior; readers need no special
       // case for a missing directory)
-      groupSchemas.foreach { case (gName, fields, _) =>
+      groupSchemas.foreach { case (gName, fields, _, _) =>
         ChunkIO.writeRows(new Path(s"$dir$gName/chunk0"), ft,
           StructType(fields), Iterator.empty, conf)
       }

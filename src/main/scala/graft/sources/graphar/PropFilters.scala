@@ -251,4 +251,125 @@ object PropFilters {
       case scala.util.control.NonFatal(_) => true // stats unavailable → scan
     }
   }
+
+  /** Does the conjunction contain a leaf a bloom filter could refute?
+    * (Only membership leaves — range predicates can't use a bloom.) */
+  def hasBloomableLeaf(f: Filter): Boolean = f match {
+    case _: EqualTo | _: In => true
+    case And(l, r) => hasBloomableLeaf(l) || hasBloomableLeaf(r)
+    case Or(l, r) => hasBloomableLeaf(l) && hasBloomableLeaf(r)
+    case _ => false
+  }
+
+  /** Can this chunk possibly satisfy `f`, given per-column bloom
+    * filters? Columns without a bloom → unknown → true. Conservative
+    * like [[canMatch]]: a `false` can only come from a definite
+    * bloom miss on every disjunct.
+    */
+  def bloomCanMatch(f: Filter,
+                    blooms: Map[String, org.apache.spark.util.sketch.BloomFilter]): Boolean =
+    f match {
+      case EqualTo(c, v) => blooms.get(c).forall(might(_, v))
+      case In(c, vs) => blooms.get(c).forall(b => vs.exists(might(b, _)))
+      case And(l, r) => bloomCanMatch(l, blooms) && bloomCanMatch(r, blooms)
+      case Or(l, r) => bloomCanMatch(l, blooms) || bloomCanMatch(r, blooms)
+      case _ => true
+    }
+
+  private def might(b: org.apache.spark.util.sketch.BloomFilter, v: Any): Boolean =
+    norm(v) match {
+      case null => true // null literal: bloom holds non-null values only
+      case i: java.lang.Byte => b.mightContainLong(i.longValue())
+      case i: java.lang.Short => b.mightContainLong(i.longValue())
+      case i: java.lang.Integer => b.mightContainLong(i.longValue())
+      case i: java.lang.Long => b.mightContainLong(i.longValue())
+      case s: String => b.mightContainString(s)
+      case _ => true // fp/boolean literals are never bloom-indexed
+    }
+
+  /** Chunk-level skip from the optional `<chunk>.bloom` sidecar
+    * ([[BloomSidecar]], written by GraphArWriter for the spec's
+    * `bloomCols`): false only when the conjunction is definitely
+    * unsatisfiable by the sidecar's membership filters. Missing or
+    * unreadable sidecar → read the chunk. The footer min/max skip
+    * ([[chunkCanMatch]]) handles sorted/clustered columns; the bloom
+    * handles the complementary case — point lookups on UNSORTED
+    * high-cardinality columns, where every chunk's min/max range spans
+    * the probe value and stats prune nothing.
+    */
+  def bloomChunkCanMatch(path: Path, filters: Seq[Filter],
+                         conf: Configuration): Boolean = {
+    if (filters.isEmpty || !filters.exists(hasBloomableLeaf)) return true
+    try {
+      val fs = path.getFileSystem(conf)
+      val bp = BloomSidecar.sidecarPath(path)
+      if (!fs.exists(bp)) return true
+      // stale-sidecar guard: trust only a sidecar at least as new as the
+      // chunk it indexes (the writer closes the chunk before writing the
+      // sidecar) — a chunk later rewritten WITHOUT bloomCols must not be
+      // pruned by the previous write's filters
+      if (fs.getFileStatus(bp).getModificationTime <
+        fs.getFileStatus(path).getModificationTime) return true
+      val blooms = BloomSidecar.read(bp, conf)
+      blooms.isEmpty || filters.forall(bloomCanMatch(_, blooms))
+    } catch {
+      case scala.util.control.NonFatal(_) => true // sidecar hiccup → scan
+    }
+  }
+}
+
+/** Per-chunk bloom-filter sidecar file: `<chunk>.bloom` beside the
+  * property-group chunk it indexes. Layout: magic, column count, then
+  * per column (UTF name, byte length, `spark.util.sketch.BloomFilter`
+  * stream bytes). Sidecars are ~1.2 MB per million rows per column at
+  * the default 1% fpp — ≤0.5% of the chunk they can save reading.
+  */
+object BloomSidecar {
+  val Magic = 0x47424C4D // "GBLM"
+
+  def sidecarPath(chunk: Path): Path =
+    new Path(chunk.getParent, chunk.getName + ".bloom")
+
+  def write(path: Path, conf: Configuration,
+            cols: Seq[(String, org.apache.spark.util.sketch.BloomFilter)]): Unit = {
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(
+        path.getFileSystem(conf).create(path, true)))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(cols.size)
+      cols.foreach { case (name, bf) =>
+        out.writeUTF(name)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val bytes = bos.toByteArray
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+    } finally out.close()
+  }
+
+  /** Empty map when the sidecar is absent or unreadable (→ no skip). */
+  def read(path: Path,
+           conf: Configuration): Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) return Map.empty
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(fs.open(path)))
+      try {
+        if (in.readInt() != Magic) return Map.empty
+        val n = in.readInt()
+        (0 until n).map { _ =>
+          val name = in.readUTF()
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          name -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+        }.toMap
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty
+    }
 }

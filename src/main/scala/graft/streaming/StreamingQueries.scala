@@ -151,9 +151,76 @@ object StreamingQueries {
         col("session_start").as("start_ts"), col("session_end").as("end_ts"))
   }
 
+  /** Event-time bound of the stream-stream join: a click matches a view
+    * by the same user at most this many seconds later. */
+  val JoinRangeSec = 7200L
+
+  /** Watermarked STREAM-STREAM interval join: views ⋈ clicks of the same
+    * user with `click.tss ∈ [view.tss, view.tss + 2 h]`, both sides
+    * watermarked so Spark can evict view state once no future click can
+    * match it (`view.tss + range < watermark`). The feed cuts both
+    * streams into the same 4 day-quartile blocks fed in time order with
+    * ARRIVAL order scrambled inside each batch — matches that span a
+    * batch boundary (click arrives a block after its view) must come
+    * from retained state, which is the thing worth checking. Blocks are
+    * day-partitioned, so the operative watermark `max(prior tss) − 10
+    * min − 2 h` is always behind the earliest view a new click can
+    * match — no eligible match is ever evicted, and the emitted pair set
+    * equals the batch interval join (the DuckDB oracle) exactly.
+    *
+    * Scale notes: this is the streaming twin of q22_range_join — state
+    * is partitioned by the join key, bounded by watermark eviction to a
+    * ~2 h window per side, and emission is per-microbatch incremental;
+    * nothing in the plan is proportional to history length.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
+        col("user_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)].collect()
+    val days = evs.map(_._2.getTime / 86400000L)
+    val (dmin, dmax) = (days.min, days.max)
+    def block(ts: Timestamp): Int =
+      (((ts.getTime / 86400000L - dmin) * Blocks) / (dmax - dmin + 1)).toInt
+    def scramble(b: Array[(Long, Timestamp, Long)]): Seq[(Long, Timestamp, Long)] =
+      b.sortBy(e => java.util.UUID.nameUUIDFromBytes(
+        e._1.toString.getBytes("UTF-8")).toString).toSeq
+    val views = evs.filter(_._4 == "view").map(e => (e._1, e._2, e._3))
+    val clicks = evs.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long)](spark)
+    val cStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long)](spark)
+    val v = vStream.toDF().toDF("view_id", "v_tss", "v_user")
+      .withWatermark("v_tss", s"$WatermarkSec seconds")
+    val c = cStream.toDF().toDF("click_id", "c_tss", "c_user")
+      .withWatermark("c_tss", s"$WatermarkSec seconds")
+    val joined = v.join(c,
+      expr(s"""v_user = c_user AND c_tss >= v_tss AND
+               c_tss <= v_tss + interval $JoinRangeSec seconds"""))
+      .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
+        col("v_tss").as("view_ts"), col("c_tss").as("click_ts"))
+    val name = "ss_join_" + Integer.toHexString(sfDir.hashCode).filter(_ != '-')
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      (0 until Blocks).foreach { k =>
+        val vb = views.filter(e => block(e._2) == k)
+        val cb = clicks.filter(e => block(e._2) == k)
+        if (vb.nonEmpty) vStream.addData(scramble(vb))
+        if (cb.nonEmpty) cStream.addData(scramble(cb))
+        if (vb.nonEmpty || cb.nonEmpty) q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_late" -> { (s, d) => lateFeedWindowCounts(s, d) },
-    "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) }
+    "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) },
+    "st_stream_join" -> { (s, d) => streamStreamJoin(s, d) }
   )
 
   /** The oracle replays the same batch assignment and watermark rule in
@@ -210,6 +277,21 @@ object StreamingQueries {
         |  FROM flagged)
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |  min(tss) AS start_ts, max(tss) AS end_ts
-        |FROM sess GROUP BY user_id, session_id""".stripMargin
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // the batch interval join the streamed block feed must reproduce
+    // exactly (no drops: the day-partitioned feed keeps the watermark
+    // behind every view a future click can still match)
+    "st_stream_join" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, date_trunc('second', ts) AS tss, user_id,
+         |    event_type
+         |  FROM events),
+         |v AS (SELECT * FROM ev WHERE event_type = 'view'),
+         |c AS (SELECT * FROM ev WHERE event_type = 'click')
+         |SELECT v.event_id AS view_id, c.event_id AS click_id,
+         |  v.user_id, v.tss AS view_ts, c.tss AS click_ts
+         |FROM v JOIN c
+         |  ON c.user_id = v.user_id AND c.tss >= v.tss
+         | AND c.tss <= v.tss + INTERVAL $JoinRangeSec SECOND""".stripMargin
   )
 }

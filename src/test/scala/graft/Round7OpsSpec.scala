@@ -100,4 +100,56 @@ class Round7OpsSpec extends AnyFunSuite {
     // somewhere or the graph is trivially monotone — either way the
     // subset relation above is the semantic contract
   }
+
+  test("widestPaths matches bounded in-memory max-min relaxation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xB07)
+    val V = 60
+    val edges = Seq.fill(700)(
+      (rnd.nextInt(V).toLong, rnd.nextInt(V).toLong,
+        (rnd.nextInt(9) + 1).toLong))
+    val df = edges.toDF("src", "dst", "w")
+    val rounds = 12
+    val got = GraphOps.widestPaths(spark, df, source = 0L, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    var cap = Map(0L -> GraphOps.WidestSourceCap)
+    for (_ <- 1 to rounds) {
+      val relaxed = for {
+        (u, cu) <- cap.toSeq
+        (s, d, w) <- edges if s == u
+      } yield (d, math.min(cu, w))
+      cap = (cap.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (v, vs) => (v, vs.map(_._2).max) }
+    }
+    assert(got === cap)
+    // bottleneck capacity can never exceed the best direct out-weight
+    // seen anywhere on the reachable graph's edges
+    val wmax = edges.map(_._3).max
+    assert(got.forall { case (v, c) =>
+      v == 0L || c <= wmax })
+  }
+
+  test("streamStreamJoin block feed reproduces the batch interval join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = streaming.StreamingQueries.streamStreamJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
+        col("user_id"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("tss").as("v_tss"),
+        col("user_id").as("v_user"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("tss").as("c_tss"),
+        col("user_id").as("c_user"))
+    val batch = v.join(c,
+      col("v_user") === col("c_user") &&
+        col("c_tss") >= col("v_tss") &&
+        col("c_tss") <= col("v_tss") +
+          expr(s"interval ${streaming.StreamingQueries.JoinRangeSec} seconds"))
+      .select(col("view_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
 }

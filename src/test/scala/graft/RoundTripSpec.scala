@@ -467,4 +467,55 @@ class RoundTripSpec extends AnyFunSuite {
       Seq((0L, 15L, "x"), (1L, 20L, "B"), (2L, 30L, "c")))
     assert(readV("0") === Seq((0L, 10L, "a"), (1L, 20L, "b"), (2L, 30L, "c")))
   }
+
+  test("bloom sidecars: per-chunk files, point-lookup pruning, stale guard") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.sources.graphar.{BloomSidecar, PropFilters}
+    val dir = Files.createTempDirectory("gar_bloom").toString
+    // nm = name_((i·37) mod 200) is unique (gcd(37,200)=1) and UNSORTED
+    // across chunks — min/max stats cannot prune a point probe on it
+    val df = (0 until 200).map { i =>
+      (i.toLong, s"name_${(i * 37) % 200}", i % 10)
+    }.toDF("id", "nm", "sz")
+    GraphArWriter.writeVertices(df, dir,
+      GraphArWriter.VertexSpec("T", chunkSize = 40,
+        bloomCols = Seq("nm", "id")))
+    GraphArWriter.writeGraphYaml(dir, "G", Seq("T"), Seq.empty)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val chunks = (0 until 5).map(c => new Path(s"$dir/vertex/T/props/chunk$c"))
+    val fs = chunks.head.getFileSystem(conf)
+    chunks.foreach(p => assert(fs.exists(BloomSidecar.sidecarPath(p))))
+
+    // connector answers stay exact with pruning active
+    val back = spark.read.format("graphar")
+      .option("path", s"$dir/G.yaml").option("type", "T").load()
+    assert(back.filter(col("nm") === "name_151") // row 123·37 ≡ 151 (mod 200)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq === Seq(123L))
+
+    // chunk-skip decision: the owning chunk (123/40 = 3) must pass; all
+    // others refute modulo the 1% fpp (allow one false positive)
+    val nmMatches = chunks.map(p =>
+      PropFilters.bloomChunkCanMatch(p, Seq(EqualTo("nm", "name_151")), conf))
+    assert(nmMatches(3))
+    assert(nmMatches.count(identity) <= 2)
+    // integral column probes go through the long path
+    val idMatches = chunks.map(p =>
+      PropFilters.bloomChunkCanMatch(p, Seq(EqualTo("id", 55L)), conf))
+    assert(idMatches(1))
+    assert(idMatches.count(identity) <= 2)
+    // non-membership predicates never consult the sidecar (no skip)
+    assert(chunks.forall(p => PropFilters.bloomChunkCanMatch(p,
+      Seq(org.apache.spark.sql.sources.GreaterThan("id", 10000L)), conf)))
+
+    // stale guard: a chunk whose file is NEWER than its sidecar (e.g.
+    // rewritten without bloomCols) must not be pruned by the old bloom
+    fs.setTimes(chunks.head, System.currentTimeMillis() + 60000L, -1L)
+    assert(PropFilters.bloomChunkCanMatch(chunks.head,
+      Seq(EqualTo("nm", "no_such_name")), conf))
+    // while a fresh sidecar still refutes the impossible probe elsewhere
+    assert(!PropFilters.bloomChunkCanMatch(chunks(2),
+      Seq(EqualTo("nm", "no_such_name")), conf))
+  }
 }
