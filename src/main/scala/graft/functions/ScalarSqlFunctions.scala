@@ -39,9 +39,19 @@ object ScalarSqlFunctions {
     case _ => throw new IllegalArgumentException(s"$fn(x, y): wrong argument count")
   }
 
+  private def hilbertBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(x, y) => HilbertIndexExpr(x, y, 8)
+    case Seq(x, y, b) => HilbertIndexExpr(x, y, intLit("graft_hilbert", b))
+    case _ => throw new IllegalArgumentException(
+      "graft_hilbert(x, y[, bits]): wrong argument count")
+  }
+
   /** The injectable (name, info, builder) triples. */
   def descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      (FunctionIdentifier("graft_hilbert"),
+        new ExpressionInfo(getClass.getName, "graft_hilbert"),
+        hilbertBuilder _),
       (FunctionIdentifier("graft_minhash_sig"),
         new ExpressionInfo(getClass.getName, "graft_minhash_sig"),
         minhashBuilder _),

@@ -152,6 +152,15 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
     GraphOps.sssp(spark,
       edgesStd(src, t, dst).withColumn("w", lit(1L)), source, iters)
 
+  /** Bottleneck capacities over the unit-weight graph (every edge w=1,
+    * like [[sssp]]'s SQL form): cap is 1 for every reachable vertex, so
+    * the TVF's value is the bounded-round REACHABLE SET; weighted use
+    * goes through [[GraphOps.widestPaths]] with a real weight column. */
+  def widestPaths(src: String, t: String, dst: String, source: Long,
+                  iters: Int = 8): DataFrame =
+    GraphOps.widestPaths(spark,
+      edgesStd(src, t, dst).withColumn("w", lit(1L)), source, iters)
+
   def kCore(src: String, t: String, dst: String, k: Int,
             rounds: Int = 6): DataFrame =
     GraphOps.kCore(spark, edgesStd(src, t, dst), k, rounds)

@@ -134,6 +134,9 @@ object GraphTableFunctions {
     (FunctionIdentifier("graph_sssp"),
       new ExpressionInfo(getClass.getName, "graph_sssp"),
       hopBuilder("graph_sssp", (g, s, t, d, vid) => g.sssp(s, t, d, vid))),
+    (FunctionIdentifier("graph_widest"),
+      new ExpressionInfo(getClass.getName, "graph_widest"),
+      hopBuilder("graph_widest", (g, s, t, d, vid) => g.widestPaths(s, t, d, vid))),
     (FunctionIdentifier("graph_kcore"),
       new ExpressionInfo(getClass.getName, "graph_kcore"),
       hopBuilder("graph_kcore", (g, s, t, d, k) => {

@@ -94,8 +94,48 @@ object Layout {
         col("l_extendedprice"), col("l_quantity"))
   }
 
+  /** Hilbert-curve variant of [[zorderFrame]]: same two sketch passes
+    * and single range exchange, but the clustering key is the Hilbert
+    * index ([[graft.functions.HilbertIndexExpr]], a compiled Catalyst
+    * expression) instead of the Morton interleave. The Hilbert curve
+    * has no power-of-two "seams" — consecutive curve positions are
+    * always 4-adjacent cells — so per-file boxes are tighter and a 2-D
+    * range predicate overlaps fewer files (the spec quantifies this
+    * against the Z-order boxes on the same data).
+    */
+  def hilbertFrame(df: DataFrame, colA: String, colB: String,
+                   numFiles: Int = 16, bits: Int = 8): DataFrame = {
+    val h = graft.functions.HilbertIndexExpr.hilbertc(
+      rankBucket(df, colA, 1 << bits), rankBucket(df, colB, 1 << bits), bits)
+    df.withColumn("_h", h)
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions(col("_h"))
+  }
+
+  def hilbertWrite(df: DataFrame, colA: String, colB: String, path: String,
+                   numFiles: Int = 16, bits: Int = 8): Unit =
+    hilbertFrame(df, colA, colB, numFiles, bits)
+      .drop("_h")
+      .write.mode("overwrite").parquet(path)
+
+  /** Oracle-checked read-back of [[hilbertWrite]] (the p_zorder shape on
+    * a different 2-D band): results are layout-independent, only the
+    * set of files the scan touches changes.
+    */
+  def hilbertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val path = "/tmp/graft_hilbert/lineitem"
+    hilbertWrite(li, "l_extendedprice", "l_quantity", path)
+    spark.read.parquet(path)
+      .filter(col("l_extendedprice").between(40000, 55000) &&
+        col("l_quantity").between(30, 45))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p_zorder" -> { (s, d) => zorderQuery(s, d) }
+    "p_zorder" -> { (s, d) => zorderQuery(s, d) },
+    "p_hilbert" -> { (s, d) => hilbertQuery(s, d) }
   )
 
   def oracle: Map[String, String] = Map(
@@ -103,6 +143,11 @@ object Layout {
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
         |FROM lineitem
         |WHERE l_extendedprice BETWEEN 20000 AND 30000
-        |  AND l_quantity BETWEEN 10 AND 20""".stripMargin
+        |  AND l_quantity BETWEEN 10 AND 20""".stripMargin,
+    "p_hilbert" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |FROM lineitem
+        |WHERE l_extendedprice BETWEEN 40000 AND 55000
+        |  AND l_quantity BETWEEN 30 AND 45""".stripMargin
   )
 }

@@ -76,6 +76,15 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
         operators.Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(diff.toSet === byCol.toSet)
+    // hilbert: SQL form ≡ interpreted twin, default + explicit bits
+    val hs = spark.sql(
+      """SELECT x, y, graft_hilbert(x, y) AS h8, graft_hilbert(x, y, 4) AS h4
+        |FROM VALUES (0, 0), (3, 5), (15, 15), (200, 113) AS t(x, y)""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    hs.foreach { case (x, y, h8, h4) =>
+      assert(h8 === graft.functions.HilbertIndexExpr.xy2d(x, y, 8))
+      assert(h4 === graft.functions.HilbertIndexExpr.xy2d(x, y, 4))
+    }
   }
 
   test("SQL TVFs two_hop/one_more_hop/edges_vertex match the Scala API") {
@@ -127,6 +136,13 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(sqlSssp === g.sssp("Part", "link", "Part", vid)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+
+    val sqlWid = spark.sql(s"SELECT * FROM graph_widest('$yaml', $vid)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sqlWid === g.widestPaths("Part", "link", "Part", vid)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // unit weights: every non-source reachable vertex has capacity 1
+    assert(sqlWid.filter(_._1 != vid).forall(_._2 === 1L))
 
     val sqlCore = spark.sql(s"SELECT * FROM graph_kcore('$yaml', 20)")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
