@@ -121,7 +121,13 @@ object Plans {
       "q30_recursive (Spark 4 recursive CTE: UnionLoop over the edge scan)" ->
         operators.Relational.queries("q30_recursive")(spark, sfDir),
       "p_split (pure map-side hash assignment, no sample state)" ->
-        operators.Pipeline.queries("p_split")(spark, sfDir)
+        operators.Pipeline.queries("p_split")(spark, sfDir),
+      "g_widest (static edge table; O(V) capacity vector per max-min round)" ->
+        graph.GraphQueries.queries("g_widest")(spark, sfDir),
+      "p_hilbert read-back (2-D range filter over Hilbert-clustered files)" ->
+        operators.Layout.queries("p_hilbert")(spark, sfDir),
+      "ga_bloom_lookup (string point probe; bloom sidecars skip chunks pre-open)" ->
+        sources.graphar.GraphArQueries.queries("ga_bloom_lookup")(spark, sfDir)
     )
 
     val sb = new StringBuilder

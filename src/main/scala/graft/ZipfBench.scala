@@ -173,6 +173,12 @@ object ZipfBench {
     time("pagerank_10iter")(GraphOps.pageRank(spark, esP, iters = 10).count())
     time("sssp_8iter")(GraphOps.sssp(spark,
       esP.withColumn("w", lit(1L)), hubId).count())
+    // max-min dual of sssp on derived 1..7 weights: same frontier
+    // shape, but capacities keep improving longer than unit distances
+    // (more rounds with non-empty frontiers — the harder case)
+    time("widest_8iter")(GraphOps.widestPaths(spark,
+      esP.withColumn("w", pmod(col("src") * 31 + col("dst"), lit(7L)) + 1),
+      hubId).count())
     time("kcore_k20")(GraphOps.kCore(spark, esP, 20).count())
     time("triangles")(GraphOps.triangleCount(esP).collect())
     time("clustering_coef")(GraphOps.clusteringCoefficients(esP).count())

@@ -440,6 +440,43 @@ object GraphOps {
     ranks
   }
 
+  /** Edge-weighted PageRank: rank flows along each edge proportional to
+    * the edge's share of its source's total out-weight (uniform weights
+    * reduce to [[pageRank]] exactly). Transition shares p = w/Σw are
+    * precomputed ONCE into the static persisted link table — per round
+    * only the O(V) rank vector joins it, and the in-sum is map-side
+    * combinable. Integer-valued weights keep Σw exact in double, so the
+    * only fp accumulation-order sensitivity is the in-sum — the same
+    * class [[pageRank]]'s micro-quantized gate already audits.
+    */
+  def pageRankWeighted(spark: SparkSession, edges: DataFrame, iters: Int = 10,
+                       damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val links = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = verts.withColumn("rank", lit(1.0)).localCheckpoint(false)
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val contribs = links.join(ranks, links("src") === ranks("v"))
+        .select(col("dst").as("v"), (col("rank") * col("p")).as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("in_sum"))
+      ranks = verts.join(contribs, Seq("v"), "left")
+        .select(col("v"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint(i == iters) // lazy mid-stream; eager on the last
+    }
+    links.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    ranks
+  }
+
   /** Connected components over the UNDIRECTED closure of the edge set:
     * min-label propagation over a STATIC, src-partitioned edge table,
     * accelerated with pointer jumping. Each round:

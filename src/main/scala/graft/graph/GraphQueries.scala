@@ -138,6 +138,22 @@ object GraphQueries {
         .select(col("v"),
           floor(col("rank") * lit(1e6) + lit(0.5)).as("rank_micro"))
     },
+    // edge-weighted PageRank over the g_sssp weight derivation, micro-
+    // quantized exactly like g_pagerank (integer weights make the
+    // per-source out-weight sums exact; only the in-sum accumulation is
+    // order-sensitive, the class the grid absorbs). Boundary audit
+    // (sf0.001 + sf0.01): min distance of any rank to a rounding
+    // boundary is 1.0e-4 grid units ≈ 1e-10 in rank — ~10⁴× the
+    // cross-engine drift — and, unlike the unweighted gate, NO rank
+    // lands exactly on a boundary (weighted in-sums shift the
+    // no-accumulation 0.15 cases off-grid).
+    "g_pagerank_weighted" -> { (s, d) =>
+      GraphOps.pageRankWeighted(s,
+        edgesFrom(s, d).withColumn("w",
+          pmod(col("src") * 31 + col("dst"), lit(7L)) + 1))
+        .select(col("v"),
+          floor(col("rank") * lit(1e6) + lit(0.5)).as("rank_micro"))
+    },
     "g_triangles" -> { (s, d) =>
       GraphOps.triangleCount(edgesFrom(s, d))
     },
@@ -689,6 +705,33 @@ object GraphQueries {
        |  AND sup$KTrussRounds.b = e$KTrussRounds.b""".stripMargin
   }
 
+  /** [[pageRankSql]] with weighted transition shares: links carries
+    * p = w/Σw (rounded once, exactly as the operator precomputes it)
+    * and the in-sum folds rank·p. Same micro-quantized output grid.
+    */
+  private def pageRankWeightedSql: String = {
+    val iters = 10
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v, 0.15 + 0.85 * coalesce(s.in_sum, 0.0) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT links.dst AS v, sum(r${i - 1}.rank * links.p) AS in_sum
+         |    FROM links JOIN r${i - 1} ON r${i - 1}.v = links.src
+         |    GROUP BY links.dst) s ON s.v = verts.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT src, dst,
+       |    CAST((src * 31 + dst) % 7 + 1 AS DOUBLE) AS w FROM ($edgesSql)),
+       |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+       |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |links AS (SELECT e.src, e.dst, e.w / ow.ow AS p
+       |          FROM e JOIN ow ON ow.src = e.src),
+       |r0 AS (SELECT v, 1.0 AS rank FROM verts),
+       |$steps
+       |SELECT v, CAST(floor(rank * 1000000.0 + 0.5) AS BIGINT) AS rank_micro
+       |FROM r$iters""".stripMargin
+  }
+
   private def pageRankSql: String = {
     val iters = 10
     val steps = (1 to iters).map { i =>
@@ -867,6 +910,7 @@ object GraphQueries {
            |SELECT v, CAST(label AS BIGINT) AS community FROM l3""".stripMargin
       },
       "g_pagerank" -> pageRankSql,
+      "g_pagerank_weighted" -> pageRankWeightedSql,
       "g_hits" -> hitsSql,
       "g_ktruss" -> ktrussSql,
       "g_betweenness" -> betweennessSql,

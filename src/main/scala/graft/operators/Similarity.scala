@@ -162,6 +162,25 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Radius (range) search: every (query, neighbor) pair with cosine ≥
+    * `minCos` — the fixed-threshold twin of [[bruteForceTopK]] (vector
+    * stores expose both retrieval modes). Same scale shape: the query
+    * side broadcasts, the corpus never shuffles, and the output is
+    * bounded by the threshold's selectivity rather than k — no window,
+    * no shuffle at all. The compare is one double against an
+    * exactly-representable literal over the order-pinned cosine fold,
+    * so both engines agree bit-for-bit.
+    */
+  def rangeSearch(emb: DataFrame, queryIds: Column, minCos: Double): DataFrame = {
+    val q = emb.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .filter(col("cos") >= minCos)
+      .select(col("q_id"), col("n_id"))
+  }
+
   /** IVF: nearest-centroid assignment + top-k within the query's nProbe
     * nearest clusters. Centroids are the deterministic
     * `vec_id % modulo == 0` subset; nProbe > 1 trades extra cluster reads
@@ -740,6 +759,11 @@ object Similarity {
     "sim_topk" -> { (s, d) =>
       bruteForceTopK(t(s, d, "embeddings"), col("vec_id") < 8, 5)
     },
+    // fixed-radius retrieval over the same query set (0.25 is exactly
+    // representable in binary, so the threshold compare is bit-exact)
+    "sim_range" -> { (s, d) =>
+      rangeSearch(t(s, d, "embeddings"), col("vec_id") < 8, 0.25)
+    },
     // MMR-diversified top-k over the same query set (λ = 0.5 — exactly
     // representable, so both engines score with bit-identical doubles)
     "sim_mmr" -> { (s, d) =>
@@ -1122,6 +1146,14 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |  FROM scored)
          |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "sim_range" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS cos
+         |  FROM c JOIN q ON q_id <> n_id)
+         |SELECT q_id, n_id FROM scored WHERE cos >= 0.25""".stripMargin,
 
     "sim_mmr" -> mmrOracleSql,
     "sim_mmr_stored" -> mmrStoredOracleSql,

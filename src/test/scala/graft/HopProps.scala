@@ -436,4 +436,34 @@ object HopProps extends Properties("graft.hops") {
         verts.forall(v => math.abs(got(v) - ranks(v)) < 1e-9)
       }
     }
+
+  property("pageRankWeighted matches driver-side weighted power iteration; uniform w == pageRank") =
+    forAll(genGraph) { case (edges, _) =>
+      edges.isEmpty || {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        def w(s: Long, t: Long): Double = ((s * 31 + t) % 7 + 1).toDouble
+        val df = toDf(edges).withColumn("w",
+          pmod(col("src") * 31 + col("dst"), lit(7L)) + 1)
+        val got = GraphOps.pageRankWeighted(spark, df, iters = 10).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val d = 0.85
+        val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        val ow = edges.groupBy(_._1).view
+          .mapValues(_.map { case (s, t) => w(s, t) }.sum).toMap
+        var ranks = verts.map(_ -> 1.0).toMap
+        (1 to 10).foreach { _ =>
+          val in = edges.groupBy(_._2).view.mapValues(
+            _.map { case (s, t) => ranks(s) * (w(s, t) / ow(s)) }.sum).toMap
+          ranks = verts.map(v => v -> ((1 - d) + d * in.getOrElse(v, 0.0))).toMap
+        }
+        val weightedOk = verts.forall(v => math.abs(got(v) - ranks(v)) < 1e-9)
+        // uniform weights must reduce to plain pageRank (same fixpoint)
+        val uni = GraphOps.pageRankWeighted(spark,
+          toDf(edges).withColumn("w", lit(3L)), iters = 10).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val plain = GraphOps.pageRank(spark, toDf(edges), iters = 10).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        weightedOk && verts.forall(v => math.abs(uni(v) - plain(v)) < 1e-9)
+      }
+    }
 }

@@ -386,6 +386,22 @@ class PlanSpec extends AnyFunSuite {
       s"global sort crept in:\n$sorts\n$p")
   }
 
+  test("hilbert write plan: ONE range exchange on the hilbert key, sort within partitions only") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val staged = operators.Layout.hilbertFrame(li, "l_extendedprice", "l_quantity")
+    val p = plan(staged)
+    assert(p.contains("rangepartitioning(_h"), s"no range exchange on h:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$p")
+    val sorts = p.linesIterator.filter(_.contains("Sort ")).toSeq
+    assert(sorts.nonEmpty && sorts.forall(_.contains("false")),
+      s"global sort crept in:\n$sorts\n$p")
+    // the hilbert key must be the compiled expression, not a UDF
+    assert(p.contains("hilbertindexexpr") || p.contains("HilbertIndexExpr") ||
+      !p.toLowerCase.contains("batchevalpython"),
+      s"hilbert key not a native expression:\n$p")
+  }
+
   test("louvain round: edge table hash-partitioned once; labels join it (no edge re-shuffle)") {
     // one synchronous round's evc aggregation over the persisted ue
     // table: the plan must aggregate partial-first and shuffle only
