@@ -157,6 +157,19 @@ object GraphQueries {
     "g_triangles" -> { (s, d) =>
       GraphOps.triangleCount(edgesFrom(s, d))
     },
+    // SimRank on the <SimRankInduced induced subgraph (exact pair state
+    // is Θ(V²) — the scale path is walk-sampling, GraphOps.simRank
+    // scaladoc); 3 fixed rounds unrolled in the oracle. INTEGER
+    // fixed-point (10⁻¹² units, C = 3/4 as a floor division) — fp
+    // SimRank scores land exactly on rational grid boundaries (21/640
+    // et al.), where accumulation-order drift defeats any quantized
+    // double compare; all-long arithmetic is order-independent.
+    "g_simrank" -> { (s, d) =>
+      GraphOps.simRank(s,
+        edgesFrom(s, d).filter(col("src") < SimRankInduced &&
+          col("dst") < SimRankInduced),
+        rounds = SimRankRounds)
+    },
     // weighted SSSP, 8 bounded Bellman-Ford rounds from the root; the
     // edge weight is derived from (src, dst) so the oracle re-derives
     // it without an extra column: w = (src·31 + dst) mod 7 + 1
@@ -398,6 +411,10 @@ object GraphQueries {
 
   val SsspIters = 8
   val TemporalRounds = 8
+  /** g_simrank gate scope + fixed iteration count (see the queries
+    * entry: exact pair state is quadratic, so the gate induces). */
+  val SimRankInduced = 256
+  val SimRankRounds = 3
   val KCoreK = 20
   val KCoreRounds = 6
 
@@ -705,6 +722,38 @@ object GraphQueries {
        |  AND sup$KTrussRounds.b = e$KTrussRounds.b""".stripMargin
   }
 
+  /** Unrolled bounded SimRank iteration mirroring [[GraphOps.simRank]]:
+    * per round, every off-diagonal pair's score is (3·Σ previous-round
+    * in-neighbor-pair scores) div (4·d_a·d_b) in 10⁻¹² fixed-point
+    * units (diagonal fixed at 10¹², re-added each round). All-integer
+    * floor division on positive values — bit-identical on both engines
+    * regardless of accumulation order.
+    */
+  private def simRankSql: String = {
+    val steps = (1 to SimRankRounds).map { i =>
+      s"""s$i AS (
+         |  SELECT a, b, s FROM s0
+         |  UNION ALL
+         |  SELECT e1.a AS a, e2.a AS b,
+         |    CAST((3 * sum(sp.s)) // (4 * ia.d * ib.d) AS BIGINT) AS s
+         |  FROM e e1 JOIN s${i - 1} sp ON sp.a = e1.u
+         |  JOIN e e2 ON e2.u = sp.b
+         |  JOIN ind ia ON ia.a = e1.a
+         |  JOIN ind ib ON ib.a = e2.a
+         |  WHERE e1.a <> e2.a
+         |  GROUP BY e1.a, e2.a, ia.d, ib.d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT dst AS a, src AS u FROM ($edgesSql)
+       |  WHERE src < $SimRankInduced AND dst < $SimRankInduced),
+       |ind AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+       |verts AS (SELECT a AS v FROM e UNION SELECT u FROM e),
+       |s0 AS (SELECT v AS a, v AS b,
+       |       CAST(${GraphOps.SimRankOne} AS BIGINT) AS s FROM verts),
+       |$steps
+       |SELECT a, b, s AS s_fp FROM s$SimRankRounds WHERE a < b""".stripMargin
+  }
+
   /** [[pageRankSql]] with weighted transition shares: links carries
     * p = w/Σw (rounded once, exactly as the operator precomputes it)
     * and the in-sum folds rank·p. Same micro-quantized output grid.
@@ -911,6 +960,7 @@ object GraphQueries {
       },
       "g_pagerank" -> pageRankSql,
       "g_pagerank_weighted" -> pageRankWeightedSql,
+      "g_simrank" -> simRankSql,
       "g_hits" -> hitsSql,
       "g_ktruss" -> ktrussSql,
       "g_betweenness" -> betweennessSql,

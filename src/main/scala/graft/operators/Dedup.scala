@@ -52,6 +52,49 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
+  /** Directional n-gram containment pairs via an inverted shingle
+    * index: cont(A, B) = max(|∩|/|sh(A)|, |∩|/|sh(B)|) — the near-dup
+    * measure Jaccard misses when a SMALL document is embedded in a
+    * large one (|∩|/|∪| stays low while |∩|/|sh(small)| ≈ 1). MinHash
+    * banding cannot surface those pairs either (band keys sample the
+    * union), so the candidate generator is the inverted index itself:
+    * explode distinct shingles, self-join on the shingle, count shared
+    * shingles per pair — pairs meet ONLY through shared shingles (no
+    * cartesian) and the pair count is a map-side-combinable aggregate.
+    *
+    * `maxDf` caps a shingle's document frequency: a corpus-stopword
+    * shingle (df ≈ corpus size) would contribute df² candidate rows.
+    * Over-cap shingles are dropped from the INDEX — reported
+    * containment then undercounts by at most (dropped ∩ sh(A))/|sh(A)|,
+    * the recall knob a 100 TB run sets consciously. The default drops
+    * nothing and is exact (the oracle's semantics).
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    val s = shingleSets(docs, n).filter(size(col("sh")) > 0)
+    val sizes = s.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val inv = s.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val kept =
+      if (maxDf == Long.MaxValue) inv
+      else {
+        val hot = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("sh"))
+        inv.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val common = kept.select(col("doc_id").as("a_id"), col("sh"))
+      .join(kept.select(col("doc_id").as("b_id"), col("sh")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("b_n")), "b_id")
+      .withColumn("cont",
+        greatest(col("common") * lit(1.0) / col("a_n"),
+          col("common") * lit(1.0) / col("b_n")))
+      .filter(col("cont") >= threshold)
+      .select(col("a_id"), col("b_id"), col("common"), col("cont"))
+  }
+
   /** MinHash + LSH banding + exact-Jaccard verification.
     * k signature minima, `bands` bands of k/bands rows each; candidate
     * pairs = docs sharing at least one full band key; emitted pairs are
@@ -448,6 +491,8 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact" -> { (s, d) => exact(t(s, d, "documents")) },
     "d_ngram_jaccard" -> { (s, d) => ngramJaccardPairs(t(s, d, "documents"), 3, 0.2) },
+    // directional containment, exact (no df cap on the gate corpus)
+    "d_containment" -> { (s, d) => containmentPairs(t(s, d, "documents"), 3, 0.6) },
     "d_minhash_lsh" -> { (s, d) => minhashLshPairs(t(s, d, "documents")) },
     "d_dedup_corpus" -> { (s, d) =>
       dropNearDuplicates(t(s, d, "documents"))
@@ -624,6 +669,21 @@ object Dedup {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
          |    len(list_distinct(a.sh || b.sh)) >= 0.2""".stripMargin,
+
+    // brute-force pair scan (fine at oracle scale); common > 0 mirrors
+    // the operator's pairs-meet-through-shared-shingles candidate set
+    "d_containment" ->
+      s"""WITH s0 AS ($shSqlDocs),
+         |s AS (SELECT * FROM s0 WHERE len(sh) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+         |    greatest(
+         |      len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh),
+         |      len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh)) AS cont
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, common, cont FROM pairs
+         |WHERE common > 0 AND cont >= 0.6""".stripMargin,
 
     "d_dedup_corpus" ->
       s"""WITH ${minhashCtes("documents")}

@@ -129,6 +129,94 @@ class Round7OpsSpec extends AnyFunSuite {
       v == 0L || c <= wmax })
   }
 
+  test("simRank matches bounded in-memory fixed-point iteration; tracks real SimRank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x51AB)
+    val V = 40
+    val edges = Seq.fill(160)(
+      (rnd.nextInt(V).toLong, rnd.nextInt(V).toLong)).distinct
+    val df = edges.toDF("src", "dst")
+    val rounds = 3
+    val got = GraphOps.simRank(spark, df, rounds)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // reference 1: the same integer fixed-point model (exact match)
+    val inN = edges.groupBy(_._2).view.mapValues(_.map(_._1).distinct).toMap
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val One = GraphOps.SimRankOne
+    def diagDefault(m: Map[(Long, Long), Long]): ((Long, Long)) => Long = {
+      case (x, y) => if (x == y && verts.contains(x)) One else 0L
+    }
+    var s = Map.empty[(Long, Long), Long].withDefault(diagDefault(Map.empty))
+    for (_ <- 1 to rounds) {
+      val next = (for {
+        a <- verts; b <- verts; if a != b
+        ia = inN.getOrElse(a, Seq.empty); ib = inN.getOrElse(b, Seq.empty)
+        if ia.nonEmpty && ib.nonEmpty
+      } yield {
+        val total = (for (u <- ia; v <- ib) yield s((u, v))).sum
+        ((a, b), (3L * total) / (4L * ia.size * ib.size))
+      }).toMap
+      s = next.withDefault(diagDefault(next))
+    }
+    val want = s.filter { case ((a, b), v) => a < b && v != 0L }
+    assert(got.keySet === want.keySet)
+    assert(got === want) // bit-exact: all-integer arithmetic
+    // reference 2: the fixed-point result tracks REAL (double) SimRank
+    // within rounds·1e-12 truncation loss
+    var r = Map.empty[(Long, Long), Double].withDefault {
+      case (x, y) => if (x == y && verts.contains(x)) 1.0 else 0.0
+    }
+    for (_ <- 1 to rounds) {
+      val next = (for {
+        a <- verts; b <- verts; if a != b
+        ia = inN.getOrElse(a, Seq.empty); ib = inN.getOrElse(b, Seq.empty)
+        if ia.nonEmpty && ib.nonEmpty
+      } yield {
+        val total = (for (u <- ia; v <- ib) yield r((u, v))).sum
+        ((a, b), 0.75 * total / (ia.size.toLong * ib.size))
+      }).toMap
+      r = next.withDefault {
+        case (x, y) => if (x == y && verts.contains(x)) 1.0 else 0.0
+      }
+    }
+    got.foreach { case (k, v) =>
+      assert(math.abs(v.toDouble / One - r(k)) < rounds * 1e-12 + 1e-9, s"$k") }
+    // similarity bounded by C
+    assert(got.values.forall(v => v > 0L && v <= (3L * One) / 4L))
+  }
+
+  test("containmentPairs finds embedded documents that jaccard misses; df cap only removes") {
+    import spark.implicits._
+    val base = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .limit(40).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // plant: doc 9000+i = (short prefix of doc i) embedded in a long tail
+    // of doc (i+1)'s text — high containment, low jaccard
+    val planted = base.take(10).zipWithIndex.map { case ((id, txt), i) =>
+      val small = txt.split(" ").take(12).mkString(" ")
+      val fill = base((i + 1) % base.length)._2.split(" ").take(120).mkString(" ")
+      (9000L + id, small + " " + fill)
+    }
+    val smalls = base.take(10).map { case (id, txt) =>
+      (5000L + id, txt.split(" ").take(12).mkString(" ")) }
+    val docs = (base ++ planted ++ smalls).toSeq.toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    val pairs = Dedup.containmentPairs(docs, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every small doc is contained in its planted host
+    smalls.zip(planted).foreach { case ((sid, _), (pid, _)) =>
+      assert(pairs.contains((sid, pid)), s"missing ($sid, $pid)") }
+    // jaccard at the same bar misses them (the union is dominated by fill)
+    val jac = Dedup.ngramJaccardPairs(docs, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    smalls.zip(planted).foreach { case ((sid, _), (pid, _)) =>
+      assert(!jac.contains((sid, pid))) }
+    // a df cap can only REMOVE pairs (drops index entries), never add
+    val capped = Dedup.containmentPairs(docs, 3, 0.9, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(pairs))
+  }
+
   test("streamStreamJoin block feed reproduces the batch interval join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = streaming.StreamingQueries.streamStreamJoin(spark, dir)
