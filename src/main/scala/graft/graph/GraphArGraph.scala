@@ -125,6 +125,10 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
   def connectedComponents(src: String, t: String, dst: String): DataFrame =
     GraphOps.connectedComponents(spark, edgesStd(src, t, dst))
 
+  def maximalMatching(src: String, t: String, dst: String,
+                      rounds: Int = 6): DataFrame =
+    GraphOps.maximalMatching(spark, edgesStd(src, t, dst), rounds)
+
   def stronglyConnectedComponents(src: String, t: String, dst: String): DataFrame =
     GraphOps.stronglyConnectedComponents(spark, edgesStd(src, t, dst))
 

@@ -157,6 +157,12 @@ object GraphQueries {
     "g_triangles" -> { (s, d) =>
       GraphOps.triangleCount(edgesFrom(s, d))
     },
+    // deterministic maximal matching (mutual-proposal rounds under the
+    // lexicographic edge order — no hashes); the oracle unrolls the
+    // same fixed rounds, so results are identical even pre-convergence
+    "g_matching" -> { (s, d) =>
+      GraphOps.maximalMatching(s, edgesFrom(s, d), rounds = MatchRounds)
+    },
     // SimRank on the <SimRankInduced induced subgraph (exact pair state
     // is Θ(V²) — the scale path is walk-sampling, GraphOps.simRank
     // scaladoc); 3 fixed rounds unrolled in the oracle. INTEGER
@@ -415,6 +421,12 @@ object GraphQueries {
     * entry: exact pair state is quadratic, so the gate induces). */
   val SimRankInduced = 256
   val SimRankRounds = 3
+  /** g_matching fixed round count (MatchProbe: the full graph retires
+    * every matchable vertex well inside 6 mutual-proposal rounds). */
+  val MatchRounds = 6
+  /** Lexicographic (a, b) pairs as single BIGINTs in the matching
+    * oracle — valid because every vertex id < V < this base. */
+  val MatchKeyBase = 100000L
   val KCoreK = 20
   val KCoreRounds = 6
 
@@ -722,6 +734,48 @@ object GraphQueries {
        |  AND sup$KTrussRounds.b = e$KTrussRounds.b""".stripMargin
   }
 
+  /** Unrolled mutual-proposal matching rounds mirroring
+    * [[GraphOps.maximalMatching]]: per round, per-vertex min incident
+    * edge under the (md5 priority, a, b) order — row_number mirrors
+    * Spark's `min(struct(h, a, b))`, and the md5 bigint is the same
+    * [[misSql]] construction — an edge matches iff both endpoints
+    * picked it, matched vertices' edges drop.
+    */
+  private def matchingSql: String = {
+    val base = MatchKeyBase
+    def h(r: Int) =
+      s"CAST(('0x' || substr(md5('match-$r-' || CAST(a AS VARCHAR) || " +
+        s"'-' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val steps = (1 to MatchRounds).map { i =>
+      s"""hh$i AS MATERIALIZED (
+         |  SELECT a, b, a * $base + b AS k, ${h(i)} AS h FROM a${i - 1}),
+         |p$i AS MATERIALIZED (
+         |  SELECT v, k AS pk FROM (
+         |    SELECT v, k, row_number() OVER (PARTITION BY v ORDER BY h, a, b) AS rn
+         |    FROM (
+         |      SELECT a AS v, a, b, k, h FROM hh$i
+         |      UNION ALL
+         |      SELECT b AS v, a, b, k, h FROM hh$i))
+         |  WHERE rn = 1),
+         |m$i AS MATERIALIZED (
+         |  SELECT x.a, x.b FROM a${i - 1} x
+         |  JOIN p$i p1 ON p1.v = x.a JOIN p$i p2 ON p2.v = x.b
+         |  WHERE p1.pk = x.a * $base + x.b AND p2.pk = x.a * $base + x.b),
+         |mv$i AS MATERIALIZED (SELECT a AS v FROM m$i UNION SELECT b FROM m$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT x.a, x.b FROM a${i - 1} x
+         |  WHERE x.a NOT IN (SELECT v FROM mv$i)
+         |    AND x.b NOT IN (SELECT v FROM mv$i))""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to MatchRounds)
+      .map(i => s"SELECT a, b FROM m$i").mkString("\nUNION ALL\n")
+    s"""WITH a0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM ($edgesSql) WHERE src <> dst),
+       |$steps
+       |$unions""".stripMargin
+  }
+
   /** Unrolled bounded SimRank iteration mirroring [[GraphOps.simRank]]:
     * per round, every off-diagonal pair's score is (3·Σ previous-round
     * in-neighbor-pair scores) div (4·d_a·d_b) in 10⁻¹² fixed-point
@@ -961,6 +1015,7 @@ object GraphQueries {
       "g_pagerank" -> pageRankSql,
       "g_pagerank_weighted" -> pageRankWeightedSql,
       "g_simrank" -> simRankSql,
+      "g_matching" -> matchingSql,
       "g_hits" -> hitsSql,
       "g_ktruss" -> ktrussSql,
       "g_betweenness" -> betweennessSql,

@@ -109,6 +109,10 @@ object GraphTableFunctions {
       new ExpressionInfo(getClass.getName, "connected_components"),
       wholeGraphBuilder("connected_components",
         (g, s, t, d) => g.connectedComponents(s, t, d))),
+    (FunctionIdentifier("graph_matching"),
+      new ExpressionInfo(getClass.getName, "graph_matching"),
+      wholeGraphBuilder("graph_matching",
+        (g, s, t, d) => g.maximalMatching(s, t, d))),
     (FunctionIdentifier("strongly_connected_components"),
       new ExpressionInfo(getClass.getName, "strongly_connected_components"),
       wholeGraphBuilder("strongly_connected_components",

@@ -185,6 +185,46 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v > 0L && v <= (3L * One) / 4L))
   }
 
+  test("maximalMatching: valid matching, maximal at convergence, equals round model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x3A7C)
+    val V = 80
+    val edges = Seq.fill(400)(
+      (rnd.nextInt(V).toLong, rnd.nextInt(V).toLong))
+    val df = edges.toDF("src", "dst")
+    val rounds = 12
+    val got = GraphOps.maximalMatching(spark, df, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // in-memory twin of the mutual-proposal rounds (same md5 priority)
+    def h(r: Int, a: Long, b: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"match-$r-$a-$b".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    var alive = edges.map { case (s, t) => (math.min(s, t), math.max(s, t)) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    var want = Set.empty[(Long, Long)]
+    for (r <- 1 to rounds if alive.nonEmpty) {
+      val prop = (alive.toSeq.map { case (a, b) => (a, (h(r, a, b), a, b)) } ++
+        alive.toSeq.map { case (a, b) => (b, (h(r, a, b), a, b)) })
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val m = alive.filter { case (a, b) =>
+        prop(a) == (h(r, a, b), a, b) && prop(b) == (h(r, a, b), a, b) }
+      want ++= m
+      val mv = m.flatMap(e => Seq(e._1, e._2))
+      alive = alive.filterNot(e => mv(e._1) || mv(e._2))
+    }
+    assert(got === want)
+    // matching property: no vertex appears twice
+    val vs = got.toSeq.flatMap(e => Seq(e._1, e._2))
+    assert(vs.distinct.size === vs.size)
+    // maximality: every remaining edge touches a matched vertex
+    val mset = vs.toSet
+    val allE = edges.map { case (s, t) => (math.min(s, t), math.max(s, t)) }
+      .filter { case (a, b) => a != b }
+    assert(allE.forall { case (a, b) => mset(a) || mset(b) })
+  }
+
   test("containmentPairs finds embedded documents that jaccard misses; df cap only removes") {
     import spark.implicits._
     val base = Tables.t(spark, "/root/testdata/sf0.001", "documents")
