@@ -179,6 +179,15 @@ object ZipfBench {
     time("widest_8iter")(GraphOps.widestPaths(spark,
       esP.withColumn("w", pmod(col("src") * 31 + col("dst"), lit(7L)) + 1),
       hubId).count())
+    // hashed mutual-proposal matching: the hub's 2.7M proposals combine
+    // map-side in the per-vertex min; retirement anti-joins shrink alive
+    time("matching_6r")(GraphOps.maximalMatching(spark, esP, rounds = 6)
+      .count())
+    // weighted pagerank: same static-links shape as pagerank_10iter,
+    // transition shares precomputed once
+    time("pagerank_w_10iter")(GraphOps.pageRankWeighted(spark,
+      esP.withColumn("w", pmod(col("src") * 31 + col("dst"), lit(7L)) + 1),
+      iters = 10).count())
     time("kcore_k20")(GraphOps.kCore(spark, esP, 20).count())
     time("triangles")(GraphOps.triangleCount(esP).collect())
     time("clustering_coef")(GraphOps.clusteringCoefficients(esP).count())

@@ -502,6 +502,73 @@ object GraphOps {
     matched.reduce(_ unionAll _)
   }
 
+  /** Jones–Plassmann greedy coloring: per round, every UNCOLORED vertex
+    * whose static hash priority is a strict local max among its
+    * uncolored neighbors takes the smallest color absent from its
+    * already-colored neighborhood (same-round winners are never
+    * adjacent — strict max under the total (p, v) order — so the
+    * coloring is always proper). FIXED round count for oracle parity;
+    * vertices still uncolored after `rounds` are absent from the
+    * output (a valid partial coloring). Returns (v, color).
+    *
+    * The mex is computed without ranges: mex(S) = min(({0} ∪ {c+1 :
+    * c ∈ S}) \ S) — candidate set bounded by |colored neighbors|+1,
+    * one anti-join + min, no per-vertex sequence explode.
+    *
+    * Scale notes: per-round work is one neighbor-max over the
+    * undecided-induced edges (map-side combinable) plus the mex join
+    * bounded by colored-neighbor edges; the undecided set only
+    * shrinks; the static edge table is persisted once. Same family as
+    * [[maximalIndependentSet]] (a JP round's winner set IS an MIS of
+    * the undecided subgraph).
+    */
+  def greedyColoring(spark: SparkSession, edges: DataFrame,
+                     rounds: Int = 6, seed: String = "color"): DataFrame = {
+    val canon = undirectedSimple(edges)
+    val ue = canon.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(canon.select(col("b").as("s"), col("a").as("t")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var und = ue.select(col("s").as("v")).distinct()
+      .withColumn("p", expr(
+        s"cast(conv(substr(md5(concat('$seed-', cast(v as string))), 1, 15), 16, 10) as bigint)"))
+      .localCheckpoint(true)
+    var coloredParts = List.empty[DataFrame]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val nbrMax = ue
+        .join(und.select(col("v").as("s"), col("p").as("ps")), "s")
+        .join(und.select(col("v").as("t")), "t")
+        .groupBy(col("t").as("v"))
+        .agg(max(struct(col("ps"), col("s"))).as("mx"))
+      val winners = und.join(nbrMax, Seq("v"), "left")
+        .filter(col("mx").isNull ||
+          struct(col("p").as("ps"), col("v").as("s")) > col("mx"))
+        .select(col("v"))
+        .localCheckpoint(true) // reused: mex joins + undecided shrink
+      // colored-neighbor colors of this round's winners (prior rounds
+      // only — same-round winners are independent, no conflict)
+      val nbrC = coloredParts.reduceOption(_ unionAll _) match {
+        case None => winners.select(col("v"), lit(0L).as("c")).limit(0)
+        case Some(cdf) => ue
+          .join(winners.withColumnRenamed("v", "t"), "t")
+          .join(cdf.select(col("v").as("s"), col("color").as("c")), "s")
+          .select(col("t").as("v"), col("c")).distinct()
+      }
+      val cand = winners.select(col("v"), lit(0L).as("c"))
+        .unionAll(nbrC.select(col("v"), (col("c") + 1).as("c")))
+      val newColors = cand.join(nbrC, Seq("v", "c"), "left_anti")
+        .groupBy(col("v")).agg(min(col("c")).as("color"))
+        .localCheckpoint(true)
+      coloredParts ::= newColors
+      und = und.join(winners, Seq("v"), "left_anti").localCheckpoint(true)
+      done = und.isEmpty
+    }
+    ue.unpersist(blocking = false)
+    coloredParts.reduce(_ unionAll _)
+  }
+
   /** Fixed-point unit of [[simRank]] scores: s_fp = s · 10¹². */
   val SimRankOne: Long = 1000000000000L
 

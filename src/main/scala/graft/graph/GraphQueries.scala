@@ -163,6 +163,13 @@ object GraphQueries {
     "g_matching" -> { (s, d) =>
       GraphOps.maximalMatching(s, edgesFrom(s, d), rounds = MatchRounds)
     },
+    // Jones–Plassmann greedy coloring (static md5 priorities, strict
+    // local max, mex without ranges); 6 fixed rounds unrolled in the
+    // oracle — vertices still uncolored after round 6 are absent on
+    // both engines, so the partial coloring hashes identically
+    "g_coloring" -> { (s, d) =>
+      GraphOps.greedyColoring(s, edgesFrom(s, d), rounds = ColorRounds)
+    },
     // SimRank on the <SimRankInduced induced subgraph (exact pair state
     // is Θ(V²) — the scale path is walk-sampling, GraphOps.simRank
     // scaladoc); 3 fixed rounds unrolled in the oracle. INTEGER
@@ -424,6 +431,8 @@ object GraphQueries {
   /** g_matching fixed round count (MatchProbe: the full graph retires
     * every matchable vertex well inside 6 mutual-proposal rounds). */
   val MatchRounds = 6
+  /** g_coloring fixed round count (partial coloring past it). */
+  val ColorRounds = 6
   /** Lexicographic (a, b) pairs as single BIGINTs in the matching
     * oracle — valid because every vertex id < V < this base. */
   val MatchKeyBase = 100000L
@@ -776,6 +785,50 @@ object GraphQueries {
        |$unions""".stripMargin
   }
 
+  /** Unrolled Jones–Plassmann rounds mirroring
+    * [[GraphOps.greedyColoring]]: strict-local-max winners under the
+    * static (md5 p, v) order, mex over prior-round neighbor colors via
+    * the candidate trick ({0} ∪ {c+1}) minus used.
+    */
+  private def coloringSql: String = {
+    val p = "CAST(('0x' || substr(md5('color-' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val steps = (1 to ColorRounds).map { i =>
+      s"""win$i AS MATERIALIZED (
+         |  SELECT u.v FROM und$i u WHERE NOT EXISTS (
+         |    SELECT 1 FROM ue JOIN und$i n ON n.v = ue.s
+         |    WHERE ue.t = u.v
+         |      AND (n.p > u.p OR (n.p = u.p AND n.v > u.v)))),
+         |nc$i AS MATERIALIZED (
+         |  SELECT DISTINCT ue.t AS v, c.color AS c
+         |  FROM ue JOIN win$i w ON w.v = ue.t
+         |  JOIN colored${i - 1} c ON c.v = ue.s),
+         |newc$i AS MATERIALIZED (
+         |  SELECT v, min(c) AS color FROM (
+         |    SELECT v, CAST(0 AS BIGINT) AS c FROM win$i
+         |    UNION ALL
+         |    SELECT v, c + 1 FROM nc$i) x
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM nc$i n WHERE n.v = x.v AND n.c = x.c)
+         |  GROUP BY v),
+         |colored$i AS MATERIALIZED (
+         |  SELECT v, color FROM colored${i - 1}
+         |  UNION ALL SELECT v, color FROM newc$i),
+         |und${i + 1} AS MATERIALIZED (
+         |  SELECT u.v, u.p FROM und$i u
+         |  WHERE u.v NOT IN (SELECT v FROM win$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM ($edgesSql) WHERE src <> dst),
+       |ue AS MATERIALIZED (SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b, a FROM e0),
+       |und1 AS MATERIALIZED (SELECT DISTINCT s AS v, $p AS p FROM ue),
+       |colored0 AS MATERIALIZED (
+       |  SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS color
+       |  WHERE false),
+       |$steps
+       |SELECT v, color FROM colored$ColorRounds""".stripMargin
+  }
+
   /** Unrolled bounded SimRank iteration mirroring [[GraphOps.simRank]]:
     * per round, every off-diagonal pair's score is (3·Σ previous-round
     * in-neighbor-pair scores) div (4·d_a·d_b) in 10⁻¹² fixed-point
@@ -1016,6 +1069,7 @@ object GraphQueries {
       "g_pagerank_weighted" -> pageRankWeightedSql,
       "g_simrank" -> simRankSql,
       "g_matching" -> matchingSql,
+      "g_coloring" -> coloringSql,
       "g_hits" -> hitsSql,
       "g_ktruss" -> ktrussSql,
       "g_betweenness" -> betweennessSql,

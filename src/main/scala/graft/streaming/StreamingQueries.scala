@@ -217,10 +217,59 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** STREAM-STATIC enrichment join — the third join mode next to the
+    * watermarked stream-stream interval join and the batch joins: a
+    * static per-user profile (total event count and summed value,
+    * computed batch-side) broadcast-joined into every micro-batch of
+    * the purchase stream. No state, no watermark — the static side is
+    * re-planned per batch, which is exactly the dimension-enrichment
+    * shape of a production ingest (at 100 TB the dimension is a
+    * broadcast or bucketed table; the stream never shuffles for it).
+    * Fed in 4 scrambled day-quartile blocks; output must equal the
+    * batch join row-for-row.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
+        col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v2"))
+    val dim = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("u_events"),
+        sum(col("v2")).cast("double").as("u_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("tss"), col("user_id"))
+      .as[(Long, Timestamp, Long)].collect()
+    val days = purchases.map(_._2.getTime / 86400000L)
+    val (dmin, dmax) = (days.min, days.max)
+    def block(ts: Timestamp): Int =
+      (((ts.getTime / 86400000L - dmin) * Blocks) / (dmax - dmin + 1)).toInt
+    def scramble(b: Array[(Long, Timestamp, Long)]): Seq[(Long, Timestamp, Long)] =
+      b.sortBy(e => java.util.UUID.nameUUIDFromBytes(
+        e._1.toString.getBytes("UTF-8")).toString).toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long)](spark)
+    val joined = stream.toDF().toDF("event_id", "tss", "user_id")
+      .join(dim, "user_id")
+      .select(col("event_id"), col("user_id"), col("u_events"), col("u_value"))
+    val name = "ss_static_" + Integer.toHexString(sfDir.hashCode).filter(_ != '-')
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      (0 until Blocks).foreach { k =>
+        val b = purchases.filter(e => block(e._2) == k)
+        if (b.nonEmpty) { stream.addData(scramble(b)); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_late" -> { (s, d) => lateFeedWindowCounts(s, d) },
     "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) },
-    "st_stream_join" -> { (s, d) => streamStreamJoin(s, d) }
+    "st_stream_join" -> { (s, d) => streamStreamJoin(s, d) },
+    "st_static_join" -> { (s, d) => streamStaticJoin(s, d) }
   )
 
   /** The oracle replays the same batch assignment and watermark rule in
@@ -292,6 +341,16 @@ object StreamingQueries {
          |  v.user_id, v.tss AS view_ts, c.tss AS click_ts
          |FROM v JOIN c
          |  ON c.user_id = v.user_id AND c.tss >= v.tss
-         | AND c.tss <= v.tss + INTERVAL $JoinRangeSec SECOND""".stripMargin
+         | AND c.tss <= v.tss + INTERVAL $JoinRangeSec SECOND""".stripMargin,
+    // the batch enrichment join the streamed purchase feed reproduces;
+    // per-value DECIMAL cast keeps the profile sum order-independent
+    "st_static_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS u_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS u_value
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, dim.u_events, dim.u_value
+        |FROM events e JOIN dim ON dim.user_id = e.user_id
+        |WHERE e.event_type = 'purchase'""".stripMargin
   )
 }

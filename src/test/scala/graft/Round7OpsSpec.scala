@@ -225,6 +225,66 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(allE.forall { case (a, b) => mset(a) || mset(b) })
   }
 
+  test("greedyColoring: proper coloring, equals round model, total at convergence") {
+    import spark.implicits._
+    def h(v: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"color-$v".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val rnd = new scala.util.Random(0xC0105)
+    val V = 70
+    val edges = Seq.fill(350)(
+      (rnd.nextInt(V).toLong, rnd.nextInt(V).toLong))
+    val df = edges.toDF("src", "dst")
+    val rounds = 15
+    val got = GraphOps.greedyColoring(spark, df, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val canon = edges.map { case (s, t) => (math.min(s, t), math.max(s, t)) }
+      .filter { case (a, b) => a != b }.distinct
+    // in-memory twin of the JP rounds
+    val verts = canon.flatMap(e => Seq(e._1, e._2)).distinct
+    val nbr = (canon ++ canon.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    var und = verts.toSet
+    var color = Map.empty[Long, Long]
+    for (_ <- 1 to rounds if und.nonEmpty) {
+      val winners = und.filter(v => nbr(v).filter(und).forall(n =>
+        h(n) < h(v) || (h(n) == h(v) && n < v)))
+      val newC = winners.map { v =>
+        val used = nbr(v).flatMap(color.get)
+        v -> Iterator.iterate(0L)(_ + 1).find(c => !used(c)).get
+      }
+      color ++= newC
+      und --= winners
+    }
+    assert(got === color)
+    // proper: no edge with equal endpoint colors (among colored)
+    canon.foreach { case (a, b) =>
+      if (got.contains(a) && got.contains(b))
+        assert(got(a) != got(b), s"conflict on ($a,$b)") }
+    // converged: every vertex colored, palette is compact (≤ maxdeg+1)
+    assert(got.keySet === verts.toSet)
+    val maxDeg = nbr.values.map(_.size).max
+    assert(got.values.max <= maxDeg)
+  }
+
+  test("streamStaticJoin enrichment equals the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = streaming.StreamingQueries.streamStaticJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v2"))
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("u_events"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .join(dim, "user_id")
+      .select(col("event_id"), col("user_id"), col("u_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("containmentPairs finds embedded documents that jaccard misses; df cap only removes") {
     import spark.implicits._
     val base = Tables.t(spark, "/root/testdata/sf0.001", "documents")
