@@ -127,7 +127,15 @@ object Plans {
       "p_hilbert read-back (2-D range filter over Hilbert-clustered files)" ->
         operators.Layout.queries("p_hilbert")(spark, sfDir),
       "ga_bloom_lookup (string point probe; bloom sidecars skip chunks pre-open)" ->
-        sources.graphar.GraphArQueries.queries("ga_bloom_lookup")(spark, sfDir)
+        sources.graphar.GraphArQueries.queries("ga_bloom_lookup")(spark, sfDir),
+      "g_matching (per-vertex min proposal map-side combined; mutuality equi-join)" ->
+        graph.GraphQueries.queries("g_matching")(spark, sfDir),
+      "d_containment (pairs meet ONLY through shared shingles; partial pair counts)" ->
+        operators.Dedup.queries("d_containment")(spark, sfDir),
+      "g_pagerank_weighted (transition shares folded into the static link table)" ->
+        graph.GraphQueries.queries("g_pagerank_weighted")(spark, sfDir),
+      "sim_range (broadcast queries, no window, no shuffle — threshold filter only)" ->
+        operators.Similarity.queries("sim_range")(spark, sfDir)
     )
 
     val sb = new StringBuilder

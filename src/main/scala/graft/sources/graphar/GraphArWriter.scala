@@ -58,6 +58,12 @@ object GraphArWriter {
                               bloomCols: Seq[String] = Seq.empty,
                               bloomFpp: Double = 0.01)
 
+  /** `bloomCols`: edge PROPERTY columns to index with per-chunk bloom
+    * sidecars (same semantics as [[VertexSpec.bloomCols]]); src/dst are
+    * excluded — the CSR layout already serves id seeks exactly. At the
+    * default 4M-edge chunks a sidecar is ~5 MB/column at 1% fpp, ≈0.1%
+    * of the chunk it can save reading.
+    */
   final case class EdgeSpec(srcType: String, edgeType: String, dstType: String,
                             srcVertexCount: Long, dstVertexCount: Long,
                             chunkSize: Long = 1L << 22,
@@ -65,7 +71,9 @@ object GraphArWriter {
                             dstChunkSize: Long = 1L << 20,
                             fileType: String = "parquet",
                             layouts: Seq[String] = Seq("src", "dst"),
-                            maxTasks: Option[Int] = None) {
+                            maxTasks: Option[Int] = None,
+                            bloomCols: Seq[String] = Seq.empty,
+                            bloomFpp: Double = 0.01) {
     def name: String = s"${srcType}_${edgeType}_${dstType}"
   }
 
@@ -323,6 +331,18 @@ object GraphArWriter {
         groups
       } else if (propFields.isEmpty) Seq.empty
       else Seq("props" -> propFields.map(_.name).toSeq)
+    val bloomMissing = spec.bloomCols.filterNot(propFields.map(_.name).contains)
+    require(bloomMissing.isEmpty,
+      s"writeEdges: bloomCols must be property columns: ${bloomMissing.mkString(", ")}")
+    spec.bloomCols.foreach { c =>
+      schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             DateType => // bloom-indexable
+        case dt => throw new IllegalArgumentException(
+          s"writeEdges: bloomCols column $c has type $dt — only " +
+            "integral, string and date columns are bloom-indexable")
+      }
+    }
     val dir = s"$baseDir/edge/${spec.name}/"
     var total = 0L
     spec.layouts.foreach { alignedBy =>
@@ -345,12 +365,15 @@ object GraphArWriter {
                           serConf: org.apache.spark.util.SerializableConfiguration): Long = {
     val srcIdx = schema.fieldIndex("src")
     val dstIdx = schema.fieldIndex("dst")
-    // (group name, schema of its columns, their indexes in the input row)
-    val groupSpecs: Seq[(String, StructType, Array[Int])] = groups.map {
-      case (gName, cols) =>
+    // (group name, schema of its columns, their indexes in the input
+    // row, bloom positions inside the group row)
+    val bloomSet = spec.bloomCols.toSet
+    val groupSpecs: Seq[(String, StructType, Array[Int], Seq[(Int, String)])] =
+      groups.map { case (gName, cols) =>
         (gName, StructType(cols.map(c => schema(schema.fieldIndex(c)))),
-          cols.map(schema.fieldIndex).toArray)
-    }
+          cols.map(schema.fieldIndex).toArray,
+          cols.zipWithIndex.collect { case (c, gi) if bloomSet(c) => (gi, c) })
+      }
     val cs = spec.chunkSize
     val ft = spec.fileType
     val nParts = math.max(1L, (alignedCount + vcs - 1) / vcs).toInt
@@ -386,24 +409,40 @@ object GraphArWriter {
         var chunkIdx = -1L
         var lastAligned = -1L
         var adjSink: ChunkIO.RowSink = null
-        var propSinks: Seq[(ChunkIO.RowSink, Array[Int])] = null
+        var propSinks: Seq[(ChunkIO.RowSink, Array[Int],
+          Seq[(Int, String, org.apache.spark.util.sketch.BloomFilter)], Path)] = null
+        def flushBlooms(): Unit = if (propSinks != null)
+          propSinks.foreach { case (_, _, blooms, bloomPath) =>
+            // written AFTER the chunk closes (reader's mtime guard)
+            if (bloomPath != null)
+              BloomSidecar.write(bloomPath, conf,
+                blooms.map { case (_, name, bf) => (name, bf) })
+          }
         def roll(): Unit = {
           if (adjSink != null) adjSink.close()
-          if (propSinks != null) propSinks.foreach(_._1.close())
+          if (propSinks != null) { propSinks.foreach(_._1.close()); flushBlooms() }
           chunkIdx += 1
           adjSink = ChunkIO.openSink(files.stage(
             new Path(s"${layoutDir}adj_list/part$part/chunk$chunkIdx")), ft, adjSchema, conf)
-          propSinks = groupSpecs.map { case (gName, gSchema, idxs) =>
+          propSinks = groupSpecs.map { case (gName, gSchema, idxs, bloomPos) =>
+            val blooms = bloomPos.map { case (gi, name) =>
+              (gi, name, org.apache.spark.util.sketch.BloomFilter.create(
+                math.min(cs, Int.MaxValue.toLong), spec.bloomFpp))
+            }
+            val bloomPath = if (bloomPos.nonEmpty) files.stage(
+              new Path(s"$layoutDir$gName/part$part/chunk$chunkIdx.bloom")) else null
             (ChunkIO.openSink(files.stage(
               new Path(s"$layoutDir$gName/part$part/chunk$chunkIdx")), ft, gSchema, conf),
-              idxs)
+              idxs, blooms, bloomPath)
           }
         }
         def closeSinks(): Unit = {
           // close BEFORE commit/abort: a throw above must not leak the
           // sink handles (abort deletes the staged files underneath them)
           if (adjSink != null) { adjSink.close(); adjSink = null }
-          if (propSinks != null) { propSinks.foreach(_._1.close()); propSinks = null }
+          if (propSinks != null) {
+            propSinks.foreach(_._1.close()); flushBlooms(); propSinks = null
+          }
         }
         def startPart(p: Int): Unit = {
           part = p
@@ -440,8 +479,21 @@ object GraphArWriter {
               if (edgeCount % cs == 0) roll()
               val s = row.getLong(srcIdx); val d = row.getLong(dstIdx)
               adjSink.write(Array[Any](s, d))
-              propSinks.foreach { case (sink, idxs) =>
-                sink.write(idxs.map(i => toIo(row, i, schema)))
+              propSinks.foreach { case (sink, idxs, blooms, _) =>
+                val vals = idxs.map(i => toIo(row, i, schema))
+                sink.write(vals)
+                blooms.foreach { case (gi, _, bf) =>
+                  vals(gi) match {
+                    case null => // bloom indexes non-null values only
+                    case b: Byte => bf.putLong(b.toLong)
+                    case sh: Short => bf.putLong(sh.toLong)
+                    case iv: Int => bf.putLong(iv.toLong) // incl. DATE days
+                    case l: Long => bf.putLong(l)
+                    case str: String => bf.putString(str)
+                    case other => throw new IllegalStateException(
+                      s"unexpected bloom value type ${other.getClass}")
+                  }
+                }
               }
               // advance cumulative offsets for vertices in (lastAligned, aligned]
               val local = (aligned - partStartVertex).toInt

@@ -386,6 +386,23 @@ class PlanSpec extends AnyFunSuite {
       s"global sort crept in:\n$sorts\n$p")
   }
 
+  test("metadata statistics drive the join strategy: small vertex table broadcasts") {
+    // SupportsReportStatistics serves the exact row count from the
+    // vertex_count metadata file — Catalyst must pick BroadcastHashJoin
+    // for the (small) vertex side against a larger fact frame without
+    // any scan, hint, or AQE runtime correction
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val g = graph.GraphArGraph(spark, yaml)
+    val verts = g.vertices("Part")
+      .select(col("_graphArVertexIndex").as("k"), col("p_name"))
+    val fact = Tables.t(spark, sf, "lineitem")
+      .select((col("l_partkey") % graph.GraphQueries.V).as("k"), col("l_quantity"))
+    val joined = fact.join(verts, "k")
+    val p = plan(joined)
+    assert(p.contains("BroadcastHashJoin"), s"vertex side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ crept in:\n$p")
+  }
+
   test("hilbert write plan: ONE range exchange on the hilbert key, sort within partitions only") {
     val li = Tables.t(spark, sf, "lineitem")
     val staged = operators.Layout.hilbertFrame(li, "l_extendedprice", "l_quantity")

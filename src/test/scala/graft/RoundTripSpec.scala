@@ -518,4 +518,47 @@ class RoundTripSpec extends AnyFunSuite {
     assert(!PropFilters.bloomChunkCanMatch(chunks(2),
       Seq(EqualTo("nm", "no_such_name")), conf))
   }
+
+  test("edge bloom sidecars: per-chunk files in both layouts, point-lookup pruning") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.sources.graphar.{BloomSidecar, PropFilters}
+    val dir = Files.createTempDirectory("gar_ebloom").toString
+    // 4 src-parts × multiple chunks; tag unsorted across chunks
+    val edges = (0 until 400).map { i =>
+      (i.toLong % 64, (i.toLong * 7) % 64, s"tag_${(i * 37) % 400}")
+    }.toDF("src", "dst", "tag")
+    GraphArWriter.writeEdges(edges, dir,
+      GraphArWriter.EdgeSpec("T", "e", "T",
+        srcVertexCount = 64, dstVertexCount = 64,
+        chunkSize = 50, srcChunkSize = 16, dstChunkSize = 16,
+        bloomCols = Seq("tag")))
+    GraphArWriter.writeVertices((0 until 64).map(Tuple1(_)).toDF("x"), dir,
+      GraphArWriter.VertexSpec("T", 64))
+    GraphArWriter.writeGraphYaml(dir, "G", Seq("T"), Seq("T_e_T"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new Path(dir).getFileSystem(conf)
+    // sidecars exist beside every property chunk of both layouts
+    val propChunks = Seq("ordered_by_source", "ordered_by_dest").flatMap { l =>
+      val st = fs.globStatus(new Path(s"$dir/edge/T_e_T/$l/props/part*/chunk*"))
+      st.map(_.getPath).filterNot(_.getName.endsWith(".bloom"))
+    }
+    assert(propChunks.nonEmpty)
+    propChunks.foreach(p => assert(fs.exists(BloomSidecar.sidecarPath(p)),
+      s"missing sidecar for $p"))
+    // connector answers stay exact with the probe active
+    val back = spark.read.format("graphar")
+      .option("path", s"$dir/G.yaml")
+      .option("src", "T").option("type", "e").option("dst", "T").load()
+    val got = back.filter(col("tag") === "tag_259") // row 7: (7*37)=259
+      .select(col("_graphArSrcIndex"), col("_graphArDstIndex"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((7L, 49L)))
+    // pruning: most chunks refute the point probe
+    val matches = propChunks.map(p =>
+      PropFilters.bloomChunkCanMatch(p, Seq(EqualTo("tag", "tag_259")), conf))
+    assert(matches.count(identity) <= propChunks.length / 2,
+      s"bloom pruned too little: ${matches.count(identity)}/${propChunks.length}")
+  }
 }
