@@ -26,6 +26,7 @@ object QuickVerify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[quick-verify] $name failed: ${e.getMessage}")
+          e.printStackTrace()
         }
     }
     def q(s: String): String = "\"" + s.flatMap {

@@ -1621,6 +1621,71 @@ object GraphOps {
     labels
   }
 
+  /** Bipartiteness test with a 2-coloring witness: (v, component,
+    * color, comp_bipartite) over the undirected simple graph
+    * (self-loops ignored — a loop is trivially an odd cycle in the
+    * MULTIgraph reading, but the simple-graph reading matches every
+    * other undirected operator here). color(v) is the parity of the
+    * shortest distance from v's component root (the component's
+    * minimum id, [[connectedComponents]]' label); a component is
+    * bipartite iff no edge joins two same-colored vertices — the
+    * standard BFS odd-cycle test, and when it passes, `color` IS the
+    * two-sided partition (the certificate a bipartite-matching or
+    * two-mode-projection stage consumes downstream).
+    *
+    * Scale shape: one [[connectedComponents]] run, then ONE
+    * multi-source BFS — every component root seeds level 0
+    * simultaneously, so total work is one traversal of the whole graph
+    * regardless of component count (a per-component loop would be a
+    * driver-scheduling disaster at 100 TB). The level counter carries
+    * the parity, so frontiers are bare (v) rows: small frontiers
+    * broadcast ([[frontSide]]), the static edge table never reshuffles,
+    * and the conflict test is two broadcast-size hash joins of the
+    * color vector onto the canonical edge list.
+    */
+  def bipartiteColoring(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val cc = connectedComponents(spark, edges)
+      .localCheckpoint(true)
+    val canon = undirectedSimple(edges)
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // multi-source BFS from every component root at once; the level
+    // counter carries the parity, so the frontier is (v) only
+    var visitedParts = List(
+      cc.select(col("component").as("v")).distinct()
+        .withColumn("color", lit(0)).localCheckpoint(false))
+    var frontier = visitedParts.head.select(col("v"))
+    var level = 0
+    var n = frontier.count()
+    while (n > 0) {
+      level += 1
+      val f = frontSide(frontier, n)
+      val next = und.join(f, und("src") === col("v"))
+        .select(und("dst").as("v")).distinct()
+        .join(visitedParts.map(_.select(col("v"))).reduce(_ unionAll _),
+          Seq("v"), "left_anti")
+        .withColumn("color", lit(level % 2))
+        .localCheckpoint(false)
+      n = next.count()
+      if (n > 0) { visitedParts ::= next; frontier = next.select(col("v")) }
+    }
+    val colored = visitedParts.reduce(_ unionAll _).join(cc, Seq("v"))
+    // odd-cycle witness: any (simple, non-loop) edge whose endpoints
+    // share a color condemns its whole component
+    val ca = colored.select(col("v").as("a"), col("color").as("color_a"))
+    val cb = colored.select(col("v").as("b"), col("color").as("color_b"))
+    val conflicts = canon.join(ca, Seq("a")).join(cb, Seq("b"))
+      .filter(col("color_a") === col("color_b"))
+      .select(col("a")).join(cc.withColumnRenamed("v", "a"), Seq("a"))
+      .select(col("component")).distinct()
+      .withColumn("odd", lit(true))
+    und.unpersist(blocking = false)
+    colored.join(conflicts, Seq("component"), "left")
+      .select(col("v"), col("component"), col("color"),
+        coalesce(!col("odd"), lit(true)).as("comp_bipartite"))
+  }
+
   /** Strongly connected components: (v, scc) where scc is the MINIMUM
     * vertex id in v's SCC, over directed (src, dst) edges. No
     * counterpart in the reference (its BFS is direction-following but

@@ -107,6 +107,13 @@ object GraphQueries {
       GraphOps.stronglyConnectedComponents(s,
         edgesFrom(s, d).filter(col("src") < 512 && col("dst") < 512))
     },
+    // BFS 2-coloring + odd-cycle bipartiteness test on the <512
+    // induced subgraph (the oracle needs the reachability closure for
+    // components AND a min-distance BFS — both O(component²) pairs)
+    "g_bipartite" -> { (s, d) =>
+      GraphOps.bipartiteColoring(s,
+        edgesFrom(s, d).filter(col("src") < 512 && col("dst") < 512))
+    },
     // deterministic synchronous LPA, 3 rounds, min tie-break — the
     // oracle unrolls the same 3 rounds (async LPA could not be oracled)
     "g_communities" -> { (s, d) =>
@@ -967,6 +974,38 @@ object GraphQueries {
            |  UNION
            |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
            |SELECT v, min(r) AS component FROM reach GROUP BY v""".stripMargin,
+      // 2-coloring: color = parity of min root→v distance (root = the
+      // component min, via the same closure as g_components); a
+      // component is bipartite iff no simple edge is monochromatic
+      "g_bipartite" ->
+        s"""WITH RECURSIVE e AS (
+           |  SELECT src, dst FROM ($edgesSql) WHERE src < 512 AND dst < 512),
+           |ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+           |reach(v, r) AS (
+           |  SELECT DISTINCT src AS v, src AS r FROM ue
+           |  UNION
+           |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r),
+           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+           |ue2 AS (SELECT src, dst FROM ue WHERE src <> dst),
+           |bfs(v, d) AS (
+           |  SELECT v, CAST(0 AS BIGINT) AS d FROM comp WHERE v = component
+           |  UNION
+           |  SELECT ue2.dst AS v, bfs.d + 1 AS d
+           |  FROM bfs JOIN ue2 ON ue2.src = bfs.v WHERE bfs.d < 511),
+           |colr AS (SELECT v, CAST(min(d) % 2 AS INT) AS color
+           |         FROM bfs GROUP BY v),
+           |canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |          FROM e WHERE src <> dst),
+           |conf AS (
+           |  SELECT DISTINCT comp.component FROM canon
+           |  JOIN colr ca ON ca.v = canon.a
+           |  JOIN colr cb ON cb.v = canon.b
+           |  JOIN comp ON comp.v = canon.a
+           |  WHERE ca.color = cb.color)
+           |SELECT comp.v, comp.component, colr.color,
+           |  (conf.component IS NULL) AS comp_bipartite
+           |FROM comp JOIN colr ON colr.v = comp.v
+           |LEFT JOIN conf ON conf.component = comp.component""".stripMargin,
       // scc(v) = min u with v→*u AND u→*v in the directed closure of
       // the <512 induced subgraph (mirrors the g_components shape)
       "g_scc" ->

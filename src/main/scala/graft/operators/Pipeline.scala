@@ -263,6 +263,57 @@ object Pipeline {
         .otherwise("test").as("split"))
   }
 
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much its HASHED-UNIGRAM distribution resembles a target
+    * domain relative to the raw pool, then keep the top-N. This is the
+    * standard lever for tilting a 100 TB crawl toward a high-quality
+    * target corpus without training a classifier.
+    *
+    * Determinized for the oracle: bucket importance is the
+    * floor-quantized smoothed ratio floor(SCALE·(tc+1)/(rc+1)) — one
+    * IEEE division of exactly-represented integers, identical on both
+    * engines — and a document's weight is the exact BIGINT sum of its
+    * tokens' bucket scores (duplicates included, as DSIR weights
+    * token OCCURRENCES). The real thing uses log-ratios; monotone
+    * per-bucket, so the integerized form selects the same kind of
+    * documents while staying hash-checkable.
+    *
+    * Scale shape: both bucket tables are ≤`buckets` rows — built with
+    * ONE map-side-combinable aggregation over the exploded tokens,
+    * then BROADCAST back onto the token stream, so the only per-corpus
+    * shuffle is the per-doc weight sum (partial-aggregated map-side).
+    * Top-N is a sort-limit (per-partition k-selection), never a global
+    * sort; the rank window runs on the N surviving rows only.
+    */
+  def importanceResample(docs: DataFrame, targetLang: String = "en",
+                         buckets: Int = 1024, topN: Int = 100): DataFrame = {
+    val scale = 1000000L
+    val tok = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("dsir-"), col("w"))), 1, 8), 16, 10)
+          .cast("long") % buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tgt = tok.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val score = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        floor((lit(scale) * (coalesce(col("tc"), lit(0L)) + 1)).cast("double") /
+          (col("rc") + 1).cast("double")).as("s"))
+    val weights = tok.join(broadcast(score), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("s")).as("weight"), count(lit(1)).as("n_tokens"))
+    val top = weights
+      .orderBy(col("weight").desc, col("doc_id")).limit(topN)
+    val res = top.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("weight").desc, col("doc_id"))).cast("long"))
+    tok.unpersist(blocking = false)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_split" -> { (s, d) => deterministicSplit(t(s, d, "documents")) },
     "p_curriculum" -> { (s, d) => curriculum(t(s, d, "documents")) },
@@ -273,7 +324,10 @@ object Pipeline {
     "p_train_mix" -> { (s, d) => trainMix(t(s, d, "documents")) },
     "p_token_pack" -> { (s, d) => tokenPack(t(s, d, "documents")) },
     "p_source_cap" -> { (s, d) => sourceCap(t(s, d, "documents")) },
-    "p_stratified" -> { (s, d) => stratifiedSample(t(s, d, "documents")) }
+    "p_stratified" -> { (s, d) => stratifiedSample(t(s, d, "documents")) },
+    // DSIR importance resampling toward the English sub-corpus; the
+    // integerized bucket-ratio weights are oracle-checked bit-for-bit
+    "p_dsir" -> { (s, d) => importanceResample(t(s, d, "documents")) }
   )
 
   def oracle: Map[String, String] = {
@@ -397,7 +451,35 @@ object Pipeline {
           |  FROM tok)
           |SELECT doc_id, source, n_tokens, cum_tokens,
           |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin
-          |FROM c""".stripMargin
+          |FROM c""".stripMargin,
+
+      "p_dsir" ->
+        """WITH tok AS (
+          |  SELECT doc_id, lang,
+          |    CAST(('0x' || substr(md5('dsir-' || w.w), 1, 8)) AS BIGINT)
+          |      % 1024 AS b
+          |  FROM documents,
+          |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w(w)),
+          |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM tok GROUP BY 1),
+          |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM tok
+          |        WHERE lang = 'en' GROUP BY 1),
+          |score AS (
+          |  SELECT raw.b,
+          |    CAST(floor(CAST(1000000 * (COALESCE(tgt.tc, 0) + 1) AS DOUBLE) /
+          |      CAST(raw.rc + 1 AS DOUBLE)) AS BIGINT) AS s
+          |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b),
+          |w AS (
+          |  SELECT tok.doc_id, tok.lang,
+          |    CAST(sum(score.s) AS BIGINT) AS weight,
+          |    CAST(count(*) AS BIGINT) AS n_tokens
+          |  FROM tok JOIN score ON score.b = tok.b
+          |  GROUP BY tok.doc_id, tok.lang),
+          |r AS (
+          |  SELECT doc_id, lang, weight, n_tokens,
+          |    CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT)
+          |      AS rk
+          |  FROM w)
+          |SELECT doc_id, lang, weight, n_tokens, rk FROM r WHERE rk <= 100""".stripMargin
     )
   }
 }

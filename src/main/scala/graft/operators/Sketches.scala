@@ -162,6 +162,63 @@ object Sketches {
           * lit(1e6) + lit(0.5)).cast("long").as("est_micro"))
   }
 
+  /** KMV set-operation estimates: union size, intersection size, and
+    * Jaccard of two key sets from their k-minimum-values sketches —
+    * WITHOUT touching the raw sets a second time. The union sketch is
+    * the k smallest of the two k-sets (KMV's closure under union); ρ =
+    * members of the union sketch present in BOTH input sketches
+    * estimates Jaccard as ρ/k, and intersection as (ρ/k)·|A∪B|_est
+    * (the Beyer et al. unbiased KMV estimator family).
+    *
+    * Like [[kmvDistinct]], every estimate is a DETERMINISTIC pure
+    * function of the value sets (md5-derived 60-bit hashes, floor-
+    * quantized micro-units, each fp op single-rounded in a fixed
+    * order), so the sketch math itself is DuckDB-oracle-checkable
+    * bit-for-bit. When |A∪B| < k the sketches are exhaustive and ρ is
+    * the EXACT intersection cardinality.
+    *
+    * Scale shape: each side is one map-side hash projection + a
+    * sort-limit top-k (per-partition k-selection, k-row merge); all
+    * joins run on ≤k-row frames. This is the persist-then-combine
+    * contract for set overlap: store one k-long sketch per partition /
+    * day / source, answer any pairwise overlap question later without
+    * rescanning — on a 100 TB corpus the difference between an
+    * O(|A|+|B|) rescan per question and an O(k) lookup.
+    */
+  def kmvIntersect(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                   k: Int = 256, seed: String = "kmv"): DataFrame = {
+    val unit = (1L << 60).toDouble
+    def kmin(df: DataFrame, c: String): DataFrame =
+      df.select(
+          conv(substring(md5(concat(lit(seed + "-"),
+            col(c).cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .where(col(c).isNotNull).distinct()
+        .orderBy(col("h")).limit(k)
+    val ka = kmin(a, aCol).withColumn("in_a", lit(1))
+    val kb = kmin(b, bCol).withColumn("in_b", lit(1))
+    val kc = ka.select(col("h")).unionAll(kb.select(col("h"))).distinct()
+      .orderBy(col("h")).limit(k)
+    val flags = kc
+      .join(broadcast(ka), Seq("h"), "left")
+      .join(broadcast(kb), Seq("h"), "left")
+    val aggd = flags.agg(
+      count(lit(1)).as("n"), max(col("h")).as("hk"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("rho"))
+    // |A∪B| estimate from the union sketch's kth minimum (exact when
+    // the union fits in k); reused verbatim for the intersection scale
+    val u = when(col("n") < k, col("n").cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (col("hk").cast("double") / lit(unit)))
+    val jac = col("rho").cast("double") / col("n").cast("double")
+    aggd.select(
+      col("n").as("n_used"), col("rho"),
+      floor(u * lit(1e6) + lit(0.5)).cast("long").as("union_micro"),
+      floor(jac * lit(1e6) + lit(0.5)).cast("long").as("jaccard_micro"),
+      floor(jac * u * lit(1e6) + lit(0.5)).cast("long").as("inter_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact output (the CMS gate only prunes): oracle = plain HAVING
     "s_heavy_hitters" -> { (s, d) =>
@@ -172,6 +229,13 @@ object Sketches {
     // itself is oracle-checked (see kmvDistinct scaladoc)
     "s_kmv_distinct" -> { (s, d) =>
       kmvDistinct(t(s, d, "lineitem"), "l_orderkey")
+    },
+    // KMV union/intersection/Jaccard of two order-key subsets — the
+    // estimator chain is deterministic, so oracle-checked bit-for-bit
+    "s_kmv_intersect" -> { (s, d) =>
+      kmvIntersect(
+        t(s, d, "lineitem").filter(col("l_quantity") > 25), "l_orderkey",
+        t(s, d, "orders").filter(col("o_totalprice") > 150000), "o_orderkey")
     },
     // revenue by supplier for one nation's suppliers: the bloom prunes
     // lineitem ahead of the join shuffle; oracle = the plain join
@@ -200,6 +264,42 @@ object Sketches {
         |  CAST(floor((CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
         |    ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END)
         |    * 1000000.0 + 0.5) AS BIGINT) AS est_micro
+        |FROM a""".stripMargin,
+
+    "s_kmv_intersect" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5('kmv-' ||
+        |    CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem WHERE l_quantity > 25 AND l_orderkey IS NOT NULL),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |hb AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5('kmv-' ||
+        |    CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders WHERE o_totalprice > 150000 AND o_orderkey IS NOT NULL),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |kc AS (SELECT DISTINCT h FROM
+        |  (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+        |  ORDER BY h LIMIT 256),
+        |f AS (
+        |  SELECT kc.h,
+        |    (ka.h IS NOT NULL AND kb.h IS NOT NULL) AS both_in
+        |  FROM kc
+        |  LEFT JOIN ka ON ka.h = kc.h
+        |  LEFT JOIN kb ON kb.h = kc.h),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS hk,
+        |    CAST(sum(CASE WHEN both_in THEN 1 ELSE 0 END) AS BIGINT) AS rho
+        |  FROM f)
+        |SELECT n AS n_used, rho,
+        |  CAST(floor((CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |    ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS union_micro,
+        |  CAST(floor((CAST(rho AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS jaccard_micro,
+        |  CAST(floor((CAST(rho AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |       ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS inter_micro
         |FROM a""".stripMargin,
 
     "s_heavy_hitters" ->

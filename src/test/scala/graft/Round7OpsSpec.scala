@@ -340,4 +340,81 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("bipartiteColoring: verdict matches brute force; coloring is a proper witness") {
+    import spark.implicits._
+    // even cycle (bipartite) + odd cycle (not) + a path + an isolated
+    // edge + a self-loop on the path (ignored under simple semantics)
+    val even = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val odd = Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    val path = Seq((20L, 21L), (21L, 22L), (21L, 21L))
+    val iso = Seq((30L, 31L))
+    val rows = GraphOps.bipartiteColoring(spark,
+        (even ++ odd ++ path ++ iso).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 22L, 30L, 31L))
+    // per-component verdicts
+    assert(Seq(0L, 1L, 2L, 3L).forall(rows(_)._3), "even cycle must be bipartite")
+    assert(Seq(10L, 11L, 12L).forall(!rows(_)._3), "odd cycle must not be bipartite")
+    assert(Seq(20L, 21L, 22L).forall(rows(_)._3), "path (self-loop ignored) bipartite")
+    assert(Seq(30L, 31L).forall(rows(_)._3))
+    // components are the min-id labels
+    assert(rows(3L)._1 === 0L && rows(12L)._1 === 10L && rows(31L)._1 === 30L)
+    // where bipartite, the coloring is PROPER (no monochromatic edge)
+    (even ++ path.filter(e => e._1 != e._2) ++ iso).foreach { case (a, b) =>
+      assert(rows(a)._2 !== rows(b)._2, s"edge ($a,$b) monochromatic")
+    }
+    // colors are root-distance parity: roots are color 0
+    assert(rows(0L)._2 === 0 && rows(10L)._2 === 0 && rows(20L)._2 === 0)
+  }
+
+  test("kmvIntersect: exact when the union fits in k; matches set arithmetic") {
+    import spark.implicits._
+    // |A ∪ B| = 150 < k = 256 → sketches are exhaustive: rho, union
+    // and intersection estimates must all be EXACT
+    val a = (0L until 100L).toDF("x")
+    val b = (50L until 150L).toDF("x")
+    val r = operators.Sketches.kmvIntersect(a, "x", b, "x").collect()(0)
+    assert(r.getAs[Long]("n_used") === 150L)
+    assert(r.getAs[Long]("rho") === 50L)
+    assert(r.getAs[Long]("union_micro") === 150L * 1000000L)
+    assert(r.getAs[Long]("inter_micro") === 50L * 1000000L)
+    // jaccard = 50/150, floor-rounded to micro units
+    assert(r.getAs[Long]("jaccard_micro") ===
+      math.floor(50.0 / 150.0 * 1e6 + 0.5).toLong)
+    // k-overflow path: estimates within 15% of truth on 4000-key sets
+    val a2 = (0L until 3000L).toDF("x")
+    val b2 = (2000L until 5000L).toDF("x")
+    val r2 = operators.Sketches.kmvIntersect(a2, "x", b2, "x").collect()(0)
+    assert(math.abs(r2.getAs[Long]("union_micro") - 5000L * 1000000L)
+      <= 750L * 1000000L)
+    assert(math.abs(r2.getAs[Long]("inter_micro") - 1000L * 1000000L)
+      <= 400L * 1000000L)
+  }
+
+  test("importanceResample: docs sharing the target's vocabulary outrank the rest") {
+    import spark.implicits._
+    // target lang 'en' uses vocabulary {alpha..delta}; distractors use
+    // a disjoint vocabulary; one 'xx' doc written IN the target
+    // vocabulary must outrank every distractor
+    val docs = (
+      (0L until 10L).map(i => (i, "alpha beta gamma delta alpha beta", "en", "s", 34L)) ++
+      (10L until 30L).map(i => (i, "omega psi chi phi upsilon tau", "xx", "s", 29L)) :+
+      ((99L, "alpha beta alpha beta alpha beta", "xx", "s", 31L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.Pipeline.importanceResample(docs, targetLang = "en",
+        topN = 15).collect()
+    assert(out.length === 15)
+    val rkOf = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rk")).toMap
+    // all 10 target docs + the target-vocabulary impostor beat the rest
+    val leaders = out.sortBy(_.getAs[Long]("rk")).take(11)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(leaders === ((0L until 10L).toSet + 99L),
+      s"leaders were $leaders")
+    // weights are monotone in rank (ties broken by doc_id)
+    val byRk = out.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("weight"))
+    assert(byRk.zip(byRk.tail).forall { case (w1, w2) => w1 >= w2 })
+    assert(rkOf.values.toSet === (1L to 15L).toSet)
+  }
 }
