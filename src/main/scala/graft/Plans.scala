@@ -135,7 +135,17 @@ object Plans {
       "g_pagerank_weighted (transition shares folded into the static link table)" ->
         graph.GraphQueries.queries("g_pagerank_weighted")(spark, sfDir),
       "sim_range (broadcast queries, no window, no shuffle — threshold filter only)" ->
-        operators.Similarity.queries("sim_range")(spark, sfDir)
+        operators.Similarity.queries("sim_range")(spark, sfDir),
+      "g_bipartite (double cover: one CC over 2|E| lifted edges, two O(V) decodes)" ->
+        graph.GraphQueries.queries("g_bipartite")(spark, sfDir),
+      "t_bm25 (query-term postings only; ≤|q| df rows broadcast; micro-int sum)" ->
+        operators.Retrieval.queries("t_bm25")(spark, sfDir),
+      "t_search (stored postings: static bucket partition filter on the probe)" ->
+        operators.Retrieval.queries("t_search")(spark, sfDir),
+      "p_dsir (bucket tables broadcast onto the token stream; one weight shuffle)" ->
+        operators.Pipeline.queries("p_dsir")(spark, sfDir),
+      "s_kmv_intersect (three sort-limit sketches; all joins on ≤k rows)" ->
+        operators.Sketches.queries("s_kmv_intersect")(spark, sfDir)
     )
 
     val sb = new StringBuilder

@@ -19,6 +19,7 @@ object SparkEntry {
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
+      (operators.Retrieval.queries, operators.Retrieval.oracle),
       (operators.Multimodal.queries, operators.Multimodal.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.AsOf.queries, operators.AsOf.oracle),

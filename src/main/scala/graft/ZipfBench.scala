@@ -198,6 +198,10 @@ object ZipfBench {
     time("communities_3round")(
       GraphOps.labelPropagationCommunities(spark, esP).count())
     time("scc")(GraphOps.stronglyConnectedComponents(spark, esP).count())
+    // bipartite: the double-cover reduction — ONE connectedComponents
+    // run over the 2|E| lifted side-flipping edges, then two O(V)
+    // label joins; component/color/verdict all decode from the labels
+    time("bipartite")(GraphOps.bipartiteColoring(spark, esP).count())
     // hub-sensitive additions round 2: hits' per-vertex sums see the
     // hub's whole in/out mass (map-side combinable); ktruss' wedge join
     // rides the same degree-ordered orientation bound as triangles;

@@ -974,38 +974,34 @@ object GraphQueries {
            |  UNION
            |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
            |SELECT v, min(r) AS component FROM reach GROUP BY v""".stripMargin,
-      // 2-coloring: color = parity of min root→v distance (root = the
-      // component min, via the same closure as g_components); a
-      // component is bipartite iff no simple edge is monochromatic
+      // bipartite double cover: lift v to 2v/2v+1 with side-flipping
+      // edges, take the component closure of the LIFTED graph; a
+      // vertex's two lifts sharing a class ⇔ an odd closed walk
+      // through it. component/color/verdict all decode from the two
+      // cover labels (mirrors GraphOps.bipartiteColoring exactly)
       "g_bipartite" ->
         s"""WITH RECURSIVE e AS (
            |  SELECT src, dst FROM ($edgesSql) WHERE src < 512 AND dst < 512),
-           |ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-           |reach(v, r) AS (
-           |  SELECT DISTINCT src AS v, src AS r FROM ue
-           |  UNION
-           |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r),
-           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
-           |ue2 AS (SELECT src, dst FROM ue WHERE src <> dst),
-           |bfs(v, d) AS (
-           |  SELECT v, CAST(0 AS BIGINT) AS d FROM comp WHERE v = component
-           |  UNION
-           |  SELECT ue2.dst AS v, bfs.d + 1 AS d
-           |  FROM bfs JOIN ue2 ON ue2.src = bfs.v WHERE bfs.d < 511),
-           |colr AS (SELECT v, CAST(min(d) % 2 AS INT) AS color
-           |         FROM bfs GROUP BY v),
            |canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
            |          FROM e WHERE src <> dst),
-           |conf AS (
-           |  SELECT DISTINCT comp.component FROM canon
-           |  JOIN colr ca ON ca.v = canon.a
-           |  JOIN colr cb ON cb.v = canon.b
-           |  JOIN comp ON comp.v = canon.a
-           |  WHERE ca.color = cb.color)
-           |SELECT comp.v, comp.component, colr.color,
-           |  (conf.component IS NULL) AS comp_bipartite
-           |FROM comp JOIN colr ON colr.v = comp.v
-           |LEFT JOIN conf ON conf.component = comp.component""".stripMargin,
+           |dce AS (
+           |  SELECT a * 2 AS src, b * 2 + 1 AS dst FROM canon
+           |  UNION ALL SELECT a * 2 + 1, b * 2 FROM canon
+           |  UNION ALL SELECT b * 2, a * 2 + 1 FROM canon
+           |  UNION ALL SELECT b * 2 + 1, a * 2 FROM canon),
+           |reach(v, r) AS (
+           |  SELECT DISTINCT src AS v, src AS r FROM dce
+           |  UNION
+           |  SELECT reach.v, dce.dst AS r FROM reach JOIN dce ON dce.src = reach.r),
+           |comp2 AS (SELECT v, min(r) AS c FROM reach GROUP BY v),
+           |pair AS (
+           |  SELECT s0.v // 2 AS v, s0.c AS c0, s1.c AS c1
+           |  FROM comp2 s0 JOIN comp2 s1 ON s1.v = s0.v + 1
+           |  WHERE s0.v % 2 = 0)
+           |SELECT v, CAST(least(c0, c1) // 2 AS BIGINT) AS component,
+           |  CAST(CASE WHEN c0 <= c1 THEN 0 ELSE 1 END AS INT) AS color,
+           |  (c0 <> c1) AS comp_bipartite
+           |FROM pair""".stripMargin,
       // scc(v) = min u with v→*u AND u→*v in the directed closure of
       // the <512 induced subgraph (mirrors the g_components shape)
       "g_scc" ->

@@ -1,0 +1,321 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+
+/** Lexical retrieval over the document corpus: an inverted index
+  * (term → postings), conjunctive (AND) search served from a STORED
+  * bucket-partitioned index, and BM25 ranked retrieval — the sparse
+  * complement of the dense-ANN tier in [[Similarity]] (production
+  * retrieval stacks run both and fuse).
+  *
+  * Index layout for 100 TB: postings are written
+  * `partitionBy(bucket)` where bucket = a stable hash of the term —
+  * the lexical twin of [[Similarity]]'s IVF/LSH cluster partitioning.
+  * A query probes only its own terms' bucket partitions (static
+  * partition pruning, asserted in PlanSpec), so serving cost scales
+  * with the query's posting lists, not the corpus. The index build is
+  * ONE map-side-combinable aggregation over the exploded token
+  * stream; document-length statistics ride the same pass.
+  *
+  * BM25 is integerized the way this repo's other rankers are
+  * ([[TextAnalysis]]'s tf-idf): rational idf `(N−df+0.5)/(df+0.5)` —
+  * the Robertson–Sparck-Jones numerator without the ln (the ln is
+  * monotone, so per-term score ORDER is preserved; the no-log form
+  * keeps every value an exact single-rounded IEEE chain, which a
+  * cross-engine hash gate needs) — and per-term scores quantized to
+  * micro-units BEFORE the per-document sum, so the aggregate is an
+  * exact BIGINT sum, independent of accumulation order.
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+  val Buckets = 64
+
+  /** Inverted index: one row per (term, doc_id) with the term
+    * frequency. (term, doc_id) is unique by construction — df(term) is
+    * a plain count and conjunctive matching a plain group-count.
+    */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Stable term → bucket assignment, shared by writer and prober.
+    * md5-derived (not Spark's murmur) so the bucket of a term is
+    * reproducible by ANY engine reading the index layout.
+    */
+  private def bucketOf(term: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("idx-"), term)), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /** Driver-side twin of [[bucketOf]] for building the probe's static
+    * partition filter (same md5-hex-prefix hash, bit-identical). */
+  private def bucketOfLocal(term: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"idx-$term".getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % Buckets
+  }
+
+  /** Write the bucket-partitioned postings index + a 1-row corpus
+    * stats sidecar (N, total token count) the BM25 prober needs.
+    */
+  def writePostingsIndex(docs: DataFrame, path: String,
+                         buckets: Int = Buckets): Unit = {
+    val post = postings(docs).withColumn("bucket", bucketOf(col("term")))
+    post.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  /** Conjunctive (all-terms) search from the STORED index: probe ONLY
+    * the query terms' bucket partitions, keep documents whose distinct
+    * matched-term count equals the query size. `hits` = total matched
+    * occurrences. The scan must show a bucket PartitionFilter — the
+    * corpus-sized posting table is never read past the probed buckets.
+    */
+  def conjunctiveSearchStored(spark: SparkSession, path: String,
+                              terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "conjunctive search needs at least one term")
+    val post = spark.read.parquet(s"$path/postings")
+    val tcol = array(terms.map(lit): _*)
+    val probed = post
+      .filter(col("bucket").isin(terms.map(bucketOfLocal): _*))
+      .filter(array_contains(tcol, col("term")))
+    probed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("hits"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("hits"))
+  }
+
+  /** BM25 top-k over the corpus (index built inline; the stored probe
+    * composes [[conjunctiveSearchStored]]'s pruned read with the same
+    * scoring). Disjunctive: any matched term contributes.
+    *
+    * Per-term score, every fp op single-rounded in this fixed order
+    * (mirrored verbatim in the oracle SQL):
+    *   idf  = (N − df + 0.5) / (df + 0.5)
+    *   tfn  = (tf · (k1+1)) / (tf + k1 · (1 − b + b · (dl / avgdl)))
+    *   s_µ  = floor(idf · tfn · 1e6 + 0.5)
+    * and score(doc) = Σ s_µ as an exact BIGINT.
+    *
+    * Scale shape: df/N/avgdl are one map-combinable pass; the scoring
+    * join touches only the query terms' postings (broadcast the ≤|q|
+    * df rows); top-k is a sort-limit, and the rank window runs on k
+    * rows. Nothing reshuffles the corpus.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val post = postings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tcol = array(terms.map(lit): _*)
+    val qpost = post.filter(array_contains(tcol, col("term")))
+    val df = qpost.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+    val tfn = (col("tf").cast("double") * lit(K1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / avgdl)))
+    val scored = qpost
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idf * tfn * lit(1e6) + lit(0.5)).cast("long").as("s_micro"))
+    val top = scored.groupBy(col("doc_id"))
+      .agg(sum(col("s_micro")).as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+    val res = top.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+    post.unpersist(blocking = false)
+    res
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.) of
+    * the lexical BM25 list and the dense cosine list over the shared
+    * doc_id/vec_id space — the standard two-tower fusion every
+    * production RAG stack runs (sparse catches exact terms, dense
+    * catches paraphrase; RRF needs no score calibration because it
+    * consumes only RANKS).
+    *
+    * Determinism: rrf contribution = floor(10⁶ / (rrfK + rank)) — one
+    * double division of exactly-representable operands, one floor —
+    * summed as exact BIGINTs, so fused order is engine-independent.
+    * Docs absent from a list contribute 0 (rank reported as 0).
+    *
+    * Scale shape: each list is a top-`c` per query from its own index
+    * (stored bucket-pruned postings / stored IVF probe at scale; the
+    * gate uses the inline builds), so the fusion's full-outer join and
+    * the final sort-limit run on O(c) rows — the corpus is touched
+    * only inside the two index probes, never by the fusion itself.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                qVec: Long, c: Int = 50, k: Int = 10,
+                rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, terms, c)
+      .select(col("doc_id"), col("rk").as("lex_rank"))
+    val dense = Similarity.bruteForceTopK(emb, col("vec_id") === qVec, c)
+      .select(col("n_id").as("doc_id"), col("rank").cast("long").as("dense_rank"))
+    def contrib(rank: org.apache.spark.sql.Column) =
+      when(rank.isNotNull,
+        floor(lit(1e6) / (lit(rrfK).cast("double") + rank.cast("double")))
+          .cast("long")).otherwise(lit(0L))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (contrib(col("lex_rank")) + contrib(col("dense_rank"))).as("rrf_micro"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+    fused.orderBy(col("rrf_micro").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** Build-once postings index fixture for an sf dir (the
+    * [[Similarity.indexDir]] pattern). */
+  def indexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_" +
+      Integer.toHexString(canonical.hashCode)
+    val base = s"/tmp/graft_text/$name"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_INDEX_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      writePostingsIndex(t(spark, sfDir, "documents"), base)
+      fs.create(marker, true).close()
+    }
+    base
+  }
+
+  /** Gate query terms: one rare term ('dup', df≈5% of docs) against
+    * two common ones — the spread that makes idf weighting visible. */
+  val QueryTerms = Seq("dup", "spark", "key")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // AND-search served from the stored bucket-partitioned index;
+    // oracle = plain SQL over documents (the index is an access path,
+    // not a semantic: results must be identical with or without it)
+    "t_search" -> { (s, d) =>
+      conjunctiveSearchStored(s, indexDir(s, d), QueryTerms)
+    },
+    // BM25 top-20 with rational idf + micro-quantized term scores —
+    // deterministic, so ranked retrieval is oracle-checked bit-for-bit
+    "t_bm25" -> { (s, d) => bm25TopK(t(s, d, "documents"), QueryTerms) },
+    // hybrid sparse+dense: RRF of the BM25 top-50 and the cosine
+    // top-50 for query vector 7 over the shared doc_id/vec_id space
+    "t_hybrid_rrf" -> { (s, d) =>
+      hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"), QueryTerms, 7L)
+    }
+  )
+
+  private val termList = QueryTerms.map(tm => s"'$tm'").mkString(", ")
+
+  /** The BM25 scoring CTE chain up through ranked `r` — shared by the
+    * plain top-20 oracle and the hybrid-RRF oracle so both pin the
+    * identical lexical ranking semantics.
+    */
+  private lazy val bm25RankedCtes: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, w.w AS term
+       |  FROM documents,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w(w)),
+       |post AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dl AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM post GROUP BY 1),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+       |qdf AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM post WHERE term IN ($termList) GROUP BY 1),
+       |scored AS (
+       |  SELECT post.doc_id,
+       |    CAST(floor(
+       |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+       |       (CAST(df AS DOUBLE) + 0.5)) *
+       |      ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+       |       (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B *
+       |         (CAST(dl.dl AS DOUBLE) /
+       |          (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+       |  FROM post
+       |  JOIN qdf ON qdf.term = post.term
+       |  JOIN dl ON dl.doc_id = post.doc_id
+       |  CROSS JOIN stats),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM scored GROUP BY 1),
+       |r AS (
+       |  SELECT doc_id, score_micro, n_terms,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+       |      AS BIGINT) AS rk
+       |  FROM agg)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "t_search" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, w.w AS term
+         |  FROM documents,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w(w))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+         |FROM tok WHERE term IN ($termList)
+         |GROUP BY doc_id
+         |HAVING count(DISTINCT term) = ${QueryTerms.size}""".stripMargin,
+
+    "t_bm25" ->
+      s"""$bm25RankedCtes
+         |SELECT doc_id, score_micro, n_terms, rk FROM r WHERE rk <= 20""".stripMargin,
+
+    // RRF fusion of the BM25 top-50 and the dense cosine top-50 for
+    // query vector 7 — both rank lists pinned to the Spark side's
+    // semantics, contributions floor(1e6/(60+rank)) summed as BIGINTs
+    "t_hybrid_rrf" ->
+      s"""$bm25RankedCtes,
+         |lex AS (SELECT doc_id, rk AS lex_rank FROM r WHERE rk <= 50),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |      FROM embeddings WHERE vec_id = 7),
+         |cand AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+         |dscored AS (
+         |  SELECT q_id, n_id, ${Similarity.cosSql("q_emb", "n_emb")} AS cos
+         |  FROM cand JOIN q ON q_id <> n_id),
+         |dense AS (
+         |  SELECT doc_id, dense_rank FROM (
+         |    SELECT n_id AS doc_id,
+         |      CAST(row_number() OVER (ORDER BY cos DESC, n_id) AS BIGINT)
+         |        AS dense_rank
+         |    FROM dscored) WHERE dense_rank <= 50),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |    CAST(COALESCE(CAST(floor(1000000.0 /
+         |        (60.0 + CAST(l.lex_rank AS DOUBLE))) AS BIGINT), 0) +
+         |      COALESCE(CAST(floor(1000000.0 /
+         |        (60.0 + CAST(d.dense_rank AS DOUBLE))) AS BIGINT), 0)
+         |      AS BIGINT) AS rrf_micro,
+         |    CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+         |    CAST(COALESCE(d.dense_rank, 0) AS BIGINT) AS dense_rank
+         |  FROM lex l FULL JOIN dense d ON d.doc_id = l.doc_id),
+         |rr AS (
+         |  SELECT doc_id, rrf_micro, lex_rank, dense_rank,
+         |    CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+         |      AS BIGINT) AS rk
+         |  FROM fused)
+         |SELECT doc_id, rrf_micro, lex_rank, dense_rank, rk
+         |FROM rr WHERE rk <= 10""".stripMargin
+  )
+}

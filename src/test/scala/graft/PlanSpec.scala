@@ -154,6 +154,21 @@ class PlanSpec extends AnyFunSuite {
     assert(probed < allParts, s"probe touched all $allParts clusters")
   }
 
+  test("stored postings probe reads only the query terms' bucket partitions") {
+    val base = operators.Retrieval.indexDir(spark, sf)
+    val df = operators.Retrieval.conjunctiveSearchStored(
+      spark, base, operators.Retrieval.QueryTerms)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [bucket"),
+      s"no static partition filter on bucket in:\n$p")
+    // the probed bucket set must be a strict subset of the index
+    val allBuckets = spark.read.parquet(s"$base/postings")
+      .select("bucket").distinct().count()
+    assert(allBuckets > operators.Retrieval.QueryTerms.size,
+      s"index degenerate: only $allBuckets buckets")
+  }
+
   test("stored-ANN → MMR: shortlist scan is partition-pruned, no corpus-wide join") {
     val base = operators.Similarity.indexDir(spark, sf)
     val queries = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 8)

@@ -393,6 +393,73 @@ class Round7OpsSpec extends AnyFunSuite {
       <= 400L * 1000000L)
   }
 
+  test("bm25TopK matches in-memory BM25; conjunctive search = brute containment") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, dir, "documents")
+    val terms = operators.Retrieval.QueryTerms
+    // in-memory reference: same rational idf + micro-quantization
+    val toks = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq))
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = terms.map(t =>
+      t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val expected = toks.flatMap { case (id, ws) =>
+      val s = terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) 0L
+        else {
+          val idf = (n - dfm(t) + 0.5) / (dfm(t) + 0.5)
+          val tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (ws.length / avgdl)))
+          math.floor(idf * tfn * 1e6 + 0.5).toLong
+        }
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = operators.Retrieval.bm25TopK(docs, terms)
+      .orderBy(col("rk"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+    assert(got.toSeq === expected.toSeq)
+    // conjunctive search from the STORED index == brute containment
+    val tmp = java.nio.file.Files.createTempDirectory("graft_postings").toString
+    operators.Retrieval.writePostingsIndex(docs, tmp)
+    val found = operators.Retrieval.conjunctiveSearchStored(spark, tmp, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val brute = toks.filter(tw => terms.forall(tw._2.contains))
+      .map { case (id, ws) => id -> ws.count(terms.contains).toLong }.toMap
+    assert(found === brute)
+  }
+
+  test("hybridRrf = in-memory fusion of the two rank lists; ranks carried faithfully") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, dir, "documents")
+    val emb = Tables.t(spark, dir, "embeddings")
+    val terms = operators.Retrieval.QueryTerms
+    // fuse the two (already independently spec-tested) lists in memory
+    val lex = operators.Retrieval.bm25TopK(docs, terms, 50)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rk")).toMap
+    val dense = operators.Similarity
+      .bruteForceTopK(emb, col("vec_id") === 7L, 50)
+      .collect().map(r => r.getAs[Long]("n_id") -> r.getAs[Int]("rank").toLong).toMap
+    def contrib(rk: Option[Long]) =
+      rk.map(r => math.floor(1e6 / (60.0 + r)).toLong).getOrElse(0L)
+    val expected = (lex.keySet ++ dense.keySet).toSeq
+      .map(id => (id, contrib(lex.get(id)) + contrib(dense.get(id)),
+        lex.getOrElse(id, 0L), dense.getOrElse(id, 0L)))
+      .sortBy { case (id, s, _, _) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s, lr, dr), i) => (id, s, lr, dr, i + 1L) }
+    val got = operators.Retrieval
+      .hybridRrf(docs, emb, terms, 7L)
+      .orderBy(col("rk"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_micro"),
+        r.getAs[Long]("lex_rank"), r.getAs[Long]("dense_rank"), r.getAs[Long]("rk")))
+    assert(got.toSeq === expected)
+    // fusion must actually mix: the top-10 contains docs from both lists
+    assert(got.exists(_._3 > 0) && got.exists(_._4 > 0))
+  }
+
   test("importanceResample: docs sharing the target's vocabulary outrank the rest") {
     import spark.implicits._
     // target lang 'en' uses vocabulary {alpha..delta}; distractors use
