@@ -145,7 +145,19 @@ object Plans {
       "p_dsir (bucket tables broadcast onto the token stream; one weight shuffle)" ->
         operators.Pipeline.queries("p_dsir")(spark, sfDir),
       "s_kmv_intersect (three sort-limit sketches; all joins on ≤k rows)" ->
-        operators.Sketches.queries("s_kmv_intersect")(spark, sfDir)
+        operators.Sketches.queries("s_kmv_intersect")(spark, sfDir),
+      "t_pmi (map-side pair gen; marginals from the aggregated pair table)" ->
+        operators.TextAnalysis.queries("t_pmi")(spark, sfDir),
+      "t_hybrid_rrf (fusion joins run on O(c) rows; corpus only in the probes)" ->
+        operators.Retrieval.queries("t_hybrid_rrf")(spark, sfDir),
+      "d_sorted_neighborhood (range-sort once; (w-1)*N linear candidates)" ->
+        operators.Dedup.queries("d_sorted_neighborhood")(spark, sfDir),
+      "g_neigh_agg (static adjacency reused across both layers; O(V) vectors move)" ->
+        graph.GraphQueries.queries("g_neigh_agg")(spark, sfDir),
+      "g_wl_refine (commutative multiset hash: partial-agg sum, no collect_list)" ->
+        graph.GraphQueries.queries("g_wl_refine")(spark, sfDir),
+      "g_transitivity (degree-ordered wedge bound + map-combinable wedge sum)" ->
+        graph.GraphQueries.queries("g_transitivity")(spark, sfDir)
     )
 
     val sb = new StringBuilder

@@ -400,6 +400,172 @@ object GraphOps {
     } finally if (eager) und.unpersist(blocking = false)
   }
 
+  /** Edge reciprocity of the directed simple graph: the fraction of
+    * (non-loop, deduplicated) directed edges whose reverse edge also
+    * exists — the standard directed-network symmetry statistic.
+    * Returns ONE row (n_edges, n_mutual, reciprocity_micro) with
+    * reciprocity_micro = ⌊10⁶·n_mutual/n_edges⌋ in exact integer
+    * floor-division (no fp anywhere).
+    *
+    * Scale shape: one distinct on (src,dst), then a LEFT SEMI self-join
+    * on the swapped key — both sides are the SAME hash-partitioned
+    * relation, so the mutual test co-locates without a broadcast, and
+    * the two counts are map-side-combinable aggregates. Nothing here is
+    * hub-sensitive: a hub's edges land on many reducers by (src,dst)
+    * pair, not by vertex.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val simple = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rev = simple.select(col("dst").as("src"), col("src").as("dst"))
+    val mutual = simple.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_mutual"))
+    val res = simple.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(mutual))
+      .select(col("n_edges"), col("n_mutual"),
+        expr("(1000000 * n_mutual) div n_edges").as("reciprocity_micro"))
+      .localCheckpoint(true)
+    simple.unpersist(blocking = false)
+    res
+  }
+
+  /** Global transitivity (a.k.a. global clustering coefficient) of the
+    * undirected simple graph: 3·triangles / wedges, where a wedge is an
+    * unordered path of length 2 (Σ_v deg(v)·(deg(v)−1)/2). Returns ONE
+    * row (n_triangles, n_wedges, transitivity_micro) — the corpus-level
+    * summary the per-vertex [[clusteringCoefficients]] doesn't give.
+    *
+    * Determinism: both counts are exact BIGINTs (deg·(deg−1) is even,
+    * so the /2 is an exact integer); the ratio is quantized by exact
+    * integer floor-division — no fp.
+    *
+    * Scale shape: the triangle side rides [[triangleCount]]'s
+    * degree-ordered orientation (wedge fan-out bounded by oriented
+    * out-degree ~O(√E), the hub defense); the wedge side is one
+    * map-combinable degree aggregation. The two 1-row aggregates meet
+    * in a broadcast.
+    */
+  def transitivity(edges: DataFrame): DataFrame = {
+    val und = undirectedSimple(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = triangleCount(
+      und.select(col("a").as("src"), col("b").as("dst")))
+    val wedges = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    val res = tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          expr("(3000000 * n_triangles) div n_wedges"))
+          .otherwise(lit(0L)).as("transitivity_micro"))
+      .localCheckpoint(true)
+    und.unpersist(blocking = false)
+    res
+  }
+
+  /** Two rounds of GNN-style mean neighborhood aggregation over the
+    * undirected simple graph, with feature f(v) = deg(v): layer 1 is
+    * ⌊10⁶·Σ_{u∈N(v)} deg(u) / deg(v)⌋ — i.e. the average-nearest-
+    * neighbor degree knn(v), the standard degree-correlation function —
+    * and layer 2 re-aggregates layer 1's output the same way. This is
+    * exactly the message-passing forward pass a GraphSAGE-mean feature
+    * pipeline runs before training, determinized to exact BIGINT
+    * floor-division (micro-units) so the full per-vertex output
+    * hash-checks cross-engine.
+    *
+    * Scale shape: the adjacency table is built once, persisted, and
+    * hash-partitioned by neighbor for BOTH rounds (same join key →
+    * exchange reuse); each round is one join of the O(V) feature vector
+    * against the static adjacency plus one map-side-combinable sum —
+    * the per-round cost profile of [[pageRank]], and a hub's incoming
+    * messages combine map-side. Rounds generalize to k layers.
+    */
+  def neighborhoodAgg(edges: DataFrame): DataFrame = {
+    val und = undirectedSimple(edges)
+    val adj = und.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def layer(feat: DataFrame, c: String, out: String): DataFrame =
+      adj.join(feat.withColumnRenamed("v", "u"), "u")
+        .groupBy(col("v")).agg(sum(col(c)).as("s"))
+        .join(deg, "v")
+        .select(col("v"), expr(s"(1000000 * s) div deg").as(out))
+    val h1 = layer(deg.select(col("v"), col("deg")), "deg", "h1_micro")
+      .localCheckpoint(true)
+    // layer 2 consumes micro-scaled h1, so the mean keeps micro units:
+    // ⌊Σ h1_micro / deg⌋
+    val h2 = adj.join(h1.withColumnRenamed("v", "u"), "u")
+      .groupBy(col("v")).agg(sum(col("h1_micro")).as("s"))
+      .join(deg, "v")
+      .select(col("v"), expr("s div deg").as("h2_micro"))
+    val res = deg.join(h1, "v").join(h2, "v")
+      .select(col("v"), col("deg"), col("h1_micro"), col("h2_micro"))
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    res
+  }
+
+  /** Weisfeiler–Leman color refinement over the undirected simple
+    * graph: iteratively relabel every vertex by (its label, its
+    * neighbors' label MULTISET), the 1-WL structural-role
+    * fingerprinting that underpins graph-isomorphism tests and bounds
+    * GNN expressiveness. Initial label = degree; `rounds` iterations;
+    * returns (v, deg, wl, class_size) where `wl` is the final color
+    * and class_size the size of v's structural-equivalence class.
+    *
+    * The neighbor multiset is encoded by a COMMUTATIVE hash — each
+    * neighbor label hashes to a 36-bit integer (md5 prefix, fresh seed
+    * per round) and the multiset is their exact BIGINT sum — instead
+    * of the textbook sort-and-concatenate. That choice is the whole
+    * scale story: the sum combines MAP-SIDE (a 2.7M-degree hub never
+    * materializes a 2.7M-element collect_list on one reducer), each
+    * round is one join of the O(V) label vector against the static
+    * persisted adjacency + one partial-agg sum — the per-round profile
+    * of [[pageRank]]. 36-bit hashes keep the hub sum < 2⁵⁸, far from
+    * BIGINT overflow; multiset collisions need distinct multisets with
+    * equal 36-bit-sums under a per-round-seeded hash — vanishing, and
+    * any collision only COARSENS the partition (WL is an upper bound
+    * by construction). Everything is md5/integer arithmetic, so the
+    * refinement is reproduced bit-for-bit by the DuckDB oracle.
+    */
+  def wlRefine(spark: SparkSession, edges: DataFrame,
+               rounds: Int = 3): DataFrame = {
+    val und = undirectedSimple(edges)
+    val adj = und.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = deg.select(col("v"), col("deg").cast("string").as("wl"))
+      .localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val h = conv(substring(md5(concat(lit(s"wl-$r-"), col("wl"))), 1, 9),
+        16, 10).cast("long")
+      val msg = adj.join(lbl.withColumnRenamed("v", "u"), "u")
+        .select(col("v"), h.as("hu"))
+        .groupBy(col("v")).agg(sum(col("hu")).as("s"))
+      lbl = lbl.join(msg, "v").join(deg, "v")
+        .select(col("v"),
+          md5(concat_ws("|", col("wl"), col("s").cast("string"),
+            col("deg").cast("string"))).as("wl"))
+        .localCheckpoint(r == rounds)
+    }
+    val classes = lbl.groupBy(col("wl")).agg(count(lit(1)).as("class_size"))
+    val res = lbl.join(deg, "v").join(classes, "wl")
+      .select(col("v"), col("deg"), col("wl"), col("class_size"))
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    res
+  }
+
   /** PageRank (classic simplified form, no dangling-mass redistribution):
     * rank = (1-d) + d · Σ_in rank(u)/outDeg(u), fixed iteration count.
     *

@@ -233,6 +233,24 @@ object GraphQueries {
     "g_clustering" -> { (s, d) =>
       GraphOps.clusteringCoefficients(edgesFrom(s, d))
     },
+    // Weisfeiler–Leman color refinement, 3 rounds, commutative-hash
+    // multiset encoding (map-side-combinable; no collect_list on hubs)
+    "g_wl_refine" -> { (s, d) =>
+      GraphOps.wlRefine(s, edgesFrom(s, d))
+    },
+    // directed-edge reciprocity: one row, exact integer floor-division
+    "g_reciprocity" -> { (s, d) =>
+      GraphOps.reciprocity(edgesFrom(s, d))
+    },
+    // global transitivity: 3·triangles/wedges, exact BIGINTs throughout
+    "g_transitivity" -> { (s, d) =>
+      GraphOps.transitivity(edgesFrom(s, d))
+    },
+    // 2-layer GNN-style mean aggregation (knn(v) then re-aggregate),
+    // integer micro-units so the per-vertex output hash-checks
+    "g_neigh_agg" -> { (s, d) =>
+      GraphOps.neighborhoodAgg(edgesFrom(s, d))
+    },
     // personalized PageRank seeded at PprSources, quantized to micro-
     // units exactly like g_pagerank (same unrolled-CTE oracle shape)
     "g_ppr" -> { (s, d) =>
@@ -750,6 +768,43 @@ object GraphQueries {
        |  AND sup$KTrussRounds.b = e$KTrussRounds.b""".stripMargin
   }
 
+  /** Unrolled WL color-refinement rounds mirroring [[GraphOps.wlRefine]]:
+    * per round the commutative neighbor-multiset hash (same md5-prefix
+    * 36-bit integers, exact BIGINT sum) and the same
+    * `old|sum|deg`-string relabel, so colors match byte-for-byte.
+    */
+  private def wlRefineSql: String = {
+    val rounds = 3
+    val steps = (1 to rounds).map { r =>
+      s"""s$r AS (
+         |  SELECT adj.v,
+         |    CAST(sum(CAST(('0x' || substr(md5('wl-$r-' || l.wl), 1, 9))
+         |      AS BIGINT)) AS BIGINT) AS s
+         |  FROM adj JOIN l${r - 1} l ON l.v = adj.u GROUP BY adj.v),
+         |l$r AS (
+         |  SELECT p.v, md5(p.wl || '|' || CAST(s$r.s AS VARCHAR) || '|' ||
+         |    CAST(deg.deg AS VARCHAR)) AS wl
+         |  FROM l${r - 1} p JOIN s$r ON s$r.v = p.v
+         |  JOIN deg ON deg.v = p.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |adj AS (SELECT a AS v, b AS u FROM und
+       |        UNION ALL SELECT b AS v, a AS u FROM und),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+       |        FROM adj GROUP BY v),
+       |l0 AS (SELECT v, CAST(deg AS VARCHAR) AS wl FROM deg),
+       |$steps,
+       |cls AS (SELECT wl, CAST(count(*) AS BIGINT) AS class_size
+       |        FROM l$rounds GROUP BY wl)
+       |SELECT l$rounds.v, deg.deg, l$rounds.wl, cls.class_size
+       |FROM l$rounds
+       |JOIN deg ON deg.v = l$rounds.v
+       |JOIN cls ON cls.wl = l$rounds.wl""".stripMargin
+  }
+
   /** Unrolled mutual-proposal matching rounds mirroring
     * [[GraphOps.maximalMatching]]: per round, per-vertex min incident
     * edge under the (md5 priority, a, b) order — row_number mirrors
@@ -1260,6 +1315,62 @@ object GraphQueries {
            |SELECT CAST(count(*) AS BIGINT) AS n_triangles
            |FROM und e1 JOIN und e2 ON e2.a = e1.b
            |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+      "g_wl_refine" -> wlRefineSql,
+      "g_reciprocity" ->
+        s"""WITH e AS ($edgesSql),
+           |simple AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+           |m AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_mutual FROM simple s
+           |  WHERE EXISTS (SELECT 1 FROM simple r
+           |                WHERE r.src = s.dst AND r.dst = s.src)),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM simple)
+           |SELECT n_edges, n_mutual,
+           |  CAST((1000000 * n_mutual) // n_edges AS BIGINT)
+           |    AS reciprocity_micro
+           |FROM n, m""".stripMargin,
+      "g_transitivity" ->
+        s"""WITH e AS ($edgesSql),
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst),
+           |tri AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+           |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |deg AS (
+           |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+           |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+           |  GROUP BY v),
+           |w AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT)
+           |        AS n_wedges FROM deg)
+           |SELECT n_triangles, n_wedges,
+           |  CASE WHEN n_wedges > 0
+           |    THEN CAST((3000000 * n_triangles) // n_wedges AS BIGINT)
+           |    ELSE CAST(0 AS BIGINT) END AS transitivity_micro
+           |FROM tri, w""".stripMargin,
+      "g_neigh_agg" ->
+        s"""WITH e AS ($edgesSql),
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst),
+           |adj AS (SELECT a AS v, b AS u FROM und
+           |        UNION ALL SELECT b AS v, a AS u FROM und),
+           |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+           |        FROM adj GROUP BY v),
+           |s1 AS (
+           |  SELECT adj.v AS v, CAST(sum(du.deg) AS BIGINT) AS s
+           |  FROM adj JOIN deg du ON du.v = adj.u GROUP BY adj.v),
+           |h1 AS (
+           |  SELECT s1.v, CAST((1000000 * s1.s) // d.deg AS BIGINT) AS h1_micro
+           |  FROM s1 JOIN deg d ON d.v = s1.v),
+           |s2 AS (
+           |  SELECT adj.v AS v, CAST(sum(h.h1_micro) AS BIGINT) AS s
+           |  FROM adj JOIN h1 h ON h.v = adj.u GROUP BY adj.v),
+           |h2 AS (
+           |  SELECT s2.v, CAST(s2.s // d.deg AS BIGINT) AS h2_micro
+           |  FROM s2 JOIN deg d ON d.v = s2.v)
+           |SELECT d.v, d.deg, h1.h1_micro, h2.h2_micro
+           |FROM deg d JOIN h1 ON h1.v = d.v JOIN h2 ON h2.v = d.v""".stripMargin,
       "g_clustering" ->
         s"""WITH e AS ($edgesSql),
            |und AS (

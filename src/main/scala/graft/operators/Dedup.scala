@@ -52,6 +52,59 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
+  /** Sorted-neighborhood (SNM) near-dup candidates: enumerate the
+    * corpus in ONE total order (sort key = the first 16 chars of the
+    * whitespace-normalized text, ties broken by doc_id), compare each
+    * document only against its next `w−1` neighbors in that order, and
+    * keep pairs whose exact n-gram Jaccard clears `threshold` — the
+    * classic entity-resolution blocking method (Hernández–Stolfo)
+    * complementing the hash-bucketing family: LSH bands catch
+    * permuted/shuffled near-dups, SNM catches shared-prefix families
+    * (common-crawl boilerplate heads, versioned titles) whose edits sit
+    * OUTSIDE the sampled bands.
+    *
+    * Scale shape: the global order is [[Pipeline.globalOrdinal]]'s
+    * range-partitioned sort (one range exchange, no single-partition
+    * window); the neighborhood expansion is MAP-SIDE (each row emits
+    * its w−1 forward ordinals) and meets its partner in a plain
+    * equi-join on the unique ordinal — candidate volume is exactly
+    * (w−1)·N, LINEAR in the corpus, with no hot-block quadratic blowup
+    * (a degenerate blocking key that puts 1M rows in one block costs
+    * LSH 10¹² comparisons; SNM still does w·10⁶). Verification joins
+    * shingle sets only for surviving candidate ids — text never rides
+    * the sort.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, w: Int = 8, n: Int = 3,
+                              threshold: Double = 0.2): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    val keyed = docs.select(col("doc_id"),
+      substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "),
+        1, 16).as("snm_key"))
+    val ord = graft.operators.Pipeline.globalOrdinal(
+        keyed, Seq(col("snm_key"), col("doc_id")))
+      .select(col("doc_id"), col("ordinal"))
+      .localCheckpoint(true) // ordinals are consumed by both join sides
+    val probes = ord.select(col("doc_id").as("a_id"),
+        explode(sequence(lit(1), lit(w - 1))).as("gap"),
+        col("ordinal"))
+      .select(col("a_id"), col("gap"), (col("ordinal") + col("gap")).as("ordinal"))
+    val cands = probes.join(ord.select(col("doc_id").as("b_id"), col("ordinal")),
+        "ordinal")
+      .select(col("a_id"), col("b_id"), col("gap"))
+    // (doc_id, sh) only — SNM needs no blocking column beyond the order
+    val s = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), n)).as("sh"))
+    cands
+      .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jac",
+        size(array_intersect(col("a_sh"), col("b_sh"))) * lit(1.0) /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("gap").cast("long").as("gap"),
+        col("jac"))
+  }
+
   /** Directional n-gram containment pairs via an inverted shingle
     * index: cont(A, B) = max(|∩|/|sh(A)|, |∩|/|sh(B)|) — the near-dup
     * measure Jaccard misses when a SMALL document is embedded in a
@@ -491,6 +544,10 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact" -> { (s, d) => exact(t(s, d, "documents")) },
     "d_ngram_jaccard" -> { (s, d) => ngramJaccardPairs(t(s, d, "documents"), 3, 0.2) },
+    // sorted-neighborhood blocking: linear (w−1)·N candidate volume
+    "d_sorted_neighborhood" -> { (s, d) =>
+      sortedNeighborhoodPairs(t(s, d, "documents"))
+    },
     // directional containment, exact (no df cap on the gate corpus)
     "d_containment" -> { (s, d) => containmentPairs(t(s, d, "documents"), 3, 0.6) },
     "d_minhash_lsh" -> { (s, d) => minhashLshPairs(t(s, d, "documents")) },
@@ -669,6 +726,34 @@ object Dedup {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
          |    len(list_distinct(a.sh || b.sh)) >= 0.2""".stripMargin,
+
+    // same total order (snm_key, doc_id), same w−1 forward window,
+    // same Jaccard expression as d_ngram_jaccard
+    "d_sorted_neighborhood" ->
+      s"""WITH s AS ($shSqlDocs),
+         |k AS (
+         |  SELECT doc_id,
+         |    substring(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+         |      1, 16) AS snm_key
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY snm_key, doc_id) AS BIGINT)
+         |      AS ordinal
+         |  FROM k),
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(b.ordinal - a.ordinal AS BIGINT) AS gap
+         |  FROM o a JOIN o b
+         |  ON b.ordinal > a.ordinal AND b.ordinal <= a.ordinal + 7)
+         |SELECT c.a_id, c.b_id, c.gap,
+         |  len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |    len(list_distinct(sa.sh || sb.sh)) AS jac
+         |FROM cand c
+         |JOIN s sa ON sa.doc_id = c.a_id
+         |JOIN s sb ON sb.doc_id = c.b_id
+         |WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |    len(list_distinct(sa.sh || sb.sh)) >= 0.2""".stripMargin,
 
     // brute-force pair scan (fine at oracle scale); common > 0 mirrors
     // the operator's pairs-meet-through-shared-shingles candidate set

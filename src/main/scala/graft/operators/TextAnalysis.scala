@@ -117,7 +117,65 @@ object TextAnalysis {
             x => x.getField("line")))).as("clean_fp"))
   }
 
+  /** Bigram collocation mining by pointwise mutual information: for
+    * every adjacent token pair (w1, w2), score how much more often the
+    * pair occurs than its parts' positional frequencies predict —
+    * ratio = N·c(w1,w2) / (c1(w1)·c2(w2)) with c1/c2 the left/right
+    * marginals of the pair table and N the total pair count (the
+    * standard contingency normalization; PMI is the log of this, and
+    * log is monotone, so ranking on the ratio IS ranking on PMI while
+    * keeping every value a short deterministic double chain).
+    *
+    * Determinism: counts are exact BIGINTs; the score is
+    * floor(10⁶ · (c12·N)/(c1·c2)) — four exact int→double casts, three
+    * single-rounded fp ops, one floor — mirrored verbatim in the
+    * oracle, so the full ranked output hash-checks.
+    *
+    * Scale shape: pairs are generated MAP-SIDE from the token array
+    * (shifted-index transform — no positional self-join, which would
+    * shuffle the exploded token stream twice); one map-combinable
+    * groupBy builds the pair table, and the marginals derive from that
+    * (already vocabulary²-bounded) table, not from the raw stream. The
+    * `minCount` gate cuts the long tail BEFORE the marginal joins, and
+    * top-N is a sort-limit (partial top-k per partition).
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, topN: Int = 30): DataFrame = {
+    val toked = docs.select(tokens(col("text")).as("t"))
+      .withColumn("nl", size(col("t")))
+      .filter(col("nl") >= 2)
+    val pairs = toked.select(explode(
+        transform(sequence(lit(0), col("nl") - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).as("n_pairs"))
+    val scored = c12.filter(col("c12") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_micro",
+        floor(lit(1e6) *
+          ((col("c12").cast("double") * col("n_pairs").cast("double")) /
+            (col("c1").cast("double") * col("c2").cast("double"))))
+          .cast("long"))
+    val res = scored
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2")).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"), col("pmi_micro"))
+    c12.unpersist(blocking = false)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bigram collocations: PMI-ranked adjacent pairs, map-side pair gen
+    "t_pmi" -> { (s, d) => pmiBigrams(t(s, d, "documents")) },
+
     // corpus-frequency boilerplate line removal (C4/CCNet shape)
     "t_boilerplate" -> { (s, d) => boilerplateStrip(t(s, d, "documents")) },
 
@@ -397,6 +455,39 @@ object TextAnalysis {
       s"(acc, x) -> (acc * 31 + x) % $HashMod)"
 
   def oracle: Map[String, String] = Map(
+    // same pair generation (shifted-index list transform), same exact
+    // counts, same fp op order inside the floor
+    "t_pmi" ->
+      """WITH pr AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 2),
+        |pp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pr),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM pp GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+        |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_pairs FROM c12),
+        |scored AS (
+        |  SELECT c12.w1, c12.w2, c12.c12,
+        |    CAST(floor(1000000.0 *
+        |      ((CAST(c12.c12 AS DOUBLE) * CAST(n_pairs AS DOUBLE)) /
+        |       (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE)))) AS BIGINT)
+        |      AS pmi_micro
+        |  FROM c12
+        |  JOIN c1 ON c1.w1 = c12.w1
+        |  JOIN c2 ON c2.w2 = c12.w2
+        |  CROSS JOIN n
+        |  WHERE c12.c12 >= 5),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2)
+        |      AS BIGINT) AS rank,
+        |    w1, w2, c12, pmi_micro
+        |  FROM scored)
+        |SELECT rank, w1, w2, c12, pmi_micro FROM r WHERE rank <= 30""".stripMargin,
+
     "t_boilerplate" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -432,6 +432,134 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(found === brute)
   }
 
+  test("reciprocity / transitivity / neighborhoodAgg vs brute force on a random multigraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val edges = Seq.fill(600)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val df = edges.toDF("src", "dst")
+    // reciprocity on the directed simple graph
+    val simple = edges.filter(e => e._1 != e._2).distinct
+    val nMutual = simple.count(e => simple.contains((e._2, e._1)))
+    val r = GraphOps.reciprocity(df).collect()(0)
+    assert(r.getAs[Long]("n_edges") === simple.size.toLong)
+    assert(r.getAs[Long]("n_mutual") === nMutual.toLong)
+    assert(r.getAs[Long]("reciprocity_micro") ===
+      1000000L * nMutual / simple.size)
+    // transitivity on the undirected simple graph
+    val und = simple.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toSet
+    val vs = und.flatMap(e => Seq(e._1, e._2)).toSeq
+    val degm = vs.map(v =>
+      v -> und.count(e => e._1 == v || e._2 == v).toLong).toMap
+    val triCount = und.toSeq.flatMap { case (a, b) =>
+      vs.filter(c => c > b && und((a, c)) && und((b, c))).map(_ => 1)
+    }.size.toLong
+    val wedges = degm.values.map(d => d * (d - 1) / 2).sum
+    val tr = GraphOps.transitivity(df).collect()(0)
+    assert(tr.getAs[Long]("n_triangles") === triCount)
+    assert(tr.getAs[Long]("n_wedges") === wedges)
+    assert(tr.getAs[Long]("transitivity_micro") ===
+      (if (wedges > 0) 3000000L * triCount / wedges else 0L))
+    // 2-layer mean aggregation
+    val nbrs = vs.map(v => v -> und.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }.toSeq).toMap
+    val h1 = vs.map(v =>
+      v -> 1000000L * nbrs(v).map(degm).sum / degm(v)).toMap
+    val h2 = vs.map(v => v -> nbrs(v).map(h1).sum / degm(v)).toMap
+    val got = GraphOps.neighborhoodAgg(df).collect()
+      .map(r0 => r0.getAs[Long]("v") ->
+        (r0.getAs[Long]("deg"), r0.getAs[Long]("h1_micro"),
+          r0.getAs[Long]("h2_micro"))).toMap
+    assert(got.keySet === vs.toSet)
+    vs.foreach { v =>
+      assert(got(v) === ((degm(v), h1(v), h2(v))), s"vertex $v")
+    }
+  }
+
+  test("wlRefine: isomorphic components get identical colors; roles separate") {
+    import spark.implicits._
+    // component A: path 0-1-2-3-4 plus a triangle hung off vertex 1 —
+    // asymmetric, so the two path endpoints are NOT automorphic
+    val compA = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 1L))
+    // component B: the same graph under v -> v + 100
+    val compB = compA.map { case (a, b) => (a + 100L, b + 100L) }
+    val df = (compA ++ compB).toDF("src", "dst")
+    val wl = GraphOps.wlRefine(spark, df).collect()
+      .map(r => r.getAs[Long]("v") ->
+        (r.getAs[String]("wl"), r.getAs[Long]("class_size"))).toMap
+    // isomorphism: v and v+100 are corresponding vertices -> same color
+    (0L to 6L).foreach { v =>
+      assert(wl(v)._1 === wl(v + 100)._1, s"corresponding vertex $v")
+      assert(wl(v)._2 >= 2L, s"class of $v spans both components")
+    }
+    // role separation: the path endpoint (0) and the triangle vertex (5)
+    // are structurally different
+    assert(wl(0L)._1 !== wl(5L)._1)
+    // the two path endpoints sit at different distances from the
+    // triangle (1 vs 3 hops) — 3 refinement rounds tell them apart
+    assert(wl(0L)._1 !== wl(4L)._1)
+    // 5 and 6 ARE automorphic (triangle symmetry) -> same color
+    assert(wl(5L)._1 === wl(6L)._1)
+  }
+
+  test("sortedNeighborhoodPairs = brute SNM (sort, window, exact Jaccard)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // shared-prefix families: same 16-char head, diverging tails
+    val docs = (0 until 60).map { i =>
+      val fam = i % 9
+      val tail = Seq.fill(6)("w" + rnd.nextInt(12)).mkString(" ")
+      (i.toLong, s"family$fam common head marker $tail")
+    }.toDF("doc_id", "text")
+    val got = operators.Dedup.sortedNeighborhoodPairs(docs, w = 8, n = 3, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // brute force
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    def sh(s: String) = {
+      val t = norm(s).split(" ").toSeq
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+      else Set.empty[String]
+    }
+    val ordered = rows.sortBy { case (id, tx) => (norm(tx).take(16), id) }
+    val expected = (for {
+      i <- ordered.indices
+      j <- (i + 1) until math.min(i + 8, ordered.length)
+    } yield {
+      val (aId, aT) = ordered(i); val (bId, bT) = ordered(j)
+      val (sa, sb) = (sh(aT), sh(bT))
+      val jac = sa.intersect(sb).size * 1.0 / sa.union(sb).size
+      (aId, bId, (j - i).toLong, jac)
+    }).filter(_._4 >= 0.2).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "planted prefix families produced no SNM pairs")
+  }
+
+  test("pmiBigrams: planted collocation outranks frequent-but-independent pairs") {
+    import spark.implicits._
+    // 'hong kong' always adjacent (perfect collocation); 'the' is
+    // frequent everywhere, so ('the', x) pairs have high counts but
+    // low association
+    val docs = (0 until 40).map { i =>
+      (i.toLong, "the visit to hong kong was the plan the end " +
+        s"w$i the w${i % 7}")
+    }.toDF("doc_id", "text")
+    val res = operators.TextAnalysis.pmiBigrams(docs, minCount = 5, topN = 5)
+      .collect()
+    val top = res.minBy(_.getAs[Long]("rank"))
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) ===
+      (("hong", "kong")))
+    // exact score: c12=40, c1=c2=40, N = total pairs
+    val nPairs = 40L * 12L // 13 tokens per doc -> 12 adjacent pairs
+    assert(top.getAs[Long]("c12") === 40L)
+    assert(top.getAs[Long]("pmi_micro") ===
+      math.floor(1e6 * ((40.0 * nPairs) / (40.0 * 40.0))).toLong)
+  }
+
   test("hybridRrf = in-memory fusion of the two rank lists; ranks carried faithfully") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.t(spark, dir, "documents")
