@@ -157,7 +157,15 @@ object Plans {
       "g_wl_refine (commutative multiset hash: partial-agg sum, no collect_list)" ->
         graph.GraphQueries.queries("g_wl_refine")(spark, sfDir),
       "g_transitivity (degree-ordered wedge bound + map-combinable wedge sum)" ->
-        graph.GraphQueries.queries("g_transitivity")(spark, sfDir)
+        graph.GraphQueries.queries("g_transitivity")(spark, sfDir),
+      "g_coreness (bucketed H-index histogram; window over distinct values, not degree)" ->
+        graph.GraphQueries.queries("g_coreness")(spark, sfDir),
+      "t_phrase (zero-shuffle map-side token-window scan)" ->
+        operators.Retrieval.queries("t_phrase")(spark, sfDir),
+      "g_lpa_seeded (seed table broadcast; O(labeled) vector per round)" ->
+        graph.GraphQueries.queries("g_lpa_seeded")(spark, sfDir),
+      "p_leak_safe_split (cluster table from pair graph; corpus joined once)" ->
+        operators.Pipeline.queries("p_leak_safe_split")(spark, sfDir)
     )
 
     val sb = new StringBuilder

@@ -202,6 +202,19 @@ object ZipfBench {
     // run over the 2|E| lifted side-flipping edges, then two O(V)
     // label joins; component/color/verdict all decode from the labels
     time("bipartite")(GraphOps.bipartiteColoring(spark, esP).count())
+    // round-7 additions: WL's commutative multiset hash must combine
+    // the hub's 550K in-labels map-side (the collect_list alternative
+    // would put them on one reducer); neigh_agg is two pagerank-shaped
+    // rounds; reciprocity/transitivity are one-row summaries whose cost
+    // is the distinct + (semi-join | oriented wedge count)
+    time("wl_refine_3r")(GraphOps.wlRefine(spark, esP).count())
+    time("neigh_agg_2l")(GraphOps.neighborhoodAgg(esP).count())
+    time("reciprocity")(GraphOps.reciprocity(esP).collect())
+    time("transitivity")(GraphOps.transitivity(esP).collect())
+    // coreness: the bucketed-histogram H-index (the hub's 550K neighbor
+    // values collapse map-side to <=|distinct| rows; the per-vertex
+    // window is over that histogram, never the raw neighbor list)
+    time("coreness_14r")(GraphOps.corenessHIndex(spark, esP, 14).count())
     // hub-sensitive additions round 2: hits' per-vertex sums see the
     // hub's whole in/out mass (map-side combinable); ktruss' wedge join
     // rides the same degree-ordered orientation bound as triangles;

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -507,6 +508,57 @@ object GraphOps {
       .localCheckpoint(true)
     adj.unpersist(blocking = false)
     deg.unpersist(blocking = false)
+    res
+  }
+
+  /** Per-vertex core numbers ("coreness") by H-index iteration (Lü et
+    * al., Nature Physics 2016): start from c₀(v) = deg(v) and
+    * repeatedly set c_{r+1}(v) = H-index of v's neighbors' current
+    * values — the largest h such that ≥ h neighbors have c ≥ h. The
+    * sequence is monotone non-increasing and converges EXACTLY to the
+    * k-core decomposition; `rounds` is fixed (pinned semantics — the
+    * oracle unrolls the same rounds, so even a pre-convergence state
+    * hash-checks; convergence on the gate graph is spec-asserted).
+    * This is the whole-decomposition complement of [[kCore]] (which
+    * extracts ONE k's subgraph).
+    *
+    * Scale shape (the H-index is the hub hazard): the textbook
+    * per-vertex sort of neighbor values would range-sort a 2.7M-row
+    * group on one reducer for the hub. Instead the neighbor values are
+    * pre-aggregated to (v, value, cnt) — map-side-combinable, the hub
+    * collapses to ≤ |distinct values| rows — and the H-index is read
+    * off a cumulative count over that bucketed histogram, whose
+    * per-vertex window is bounded by the number of DISTINCT neighbor
+    * values (≤ max coreness +1 after round 1), not the degree. Per
+    * round: one O(V)-vector join against the static adjacency, one
+    * partial agg, one tiny window.
+    */
+  def corenessHIndex(spark: SparkSession, edges: DataFrame,
+                     rounds: Int = 14): DataFrame = {
+    val und = undirectedSimple(edges)
+    val adj = und.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var c = adj.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      // histogram of neighbor values per vertex (hub-safe partial agg)
+      val hist = adj.join(c.withColumnRenamed("v", "u"), "u")
+        .groupBy(col("v"), col("c")).agg(count(lit(1)).as("cnt"))
+      // H = max over values (descending) of min(value, running count)
+      val w = Window.partitionBy(col("v")).orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c = hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .groupBy(col("v"))
+        .agg(max(least(col("c"), col("cum"))).as("c"))
+        .localCheckpoint(r == rounds)
+    }
+    val res = c.select(col("v"), col("c").as("coreness"))
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
     res
   }
 
@@ -2051,6 +2103,55 @@ object GraphOps {
     }
     ue.unpersist(blocking = false)
     labels.select(col("v"), col("label").as("community"))
+  }
+
+  /** Seeded (semi-supervised) label propagation: a small set of
+    * vertices carries FIXED class labels; every other vertex
+    * iteratively takes the majority label of its currently-labeled
+    * neighbors (ties → smaller label; unlabeled-neighbor-only vertices
+    * stay unlabeled that round). This is transductive node
+    * classification by pure structure — the weak-supervision companion
+    * to [[labelPropagationCommunities]] (which has no anchors and
+    * drifts) and the graph-side twin of the text tier's classifier:
+    * label a handful of known-spam/known-good nodes and let the graph
+    * vote. Synchronous rounds with a total-order tie-break keep the
+    * whole trajectory a pure function of (graph, seeds), so even a
+    * pre-convergence state hash-checks against the unrolled oracle.
+    *
+    * Scale shape: identical to communities LPA — the src-pre-
+    * partitioned edge table never moves; per round the O(labeled)
+    * label vector joins it once and the vote is one map-combinable
+    * count + max_by. Seeds re-assert by an anti-join on the (tiny,
+    * broadcast) seed table.
+    */
+  def labelPropagationSeeded(spark: SparkSession, edges: DataFrame,
+                             seeds: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    val canon = undirectedSimple(edges)
+    val ue = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s0 = seeds.select(col("v"), col("label").cast("long").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = s0.localCheckpoint(false)
+    var i = 0
+    while (i < rounds) {
+      i += 1
+      val votes = ue.join(labels, ue("dst") === labels("v"))
+        .groupBy(ue("src").as("u"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val won = votes
+        .groupBy(col("u").as("v"))
+        .agg(max_by(col("label"), struct(col("n"), negate(col("label"))))
+          .as("label"))
+      labels = s0.unionAll(
+          won.join(broadcast(s0.select(col("v"))), Seq("v"), "left_anti"))
+        .localCheckpoint(i == rounds)
+    }
+    ue.unpersist(blocking = false)
+    s0.unpersist(blocking = false)
+    labels
   }
 
   /** Luby's maximal independent set over the undirected simple graph,

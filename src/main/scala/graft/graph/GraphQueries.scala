@@ -233,6 +233,22 @@ object GraphQueries {
     "g_clustering" -> { (s, d) =>
       GraphOps.clusteringCoefficients(edgesFrom(s, d))
     },
+    // semi-supervised label propagation: seeds = vertices < 16 labeled
+    // v % 4, 4 synchronous rounds, (count desc, label asc) tie-break
+    "g_lpa_seeded" -> { (s, d) =>
+      val e = edgesFrom(s, d)
+      val seeds = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v"))).distinct()
+        .filter(col("v") < 16)
+        .withColumn("label", pmod(col("v"), lit(4L)))
+      GraphOps.labelPropagationSeeded(s, e, seeds)
+    },
+    // full core decomposition by H-index iteration (14 fixed rounds —
+    // the gate graph's measured fixed point, spec-asserted); hub-safe
+    // bucketed histogram instead of a per-vertex neighbor sort
+    "g_coreness" -> { (s, d) =>
+      GraphOps.corenessHIndex(s, edgesFrom(s, d))
+    },
     // Weisfeiler–Leman color refinement, 3 rounds, commutative-hash
     // multiset encoding (map-side-combinable; no collect_list on hubs)
     "g_wl_refine" -> { (s, d) =>
@@ -766,6 +782,73 @@ object GraphQueries {
        |LEFT JOIN sup$KTrussRounds
        |  ON sup$KTrussRounds.a = e$KTrussRounds.a
        |  AND sup$KTrussRounds.b = e$KTrussRounds.b""".stripMargin
+  }
+
+  /** Unrolled seeded-LPA rounds mirroring
+    * [[GraphOps.labelPropagationSeeded]]: per round the same
+    * neighbor-label vote over the undirected simple adjacency and the
+    * same (count DESC, label ASC) argmax; seeds re-assert each round.
+    */
+  private def lpaSeededSql: String = {
+    val rounds = 4
+    val steps = (1 to rounds).map { r =>
+      s"""vt$r AS MATERIALIZED (
+         |  SELECT adj.src AS u, l.label, CAST(count(*) AS BIGINT) AS n
+         |  FROM adj JOIN l${r - 1} l ON l.v = adj.dst
+         |  GROUP BY adj.src, l.label),
+         |w$r AS (
+         |  SELECT u AS v, label FROM (
+         |    SELECT u, label,
+         |      row_number() OVER (PARTITION BY u ORDER BY n DESC, label) AS rn
+         |    FROM vt$r) WHERE rn = 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT v, label FROM seeds
+         |  UNION ALL
+         |  SELECT w.v, w.label FROM w$r w
+         |  WHERE w.v NOT IN (SELECT v FROM seeds))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+       |        UNION ALL SELECT b AS src, a AS dst FROM und),
+       |verts AS (SELECT DISTINCT src AS v FROM e
+       |          UNION SELECT DISTINCT dst AS v FROM e),
+       |seeds AS MATERIALIZED (
+       |  SELECT v, CAST(v % 4 AS BIGINT) AS label FROM verts WHERE v < 16),
+       |l0 AS (SELECT v, label FROM seeds),
+       |$steps
+       |SELECT v, label FROM l$rounds""".stripMargin
+  }
+
+  /** Unrolled H-index coreness rounds mirroring
+    * [[GraphOps.corenessHIndex]]: per round the same (v, value, cnt)
+    * neighbor histogram and the same max(least(value, running-count))
+    * read-off, so even a pre-convergence state hashes identically.
+    */
+  private def corenessSql: String = {
+    val rounds = 14
+    val steps = (1 to rounds).map { r =>
+      s"""h$r AS MATERIALIZED (
+         |  SELECT adj.v, l.c, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM adj JOIN c${r - 1} l ON l.v = adj.u GROUP BY adj.v, l.c),
+         |c$r AS MATERIALIZED (
+         |  SELECT v, CAST(max(least(c, cum)) AS BIGINT) AS c FROM (
+         |    SELECT v, c, sum(cnt) OVER (PARTITION BY v ORDER BY c DESC
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM h$r)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |adj AS MATERIALIZED (SELECT a AS v, b AS u FROM und
+       |        UNION ALL SELECT b AS v, a AS u FROM und),
+       |c0 AS MATERIALIZED (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM adj GROUP BY v),
+       |$steps
+       |SELECT v, c AS coreness FROM c$rounds""".stripMargin
   }
 
   /** Unrolled WL color-refinement rounds mirroring [[GraphOps.wlRefine]]:
@@ -1315,6 +1398,8 @@ object GraphQueries {
            |SELECT CAST(count(*) AS BIGINT) AS n_triangles
            |FROM und e1 JOIN und e2 ON e2.a = e1.b
            |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+      "g_coreness" -> corenessSql,
+      "g_lpa_seeded" -> lpaSeededSql,
       "g_wl_refine" -> wlRefineSql,
       "g_reciprocity" ->
         s"""WITH e AS ($edgesSql),

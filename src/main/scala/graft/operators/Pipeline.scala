@@ -263,6 +263,40 @@ object Pipeline {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-safe split: [[deterministicSplit]]'s idempotent hash
+    * assignment, but keyed by the NEAR-DUP CLUSTER id instead of the
+    * document id — every member of a near-duplicate cluster lands on
+    * the same side, so a test document can never have a near-copy in
+    * train (the train/test contamination that silently inflates evals;
+    * splitting before deduping is the classic pipeline bug this
+    * operator makes impossible by construction). Documents in no
+    * cluster key by their own id, preserving deterministicSplit's
+    * semantics for them.
+    *
+    * Scale shape: [[Dedup.dupClusters]] already runs on the
+    * orders-smaller verified-pair graph; the only addition is one
+    * left join of its (doc_id → cluster) table onto the corpus ids and
+    * the same map-side hash. Incremental ingests stay idempotent as
+    * long as the cluster's min-id representative is stable — which
+    * keep-lowest-id makes true whenever the earliest member arrived
+    * first.
+    */
+  def leakSafeSplit(spark: SparkSession, docs: DataFrame,
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val clusters = Dedup.dupClusters(spark, docs)
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+    val h = pmod(conv(substring(
+      md5(concat(lit("lsplit-"), col("split_key").cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(100L))
+    keyed.select(col("doc_id"), col("source"), col("split_key"),
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** DSIR-style importance resampling (Xie et al., "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by how much its HASHED-UNIGRAM distribution resembles a target
@@ -327,7 +361,10 @@ object Pipeline {
     "p_stratified" -> { (s, d) => stratifiedSample(t(s, d, "documents")) },
     // DSIR importance resampling toward the English sub-corpus; the
     // integerized bucket-ratio weights are oracle-checked bit-for-bit
-    "p_dsir" -> { (s, d) => importanceResample(t(s, d, "documents")) }
+    "p_dsir" -> { (s, d) => importanceResample(t(s, d, "documents")) },
+    // cluster-keyed split: near-dup families can never straddle
+    // train/test (leakage-safe by construction)
+    "p_leak_safe_split" -> { (s, d) => leakSafeSplit(s, t(s, d, "documents")) }
   )
 
   def oracle: Map[String, String] = {
@@ -452,6 +489,33 @@ object Pipeline {
           |SELECT doc_id, source, n_tokens, cum_tokens,
           |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin
           |FROM c""".stripMargin,
+
+      // dupClusters' closure (the d_dup_clusters oracle block) + the
+      // p_split hash CASE, keyed by COALESCE(cluster, doc_id)
+      "p_leak_safe_split" ->
+        s"""WITH RECURSIVE ${Dedup.minhashCtes("documents")},
+           |pairs AS (SELECT a_id AS src, b_id AS dst FROM verified
+           |          WHERE jac >= 0.25),
+           |ue AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+           |reach(v, r) AS (
+           |  SELECT DISTINCT src AS v, src AS r FROM ue
+           |  UNION
+           |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r),
+           |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+           |k AS (
+           |  SELECT d.doc_id, d.source,
+           |    COALESCE(cl.cluster_id, d.doc_id) AS split_key
+           |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+           |SELECT doc_id, source, split_key,
+           |  CASE
+           |    WHEN CAST(('0x' || substr(md5('lsplit-' ||
+           |      CAST(split_key AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+           |      THEN 'train'
+           |    WHEN CAST(('0x' || substr(md5('lsplit-' ||
+           |      CAST(split_key AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+           |      THEN 'val'
+           |    ELSE 'test' END AS split
+           |FROM k""".stripMargin,
 
       "p_dsir" ->
         """WITH tok AS (

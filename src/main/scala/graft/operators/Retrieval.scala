@@ -141,6 +141,40 @@ object Retrieval {
     res
   }
 
+  /** Exact phrase search: documents where the query terms appear
+    * CONSECUTIVELY, with the occurrence count — the positional query
+    * class conjunctive search can't answer (it loses adjacency).
+    *
+    * Evaluated as a pure MAP-SIDE scan of the token array (one
+    * higher-order filter over the shifted windows) — zero shuffles,
+    * zero joins, text never leaves its partition: the right default at
+    * 100 TB, where the alternative (positional postings self-joined
+    * per phrase term on (doc, pos)) shuffles the whole positional
+    * index per query. A stored positional index only wins once the
+    * corpus:query ratio is extreme AND the phrase's rarest term is
+    * selective; this operator is the honest baseline that needs no
+    * index at all.
+    */
+  def phraseCount(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one term")
+    val L = phrase.length
+    val withT = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("nl", size(col("t")))
+      .filter(col("nl") >= L)
+    val matchAt = (i: org.apache.spark.sql.Column) =>
+      phrase.zipWithIndex.map { case (w, j) =>
+        element_at(col("t"), (i + lit(j + 1)).cast("int")) === lit(w)
+      }.reduce(_ && _)
+    withT
+      .withColumn("n_occ",
+        size(filter(sequence(lit(0), col("nl") - L), matchAt)).cast("long"))
+      .filter(col("n_occ") > 0)
+      .select(col("doc_id"), col("n_occ"))
+  }
+
+  /** Gate phrase: a trigram that actually occurs in the corpus. */
+  val PhraseTerms = Seq("slow", "hash", "batch")
+
   /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.) of
     * the lexical BM25 list and the dense cosine list over the shared
     * doc_id/vec_id space — the standard two-tower fusion every
@@ -217,6 +251,10 @@ object Retrieval {
     // top-50 for query vector 7 over the shared doc_id/vec_id space
     "t_hybrid_rrf" -> { (s, d) =>
       hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"), QueryTerms, 7L)
+    },
+    // exact consecutive-phrase match, zero-shuffle map-side scan
+    "t_phrase" -> { (s, d) =>
+      phraseCount(t(s, d, "documents"), PhraseTerms)
     }
   )
 
@@ -281,6 +319,20 @@ object Retrieval {
     "t_bm25" ->
       s"""$bm25RankedCtes
          |SELECT doc_id, score_micro, n_terms, rk FROM r WHERE rk <= 20""".stripMargin,
+
+    // same shifted-window scan over the token list
+    "t_phrase" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(range(1, len(t) - ${PhraseTerms.size} + 2),
+         |      i -> ${PhraseTerms.zipWithIndex.map { case (w, j) =>
+                      s"t[i+$j] = '$w'" }.mkString(" AND ")}))
+         |      AS BIGINT) AS n_occ
+         |  FROM d WHERE len(t) >= ${PhraseTerms.size})
+         |SELECT doc_id, n_occ FROM m WHERE n_occ > 0""".stripMargin,
 
     // RRF fusion of the BM25 top-50 and the dense cosine top-50 for
     // query vector 7 — both rank lists pinned to the Spark side's

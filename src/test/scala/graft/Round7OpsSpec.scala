@@ -478,6 +478,113 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagationSeeded = brute synchronous rounds; seeds immovable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val df = edges.toDF("src", "dst")
+    val seedMap = Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 0L)
+    val seeds = seedMap.toSeq.toDF("v", "label")
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = und.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, l) => v -> l.map(_._2) }
+    var lab: Map[Long, Long] = seedMap
+    (1 to 4).foreach { _ =>
+      val next = nbrs.flatMap { case (v, ns) =>
+        val votes = ns.flatMap(lab.get).groupBy(identity)
+          .map { case (l, o) => (l, o.size) }
+        if (votes.isEmpty) None
+        else Some(v -> votes.toSeq.minBy { case (l, n) => (-n, l) }._1)
+      }.toMap
+      lab = next -- seedMap.keys ++ seedMap
+    }
+    val got = GraphOps.labelPropagationSeeded(spark, df, seeds).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("label")).toMap
+    assert(got === lab)
+    seedMap.foreach { case (v, l) => assert(got(v) === l, s"seed $v moved") }
+  }
+
+  test("leakSafeSplit: near-dup cluster members always share a side") {
+    import spark.implicits._
+    // 3 planted near-dup families (shared long text, one word changed)
+    // + unrelated singles
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = ((0 until 30).map { i =>
+      val fam = i % 3
+      (i.toLong, s"family$fam $base end${i / 3}x", "web")
+    } ++ (100 until 120).map { i =>
+      (i.toLong, s"unique doc $i " + Seq.tabulate(12)(j =>
+        s"tok${i * 31 + j}").mkString(" "), "web")
+    }).toDF("doc_id", "text", "source")
+    val res = operators.Pipeline.leakSafeSplit(spark, docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("split_key"),
+        r.getAs[String]("split")))
+    assert(res.length === 50)
+    // same split_key -> same split, and clusters are non-trivial
+    val byKey = res.groupBy(_._2)
+    assert(byKey.exists(_._2.length > 1), "no multi-doc cluster planted?")
+    byKey.foreach { case (k, rows) =>
+      assert(rows.map(_._3).distinct.length === 1,
+        s"cluster $k straddles splits")
+    }
+  }
+
+  test("phraseCount: consecutive-only matches, overlaps counted, short docs safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x hong kong y hong kong z"),   // two occurrences
+      (2L, "hong x kong"),                 // terms present, not adjacent
+      (3L, "kong hong"),                   // wrong order
+      (4L, "hong hong hong"),              // overlapping self-phrase
+      (5L, "hong"),                        // shorter than the phrase
+      (6L, "hong kong")                    // exact doc == phrase
+    ).toDF("doc_id", "text")
+    val got = operators.Retrieval.phraseCount(docs, Seq("hong", "kong"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 6L -> 1L))
+    val self = operators.Retrieval.phraseCount(docs, Seq("hong", "hong"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(self === Map(4L -> 2L)) // windows [0,1] and [1,2] both match
+  }
+
+  test("corenessHIndex = exact peeling coreness; 14 rounds converge on the gate graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(500)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+    val df = edges.toDF("src", "dst")
+    // brute force: v's coreness = largest k such that v survives
+    // iterated deletion of degree<k vertices
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val allV = und.flatMap(e => Seq(e._1, e._2)).distinct
+    def kCoreSurvivors(k: Int): Set[Long] = {
+      var alive = allV.toSet
+      var changed = true
+      while (changed) {
+        val deg = alive.map(v => v -> und.count(e =>
+          (e._1 == v && alive(e._2)) || (e._2 == v && alive(e._1)))).toMap
+        val drop = alive.filter(v => deg(v) < k)
+        changed = drop.nonEmpty
+        alive --= drop
+      }
+      alive
+    }
+    val brute = allV.map { v =>
+      v -> Iterator.from(1).takeWhile(k => kCoreSurvivors(k)(v)).length.toLong
+    }.toMap
+    val got = GraphOps.corenessHIndex(spark, df, rounds = 16).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("coreness")).toMap
+    assert(got === brute)
+    // convergence claim behind the 14-round gate entry: rounds 14 == 15
+    val gate = graph.GraphQueries.edgesFrom(spark, "/root/testdata/sf0.01")
+    val cA = GraphOps.corenessHIndex(spark, gate, rounds = 14).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cB = GraphOps.corenessHIndex(spark, gate, rounds = 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cA === cB, "gate graph not converged at 14 H-index rounds")
+  }
+
   test("wlRefine: isomorphic components get identical colors; roles separate") {
     import spark.implicits._
     // component A: path 0-1-2-3-4 plus a triangle hung off vertex 1 —
