@@ -212,6 +212,26 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
   def clusteringCoefficients(src: String, t: String, dst: String): DataFrame =
     GraphOps.clusteringCoefficients(edgesStd(src, t, dst))
 
+  def coreness(src: String, t: String, dst: String,
+               rounds: Int = 14): DataFrame =
+    GraphOps.corenessHIndex(spark, edgesStd(src, t, dst), rounds)
+
+  def wlRefinement(src: String, t: String, dst: String,
+                   rounds: Int = 3): DataFrame =
+    GraphOps.wlRefine(spark, edgesStd(src, t, dst), rounds)
+
+  def reciprocity(src: String, t: String, dst: String): DataFrame =
+    GraphOps.reciprocity(edgesStd(src, t, dst))
+
+  def transitivity(src: String, t: String, dst: String): DataFrame =
+    GraphOps.transitivity(edgesStd(src, t, dst))
+
+  def neighborhoodAgg(src: String, t: String, dst: String): DataFrame =
+    GraphOps.neighborhoodAgg(edgesStd(src, t, dst))
+
+  def bipartiteColoring(src: String, t: String, dst: String): DataFrame =
+    GraphOps.bipartiteColoring(spark, edgesStd(src, t, dst))
+
   def personalizedPageRank(src: String, t: String, dst: String,
                            source: Long): DataFrame =
     GraphOps.personalizedPageRank(spark, edgesStd(src, t, dst), Seq(source))

@@ -175,6 +175,30 @@ object GraphTableFunctions {
       new ExpressionInfo(getClass.getName, "graph_adamic_adar"),
       wholeGraphBuilder("graph_adamic_adar",
         (g, s, t, d) => g.adamicAdar(s, t, d))),
+    (FunctionIdentifier("graph_coreness"),
+      new ExpressionInfo(getClass.getName, "graph_coreness"),
+      wholeGraphBuilder("graph_coreness",
+        (g, s, t, d) => g.coreness(s, t, d))),
+    (FunctionIdentifier("graph_wl_refine"),
+      new ExpressionInfo(getClass.getName, "graph_wl_refine"),
+      wholeGraphBuilder("graph_wl_refine",
+        (g, s, t, d) => g.wlRefinement(s, t, d))),
+    (FunctionIdentifier("graph_reciprocity"),
+      new ExpressionInfo(getClass.getName, "graph_reciprocity"),
+      wholeGraphBuilder("graph_reciprocity",
+        (g, s, t, d) => g.reciprocity(s, t, d))),
+    (FunctionIdentifier("graph_transitivity"),
+      new ExpressionInfo(getClass.getName, "graph_transitivity"),
+      wholeGraphBuilder("graph_transitivity",
+        (g, s, t, d) => g.transitivity(s, t, d))),
+    (FunctionIdentifier("graph_neigh_agg"),
+      new ExpressionInfo(getClass.getName, "graph_neigh_agg"),
+      wholeGraphBuilder("graph_neigh_agg",
+        (g, s, t, d) => g.neighborhoodAgg(s, t, d))),
+    (FunctionIdentifier("graph_bipartite"),
+      new ExpressionInfo(getClass.getName, "graph_bipartite"),
+      wholeGraphBuilder("graph_bipartite",
+        (g, s, t, d) => g.bipartiteColoring(s, t, d))),
     (FunctionIdentifier("graph_katz"),
       new ExpressionInfo(getClass.getName, "graph_katz"),
       wholeGraphBuilder("graph_katz",

@@ -193,6 +193,44 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("TVFs graph_coreness/wl_refine/reciprocity/transitivity/neigh_agg/bipartite match the Scala API") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    val g = GraphArGraph(spark, yaml)
+    graph.GraphTableFunctions.register(spark)
+
+    val sqlCore = spark.sql(s"SELECT * FROM graph_coreness('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sqlCore === g.coreness("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+
+    val sqlWl = spark.sql(s"SELECT * FROM graph_wl_refine('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(sqlWl === g.wlRefinement("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq)
+
+    val sqlRec = spark.sql(s"SELECT * FROM graph_reciprocity('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sqlRec === g.reciprocity("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+
+    val sqlTrans = spark.sql(s"SELECT * FROM graph_transitivity('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sqlTrans === g.transitivity("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+
+    val sqlAgg = spark.sql(s"SELECT * FROM graph_neigh_agg('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(sqlAgg === g.neighborhoodAgg("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq)
+
+    val sqlBip = spark.sql(s"SELECT * FROM graph_bipartite('$yaml')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .sorted.toSeq
+    assert(sqlBip === g.bipartiteColoring("Part", "link", "Part")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .sorted.toSeq)
+  }
+
   test("TVFs personalized_pagerank/sample_neighbors/random_walk/graph_motif match the Scala API") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     val g = GraphArGraph(spark, yaml)
