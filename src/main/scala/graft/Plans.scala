@@ -165,7 +165,9 @@ object Plans {
       "g_lpa_seeded (seed table broadcast; O(labeled) vector per round)" ->
         graph.GraphQueries.queries("g_lpa_seeded")(spark, sfDir),
       "p_leak_safe_split (cluster table from pair graph; corpus joined once)" ->
-        operators.Pipeline.queries("p_leak_safe_split")(spark, sfDir)
+        operators.Pipeline.queries("p_leak_safe_split")(spark, sfDir),
+      "g_modularity (two label joins + partial-agg sums; 1-row m broadcast)" ->
+        graph.GraphQueries.queries("g_modularity")(spark, sfDir)
     )
 
     val sb = new StringBuilder

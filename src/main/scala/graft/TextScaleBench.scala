@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline, Retrieval, TextAnalysis}
+
+/** Text/retrieval-tier scale benchmark: a deterministic synthetic
+  * corpus (Zipf-ish vocabulary, ~1% planted near-dup families) far past
+  * the 500-doc gate fixture, timing the operators whose scale story the
+  * graph benches can't exercise — index build + stored-probe serving,
+  * ranked BM25, the dedup family (minhash banding vs sorted
+  * neighborhood), PMI collocations, phrase scan, and the leak-safe
+  * split composition. Args: [docsMillions] [reps].
+  *
+  * Corpus synthesis is pure column work (md5-hash token draws over a
+  * rank = floor(V^u) Zipf tail, the ZipfBench construction), written
+  * once to /tmp and marker-cached. Every 100th doc repeats its
+  * predecessor's text with a one-token tail edit — the planted
+  * near-dup family minhash/SNM must surface.
+  */
+object TextScaleBench {
+  def main(args: Array[String]): Unit = {
+    val millions = args.headOption.map(_.toDouble).getOrElse(2.0)
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val nDocs = (millions * 1e6).toLong
+    val spark = SparkSession.builder()
+      .appName("graft-text-scale").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val vocab = 50000L
+    val docLen = 40
+    val base = s"/tmp/graft_textscale/${millions}m"
+    val marker = new Path(s"$base/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+      // seed = the doc whose text this doc repeats (predecessor for the
+      // planted dups), token draw = Zipf rank floor(V^u) from a 32-bit
+      // md5 u; the tail token is per-DOC unique for the dup family so
+      // the pair is near- not exact-identical
+      val docs = spark.range(nDocs).toDF("doc_id")
+        .withColumn("seed",
+          when(col("doc_id") % 100 === 1, col("doc_id") - 1)
+            .otherwise(col("doc_id")))
+        .withColumn("text",
+          concat(
+            concat_ws(" ",
+              transform(sequence(lit(1), lit(docLen - 1)), i =>
+                concat(lit("w"), pow(lit(vocab.toDouble),
+                  (conv(substring(md5(concat(col("seed"), lit("-"), i)), 1, 8),
+                    16, 10).cast("double") + lit(1.0)) / lit(4294967296.0))
+                  .cast("long")))),
+            lit(" t"), col("doc_id") % 100000))
+        .withColumn("source", concat(lit("s"), col("doc_id") % 8))
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      docs.repartition(32).write.mode("overwrite").parquet(s"$base/documents")
+      fs.create(marker, true).close()
+    }
+    val docs = spark.read.parquet(s"$base/documents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"TEXTSCALE corpus ${docs.count()} docs")
+
+    def time(label: String)(f: => Any): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TEXTSCALE $label best=${times.min}%.3f " +
+        f"all=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+
+    val idx = s"$base/postings_idx"
+    time("postings_build")(Retrieval.writePostingsIndex(docs, idx))
+    // probe three mid-frequency terms from the Zipf middle
+    val probeTerms = Seq("w37", "w411", "w113")
+    time("search_stored_probe")(
+      Retrieval.conjunctiveSearchStored(spark, idx, probeTerms).count())
+    time("bm25_top20")(Retrieval.bm25TopK(docs, probeTerms).count())
+    time("phrase_scan")(Retrieval.phraseCount(docs, Seq("w1", "w2")).count())
+    time("exact_dedup")(Dedup.exact(docs).count())
+    time("minhash_pairs")(Dedup.minhashLshPairs(docs).count())
+    time("snm_pairs")(Dedup.sortedNeighborhoodPairs(docs).count())
+    time("pmi_bigrams")(TextAnalysis.pmiBigrams(docs, minCount = 50).count())
+    time("quality_scan")(docs
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+      .agg(sum(col("n_tokens"))).collect())
+    time("tokens_count")(docs.select(
+      sum(size(graft.functions.TextFunctions.tokens(col("text"))))).collect())
+    time("leak_safe_split")(Pipeline.leakSafeSplit(spark, docs).count())
+    docs.unpersist(blocking = false)
+    spark.stop()
+  }
+}

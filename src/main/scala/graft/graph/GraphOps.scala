@@ -2078,6 +2078,51 @@ object GraphOps {
     eIn / m - volSq / (4.0 * m * m)
   }
 
+  /** Per-community Newman modularity table for a given (v, community)
+    * partition: (community, n_nodes, e_in, vol, contrib_micro) where
+    * contrib = e_in/m − (vol/2m)² and Q = Σ contrib — the quality
+    * breakdown a pipeline inspects to see WHICH communities carry the
+    * partition's modularity ([[modularityOf]] returns only the scalar,
+    * driver-side; this is its distributed, oracle-checkable table
+    * form). All counts are exact BIGINTs; contrib_micro is a fixed
+    * 6-op fp chain mirrored verbatim in the oracle.
+    *
+    * Scale shape: e_in is two hash joins of the O(V) label vector onto
+    * the canonical edge list (AQE skew-splits the hub key) + one
+    * map-combinable count; vol is one join + partial-agg sum; m
+    * broadcasts as a 1-row frame. Nothing iterates.
+    */
+  def modularityByCommunity(spark: SparkSession, edges: DataFrame,
+                            partition: DataFrame): DataFrame = {
+    val canon = undirectedSimple(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mRow = canon.agg(count(lit(1)).as("m"))
+    val pa = partition.select(col("v").as("a"), col("community").as("ca"))
+    val pb = partition.select(col("v").as("b"), col("community").as("cb"))
+    val eIn = canon.join(pa, "a").join(pb, "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = canon.select(col("a").as("v")).unionAll(canon.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val comm = partition.join(deg, Seq("v"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("vol"))
+    val md = col("m").cast("double")
+    val half = col("vol").cast("double") / (lit(2.0) * md)
+    val res = comm.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("vol"))
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("vol"),
+        floor(lit(1e6) *
+          (col("e_in").cast("double") / md - half * half)).cast("long")
+          .as("contrib_micro"))
+      .localCheckpoint(true)
+    canon.unpersist(blocking = false)
+    res
+  }
+
   def labelPropagationCommunities(spark: SparkSession, edges: DataFrame,
                                   rounds: Int = 3): DataFrame = {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")

@@ -119,6 +119,13 @@ object GraphQueries {
     "g_communities" -> { (s, d) =>
       GraphOps.labelPropagationCommunities(s, edgesFrom(s, d), rounds = 3)
     },
+    // per-community modularity breakdown of the 3-round LPA partition:
+    // exact integer counts + one fixed 6-op fp chain per community
+    "g_modularity" -> { (s, d) =>
+      val e = edgesFrom(s, d)
+      GraphOps.modularityByCommunity(s, e,
+        GraphOps.labelPropagationCommunities(s, e, rounds = 3))
+    },
     // Louvain first-phase local moves: integerized modularity-gain
     // scores + parity-gated synchronous rounds make the classic
     // un-oracle-able algorithm exactly reproducible in SQL (3 rounds
@@ -1180,6 +1187,54 @@ object GraphQueries {
            |${round("1", "2")},
            |${round("2", "3")}
            |SELECT v, CAST(label AS BIGINT) AS community FROM l3""".stripMargin
+      },
+      // the g_communities 3-round LPA chain + exact-integer modularity
+      // accounting; the fp chain inside floor() mirrors the Spark ops
+      "g_modularity" -> {
+        def round(prev: String, cur: String): String =
+          s"""c$cur AS (
+             |  SELECT ue.src AS v, l$prev.label, count(*) AS n
+             |  FROM ue JOIN l$prev ON l$prev.v = ue.dst
+             |  GROUP BY ue.src, l$prev.label),
+             |l$cur AS (
+             |  SELECT v, label FROM (
+             |    SELECT v, label,
+             |      row_number() OVER (PARTITION BY v ORDER BY n DESC, label) AS rn
+             |    FROM c$cur) WHERE rn = 1)""".stripMargin
+        s"""WITH e AS ($edgesSql),
+           |cn AS MATERIALIZED (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst),
+           |ue AS MATERIALIZED (SELECT a AS src, b AS dst FROM cn
+           |       UNION ALL SELECT b, a FROM cn),
+           |l0 AS (SELECT DISTINCT src AS v, src AS label FROM ue),
+           |${round("0", "1")},
+           |${round("1", "2")},
+           |${round("2", "3")},
+           |part AS MATERIALIZED (
+           |  SELECT v, CAST(label AS BIGINT) AS community FROM l3),
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM cn),
+           |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+           |        FROM ue GROUP BY src),
+           |ein AS (
+           |  SELECT pa.community, CAST(count(*) AS BIGINT) AS e_in
+           |  FROM cn JOIN part pa ON pa.v = cn.a
+           |  JOIN part pb ON pb.v = cn.b
+           |  WHERE pa.community = pb.community GROUP BY pa.community),
+           |comm AS (
+           |  SELECT part.community, CAST(count(*) AS BIGINT) AS n_nodes,
+           |    CAST(sum(COALESCE(deg.deg, 0)) AS BIGINT) AS vol
+           |  FROM part LEFT JOIN deg ON deg.v = part.v
+           |  GROUP BY part.community)
+           |SELECT comm.community, comm.n_nodes,
+           |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, comm.vol,
+           |  CAST(floor(1000000.0 * (
+           |    CAST(COALESCE(ein.e_in, 0) AS DOUBLE) / CAST(m AS DOUBLE) -
+           |    (CAST(comm.vol AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) *
+           |    (CAST(comm.vol AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))))
+           |    AS BIGINT) AS contrib_micro
+           |FROM comm LEFT JOIN ein ON ein.community = comm.community
+           |CROSS JOIN mm""".stripMargin
       },
       // Louvain first phase, 3 unrolled rounds mirroring
       // GraphOps.louvainCommunities: all-integer gain scores

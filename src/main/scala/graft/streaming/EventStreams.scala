@@ -42,6 +42,27 @@ object EventStreams {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Streaming distinct-user counts per window via MERGEABLE HLL
+    * sketch state (Spark's DataSketches `hll_sketch_agg`) — the
+    * streaming twin of [[graft.operators.Sketches]]' persist-and-union
+    * HLL tier. The state store holds one ~2^lgK-byte sketch per open
+    * window instead of a per-user distinct set, so state size is
+    * O(windows), INDEPENDENT of user cardinality — the only viable
+    * contract when a 100 TB stream carries hundreds of millions of
+    * distinct keys; exact streaming distinct would grow state without
+    * bound. Watermark evicts closed windows. Same lgK as the batch
+    * tier, so streaming and batch estimates agree exactly (the sketch
+    * is deterministic for a given value multiset).
+    */
+  def windowedDistinctUsers(events: DataFrame, window_ : String = "1 hour",
+                            watermark: String = "10 minutes",
+                            lgK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).getField("start").as("h"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(lgK))).as("distinct_users"))
+
   /** Stream-static enrichment: join the event stream against a batch
     * dimension table (re-read per micro-batch by Spark; broadcast when
     * small). The canonical "attach user/customer attributes to a

@@ -72,6 +72,44 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: windowed HLL distinct-users matches the batch twin exactly") {
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedDistinctUsers(stream.toDF())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete").start()
+    try {
+      // two batches: sketch state must merge across micro-batches
+      val (b1, b2) = events.splitAt(events.size / 2)
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_out").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      val batch = EventStreams.windowedDistinctUsers(
+        Tables.events(spark, "/root/testdata/sf0.001")).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // sketch estimates track truth on this cardinality (sanity)
+      val exact = Tables.events(spark, "/root/testdata/sf0.001")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("h"))
+        .agg(countDistinct(col("user_id")).as("n")).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      streamed.foreach { case (h, est) =>
+        val n = exact(h).toDouble
+        assert(math.abs(est - n) <= math.max(2.0, 0.05 * n),
+          s"window $h: est $est vs exact $n")
+      }
+    } finally q.stop()
+  }
+
   test("streaming: stateful sessionization matches batch sessionization") {
     import spark.implicits._
     val evDf = Tables.events(spark, "/root/testdata/sf0.001")

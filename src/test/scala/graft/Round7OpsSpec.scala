@@ -478,6 +478,36 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("modularityByCommunity: exact accounting; contribs sum to modularityOf") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val edges = Seq.fill(500)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val df = edges.toDF("src", "dst")
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val verts = und.flatMap(e => Seq(e._1, e._2)).distinct
+    val part = verts.map(v => (v, v % 3)).toDF("v", "community")
+    val m = und.size.toDouble
+    val degm = verts.map(v =>
+      v -> und.count(e => e._1 == v || e._2 == v).toLong).toMap
+    val expected = (0L until 3L).map { c =>
+      val members = verts.filter(_ % 3 == c)
+      val eIn = und.count(e => e._1 % 3 == c && e._2 % 3 == c).toLong
+      val vol = members.map(degm).sum
+      val half = vol.toDouble / (2.0 * m)
+      (c, members.size.toLong, eIn, vol,
+        math.floor(1e6 * (eIn.toDouble / m - half * half)).toLong)
+    }.toSet
+    val got = GraphOps.modularityByCommunity(spark, df, part).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    // the micro contributions sum to the scalar objective (±1µ each)
+    val q = GraphOps.modularityOf(df, part)
+    val qMicro = got.toSeq.map(_._5).sum
+    assert(math.abs(qMicro - q * 1e6) <= got.size.toDouble)
+  }
+
   test("labelPropagationSeeded = brute synchronous rounds; seeds immovable") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)
