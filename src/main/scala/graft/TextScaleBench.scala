@@ -23,7 +23,11 @@ import graft.operators.{Dedup, Pipeline, Retrieval, TextAnalysis}
 object TextScaleBench {
   def main(args: Array[String]): Unit = {
     val millions = args.headOption.map(_.toDouble).getOrElse(2.0)
-    val reps = if (args.length > 1) args(1).toInt else 2
+    val reps = if (args.length > 1 && args(1).forall(_.isDigit)) args(1).toInt
+      else 2
+    // fresh-JVM isolation mode, the ZipfBench pattern
+    val only = args.collectFirst { case a if a.startsWith("only=") =>
+      a.stripPrefix("only=") }
     val nDocs = (millions * 1e6).toLong
     val spark = SparkSession.builder()
       .appName("graft-text-scale").master("local[32]")
@@ -68,13 +72,14 @@ object TextScaleBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"TEXTSCALE corpus ${docs.count()} docs")
 
-    def time(label: String)(f: => Any): Unit = {
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    def time(label: String)(f: => Any): Unit =
+      if (only.forall(_ == label)) {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"TEXTSCALE $label best=${times.min}%.3f " +
+          f"all=${times.map(t => f"$t%.3f").mkString(",")}")
       }
-      println(f"TEXTSCALE $label best=${times.min}%.3f " +
-        f"all=${times.map(t => f"$t%.3f").mkString(",")}")
-    }
 
     val idx = s"$base/postings_idx"
     time("postings_build")(Retrieval.writePostingsIndex(docs, idx))

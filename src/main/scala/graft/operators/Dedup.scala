@@ -94,7 +94,20 @@ object Dedup {
     // (doc_id, sh) only — SNM needs no blocking column beyond the order
     val s = docs.select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), n)).as("sh"))
-    cands
+    // length prefilter (the similarity-join length bound): Jaccard ≥ t
+    // forces t·|B| ≤ |A| (and symmetrically), since |A∩B| ≤ min and
+    // |A∪B| ≥ max. Join the 1-int-per-doc size table first so the
+    // expensive ARRAY join ships shingles only for size-compatible
+    // pairs — at 2M docs this is the difference between shuffling 14M
+    // full shingle arrays and 14M (long, long) rows + survivors.
+    val sizes = s.select(col("doc_id"), size(col("sh")).cast("double").as("sz"))
+    val compat = cands
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .filter(col("a_sz") >= lit(threshold) * col("b_sz") &&
+        col("b_sz") >= lit(threshold) * col("a_sz"))
+      .select(col("a_id"), col("b_id"), col("gap"))
+    val res = compat
       .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jac",
@@ -103,6 +116,7 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("gap").cast("long").as("gap"),
         col("jac"))
+    res
   }
 
   /** Directional n-gram containment pairs via an inverted shingle
