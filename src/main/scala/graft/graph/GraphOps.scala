@@ -2705,4 +2705,184 @@ object GraphOps {
     e.unpersist(blocking = false)
     arr.select(col("v"), col("arr").as("arrival"))
   }
+
+  /** Rich-club coefficient φ(k) for each threshold in `ks`: with
+    * N_k = #vertices of undirected-simple degree > k and E_k = #edges
+    * whose BOTH endpoints have degree > k,
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) — the density of the subgraph induced
+    * by the "club" of high-degree vertices (Colizza et al.'s structural
+    * statistic; the normalized variant divides by a null model, which is
+    * a post-hoc ratio of these same rows). Emitted as exact integers
+    * plus `phi_micro` = ⌊2·10⁶·E_k / (N_k·(N_k−1))⌋ in integer floor
+    * division, so the row set is cross-engine hash-stable.
+    *
+    * Scale shape: the whole computation happens on HISTOGRAMS, not on
+    * the raw V/E tables — one map-combinable degree count (V rows →
+    * ≤ max-degree rows), one map-combinable count of edge-min-degrees
+    * (E rows → ≤ max-degree rows), then every k in `ks` is a suffix sum
+    * over those tiny broadcast frames. Nothing downstream of the two
+    * aggregations touches a vertex- or edge-sized relation, so a
+    * 2.74M-degree hub costs exactly one histogram row.
+    */
+  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "richClub needs at least one threshold")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = undirectedSimple(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val degHist = deg.groupBy(col("deg")).agg(count(lit(1)).as("nv"))
+      // min endpoint degree per edge: the edge is inside club k iff m > k
+      val edgeHist = und
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(least(col("da"), col("db")).as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).as("ne"))
+      val ksDf = ks.map(_.toLong).toDF("k")
+      val nk = ksDf.join(broadcast(degHist), col("deg") > col("k"), "left")
+        .groupBy(col("k")).agg(coalesce(sum(col("nv")), lit(0L)).as("n_k"))
+      val ek = ksDf.join(broadcast(edgeHist), col("m") > col("k"), "left")
+        .groupBy(col("k")).agg(coalesce(sum(col("ne")), lit(0L)).as("e_k"))
+      val res = nk.join(ek, "k")
+        .select(col("k"), col("n_k"), col("e_k"),
+          when(col("n_k") >= 2,
+            expr("(2000000 * e_k) div (n_k * (n_k - 1))"))
+            .otherwise(lit(0L)).as("phi_micro"))
+        .localCheckpoint(true)
+      deg.unpersist(blocking = false)
+      res
+    } finally und.unpersist(blocking = false)
+  }
+
+  /** Exact 4-cycle (square / rectangle) count of the undirected simple
+    * graph, by the min-vertex diagonal decomposition: every square has a
+    * unique minimum-id vertex s and a unique vertex u opposite s, and
+    * its two centers are common neighbors of (s, u) with id > s — so
+    * C4 = Σ_{(s,u): s<u? no: u>s, u opposite} C(n_su, 2), where n_su =
+    * #common neighbors x of s and u with x > s, and the sum runs over
+    * pairs with u > s. (Any total vertex order works; vertex id keeps
+    * the DuckDB oracle a verbatim mirror.)
+    *
+    * Shape: ONE self-join of the adjacency on the wedge center x
+    * (s ∈ N(x), s < x as the low side; u ∈ N(x), u > s as the far
+    * side), a map-combinable groupBy-(s,u) count, and a 1-row Σ C(n,2).
+    * The join output is the wedge volume Σ_x lowdeg(x)·deg(x) — exact
+    * rectangle counting is intrinsically Ω(wedges through the hub)
+    * because the hub's neighbor PAIRS each hold a potential square, so
+    * at power-law scale use [[squareCountApprox]]: the same md5 edge
+    * coin as [[triangleCountApprox]] shrinks wedge volume by p² and the
+    * unbiased 1/p⁴ estimator trades variance ~1/√(p⁴·C4) for it.
+    */
+  def squareCount(edges: DataFrame, eager: Boolean = true): DataFrame = {
+    val und0 = undirectedSimple(edges)
+    val und = if (eager) und0.persist(StorageLevel.MEMORY_AND_DISK) else und0
+    try {
+      val adj = und.select(col("a").as("x"), col("b").as("n"))
+        .unionAll(und.select(col("b").as("x"), col("a").as("n")))
+      val low = adj.filter(col("n") < col("x"))
+        .select(col("x"), col("n").as("s"))
+      val wedges = low.join(adj.select(col("x"), col("n").as("u")), "x")
+        .filter(col("u") > col("s"))
+        .select(col("s"), col("u"))
+      val res = wedges.groupBy(col("s"), col("u"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L))
+          .as("n_squares"))
+      if (eager) res.localCheckpoint(true) else res
+    } finally if (eager) und.unpersist(blocking = false)
+  }
+
+  /** DOULION-style approximate square count: keep each canonical edge
+    * with probability p = 1/`inv` under the SAME deterministic md5 coin
+    * as [[triangleCountApprox]] (seed-compatible, applied to the raw
+    * canonical rows before the dedup shuffle), count squares exactly on
+    * the sample, scale by 1/p⁴ = inv⁴. A square survives iff its 4
+    * edges all survive (independent coins on distinct edges), so the
+    * estimator is unbiased; the integer multiplier and shared coin make
+    * the ESTIMATE itself bit-reproducible by the oracle, while the
+    * accuracy-vs-exact contract is spec-tested.
+    */
+  def squareCountApprox(edges: DataFrame, inv: Int = 2,
+                        seed: String = "sq",
+                        eager: Boolean = true): DataFrame = {
+    require(inv >= 1, s"inv must be >= 1, got $inv")
+    val threshold = (1L << 32) / inv
+    val kept = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .filter(
+        conv(substring(md5(concat(lit(seed + "-"), col("a").cast("string"),
+          lit("_"), col("b").cast("string"))), 1, 8), 16, 10).cast("long")
+          < threshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val m = inv.toLong * inv * inv * inv
+    squareCount(kept, eager)
+      .select(col("n_squares").as("n_sampled"),
+        (col("n_squares") * lit(m)).as("est_squares"))
+  }
+
+  /** Greedy peeling densest-subgraph approximation — Bahmani, Kumar &
+    * Vassilvitskii's MapReduce algorithm (VLDB'12): repeatedly delete
+    * every vertex whose current degree is ≤ 2(1+ε)·ρ(S) where ρ(S) =
+    * |E(S)|/|S|, tracking density per round; the best round's subgraph
+    * is a 2(1+ε)-approximation of the densest subgraph, and each round
+    * removes ≥ ε/(1+ε) of the survivors, so rounds = O(log V / ε).
+    * Shipped with ε = 1/2 (2(1+ε) = 3): the removal test becomes the
+    * EXACT INTEGER comparison deg_S(v)·|S| ≤ 3·|E(S)| — no fp anywhere,
+    * so the per-round trace is hash-identical cross-engine, and the
+    * DuckDB oracle unrolls the same rounds as CTEs.
+    *
+    * Returns one row per non-empty round: (round, n_vertices, n_edges,
+    * density_micro = ⌊10⁶·E/V⌋); argmax(density_micro) is the
+    * approximation certificate.
+    *
+    * Scale shape (the paper's point): each round is one map-combinable
+    * degree aggregation over E(S) plus two semi-joins to drop removed
+    * endpoints — no per-vertex iteration, no global sort, and the ONE
+    * driver round-trip per round collects a single stats row. ≤
+    * ⌈log₁.₅ V⌉ rounds ≈ 55 at 10¹⁰ vertices. The survivor edge set
+    * shrinks geometrically, so round cost is dominated by the first
+    * two or three scans.
+    */
+  def densestSubgraph(spark: SparkSession, edges: DataFrame,
+                      maxRounds: Int = 64): DataFrame = {
+    import spark.implicits._
+    var e = undirectedSimple(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // vertex set carried explicitly: survivors may drop to degree 0 and
+    // must still count in |S| until the rule removes them
+    var s = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val Array(nv, ne) = Array(s.count(), e.count())
+      if (nv == 0) done = true
+      else {
+        trace += ((round, nv, ne, 1000000L * ne / nv))
+        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        // keep v iff deg(v)·|S| > 3·|E|; vertices with no surviving edge
+        // have deg 0 and always fall
+        val keep = s.join(deg, Seq("v"), "left")
+          .filter(coalesce(col("deg"), lit(0L)) * lit(nv) > lit(3L * ne))
+          .select(col("v"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val e2 = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        s.unpersist(blocking = false); e.unpersist(blocking = false)
+        s = keep; e = e2
+        round += 1
+      }
+    }
+    s.unpersist(blocking = false); e.unpersist(blocking = false)
+    trace.toSeq.toDF("round", "n_vertices", "n_edges", "density_micro")
+  }
 }

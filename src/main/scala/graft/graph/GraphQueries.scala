@@ -433,6 +433,23 @@ object GraphQueries {
           .withColumn("w",
             pmod(col("src") * 31 + col("dst"), lit(7L)) + 1))
         .orderBy(col("a"), col("b"))
+    },
+    // rich-club coefficient over a fixed threshold ladder: exact-integer
+    // histogram math, so the whole row set hash-matches the oracle
+    "g_rich_club" -> { (s, d) =>
+      GraphOps.richClub(edgesFrom(s, d), RichClubKs)
+    },
+    // exact 4-cycle count (min-vertex diagonal decomposition) + the
+    // DOULION-coin estimate (inv=2 → ×16 scale-up) — the estimate itself
+    // is deterministic, so both rows are oracle-checked
+    "g_squares" -> { (s, d) => GraphOps.squareCount(edgesFrom(s, d)) },
+    "g_squares_approx" -> { (s, d) =>
+      GraphOps.squareCountApprox(edgesFrom(s, d), inv = SquaresInv)
+    },
+    // Bahmani-et-al greedy peeling (ε = 1/2): per-round density trace in
+    // exact integers; the oracle unrolls the same rounds as CTEs
+    "g_densest" -> { (s, d) =>
+      GraphOps.densestSubgraph(s, edgesFrom(s, d))
     }
   )
 
@@ -468,6 +485,14 @@ object GraphQueries {
     * merges to its component fixpoint within ⌈log₂ MstInduced⌉ Borůvka
     * rounds (components at least halve per round); later rounds no-op. */
   val MstInduced = 512
+  /** Rich-club degree-threshold ladder (g_rich_club). */
+  val RichClubKs: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)
+  /** g_squares_approx keep probability 1/SquaresInv (estimator ×inv⁴). */
+  val SquaresInv = 2
+  /** g_densest oracle unroll depth: peeling removes ≥ 1/3 of survivors
+    * per round (ε = 1/2), so ⌈log₁.₅ V⌉ = 21 rounds empty the V = 4096
+    * gate graph; 24 leaves slack and extra rounds emit no rows. */
+  val DensestRounds = 24
   val MstRounds = 9
 
   val SsspIters = 8
@@ -1557,8 +1582,112 @@ object GraphQueries {
         s"""WITH nf AS ($anfHllSql)
            |SELECT CAST(min(h) AS INTEGER) AS eff_diameter FROM nf
            |WHERE est_micro * 10 >=
-           |  (SELECT est_micro FROM nf WHERE h = $AnfHllH) * 9""".stripMargin
+           |  (SELECT est_micro FROM nf WHERE h = $AnfHllH) * 9""".stripMargin,
+      // rich club: both counts come from the same degree table; integer
+      // floor division mirrors GraphOps.richClub's phi_micro exactly
+      "g_rich_club" ->
+        s"""WITH e AS ($edgesSql),
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e WHERE src <> dst),
+           |deg AS (
+           |  SELECT v, count(*) AS deg FROM (
+           |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+           |  GROUP BY v),
+           |em AS (
+           |  SELECT least(da.deg, db.deg) AS m
+           |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+           |ks(k) AS (VALUES ${RichClubKs.map(k => s"($k)").mkString(", ")}),
+           |agg AS (
+           |  SELECT CAST(k AS BIGINT) AS k,
+           |    (SELECT count(*) FROM deg WHERE deg > ks.k) AS n_k,
+           |    (SELECT count(*) FROM em WHERE m > ks.k) AS e_k
+           |  FROM ks)
+           |SELECT k, CAST(n_k AS BIGINT) AS n_k, CAST(e_k AS BIGINT) AS e_k,
+           |  CAST(CASE WHEN n_k >= 2 THEN (2000000 * e_k) // (n_k * (n_k - 1))
+           |       ELSE 0 END AS BIGINT) AS phi_micro
+           |FROM agg""".stripMargin,
+      // min-vertex diagonal decomposition, verbatim (see
+      // GraphOps.squareCount)
+      "g_squares" -> squaresSql(coin = false),
+      "g_squares_approx" -> squaresSql(coin = true),
+      "g_densest" -> densestSql
     )
+  }
+
+  /** Exact 4-cycle count; with `coin`, over the md5-sparsified edge set
+    * (the estimate is ×inv⁴ and deterministic, so it oracle-checks). */
+  private def squaresSql(coin: Boolean): String = {
+    val keepFilter =
+      if (!coin) ""
+      else
+        s"""
+           |  WHERE CAST(('0x' || substr(md5('sq-' || CAST(a AS VARCHAR) ||
+           |    '_' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+           |    < ${(1L << 32) / SquaresInv}""".stripMargin
+    val m = SquaresInv.toLong * SquaresInv * SquaresInv * SquaresInv
+    val tail =
+      if (!coin)
+        "SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT) AS n_squares FROM c"
+      else
+        s"""SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT) AS n_sampled,
+           |  CAST(coalesce(sum((c * (c - 1)) // 2), 0) * $m AS BIGINT)
+           |    AS est_squares FROM c""".stripMargin
+    s"""WITH e AS ($edgesSql),
+       |und0 AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |und AS (SELECT a, b FROM und0$keepFilter),
+       |adj AS (SELECT a AS x, b AS n FROM und UNION ALL SELECT b, a FROM und),
+       |w AS (
+       |  SELECT l.n AS s, r.n AS u FROM adj l JOIN adj r ON r.x = l.x
+       |  WHERE l.n < l.x AND r.n > l.n),
+       |c AS (SELECT s, u, count(*) AS c FROM w GROUP BY s, u)
+       |$tail""".stripMargin
+  }
+
+  /** Unrolled Bahmani-peeling rounds mirroring [[GraphOps.densestSubgraph]]
+    * (ε = 1/2 → keep iff deg·|S| > 3·|E|); rounds past the empty fixpoint
+    * emit no rows on both engines. */
+  private def densestSql: String = {
+    // AS MATERIALIZED everywhere: each round references its predecessor
+    // several times, and DuckDB's default CTE inlining would expand the
+    // 24-round chain exponentially (observed as thousands of parquet
+    // re-opens); materialization makes the oracle linear in rounds
+    val rounds = (0 until DensestRounds).map { r =>
+      s"""st$r AS MATERIALIZED (
+         |  SELECT (SELECT count(*) FROM s$r) AS nv,
+         |         (SELECT count(*) FROM e$r) AS ne),
+         |deg$r AS MATERIALIZED (
+         |  SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM e$r UNION ALL SELECT b AS v FROM e$r)
+         |  GROUP BY v),
+         |s${r + 1} AS MATERIALIZED (
+         |  SELECT s.v FROM s$r s LEFT JOIN deg$r d ON d.v = s.v
+         |  WHERE coalesce(d.deg, 0) * (SELECT nv FROM st$r)
+         |        > 3 * (SELECT ne FROM st$r)),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT a, b FROM e$r
+         |  WHERE a IN (SELECT v FROM s${r + 1})
+         |    AND b IN (SELECT v FROM s${r + 1}))""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 until DensestRounds).map { r =>
+      s"""SELECT * FROM (
+         |  SELECT CAST($r AS INT) AS round, CAST(nv AS BIGINT) AS n_vertices,
+         |    CAST(ne AS BIGINT) AS n_edges,
+         |    CAST(CASE WHEN nv > 0 THEN (1000000 * ne) // nv ELSE 0 END
+         |      AS BIGINT) AS density_micro
+         |  FROM st$r)
+         |WHERE n_vertices > 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS ($edgesSql),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |e0 AS MATERIALIZED (SELECT a, b FROM und),
+       |s0 AS MATERIALIZED (SELECT a AS v FROM und UNION SELECT b FROM und),
+       |$rounds
+       |$rows""".stripMargin
   }
 
   /** Unrolled Katz power iteration mirroring [[GraphOps.katzCentrality]]:
