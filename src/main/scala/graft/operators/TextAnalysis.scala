@@ -172,7 +172,173 @@ object TextAnalysis {
     res
   }
 
+  /** Interpolated bigram-LM document scoring — the bigram cousin of the
+    * unigram perplexity filter: each adjacent pair (w1, w2) scores
+    * λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/T (Jelinek-Mercer interpolation
+    * with λ = 1/2), and a document's score is the mean over its
+    * bigrams. Everything is INTEGER-quantized before any cross-row
+    * aggregation: per-bigram micro-score = (500000·c12) div c1 +
+    * (500000·c2) div T in exact BIGINT floor division, per-doc score =
+    * Σmicro div n — so the result is order-independent and hash-stable
+    * cross-engine (a double sum over shuffled rows would not be).
+    *
+    * Scale shape: bigrams generate MAP-SIDE from the token array (no
+    * positional self-join); counts are map-combinable; the per-bigram
+    * score table is assembled by joining the ALREADY-AGGREGATED
+    * (vocab²-bounded) c12 table with its own marginals, and the doc
+    * stream shuffles ONCE, on the (w1, w2) key, to pick up scores.
+    * Docs with < 2 tokens have no bigrams and emit no row (mirrored by
+    * the oracle).
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("nl", size(col("t")))
+      .filter(col("nl") >= 2)
+    val pairs = toked.select(col("doc_id"), explode(
+        transform(sequence(lit(0), col("nl") - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c2"))
+    val total = docs.select(explode(tokens(col("text"))).as("w"))
+      .agg(count(lit(1)).as("_t"))
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val scoredBigram = c12.join(c1, "w1")
+      .join(uni.select(col("w").as("w2"), col("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        (expr("(500000 * c12) div c1") +
+          expr("(500000 * c2) div _t")).as("micro"))
+    val res = pairs.join(scoredBigram, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("lm_micro"))
+      .localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    res
+  }
+
+  /** Heaps-law vocabulary-growth curve: for each doc-id cut in a
+    * geometric ladder, the number of docs / token instances / DISTINCT
+    * terms in the prefix `doc_id ≤ cut`. The classic sublinear
+    * vocab-vs-corpus points (V ≈ K·nᵝ) that size tokenizer vocabularies
+    * and dedup dictionaries.
+    *
+    * Scale shape: the whole curve computes on HISTOGRAMS — per-term
+    * first-occurrence doc (a map-combinable min), reduced to a
+    * first-doc histogram, and a per-doc token-count table; each cut is
+    * then a broadcast-join + map-combinable suffix sum. The raw token
+    * stream is scanned once and never re-shuffled per cut.
+    */
+  def heapsLaw(docs: DataFrame, cuts: Seq[Long]): DataFrame = {
+    require(cuts.nonEmpty, "heapsLaw needs at least one cut")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // first-occurrence histogram: ≤ |docs| rows after the two reductions
+    val firstHist = terms.groupBy(col("term"))
+      .agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("nt"))
+    val docHist = terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ntok"))
+    val cutsDf = cuts.toDF("cut")
+    val vocab = cutsDf.join(broadcast(firstHist), col("fd") <= col("cut"), "left")
+      .groupBy(col("cut")).agg(coalesce(sum(col("nt")), lit(0L)).as("vocab"))
+    val sizes = cutsDf.join(broadcast(docHist), col("doc_id") <= col("cut"), "left")
+      .groupBy(col("cut")).agg(
+        count(col("doc_id")).as("n_docs"),
+        coalesce(sum(col("ntok")), lit(0L)).as("n_tokens"))
+    val res = sizes.join(vocab, "cut")
+      .select(col("cut"), col("n_docs"), col("n_tokens"), col("vocab"))
+      .localCheckpoint(true)
+    terms.unpersist(blocking = false)
+    res
+  }
+
+  /** heapsLaw gate ladder: doc-id cuts 16·2ⁱ; cuts past the corpus end
+    * just repeat the full-corpus row (deterministically, both engines). */
+  val HeapsCuts: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+
+  /** RAKE keyword extraction (Rose et al. 2010), corpus-level: candidate
+    * phrases are the maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) where freq counts the word's occurrences in phrases
+    * and deg adds the lengths of the phrases it occurs in; a phrase
+    * scores the sum of its words' scores, and the top-`topN` distinct
+    * phrases are ranked. Scores are integer-quantized BEFORE any
+    * cross-row sum (word_micro = ⌊10⁶·deg/freq⌋, phrase score =
+    * Σword_micro — both exact BIGINT), so ranking is hash-stable
+    * cross-engine; ties break on phrase text.
+    *
+    * Scale shape: phrase segmentation is a per-doc running stopword
+    * count (window partitioned by doc_id — each doc's tokens stay on
+    * one reducer, the same partitioning every per-doc text op here
+    * uses); word stats are map-combinable aggregates over the exploded
+    * phrase stream; the per-distinct-phrase table is vocabulary-bounded
+    * and the final top-N is a partial-rank sort-limit.
+    */
+  def rakeKeywords(docs: DataFrame, stops: Seq[String],
+                   topN: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopsArr = array(stops.map(lit): _*)
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "w")))
+      .withColumn("is_stop", array_contains(stopsArr, col("w")))
+      .withColumn("grp",
+        sum(col("is_stop").cast("long")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // one row per phrase INSTANCE: ordered word list + length
+    val inst = tok.filter(!col("is_stop"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x("w")).as("ws"))
+      .select(col("doc_id"), col("grp"), col("ws"),
+        size(col("ws")).cast("long").as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = inst.select(explode(col("ws")).as("w"), col("len"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("w"), expr("(1000000 * deg) div freq").as("word_micro"))
+    val scoredInst = inst.select(col("doc_id"), col("grp"),
+        concat_ws(" ", col("ws")).as("phrase"), explode(col("ws")).as("w"))
+      .join(words, "w")
+      .groupBy(col("doc_id"), col("grp"), col("phrase"))
+      .agg(sum(col("word_micro")).as("score_micro"))
+    val res = scoredInst.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        // identical text → identical word multiset → identical score
+        max(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("phrase"))).cast("long"))
+      .select(col("rank"), col("phrase"), col("n_occurrences"),
+        col("score_micro"))
+      .localCheckpoint(true)
+    inst.unpersist(blocking = false)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // interpolated bigram LM scoring, integer-quantized
+    "t_bigram_lm" -> { (s, d) => bigramLm(t(s, d, "documents")) },
+
+    // Heaps-law vocabulary growth over a doc-id prefix ladder
+    "t_heaps" -> { (s, d) => heapsLaw(t(s, d, "documents"), HeapsCuts) },
+
+    // RAKE keyword phrases (stopword-run segmentation, deg/freq scores)
+    "t_rake" -> { (s, d) =>
+      rakeKeywords(t(s, d, "documents"), graft.functions.TextFunctions.Lexicons.head._2)
+    },
+
     // bigram collocations: PMI-ranked adjacent pairs, map-side pair gen
     "t_pmi" -> { (s, d) => pmiBigrams(t(s, d, "documents")) },
 
@@ -455,6 +621,108 @@ object TextAnalysis {
       s"(acc, x) -> (acc * 31 + x) % $HashMod)"
 
   def oracle: Map[String, String] = Map(
+    // same pair generation as t_pmi, same integer floor-division
+    // quantization order as bigramLm
+    "t_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+        |  FROM tok WHERE len(t) >= 2),
+        |pp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c2
+        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+        |tt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS t
+        |  FROM (SELECT unnest(t) AS w FROM tok)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM pp GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |sb AS (
+        |  SELECT c12.w1, c12.w2,
+        |    (500000 * c12.c12) // c1.c1 +
+        |      (500000 * uni.c2) // (SELECT t FROM tt) AS micro
+        |  FROM c12 JOIN c1 ON c1.w1 = c12.w1 JOIN uni ON uni.w = c12.w2),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(micro) AS BIGINT) AS s
+        |  FROM pp JOIN sb ON sb.w1 = pp.w1 AND sb.w2 = pp.w2
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(s // n_bigrams AS BIGINT) AS lm_micro FROM d""".stripMargin,
+
+    // histogram-sum mirror of heapsLaw
+    "t_heaps" -> {
+      val vals = HeapsCuts.map(c => s"($c)").mkString(", ")
+      s"""WITH tt AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |fh AS (
+         |  SELECT fd, CAST(count(*) AS BIGINT) AS nt FROM (
+         |    SELECT term, min(doc_id) AS fd FROM tt GROUP BY term)
+         |  GROUP BY fd),
+         |dh AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok
+         |  FROM tt GROUP BY doc_id),
+         |ks(cut) AS (VALUES $vals)
+         |SELECT CAST(cut AS BIGINT) AS cut,
+         |  CAST((SELECT count(*) FROM dh WHERE doc_id <= ks.cut) AS BIGINT)
+         |    AS n_docs,
+         |  CAST((SELECT coalesce(sum(ntok), 0) FROM dh WHERE doc_id <= ks.cut)
+         |    AS BIGINT) AS n_tokens,
+         |  CAST((SELECT coalesce(sum(nt), 0) FROM fh WHERE fd <= ks.cut)
+         |    AS BIGINT) AS vocab
+         |FROM ks""".stripMargin
+    },
+
+    // RAKE mirror: same running-stopword-count segmentation, same
+    // integer quantization order
+    "t_rake" -> {
+      val stops = graft.functions.TextFunctions.Lexicons.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+         |    i -> {'pos': i - 1, 'w': t[i]})) AS x
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |        FROM documents)),
+         |tk AS (SELECT doc_id, x.pos AS pos, x.w AS w,
+         |         list_contains($stops, x.w) AS is_stop FROM tok),
+         |g AS (
+         |  SELECT doc_id, pos, w, is_stop,
+         |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM tk),
+         |inst AS (
+         |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |    CAST(count(*) AS BIGINT) AS len,
+         |    list(w ORDER BY pos) AS ws
+         |  FROM g WHERE NOT is_stop GROUP BY doc_id, grp),
+         |wstat AS (
+         |  SELECT w, (1000000 * CAST(sum(len) AS BIGINT))
+         |    // CAST(count(*) AS BIGINT) AS word_micro
+         |  FROM (SELECT unnest(ws) AS w, len FROM inst) GROUP BY w),
+         |si AS (
+         |  SELECT iw.doc_id, iw.grp, iw.phrase,
+         |    CAST(sum(ws.word_micro) AS BIGINT) AS score_micro
+         |  FROM (SELECT doc_id, grp, phrase, unnest(ws) AS w FROM inst) iw
+         |  JOIN wstat ws ON ws.w = iw.w
+         |  GROUP BY iw.doc_id, iw.grp, iw.phrase),
+         |ph AS (
+         |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |    CAST(max(score_micro) AS BIGINT) AS score_micro
+         |  FROM si GROUP BY phrase)
+         |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, phrase)
+         |    AS BIGINT) AS rank,
+         |  phrase, n_occurrences, score_micro
+         |FROM ph ORDER BY score_micro DESC, phrase LIMIT 25""".stripMargin
+    },
+
     // same pair generation (shifted-index list transform), same exact
     // counts, same fp op order inside the floor
     "t_pmi" ->

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** bigram-LM / Heaps-law / RAKE vs in-memory brute force on a small
+  * synthetic corpus with planted structure (repeated collocations,
+  * stopword-separated phrases, single-token docs for the edge cases).
+  */
+class Round7TextSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val stops = graft.functions.TextFunctions.Lexicons.head._2
+
+  private val corpus: Seq[(Long, String)] = Seq(
+    0L -> "the quick brown fox jumps over the lazy dog",
+    1L -> "quick brown foxes and lazy dogs in the park",
+    2L -> "deep learning models and large language models",
+    3L -> "single",
+    4L -> "the a of to in",
+    5L -> "large language models process text at scale",
+    6L -> "quick brown fox",
+    7L -> "park benches and park lights")
+
+  private def toks(s: String): Seq[String] =
+    s.trim.toLowerCase.split("\\s+").toSeq
+
+  test("bigramLm matches brute-force interpolated scoring") {
+    import spark.implicits._
+    val uni = corpus.flatMap(c => toks(c._2))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val total = corpus.map(c => toks(c._2).size).sum.toLong
+    val bigrams = corpus.flatMap { case (id, s) =>
+      val t = toks(s); t.zip(t.drop(1)).map(p => (id, p._1, p._2))
+    }
+    val c12 = bigrams.groupBy(b => (b._2, b._3))
+      .map { case (k, bs) => k -> bs.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val micros = bs.map { case (_, w1, w2) =>
+        500000L * c12((w1, w2)) / c1(w1) + 500000L * uni(w2) / total
+      }
+      (id, bs.size.toLong, micros.sum / bs.size)
+    }.toSet
+    val got = TextAnalysis.bigramLm(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("heapsLaw matches brute-force prefix vocab counts") {
+    import spark.implicits._
+    val cuts = Seq(1L, 3L, 5L, 7L, 100L)
+    val expected = cuts.map { c =>
+      val pre = corpus.filter(_._1 <= c)
+      val tokens = pre.flatMap(x => toks(x._2))
+      (c, pre.size.toLong, tokens.size.toLong, tokens.distinct.size.toLong)
+    }.toSet
+    val got = TextAnalysis.heapsLaw(corpus.toDF("doc_id", "text"), cuts)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
+  test("rakeKeywords matches brute-force RAKE scoring and ranking") {
+    import spark.implicits._
+    // phrase instances: maximal stopword-free runs
+    val instances = corpus.flatMap { case (_, s) =>
+      val t = toks(s)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      t.foreach { w =>
+        if (stops.contains(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.toSeq
+    }
+    val freq = instances.flatten.groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val deg = instances.flatMap(ph => ph.map(w => w -> ph.size.toLong))
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val wordMicro = freq.keys.map(w => w -> 1000000L * deg(w) / freq(w)).toMap
+    val phrases = instances.map(ph =>
+      (ph.mkString(" "), ph.map(wordMicro).sum))
+    val expected = phrases.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.size.toLong, xs.head._2)
+    }.toSeq
+      .sortBy { case (p, _, sc) => (-sc, p) }
+      .take(25).zipWithIndex
+      .map { case ((p, n, sc), i) => (i + 1L, p, n, sc) }.toSet
+    val got = TextAnalysis.rakeKeywords(corpus.toDF("doc_id", "text"), stops)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
+}
