@@ -77,37 +77,39 @@ object Dedup {
   def sortedNeighborhoodPairs(docs: DataFrame, w: Int = 8, n: Int = 3,
                               threshold: Double = 0.2): DataFrame = {
     require(w >= 2, s"window must be >= 2, got $w")
+    // snm_key drives the order; sz (the shingle-set size) RIDES the
+    // range exchange as one extra long so the length prefilter below
+    // needs no extra joins — an earlier cut re-joined a size table onto
+    // the candidate pairs (two more 14M-row shuffles) and measured 3×
+    // SLOWER than no prefilter at 2M docs; carried-through it is free
     val keyed = docs.select(col("doc_id"),
       substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "),
-        1, 16).as("snm_key"))
+        1, 16).as("snm_key"),
+      size(array_distinct(shingles(tokens(col("text")), n)))
+        .cast("double").as("sz"))
     val ord = graft.operators.Pipeline.globalOrdinal(
         keyed, Seq(col("snm_key"), col("doc_id")))
-      .select(col("doc_id"), col("ordinal"))
+      .select(col("doc_id"), col("ordinal"), col("sz"))
       .localCheckpoint(true) // ordinals are consumed by both join sides
     val probes = ord.select(col("doc_id").as("a_id"),
         explode(sequence(lit(1), lit(w - 1))).as("gap"),
-        col("ordinal"))
-      .select(col("a_id"), col("gap"), (col("ordinal") + col("gap")).as("ordinal"))
-    val cands = probes.join(ord.select(col("doc_id").as("b_id"), col("ordinal")),
-        "ordinal")
+        col("ordinal"), col("sz").as("a_sz"))
+      .select(col("a_id"), col("gap"), (col("ordinal") + col("gap")).as("ordinal"),
+        col("a_sz"))
+    // length prefilter (the similarity-join length bound): Jaccard ≥ t
+    // forces t·|B| ≤ |A| (and symmetrically), since |A∩B| ≤ min and
+    // |A∪B| ≥ max — applied INSIDE the ordinal join, before any
+    // shingle array ships
+    val cands = probes.join(
+        ord.select(col("doc_id").as("b_id"), col("ordinal"),
+          col("sz").as("b_sz")), "ordinal")
+      .filter(col("a_sz") >= lit(threshold) * col("b_sz") &&
+        col("b_sz") >= lit(threshold) * col("a_sz"))
       .select(col("a_id"), col("b_id"), col("gap"))
     // (doc_id, sh) only — SNM needs no blocking column beyond the order
     val s = docs.select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), n)).as("sh"))
-    // length prefilter (the similarity-join length bound): Jaccard ≥ t
-    // forces t·|B| ≤ |A| (and symmetrically), since |A∩B| ≤ min and
-    // |A∪B| ≥ max. Join the 1-int-per-doc size table first so the
-    // expensive ARRAY join ships shingles only for size-compatible
-    // pairs — at 2M docs this is the difference between shuffling 14M
-    // full shingle arrays and 14M (long, long) rows + survivors.
-    val sizes = s.select(col("doc_id"), size(col("sh")).cast("double").as("sz"))
-    val compat = cands
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
-      .filter(col("a_sz") >= lit(threshold) * col("b_sz") &&
-        col("b_sz") >= lit(threshold) * col("a_sz"))
-      .select(col("a_id"), col("b_id"), col("gap"))
-    val res = compat
+    val res = cands
       .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jac",

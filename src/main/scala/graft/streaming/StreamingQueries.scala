@@ -151,6 +151,62 @@ object StreamingQueries {
         col("session_start").as("start_ts"), col("session_end").as("end_ts"))
   }
 
+  /** Streaming exact dedup twin — `dropDuplicatesWithinWatermark` on the
+    * late + out-of-order feed, with PLANTED duplicates: every event with
+    * `event_id % 5 == 0` is re-sent one batch after its arrival batch,
+    * and every `event_id % 7 == 0` is duplicated WITHIN its batch. The
+    * within-watermark dedup semantics make the outcome exactly
+    * SQL-expressible: a duplicate is dropped when its key's state is
+    * still live, and when the state has expired (event-time + delay ≤
+    * watermark) the duplicate row is itself older than the watermark —
+    * with expiry delay == watermark delay a non-late duplicate ALWAYS
+    * finds live state, so duplicates never re-emit, and a late-shifted
+    * original that was dropped as late leaves no state but its
+    * duplicate (arriving under a still-higher watermark) is late too.
+    * Emitted set ≡ first arrivals that beat the watermark, one row per
+    * key — the same kept-rows rule st_window_late's oracle replays.
+    *
+    * Scale notes: dedup state is hash-partitioned by key and bounded by
+    * watermark eviction to the delay horizon — the streaming twin of
+    * [[graft.operators.Dedup]]'s incremental exact dedup, with the
+    * retention the delta variant leaves to compaction handled by state
+    * TTL instead.
+    */
+  def lateFeedDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
+        col("event_type"), col("value"))
+      .as[Ev].collect()
+    val base = feedBatches(evs)
+    // arrival schedule: originals as feedBatches lays them out, %7 dups
+    // twice in the same batch, %5 dups re-sent one batch later
+    val batches = (0 to Blocks + 1).map { k =>
+      val originals = if (k <= Blocks) base(k) else Seq.empty
+      val sameBatch = originals.filter(_.event_id % 7 == 0)
+      val reSent =
+        if (k == 0) Seq.empty
+        else base(k - 1).filter(_.event_id % 5 == 0)
+      originals ++ sameBatch ++ reSent
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](spark)
+    val deduped = stream.toDF()
+      .withWatermark("tss", s"$WatermarkSec seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = "late_dedup_" + Integer.toHexString(sfDir.hashCode).filter(_ != '-')
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { stream.addData(b); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    spark.table(name)
+      .select(col("event_id"), col("tss"), col("event_type"), col("value"))
+  }
+
   /** Event-time bound of the stream-stream join: a click matches a view
     * by the same user at most this many seconds later. */
   val JoinRangeSec = 7200L
@@ -269,7 +325,8 @@ object StreamingQueries {
     "st_window_late" -> { (s, d) => lateFeedWindowCounts(s, d) },
     "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) },
     "st_stream_join" -> { (s, d) => streamStreamJoin(s, d) },
-    "st_static_join" -> { (s, d) => streamStaticJoin(s, d) }
+    "st_static_join" -> { (s, d) => streamStaticJoin(s, d) },
+    "st_dedup_stream" -> { (s, d) => lateFeedDedup(s, d) }
   )
 
   /** The oracle replays the same batch assignment and watermark rule in
@@ -342,6 +399,29 @@ object StreamingQueries {
          |FROM v JOIN c
          |  ON c.user_id = v.user_id AND c.tss >= v.tss
          | AND c.tss <= v.tss + INTERVAL $JoinRangeSec SECOND""".stripMargin,
+    // kept-first-arrivals mirror of lateFeedDedup: a key emits iff its
+    // first arrival beats that batch's operative watermark; duplicates
+    // (live state or late) never emit — see the operator scaladoc
+    "st_dedup_stream" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, date_trunc('second', ts) AS tss, event_type,
+         |    value, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+         |  FROM events),
+         |bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ev),
+         |assigned AS (
+         |  SELECT ev.*,
+         |    LEAST(((day - dmin) * $Blocks) // (dmax - dmin + 1)
+         |      + CASE WHEN event_id % $LateMod = 0 THEN 1 ELSE 0 END,
+         |      $Blocks) AS b
+         |  FROM ev CROSS JOIN bounds),
+         |wm AS (
+         |  SELECT a.b, max(p.tss) - INTERVAL $WatermarkSec SECOND AS w
+         |  FROM (SELECT DISTINCT b FROM assigned) a
+         |  JOIN assigned p ON p.b < a.b GROUP BY a.b)
+         |SELECT a.event_id, a.tss, a.event_type, a.value
+         |FROM assigned a LEFT JOIN wm ON wm.b = a.b
+         |WHERE wm.w IS NULL OR a.tss > wm.w""".stripMargin,
+
     // the batch enrichment join the streamed purchase feed reproduces;
     // per-value DECIMAL cast keeps the profile sum order-independent
     "st_static_join" ->

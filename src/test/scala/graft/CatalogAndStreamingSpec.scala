@@ -198,6 +198,25 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("dedup-within-watermark: duplicates never re-emit, late originals drop") {
+    import graft.streaming.StreamingQueries
+    val sf = "/root/testdata/sf0.001"
+    val out = StreamingQueries.lateFeedDedup(spark, sf).collect()
+    // exactly-once per key despite planted same-batch and re-sent dups
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    val total = Tables.events(spark, sf).count()
+    assert(out.length < total, "some late-shifted originals must drop")
+    // equals the SQL watermark model row-for-row
+    Tables.events(spark, sf).createOrReplaceTempView("events")
+    val modeled = spark.sql(
+      StreamingQueries.oracle("st_dedup_stream")
+        .replaceAll("// ", "DIV ")
+        .replaceAll("epoch\\(ts\\)", "unix_timestamp(ts)")
+        .replaceAll("INTERVAL 600 SECOND", "INTERVAL 600 SECONDS"))
+      .collect().map(_.toSeq).toSet
+    assert(out.map(_.toSeq).toSet === modeled)
+  }
+
   test("sessionize: cross-batch event a gap OLDER than session start becomes its own session") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
