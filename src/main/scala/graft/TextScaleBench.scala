@@ -92,6 +92,10 @@ object TextScaleBench {
     time("exact_dedup")(Dedup.exact(docs).count())
     time("minhash_pairs")(Dedup.minhashLshPairs(docs).count())
     time("snm_pairs")(Dedup.sortedNeighborhoodPairs(docs).count())
+    // ablation: same run without the length prefilter (on this
+    // fixed-length corpus the gate prunes nothing — the honest control)
+    time("snm_pairs_nogate")(
+      Dedup.sortedNeighborhoodPairs(docs, lengthGate = false).count())
     time("pmi_bigrams")(TextAnalysis.pmiBigrams(docs, minCount = 50).count())
     time("quality_scan")(docs
       .select(col("doc_id"), length(col("text")).as("n_chars"),

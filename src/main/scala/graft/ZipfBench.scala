@@ -226,6 +226,16 @@ object ZipfBench {
     time("assortativity")(GraphOps.degreeAssortativity(esP).collect())
     time("ego_nets_hub_f10x10")(GraphOps.sampleEgoNets(spark, esP,
       Seq(hubId, midId), Seq(10, 10)).count())
+    // round-7b: rich club runs entirely on degree histograms (the hub
+    // is one histogram row); densest is O(log V) rounds of
+    // map-combinable degree aggs + semi-joins; squares uses the
+    // DOULION coin at p=1/16 — exact 4-cycle counting is
+    // Ω(wedges-through-the-hub) = Σ deg² ≈ 10¹² here, intrinsic to the
+    // answer, so sampling IS the scale path (wedge volume shrinks p²)
+    time("rich_club")(GraphOps.richClub(esP,
+      Seq(1, 8, 64, 512, 4096)).collect())
+    time("densest_peel")(GraphOps.densestSubgraph(spark, esP).collect())
+    time("squares_p16")(GraphOps.squareCountApprox(esP, inv = 16).collect())
     if (naive) {
       // the unprotected plan: canonical a<b orientation, hub fans out
       val und = esP.select(

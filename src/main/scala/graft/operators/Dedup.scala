@@ -75,7 +75,8 @@ object Dedup {
     * the sort.
     */
   def sortedNeighborhoodPairs(docs: DataFrame, w: Int = 8, n: Int = 3,
-                              threshold: Double = 0.2): DataFrame = {
+                              threshold: Double = 0.2,
+                              lengthGate: Boolean = true): DataFrame = {
     require(w >= 2, s"window must be >= 2, got $w")
     // snm_key drives the order; sz (the shingle-set size) RIDES the
     // range exchange as one extra long so the length prefilter below
@@ -100,11 +101,13 @@ object Dedup {
     // forces t·|B| ≤ |A| (and symmetrically), since |A∩B| ≤ min and
     // |A∪B| ≥ max — applied INSIDE the ordinal join, before any
     // shingle array ships
-    val cands = probes.join(
+    val joined = probes.join(
         ord.select(col("doc_id").as("b_id"), col("ordinal"),
           col("sz").as("b_sz")), "ordinal")
-      .filter(col("a_sz") >= lit(threshold) * col("b_sz") &&
-        col("b_sz") >= lit(threshold) * col("a_sz"))
+    val cands = (if (lengthGate)
+        joined.filter(col("a_sz") >= lit(threshold) * col("b_sz") &&
+          col("b_sz") >= lit(threshold) * col("a_sz"))
+      else joined)
       .select(col("a_id"), col("b_id"), col("gap"))
     // (doc_id, sh) only — SNM needs no blocking column beyond the order
     val s = docs.select(col("doc_id"),

@@ -348,7 +348,84 @@ object Pipeline {
     res
   }
 
+  /** Perceptron feature space: hashed token-count dims + one bias dim. */
+  val PerceptronDims = 8
+  val PerceptronSeed = 41
+  val PerceptronEpochs = 3
+  /** Label rule: +1 iff the doc has ≥ this many English-stopword tokens. */
+  val PerceptronMinStops = 3
+
+  /** Distributed quality-classifier TRAINING — synchronous batch
+    * perceptron over hashed token-count features, the integer-exact
+    * core of the fastText-style filters real pipelines train (labels
+    * here come from a deterministic stopword-evidence rule so an
+    * independent engine can re-derive them; swap in human labels and
+    * nothing else changes). Per epoch: score every doc with the CURRENT
+    * weights, collect the misclassified set, and add Σ y·x over it to
+    * the weights — lr = 1 and integer features keep every weight an
+    * exact BIGINT, so training is reproducible bit-for-bit and the
+    * DuckDB oracle unrolls the same epochs as CTEs.
+    *
+    * This is THE distributed-training shape: the model (D+1 ints)
+    * broadcasts to executors, the per-doc scoring and the mistake
+    * gradient Σ y·x are map-combinable aggregates over the static
+    * feature table (built once, persisted, shuffled once on doc_id),
+    * and the driver sees D+1 rows per epoch — gradient aggregation via
+    * partial sums, no parameter server needed below ~10⁶ dims. At 100
+    * TB the same loop runs with the feature table bucketed on doc_id;
+    * epochs cost one scan each.
+    *
+    * @return (epoch, dim, weight, n_mistakes): weights AFTER each
+    *         epoch, with that epoch's pre-update mistake count
+    */
+  def perceptronTrain(docs: DataFrame,
+                      dims: Int = PerceptronDims,
+                      epochs: Int = PerceptronEpochs): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("y",
+        when(lexiconHits(col("t"), Lexicons.head._2) >= PerceptronMinStops, 1L)
+          .otherwise(-1L))
+    val tf = toked
+      .select(col("doc_id"), col("y"), explode(col("t")).as("w"))
+      .withColumn("dim", pmod(charHash(col("w"), lit(PerceptronSeed)), lit(dims.toLong)))
+      .groupBy(col("doc_id"), col("y"), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+    val feats = tf.unionAll(toked.select(col("doc_id"), col("y"),
+        lit(dims.toLong).as("dim"), lit(1L).as("cnt")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count()
+    var w = Array.fill(dims + 1)(0L)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    (1 to epochs).foreach { e =>
+      val wDf = w.zipWithIndex
+        .map { case (wt, d) => (d.toLong, wt) }.toSeq.toDF("dim", "wt")
+      val dot = feats.join(broadcast(wDf), "dim")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * col("wt")).as("dot"))
+      val mist = dot.filter(
+        (col("y") === 1L && col("dot") <= 0L) ||
+          (col("y") === -1L && col("dot") > 0L))
+        .select(col("doc_id"), col("y"))
+      // one D+2-row driver round-trip per epoch: the mistake count and
+      // the per-dim gradient Σ y·x (both map-side combinable)
+      val delta = mist.join(feats.select(col("doc_id"), col("dim"), col("cnt")),
+          "doc_id")
+        .groupBy(col("dim")).agg(sum(col("y") * col("cnt")).as("d"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val nMistakes = mist.count()
+      w = w.zipWithIndex.map { case (wt, d) => wt + delta.getOrElse(d, 0L) }
+      w.zipWithIndex.foreach { case (wt, d) =>
+        trace += ((e, d.toLong, wt, nMistakes))
+      }
+    }
+    feats.unpersist(blocking = false)
+    trace.toSeq.toDF("epoch", "dim", "weight", "n_mistakes")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_train_classifier" -> { (s, d) => perceptronTrain(t(s, d, "documents")) },
     "p_split" -> { (s, d) => deterministicSplit(t(s, d, "documents")) },
     "p_curriculum" -> { (s, d) => curriculum(t(s, d, "documents")) },
     "p_weighted_sample" -> { (s, d) => weightedSample(t(s, d, "documents")) },
@@ -374,7 +451,64 @@ object Pipeline {
          | WHERE length(text) >= $MinChars
          |   AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
          |         w -> list_contains($lex, w))) >= $MinStopwordHits)""".stripMargin
+    // unrolled perceptron epochs; MATERIALIZED so the epoch chain stays
+    // linear under DuckDB's CTE inlining (each epoch reads its
+    // predecessor several times)
+    val perceptronSql = {
+      val hash = s"list_reduce(list_prepend(CAST($PerceptronSeed AS BIGINT), " +
+        "list_transform(regexp_extract_all(w, '.'), c -> CAST(ord(c) AS BIGINT))), " +
+        s"(acc, x) -> (acc * 31 + x) % ${graft.functions.TextFunctions.HashMod})"
+      val epochs = (1 to PerceptronEpochs).map { e =>
+        val p = e - 1
+        s"""dot$e AS MATERIALIZED (
+           |  SELECT f.doc_id, any_value(f.y) AS y,
+           |    CAST(sum(f.cnt * w.wt) AS BIGINT) AS dot
+           |  FROM feats f JOIN w$p w ON w.dim = f.dim GROUP BY f.doc_id),
+           |mist$e AS MATERIALIZED (
+           |  SELECT doc_id, y FROM dot$e
+           |  WHERE (y = 1 AND dot <= 0) OR (y = -1 AND dot > 0)),
+           |w$e AS MATERIALIZED (
+           |  SELECT w.dim, CAST(w.wt + coalesce(d.delta, 0) AS BIGINT) AS wt
+           |  FROM w$p w LEFT JOIN (
+           |    SELECT f.dim, sum(m.y * f.cnt) AS delta
+           |    FROM mist$e m JOIN feats f ON f.doc_id = m.doc_id
+           |    GROUP BY f.dim) d ON d.dim = w.dim)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to PerceptronEpochs).map { e =>
+        s"""SELECT CAST($e AS INT) AS epoch, CAST(dim AS BIGINT) AS dim,
+           |  wt AS weight,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM mist$e) AS n_mistakes
+           |FROM w$e""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |lab AS MATERIALIZED (
+         |  SELECT doc_id, t,
+         |    CASE WHEN len(list_filter(t, w -> list_contains($lex, w)))
+         |           >= $PerceptronMinStops
+         |         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+         |  FROM tok),
+         |tf AS (
+         |  SELECT doc_id, any_value(y) AS y, dim,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, y, $hash % $PerceptronDims AS dim
+         |        FROM (SELECT doc_id, y, unnest(t) AS w FROM lab))
+         |  GROUP BY doc_id, dim),
+         |feats AS MATERIALIZED (
+         |  SELECT doc_id, y, dim, cnt FROM tf
+         |  UNION ALL
+         |  SELECT doc_id, y, CAST($PerceptronDims AS BIGINT) AS dim,
+         |    CAST(1 AS BIGINT) AS cnt FROM lab),
+         |w0 AS (
+         |  SELECT CAST(unnest(range(0, ${PerceptronDims + 1})) AS BIGINT) AS dim,
+         |    CAST(0 AS BIGINT) AS wt),
+         |$epochs
+         |$rows""".stripMargin
+    }
     Map(
+      "p_train_classifier" -> perceptronSql,
       "p_split" ->
         """SELECT doc_id, source,
           |  CASE

@@ -69,6 +69,45 @@ class Round7TextSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("perceptronTrain mirrors an in-memory batch perceptron exactly") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val dims = Pipeline.PerceptronDims
+    val mod = graft.functions.TextFunctions.HashMod
+    def chash(w: String): Long =
+      w.foldLeft(Pipeline.PerceptronSeed.toLong)((acc, c) =>
+        java.lang.Math.floorMod(acc * 31 + c.toLong, mod))
+    // per-doc features and labels
+    val featDocs = corpus.map { case (id, s) =>
+      val t = toks(s)
+      val y = if (t.count(stops.contains) >= Pipeline.PerceptronMinStops) 1L else -1L
+      val x = Array.fill(dims + 1)(0L)
+      t.foreach(w => x((chash(w) % dims).toInt) += 1)
+      x(dims) = 1L // bias
+      (id, y, x)
+    }
+    var w = Array.fill(dims + 1)(0L)
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    (1 to Pipeline.PerceptronEpochs).foreach { e =>
+      val mist = featDocs.filter { case (_, y, x) =>
+        val dot = x.zip(w).map(p => p._1 * p._2).sum
+        (y == 1L && dot <= 0L) || (y == -1L && dot > 0L)
+      }
+      val nm = mist.size.toLong
+      mist.foreach { case (_, y, x) =>
+        (0 to dims).foreach(d => w(d) += y * x(d))
+      }
+      (0 to dims).foreach(d => expected += ((e, d.toLong, w(d), nm)))
+    }
+    val got = Pipeline.perceptronTrain(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected.toSet)
+    // the planted signal is learnable: last epoch errs less than epoch 1
+    val byEpoch = expected.groupBy(_._1).view.mapValues(_.head._4).toMap
+    assert(byEpoch(Pipeline.PerceptronEpochs) <= byEpoch(1))
+  }
+
   test("rakeKeywords matches brute-force RAKE scoring and ranking") {
     import spark.implicits._
     // phrase instances: maximal stopword-free runs
