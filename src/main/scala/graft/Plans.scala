@@ -167,7 +167,19 @@ object Plans {
       "p_leak_safe_split (cluster table from pair graph; corpus joined once)" ->
         operators.Pipeline.queries("p_leak_safe_split")(spark, sfDir),
       "g_modularity (two label joins + partial-agg sums; 1-row m broadcast)" ->
-        graph.GraphQueries.queries("g_modularity")(spark, sfDir)
+        graph.GraphQueries.queries("g_modularity")(spark, sfDir),
+      "g_rich_club (entire curve on two histograms; no V/E-sized relation downstream)" ->
+        graph.GraphQueries.queries("g_rich_club")(spark, sfDir),
+      "g_squares (one adjacency self-join on the wedge center; partial pair counts)" ->
+        graph.GraphQueries.queries("g_squares")(spark, sfDir),
+      "t_heaps (first-occurrence + per-doc histograms; broadcast cut joins)" ->
+        operators.TextAnalysis.queries("t_heaps")(spark, sfDir),
+      "t_bigram_lm (scores assembled on the aggregated bigram table; one stream shuffle)" ->
+        operators.TextAnalysis.queries("t_bigram_lm")(spark, sfDir),
+      "t_rake (per-doc segmentation window; vocab-bounded phrase table)" ->
+        operators.TextAnalysis.queries("t_rake")(spark, sfDir),
+      "p_train_classifier (broadcast weights; mistake gradient = partial-agg sums)" ->
+        operators.Pipeline.queries("p_train_classifier")(spark, sfDir)
     )
 
     val sb = new StringBuilder
