@@ -2885,4 +2885,135 @@ object GraphOps {
     s.unpersist(blocking = false); e.unpersist(blocking = false)
     trace.toSeq.toDF("round", "n_vertices", "n_edges", "density_micro")
   }
+
+  /** Bounded directed eccentricity: for every vertex v, ecc(v) = max over
+    * vertices u reachable from v within `iters` hops of the min-hop
+    * distance d(v, u). A vertex with no out-edges reaches only itself
+    * (ecc 0). The FIXED round bound keeps the operator oracle-checkable
+    * (the DuckDB twin unrolls the same rounds); when the graph converges
+    * inside the bound — which the gate spec asserts — bounded ecc IS the
+    * exact directed eccentricity. All-pairs state is quadratic, so gate
+    * usage induces a small subgraph (the g_components/g_simrank pattern);
+    * the operator itself is the batched-BFS shape and takes any graph.
+    *
+    * Scale notes: one frontier join per ROUND for all sources at once
+    * (not one BFS per source) — the static edge table is pre-partitioned
+    * on the join key once; per round only the (s, v) pair frontier
+    * shuffles, the min-d fold is map-side combinable, and an empty
+    * frontier early-exits (remaining unrolled oracle rounds no-op).
+    * Eccentricity of EVERY vertex is inherently Θ(V·V) state — at 100 TB
+    * you run this on an induced/sampled subgraph or switch to the
+    * HLL-ANF effective-diameter estimate ([[anfHll]]), which is the
+    * documented scale path.
+    */
+  def eccentricity(spark: SparkSession, edges: DataFrame,
+                   iters: Int = 12): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+    var dist = verts.select(col("v").as("s"), col("v"), lit(0L).as("d"))
+      .localCheckpoint(false)
+    var frontier = dist
+    var frontierSize = -1L // unknown until the first stats job
+    var i = 0
+    while (i < iters && frontierSize != 0) {
+      i += 1
+      val f =
+        if (frontierSize >= 0) frontSide(frontier, frontierSize) else frontier
+      val step = f.join(e, f("v") === e("src"))
+        .select(f("s"), e("dst").as("v"), (f("d") + 1L).as("d"))
+        .distinct()
+        .join(dist, Seq("s", "v"), "left_anti")
+        .localCheckpoint(false)
+      frontierSize = step.count()
+      dist = dist.unionAll(step).localCheckpoint(false)
+      frontier = step
+    }
+    e.unpersist(blocking = false)
+    dist.groupBy(col("s").as("v")).agg(max(col("d")).as("ecc"))
+  }
+
+  /** One-row graph summary off [[eccentricity]]: diameter = max ecc,
+    * radius = min POSITIVE ecc (vertices that reach nothing but
+    * themselves would pin the radius to 0 on any graph with a sink, which
+    * reads as degenerate), center/periphery sizes = how many vertices
+    * attain them. Same bounded semantics and gate scope as the per-vertex
+    * table; one extra O(V)-row aggregate on top.
+    */
+  def graphSummary(spark: SparkSession, edges: DataFrame,
+                   iters: Int = 12): DataFrame = {
+    val ecc = eccentricity(spark, edges, iters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pos = ecc.filter(col("ecc") > 0L)
+    val bounds = pos.agg(max(col("ecc")).as("diameter"),
+      min(col("ecc")).as("radius"))
+    val out = pos.crossJoin(broadcast(bounds))
+      .agg(first(col("diameter")).as("diameter"),
+        first(col("radius")).as("radius"),
+        sum(when(col("ecc") === col("radius"), 1L).otherwise(0L))
+          .as("center_size"),
+        sum(when(col("ecc") === col("diameter"), 1L).otherwise(0L))
+          .as("periphery_size"))
+    val rows = out.collect() // 1-row aggregate
+    ecc.unpersist(blocking = false)
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.toDF("diameter", "radius", "center_size", "periphery_size")
+  }
+
+  /** Weighted bipartite projection (item–item co-occurrence): from
+    * (basket, item) incidence rows, the top-`topK` co-occurring partners
+    * per item ranked by integerized cosine
+    * sim_micro = ⌊10⁶ · c(a,b)² / (c(a)·c(b))⌋ — the square keeps the
+    * whole computation in exact BIGINT arithmetic so the result
+    * hash-matches a DuckDB oracle bit-for-bit. Pairs below `minSupport`
+    * co-baskets are dropped; ties rank by (sim desc, support desc,
+    * partner asc) — a total order, so top-k is unique.
+    *
+    * Scale notes: the classic co-occurrence blow-up is a hub basket with
+    * B items generating B² pairs — `maxBasket` caps it BEFORE the
+    * self-join (standard practice in co-purchase / recommendation
+    * pipelines: a basket with hundreds of items carries no signal
+    * anyway). After the cap, pair generation is one shuffle on the basket
+    * key with Σ|basket|² ≤ maxBasket·|rows| output rows, the support
+    * count is map-side combinable, item totals broadcast back onto the
+    * pair table, and the per-item top-k is a rank-filter window (Spark's
+    * WindowGroupLimit pushes the limit into the partial sort — no global
+    * sort, no driver collect).
+    */
+  def cooccurrenceTopK(baskets: DataFrame, minSupport: Int = 2,
+                       maxBasket: Int = 8, topK: Int = 5): DataFrame = {
+    val inc = baskets.select(col("basket"), col("item")).distinct()
+    val kept = inc.join(
+      inc.groupBy(col("basket")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBasket)
+        .select(col("basket")),
+      Seq("basket"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = kept.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = kept.as("x")
+      .join(kept.as("y"), col("x.basket") === col("y.basket")
+        && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val scored = pairs
+      .join(broadcast(totals.select(col("item").as("a"), col("c").as("ca"))),
+        Seq("a"))
+      .join(broadcast(totals.select(col("item").as("b"), col("c").as("cb"))),
+        Seq("b"))
+      .select(col("a"), col("b"), col("support"),
+        expr("(1000000 * support * support) div (ca * cb)").as("sim_micro"))
+    kept.unpersist(blocking = false)
+    val sym = scored.select(col("a").as("item"), col("b").as("partner"),
+      col("support"), col("sim_micro"))
+      .unionAll(scored.select(col("b").as("item"), col("a").as("partner"),
+        col("support"), col("sim_micro")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("sim_micro").desc, col("support").desc, col("partner"))
+    sym.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+  }
 }

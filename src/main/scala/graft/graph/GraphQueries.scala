@@ -450,6 +450,33 @@ object GraphQueries {
     // exact integers; the oracle unrolls the same rounds as CTEs
     "g_densest" -> { (s, d) =>
       GraphOps.densestSubgraph(s, edgesFrom(s, d))
+    },
+    // exact directed eccentricity on the <256 induced subgraph (all-pairs
+    // state is quadratic, so the gate induces — the g_simrank pattern);
+    // EccSpec asserts the round bound reaches fixpoint on this graph, so
+    // bounded ecc here IS exact ecc. Full-scale path: anfHll.
+    "g_ecc" -> { (s, d) =>
+      GraphOps.eccentricity(s,
+        edgesFrom(s, d)
+          .filter(col("src") < EccInduced && col("dst") < EccInduced),
+        EccRounds)
+    },
+    // diameter / radius / center / periphery summary off the same
+    // bounded all-pairs BFS table
+    "g_graph_summary" -> { (s, d) =>
+      GraphOps.graphSummary(s,
+        edgesFrom(s, d)
+          .filter(col("src") < EccInduced && col("dst") < EccInduced),
+        EccRounds)
+    },
+    // weighted bipartite projection: top-k co-occurring parts per part
+    // over the (order, part) incidence — integerized cosine, basket cap
+    // BEFORE the pair self-join (the co-occurrence skew guard)
+    "g_cooccur" -> { (s, d) =>
+      GraphOps.cooccurrenceTopK(
+        t(s, d, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        CoMinSupport, CoMaxBasket, CoTopK)
     }
   )
 
@@ -494,6 +521,18 @@ object GraphQueries {
     * gate graph; 24 leaves slack and extra rounds emit no rows. */
   val DensestRounds = 24
   val MstRounds = 9
+  /** g_ecc / g_graph_summary gate scope + round bound: all-pairs BFS
+    * state is O(V²), so the gate induces (the [[SimRankInduced]]
+    * pattern); EccSpec asserts rounds ≥ the induced graph's true
+    * diameter, so the bounded values are exact here. */
+  val EccInduced = 256
+  val EccRounds = 12
+  /** g_cooccur knobs: pair support floor, basket-size cap applied BEFORE
+    * the pair self-join (skew guard — a B-item basket yields B² pairs),
+    * and partners kept per item. */
+  val CoMinSupport = 2
+  val CoMaxBasket = 8
+  val CoTopK = 5
 
   val SsspIters = 8
   val TemporalRounds = 8
@@ -1559,6 +1598,9 @@ object GraphQueries {
       "g_katz" -> katzSql,
       "g_mis" -> misSql,
       "g_mst" -> mstSql,
+      "g_ecc" -> eccSql,
+      "g_graph_summary" -> graphSummarySql,
+      "g_cooccur" -> cooccurSql,
       "g_node2vec" -> node2vecSql,
       "g_rpq" -> rpqSql,
       "g_anf" -> anfSql,
@@ -1804,6 +1846,79 @@ object GraphQueries {
        |$rounds
        |SELECT DISTINCT a, b, w FROM ($pickUnion)""".stripMargin
   }
+
+  /** Unrolled bounded all-pairs BFS shared by the g_ecc and
+    * g_graph_summary oracles, mirroring [[GraphOps.eccentricity]] on the
+    * <[[EccInduced]] induced subgraph: d0 seeds every vertex at distance
+    * 0 from itself; each round extends by one hop with a min-d fold (the
+    * [[ssspSql]] relaxation shape, seeded all-sources). Ends with an
+    * `ecc` CTE — callers append their final SELECT. */
+  private def eccDistSql: String = {
+    val steps = (1 to EccRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT s, v, min(d) AS d FROM (
+         |    SELECT s, v, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d${i - 1}.s, e.dst AS v, d${i - 1}.d + 1 AS d
+         |    FROM d${i - 1} JOIN e ON e.src = d${i - 1}.v)
+         |  GROUP BY s, v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM ($edgesSql)
+       |  WHERE src < $EccInduced AND dst < $EccInduced),
+       |vs AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+       |d0 AS (SELECT v AS s, v, CAST(0 AS BIGINT) AS d FROM vs),
+       |$steps,
+       |ecc AS (SELECT s AS v, max(d) AS ecc FROM d$EccRounds GROUP BY s)""".stripMargin
+  }
+
+  private def eccSql: String = s"$eccDistSql\nSELECT v, ecc FROM ecc"
+
+  /** Diameter/radius/center/periphery over [[eccDistSql]]'s ecc table —
+    * radius over POSITIVE eccentricities only, mirroring
+    * [[GraphOps.graphSummary]]. */
+  private def graphSummarySql: String =
+    s"""$eccDistSql,
+       |pos AS (SELECT ecc FROM ecc WHERE ecc > 0)
+       |SELECT max(ecc) AS diameter, min(ecc) AS radius,
+       |  CAST(sum(CASE WHEN ecc = (SELECT min(ecc) FROM pos)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS center_size,
+       |  CAST(sum(CASE WHEN ecc = (SELECT max(ecc) FROM pos)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS periphery_size
+       |FROM pos""".stripMargin
+
+  /** Item–item co-occurrence mirroring [[GraphOps.cooccurrenceTopK]] on
+    * the (l_orderkey, l_partkey) incidence: basket cap, support floor,
+    * integerized-cosine floor division, total-order top-k. */
+  private def cooccurSql: String =
+    s"""WITH inc AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+       |  FROM lineitem),
+       |kept AS MATERIALIZED (
+       |  SELECT inc.basket, inc.item FROM inc
+       |  JOIN (SELECT basket FROM inc GROUP BY basket
+       |        HAVING count(*) <= $CoMaxBasket) k USING (basket)),
+       |tot AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+       |        FROM kept GROUP BY item),
+       |pr AS (
+       |  SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS support
+       |  FROM kept x JOIN kept y ON x.basket = y.basket AND x.item < y.item
+       |  GROUP BY x.item, y.item
+       |  HAVING count(*) >= $CoMinSupport),
+       |sc AS (
+       |  SELECT a, b, support,
+       |    (1000000 * support * support) // (ta.c * tb.c) AS sim_micro
+       |  FROM pr JOIN tot ta ON ta.item = pr.a
+       |          JOIN tot tb ON tb.item = pr.b),
+       |sym AS (
+       |  SELECT a AS item, b AS partner, support, sim_micro FROM sc
+       |  UNION ALL
+       |  SELECT b AS item, a AS partner, support, sim_micro FROM sc)
+       |SELECT item, partner, support, sim_micro, CAST(rnk AS INTEGER) AS rnk
+       |FROM (SELECT sym.*, row_number() OVER (PARTITION BY item
+       |        ORDER BY sim_micro DESC, support DESC, partner) AS rnk
+       |      FROM sym)
+       |WHERE rnk <= $CoTopK""".stripMargin
 
   /** Unrolled node2vec steps mirroring [[GraphOps.node2vecWalks]]: the
     * second-order weight is a CASE over (return / common-neighbor
