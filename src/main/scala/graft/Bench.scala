@@ -15,11 +15,18 @@ import graft.graph.{GraphArGraph, GraphOps, GraphQueries}
   * (at sf0.1: ~600k edges, comparable to the git graph's 578k). The
   * LLM-pipeline extras run on the raw parquet tables.
   *
-  * Each query runs twice; the reported time is the best of two (the
-  * reference reports medians of repeated runs). Fixture build time is
-  * reported separately as `fixture_build` — it is ETL, not query time.
+  * Timing protocol: each query gets ONE unrecorded warm-up run, then
+  * `runs` (default 3) recorded in-process repetitions; the headline
+  * number is the MEDIAN (host-load spikes on a shared box hit one rep,
+  * not the middle of three), with min and n reported alongside so a
+  * reader can see the spread. `value` (the cross-round total) is the
+  * sum of medians. Fixture build time is reported separately as
+  * `fixture_build` — it is ETL, not query time, and runs once (it
+  * writes the on-disk graph; a repeat would measure an overwrite).
   */
 object Bench {
+  private final case class Res(median: Double, min: Double, n: Int)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,28 +39,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Res]
 
-    def timed(name: String, runs: Int = 2)(f: => Unit): Unit = {
-      var best = Double.MaxValue
+    def timed(name: String, runs: Int = 3, warmup: Boolean = true)
+             (f: => Unit): Unit = {
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val total = (if (warmup) 1 else 0) + runs
       var i = 0
-      while (i < runs) {
+      while (i < total) {
         val t0 = System.nanoTime()
         try f catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            results(name) = -1.0
+            results(name) = Res(-1.0, -1.0, 0)
             return
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!warmup || i > 0) times += dt // rep 0 is the warm-up
         i += 1
       }
-      results(name) = best
+      val sorted = times.sorted
+      results(name) = Res(sorted(sorted.length / 2), sorted.head, sorted.length)
     }
 
     // -- fixture (ETL, timed once, separate key)
     var yaml: String = null
-    timed("fixture_build", runs = 1) {
+    timed("fixture_build", runs = 1, warmup = false) {
       yaml = sources.graphar.GraphArQueries.fixture(spark, sfDir)
     }
     if (yaml == null) {
@@ -67,17 +78,17 @@ object Bench {
     val root = GraphQueries.RootVid
 
     // -- reference headline queries (BASELINE.md rows)
-    timed("vertex_count", runs = 3) { g.vertices("Part").count() }
-    timed("edge_count", runs = 3) { g.edges("Part", "link", "Part").count() }
-    timed("three_vertices", runs = 3) { g.vertices("Part").limit(3).collect() }
-    timed("one_hop", runs = 3) {
+    timed("vertex_count") { g.vertices("Part").count() }
+    timed("edge_count") { g.edges("Part", "link", "Part").count() }
+    timed("three_vertices") { g.vertices("Part").limit(3).collect() }
+    timed("one_hop") {
       g.oneHop("Part", "link", "Part", root).count()
     }
     timed("two_hop") {
       g.twoHop("Part", "link", "Part", root).count()
     }
-    timed("max_degree", runs = 3) { g.maxDegree("Part", "link", "Part").collect() }
-    timed("degree_distribution", runs = 3) {
+    timed("max_degree") { g.maxDegree("Part", "link", "Part").collect() }
+    timed("degree_distribution") {
       g.degreeDistribution("Part", "link", "Part").count()
     }
     timed("path_exist") {
@@ -122,19 +133,23 @@ object Bench {
       case c => c.toString
     }
 
-  private def emit(results: scala.collection.mutable.LinkedHashMap[String, Double],
+  private def emit(results: scala.collection.mutable.LinkedHashMap[String, Res],
                    sfDir: String): Unit = {
-    val qs = results.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + v }
-      .mkString("{", ",", "}")
-    // total = QUERY time only: fixture_build is ETL, reported separately.
-    // A failed query (sentinel -1.0) is EXCLUDED from the sum, so the
-    // failure is reported explicitly: `failed` lists the names and
-    // `ok` is false — cross-round totals are only comparable when the
-    // passing sets match.
-    val failed = results.iterator.collect { case (k, v) if v < 0 => k }.toSeq
+    val qs = results.map { case (k, r) =>
+      "\"" + jsonEscape(k) + "\":{\"median\":" + r.median +
+        ",\"min\":" + r.min + ",\"n\":" + r.n + "}"
+    }.mkString("{", ",", "}")
+    // total = QUERY time only (sum of medians): fixture_build is ETL,
+    // reported separately. A failed query (sentinel median -1.0, n 0)
+    // is EXCLUDED from the sum, so the failure is reported explicitly:
+    // `failed` lists the names and `ok` is false — cross-round totals
+    // are only comparable when the passing sets match.
+    val failed = results.iterator
+      .collect { case (k, r) if r.median < 0 => k }.toSeq
     val fj = failed.map(n => "\"" + jsonEscape(n) + "\"").mkString("[", ",", "]")
     val total = results.iterator
-      .filter { case (k, v) => k != "fixture_build" && v >= 0 }.map(_._2).sum
+      .filter { case (k, r) => k != "fixture_build" && r.median >= 0 }
+      .map(_._2.median).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${failed.isEmpty},"failed":$fj,"queries":$qs,"sf":"${jsonEscape(sfDir)}"}""")
   }
 }

@@ -89,6 +89,18 @@ object TextScaleBench {
       Retrieval.conjunctiveSearchStored(spark, idx, probeTerms).count())
     time("bm25_top20")(Retrieval.bm25TopK(docs, probeTerms).count())
     time("phrase_scan")(Retrieval.phraseCount(docs, Seq("w1", "w2")).count())
+    // the same phrase from the stored positional index: worst case —
+    // w1/w2 are the Zipf head, so nearly every doc carries a posting
+    // row for each; the probe still reads two posting lists instead of
+    // the whole corpus text
+    time("phrase_stored_hot")(
+      Retrieval.phraseCountStored(spark, idx, Seq("w1", "w2")).count())
+    // mid-frequency phrase: the posting lists are ~2% of the corpus —
+    // the serving-cost regime a production phrase query lives in
+    time("phrase_stored_probe")(
+      Retrieval.phraseCountStored(spark, idx, Seq("w37", "w411")).count())
+    time("proximity_stored")(
+      Retrieval.proximityCountStored(spark, idx, "w37", "w411", 5).count())
     time("exact_dedup")(Dedup.exact(docs).count())
     time("minhash_pairs")(Dedup.minhashLshPairs(docs).count())
     time("snm_pairs")(Dedup.sortedNeighborhoodPairs(docs).count())

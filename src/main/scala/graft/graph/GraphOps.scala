@@ -683,6 +683,7 @@ object GraphOps {
     */
   def maximalMatching(spark: SparkSession, edges: DataFrame,
                       rounds: Int = 6, seed: String = "match"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     var alive = undirectedSimple(edges).localCheckpoint(true)
     var matched = List.empty[DataFrame]
     var r = 0
@@ -717,7 +718,10 @@ object GraphOps {
         .localCheckpoint(true)
       done = alive.isEmpty
     }
-    matched.reduce(_ unionAll _)
+    // rounds == 0 (or an initially empty graph) yields no per-round
+    // frames — an empty matching, not an error
+    matched.reduceOption(_ unionAll _)
+      .getOrElse(alive.filter(lit(false)).select(col("a"), col("b")))
   }
 
   /** Jones–Plassmann greedy coloring: per round, every UNCOLORED vertex
@@ -2803,6 +2807,13 @@ object GraphOps {
     * estimator is unbiased; the integer multiplier and shared coin make
     * the ESTIMATE itself bit-reproducible by the oracle, while the
     * accuracy-vs-exact contract is spec-tested.
+    *
+    * `inv` SHOULD be a power of two: the keep probability is actually
+    * ⌊2³²/inv⌋/2³², which equals 1/inv exactly only when inv divides
+    * 2³²; for other values the estimator's inv⁴ multiplier overshoots
+    * the true (2³²/threshold)⁴ by up to ~4·inv/2³² relative — tiny, but
+    * a systematic bias. Power-of-two inv (the gate and bench values)
+    * is exact.
     */
   def squareCountApprox(edges: DataFrame, inv: Int = 2,
                         seed: String = "sq",
@@ -2959,8 +2970,16 @@ object GraphOps {
     val rows = out.collect() // 1-row aggregate
     ecc.unpersist(blocking = false)
     import spark.implicits._
-    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSeq.toDF("diameter", "radius", "center_size", "periphery_size")
+    // an empty or edgeless graph leaves `pos` empty → the aggregate row
+    // is all-null (or absent); report zeros instead of NPE-ing
+    rows.filter(r => !r.isNullAt(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq match {
+      case Nil => Seq((0L, 0L, 0L, 0L))
+        .toDF("diameter", "radius", "center_size", "periphery_size")
+        .filter(lit(false))
+      case s => s.toDF("diameter", "radius", "center_size", "periphery_size")
+    }
   }
 
   /** Weighted bipartite projection (item–item co-occurrence): from

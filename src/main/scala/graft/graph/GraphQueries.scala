@@ -171,9 +171,10 @@ object GraphQueries {
     "g_triangles" -> { (s, d) =>
       GraphOps.triangleCount(edgesFrom(s, d))
     },
-    // deterministic maximal matching (mutual-proposal rounds under the
-    // lexicographic edge order — no hashes); the oracle unrolls the
-    // same fixed rounds, so results are identical even pre-convergence
+    // deterministic maximal matching (mutual-proposal rounds under
+    // per-round md5-hashed edge priorities — the MIS symmetry breaker);
+    // the oracle unrolls the same fixed rounds with the same hash coin,
+    // so results are identical even pre-convergence
     "g_matching" -> { (s, d) =>
       GraphOps.maximalMatching(s, edgesFrom(s, d), rounds = MatchRounds)
     },

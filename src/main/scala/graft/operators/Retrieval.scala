@@ -45,6 +45,24 @@ object Retrieval {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL inverted index: the postings rows plus the sorted
+    * 1-based token positions of each (term, doc) occurrence — the
+    * access path phrase and proximity queries need. The positions
+    * array is bounded by the DOCUMENT's token count (it is per
+    * (term, doc), never per term), so no row blows up on a hot term;
+    * hot terms cost more ROWS, which is exactly what the bucket
+    * partitioning spreads. tf = |positions| rides for free, so this
+    * strictly supersedes [[postings]] as the stored layout — readers
+    * that don't need positions prune the column at the parquet scan.
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos") + 1)).as("positions"))
+      .select(col("term"), col("doc_id"),
+        size(col("positions")).cast("long").as("tf"), col("positions"))
+
   /** Stable term → bucket assignment, shared by writer and prober.
     * md5-derived (not Spark's murmur) so the bucket of a term is
     * reproducible by ANY engine reading the index layout.
@@ -62,12 +80,14 @@ object Retrieval {
     java.lang.Long.parseLong(hex, 16) % Buckets
   }
 
-  /** Write the bucket-partitioned postings index + a 1-row corpus
-    * stats sidecar (N, total token count) the BM25 prober needs.
+  /** Write the bucket-partitioned POSITIONAL postings index + a 1-row
+    * corpus stats sidecar (N, total token count) the BM25 prober needs.
+    * The positions column adds ~doc-length ints per posting row;
+    * non-positional readers never pay for it (parquet column pruning).
     */
   def writePostingsIndex(docs: DataFrame, path: String,
                          buckets: Int = Buckets): Unit = {
-    val post = postings(docs).withColumn("bucket", bucketOf(col("term")))
+    val post = positionalPostings(docs).withColumn("bucket", bucketOf(col("term")))
     post.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
@@ -175,6 +195,82 @@ object Retrieval {
   /** Gate phrase: a trigram that actually occurs in the corpus. */
   val PhraseTerms = Seq("slow", "hash", "batch")
 
+  /** Pivot the probed positional postings of `terms` into one row per
+    * doc with a position-array column per distinct term, keeping only
+    * docs that contain ALL of them. The scan carries the same static
+    * bucket PartitionFilter as [[conjunctiveSearchStored]]; the one
+    * shuffle groups O(Σ|postings(term)|) rows by doc — cost scales
+    * with the QUERY terms' posting lists, never the corpus.
+    */
+  private def pivotPositions(spark: SparkSession, path: String,
+                             terms: Seq[String]): DataFrame = {
+    val post = spark.read.parquet(s"$path/postings")
+    val tcol = array(terms.map(lit): _*)
+    val probed = post
+      .filter(col("bucket").isin(terms.map(bucketOfLocal): _*))
+      .filter(array_contains(tcol, col("term")))
+      .select(col("doc_id"), col("term"), col("positions"))
+    // (term, doc) is unique in the index, so first(ignoreNulls) is a
+    // deterministic pick of the single positions array per term
+    val aggs = terms.zipWithIndex.map { case (w, i) =>
+      first(when(col("term") === w, col("positions")), ignoreNulls = true)
+        .as(s"p$i")
+    }
+    probed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .filter(terms.indices.map(i => col(s"p$i").isNotNull).reduce(_ && _))
+  }
+
+  /** Exact phrase search served from the STORED positional index —
+    * hash-identical results to [[phraseCount]], but the corpus text is
+    * never read: the probe touches only the phrase terms' bucket
+    * partitions (static partition pruning), intersects the position
+    * arrays per doc (an occurrence at p needs term j at p+j for every
+    * j), and the arrays are doc-length-bounded so the per-doc work is
+    * O(|positions(w₀)|·L) membership checks inside codegen. This is
+    * the flat-serving-cost twin of the measured-linear map-side scan —
+    * the right call once a corpus serves REPEATED phrase queries.
+    */
+  def phraseCountStored(spark: SparkSession, path: String,
+                        phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one term")
+    val terms = phrase.distinct
+    val pivoted = pivotPositions(spark, path, terms)
+    val pcol = (j: Int) => col("p" + terms.indexOf(phrase(j)))
+    val nOcc =
+      if (phrase.length == 1) size(pcol(0)).cast("long")
+      else size(filter(pcol(0), p =>
+        (1 until phrase.length)
+          .map(j => array_contains(pcol(j), p + lit(j)))
+          .reduce(_ && _))).cast("long")
+    pivoted.withColumn("n_occ", nOcc)
+      .filter(col("n_occ") > 0)
+      .select(col("doc_id"), col("n_occ"))
+  }
+
+  /** Proximity (slop) search from the STORED positional index: per
+    * doc, the number of occurrences of `a` that have an occurrence of
+    * `b` within `slop` tokens (either direction) — the query class
+    * between bag-of-words AND and exact phrase. Same pruned-probe
+    * shape as [[phraseCountStored]].
+    */
+  def proximityCountStored(spark: SparkSession, path: String,
+                           a: String, b: String, slop: Int): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    require(a != b, "proximity terms must differ")
+    val pivoted = pivotPositions(spark, path, Seq(a, b))
+    pivoted
+      .withColumn("n_near",
+        size(filter(col("p0"), p =>
+          exists(col("p1"), q => abs(q - p) <= lit(slop)))).cast("long"))
+      .filter(col("n_near") > 0)
+      .select(col("doc_id"), col("n_near"))
+  }
+
+  /** Gate proximity pair + slop (both terms occur in the corpus). */
+  val ProxA = "dup"
+  val ProxB = "key"
+  val ProxSlop = 5
+
   /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.) of
     * the lexical BM25 list and the dense cosine list over the shared
     * doc_id/vec_id space — the standard two-tower fusion every
@@ -222,7 +318,9 @@ object Retrieval {
     val name = new java.io.File(sfDir).getName + "_" +
       Integer.toHexString(canonical.hashCode)
     val base = s"/tmp/graft_text/$name"
-    val marker = new org.apache.hadoop.fs.Path(s"$base/_INDEX_SUCCESS")
+    // v2: the index gained the positions column — a v1 dir left in
+    // /tmp by an earlier run must rebuild, not half-serve
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_INDEX_SUCCESS_v2")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       if (fs.exists(new org.apache.hadoop.fs.Path(base)))
@@ -255,6 +353,17 @@ object Retrieval {
     // exact consecutive-phrase match, zero-shuffle map-side scan
     "t_phrase" -> { (s, d) =>
       phraseCount(t(s, d, "documents"), PhraseTerms)
+    },
+    // the SAME phrase served from the stored positional index — the
+    // oracle SQL is identical to t_phrase's (an index is an access
+    // path, not a semantic), so the gate proves hash-equality of the
+    // two evaluation strategies
+    "t_phrase_stored" -> { (s, d) =>
+      phraseCountStored(s, indexDir(s, d), PhraseTerms)
+    },
+    // slop-window proximity from the stored positional index
+    "t_proximity" -> { (s, d) =>
+      proximityCountStored(s, indexDir(s, d), ProxA, ProxB, ProxSlop)
     }
   )
 
@@ -305,6 +414,22 @@ object Retrieval {
        |      AS BIGINT) AS rk
        |  FROM agg)""".stripMargin
 
+  /** Shared by `t_phrase` and `t_phrase_stored`: the two operators are
+    * the same query under different access paths, so they share one
+    * oracle text — the gate then proves hash-equality of both. */
+  private lazy val phraseOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(range(1, len(t) - ${PhraseTerms.size} + 2),
+       |      i -> ${PhraseTerms.zipWithIndex.map { case (w, j) =>
+                    s"t[i+$j] = '$w'" }.mkString(" AND ")}))
+       |      AS BIGINT) AS n_occ
+       |  FROM d WHERE len(t) >= ${PhraseTerms.size})
+       |SELECT doc_id, n_occ FROM m WHERE n_occ > 0""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "t_search" ->
       s"""WITH tok AS (
@@ -321,18 +446,27 @@ object Retrieval {
          |SELECT doc_id, score_micro, n_terms, rk FROM r WHERE rk <= 20""".stripMargin,
 
     // same shifted-window scan over the token list
-    "t_phrase" ->
+    "t_phrase" -> phraseOracleSql,
+
+    // identical SQL: the stored positional probe must hash-match the
+    // scan evaluation bit-for-bit
+    "t_phrase_stored" -> phraseOracleSql,
+
+    // proximity: occurrences of ProxA with a ProxB within ProxSlop
+    // tokens, list-comprehension twin of the Spark position-array probe
+    "t_proximity" ->
       s"""WITH d AS (
          |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
          |  FROM documents),
          |m AS (
          |  SELECT doc_id,
-         |    CAST(len(list_filter(range(1, len(t) - ${PhraseTerms.size} + 2),
-         |      i -> ${PhraseTerms.zipWithIndex.map { case (w, j) =>
-                      s"t[i+$j] = '$w'" }.mkString(" AND ")}))
-         |      AS BIGINT) AS n_occ
-         |  FROM d WHERE len(t) >= ${PhraseTerms.size})
-         |SELECT doc_id, n_occ FROM m WHERE n_occ > 0""".stripMargin,
+         |    CAST(len(list_filter(range(1, len(t) + 1),
+         |      i -> t[i] = '$ProxA' AND len(list_filter(
+         |        range(1, len(t) + 1),
+         |        j -> t[j] = '$ProxB' AND abs(j - i) <= $ProxSlop)) > 0))
+         |      AS BIGINT) AS n_near
+         |  FROM d)
+         |SELECT doc_id, n_near FROM m WHERE n_near > 0""".stripMargin,
 
     // RRF fusion of the BM25 top-50 and the dense cosine top-50 for
     // query vector 7 — both rank lists pinned to the Spark side's

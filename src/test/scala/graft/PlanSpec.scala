@@ -169,6 +169,22 @@ class PlanSpec extends AnyFunSuite {
       s"index degenerate: only $allBuckets buckets")
   }
 
+  test("stored positional phrase probe reads only the phrase terms' buckets") {
+    val base = operators.Retrieval.indexDir(spark, sf)
+    val df = operators.Retrieval.phraseCountStored(
+      spark, base, operators.Retrieval.PhraseTerms)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [bucket"),
+      s"no static partition filter on bucket in:\n$p")
+    // and the probe must match the map-side scan exactly (access path,
+    // not a semantic): same rows, same counts
+    val scan = operators.Retrieval.phraseCount(
+      Tables.t(spark, sf, "documents"), operators.Retrieval.PhraseTerms)
+    assert(df.exceptAll(scan).isEmpty && scan.exceptAll(df).isEmpty,
+      "stored phrase probe diverged from the scan evaluation")
+  }
+
   test("stored-ANN → MMR: shortlist scan is partition-pruned, no corpus-wide join") {
     val base = operators.Similarity.indexDir(spark, sf)
     val queries = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 8)
