@@ -152,6 +152,13 @@ object GraphOps {
     */
   val BroadcastFrontierCap = 1000000L
 
+  /** Safety cap for `converged = true` iterative operators: the loop
+    * runs to its driver-checked empty-delta fixed point, and this cap
+    * only fences a semantically-impossible runaway (every converged
+    * loop here is provably finite — monotone state or shrinking
+    * frontier — so hitting the cap means a bug, not a big graph). */
+  val ConvergedCap = 100000
+
   private def frontSide(f: DataFrame, size: Long): DataFrame =
     if (size <= BroadcastFrontierCap) broadcast(f) else f
 
@@ -519,6 +526,11 @@ object GraphOps {
     * k-core decomposition; `rounds` is fixed (pinned semantics — the
     * oracle unrolls the same rounds, so even a pre-convergence state
     * hash-checks; convergence on the gate graph is spec-asserted).
+    * Pass `converged = true` on a REAL graph: the loop then runs to a
+    * driver-checked empty-delta fixed point (one anti-join per round;
+    * `rounds` is ignored) — the exact decomposition regardless of the
+    * graph's iteration depth, so a caller can't silently get a partial
+    * one from a too-small round budget.
     * This is the whole-decomposition complement of [[kCore]] (which
     * extracts ONE k's subgraph).
     *
@@ -534,15 +546,17 @@ object GraphOps {
     * partial agg, one tiny window.
     */
   def corenessHIndex(spark: SparkSession, edges: DataFrame,
-                     rounds: Int = 14): DataFrame = {
+                     rounds: Int = 14, converged: Boolean = false): DataFrame = {
     val und = undirectedSimple(edges)
     val adj = und.select(col("a").as("v"), col("b").as("u"))
       .unionAll(und.select(col("b").as("v"), col("a").as("u")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var c = adj.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .localCheckpoint(converged)
     var r = 0
-    while (r < rounds) {
+    var done = false
+    val cap = if (converged) ConvergedCap else rounds
+    while (r < cap && !done) {
       r += 1
       // histogram of neighbor values per vertex (hub-safe partial agg)
       val hist = adj.join(c.withColumnRenamed("v", "u"), "u")
@@ -550,11 +564,15 @@ object GraphOps {
       // H = max over values (descending) of min(value, running count)
       val w = Window.partitionBy(col("v")).orderBy(col("c").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      c = hist
+      val nxt = hist
         .withColumn("cum", sum(col("cnt")).over(w))
         .groupBy(col("v"))
         .agg(max(least(col("c"), col("cum"))).as("c"))
-        .localCheckpoint(r == rounds)
+        .localCheckpoint(converged || r == rounds)
+      // values are monotone non-increasing, so an empty (v, c) delta
+      // IS the k-core fixed point — one cheap anti-join per round
+      if (converged) done = nxt.join(c, Seq("v", "c"), "left_anti").isEmpty
+      c = nxt
     }
     val res = c.select(col("v"), col("c").as("coreness"))
       .localCheckpoint(true)
@@ -731,7 +749,10 @@ object GraphOps {
     * adjacent — strict max under the total (p, v) order — so the
     * coloring is always proper). FIXED round count for oracle parity;
     * vertices still uncolored after `rounds` are absent from the
-    * output (a valid partial coloring). Returns (v, color).
+    * output (a valid partial coloring); `converged = true` ignores
+    * `rounds` and runs until the undecided set is empty — a TOTAL
+    * proper coloring on any graph (the loop already early-exits
+    * there). Returns (v, color).
     *
     * The mex is computed without ranges: mex(S) = min(({0} ∪ {c+1 :
     * c ∈ S}) \ S) — candidate set bounded by |colored neighbors|+1,
@@ -745,7 +766,8 @@ object GraphOps {
     * the undecided subgraph).
     */
   def greedyColoring(spark: SparkSession, edges: DataFrame,
-                     rounds: Int = 6, seed: String = "color"): DataFrame = {
+                     rounds: Int = 6, seed: String = "color",
+                     converged: Boolean = false): DataFrame = {
     val canon = undirectedSimple(edges)
     val ue = canon.select(col("a").as("s"), col("b").as("t"))
       .unionAll(canon.select(col("b").as("s"), col("a").as("t")))
@@ -757,7 +779,8 @@ object GraphOps {
     var coloredParts = List.empty[DataFrame]
     var r = 0
     var done = false
-    while (r < rounds && !done) {
+    val cap = if (converged) ConvergedCap else rounds
+    while (r < cap && !done) {
       r += 1
       val nbrMax = ue
         .join(und.select(col("v").as("s"), col("p").as("ps")), "s")
@@ -788,7 +811,10 @@ object GraphOps {
       done = und.isEmpty
     }
     ue.unpersist(blocking = false)
-    coloredParts.reduce(_ unionAll _)
+    // rounds == 0 or an empty graph → no per-round frames: empty coloring
+    coloredParts.reduceOption(_ unionAll _)
+      .getOrElse(und.filter(lit(false))
+        .select(col("v"), lit(0L).as("color")))
   }
 
   /** Fixed-point unit of [[simRank]] scores: s_fp = s · 10¹². */
@@ -1675,6 +1701,21 @@ object GraphOps {
     // forward: levels(l) = (s, v, sigma) at distance exactly l from s
     val l0 = sources.distinct.map(s => (s, s, 1L)).toDF("s", "v", "sigma")
       .localCheckpoint(false)
+    val out = brandesDeltas(e, l0, maxDepth)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Brandes forward σ-count + backward δ-accumulation from an
+    * arbitrary (s, v, sigma) seed frontier — the shared core of
+    * [[betweennessSampled]] (literal source list) and
+    * [[betweennessApprox]] (hash-sampled pivot frame). Returns (v, bc)
+    * = Σ_s δ_s(v) with the source rows excluded. `e` must be the
+    * DISTINCT edge set, pre-partitioned on src and persisted by the
+    * caller (it is joined 2·maxDepth times).
+    */
+  private def brandesDeltas(e: DataFrame, l0: DataFrame,
+                            maxDepth: Int): DataFrame = {
     var levels = Vector(l0)
     var visited = l0.select(col("s"), col("v")).localCheckpoint(false)
     var l = 0
@@ -1713,8 +1754,55 @@ object GraphOps {
         .localCheckpoint(false)
       acc = acc.unionAll(delta)
     }
-    val out = acc.filter(col("s") =!= col("v"))
+    acc.filter(col("s") =!= col("v"))
       .groupBy(col("v")).agg(sum(col("delta")).as("bc"))
+      .localCheckpoint(true)
+  }
+
+  /** Brandes–Pich (2007) pivot-sampled betweenness ESTIMATE: run the
+    * depth-bounded Brandes accumulation from `k` pivots chosen by a
+    * seeded md5 order over the vertex set (deterministic, so the
+    * estimate itself is oracle-reproducible — the pivot "sample" is a
+    * pure function of (seed, vertex ids), no RNG state), then
+    * extrapolate bĉ(v) = (V/k)·Σ_{s∈pivots} δ_s(v). Uniformly-hashed
+    * pivots make the estimator unbiased for the depth-bounded bc;
+    * Brandes–Pich show O(log V/ε²) pivots suffice for ε·V(V−1)
+    * additive error. Returns (v, bc_est_micro), micro-quantized like
+    * [[betweennessSampled]]'s gate projection.
+    *
+    * This is the documented 100 TB path for betweenness — exact
+    * Brandes is Θ(V·E); this costs 2·maxDepth joins TOTAL (all pivots
+    * ride the same per-level frontier), independent of k, with
+    * per-level state O(k·V) — the triangles→DOULION / ecc→ANF scale
+    * split applied to centrality.
+    */
+  def betweennessApprox(spark: SparkSession, edges: DataFrame,
+                        k: Int = 8, maxDepth: Int = 4,
+                        seed: String = "bc"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nv = verts.count() // 1-row stat, also materializes the persist
+    val piv = verts
+      .orderBy(md5(concat(lit(seed + "-"), col("v").cast("string"))),
+        col("v"))
+      .limit(k)
+    val l0 = piv.select(col("v").as("s"), col("v"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    verts.unpersist(blocking = false)
+    // (V/k) extrapolation folded into the micro-quantization in one
+    // fixed op order (bc · (V/k) · 1e6 + 0.5, floor) — mirrored
+    // verbatim by the oracle so the ESTIMATE hash-checks
+    val q = nv.toDouble / k.toDouble
+    val out = brandesDeltas(e, l0, maxDepth)
+      .select(col("v"),
+        floor(col("bc") * lit(q) * lit(1e6) + lit(0.5)).cast("long")
+          .as("bc_est_micro"))
       .localCheckpoint(true)
     e.unpersist(blocking = false)
     out
@@ -2903,7 +2991,8 @@ object GraphOps {
     * (ecc 0). The FIXED round bound keeps the operator oracle-checkable
     * (the DuckDB twin unrolls the same rounds); when the graph converges
     * inside the bound — which the gate spec asserts — bounded ecc IS the
-    * exact directed eccentricity. All-pairs state is quadratic, so gate
+    * exact directed eccentricity. `converged = true` drops the bound and
+    * runs to the empty-frontier fixed point (exact ecc on any graph). All-pairs state is quadratic, so gate
     * usage induces a small subgraph (the g_components/g_simrank pattern);
     * the operator itself is the batched-BFS shape and takes any graph.
     *
@@ -2918,7 +3007,7 @@ object GraphOps {
     * documented scale path.
     */
   def eccentricity(spark: SparkSession, edges: DataFrame,
-                   iters: Int = 12): DataFrame = {
+                   iters: Int = 12, converged: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -2929,7 +3018,11 @@ object GraphOps {
     var frontier = dist
     var frontierSize = -1L // unknown until the first stats job
     var i = 0
-    while (i < iters && frontierSize != 0) {
+    // converged: run to the natural empty-frontier fixed point (the
+    // loop already early-exits there) instead of the oracle's bound —
+    // bounded ecc is then EXACT ecc on any graph
+    val cap = if (converged) ConvergedCap else iters
+    while (i < cap && frontierSize != 0) {
       i += 1
       val f =
         if (frontierSize >= 0) frontSide(frontier, frontierSize) else frontier

@@ -347,6 +347,14 @@ object GraphQueries {
         .select(col("v"),
           floor(col("bc") * lit(1e6) + lit(0.5)).as("bc_micro"))
     },
+    // Brandes–Pich pivot-sampled betweenness ESTIMATE: seeded-md5
+    // pivot set (a pure function of the vertex ids, so the oracle
+    // recomputes the identical sample) + (V/k) extrapolation — the
+    // documented scale path next to the exact-from-fixed-sources gate
+    // entry above
+    "g_betweenness_approx" -> { (s, d) =>
+      GraphOps.betweennessApprox(s, edgesFrom(s, d), BcApproxK, BcDepth)
+    },
     // sampled harmonic closeness from the same source set — exact
     // per-level counts + one fixed-order double combine, bit-stable
     // cross-engine (no quantization; see harmonicCloseness scaladoc)
@@ -496,6 +504,7 @@ object GraphQueries {
 
   val PprSources = Seq(42L, 7L, 3967L)
   val BcDepth = 4
+  val BcApproxK = 8
   val SampleK = 2
   val HitsIters = 8
   // k=4 on this graph peels 48k → 4226 → 202 → 60 edges and is at
@@ -744,6 +753,66 @@ object GraphQueries {
        |$unions)
        |SELECT v, CAST(floor(sum(delta) * 1000000.0 + 0.5) AS BIGINT) AS bc_micro
        |FROM alldel WHERE s <> v GROUP BY v""".stripMargin
+  }
+
+  /** Unrolled Brandes–Pich mirroring [[GraphOps.betweennessApprox]]:
+    * the pivot set is recomputed IN SQL (order vertices by
+    * md5('bc-'||v) with v tiebreak, take k — bit-identical to the
+    * Spark sample), then one generic multi-source forward/backward
+    * chain keyed by (s, v) — the [[closenessSql]] NOT-EXISTS shape
+    * rather than [[betweennessSql]]'s per-literal-source unrolling,
+    * because the pivots aren't known at SQL-build time. The (V/k)
+    * extrapolation is applied inside the same floor-quantization
+    * expression, op-for-op as the Spark side.
+    */
+  private def betweennessApproxSql: String = {
+    val fwd = (1 to BcDepth).map { l =>
+      s"""lv$l AS MATERIALIZED (
+         |  SELECT p.s, e.dst AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM e JOIN lv${l - 1} p ON p.v = e.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${l - 1} x
+         |                    WHERE x.s = p.s AND x.v = e.dst)
+         |  GROUP BY 1, 2),
+         |vis$l AS MATERIALIZED (
+         |  SELECT s, v FROM vis${l - 1} UNION ALL SELECT s, v FROM lv$l)"""
+        .stripMargin
+    }.mkString(",\n")
+    val bwd = (BcDepth - 1 to 0 by -1).map { l =>
+      s"""del$l AS MATERIALIZED (
+         |  SELECT l.s, l.v, coalesce(c.contrib, 0.0) AS delta
+         |  FROM lv$l l LEFT JOIN (
+         |    SELECT w.s, e.src AS v,
+         |      sum(CAST(lb.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+         |        * (1.0 + w.delta)) AS contrib
+         |    FROM e
+         |    JOIN (SELECT lw.s, lw.v, lw.sigma, d.delta
+         |          FROM lv${l + 1} lw
+         |          JOIN del${l + 1} d ON d.s = lw.s AND d.v = lw.v) w
+         |      ON w.v = e.dst
+         |    JOIN lv$l lb ON lb.s = w.s AND lb.v = e.src
+         |    GROUP BY 1, 2) c ON c.s = l.s AND c.v = l.v)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to BcDepth).map(l =>
+      s"SELECT s, v, delta FROM del$l").mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |nv AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+       |piv AS MATERIALIZED (
+       |  SELECT v FROM verts
+       |  ORDER BY md5('bc-' || CAST(v AS VARCHAR)), v LIMIT $BcApproxK),
+       |lv0 AS MATERIALIZED (
+       |  SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma FROM piv),
+       |vis0 AS MATERIALIZED (SELECT s, v FROM lv0),
+       |$fwd,
+       |del$BcDepth AS MATERIALIZED (
+       |  SELECT s, v, 0.0 AS delta FROM lv$BcDepth),
+       |$bwd,
+       |alldel AS (
+       |$unions)
+       |SELECT v,
+       |  CAST(floor(sum(delta) * (CAST(n AS DOUBLE) / CAST($BcApproxK AS DOUBLE))
+       |    * 1000000.0 + 0.5) AS BIGINT) AS bc_est_micro
+       |FROM alldel CROSS JOIN nv WHERE s <> v GROUP BY v, n""".stripMargin
   }
 
   /** Unrolled multi-source BFS mirroring [[GraphOps.harmonicCloseness]]:
@@ -1366,6 +1435,7 @@ object GraphQueries {
       "g_hits" -> hitsSql,
       "g_ktruss" -> ktrussSql,
       "g_betweenness" -> betweennessSql,
+      "g_betweenness_approx" -> betweennessApproxSql,
       "g_closeness" -> closenessSql,
       // Adamic–Adar through shared destinations: indeg(w) >= 2 for
       // every contributing w (both a and b point at it) so ln is

@@ -304,12 +304,14 @@ object GraphTableFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point injecting the graph TVFs and the
-  * compiled scalar kernels (minhash/dot/cosine).
+/** `spark.sql.extensions` entry point injecting the graph TVFs, the
+  * text/dedup TVFs, and the compiled scalar kernels
+  * (minhash/dot/cosine).
   */
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraphTableFunctions.descriptions.foreach(ext.injectTableFunction)
+    graft.operators.TextTableFunctions.descriptions.foreach(ext.injectTableFunction)
     graft.functions.ScalarSqlFunctions.descriptions.foreach(ext.injectFunction)
   }
 }

@@ -95,6 +95,21 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/doclens")
   }
 
+  /** Conjunctive (all-terms) search with the index built inline — the
+    * storedless twin of [[conjunctiveSearchStored]] (identical rows;
+    * the stored form only changes the access path). One exploded-token
+    * aggregation, filtered to the query terms BEFORE the shuffle.
+    */
+  def conjunctiveSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "conjunctive search needs at least one term")
+    val tcol = array(terms.map(lit): _*)
+    postings(docs).filter(array_contains(tcol, col("term")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("hits"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("hits"))
+  }
+
   /** Conjunctive (all-terms) search from the STORED index: probe ONLY
     * the query terms' bucket partitions, keep documents whose distinct
     * matched-term count equals the query size. `hits` = total matched

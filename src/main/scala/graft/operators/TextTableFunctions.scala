@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL table-valued functions for the text/dedup/retrieval tier — the
+  * lexical twin of [[graft.graph.GraphTableFunctions]], so a SQL-only
+  * user can reach BM25, phrase search, and the dedup pair generators
+  * without touching the Scala API:
+  *
+  * {{{
+  *   SELECT * FROM text_search('/data/documents.parquet', 'dup spark key')
+  *   SELECT * FROM text_bm25('/data/documents.parquet', 'dup spark key', 20)
+  *   SELECT * FROM text_phrase('/data/documents.parquet', 'slow hash batch')
+  *   SELECT * FROM dedup_pairs('/data/documents.parquet')
+  *   SELECT * FROM dedup_exact('/data/documents.parquet')
+  *   SELECT * FROM dedup_simhash('/data/documents.parquet', 3)
+  * }}}
+  *
+  * First argument is always a parquet path with (doc_id, text …)
+  * columns; term lists are ONE space-separated string (mirrors the
+  * corpus tokenizer, so a phrase argument reads like the phrase).
+  * Each builder substitutes the operator's analyzed logical plan at
+  * resolution, so the SQL surface runs the IDENTICAL plan to the
+  * Scala call — pushdowns, broadcasts, banding and all. Wire up via
+  * `TextTableFunctions.register(spark)` or the shared
+  * `graft.graph.GraftSparkSessionExtension`.
+  */
+object TextTableFunctions {
+
+  private def strArg(fn: String, e: Expression): String = e match {
+    case l: Literal if l.value != null => l.value.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got: $other")
+  }
+
+  private def longArg(fn: String, e: Expression): Long = e match {
+    case l: Literal => l.value match {
+      case i: Int => i.toLong
+      case i: Long => i
+      case i: Short => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an integer literal, got: $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got: $other")
+  }
+
+  private def docs(path: String) = SparkSession.active.read.parquet(path)
+
+  private def terms(s: String): Seq[String] =
+    s.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** (path, terms) builder shape shared by search/phrase forms. */
+  private def termsBuilder(fn: String,
+                           op: (org.apache.spark.sql.DataFrame, Seq[String]) =>
+                             org.apache.spark.sql.DataFrame)
+  : Seq[Expression] => LogicalPlan = { args =>
+    if (args.size != 2)
+      throw new IllegalArgumentException(s"$fn(docs_parquet, 'term term …')")
+    val ts = terms(strArg(fn, args(1)))
+    if (ts.isEmpty)
+      throw new IllegalArgumentException(s"$fn: empty term list")
+    op(docs(strArg(fn, args.head)), ts).queryExecution.analyzed
+  }
+
+  /** The injectable (name, info, builder) triples. */
+  def descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => LogicalPlan)] = Seq(
+    // conjunctive AND-search: (doc_id, hits)
+    (FunctionIdentifier("text_search"),
+      new ExpressionInfo(getClass.getName, "text_search"),
+      termsBuilder("text_search", Retrieval.conjunctiveSearch)),
+    // exact consecutive phrase: (doc_id, n_occ)
+    (FunctionIdentifier("text_phrase"),
+      new ExpressionInfo(getClass.getName, "text_phrase"),
+      termsBuilder("text_phrase", Retrieval.phraseCount)),
+    // BM25 ranked top-k: (doc_id, score_micro, n_terms, rk)
+    (FunctionIdentifier("text_bm25"),
+      new ExpressionInfo(getClass.getName, "text_bm25"),
+      { args =>
+        if (args.size != 2 && args.size != 3)
+          throw new IllegalArgumentException(
+            "text_bm25(docs_parquet, 'term term …'[, k])")
+        val k = if (args.size == 3) {
+          val v = longArg("text_bm25", args(2))
+          if (v < 1 || v > Int.MaxValue) throw new IllegalArgumentException(
+            s"text_bm25: k must be in [1, ${Int.MaxValue}], got $v")
+          v.toInt
+        } else 20
+        val ts = terms(strArg("text_bm25", args(1)))
+        if (ts.isEmpty)
+          throw new IllegalArgumentException("text_bm25: empty term list")
+        Retrieval.bm25TopK(docs(strArg("text_bm25", args.head)), ts, k)
+          .queryExecution.analyzed
+      }),
+    // MinHash+LSH near-dup candidate pairs: (a, b, sim_micro …)
+    (FunctionIdentifier("dedup_pairs"),
+      new ExpressionInfo(getClass.getName, "dedup_pairs"),
+      { args =>
+        if (args.size != 1)
+          throw new IllegalArgumentException("dedup_pairs(docs_parquet)")
+        Dedup.minhashLshPairs(docs(strArg("dedup_pairs", args.head)))
+          .queryExecution.analyzed
+      }),
+    // exact duplicate groups by content digest
+    (FunctionIdentifier("dedup_exact"),
+      new ExpressionInfo(getClass.getName, "dedup_exact"),
+      { args =>
+        if (args.size != 1)
+          throw new IllegalArgumentException("dedup_exact(docs_parquet)")
+        Dedup.exact(docs(strArg("dedup_exact", args.head)))
+          .queryExecution.analyzed
+      }),
+    // SimHash near-dup pairs within a Hamming radius
+    (FunctionIdentifier("dedup_simhash"),
+      new ExpressionInfo(getClass.getName, "dedup_simhash"),
+      { args =>
+        if (args.size != 1 && args.size != 2)
+          throw new IllegalArgumentException(
+            "dedup_simhash(docs_parquet[, max_hamming])")
+        val h = if (args.size == 2) {
+          val v = longArg("dedup_simhash", args(1))
+          if (v < 0 || v > 16) throw new IllegalArgumentException(
+            s"dedup_simhash: max_hamming must be in [0, 16], got $v")
+          v.toInt
+        } else 3
+        Dedup.simhashPairs(docs(strArg("dedup_simhash", args.head)), h)
+          .queryExecution.analyzed
+      })
+  )
+
+  /** Runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
+}

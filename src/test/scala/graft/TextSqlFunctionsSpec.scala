@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Retrieval, TextTableFunctions}
+
+/** SQL TVF surface for the text/dedup tier: each TVF must return the
+  * IDENTICAL rows to the Scala API call it wraps (the builder
+  * substitutes the same analyzed plan, so any divergence means the
+  * argument plumbing broke).
+  */
+class TextSqlFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    TextTableFunctions.register(s)
+    s
+  }
+
+  val docsPath = "/root/testdata/sf0.001/documents.parquet"
+  private def docs = spark.read.parquet(docsPath)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("text_search TVF == Retrieval.conjunctiveSearch == stored probe") {
+    val sql = spark.sql(
+      s"SELECT * FROM text_search('$docsPath', 'dup spark key')")
+    val api = Retrieval.conjunctiveSearch(docs, Seq("dup", "spark", "key"))
+    assert(rows(sql) === rows(api))
+    assert(sql.count() > 0)
+    // and the stored index serves the same rows (access-path equality)
+    val stored = Retrieval.conjunctiveSearchStored(spark,
+      Retrieval.indexDir(spark, "/root/testdata/sf0.001"),
+      Seq("dup", "spark", "key"))
+    assert(rows(sql) === rows(stored))
+  }
+
+  test("text_phrase TVF == Retrieval.phraseCount") {
+    val sql = spark.sql(
+      s"SELECT * FROM text_phrase('$docsPath', 'slow hash batch')")
+    val api = Retrieval.phraseCount(docs, Seq("slow", "hash", "batch"))
+    assert(rows(sql) === rows(api))
+  }
+
+  test("text_bm25 TVF == Retrieval.bm25TopK, k argument honored") {
+    val sql = spark.sql(
+      s"SELECT * FROM text_bm25('$docsPath', 'dup spark key', 10)")
+    val api = Retrieval.bm25TopK(docs, Seq("dup", "spark", "key"), 10)
+    assert(rows(sql) === rows(api))
+    assert(sql.count() === 10)
+  }
+
+  test("dedup_pairs / dedup_exact / dedup_simhash TVFs == Dedup API") {
+    val pairsSql = spark.sql(s"SELECT * FROM dedup_pairs('$docsPath')")
+    assert(rows(pairsSql) === rows(Dedup.minhashLshPairs(docs)))
+    assert(pairsSql.count() > 0)
+    val exactSql = spark.sql(s"SELECT * FROM dedup_exact('$docsPath')")
+    assert(rows(exactSql) === rows(Dedup.exact(docs)))
+    val simhashSql = spark.sql(s"SELECT * FROM dedup_simhash('$docsPath', 3)")
+    assert(rows(simhashSql) === rows(Dedup.simhashPairs(docs, 3)))
+  }
+
+  test("TVFs reject malformed arguments instead of misreading them") {
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM text_search('$docsPath', '')").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM text_bm25('$docsPath', 'dup', 0)").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM dedup_simhash('$docsPath', 99)").collect()
+    }
+  }
+}
