@@ -44,6 +44,25 @@ object TextFunctions {
       seed.cast("long"),
       (acc, x) => pmod(acc * 31 + x, lit(HashMod)))
 
+  /** JVM-side twin of [[charHash]] for executor-local code paths
+    * (image rendering in [[graft.operators.Multimodal]]): identical
+    * fold, identical modulus, and the same character stream — regexp
+    * `.` skips line terminators, so they are skipped here too.
+    */
+  def charHashLocal(s: String, seed: Long): Long = {
+    var acc = seed % HashMod
+    val it = s.codePoints().iterator()
+    while (it.hasNext) {
+      val cp = it.nextInt()
+      if (cp != '\n' && cp != '\r' && cp != 0x85 && cp != 0x2028 &&
+        cp != 0x2029) {
+        acc = (acc * 31 + cp) % HashMod
+        if (acc < 0) acc += HashMod
+      }
+    }
+    acc
+  }
+
   /** MinHash signature via the standard one-base-hash + k affine
     * transforms: sig[i] = min over shingles of
     * ((2i+1) * baseHash(s) + 31i + 7) mod P. One char-iteration per

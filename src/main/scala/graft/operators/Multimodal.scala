@@ -13,13 +13,19 @@ import graft.Tables.t
   * `binary` columns plus typed metadata, with decode / feature-extraction
   * running as partition-batched executor-side functions.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * container): `fakeDecode` derives deterministic pseudo-metadata from the
-  * bytes. Everything around it — binary schema, per-partition batching,
-  * output schema, partition-preserving execution — is the real pattern
-  * you'd use at 100 TB: media bytes never shuffle; decode is a narrow
-  * (map-side) transformation emitting small typed features; column-prune
-  * upstream keeps only the blob + key in flight.
+  * The IMAGE path is real: [[renderPngs]] encodes actual PNG bytes with
+  * the JDK's `javax.imageio` (no external deps), [[decodeGrayPixels]]
+  * decodes any ImageIO-supported format (PNG/JPEG/BMP/GIF) back to
+  * pixels, and pHash dedup + resize run over the DECODED pixels — the
+  * gate proves the encode→decode round trip bit-for-bit because PNG is
+  * lossless and the fixture's pixel values are a pure function of the
+  * doc text the oracle can recompute. Audio/video decode stays STUBBED
+  * (`fakeDecode` byte arithmetic — no codecs in the JDK); the plumbing
+  * around it — binary schema, per-partition batching, output schema,
+  * partition-preserving execution — is the real pattern you'd use at
+  * 100 TB: media bytes never shuffle; decode is a narrow (map-side)
+  * transformation emitting small typed features; column-prune upstream
+  * keeps only the blob + key in flight.
   */
 object Multimodal {
 
@@ -77,6 +83,54 @@ object Multimodal {
         .as("resized_hash"))
   }
 
+  /** REAL image resize: ImageIO-decode the blob, then 2× box-filter
+    * (average-pool) downsample in exact integer arithmetic — out(x,y)
+    * = ⌊Σ 2×2 block / 4⌋ — so the resized pixels are reproducible by
+    * any engine from the source pixels (fp-free; AWT's own scalers
+    * are platform-dependent, which a cross-engine gate can't accept).
+    * Output: (doc_id, out_width, out_height, o0…o{ow·oh−1}). Same
+    * shape as every decode op here: narrow map, blob dropped, small
+    * typed row out.
+    */
+  def resizeImage(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val ow = ImgW / factor
+    val oh = ImgH / factor
+    val schema = StructType(
+      StructField("doc_id", LongType, nullable = false) +:
+        StructField("out_width", LongType, nullable = false) +:
+        StructField("out_height", LongType, nullable = false) +:
+        (0 until ow * oh).map(j =>
+          StructField(s"o$j", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("blob")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"doc $id: undecodable image blob")
+        val raster = img.getRaster
+        val out = (0 until ow * oh).map { j =>
+          val ox = j % ow
+          val oy = j / ow
+          var s = 0L
+          var dy = 0
+          while (dy < factor) {
+            var dx = 0
+            while (dx < factor) {
+              s += raster.getSample(ox * factor + dx, oy * factor + dy, 0)
+              dx += 1
+            }
+            dy += 1
+          }
+          s / (factor.toLong * factor)
+        }
+        Row.fromSeq(id +: ow.toLong +: oh.toLong +: out)
+      }
+    }(enc)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", LongType, nullable = false),
@@ -108,6 +162,80 @@ object Multimodal {
     }(enc)
   }
 
+  /** Fixture image geometry: 8×4 grayscale = 32 pixels, matching the
+    * 32-pseudo-pixel aHash the text-derived path uses. */
+  val ImgW = 8
+  val ImgH = 4
+
+  private val pngSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("blob", BinaryType, nullable = false)))
+
+  /** Render each doc as a REAL grayscale PNG (JDK ImageIO — no
+    * external codec): pixel i (row-major) = charHash(text, i+100) mod
+    * 256, the same value the DuckDB oracle recomputes from the text.
+    * PNG is lossless, so a decode of these bytes must return exactly
+    * these pixels — which is what makes a real codec round trip
+    * oracle-checkable in a container with no image fixtures.
+    */
+  def renderPngs(docs: DataFrame, w: Int = ImgW, h: Int = ImgH): DataFrame = {
+    val enc = RowEncoder.encoderFor(pngSchema)
+    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          val v = (graft.functions.TextFunctions
+            .charHashLocal(text, i + 100L) % 256L).toInt
+          raster.setSample(i % w, i / w, 0, v)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  private val pixelSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("p", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** REAL image decode (JDK ImageIO — PNG/JPEG/BMP/GIF): blob → gray
+    * pixel array (band 0, row-major). Partition-batched map, blob
+    * never shuffles, output is w·h longs per image. Content-identical
+    * images in DIFFERENT container formats decode to the same array —
+    * which is exactly why image dedup must run here, after decode,
+    * not on the container bytes.
+    */
+  def decodeGrayPixels(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(pixelSchema)
+    media.select(col("doc_id"), col("blob")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"doc $id: undecodable image blob")
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val p = new Array[Long](w * h)
+        var i = 0
+        while (i < p.length) {
+          p(i) = raster.getSample(i % w, i / w, 0).toLong
+          i += 1
+        }
+        Row(id, p.toSeq)
+      }
+    }(enc)
+  }
+
   /** Perceptual-hash (aHash) near-duplicate detection over media — the
     * image-dedup step of a multimodal ingest pipeline. A real decoder
     * would downscale the image to a tiny grayscale grid; the STUB
@@ -128,8 +256,24 @@ object Multimodal {
     import graft.functions.TextFunctions.charHash
     val px = transform(sequence(lit(0), lit(31)), i =>
       pmod(charHash(col("text"), i + 100), lit(256L)))
-    val h = media
-      .select(col("doc_id"), px.as("p"))
+    phashFromPixels(media.select(col("doc_id"), px.as("p")), maxHamming)
+  }
+
+  /** The REAL-decode composition: render actual PNGs, decode them with
+    * ImageIO, aHash the DECODED pixels, band-join. Because PNG is
+    * lossless and the rendered pixel values are the same charHash
+    * formula the text path uses, this produces the identical pair set
+    * — with the whole codec round trip on the execution path (the
+    * gate's oracle SQL is unchanged, so any decode drift hash-fails).
+    */
+  def phashPairsImageIO(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    phashFromPixels(decodeGrayPixels(renderPngs(docs)), maxHamming)
+
+  /** aHash + banded pairing from an explicit (doc_id, p) pixel frame
+    * (text-derived pseudo-pixels or [[decodeGrayPixels]] output). */
+  def phashFromPixels(px: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val h = px
+      .select(col("doc_id"), col("p"))
       .withColumn("psum", aggregate(col("p"), lit(0L), (acc, x) => acc + x))
       .select(col("doc_id"),
         aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) =>
@@ -156,9 +300,11 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // perceptual-hash near-dup pairs over the stub-decoded media
+    // perceptual-hash near-dup pairs over REAL PNG encode→ImageIO
+    // decode (oracle recomputes the pixels from text — lossless PNG
+    // makes the round trip hash-checkable)
     "m_phash_dup" -> { (s, d) =>
-      phashPairs(t(s, d, "documents").select(col("doc_id"), col("text")))
+      phashPairsImageIO(t(s, d, "documents").select(col("doc_id"), col("text")))
     },
     // ingest text as utf-8 "media" bytes, then run the decode pipeline
     "m_features" -> { (s, d) =>
@@ -166,7 +312,13 @@ object Multimodal {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       extractFeatures(media)
     },
+    // REAL decode + integer box-filter downsample of the rendered PNGs
     "m_resize" -> { (s, d) =>
+      resizeImage(renderPngs(
+        t(s, d, "documents").select(col("doc_id"), col("text"))))
+    },
+    // the byte-arithmetic stub form (audio/video shape) stays covered
+    "m_resize_stub" -> { (s, d) =>
       val media = t(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       resizeStub(media)
@@ -238,7 +390,30 @@ object Multimodal {
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
 
-    "m_resize" ->
+    // real-decode resize: recompute the rendered pixels from text and
+    // apply the same ⌊2×2 block sum / 4⌋ pool the Spark side runs on
+    // the DECODED image — exact integers end to end
+    "m_resize" -> {
+      val ow = ImgW / 2
+      val oh = ImgH / 2
+      val outs = (0 until ow * oh).map { j =>
+        val ox = j % ow
+        val oy = j / ow
+        val cells = for (dy <- 0 until 2; dx <- 0 until 2)
+          yield s"p[${(oy * 2 + dy) * ImgW + ox * 2 + dx + 1}]"
+        s"CAST((${cells.mkString(" + ")}) // 4 AS BIGINT) AS o$j"
+      }.mkString(",\n  ")
+      s"""WITH px AS (
+         |  SELECT doc_id, list_transform(range(0, ${ImgW * ImgH}), i ->
+         |    ${varSeedHashSql("i + 100")} % 256) AS p
+         |  FROM documents)
+         |SELECT doc_id, CAST($ow AS BIGINT) AS out_width,
+         |  CAST($oh AS BIGINT) AS out_height,
+         |  $outs
+         |FROM px""".stripMargin
+    },
+
+    "m_resize_stub" ->
       """SELECT doc_id,
         |  least(octet_length(CAST(text AS BLOB)) % 640 + 16, 64) AS out_width,
         |  least((octet_length(CAST(text AS BLOB)) * 7) % 480 + 16, 64) AS out_height,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Correctness-gate wiring for the WATERMARK semantics of the streaming
@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   * whose drop/keep outcome is fully SQL-expressible, so the DuckDB
   * oracle can hash-check what the watermark actually did (the in-order
   * feeds the spec uses never exercise the drop path).
+  *
+  * INGESTION IS FILE-BACKED: each feed batch is written as one parquet
+  * file into a watched directory and consumed by Spark's file streaming
+  * source with `maxFilesPerTrigger = 1` — the production ingest path
+  * (source listing, schema enforcement, per-file micro-batches),
+  * replacing the earlier MemoryStream harness that fed driver-collected
+  * rows. Batch construction itself is pure DataFrame arithmetic (no
+  * driver collect anywhere): block assignment, late-shift, planted
+  * duplicates, and flush rows are all column expressions, and each
+  * batch file is one `coalesce(1)` write moved into the watch dir in
+  * sequence. Rows are scrambled INSIDE each file (md5 of the row) so
+  * within-batch arrival order carries no information.
   *
   * Feed construction (all integer arithmetic, mirrored in the oracle):
   * events are cut into 4 event-time blocks by day quartile; rows with
@@ -36,31 +48,86 @@ object StreamingQueries {
   val WatermarkSec = 600L
   val Blocks = 4
 
-  private[streaming] def feedBatches(evs: Array[Ev]): IndexedSeq[Seq[Ev]] = {
-    val days = evs.map(_.tss.getTime / 86400000L)
-    val (dmin, dmax) = (days.min, days.max)
-    def block(e: Ev): Int =
-      (((e.tss.getTime / 86400000L - dmin) * Blocks) / (dmax - dmin + 1)).toInt
-    def batchOf(e: Ev): Int =
-      math.min(block(e) + (if (e.event_id % LateMod == 0) 1 else 0), Blocks)
-    (0 to Blocks).map(k => evs.filter(batchOf(_) == k).toSeq)
+  /** Add the day-quartile block column `b` (+ `late` shift, capped at
+    * [[Blocks]]) — the same integer arithmetic the oracles replay:
+    * day = ⌊epoch/86400⌋, b = ((day−dmin)·Blocks) div (dmax−dmin+1).
+    */
+  private def withBlocks(ev: DataFrame, tsCol: String,
+                         late: Column): DataFrame = {
+    val withDay = ev.withColumn("_day",
+      expr(s"CAST($tsCol AS BIGINT) div 86400"))
+    val bounds = withDay.agg(min(col("_day")).as("_dmin"),
+      max(col("_day")).as("_dmax"))
+    withDay.crossJoin(broadcast(bounds))
+      .withColumn("b",
+        least(expr(s"((_day - _dmin) * $Blocks) div (_dmax - _dmin + 1)")
+          + late, lit(Blocks.toLong)))
+      .drop("_day", "_dmin", "_dmax")
   }
+
+  /** File-replay feed: batches land as sequenced single parquet files
+    * in a fresh watched directory; the streaming query reads them
+    * through the real file source. `add` writes one batch (scrambled
+    * within the file by a row hash) and the caller then drains it with
+    * `processAllAvailable()` — one file, one micro-batch.
+    */
+  private final class Replay(tag: String) {
+    val dir = new java.io.File("/tmp/graft_replay/" + tag + "_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    require(dir.mkdirs(), s"cannot create replay dir $dir")
+    private var seq = 0
+
+    def add(df: DataFrame): Unit = {
+      val scramble = md5(concat_ws("",
+        df.columns.map(c => col(c).cast("string")): _*))
+      val stage = new java.io.File(dir, f".stage_$seq%05d")
+      df.coalesce(1).sortWithinPartitions(scramble)
+        .write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $stage"))
+      val dst = new java.io.File(dir, f"b$seq%05d.parquet")
+      require(part.renameTo(dst), s"rename $part -> $dst failed")
+      stage.listFiles().foreach(_.delete())
+      stage.delete()
+      seq += 1
+    }
+
+    def source(spark: SparkSession,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.getPath)
+
+    def cleanup(): Unit = {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete()
+    }
+  }
+
+  /** One far-future flush row pushing the watermark past every real
+    * window: ts = max(ts) + 365 d, computed as a 1-row aggregate
+    * FRAME (never collected). */
+  private def flushRow(ev: DataFrame, tsCol: String): DataFrame =
+    ev.agg(max(col(tsCol)).as("_m"))
+      .select(lit(-1L).as("event_id"),
+        (col("_m").cast("long") + lit(365L * 86400L)).cast("timestamp")
+          .as(tsCol),
+        lit("flush").as("event_type"), lit(0.0).as("value"))
 
   /** Run the watermarked hour-window aggregation over the late feed and
     * return every emitted (closed) window. Deterministic: batch
     * boundaries, watermark positions, and drops are pure functions of
-    * the data.
+    * the data — now proven over the FILE ingestion path.
     */
   def lateFeedWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val evs = graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
         col("event_type"), col("value"))
-      .as[Ev].collect()
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[Ev](spark)
-    val agg = stream.toDF()
+    val assigned = withBlocks(ev, "tss",
+      when(col("event_id") % LateMod === 0, 1L).otherwise(0L))
+    val replay = new Replay("win")
+    val agg = replay.source(spark, ev.schema)
       .withWatermark("tss", s"$WatermarkSec seconds")
       // append mode requires grouping on the watermarked window column
       // itself (projecting .start pre-agg severs the watermark link)
@@ -73,24 +140,23 @@ object StreamingQueries {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      feedBatches(evs).foreach { b =>
-        if (b.nonEmpty) { stream.addData(b); q.processAllAvailable() }
+      (0 to Blocks).foreach { k =>
+        replay.add(assigned.filter(col("b") === k).drop("b"))
+        q.processAllAvailable()
       }
       // flush: one far-future event closes every real window
-      stream.addData(Ev(-1L,
-        new Timestamp(evs.map(_.tss.getTime).max + 365L * 86400000L),
-        "flush", 0.0))
+      replay.add(flushRow(ev, "tss"))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); replay.cleanup() }
     spark.table(name).filter(col("event_type") =!= "flush")
   }
 
   /** Run the STATEFUL sessionize twin over a multi-batch feed: events
     * cut into 4 day-quartile blocks fed in time order, ARRIVAL order
-    * scrambled within each batch (md5 of the id), one far-future flush
-    * event per user closing every real session. Sessions spanning
-    * block boundaries must be stitched by the state machine, so the
-    * oracle (the q12 batch sessionization) checks cross-batch state
+    * scrambled within each batch file, one far-future flush event per
+    * user closing every real session. Sessions spanning block
+    * boundaries must be stitched by the state machine, so the oracle
+    * (the q12 batch sessionization) checks cross-batch state
     * continuation end-to-end.
     *
     * Blocks stay time-ordered deliberately: within-batch disorder and
@@ -113,35 +179,31 @@ object StreamingQueries {
   def blockFeedSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import EventStreams.{Event, Session}
-    val evs = graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
-      .as[Event].collect()
-    val days = evs.map(_.ts.getTime / 86400000L)
-    val (dmin, dmax) = (days.min, days.max)
-    def block(e: Event): Int =
-      (((e.ts.getTime / 86400000L - dmin) * Blocks) / (dmax - dmin + 1)).toInt
-    def scramble(b: Array[Event]): Seq[Event] =
-      b.sortBy(e => java.util.UUID.nameUUIDFromBytes(
-        e.event_id.toString.getBytes("UTF-8")).toString).toSeq
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[Event](spark)
+    val assigned = withBlocks(ev, "ts", lit(0L))
+    // one flush event per user, ids below every real id
+    val flush = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("_m"))))
+      .select((lit(-1L) - col("user_id")).as("event_id"),
+        (col("_m").cast("long") + lit(365L * 86400L)).cast("timestamp")
+          .as("ts"),
+        col("user_id"), lit("flush").as("event_type"), lit(0.0).as("value"))
+    val replay = new Replay("sess")
     implicit val s: SparkSession = spark
     val name = "block_sess_" + Integer.toHexString(sfDir.hashCode).filter(_ != '-')
-    val q = EventStreams.sessionize(stream.toDS())
+    val q = EventStreams.sessionize(replay.source(spark, ev.schema).as[Event])
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
       (0 until Blocks).foreach { k =>
-        val b = evs.filter(block(_) == k)
-        if (b.nonEmpty) { stream.addData(scramble(b)); q.processAllAvailable() }
+        replay.add(assigned.filter(col("b") === k).drop("b"))
+        q.processAllAvailable()
       }
-      val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 365L * 86400000L)
-      stream.addData(evs.map(_.user_id).distinct.toSeq.map(u =>
-        Event(-1L - u, flushTs, u, "flush", 0.0)))
+      replay.add(flush)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); replay.cleanup() }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("session_start"))
     spark.table(name).as[Session].toDF()
@@ -173,36 +235,30 @@ object StreamingQueries {
     * TTL instead.
     */
   def lateFeedDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val evs = graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
         col("event_type"), col("value"))
-      .as[Ev].collect()
-    val base = feedBatches(evs)
-    // arrival schedule: originals as feedBatches lays them out, %7 dups
+    val assigned = withBlocks(ev, "tss",
+      when(col("event_id") % LateMod === 0, 1L).otherwise(0L))
+    // arrival schedule: originals as assigned lays them out, %7 dups
     // twice in the same batch, %5 dups re-sent one batch later
-    val batches = (0 to Blocks + 1).map { k =>
-      val originals = if (k <= Blocks) base(k) else Seq.empty
-      val sameBatch = originals.filter(_.event_id % 7 == 0)
-      val reSent =
-        if (k == 0) Seq.empty
-        else base(k - 1).filter(_.event_id % 5 == 0)
-      originals ++ sameBatch ++ reSent
-    }
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[Ev](spark)
-    val deduped = stream.toDF()
+    val all = assigned
+      .unionAll(assigned.filter(col("event_id") % 7 === 0))
+      .unionAll(assigned.filter(col("event_id") % 5 === 0)
+        .withColumn("b", col("b") + 1))
+    val replay = new Replay("dedup")
+    val deduped = replay.source(spark, ev.schema)
       .withWatermark("tss", s"$WatermarkSec seconds")
       .dropDuplicatesWithinWatermark("event_id")
     val name = "late_dedup_" + Integer.toHexString(sfDir.hashCode).filter(_ != '-')
     val q = deduped.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      batches.foreach { b =>
-        if (b.nonEmpty) { stream.addData(b); q.processAllAvailable() }
+      (0 to Blocks + 1).foreach { k =>
+        replay.add(all.filter(col("b") === k).drop("b"))
+        q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally { q.stop(); replay.cleanup() }
     spark.table(name)
       .select(col("event_id"), col("tss"), col("event_type"), col("value"))
   }
@@ -216,8 +272,8 @@ object StreamingQueries {
     * watermarked so Spark can evict view state once no future click can
     * match it (`view.tss + range < watermark`). The feed cuts both
     * streams into the same 4 day-quartile blocks fed in time order with
-    * ARRIVAL order scrambled inside each batch — matches that span a
-    * batch boundary (click arrives a block after its view) must come
+    * ARRIVAL order scrambled inside each batch file — matches that span
+    * a batch boundary (click arrives a block after its view) must come
     * from retained state, which is the thing worth checking. Blocks are
     * day-partitioned, so the operative watermark `max(prior tss) − 10
     * min − 2 h` is always behind the earliest view a new click can
@@ -230,28 +286,23 @@ object StreamingQueries {
     * nothing in the plan is proportional to history length.
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val evs = graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
         col("user_id"), col("event_type"))
-      .as[(Long, Timestamp, Long, String)].collect()
-    val days = evs.map(_._2.getTime / 86400000L)
-    val (dmin, dmax) = (days.min, days.max)
-    def block(ts: Timestamp): Int =
-      (((ts.getTime / 86400000L - dmin) * Blocks) / (dmax - dmin + 1)).toInt
-    def scramble(b: Array[(Long, Timestamp, Long)]): Seq[(Long, Timestamp, Long)] =
-      b.sortBy(e => java.util.UUID.nameUUIDFromBytes(
-        e._1.toString.getBytes("UTF-8")).toString).toSeq
-    val views = evs.filter(_._4 == "view").map(e => (e._1, e._2, e._3))
-    val clicks = evs.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val vStream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Timestamp, Long)](spark)
-    val cStream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Timestamp, Long)](spark)
-    val v = vStream.toDF().toDF("view_id", "v_tss", "v_user")
+    // both sides share the SAME day-quartile boundaries (bounds over
+    // all events), exactly as the MemoryStream harness cut them
+    val assigned = withBlocks(ev, "tss", lit(0L))
+    val views = assigned.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("tss").as("v_tss"),
+        col("user_id").as("v_user"), col("b"))
+    val clicks = assigned.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("tss").as("c_tss"),
+        col("user_id").as("c_user"), col("b"))
+    val vReplay = new Replay("ssv")
+    val cReplay = new Replay("ssc")
+    val v = vReplay.source(spark, views.drop("b").schema)
       .withWatermark("v_tss", s"$WatermarkSec seconds")
-    val c = cStream.toDF().toDF("click_id", "c_tss", "c_user")
+    val c = cReplay.source(spark, clicks.drop("b").schema)
       .withWatermark("c_tss", s"$WatermarkSec seconds")
     val joined = v.join(c,
       expr(s"""v_user = c_user AND c_tss >= v_tss AND
@@ -263,13 +314,11 @@ object StreamingQueries {
       .outputMode("append").start()
     try {
       (0 until Blocks).foreach { k =>
-        val vb = views.filter(e => block(e._2) == k)
-        val cb = clicks.filter(e => block(e._2) == k)
-        if (vb.nonEmpty) vStream.addData(scramble(vb))
-        if (cb.nonEmpty) cStream.addData(scramble(cb))
-        if (vb.nonEmpty || cb.nonEmpty) q.processAllAvailable()
+        vReplay.add(views.filter(col("b") === k).drop("b"))
+        cReplay.add(clicks.filter(col("b") === k).drop("b"))
+        q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally { q.stop(); vReplay.cleanup(); cReplay.cleanup() }
     spark.table(name)
   }
 
@@ -281,11 +330,10 @@ object StreamingQueries {
     * re-planned per batch, which is exactly the dimension-enrichment
     * shape of a production ingest (at 100 TB the dimension is a
     * broadcast or bucketed table; the stream never shuffles for it).
-    * Fed in 4 scrambled day-quartile blocks; output must equal the
-    * batch join row-for-row.
+    * Fed in 4 scrambled day-quartile block files; output must equal
+    * the batch join row-for-row.
     */
   def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
         col("user_id"), col("event_type"),
@@ -293,20 +341,13 @@ object StreamingQueries {
     val dim = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("u_events"),
         sum(col("v2")).cast("double").as("u_value"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("tss"), col("user_id"))
-      .as[(Long, Timestamp, Long)].collect()
-    val days = purchases.map(_._2.getTime / 86400000L)
-    val (dmin, dmax) = (days.min, days.max)
-    def block(ts: Timestamp): Int =
-      (((ts.getTime / 86400000L - dmin) * Blocks) / (dmax - dmin + 1)).toInt
-    def scramble(b: Array[(Long, Timestamp, Long)]): Seq[(Long, Timestamp, Long)] =
-      b.sortBy(e => java.util.UUID.nameUUIDFromBytes(
-        e._1.toString.getBytes("UTF-8")).toString).toSeq
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Timestamp, Long)](spark)
-    val joined = stream.toDF().toDF("event_id", "tss", "user_id")
+    // block bounds over the PURCHASE stream only (its own day range)
+    val purchases = withBlocks(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("tss"), col("user_id")),
+      "tss", lit(0L))
+    val replay = new Replay("stat")
+    val joined = replay.source(spark, purchases.drop("b").schema)
       .join(dim, "user_id")
       .select(col("event_id"), col("user_id"), col("u_events"), col("u_value"))
     val name = "ss_static_" + Integer.toHexString(sfDir.hashCode).filter(_ != '-')
@@ -314,10 +355,10 @@ object StreamingQueries {
       .outputMode("append").start()
     try {
       (0 until Blocks).foreach { k =>
-        val b = purchases.filter(e => block(e._2) == k)
-        if (b.nonEmpty) { stream.addData(scramble(b)); q.processAllAvailable() }
+        replay.add(purchases.filter(col("b") === k).drop("b"))
+        q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally { q.stop(); replay.cleanup() }
     spark.table(name)
   }
 
