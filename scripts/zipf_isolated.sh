@@ -5,14 +5,19 @@
 # SCALE.md round-6 flagged the contamination: katz measured 282 s after
 # a cold-start suite vs 40 s standalone in the shared-JVM runs.
 #
-# Usage: scripts/zipf_isolated.sh <edgesMillions> [out_log]
+# Usage: scripts/zipf_isolated.sh <edgesMillions> [out_log] [set]
 # The fixture (and its cached hub/mid anchors) is built once by the
 # first invocation. Heavy queries run 1 rep, the rest 2 — reps repeat
 # INSIDE the query's JVM (self-interference is not the failure mode;
 # cross-query state is).
+# set = "all" (default) | "r7" (the round-7 structural family only:
+# coreness/WL/matching/bipartite/neigh-agg + the round-8 sampled
+# betweenness) — for filling in a single rung without re-running the
+# recorded suite.
 set -u
 M="${1:-60}"
 LOG="${2:-/tmp/zipf_isolated_${M}m.log}"
+SET="${3:-all}"
 cd "$(dirname "$0")/.."
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}"
 
@@ -23,6 +28,15 @@ run_one() { # label reps extra_flag
 }
 
 : > "$LOG"
+if [ "$SET" = "r7" ]; then
+  for q in coreness_14r wl_refine_3r matching_6r bipartite neigh_agg_2l; do
+    run_one "$q" 2 ""
+  done
+  run_one betweenness_approx_k8 2 ""
+  run_one betweenness_approx_k32 1 ""
+  echo "isolated r7-structural run complete -> $LOG"
+  exit 0
+fi
 # flat/offset queries (heap-insensitive, kept as sanity anchors)
 for q in edge_count degrees degrees_salted one_hop_hub one_more_hop_hub \
          two_hop_mid bfs_hub_to_tail; do

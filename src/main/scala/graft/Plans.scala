@@ -162,6 +162,12 @@ object Plans {
         graph.GraphQueries.queries("g_coreness")(spark, sfDir),
       "t_phrase (zero-shuffle map-side token-window scan)" ->
         operators.Retrieval.queries("t_phrase")(spark, sfDir),
+      "t_phrase_stored (positional-index probe: bucket partition filter, position-array intersect)" ->
+        operators.Retrieval.queries("t_phrase_stored")(spark, sfDir),
+      "t_proximity (stored slop-window probe over the same positional index)" ->
+        operators.Retrieval.queries("t_proximity")(spark, sfDir),
+      "g_betweenness_approx (seeded pivot sample + batched Brandes: 2*depth joins for any k)" ->
+        graph.GraphQueries.queries("g_betweenness_approx")(spark, sfDir),
       "g_lpa_seeded (seed table broadcast; O(labeled) vector per round)" ->
         graph.GraphQueries.queries("g_lpa_seeded")(spark, sfDir),
       "p_leak_safe_split (cluster table from pair graph; corpus joined once)" ->

@@ -232,6 +232,16 @@ object ZipfBench {
     // DOULION coin at p=1/16 — exact 4-cycle counting is
     // Ω(wedges-through-the-hub) = Σ deg² ≈ 10¹² here, intrinsic to the
     // answer, so sampling IS the scale path (wedge volume shrinks p²)
+    // round-8: Brandes–Pich pivot-sampled betweenness — cost is
+    // 2·depth frontier joins for ALL k pivots at once (the (s,v) state
+    // rides one join per level), so k scales state width, not job
+    // count. Exact all-sources Brandes here would be V/k ≈ 500,000×
+    // the per-pivot work (Θ(V·E) — the intrinsic cost of the exact
+    // answer, like exact 4-cycles), so sampling IS the scale path.
+    time("betweenness_approx_k8")(
+      GraphOps.betweennessApprox(spark, esP, k = 8, maxDepth = 4).count())
+    time("betweenness_approx_k32")(
+      GraphOps.betweennessApprox(spark, esP, k = 32, maxDepth = 4).count())
     time("rich_club")(GraphOps.richClub(esP,
       Seq(1, 8, 64, 512, 4096)).collect())
     time("densest_peel")(GraphOps.densestSubgraph(spark, esP).collect())
