@@ -213,8 +213,23 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
     GraphOps.clusteringCoefficients(edgesStd(src, t, dst))
 
   def coreness(src: String, t: String, dst: String,
-               rounds: Int = 14): DataFrame =
-    GraphOps.corenessHIndex(spark, edgesStd(src, t, dst), rounds)
+               rounds: Int = 14, converged: Boolean = false): DataFrame =
+    GraphOps.corenessHIndex(spark, edgesStd(src, t, dst), rounds, converged)
+
+  /** Total proper coloring (converged Jones–Plassmann by default —
+    * the production-facing form; pass converged = false for the
+    * fixed-round partial the oracle pins). */
+  def coloring(src: String, t: String, dst: String,
+               rounds: Int = 6, converged: Boolean = true): DataFrame =
+    GraphOps.greedyColoring(spark, edgesStd(src, t, dst), rounds,
+      converged = converged)
+
+  /** Exact bounded eccentricity (converged = run to the empty-frontier
+    * fixed point). All-pairs state — induce a subgraph first at scale,
+    * or use anf for the effective-diameter estimate. */
+  def eccentricity(src: String, t: String, dst: String,
+                   iters: Int = 12, converged: Boolean = true): DataFrame =
+    GraphOps.eccentricity(spark, edgesStd(src, t, dst), iters, converged)
 
   def wlRefinement(src: String, t: String, dst: String,
                    rounds: Int = 3): DataFrame =

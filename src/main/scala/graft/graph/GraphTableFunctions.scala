@@ -179,6 +179,22 @@ object GraphTableFunctions {
       new ExpressionInfo(getClass.getName, "graph_coreness"),
       wholeGraphBuilder("graph_coreness",
         (g, s, t, d) => g.coreness(s, t, d))),
+    // converged forms — the production-facing variants of the
+    // fixed-round operators: exact k-core decomposition / total proper
+    // coloring / exact bounded eccentricity on ANY graph (driver
+    // empty-delta loop; the fixed-round twins above stay oracle-pinned)
+    (FunctionIdentifier("graph_coreness_converged"),
+      new ExpressionInfo(getClass.getName, "graph_coreness_converged"),
+      wholeGraphBuilder("graph_coreness_converged",
+        (g, s, t, d) => g.coreness(s, t, d, converged = true))),
+    (FunctionIdentifier("graph_coloring"),
+      new ExpressionInfo(getClass.getName, "graph_coloring"),
+      wholeGraphBuilder("graph_coloring",
+        (g, s, t, d) => g.coloring(s, t, d))),
+    (FunctionIdentifier("graph_eccentricity"),
+      new ExpressionInfo(getClass.getName, "graph_eccentricity"),
+      wholeGraphBuilder("graph_eccentricity",
+        (g, s, t, d) => g.eccentricity(s, t, d))),
     (FunctionIdentifier("graph_wl_refine"),
       new ExpressionInfo(getClass.getName, "graph_wl_refine"),
       wholeGraphBuilder("graph_wl_refine",

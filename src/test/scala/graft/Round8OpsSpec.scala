@@ -99,6 +99,23 @@ class Round8OpsSpec extends AnyFunSuite {
       s"extrapolated mass $est vs exact $tot outside [0.5, 1.5]×")
   }
 
+  test("converged TVFs substitute the converged operators' plans") {
+    val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
+    graph.GraphTableFunctions.register(spark)
+    val g = graph.GraphArGraph(spark, yaml)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(
+        s"SELECT * FROM graph_coloring('$yaml', 'Part', 'link', 'Part')"))
+      === rows(g.coloring("Part", "link", "Part")))
+    assert(rows(spark.sql(
+        s"SELECT * FROM graph_coreness_converged('$yaml', 'Part', 'link', 'Part')"))
+      === rows(g.coreness("Part", "link", "Part", converged = true)))
+    assert(rows(spark.sql(
+        s"SELECT * FROM graph_eccentricity('$yaml', 'Part', 'link', 'Part')"))
+      === rows(g.eccentricity("Part", "link", "Part")))
+  }
+
   test("empty-input guards: matching rounds=0, coloring on empty, graphSummary edgeless") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
