@@ -101,6 +101,10 @@ object TextScaleBench {
       Retrieval.phraseCountStored(spark, idx, Seq("w37", "w411")).count())
     time("proximity_stored")(
       Retrieval.proximityCountStored(spark, idx, "w37", "w411", 5).count())
+    // BM25 from the stored index: probed postings + doclens sidecar —
+    // no tokenization, no corpus-wide postings aggregation at serve time
+    time("bm25_stored_probe")(
+      Retrieval.bm25TopKStored(spark, idx, probeTerms).count())
     time("exact_dedup")(Dedup.exact(docs).count())
     time("minhash_pairs")(Dedup.minhashLshPairs(docs).count())
     time("snm_pairs")(Dedup.sortedNeighborhoodPairs(docs).count())

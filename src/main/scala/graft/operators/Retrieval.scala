@@ -110,16 +110,75 @@ object Retrieval {
       .select(col("doc_id"), col("hits"))
   }
 
+  /** All postings generations of a stored index: the base build plus
+    * any [[appendPostingsDelta]] generations, unioned. Each generation
+    * is its own bucket-partitioned parquet dir, so a probe's bucket
+    * filter pushes into EVERY generation's scan independently — an
+    * append never degrades the pruning. Doc sets across generations
+    * are disjoint by contract (append = new documents), so (term,
+    * doc_id) stays unique without re-aggregation.
+    */
+  private def allPostings(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/postings")
+    deltaDirs(spark, path).foldLeft(base) { (acc, d) =>
+      acc.unionAll(spark.read.parquet(s"$d/postings"))
+    }
+  }
+
+  /** Base + delta doc-length sidecars, unioned (same contract). */
+  private def allDoclens(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/doclens")
+    deltaDirs(spark, path).foldLeft(base) { (acc, d) =>
+      acc.unionAll(spark.read.parquet(s"$d/doclens"))
+    }
+  }
+
+  private def deltaDirs(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
+      .sortBy(_.getPath.getName.stripPrefix("delta_").toInt)
+      .map(_.getPath.toString)
+  }
+
+  /** Append NEW documents to a stored index as a delta generation —
+    * the 100 TB maintenance story: an append-heavy corpus must not
+    * rebuild its index. One generation = one bucket-partitioned
+    * postings dir + doclens sidecar; probes union all generations and
+    * their bucket filters prune each independently, so serving cost
+    * grows with the DELTA count (compaction folds them — the same
+    * split the GraphAr mutation log leaves to its compactor), never
+    * with re-indexing cost. Caller contract: `docs` are documents not
+    * present in any earlier generation.
+    */
+  def appendPostingsDelta(docs: DataFrame, path: String): Unit = {
+    val next = deltaDirs(docs.sparkSession, path)
+      .map(_.split('/').last.stripPrefix("delta_").toInt)
+      .foldLeft(-1)(math.max) + 1
+    val dir = s"$path/delta_$next"
+    val post = positionalPostings(docs)
+      .withColumn("bucket", bucketOf(col("term")))
+    post.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+  }
+
   /** Conjunctive (all-terms) search from the STORED index: probe ONLY
     * the query terms' bucket partitions, keep documents whose distinct
     * matched-term count equals the query size. `hits` = total matched
     * occurrences. The scan must show a bucket PartitionFilter — the
     * corpus-sized posting table is never read past the probed buckets.
+    * Delta generations (if any) are probed with the same pruning.
     */
   def conjunctiveSearchStored(spark: SparkSession, path: String,
                               terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "conjunctive search needs at least one term")
-    val post = spark.read.parquet(s"$path/postings")
+    val post = allPostings(spark, path)
     val tcol = array(terms.map(lit): _*)
     val probed = post
       .filter(col("bucket").isin(terms.map(bucketOfLocal): _*))
@@ -150,9 +209,41 @@ object Retrieval {
     val post = postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val tcol = array(terms.map(lit): _*)
     val qpost = post.filter(array_contains(tcol, col("term")))
+    val res = bm25Rank(qpost, dl, k)
+    post.unpersist(blocking = false)
+    res
+  }
+
+  /** BM25 top-k served from the STORED index — hash-identical ranking
+    * to [[bm25TopK]] (shared oracle text), but the corpus text is
+    * never touched: query-term postings come from the probed bucket
+    * partitions, document lengths and corpus stats from the doclens
+    * sidecar written at build time. Serving cost = probed posting
+    * lists + one O(N-doclens) stats pass — no tokenization, no
+    * full-postings aggregation. Delta generations join in
+    * transparently.
+    */
+  def bm25TopKStored(spark: SparkSession, path: String,
+                     terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val tcol = array(terms.map(lit): _*)
+    val qpost = allPostings(spark, path)
+      .filter(col("bucket").isin(terms.map(bucketOfLocal): _*))
+      .filter(array_contains(tcol, col("term")))
+      .select(col("term"), col("doc_id"), col("tf"))
+    bm25Rank(qpost, allDoclens(spark, path), k)
+  }
+
+  /** Shared BM25 scoring chain from a (term, doc_id, tf) query-posting
+    * frame and a (doc_id, dl) length table: df per term (broadcast),
+    * corpus stats (1-row broadcast), micro-quantized per-term scores
+    * summed as exact BIGINTs — every fp op single-rounded in the
+    * fixed order the oracle mirrors (see the object scaladoc).
+    */
+  private def bm25Rank(qpost: DataFrame, dl: DataFrame, k: Int): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val df = qpost.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
@@ -169,11 +260,9 @@ object Retrieval {
     val top = scored.groupBy(col("doc_id"))
       .agg(sum(col("s_micro")).as("score_micro"), count(lit(1)).as("n_terms"))
       .orderBy(col("score_micro").desc, col("doc_id")).limit(k)
-    val res = top.withColumn("rk",
+    top.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
-    post.unpersist(blocking = false)
-    res
   }
 
   /** Exact phrase search: documents where the query terms appear
@@ -350,6 +439,27 @@ object Retrieval {
     * two common ones — the spread that makes idf weighting visible. */
   val QueryTerms = Seq("dup", "spark", "key")
 
+  /** Build-once SPLIT index fixture: even doc_ids indexed at build
+    * time, odd doc_ids appended as a delta generation — the gate proof
+    * that base ∪ delta serves exactly what a full rebuild would. */
+  def indexDirDelta(spark: SparkSession, sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_" +
+      Integer.toHexString(canonical.hashCode) + "_split"
+    val base = s"/tmp/graft_text/$name"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_INDEX_SUCCESS_v2")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = t(spark, sfDir, "documents")
+      writePostingsIndex(docs.filter(col("doc_id") % 2 === 0), base)
+      appendPostingsDelta(docs.filter(col("doc_id") % 2 =!= 0), base)
+      fs.create(marker, true).close()
+    }
+    base
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AND-search served from the stored bucket-partitioned index;
     // oracle = plain SQL over documents (the index is an access path,
@@ -360,6 +470,17 @@ object Retrieval {
     // BM25 top-20 with rational idf + micro-quantized term scores —
     // deterministic, so ranked retrieval is oracle-checked bit-for-bit
     "t_bm25" -> { (s, d) => bm25TopK(t(s, d, "documents"), QueryTerms) },
+    // the SAME ranking served from the stored index (postings probe +
+    // doclens sidecar; shared oracle text = access-path hash equality)
+    "t_bm25_stored" -> { (s, d) =>
+      bm25TopKStored(s, indexDir(s, d), QueryTerms)
+    },
+    // conjunctive search over a base+delta split index: the union of
+    // generations must serve exactly what one full build would (the
+    // oracle is t_search's whole-corpus SQL, verbatim)
+    "t_search_delta" -> { (s, d) =>
+      conjunctiveSearchStored(s, indexDirDelta(s, d), QueryTerms)
+    },
     // hybrid sparse+dense: RRF of the BM25 top-50 and the cosine
     // top-50 for query vector 7 over the shared doc_id/vec_id space
     "t_hybrid_rrf" -> { (s, d) =>
@@ -445,20 +566,32 @@ object Retrieval {
        |  FROM d WHERE len(t) >= ${PhraseTerms.size})
        |SELECT doc_id, n_occ FROM m WHERE n_occ > 0""".stripMargin
 
-  def oracle: Map[String, String] = Map(
-    "t_search" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, w.w AS term
-         |  FROM documents,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w(w))
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
-         |FROM tok WHERE term IN ($termList)
-         |GROUP BY doc_id
-         |HAVING count(DISTINCT term) = ${QueryTerms.size}""".stripMargin,
+  /** Whole-corpus conjunctive-search SQL — shared by `t_search`,
+    * `t_search_delta` (base ∪ delta must equal a full build), and the
+    * TVF spec: the index is an access path, results must be identical
+    * however it is generationally laid out. */
+  private lazy val searchOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, w.w AS term
+       |  FROM documents,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w(w))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+       |FROM tok WHERE term IN ($termList)
+       |GROUP BY doc_id
+       |HAVING count(DISTINCT term) = ${QueryTerms.size}""".stripMargin
 
-    "t_bm25" ->
-      s"""$bm25RankedCtes
-         |SELECT doc_id, score_micro, n_terms, rk FROM r WHERE rk <= 20""".stripMargin,
+  private lazy val bm25OracleSql: String =
+    s"""$bm25RankedCtes
+       |SELECT doc_id, score_micro, n_terms, rk FROM r WHERE rk <= 20""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "t_search" -> searchOracleSql,
+    "t_search_delta" -> searchOracleSql,
+
+    "t_bm25" -> bm25OracleSql,
+    // identical SQL: the stored-index ranking must hash-match the
+    // inline build bit-for-bit
+    "t_bm25_stored" -> bm25OracleSql,
 
     // same shifted-window scan over the token list
     "t_phrase" -> phraseOracleSql,

@@ -96,6 +96,68 @@ object TextTableFunctions {
         Retrieval.bm25TopK(docs(strArg("text_bm25", args.head)), ts, k)
           .queryExecution.analyzed
       }),
+    // stored-index serving forms: first arg is the INDEX path written
+    // by Retrieval.writePostingsIndex (+ optional delta generations)
+    (FunctionIdentifier("text_search_stored"),
+      new ExpressionInfo(getClass.getName, "text_search_stored"),
+      { args =>
+        if (args.size != 2)
+          throw new IllegalArgumentException(
+            "text_search_stored(index_path, 'term term …')")
+        val ts = terms(strArg("text_search_stored", args(1)))
+        if (ts.isEmpty)
+          throw new IllegalArgumentException("text_search_stored: empty term list")
+        Retrieval.conjunctiveSearchStored(SparkSession.active,
+            strArg("text_search_stored", args.head), ts)
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("text_bm25_stored"),
+      new ExpressionInfo(getClass.getName, "text_bm25_stored"),
+      { args =>
+        if (args.size != 2 && args.size != 3)
+          throw new IllegalArgumentException(
+            "text_bm25_stored(index_path, 'term term …'[, k])")
+        val k = if (args.size == 3) {
+          val v = longArg("text_bm25_stored", args(2))
+          if (v < 1 || v > Int.MaxValue) throw new IllegalArgumentException(
+            s"text_bm25_stored: k must be in [1, ${Int.MaxValue}], got $v")
+          v.toInt
+        } else 20
+        val ts = terms(strArg("text_bm25_stored", args(1)))
+        if (ts.isEmpty)
+          throw new IllegalArgumentException("text_bm25_stored: empty term list")
+        Retrieval.bm25TopKStored(SparkSession.active,
+            strArg("text_bm25_stored", args.head), ts, k)
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("text_phrase_stored"),
+      new ExpressionInfo(getClass.getName, "text_phrase_stored"),
+      { args =>
+        if (args.size != 2)
+          throw new IllegalArgumentException(
+            "text_phrase_stored(index_path, 'word word …')")
+        val ts = terms(strArg("text_phrase_stored", args(1)))
+        if (ts.isEmpty)
+          throw new IllegalArgumentException("text_phrase_stored: empty phrase")
+        Retrieval.phraseCountStored(SparkSession.active,
+            strArg("text_phrase_stored", args.head), ts)
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("text_proximity"),
+      new ExpressionInfo(getClass.getName, "text_proximity"),
+      { args =>
+        if (args.size != 4)
+          throw new IllegalArgumentException(
+            "text_proximity(index_path, term_a, term_b, slop)")
+        val slop = longArg("text_proximity", args(3))
+        if (slop < 0 || slop > Int.MaxValue) throw new IllegalArgumentException(
+          s"text_proximity: slop must be in [0, ${Int.MaxValue}], got $slop")
+        Retrieval.proximityCountStored(SparkSession.active,
+            strArg("text_proximity", args.head),
+            strArg("text_proximity", args(1)).toLowerCase,
+            strArg("text_proximity", args(2)).toLowerCase, slop.toInt)
+          .queryExecution.analyzed
+      }),
     // MinHash+LSH near-dup candidate pairs: (a, b, sim_micro …)
     (FunctionIdentifier("dedup_pairs"),
       new ExpressionInfo(getClass.getName, "dedup_pairs"),

@@ -169,6 +169,27 @@ class PlanSpec extends AnyFunSuite {
       s"index degenerate: only $allBuckets buckets")
   }
 
+  test("stored BM25 probe: bucket partition filter; delta probe prunes every generation") {
+    val base = operators.Retrieval.indexDir(spark, sf)
+    val df = operators.Retrieval.bm25TopKStored(
+      spark, base, operators.Retrieval.QueryTerms)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [bucket"),
+      s"no static partition filter on bucket in:\n$p")
+    // split base+delta index: the probe must carry the bucket filter
+    // on BOTH generation scans (pushdown survives the union)
+    val split = operators.Retrieval.indexDirDelta(spark, sf)
+    val dd = operators.Retrieval.conjunctiveSearchStored(
+      spark, split, operators.Retrieval.QueryTerms)
+    dd.collect()
+    val pd = dd.queryExecution.executedPlan.toString
+    val filters = pd.linesIterator
+      .count(_.contains("PartitionFilters: [bucket"))
+    assert(filters >= 2,
+      s"expected bucket PartitionFilters on base AND delta scans, got $filters in:\n$pd")
+  }
+
   test("stored positional phrase probe reads only the phrase terms' buckets") {
     val base = operators.Retrieval.indexDir(spark, sf)
     val df = operators.Retrieval.phraseCountStored(

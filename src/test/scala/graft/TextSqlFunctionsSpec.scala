@@ -56,6 +56,30 @@ class TextSqlFunctionsSpec extends AnyFunSuite {
     assert(sql.count() === 10)
   }
 
+  test("stored-index TVFs == the Scala serving forms (bm25/search/phrase/proximity)") {
+    val idx = Retrieval.indexDir(spark, "/root/testdata/sf0.001")
+    assert(rows(spark.sql(
+        s"SELECT * FROM text_bm25_stored('$idx', 'dup spark key', 20)"))
+      === rows(Retrieval.bm25TopKStored(spark, idx, Seq("dup", "spark", "key"))))
+    assert(rows(spark.sql(
+        s"SELECT * FROM text_search_stored('$idx', 'dup spark key')"))
+      === rows(Retrieval.conjunctiveSearchStored(spark, idx,
+        Seq("dup", "spark", "key"))))
+    assert(rows(spark.sql(
+        s"SELECT * FROM text_phrase_stored('$idx', 'slow hash batch')"))
+      === rows(Retrieval.phraseCountStored(spark, idx,
+        Seq("slow", "hash", "batch"))))
+    assert(rows(spark.sql(
+        s"SELECT * FROM text_proximity('$idx', 'dup', 'key', 5)"))
+      === rows(Retrieval.proximityCountStored(spark, idx, "dup", "key", 5)))
+    // and the split base+delta index serves the same rows as one build
+    val split = Retrieval.indexDirDelta(spark, "/root/testdata/sf0.001")
+    assert(rows(spark.sql(
+        s"SELECT * FROM text_search_stored('$split', 'dup spark key')"))
+      === rows(Retrieval.conjunctiveSearchStored(spark, idx,
+        Seq("dup", "spark", "key"))))
+  }
+
   test("dedup_pairs / dedup_exact / dedup_simhash TVFs == Dedup API") {
     val pairsSql = spark.sql(s"SELECT * FROM dedup_pairs('$docsPath')")
     assert(rows(pairsSql) === rows(Dedup.minhashLshPairs(docs)))
