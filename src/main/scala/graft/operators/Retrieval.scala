@@ -91,8 +91,31 @@ object Retrieval {
     post.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
-    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclens")
+    val dl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/doclens")
+    writeStats(dl, s"$path/stats")
+  }
+
+  /** 1-row corpus-stats sidecar (N docs, total tokens): what lets the
+    * BM25 prober skip the O(N) doclens aggregation at serve time. */
+  private def writeStats(dl: DataFrame, dir: String): Unit =
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Union of the base + delta stats rows, re-summed (≤ generations
+    * rows — driver-trivial). Falls back to aggregating doclens for a
+    * pre-stats-sidecar index layout. */
+  private def allStats(spark: SparkSession, path: String): DataFrame = {
+    val statsP = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsP))
+      return allDoclens(spark, path)
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val gens = spark.read.parquet(s"$path/stats") +:
+      deltaDirs(spark, path).map(d => spark.read.parquet(s"$d/stats"))
+    gens.reduce(_ unionAll _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
   }
 
   /** Conjunctive (all-terms) search with the index built inline — the
@@ -163,9 +186,39 @@ object Retrieval {
     post.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
-    docs.select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/doclens")
+    val dl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$dir/doclens")
+    writeStats(dl, s"$dir/stats")
+  }
+
+  /** Fold every delta generation back into one base — the compaction
+    * that bounds serve-time scan count (each generation adds one
+    * pruned scan per probe; the GraphAr mutation log leaves the same
+    * job to its compactor). Reads all generations, writes a fresh
+    * base beside them, then swaps: the union-serving contract means a
+    * reader before or after the swap sees identical rows (proven by
+    * the split-index gate + `RetrievalCompactionSpec`).
+    */
+  def compactPostingsIndex(spark: SparkSession, path: String): Unit = {
+    val deltas = deltaDirs(spark, path)
+    if (deltas.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val post = allPostings(spark, path)
+    val dl = allDoclens(spark, path)
+    post.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings_compact")
+    dl.write.mode("overwrite").parquet(s"$path/doclens_compact")
+    writeStats(dl, s"$path/stats_compact")
+    Seq("postings", "doclens", "stats").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/${d}_compact"),
+        new org.apache.hadoop.fs.Path(s"$path/$d"))
+    }
+    deltas.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
   /** Conjunctive (all-terms) search from the STORED index: probe ONLY
@@ -233,7 +286,8 @@ object Retrieval {
       .filter(col("bucket").isin(terms.map(bucketOfLocal): _*))
       .filter(array_contains(tcol, col("term")))
       .select(col("term"), col("doc_id"), col("tf"))
-    bm25Rank(qpost, allDoclens(spark, path), k)
+    bm25Rank(qpost, allDoclens(spark, path), k,
+      Some(allStats(spark, path)))
   }
 
   /** Shared BM25 scoring chain from a (term, doc_id, tf) query-posting
@@ -242,8 +296,13 @@ object Retrieval {
     * summed as exact BIGINTs — every fp op single-rounded in the
     * fixed order the oracle mirrors (see the object scaladoc).
     */
-  private def bm25Rank(qpost: DataFrame, dl: DataFrame, k: Int): DataFrame = {
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+  private def bm25Rank(qpost: DataFrame, dl: DataFrame, k: Int,
+                       statsOpt: Option[DataFrame] = None): DataFrame = {
+    // stats from the sidecar when stored (skips the O(N) doclens agg
+    // at serve time); recomputed from dl for the inline build. Both
+    // are exact BIGINTs, so the scoring chain is bit-identical.
+    val stats = statsOpt.getOrElse(
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")))
     val df = qpost.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
