@@ -344,10 +344,77 @@ object Similarity {
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Append NEW vectors to a stored IVF index as a delta generation:
+    * assign against the FROZEN stored centroids (an append must not
+    * move existing vectors between clusters — retraining is a
+    * rebuild, not an append), write one more cluster-partitioned
+    * vectors dir. The postings-index maintenance story applied to
+    * ANN: O(delta) build work, probes union generations with the
+    * cluster filter pushed into every scan.
+    */
+  def appendIvfDelta(spark: SparkSession, dir: String,
+                     emb: DataFrame): Unit = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val next = ivfDeltaDirs(spark, dir)
+      .map(_.split('/').last.stripPrefix("delta_").toInt)
+      .foldLeft(-1)(math.max) + 1
+    ivfRanked(emb.select(col("vec_id"), col("embedding")), cent)
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/delta_$next/vectors")
+  }
+
+  /** Fold IVF delta generations into one vectors dir (centroids are
+    * untouched — they were frozen at append time, so the fold is a
+    * pure file re-layout and every probe row is unchanged). */
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val deltas = ivfDeltaDirs(spark, dir)
+    if (deltas.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    allIvfVectors(spark, dir, None)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/vectors_compact")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vectors"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/vectors_compact"),
+      new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+    deltas.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+  }
+
+  private def ivfDeltaDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
+      .sortBy(_.getPath.getName.stripPrefix("delta_").toInt)
+      .map(_.getPath.toString)
+  }
+
+  /** Base + delta vector generations; `probes` (when given) is applied
+    * PER GENERATION on the raw partition column, so static pruning
+    * plans only the probed cluster directories of every generation —
+    * the filter is never pushed through the cast or the union.
+    */
+  private def allIvfVectors(spark: SparkSession, dir: String,
+                            probes: Option[Seq[Long]]): DataFrame =
+    (s"$dir/vectors" +: ivfDeltaDirs(spark, dir).map(d => s"$d/vectors"))
+      .map { v =>
+        val raw = spark.read.parquet(v)
+        val pruned = probes.fold(raw)(p => raw.where(col("cluster").isin(p: _*)))
+        // partition-column inference can narrow cluster to INT; the
+        // recompute variant returns LONG — keep the schemas identical
+        pruned.select(col("vec_id"), col("embedding"),
+          col("cluster").cast("long").as("cluster"))
+      }
+      .reduce(_ unionAll _)
+
   /** Probe a stored IVF index: rank centroids for each query vector,
-    * read ONLY the probed cluster partitions, score, top-k. The driver
-    * collects just the distinct probe cluster ids (O(queries × nProbe),
-    * never data-sized) so the partition filter is static.
+    * read ONLY the probed cluster partitions (of every generation),
+    * score, top-k. The driver collects just the distinct probe
+    * cluster ids (O(queries × nProbe), never data-sized) so the
+    * partition filter is static.
     */
   def ivfTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
                     k: Int, nProbe: Int = 1): DataFrame = {
@@ -358,12 +425,9 @@ object Similarity {
         col("c_id").as("q_probe"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
     val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
-    val scored = spark.read.parquet(s"$dir/vectors")
-      .where(col("cluster").isin(probes: _*)) // static partition pruning
-      // partition-column inference can narrow cluster to INT; the
-      // recompute variant returns LONG — keep the schemas identical
+    val scored = allIvfVectors(spark, dir, Some(probes.toSeq))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("cluster").cast("long").as("cluster"))
+        col("cluster"))
       .join(broadcast(q), col("cluster") === col("q_probe") && col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))

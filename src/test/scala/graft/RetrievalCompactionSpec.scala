@@ -62,4 +62,43 @@ class RetrievalCompactionSpec extends AnyFunSuite {
       fs.delete(p, true)
     }
   }
+
+  test("IVF delta append == monolithic build with the same centroids; compaction is identity") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    // split even/odd: every centroid id (vec_id % 40 == 0) is even, so
+    // the base build's centroid set IS the full corpus's — the frozen-
+    // centroid delta index must then equal a from-scratch full build
+    val dir = "/tmp/graft_ivf_delta_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+      Similarity.appendIvfDelta(spark, dir, emb.filter(col("vec_id") % 2 =!= 0))
+      Similarity.writeIvfIndex(emb, ref)
+      val queries = emb.filter(col("vec_id") < 8)
+      val got = Similarity.ivfTopKStored(spark, dir, queries, 3, nProbe = 2)
+      got.collect()
+      // both generations' scans carry the static cluster filter
+      val p = got.queryExecution.executedPlan.toString
+      assert(p.linesIterator.count(_.contains("PartitionFilters: [cluster"))
+        >= 2, s"probe did not prune both generations:\n$p")
+      val want = rows(Similarity.ivfTopKStored(spark, ref, queries, 3,
+        nProbe = 2))
+      assert(rows(got) === want,
+        "delta-generation probe diverged from the monolithic build")
+      // compaction folds the layout without changing a row
+      Similarity.compactIvfIndex(spark, dir)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!left.exists(_.startsWith("delta_")),
+        s"deltas survived compaction: $left")
+      assert(rows(Similarity.ivfTopKStored(spark, dir, queries, 3,
+        nProbe = 2)) === want)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    }
+  }
 }
