@@ -465,17 +465,40 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("q_emb"), col("q_bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
     val probes = q.select(col("q_bucket")).distinct().collect().map(_.getLong(0))
-    val scored = spark.read.parquet(s"$dir/vectors")
-      .where(col("bucket").isin(probes: _*)) // static partition pruning
-      // cast: partition-column inference can narrow bucket to INT
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("bucket").cast("long").as("bucket"))
+    val scored = (s"$dir/vectors" +:
+        ivfDeltaDirs(spark, dir).map(d => s"$d/vectors"))
+      .map { v =>
+        spark.read.parquet(v)
+          .where(col("bucket").isin(probes: _*)) // per-generation pruning
+          // cast: partition-column inference can narrow bucket to INT
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+            col("bucket").cast("long").as("bucket"))
+      }
+      .reduce(_ unionAll _)
       .join(broadcast(q), col("bucket") === col("q_bucket") && col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("bucket"), col("n_id"), col("rank"))
+  }
+
+  /** LSH twin of [[appendIvfDelta]]: new vectors hashed with the
+    * FROZEN stored hyperplanes into a delta generation; probes union
+    * generations with per-generation bucket pruning. Deterministic
+    * hyperplanes make delta ≡ monolithic exact (no retraining drift
+    * at all — the hyperplanes never depend on the appended data). */
+  def appendLshDelta(spark: SparkSession, dir: String, emb: DataFrame,
+                     hpBase: Long = 100): Unit = {
+    val hp = spark.read.parquet(s"$dir/hyperplanes")
+    val next = ivfDeltaDirs(spark, dir)
+      .map(_.split('/').last.stripPrefix("delta_").toInt)
+      .foldLeft(-1)(math.max) + 1
+    val sigs = lshSignatures(emb, hp, hpBase)
+    emb.join(sigs, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/delta_$next/vectors")
   }
 
   /** Build-once ANN index fixture for an sf dir (mirrors

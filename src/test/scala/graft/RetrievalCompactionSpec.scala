@@ -101,4 +101,30 @@ class RetrievalCompactionSpec extends AnyFunSuite {
       fs.delete(new org.apache.hadoop.fs.Path(ref), true)
     }
   }
+
+  test("LSH delta append == monolithic build (frozen hyperplanes)") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    // split so the base contains the hyperplane vectors (vec_id
+    // 100..107): the stored hyperplanes then equal the monolithic
+    // build's and delta bucketing cannot drift
+    val dir = "/tmp/graft_lsh_delta_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      Similarity.writeLshIndex(emb.filter(col("vec_id") < 250), dir)
+      Similarity.appendLshDelta(spark, dir, emb.filter(col("vec_id") >= 250))
+      Similarity.writeLshIndex(emb, ref)
+      val queries = emb.filter(col("vec_id") < 8)
+      val got = Similarity.lshTopKStored(spark, dir, queries, 3)
+      val want = rows(Similarity.lshTopKStored(spark, ref, queries, 3))
+      assert(rows(got) === want,
+        "LSH delta-generation probe diverged from the monolithic build")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    }
+  }
 }
