@@ -168,6 +168,10 @@ object Plans {
         operators.Retrieval.queries("t_proximity")(spark, sfDir),
       "g_betweenness_approx (seeded pivot sample + batched Brandes: 2*depth joins for any k)" ->
         graph.GraphQueries.queries("g_betweenness_approx")(spark, sfDir),
+      "p_classify scoring stage (zero-shuffle map-side scan, weights inlined)" ->
+        operators.Pipeline.perceptronScore(
+          graft.Tables.t(spark, sfDir, "documents"),
+          Array(3L, -2L, 5L, 0L, 1L, -4L, 2L, 7L, -1L)),
       "g_lpa_seeded (seed table broadcast; O(labeled) vector per round)" ->
         graph.GraphQueries.queries("g_lpa_seeded")(spark, sfDir),
       "p_leak_safe_split (cluster table from pair graph; corpus joined once)" ->

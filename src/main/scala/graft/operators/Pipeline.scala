@@ -424,8 +424,46 @@ object Pipeline {
     trace.toSeq.toDF("epoch", "dim", "weight", "n_mistakes")
   }
 
+  /** Map-side classifier INFERENCE — the serving half of
+    * [[perceptronTrain]] and the fastText-quality-filter deployment
+    * shape: train on a sample, then score the WHOLE corpus with the
+    * frozen weights. `weights` is the final-epoch (dims+1)-long
+    * vector (last entry = bias), inlined as a literal array so the
+    * per-doc score Σ_tokens wt[hash(w) mod D] + bias is ONE
+    * higher-order column expression — zero shuffles, zero joins, the
+    * text never leaves its partition; at 100 TB this is a pure scan.
+    * Integer-exact (the training is), so the oracle reproduces every
+    * score bit-for-bit. Returns (doc_id, score_int, label).
+    */
+  def perceptronScore(docs: DataFrame, weights: Array[Long],
+                      dims: Int = PerceptronDims): DataFrame = {
+    require(weights.length == dims + 1,
+      s"weights must be dims+1 = ${dims + 1} long, got ${weights.length}")
+    val wArr = array(weights.map(lit): _*)
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        (aggregate(col("t"), lit(0L), (acc, w) =>
+          acc + element_at(wArr,
+            (pmod(charHash(w, lit(PerceptronSeed)), lit(dims.toLong)) + 1)
+              .cast("int")))
+          + lit(weights(dims))).as("score_int"))
+      .select(col("doc_id"), col("score_int"),
+        when(col("score_int") > 0, 1L).otherwise(-1L).as("label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_train_classifier" -> { (s, d) => perceptronTrain(t(s, d, "documents")) },
+    // train → freeze final weights (a dims+2-row bounded collect) →
+    // zero-shuffle map-side scoring of the whole corpus
+    "p_classify" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val w = new Array[Long](PerceptronDims + 1)
+      perceptronTrain(docs)
+        .filter(col("epoch") === PerceptronEpochs)
+        .select(col("dim"), col("weight"))
+        .collect().foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+      perceptronScore(docs, w)
+    },
     "p_split" -> { (s, d) => deterministicSplit(t(s, d, "documents")) },
     "p_curriculum" -> { (s, d) => curriculum(t(s, d, "documents")) },
     "p_weighted_sample" -> { (s, d) => weightedSample(t(s, d, "documents")) },
@@ -453,8 +491,10 @@ object Pipeline {
          |         w -> list_contains($lex, w))) >= $MinStopwordHits)""".stripMargin
     // unrolled perceptron epochs; MATERIALIZED so the epoch chain stays
     // linear under DuckDB's CTE inlining (each epoch reads its
-    // predecessor several times)
-    val perceptronSql = {
+    // predecessor several times). The WITH-prefix is shared by the
+    // trainer oracle (weight trace) and the classifier oracle (score
+    // every doc with the final epoch's weights).
+    val perceptronCtes = {
       val hash = s"list_reduce(list_prepend(CAST($PerceptronSeed AS BIGINT), " +
         "list_transform(regexp_extract_all(w, '.'), c -> CAST(ord(c) AS BIGINT))), " +
         s"(acc, x) -> (acc * 31 + x) % ${graft.functions.TextFunctions.HashMod})"
@@ -474,12 +514,6 @@ object Pipeline {
            |    FROM mist$e m JOIN feats f ON f.doc_id = m.doc_id
            |    GROUP BY f.dim) d ON d.dim = w.dim)""".stripMargin
       }.mkString(",\n")
-      val rows = (1 to PerceptronEpochs).map { e =>
-        s"""SELECT CAST($e AS INT) AS epoch, CAST(dim AS BIGINT) AS dim,
-           |  wt AS weight,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM mist$e) AS n_mistakes
-           |FROM w$e""".stripMargin
-      }.mkString("\nUNION ALL\n")
       s"""WITH tok AS MATERIALIZED (
          |  SELECT doc_id,
          |    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
@@ -504,11 +538,30 @@ object Pipeline {
          |w0 AS (
          |  SELECT CAST(unnest(range(0, ${PerceptronDims + 1})) AS BIGINT) AS dim,
          |    CAST(0 AS BIGINT) AS wt),
-         |$epochs
-         |$rows""".stripMargin
+         |$epochs""".stripMargin
     }
+    val perceptronSql = {
+      val rows = (1 to PerceptronEpochs).map { e =>
+        s"""SELECT CAST($e AS INT) AS epoch, CAST(dim AS BIGINT) AS dim,
+           |  wt AS weight,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM mist$e) AS n_mistakes
+           |FROM w$e""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$perceptronCtes\n$rows"
+    }
+    // final-epoch weights applied to every doc's features — the same
+    // integer sum the zero-shuffle Spark expression computes
+    val classifySql =
+      s"""$perceptronCtes
+         |SELECT f.doc_id,
+         |  CAST(sum(f.cnt * w.wt) AS BIGINT) AS score_int,
+         |  CASE WHEN sum(f.cnt * w.wt) > 0 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(-1 AS BIGINT) END AS label
+         |FROM feats f JOIN w$PerceptronEpochs w ON w.dim = f.dim
+         |GROUP BY f.doc_id""".stripMargin
     Map(
       "p_train_classifier" -> perceptronSql,
+      "p_classify" -> classifySql,
       "p_split" ->
         """SELECT doc_id, source,
           |  CASE

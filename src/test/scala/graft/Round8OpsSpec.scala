@@ -99,6 +99,31 @@ class Round8OpsSpec extends AnyFunSuite {
       s"extrapolated mass $est vs exact $tot outside [0.5, 1.5]×")
   }
 
+  test("perceptronScore: zero-shuffle scan, equals brute-force scoring") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val docs = Seq((1L, "the quick brown fox"), (2L, "dup dup key spark"),
+      (3L, "")).toDF("doc_id", "text")
+    val w = Array(3L, -2L, 5L, 0L, 1L, -4L, 2L, 7L, -1L)
+    val scored = Pipeline.perceptronScore(docs, w)
+    val p = scored.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"scoring must be a pure map-side scan, found a shuffle in:\n$p")
+    val got = scored.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def brute(text: String): Long = {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      toks.map(t => w((graft.functions.TextFunctions
+        .charHashLocal(t, Pipeline.PerceptronSeed.toLong)
+        % Pipeline.PerceptronDims).toInt)).sum + w(Pipeline.PerceptronDims)
+    }
+    Seq((1L, "the quick brown fox"), (2L, "dup dup key spark"), (3L, ""))
+      .foreach { case (id, text) =>
+        val s = brute(text)
+        assert(got(id) === ((s, if (s > 0) 1L else -1L)), s"doc $id")
+      }
+  }
+
   test("converged TVFs substitute the converged operators' plans") {
     val yaml = sources.graphar.GraphArQueries.fixture(spark, sf)
     graph.GraphTableFunctions.register(spark)
