@@ -459,6 +459,36 @@ object Retrieval {
       .select(col("doc_id"), col("rk").as("lex_rank"))
     val dense = Similarity.bruteForceTopK(emb, col("vec_id") === qVec, c)
       .select(col("n_id").as("doc_id"), col("rank").cast("long").as("dense_rank"))
+    rrfFuse(lex, dense, k, rrfK)
+  }
+
+  /** Hybrid retrieval served ENTIRELY from stored indexes — the
+    * production composition of the two serving paths: BM25 from the
+    * bucket-pruned postings + doclens/stats sidecars
+    * ([[bm25TopKStored]]) and dense ranks from the cluster-pruned
+    * stored IVF probe ([[Similarity.ivfTopKStored]]). The corpus text
+    * and the full vector table are never scanned; the fusion runs on
+    * O(c) rows. Dense ranks are the IVF probe's (candidates from the
+    * query's nProbe clusters, not the brute-force list) — the oracle
+    * recomputes the identical probe, so the fused output stays
+    * hash-exact.
+    */
+  def hybridRrfStored(spark: SparkSession, textIdx: String, ivfIdx: String,
+                      queryVec: DataFrame, terms: Seq[String],
+                      c: Int = 50, k: Int = 10, rrfK: Int = 60,
+                      nProbe: Int = 2): DataFrame = {
+    val lex = bm25TopKStored(spark, textIdx, terms, c)
+      .select(col("doc_id"), col("rk").as("lex_rank"))
+    val dense = Similarity.ivfTopKStored(spark, ivfIdx, queryVec, c, nProbe)
+      .select(col("n_id").as("doc_id"),
+        col("rank").cast("long").as("dense_rank"))
+    rrfFuse(lex, dense, k, rrfK)
+  }
+
+  /** Shared reciprocal-rank fusion: floor(10⁶/(rrfK+rank)) per list,
+    * summed as exact BIGINTs; absent ranks contribute 0. */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame,
+                      k: Int, rrfK: Int): DataFrame = {
     def contrib(rank: org.apache.spark.sql.Column) =
       when(rank.isNotNull,
         floor(lit(1e6) / (lit(rrfK).cast("double") + rank.cast("double")))
@@ -544,6 +574,12 @@ object Retrieval {
     // top-50 for query vector 7 over the shared doc_id/vec_id space
     "t_hybrid_rrf" -> { (s, d) =>
       hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"), QueryTerms, 7L)
+    },
+    // the same fusion served entirely from STORED indexes: pruned
+    // postings BM25 + pruned stored-IVF dense ranks (nProbe = 2)
+    "t_hybrid_stored" -> { (s, d) =>
+      hybridRrfStored(s, indexDir(s, d), s"${Similarity.indexDir(s, d)}/ivf",
+        t(s, d, "embeddings").filter(col("vec_id") === 7L), QueryTerms)
     },
     // exact consecutive-phrase match, zero-shuffle map-side scan
     "t_phrase" -> { (s, d) =>
@@ -674,6 +710,61 @@ object Retrieval {
          |      AS BIGINT) AS n_near
          |  FROM d)
          |SELECT doc_id, n_near FROM m WHERE n_near > 0""".stripMargin,
+
+    // stored-serving hybrid: lex ranks from the same BM25 chain, dense
+    // ranks from the RECOMPUTED stored-IVF probe (assignment, top-2
+    // probe clusters of query 7, rank over probed candidates) — the
+    // exact rows the pruned index serves, fused with the same RRF
+    "t_hybrid_stored" ->
+      s"""$bm25RankedCtes,
+         |cent AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id % 40 = 0),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${Similarity.cosSql("e.embedding", "cent.c_emb")} DESC,
+         |          cent.c_id) AS arank
+         |    FROM embeddings e CROSS JOIN cent)
+         |  WHERE arank = 1),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+         |qp AS (
+         |  SELECT c_id FROM (
+         |    SELECT cent.c_id,
+         |      row_number() OVER (ORDER BY
+         |        ${Similarity.cosSql("q_emb", "c_emb")} DESC, cent.c_id) AS arank
+         |    FROM cent CROSS JOIN qv)
+         |  WHERE arank <= 2),
+         |dscored AS (
+         |  SELECT a.vec_id AS n_id,
+         |    ${Similarity.cosSql("q_emb", "a.embedding")} AS cos
+         |  FROM assigned a JOIN qp ON a.cluster = qp.c_id CROSS JOIN qv
+         |  WHERE a.vec_id <> 7),
+         |dense AS (
+         |  SELECT doc_id, dense_rank FROM (
+         |    SELECT n_id AS doc_id,
+         |      CAST(row_number() OVER (ORDER BY cos DESC, n_id) AS BIGINT)
+         |        AS dense_rank
+         |    FROM dscored) WHERE dense_rank <= 50),
+         |lex AS (SELECT doc_id, rk AS lex_rank FROM r WHERE rk <= 50),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |    CAST(COALESCE(CAST(floor(1000000.0 /
+         |        (60.0 + CAST(l.lex_rank AS DOUBLE))) AS BIGINT), 0) +
+         |      COALESCE(CAST(floor(1000000.0 /
+         |        (60.0 + CAST(d.dense_rank AS DOUBLE))) AS BIGINT), 0)
+         |      AS BIGINT) AS rrf_micro,
+         |    CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+         |    CAST(COALESCE(d.dense_rank, 0) AS BIGINT) AS dense_rank
+         |  FROM lex l FULL JOIN dense d ON d.doc_id = l.doc_id),
+         |rr AS (
+         |  SELECT doc_id, rrf_micro, lex_rank, dense_rank,
+         |    CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+         |      AS BIGINT) AS rk
+         |  FROM fused)
+         |SELECT doc_id, rrf_micro, lex_rank, dense_rank, rk
+         |FROM rr WHERE rk <= 10""".stripMargin,
 
     // RRF fusion of the BM25 top-50 and the dense cosine top-50 for
     // query vector 7 — both rank lists pinned to the Spark side's
