@@ -158,6 +158,27 @@ object TextTableFunctions {
             strArg("text_proximity", args(2)).toLowerCase, slop.toInt)
           .queryExecution.analyzed
       }),
+    // fully stored-served hybrid: RRF of the pruned BM25 probe and the
+    // pruned stored-IVF probe; the query vector comes from the given
+    // embeddings parquet by vec_id
+    (FunctionIdentifier("text_hybrid_stored"),
+      new ExpressionInfo(getClass.getName, "text_hybrid_stored"),
+      { args =>
+        if (args.size != 5)
+          throw new IllegalArgumentException(
+            "text_hybrid_stored(text_index, ivf_index, embeddings_parquet, 'term term …', query_vec_id)")
+        val ts = terms(strArg("text_hybrid_stored", args(3)))
+        if (ts.isEmpty)
+          throw new IllegalArgumentException("text_hybrid_stored: empty term list")
+        val qId = longArg("text_hybrid_stored", args(4))
+        val spark = SparkSession.active
+        val qVec = spark.read.parquet(strArg("text_hybrid_stored", args(2)))
+          .filter(org.apache.spark.sql.functions.col("vec_id") === qId)
+        Retrieval.hybridRrfStored(spark,
+            strArg("text_hybrid_stored", args.head),
+            strArg("text_hybrid_stored", args(1)), qVec, ts)
+          .queryExecution.analyzed
+      }),
     // MinHash+LSH near-dup candidate pairs: (a, b, sim_micro …)
     (FunctionIdentifier("dedup_pairs"),
       new ExpressionInfo(getClass.getName, "dedup_pairs"),

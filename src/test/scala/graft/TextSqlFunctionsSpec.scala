@@ -78,6 +78,17 @@ class TextSqlFunctionsSpec extends AnyFunSuite {
         s"SELECT * FROM text_search_stored('$split', 'dup spark key')"))
       === rows(Retrieval.conjunctiveSearchStored(spark, idx,
         Seq("dup", "spark", "key"))))
+    // the fully stored hybrid fusion
+    val ivf = graft.operators.Similarity.indexDir(spark,
+      "/root/testdata/sf0.001") + "/ivf"
+    val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+    val qVec = spark.read.parquet(embPath)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+    assert(rows(spark.sql(
+        s"""SELECT * FROM text_hybrid_stored('$idx', '$ivf', '$embPath',
+           |  'dup spark key', 7)""".stripMargin))
+      === rows(Retrieval.hybridRrfStored(spark, idx, ivf, qVec,
+        Seq("dup", "spark", "key"))))
   }
 
   test("dedup_pairs / dedup_exact / dedup_simhash TVFs == Dedup API") {
