@@ -107,13 +107,15 @@ object Retrieval {
     * rows — driver-trivial). Falls back to aggregating doclens for a
     * pre-stats-sidecar index layout. */
   private def allStats(spark: SparkSession, path: String): DataFrame = {
-    val statsP = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val (base, minDelta) = graft.util.IndexCommit.resolve(spark, path)
+    val statsP = new org.apache.hadoop.fs.Path(s"$base/stats")
     val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(statsP))
       return allDoclens(spark, path)
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-    val gens = spark.read.parquet(s"$path/stats") +:
-      deltaDirs(spark, path).map(d => spark.read.parquet(s"$d/stats"))
+    val gens = spark.read.parquet(s"$base/stats") +:
+      graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
+        .map(d => spark.read.parquet(s"$d/stats"))
     gens.reduce(_ unionAll _)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
   }
@@ -142,28 +144,22 @@ object Retrieval {
     * doc_id) stays unique without re-aggregation.
     */
   private def allPostings(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/postings")
-    deltaDirs(spark, path).foldLeft(base) { (acc, d) =>
-      acc.unionAll(spark.read.parquet(s"$d/postings"))
-    }
+    val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, path)
+    val base = spark.read.parquet(s"$baseDir/postings")
+    graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
+      .foldLeft(base) { (acc, d) =>
+        acc.unionAll(spark.read.parquet(s"$d/postings"))
+      }
   }
 
   /** Base + delta doc-length sidecars, unioned (same contract). */
   private def allDoclens(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/doclens")
-    deltaDirs(spark, path).foldLeft(base) { (acc, d) =>
-      acc.unionAll(spark.read.parquet(s"$d/doclens"))
-    }
-  }
-
-  private def deltaDirs(spark: SparkSession, path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
-      .sortBy(_.getPath.getName.stripPrefix("delta_").toInt)
-      .map(_.getPath.toString)
+    val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, path)
+    val base = spark.read.parquet(s"$baseDir/doclens")
+    graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
+      .foldLeft(base) { (acc, d) =>
+        acc.unionAll(spark.read.parquet(s"$d/doclens"))
+      }
   }
 
   /** Append NEW documents to a stored index as a delta generation —
@@ -177,9 +173,7 @@ object Retrieval {
     * present in any earlier generation.
     */
   def appendPostingsDelta(docs: DataFrame, path: String): Unit = {
-    val next = deltaDirs(docs.sparkSession, path)
-      .map(_.split('/').last.stripPrefix("delta_").toInt)
-      .foldLeft(-1)(math.max) + 1
+    val next = graft.util.IndexCommit.nextDeltaId(docs.sparkSession, path)
     val dir = s"$path/delta_$next"
     val post = positionalPostings(docs)
       .withColumn("bucket", bucketOf(col("term")))
@@ -192,34 +186,42 @@ object Retrieval {
     writeStats(dl, s"$dir/stats")
   }
 
-  /** Fold every delta generation back into one base — the compaction
-    * that bounds serve-time scan count (each generation adds one
-    * pruned scan per probe; the GraphAr mutation log leaves the same
-    * job to its compactor). Reads all generations, writes a fresh
-    * base beside them, then swaps: the union-serving contract means a
-    * reader before or after the swap sees identical rows (proven by
-    * the split-index gate + `RetrievalCompactionSpec`).
+  /** Fold every live delta generation back into one base — the
+    * compaction that bounds serve-time scan count (each generation
+    * adds one pruned scan per probe; the GraphAr mutation log leaves
+    * the same job to its compactor). ATOMIC: the folded base is
+    * written as a NEW `base_<n>` dir and the `LATEST` pointer flipped
+    * over it ([[graft.util.IndexCommit]]); nothing the old pointer
+    * referenced is touched, so a concurrent reader — even one
+    * mid-scan — completes against intact files and sees identical
+    * rows (the union-serving contract). Reclaim superseded
+    * generations with [[vacuumPostingsIndex]] once in-flight readers
+    * drain.
     */
   def compactPostingsIndex(spark: SparkSession, path: String): Unit = {
-    val deltas = deltaDirs(spark, path)
+    val (_, minDelta) = graft.util.IndexCommit.resolve(spark, path)
+    val deltas = graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
     if (deltas.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val post = allPostings(spark, path)
     val dl = allDoclens(spark, path)
+    val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, path)}"
     post.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings_compact")
-    dl.write.mode("overwrite").parquet(s"$path/doclens_compact")
-    writeStats(dl, s"$path/stats_compact")
-    Seq("postings", "doclens", "stats").foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/${d}_compact"),
-        new org.apache.hadoop.fs.Path(s"$path/$d"))
-    }
-    deltas.foreach(d =>
-      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      .parquet(s"$path/$gen/postings")
+    dl.write.mode("overwrite").parquet(s"$path/$gen/doclens")
+    writeStats(dl, s"$path/$gen/stats")
+    val foldedMax = deltas
+      .map(_.split('/').last.stripPrefix("delta_").toInt).max
+    graft.util.IndexCommit.commit(spark, path, gen, foldedMax + 1)
   }
+
+  /** Delete every generation the live pointer no longer references
+    * (superseded bases, folded deltas, the legacy root-level base).
+    * Deferred from [[compactPostingsIndex]] so commit stays atomic
+    * and concurrent-reader-safe; run after readers drain. */
+  def vacuumPostingsIndex(spark: SparkSession, path: String): Unit =
+    graft.util.IndexCommit.vacuum(spark, path,
+      Seq("postings", "doclens", "stats"))
 
   /** Conjunctive (all-terms) search from the STORED index: probe ONLY
     * the query terms' bucket partitions, keep documents whose distinct
@@ -363,11 +365,14 @@ object Retrieval {
     * docs that contain ALL of them. The scan carries the same static
     * bucket PartitionFilter as [[conjunctiveSearchStored]]; the one
     * shuffle groups O(Σ|postings(term)|) rows by doc — cost scales
-    * with the QUERY terms' posting lists, never the corpus.
+    * with the QUERY terms' posting lists, never the corpus. Reads
+    * [[allPostings]] so delta generations serve positional probes
+    * exactly like they serve BM25/conjunctive search — the bucket
+    * filter prunes every generation's scan independently.
     */
   private def pivotPositions(spark: SparkSession, path: String,
                              terms: Seq[String]): DataFrame = {
-    val post = spark.read.parquet(s"$path/postings")
+    val post = allPostings(spark, path)
     val tcol = array(terms.map(lit): _*)
     val probed = post
       .filter(col("bucket").isin(terms.map(bucketOfLocal): _*))
@@ -595,6 +600,17 @@ object Retrieval {
     // slop-window proximity from the stored positional index
     "t_proximity" -> { (s, d) =>
       proximityCountStored(s, indexDir(s, d), ProxA, ProxB, ProxSlop)
+    },
+    // the SAME phrase probe over the base+delta SPLIT index (even docs
+    // at build, odd docs appended): positional probes must union every
+    // generation exactly like BM25/conjunctive search do — the oracle
+    // is t_phrase's whole-corpus SQL, verbatim
+    "t_phrase_delta" -> { (s, d) =>
+      phraseCountStored(s, indexDirDelta(s, d), PhraseTerms)
+    },
+    // proximity over the split index, same union-of-generations proof
+    "t_proximity_delta" -> { (s, d) =>
+      proximityCountStored(s, indexDirDelta(s, d), ProxA, ProxB, ProxSlop)
     }
   )
 
@@ -675,6 +691,24 @@ object Retrieval {
        |GROUP BY doc_id
        |HAVING count(DISTINCT term) = ${QueryTerms.size}""".stripMargin
 
+  /** Proximity: occurrences of ProxA with a ProxB within ProxSlop
+    * tokens — list-comprehension twin of the Spark position-array
+    * probe. Shared by `t_proximity` (build-time index) and
+    * `t_proximity_delta` (split base+delta index). */
+  private lazy val proximityOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(range(1, len(t) + 1),
+       |      i -> t[i] = '$ProxA' AND len(list_filter(
+       |        range(1, len(t) + 1),
+       |        j -> t[j] = '$ProxB' AND abs(j - i) <= $ProxSlop)) > 0))
+       |      AS BIGINT) AS n_near
+       |  FROM d)
+       |SELECT doc_id, n_near FROM m WHERE n_near > 0""".stripMargin
+
   private lazy val bm25OracleSql: String =
     s"""$bm25RankedCtes
        |SELECT doc_id, score_micro, n_terms, rk FROM r WHERE rk <= 20""".stripMargin
@@ -694,22 +728,12 @@ object Retrieval {
     // identical SQL: the stored positional probe must hash-match the
     // scan evaluation bit-for-bit
     "t_phrase_stored" -> phraseOracleSql,
+    // and over the split base+delta index: generations are an access
+    // path, the whole-corpus answer must not change
+    "t_phrase_delta" -> phraseOracleSql,
 
-    // proximity: occurrences of ProxA with a ProxB within ProxSlop
-    // tokens, list-comprehension twin of the Spark position-array probe
-    "t_proximity" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(list_filter(range(1, len(t) + 1),
-         |      i -> t[i] = '$ProxA' AND len(list_filter(
-         |        range(1, len(t) + 1),
-         |        j -> t[j] = '$ProxB' AND abs(j - i) <= $ProxSlop)) > 0))
-         |      AS BIGINT) AS n_near
-         |  FROM d)
-         |SELECT doc_id, n_near FROM m WHERE n_near > 0""".stripMargin,
+    "t_proximity" -> proximityOracleSql,
+    "t_proximity_delta" -> proximityOracleSql,
 
     // stored-serving hybrid: lex ranks from the same BM25 chain, dense
     // ranks from the RECOMPUTED stored-IVF probe (assignment, top-2

@@ -355,9 +355,7 @@ object Similarity {
   def appendIvfDelta(spark: SparkSession, dir: String,
                      emb: DataFrame): Unit = {
     val cent = spark.read.parquet(s"$dir/centroids")
-    val next = ivfDeltaDirs(spark, dir)
-      .map(_.split('/').last.stripPrefix("delta_").toInt)
-      .foldLeft(-1)(math.max) + 1
+    val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
     ivfRanked(emb.select(col("vec_id"), col("embedding")), cent)
       .filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
@@ -367,30 +365,39 @@ object Similarity {
 
   /** Fold IVF delta generations into one vectors dir (centroids are
     * untouched — they were frozen at append time, so the fold is a
-    * pure file re-layout and every probe row is unchanged). */
-  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
-    val deltas = ivfDeltaDirs(spark, dir)
+    * pure file re-layout and every probe row is unchanged). ATOMIC:
+    * the folded vectors land in a NEW `base_<n>` dir and the LATEST
+    * pointer flips over them ([[graft.util.IndexCommit]]); a reader
+    * concurrent with the fold completes against intact old-generation
+    * files. Reclaim superseded dirs with [[vacuumVectorIndex]]. */
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit =
+    compactVectorIndex(spark, dir, "cluster")
+
+  /** LSH twin of [[compactIvfIndex]] — same fold over the `bucket`
+    * partition layout, hyperplanes untouched (frozen at append). */
+  def compactLshIndex(spark: SparkSession, dir: String): Unit =
+    compactVectorIndex(spark, dir, "bucket")
+
+  /** Shared atomic fold for the cluster- (IVF) and bucket- (LSH)
+    * partitioned vector layouts. */
+  private def compactVectorIndex(spark: SparkSession, dir: String,
+                                 partCol: String): Unit = {
+    val (_, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
+    val deltas = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta)
     if (deltas.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    allIvfVectors(spark, dir, None)
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$dir/vectors_compact")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vectors"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/vectors_compact"),
-      new org.apache.hadoop.fs.Path(s"$dir/vectors"))
-    deltas.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
+    allVectorGens(spark, dir, partCol, None)
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$dir/$gen/vectors")
+    val foldedMax = deltas
+      .map(_.split('/').last.stripPrefix("delta_").toInt).max
+    graft.util.IndexCommit.commit(spark, dir, gen, foldedMax + 1)
   }
 
-  private def ivfDeltaDirs(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
-      .sortBy(_.getPath.getName.stripPrefix("delta_").toInt)
-      .map(_.getPath.toString)
-  }
+  /** Delete generations the live pointer no longer references (IVF
+    * and LSH layouts alike); run after in-flight readers drain. */
+  def vacuumVectorIndex(spark: SparkSession, dir: String): Unit =
+    graft.util.IndexCommit.vacuum(spark, dir, Seq("vectors"))
 
   /** Base + delta vector generations; `probes` (when given) is applied
     * PER GENERATION on the raw partition column, so static pruning
@@ -399,16 +406,27 @@ object Similarity {
     */
   private def allIvfVectors(spark: SparkSession, dir: String,
                             probes: Option[Seq[Long]]): DataFrame =
-    (s"$dir/vectors" +: ivfDeltaDirs(spark, dir).map(d => s"$d/vectors"))
+    allVectorGens(spark, dir, "cluster", probes)
+
+  /** LATEST-resolved base + live delta vector generations under the
+    * `partCol` (cluster/bucket) layout. */
+  private def allVectorGens(spark: SparkSession, dir: String,
+                            partCol: String,
+                            probes: Option[Seq[Long]]): DataFrame = {
+    val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
+    (s"$baseDir/vectors" +:
+        graft.util.IndexCommit.deltaDirs(spark, dir, minDelta)
+          .map(d => s"$d/vectors"))
       .map { v =>
         val raw = spark.read.parquet(v)
-        val pruned = probes.fold(raw)(p => raw.where(col("cluster").isin(p: _*)))
+        val pruned = probes.fold(raw)(p => raw.where(col(partCol).isin(p: _*)))
         // partition-column inference can narrow cluster to INT; the
         // recompute variant returns LONG — keep the schemas identical
         pruned.select(col("vec_id"), col("embedding"),
-          col("cluster").cast("long").as("cluster"))
+          col(partCol).cast("long").as(partCol))
       }
       .reduce(_ unionAll _)
+  }
 
   /** Probe a stored IVF index: rank centroids for each query vector,
     * read ONLY the probed cluster partitions (of every generation),
@@ -465,16 +483,9 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("q_emb"), col("q_bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
     val probes = q.select(col("q_bucket")).distinct().collect().map(_.getLong(0))
-    val scored = (s"$dir/vectors" +:
-        ivfDeltaDirs(spark, dir).map(d => s"$d/vectors"))
-      .map { v =>
-        spark.read.parquet(v)
-          .where(col("bucket").isin(probes: _*)) // per-generation pruning
-          // cast: partition-column inference can narrow bucket to INT
-          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-            col("bucket").cast("long").as("bucket"))
-      }
-      .reduce(_ unionAll _)
+    val scored = allVectorGens(spark, dir, "bucket", Some(probes.toSeq))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("bucket"))
       .join(broadcast(q), col("bucket") === col("q_bucket") && col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -491,9 +502,7 @@ object Similarity {
   def appendLshDelta(spark: SparkSession, dir: String, emb: DataFrame,
                      hpBase: Long = 100): Unit = {
     val hp = spark.read.parquet(s"$dir/hyperplanes")
-    val next = ivfDeltaDirs(spark, dir)
-      .map(_.split('/').last.stripPrefix("delta_").toInt)
-      .foldLeft(-1)(math.max) + 1
+    val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
     val sigs = lshSignatures(emb, hp, hpBase)
     emb.join(sigs, "vec_id")
       .select(col("vec_id"), col("embedding"), col("bucket"))

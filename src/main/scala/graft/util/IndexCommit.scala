@@ -1,0 +1,123 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Atomic generation-pointer commit protocol for the stored serving
+  * indexes (text postings, IVF/LSH vectors) — the same contract the
+  * GraphAr versioned sink uses (`GraphArMutations.scala`: write the
+  * full new state beside the old, then repoint `LATEST` atomically).
+  *
+  * Layout: the index root holds the LIVE base generation named by a
+  * one-line `LATEST` file (`base_<n> <minDelta>`), plus any
+  * `delta_<k>` append generations. Readers resolve LATEST once, then
+  * union the named base with every delta `k >= minDelta`. A legacy
+  * index (no LATEST file) keeps its base dirs at the root with
+  * minDelta 0 — resolution falls back transparently.
+  *
+  * Compaction SAFETY: the compactor writes the folded base as a NEW
+  * `base_<n+1>` dir and flips the pointer; nothing the previous
+  * pointer referenced is deleted, so a reader that resolved the old
+  * pointer — even one already mid-scan — completes against intact
+  * files and, by the union-serving contract, sees identical rows.
+  * Superseded generations are reclaimed by an explicit vacuum once
+  * in-flight readers have drained (the Iceberg/Delta retention
+  * split: commit is atomic, space reclaim is deferred). A crash
+  * before the pointer flip leaves the index on the old base with a
+  * dead `base_<n+1>` dir that the next vacuum removes; the pointer
+  * flip itself is a same-directory rename — atomic on HDFS and
+  * POSIX.
+  */
+object IndexCommit {
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the live base: (baseDir, minDelta). Legacy layout (no
+    * LATEST) → the root itself with every delta applicable. */
+  def resolve(spark: SparkSession, root: String): (String, Int) = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/LATEST")
+    if (!f.exists(p)) (root, 0)
+    else {
+      val in = f.open(p)
+      val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next().trim finally in.close()
+      val Array(base, minDelta) = line.split(' ')
+      (s"$root/$base", minDelta.toInt)
+    }
+  }
+
+  /** Atomically repoint LATEST: write a temp file, rename over. */
+  def commit(spark: SparkSession, root: String, base: String,
+             minDelta: Int): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/.LATEST_tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$base $minDelta\n".getBytes("UTF-8")) finally out.close()
+    val dst = new Path(s"$root/LATEST")
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"pointer flip failed for $root")
+  }
+
+  /** Next base generation id: one past the highest existing base_<n>. */
+  def nextBaseId(spark: SparkSession, root: String): Int = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (!f.exists(p)) 0
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("base_"))
+      .map(_.getPath.getName.stripPrefix("base_").toInt)
+      .foldLeft(-1)(math.max) + 1
+  }
+
+  /** Sorted delta generation dirs under the root with id >= minDelta. */
+  def deltaDirs(spark: SparkSession, root: String,
+                minDelta: Int = 0): Seq[String] = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
+      .map(s => (s.getPath.getName.stripPrefix("delta_").toInt, s.getPath))
+      .filter(_._1 >= minDelta)
+      .sortBy(_._1)
+      .map(_._2.toString)
+  }
+
+  /** Next delta id: one past the highest existing delta_<k> (folded
+    * or live — ids are never reused, so a reader's minDelta filter
+    * stays correct across compactions). */
+  def nextDeltaId(spark: SparkSession, root: String): Int = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (!f.exists(p)) 0
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
+      .map(_.getPath.getName.stripPrefix("delta_").toInt)
+      .foldLeft(-1)(math.max) + 1
+  }
+
+  /** Reclaim every generation the live pointer no longer references:
+    * superseded base_<n> dirs, folded deltas (< minDelta), and — when
+    * a pointer exists — the legacy root-level base dirs in
+    * `legacyDirs`. Run only after in-flight readers of the old
+    * pointer have drained (the retention contract). */
+  def vacuum(spark: SparkSession, root: String,
+             legacyDirs: Seq[String]): Unit = {
+    val f = fs(spark, root)
+    val latest = new Path(s"$root/LATEST")
+    if (!f.exists(latest)) return // legacy layout: nothing superseded
+    val (baseDir, minDelta) = resolve(spark, root)
+    val baseName = baseDir.split('/').last
+    f.listStatus(new Path(root)).toSeq.foreach { s =>
+      val n = s.getPath.getName
+      val dead =
+        (n.startsWith("base_") && n != baseName) ||
+        (n.startsWith("delta_") &&
+          n.stripPrefix("delta_").toInt < minDelta) ||
+        legacyDirs.contains(n)
+      if (dead) f.delete(s.getPath, true)
+    }
+  }
+}

@@ -204,6 +204,18 @@ class PlanSpec extends AnyFunSuite {
       Tables.t(spark, sf, "documents"), operators.Retrieval.PhraseTerms)
     assert(df.exceptAll(scan).isEmpty && scan.exceptAll(df).isEmpty,
       "stored phrase probe diverged from the scan evaluation")
+    // split base+delta index: the positional probe must carry the
+    // bucket filter on EVERY generation's scan (the r8 delta-blind
+    // pivotPositions read only the base — this pins the fix)
+    val split = operators.Retrieval.indexDirDelta(spark, sf)
+    val dd = operators.Retrieval.phraseCountStored(
+      spark, split, operators.Retrieval.PhraseTerms)
+    dd.collect()
+    val pd = dd.queryExecution.executedPlan.toString
+    val filters = pd.linesIterator
+      .count(_.contains("PartitionFilters: [bucket"))
+    assert(filters >= 2,
+      s"expected bucket PartitionFilters on base AND delta positional scans, got $filters in:\n$pd")
   }
 
   test("stored-ANN → MMR: shortlist scan is partition-pruned, no corpus-wide join") {

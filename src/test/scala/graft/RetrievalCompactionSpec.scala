@@ -7,8 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Retrieval
 
 /** Index maintenance triangle: append generations serve identically to
-  * a full rebuild (gate-checked by t_search_delta), and compaction
-  * folds them away without changing a single served row.
+  * a full rebuild (gate-checked by t_search_delta / t_phrase_delta),
+  * compaction commits ATOMICALLY (pointer flip; a reader planned
+  * before the fold collects identical rows after it, no
+  * missing-directory window), and vacuum — the deferred reclaim —
+  * leaves only the live generation.
   */
 class RetrievalCompactionSpec extends AnyFunSuite {
 
@@ -21,8 +24,12 @@ class RetrievalCompactionSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
 
-  test("compaction folds deltas: identical search/bm25/phrase rows, deltas gone") {
-    import spark.implicits._
+  // a bigram present in sf0.001 (the gate trigram 'slow hash batch' has
+  // zero sf0.001 occurrences — an empty-vs-empty phrase check would be
+  // vacuous, which is exactly how the r8 delta-blind probe slipped by)
+  private val Bigram = Seq("slow", "hash")
+
+  test("compaction is atomic: pointer flip, identical rows, pre-fold reader survives, vacuum reclaims") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val dir = "/tmp/graft_text_compact_" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -34,24 +41,48 @@ class RetrievalCompactionSpec extends AnyFunSuite {
       val searchBefore = rows(
         Retrieval.conjunctiveSearchStored(spark, dir, terms))
       val bm25Before = rows(Retrieval.bm25TopKStored(spark, dir, terms))
-      val phraseBefore = rows(
-        Retrieval.phraseCountStored(spark, dir, Retrieval.PhraseTerms))
+      val phraseBefore = rows(Retrieval.phraseCountStored(spark, dir, Bigram))
       assert(searchBefore.nonEmpty && bm25Before.nonEmpty)
+      // non-vacuous: the bigram occurs, and in docs of a DELTA
+      // generation (doc_id % 3 != 0), so base-only serving would differ
+      assert(phraseBefore.nonEmpty, "gate bigram absent from fixture")
+      val deltaOnly = rows(Retrieval.phraseCountStored(spark, dir, Bigram)
+        .join(docs.filter(col("doc_id") % 3 =!= 0), "doc_id")
+        .select(col("doc_id")))
+      assert(deltaOnly.nonEmpty,
+        "bigram hits no delta-generation doc — the delta-union check is vacuous")
+
+      // reader planned BEFORE the fold…
+      val preFoldReader = Retrieval.phraseCountStored(spark, dir, Bigram)
 
       Retrieval.compactPostingsIndex(spark, dir)
 
-      // deltas physically gone; one base generation remains
-      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
-      assert(!left.exists(_.startsWith("delta_")),
-        s"deltas survived compaction: $left")
-      assert(left.contains("postings") && left.contains("doclens") &&
-        left.contains("stats"))
-      // and every served row is unchanged
+      // commit is pointer-only: old generations still on disk (crash
+      // safety + concurrent readers), LATEST names the folded base
+      val afterCommit = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(afterCommit.contains("LATEST"))
+      assert(afterCommit.exists(_.startsWith("base_")))
+      assert(afterCommit.exists(_.startsWith("delta_")),
+        "commit must not delete — reclaim is vacuum's job")
+      // …collected AFTER it: identical rows, no failure window
+      assert(rows(preFoldReader) === phraseBefore)
+      // fresh readers resolve the folded base, same rows
       assert(rows(Retrieval.conjunctiveSearchStored(spark, dir, terms))
         === searchBefore)
       assert(rows(Retrieval.bm25TopKStored(spark, dir, terms)) === bm25Before)
-      assert(rows(Retrieval.phraseCountStored(spark, dir,
-        Retrieval.PhraseTerms)) === phraseBefore)
+      assert(rows(Retrieval.phraseCountStored(spark, dir, Bigram))
+        === phraseBefore)
+
+      Retrieval.vacuumPostingsIndex(spark, dir)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!left.exists(_.startsWith("delta_")),
+        s"folded deltas survived vacuum: $left")
+      assert(!left.contains("postings"),
+        s"legacy root base survived vacuum: $left")
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir, terms))
+        === searchBefore)
+      assert(rows(Retrieval.phraseCountStored(spark, dir, Bigram))
+        === phraseBefore)
       // compacting an already-compact index is a no-op
       Retrieval.compactPostingsIndex(spark, dir)
       assert(rows(Retrieval.conjunctiveSearchStored(spark, dir, terms))
@@ -63,7 +94,34 @@ class RetrievalCompactionSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF delta append == monolithic build with the same centroids; compaction is identity") {
+  test("post-compaction appends serve and re-compact correctly (delta ids never reused)") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val dir = "/tmp/graft_text_recompact_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      val full = rows(Retrieval.conjunctiveSearchStored(spark,
+        Retrieval.indexDir(spark, "/root/testdata/sf0.001"),
+        Retrieval.QueryTerms))
+      Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 3 === 0), dir)
+      Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 3 === 1), dir)
+      Retrieval.compactPostingsIndex(spark, dir)
+      // append AFTER a compaction: its id must be past the folded ones,
+      // so the new delta is live under the flipped pointer
+      Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 3 === 2), dir)
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms)) === full)
+      Retrieval.compactPostingsIndex(spark, dir)
+      Retrieval.vacuumPostingsIndex(spark, dir)
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms)) === full)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+  }
+
+  test("IVF delta append == monolithic build with the same centroids; compaction atomic + vacuum") {
     import graft.operators.Similarity
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     // split even/odd: every centroid id (vec_id % 40 == 0) is even, so
@@ -87,11 +145,20 @@ class RetrievalCompactionSpec extends AnyFunSuite {
         nProbe = 2))
       assert(rows(got) === want,
         "delta-generation probe diverged from the monolithic build")
-      // compaction folds the layout without changing a row
+      // pre-fold reader survives the atomic commit with identical rows
+      val preFold = Similarity.ivfTopKStored(spark, dir, queries, 3,
+        nProbe = 2)
       Similarity.compactIvfIndex(spark, dir)
+      assert(rows(preFold) === want)
+      val afterCommit = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(afterCommit.contains("LATEST") &&
+        afterCommit.exists(_.startsWith("delta_")),
+        s"commit must be pointer-only: $afterCommit")
+      Similarity.vacuumVectorIndex(spark, dir)
       val left = new java.io.File(dir).listFiles().map(_.getName).toSet
       assert(!left.exists(_.startsWith("delta_")),
-        s"deltas survived compaction: $left")
+        s"deltas survived vacuum: $left")
+      assert(left.contains("centroids"), "vacuum must not touch centroids")
       assert(rows(Similarity.ivfTopKStored(spark, dir, queries, 3,
         nProbe = 2)) === want)
     } finally {
@@ -102,7 +169,7 @@ class RetrievalCompactionSpec extends AnyFunSuite {
     }
   }
 
-  test("LSH delta append == monolithic build (frozen hyperplanes)") {
+  test("LSH delta append == monolithic build (frozen hyperplanes); compaction + vacuum") {
     import graft.operators.Similarity
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     // split so the base contains the hyperplane vectors (vec_id
@@ -120,6 +187,17 @@ class RetrievalCompactionSpec extends AnyFunSuite {
       val want = rows(Similarity.lshTopKStored(spark, ref, queries, 3))
       assert(rows(got) === want,
         "LSH delta-generation probe diverged from the monolithic build")
+      // the ADVICE r8 gap: LSH deltas had no fold path — compactLshIndex
+      // folds the bucket layout with hyperplanes untouched
+      Similarity.compactLshIndex(spark, dir)
+      assert(rows(Similarity.lshTopKStored(spark, dir, queries, 3)) === want)
+      Similarity.vacuumVectorIndex(spark, dir)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!left.exists(_.startsWith("delta_")),
+        s"deltas survived vacuum: $left")
+      assert(left.contains("hyperplanes"),
+        "vacuum must not touch hyperplanes")
+      assert(rows(Similarity.lshTopKStored(spark, dir, queries, 3)) === want)
     } finally {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
