@@ -151,6 +151,69 @@ object StreamingQueries {
     spark.table(name).filter(col("event_type") =!= "flush")
   }
 
+  /** CHECKPOINT-RECOVERY twin of [[lateFeedWindowCounts]]: the same
+    * watermarked hour-window aggregation, but written through the
+    * fault-tolerant FILE sink with a checkpoint, KILLED mid-feed (the
+    * query is stopped with a batch file landed but not yet committed —
+    * stop() may interrupt it in flight), then RESTARTED from the
+    * checkpoint to drain the rest. The final output is the sink
+    * directory read through its transactional `_spark_metadata` log,
+    * so a half-committed batch from the kill is invisible and a
+    * re-run batch commits exactly once. The oracle is
+    * [[lateFeedWindowCounts]]'s SQL verbatim — the hash proves the
+    * interrupted+resumed run emits exactly the uninterrupted run's
+    * rows: no duplicates from the replayed batch, no gaps from the
+    * kill, watermark state restored from the commit log.
+    *
+    * This is the production contract a 100 TB ingest actually leans
+    * on: executors/drivers die mid-batch; offsets + state + sink
+    * manifest must re-align on restart without an operator noticing.
+    */
+  def lateFeedWindowCountsRecovered(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
+        col("event_type"), col("value"))
+    val assigned = withBlocks(ev, "tss",
+      when(col("event_id") % LateMod === 0, 1L).otherwise(0L))
+    val replay = new Replay("rec")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val outDir = s"/tmp/graft_recovery/out_$runId"
+    val ckpt = s"/tmp/graft_recovery/ckpt_$runId"
+    def start() = replay.source(spark, ev.schema)
+      .withWatermark("tss", s"$WatermarkSec seconds")
+      .groupBy(window(col("tss"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"),
+        col("total_value"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      (0 to 1).foreach { k =>
+        replay.add(assigned.filter(col("b") === k).drop("b"))
+        q1.processAllAvailable()
+      }
+      // land block 2's file and KILL without draining: the restart
+      // must pick it up from the source log (or re-commit it exactly
+      // once if the stop caught it mid-batch)
+      replay.add(assigned.filter(col("b") === 2).drop("b"))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // drain whatever the kill left pending
+      (3 to Blocks).foreach { k =>
+        replay.add(assigned.filter(col("b") === k).drop("b"))
+        q2.processAllAvailable()
+      }
+      replay.add(flushRow(ev, "tss"))
+      q2.processAllAvailable()
+    } finally { q2.stop(); replay.cleanup() }
+    spark.read.parquet(outDir).filter(col("event_type") =!= "flush")
+  }
+
   /** Run the STATEFUL sessionize twin over a multi-batch feed: events
     * cut into 4 day-quartile blocks fed in time order, ARRIVAL order
     * scrambled within each batch file, one far-future flush event per
@@ -367,7 +430,12 @@ object StreamingQueries {
     "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) },
     "st_stream_join" -> { (s, d) => streamStreamJoin(s, d) },
     "st_static_join" -> { (s, d) => streamStaticJoin(s, d) },
-    "st_dedup_stream" -> { (s, d) => lateFeedDedup(s, d) }
+    "st_dedup_stream" -> { (s, d) => lateFeedDedup(s, d) },
+    // kill-and-restart exactly-once: same aggregation as
+    // st_window_late but through the file sink + checkpoint, stopped
+    // mid-feed and resumed — the oracle (st_window_late's SQL
+    // verbatim) hash-proves the recovery changed nothing
+    "st_recovery" -> { (s, d) => lateFeedWindowCountsRecovered(s, d) }
   )
 
   /** The oracle replays the same batch assignment and watermark rule in
@@ -378,30 +446,10 @@ object StreamingQueries {
     * exactly like the streaming query.
     */
   def oracle: Map[String, String] = Map(
-    "st_window_late" ->
-      s"""WITH ev AS (
-         |  SELECT event_id, date_trunc('second', ts) AS tss, event_type,
-         |    value, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
-         |  FROM events),
-         |bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ev),
-         |assigned AS (
-         |  SELECT ev.*,
-         |    LEAST(((day - dmin) * $Blocks) // (dmax - dmin + 1)
-         |      + CASE WHEN event_id % $LateMod = 0 THEN 1 ELSE 0 END,
-         |      $Blocks) AS b
-         |  FROM ev CROSS JOIN bounds),
-         |wm AS (
-         |  SELECT a.b, max(p.tss) - INTERVAL $WatermarkSec SECOND AS w
-         |  FROM (SELECT DISTINCT b FROM assigned) a
-         |  JOIN assigned p ON p.b < a.b GROUP BY a.b),
-         |kept AS (
-         |  SELECT a.* FROM assigned a LEFT JOIN wm ON wm.b = a.b
-         |  WHERE wm.w IS NULL
-         |     OR date_trunc('hour', a.tss) + INTERVAL 1 HOUR > wm.w)
-         |SELECT date_trunc('hour', tss) AS h, event_type,
-         |  CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         |FROM kept GROUP BY 1, 2""".stripMargin,
+    // identical SQL: the killed-and-recovered run must hash-match the
+    // uninterrupted semantics exactly (exactly-once across restart)
+    "st_recovery" -> windowLateOracleSql,
+    "st_window_late" -> windowLateOracleSql,
     // the batch sessionization (q12 shape, sans the order-dependent
     // value sum) — the streamed block feed must reproduce it exactly
     "st_sessionize_stream" ->
@@ -474,4 +522,29 @@ object StreamingQueries {
         |FROM events e JOIN dim ON dim.user_id = e.user_id
         |WHERE e.event_type = 'purchase'""".stripMargin
   )
+
+  private lazy val windowLateOracleSql: String =
+      s"""WITH ev AS (
+         |  SELECT event_id, date_trunc('second', ts) AS tss, event_type,
+         |    value, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+         |  FROM events),
+         |bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ev),
+         |assigned AS (
+         |  SELECT ev.*,
+         |    LEAST(((day - dmin) * $Blocks) // (dmax - dmin + 1)
+         |      + CASE WHEN event_id % $LateMod = 0 THEN 1 ELSE 0 END,
+         |      $Blocks) AS b
+         |  FROM ev CROSS JOIN bounds),
+         |wm AS (
+         |  SELECT a.b, max(p.tss) - INTERVAL $WatermarkSec SECOND AS w
+         |  FROM (SELECT DISTINCT b FROM assigned) a
+         |  JOIN assigned p ON p.b < a.b GROUP BY a.b),
+         |kept AS (
+         |  SELECT a.* FROM assigned a LEFT JOIN wm ON wm.b = a.b
+         |  WHERE wm.w IS NULL
+         |     OR date_trunc('hour', a.tss) + INTERVAL 1 HOUR > wm.w)
+         |SELECT date_trunc('hour', tss) AS h, event_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM kept GROUP BY 1, 2""".stripMargin
 }
