@@ -19,13 +19,18 @@ import graft.Tables.t
   * pixels, and pHash dedup + resize run over the DECODED pixels — the
   * gate proves the encode→decode round trip bit-for-bit because PNG is
   * lossless and the fixture's pixel values are a pure function of the
-  * doc text the oracle can recompute. Audio/video decode stays STUBBED
-  * (`fakeDecode` byte arithmetic — no codecs in the JDK); the plumbing
-  * around it — binary schema, per-partition batching, output schema,
-  * partition-preserving execution — is the real pattern you'd use at
-  * 100 TB: media bytes never shuffle; decode is a narrow (map-side)
-  * transformation emitting small typed features; column-prune upstream
-  * keeps only the blob + key in flight.
+  * doc text the oracle can recompute. The AUDIO path is real too:
+  * [[renderWavs]] writes RIFF/WAVE PCM with the JDK's
+  * `javax.sound.sampled`, [[decodePcmSamples]] parses it back via the
+  * container's own header, and [[audioFeatures]] runs over the DECODED
+  * samples (lossless PCM → hash-checkable round trip). Only VIDEO
+  * decode stays STUBBED (`fakeDecode` byte arithmetic — the JDK ships
+  * no video codec); the plumbing around it — binary schema,
+  * per-partition batching, output schema, partition-preserving
+  * execution — is the real pattern you'd use at 100 TB: media bytes
+  * never shuffle; decode is a narrow (map-side) transformation
+  * emitting small typed features; column-prune upstream keeps only the
+  * blob + key in flight.
   */
 object Multimodal {
 
@@ -236,6 +241,106 @@ object Multimodal {
     }(enc)
   }
 
+  private val wavSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("blob", BinaryType, nullable = false)))
+
+  /** Fixture audio geometry: 64 samples of 16-bit mono PCM at 8 kHz. */
+  val AudioSamples = 64
+  val AudioRate = 8000f
+
+  /** Render each doc as a REAL RIFF/WAVE file (JDK
+    * `javax.sound.sampled` — no external codec): sample i =
+    * charHash(text, i+300) mod 2¹⁶ − 32768, a signed 16-bit PCM value
+    * the DuckDB oracle recomputes from the text. PCM WAV is lossless,
+    * so a decode of these bytes must return exactly these samples —
+    * the audio twin of [[renderPngs]]'s codec round trip.
+    */
+  def renderWavs(docs: DataFrame, n: Int = AudioSamples): DataFrame = {
+    val enc = RowEncoder.encoderFor(wavSchema)
+    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((graft.functions.TextFunctions
+            .charHashLocal(text, i + 300L) % 65536L) - 32768L).toInt
+          pcm(2 * i) = (s & 0xff).toByte          // little-endian
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          AudioRate, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  private val sampleSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("s", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** REAL audio decode (JDK `javax.sound.sampled` — WAV/AIFF/AU PCM):
+    * blob → signed 16-bit sample array via the container's parsed
+    * format (sample rate, channels, endianness all come from the
+    * header, not assumptions). Same shape as every decode op here:
+    * narrow partition-batched map, blob never shuffles, small typed
+    * row out.
+    */
+  def decodePcmSamples(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(sampleSchema)
+    media.select(col("doc_id"), col("blob")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"doc $id: expected 16-bit mono PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1) & 0xff
+          val v = if (fmt.isBigEndian) (bytes(2 * i) << 8) | hi
+                  else (bytes(2 * i + 1) << 8) | lo
+          out(i) = v.toShort.toLong
+          i += 1
+        }
+        Row(id, out.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Deterministic audio features over a (doc_id, s) sample frame —
+    * all exact integers (a cross-engine gate can't hash fp RMS):
+    * peak |s|, zero crossings (strict sign product < 0), energy Σs²,
+    * Σ|s|. Pure column expressions over the decoded array, so the
+    * whole op after decode stays in codegen.
+    */
+  def audioFeatures(samples: DataFrame): DataFrame =
+    samples.select(
+      col("doc_id"),
+      size(col("s")).cast("long").as("n_samples"),
+      aggregate(col("s"), lit(0L), (m, x) => greatest(m, abs(x)))
+        .as("peak"),
+      size(filter(sequence(lit(1), size(col("s")) - 1), i =>
+        element_at(col("s"), i.cast("int")) *
+          element_at(col("s"), i.cast("int") + 1) < 0))
+        .cast("long").as("zero_cross"),
+      aggregate(col("s"), lit(0L), (acc, x) => acc + x * x).as("energy"),
+      aggregate(col("s"), lit(0L), (acc, x) => acc + abs(x)).as("sum_abs"))
+
   /** Perceptual-hash (aHash) near-duplicate detection over media — the
     * image-dedup step of a multimodal ingest pipeline. A real decoder
     * would downscale the image to a tiny grayscale grid; the STUB
@@ -317,11 +422,22 @@ object Multimodal {
       resizeImage(renderPngs(
         t(s, d, "documents").select(col("doc_id"), col("text"))))
     },
-    // the byte-arithmetic stub form (audio/video shape) stays covered
-    "m_resize_stub" -> { (s, d) =>
+    // codec-free byte-arithmetic CONTRAST TWIN of m_resize: same
+    // blob-in/typed-row-out plumbing with the decode replaced by
+    // column arithmetic — kept beside the real ImageIO path to pin
+    // the plumbing without a codec (the video-tier shape)
+    "m_resize_bytes" -> { (s, d) =>
       val media = t(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       resizeStub(media)
+    },
+    // REAL audio round trip: render RIFF/WAVE PCM bytes, decode them
+    // with javax.sound.sampled, compute integer features over the
+    // DECODED samples (oracle recomputes samples from text — lossless
+    // PCM makes the codec round trip hash-checkable)
+    "m_audio_features" -> { (s, d) =>
+      audioFeatures(decodePcmSamples(renderWavs(
+        t(s, d, "documents").select(col("doc_id"), col("text")))))
     },
     "m_frame_sample" -> { (s, d) =>
       val media = t(s, d, "documents")
@@ -413,7 +529,23 @@ object Multimodal {
          |FROM px""".stripMargin
     },
 
-    "m_resize_stub" ->
+    // audio features over the decoded PCM: recompute sample i =
+    // charHash(text, i+300) % 2^16 - 32768 and the same integer chain
+    "m_audio_features" ->
+      s"""WITH smp AS (
+         |  SELECT doc_id, list_transform(range(0, $AudioSamples), i ->
+         |    ${varSeedHashSql("i + 300")} % 65536 - 32768) AS s
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST($AudioSamples AS BIGINT) AS n_samples,
+         |  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+         |  CAST(len(list_filter(range(1, $AudioSamples), i ->
+         |    s[i] * s[i + 1] < 0)) AS BIGINT) AS zero_cross,
+         |  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy,
+         |  CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS sum_abs
+         |FROM smp""".stripMargin,
+
+    "m_resize_bytes" ->
       """SELECT doc_id,
         |  least(octet_length(CAST(text AS BLOB)) % 640 + 16, 64) AS out_width,
         |  least((octet_length(CAST(text AS BLOB)) * 7) % 480 + 16, 64) AS out_height,

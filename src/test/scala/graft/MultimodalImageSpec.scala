@@ -88,4 +88,33 @@ class MultimodalImageSpec extends AnyFunSuite {
       assert(row.getLong(3 + j) === want, s"pixel o$j")
     }
   }
+
+  test("renderWavs -> decodePcmSamples round-trips the charHash samples exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "listen to this"), (2L, "another sound"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.decodePcmSamples(Multimodal.renderWavs(docs))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, text) <- Seq(1L -> "listen to this", 2L -> "another sound")) {
+      val want = (0 until Multimodal.AudioSamples).map(i =>
+        (graft.functions.TextFunctions.charHashLocal(text, i + 300L)
+          % 65536L) - 32768L)
+      assert(got(id) === want, s"doc $id samples diverged through the codec")
+    }
+  }
+
+  test("identical text renders byte-identical WAVs; decoded features agree") {
+    import spark.implicits._
+    val docs = Seq((1L, "same sound"), (2L, "same sound"))
+      .toDF("doc_id", "text")
+    val blobs = Multimodal.renderWavs(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(java.util.Arrays.equals(blobs(1L), blobs(2L)),
+      "same text must render the same WAV bytes")
+    val feats = Multimodal.audioFeatures(
+        Multimodal.decodePcmSamples(Multimodal.renderWavs(docs)))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(feats(1L) === feats(2L))
+    assert(feats(1L).head === Multimodal.AudioSamples.toLong)
+  }
 }
