@@ -12,8 +12,9 @@
 # cross-query state is).
 # set = "all" (default) | "r7" (the round-7 structural family only:
 # coreness/WL/matching/bipartite/neigh-agg + the round-8 sampled
-# betweenness) — for filling in a single rung without re-running the
-# recorded suite.
+# betweenness) | "r9" (the converged-form trio: wall-time-to-fixpoint
+# + [graft-converged] rounds lines) — for filling in a single rung
+# without re-running the recorded suite.
 set -u
 M="${1:-60}"
 LOG="${2:-/tmp/zipf_isolated_${M}m.log}"
@@ -24,10 +25,17 @@ export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}"
 run_one() { # label reps extra_flag
   echo "=== isolated $1 (${M}M edges, reps=$2) ===" | tee -a "$LOG"
   sbt -batch "runMain graft.ZipfBench $M $2 ${3:-} only=$1" 2>&1 \
-    | grep -E "^ZIPF" | tee -a "$LOG"
+    | grep -E "^ZIPF|graft-converged" | tee -a "$LOG"
 }
 
 : > "$LOG"
+if [ "$SET" = "r9" ]; then
+  for q in coreness_conv matching_conv coloring_conv; do
+    run_one "$q" 1 ""
+  done
+  echo "isolated r9-converged run complete -> $LOG"
+  exit 0
+fi
 if [ "$SET" = "r7" ]; then
   for q in coreness_14r wl_refine_3r matching_6r bipartite neigh_agg_2l; do
     run_one "$q" 2 ""

@@ -41,31 +41,32 @@ object TextScaleBench {
     val base = s"/tmp/graft_textscale/${millions}m"
     val marker = new Path(s"$base/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // seed = the doc whose text this doc repeats (predecessor for the
+    // planted dups), token draw = Zipf rank floor(V^u) from a 32-bit
+    // md5 u; the tail token is per-DOC unique for the dup family so
+    // the pair is near- not exact-identical
+    def synth(ids: org.apache.spark.sql.DataFrame) = ids
+      .withColumn("seed",
+        when(col("doc_id") % 100 === 1, col("doc_id") - 1)
+          .otherwise(col("doc_id")))
+      .withColumn("text",
+        concat(
+          concat_ws(" ",
+            transform(sequence(lit(1), lit(docLen - 1)), i =>
+              concat(lit("w"), pow(lit(vocab.toDouble),
+                (conv(substring(md5(concat(col("seed"), lit("-"), i)), 1, 8),
+                  16, 10).cast("double") + lit(1.0)) / lit(4294967296.0))
+                .cast("long")))),
+          lit(" t"), col("doc_id") % 100000))
+      .withColumn("source", concat(lit("s"), col("doc_id") % 8))
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
     if (!fs.exists(marker)) {
       if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
-      // seed = the doc whose text this doc repeats (predecessor for the
-      // planted dups), token draw = Zipf rank floor(V^u) from a 32-bit
-      // md5 u; the tail token is per-DOC unique for the dup family so
-      // the pair is near- not exact-identical
-      val docs = spark.range(nDocs).toDF("doc_id")
-        .withColumn("seed",
-          when(col("doc_id") % 100 === 1, col("doc_id") - 1)
-            .otherwise(col("doc_id")))
-        .withColumn("text",
-          concat(
-            concat_ws(" ",
-              transform(sequence(lit(1), lit(docLen - 1)), i =>
-                concat(lit("w"), pow(lit(vocab.toDouble),
-                  (conv(substring(md5(concat(col("seed"), lit("-"), i)), 1, 8),
-                    16, 10).cast("double") + lit(1.0)) / lit(4294967296.0))
-                  .cast("long")))),
-            lit(" t"), col("doc_id") % 100000))
-        .withColumn("source", concat(lit("s"), col("doc_id") % 8))
-        .withColumn("lang", lit("en"))
-        .withColumn("n_chars", length(col("text")))
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-      docs.repartition(32).write.mode("overwrite").parquet(s"$base/documents")
+      synth(spark.range(nDocs).toDF("doc_id"))
+        .repartition(32).write.mode("overwrite").parquet(s"$base/documents")
       fs.create(marker, true).close()
     }
     val docs = spark.read.parquet(s"$base/documents")
@@ -120,6 +121,40 @@ object TextScaleBench {
     time("tokens_count")(docs.select(
       sum(size(graft.functions.TextFunctions.tokens(col("text"))))).collect())
     time("leak_safe_split")(Pipeline.leakSafeSplit(spark, docs).count())
+
+    // ---- index MAINTENANCE rung (single-shot ops: each mutates state,
+    // so reps would measure a different history — the ScaleBench
+    // mutation protocol). Script order matters: append → delta probes →
+    // compact → vacuum → post-compact probe, one fresh JVM each; state
+    // carries between JVMs on disk.
+    def once(label: String)(pre: => Unit)(f: => Any): Unit =
+      if (only.contains(label)) {
+        pre // untimed state setup
+        val t0 = System.nanoTime(); f
+        println(f"TEXTSCALE $label best=${(System.nanoTime() - t0) / 1e9}%.3f all=single")
+      }
+    // 1% NEW docs (ids past the corpus) as the delta generation
+    val extra = synth(spark.range(nDocs, nDocs + nDocs / 100).toDF("doc_id"))
+    once("postings_append_1pct") {
+      // reset to a single-generation base: drop leftovers of any prior
+      // maintenance run (delta_*/base_*/LATEST) so append cost is the
+      // first generation's, reproducibly
+      val idxP = new Path(idx)
+      fs.listStatus(idxP).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("delta_") || n.startsWith("base_") || n == "LATEST")
+          fs.delete(s.getPath, true)
+      }
+    }(Retrieval.appendPostingsDelta(extra, idx))
+    time("search_stored_delta_probe")(
+      Retrieval.conjunctiveSearchStored(spark, idx, probeTerms).count())
+    time("phrase_stored_delta_probe")(
+      Retrieval.phraseCountStored(spark, idx, Seq("w37", "w411")).count())
+    once("postings_compact")(())(Retrieval.compactPostingsIndex(spark, idx))
+    once("postings_vacuum")(())(Retrieval.vacuumPostingsIndex(spark, idx))
+    time("search_stored_postcompact")(
+      Retrieval.conjunctiveSearchStored(spark, idx, probeTerms).count())
+
     docs.unpersist(blocking = false)
     spark.stop()
   }

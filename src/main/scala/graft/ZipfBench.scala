@@ -215,6 +215,19 @@ object ZipfBench {
     // values collapse map-side to <=|distinct| rows; the per-vertex
     // window is over that histogram, never the raw neighbor list)
     time("coreness_14r")(GraphOps.corenessHIndex(spark, esP, 14).count())
+    // round-9: CONVERGED forms at scale — wall-time-to-fixpoint, with
+    // rounds reported via the [graft-converged] stderr line (the
+    // timeLogging flag): "no silent partial answers" carries a scale
+    // number. Idempotent reads — safe under reps, run with reps=1.
+    spark.conf.set("spark.graft.timeLogging", "true")
+    time("coreness_conv")(
+      GraphOps.corenessHIndex(spark, esP, converged = true).count())
+    time("matching_conv")(
+      GraphOps.maximalMatching(spark, esP, rounds = GraphOps.ConvergedCap)
+        .count())
+    time("coloring_conv")(
+      GraphOps.greedyColoring(spark, esP, converged = true).count())
+    spark.conf.set("spark.graft.timeLogging", "false")
     // hub-sensitive additions round 2: hits' per-vertex sums see the
     // hub's whole in/out mass (map-side combinable); ktruss' wedge join
     // rides the same degree-ordered orientation bound as triangles;

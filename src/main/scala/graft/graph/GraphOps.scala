@@ -574,6 +574,7 @@ object GraphOps {
       if (converged) done = nxt.join(c, Seq("v", "c"), "left_anti").isEmpty
       c = nxt
     }
+    graft.util.Timing.convergedRounds("coreness", r)
     val res = c.select(col("v"), col("c").as("coreness"))
       .localCheckpoint(true)
     adj.unpersist(blocking = false)
@@ -736,6 +737,7 @@ object GraphOps {
         .localCheckpoint(true)
       done = alive.isEmpty
     }
+    graft.util.Timing.convergedRounds("matching", r)
     // rounds == 0 (or an initially empty graph) yields no per-round
     // frames — an empty matching, not an error
     matched.reduceOption(_ unionAll _)
@@ -776,13 +778,21 @@ object GraphOps {
       .withColumn("p", expr(
         s"cast(conv(substr(md5(concat('$seed-', cast(v as string))), 1, 15), 16, 10) as bigint)"))
       .localCheckpoint(true)
-    var coloredParts = List.empty[DataFrame]
+    // accumulated coloring: checkpointed per round in converged mode —
+    // a power-law tail can need HUNDREDS of rounds (256 at the Zipf 1M
+    // rung), where a per-round list-of-frames union would replan
+    // quadratically and blow the driver's plan budget
+    var colored: Option[DataFrame] = None
+    // undecided-induced edge set: shrunk + checkpointed per round in
+    // converged mode, so late rounds (few survivors) scan only the
+    // surviving adjacency, not the full edge table, 250+ times
+    var live = ue
     var r = 0
     var done = false
     val cap = if (converged) ConvergedCap else rounds
     while (r < cap && !done) {
       r += 1
-      val nbrMax = ue
+      val nbrMax = live
         .join(und.select(col("v").as("s"), col("p").as("ps")), "s")
         .join(und.select(col("v").as("t")), "t")
         .groupBy(col("t").as("v"))
@@ -793,8 +803,10 @@ object GraphOps {
         .select(col("v"))
         .localCheckpoint(true) // reused: mex joins + undecided shrink
       // colored-neighbor colors of this round's winners (prior rounds
-      // only — same-round winners are independent, no conflict)
-      val nbrC = coloredParts.reduceOption(_ unionAll _) match {
+      // only — same-round winners are independent, no conflict). Full
+      // `ue`, not `live`: edges INTO already-colored vertices left the
+      // live set, and those are exactly the edges mex needs
+      val nbrC = colored match {
         case None => winners.select(col("v"), lit(0L).as("c")).limit(0)
         case Some(cdf) => ue
           .join(winners.withColumnRenamed("v", "t"), "t")
@@ -806,15 +818,20 @@ object GraphOps {
       val newColors = cand.join(nbrC, Seq("v", "c"), "left_anti")
         .groupBy(col("v")).agg(min(col("c")).as("color"))
         .localCheckpoint(true)
-      coloredParts ::= newColors
+      val acc = colored.fold(newColors)(_ unionAll newColors)
+      colored = Some(if (converged) acc.localCheckpoint(true) else acc)
       und = und.join(winners, Seq("v"), "left_anti").localCheckpoint(true)
+      if (converged) live = live
+        .join(und.select(col("v").as("s")), Seq("s"), "left_semi")
+        .join(und.select(col("v").as("t")), Seq("t"), "left_semi")
+        .localCheckpoint(true)
       done = und.isEmpty
     }
+    graft.util.Timing.convergedRounds("coloring", r)
     ue.unpersist(blocking = false)
     // rounds == 0 or an empty graph → no per-round frames: empty coloring
-    coloredParts.reduceOption(_ unionAll _)
-      .getOrElse(und.filter(lit(false))
-        .select(col("v"), lit(0L).as("color")))
+    colored.getOrElse(und.filter(lit(false))
+      .select(col("v"), lit(0L).as("color")))
   }
 
   /** Fixed-point unit of [[simRank]] scores: s_fp = s · 10¹². */

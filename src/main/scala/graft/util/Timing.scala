@@ -12,6 +12,14 @@ object Timing {
       .getConfString("spark.graft.timeLogging", "false").toBoolean
     catch { case _: Throwable => false }
 
+  /** Rounds-to-fixpoint report for the converged-form iterative graph
+    * ops (same enable flag): one stderr line when a converged loop
+    * exits, so scale benches can record ROUNDS alongside seconds
+    * without threading a counter through every return type. */
+  def convergedRounds(op: String, rounds: Int): Unit =
+    if (enabled)
+      System.err.println(s"[graft-converged] $op: $rounds rounds")
+
   def timed[T](stage: String)(f: => T): T = {
     if (!enabled) f
     else {
