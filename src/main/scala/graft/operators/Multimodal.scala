@@ -23,12 +23,17 @@ import graft.Tables.t
   * [[renderWavs]] writes RIFF/WAVE PCM with the JDK's
   * `javax.sound.sampled`, [[decodePcmSamples]] parses it back via the
   * container's own header, and [[audioFeatures]] runs over the DECODED
-  * samples (lossless PCM → hash-checkable round trip). Only VIDEO
-  * decode stays STUBBED (`fakeDecode` byte arithmetic — the JDK ships
-  * no video codec); the plumbing around it — binary schema,
+  * samples (lossless PCM → hash-checkable round trip). VIDEO runs on
+  * a homemade length-prefixed container of REAL PNG frames
+  * ([[renderVideos]]/[[sampleVideoFrames]]: container-index parse +
+  * ImageIO decode of only the sampled frames — the JDK ships no video
+  * codec, so the container is ours, but every frame goes through a
+  * real image codec both ways). The codec-free byte-arithmetic shapes
+  * (`fakeDecode`, [[resizeStub]], [[sampleFrames]]) are retained as
+  * contrast fixtures pinning the plumbing — binary schema,
   * per-partition batching, output schema, partition-preserving
-  * execution — is the real pattern you'd use at 100 TB: media bytes
-  * never shuffle; decode is a narrow (map-side) transformation
+  * execution — which is the real pattern at 100 TB either way: media
+  * bytes never shuffle; decode is a narrow (map-side) transformation
   * emitting small typed features; column-prune upstream keeps only the
   * blob + key in flight.
   */
@@ -341,6 +346,106 @@ object Multimodal {
       aggregate(col("s"), lit(0L), (acc, x) => acc + x * x).as("energy"),
       aggregate(col("s"), lit(0L), (acc, x) => acc + abs(x)).as("sum_abs"))
 
+  /** Fixture video geometry: 6 frames of the 8×4 gray image. */
+  val VideoFrames = 6
+
+  /** Render each doc as a VIDEO: a length-prefixed container (4-byte
+    * big-endian frame length + PNG bytes, repeated) of [[VideoFrames]]
+    * REAL PNG frames — frame f's pixel i = charHash(text, i+100+1000f)
+    * mod 256, recomputable by the oracle. The JDK ships no video
+    * codec, so the container is homemade — but every byte in it is a
+    * real codec's output, and the decode side must do the two things
+    * a real video pipeline does: parse the container index and run an
+    * actual image codec per frame.
+    */
+  def renderVideos(docs: DataFrame, frames: Int = VideoFrames,
+                   w: Int = ImgW, h: Int = ImgH): DataFrame = {
+    val enc = RowEncoder.encoderFor(pngSchema)
+    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(bos)
+        var f = 0
+        while (f < frames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < w * h) {
+            val v = (graft.functions.TextFunctions
+              .charHashLocal(text, i + 100L + 1000L * f) % 256L).toInt
+            raster.setSample(i % w, i / w, 0, v)
+            i += 1
+          }
+          val fb = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", fb)
+          val bytes = fb.toByteArray
+          out.writeInt(bytes.length)
+          out.write(bytes)
+          f += 1
+        }
+        out.flush()
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  private val videoFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("psum", LongType, nullable = false),
+    StructField("pmax", LongType, nullable = false)))
+
+  /** SPARSE frame sampling over the real container: walk the length
+    * prefixes to index the frames (a container parse, no decode),
+    * then ImageIO-decode ONLY the k sampled frames (evenly spaced,
+    * frame j·n/k) and emit integer pixel features per frame. This is
+    * the production shape — a keyframe sampler seeks and decodes its
+    * samples, never the whole stream. Narrow map, blob never
+    * shuffles, k small typed rows out per video.
+    */
+  def sampleVideoFrames(media: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val enc = RowEncoder.encoderFor(videoFrameSchema)
+    media.select(col("doc_id"), col("blob")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // container index pass: frame offsets from the length prefixes
+        val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var p = 0
+        while (p + 4 <= bytes.length) {
+          val len = java.nio.ByteBuffer.wrap(bytes, p, 4).getInt
+          offs += ((p + 4, len))
+          p += 4 + len
+        }
+        val n = offs.length
+        (0 until k).iterator.map { j =>
+          val fi = j * n / k
+          val (off, len) = offs(fi)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes, off, len))
+          require(img != null, s"doc $id frame $fi: undecodable frame")
+          val raster = img.getRaster
+          var s = 0L
+          var mx = 0L
+          var i = 0
+          val wh = img.getWidth * img.getHeight
+          while (i < wh) {
+            val v = raster.getSample(i % img.getWidth, i / img.getWidth, 0).toLong
+            s += v
+            if (v > mx) mx = v
+            i += 1
+          }
+          Row(id, fi.toLong, s, mx)
+        }
+      }
+    }(enc)
+  }
+
   /** Perceptual-hash (aHash) near-duplicate detection over media — the
     * image-dedup step of a multimodal ingest pipeline. A real decoder
     * would downscale the image to a tiny grayscale grid; the STUB
@@ -443,6 +548,14 @@ object Multimodal {
       val media = t(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       sampleFrames(media)
+    },
+    // REAL video path: render a length-prefixed container of real PNG
+    // frames, then sparse-sample — container-index parse + ImageIO
+    // decode of ONLY the sampled frames (oracle recomputes the frame
+    // pixels from text; lossless PNG keeps it hash-exact)
+    "m_video_frames" -> { (s, d) =>
+      sampleVideoFrames(renderVideos(
+        t(s, d, "documents").select(col("doc_id"), col("text"))))
     },
     // STUB embedder: k rolling-hash projections of the content → a
     // float vector (a real one would run a vision/audio encoder on the
@@ -552,6 +665,19 @@ object Multimodal {
         |  least(octet_length(CAST(text AS BLOB)), 256) AS out_bytes,
         |  md5(substring(hex(CAST(text AS BLOB)), 1, 512)) AS resized_hash
         |FROM documents""".stripMargin,
+
+    // sampled frames 0/2/4 of the 6-frame container: recompute frame
+    // f's pixels (seed i + 100 + 1000f) and the same integer features
+    "m_video_frames" ->
+      s"""WITH fx AS (SELECT unnest([0, 2, 4]) AS f),
+         |px AS (
+         |  SELECT doc_id, f, list_transform(range(0, ${ImgW * ImgH}), i ->
+         |    ${varSeedHashSql("i + 100 + 1000*f")} % 256) AS p
+         |  FROM documents CROSS JOIN fx)
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(list_sum(p) AS BIGINT) AS psum,
+         |  CAST(list_max(p) AS BIGINT) AS pmax
+         |FROM px""".stripMargin,
 
     "m_frame_sample" ->
       """WITH m AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h FROM documents)

@@ -89,6 +89,21 @@ class MultimodalImageSpec extends AnyFunSuite {
     }
   }
 
+  test("video container: sparse sampling decodes frames 0/2/4 with the rendered pixels") {
+    import spark.implicits._
+    val docs = Seq((5L, "roll the film")).toDF("doc_id", "text")
+    val got = Multimodal.sampleVideoFrames(Multimodal.renderVideos(docs))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Set(0L, 2L, 4L).map { f =>
+      val px = (0 until Multimodal.ImgW * Multimodal.ImgH).map(i =>
+        graft.functions.TextFunctions.charHashLocal("roll the film",
+          i + 100L + 1000L * f) % 256L)
+      (f, px.sum, px.max)
+    }
+    assert(got === want,
+      "sampled frames diverged from the rendered per-frame pixels")
+  }
+
   test("renderWavs -> decodePcmSamples round-trips the charHash samples exactly") {
     import spark.implicits._
     val docs = Seq((1L, "listen to this"), (2L, "another sound"))
