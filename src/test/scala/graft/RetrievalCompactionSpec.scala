@@ -184,6 +184,12 @@ class RetrievalCompactionSpec extends AnyFunSuite {
       Similarity.writeLshIndex(emb, ref)
       val queries = emb.filter(col("vec_id") < 8)
       val got = Similarity.lshTopKStored(spark, dir, queries, 3)
+      got.collect()
+      // both generations' scans carry the static bucket filter (the
+      // IVF test's per-generation pruning assert, LSH layout)
+      val p = got.queryExecution.executedPlan.toString
+      assert(p.linesIterator.count(_.contains("PartitionFilters: [bucket"))
+        >= 2, s"LSH probe did not prune both generations:\n$p")
       val want = rows(Similarity.lshTopKStored(spark, ref, queries, 3))
       assert(rows(got) === want,
         "LSH delta-generation probe diverged from the monolithic build")
