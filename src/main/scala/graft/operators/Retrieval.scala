@@ -439,6 +439,41 @@ object Retrieval {
   val ProxB = "key"
   val ProxSlop = 5
 
+  /** Minimal covering window (the snippet/keyword-in-context
+    * primitive): for every doc containing ALL `terms`, the length of
+    * the shortest token span that contains at least one occurrence of
+    * each — the proximity-ranking signal a search serving layer
+    * computes for its top hits. Served from the STORED positional
+    * index with the same pruned-probe shape as
+    * [[phraseCountStored]].
+    *
+    * Exact, via the ending-occurrence sweep: for each candidate end
+    * position v (any term occurrence), the tightest window ending at
+    * v starts at min over terms of (greatest occurrence ≤ v); the
+    * answer is the min over v. All higher-order column expressions
+    * over doc-length-bounded arrays — O(len·Σ|positions|) per doc
+    * inside codegen, zero extra shuffles past the pivot.
+    */
+  def minWindowStored(spark: SparkSession, path: String,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "min-window needs at least two terms")
+    require(terms.distinct.size == terms.size, "terms must be distinct")
+    val pivoted = pivotPositions(spark, path, terms)
+    val merged = array_sort(concat(terms.indices.map(i => col(s"p$i")): _*))
+    val winAt = (v: org.apache.spark.sql.Column) => {
+      val allCovered = terms.indices
+        .map(i => size(filter(col(s"p$i"), x => x <= v)) > 0)
+        .reduce(_ && _)
+      val start = least(terms.indices.map(i =>
+        array_max(filter(col(s"p$i"), x => x <= v))): _*)
+      when(allCovered, v - start + 1)
+    }
+    pivoted
+      .withColumn("win_len",
+        array_min(transform(merged, winAt)).cast("long"))
+      .select(col("doc_id"), col("win_len"))
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.) of
     * the lexical BM25 list and the dense cosine list over the shared
     * doc_id/vec_id space — the standard two-tower fusion every
@@ -611,6 +646,11 @@ object Retrieval {
     // proximity over the split index, same union-of-generations proof
     "t_proximity_delta" -> { (s, d) =>
       proximityCountStored(s, indexDirDelta(s, d), ProxA, ProxB, ProxSlop)
+    },
+    // minimal covering window of the 3 query terms — the snippet
+    // primitive, served from the stored positional index
+    "t_min_window" -> { (s, d) =>
+      minWindowStored(s, indexDir(s, d), QueryTerms)
     }
   )
 
@@ -734,6 +774,34 @@ object Retrieval {
 
     "t_proximity" -> proximityOracleSql,
     "t_proximity_delta" -> proximityOracleSql,
+
+    // minimal covering window: same ending-occurrence sweep over the
+    // token positions, list-comprehension form
+    "t_min_window" -> {
+      val ps = QueryTerms.indices.map(i => s"p$i")
+      val defs = QueryTerms.zipWithIndex.map { case (w, i) =>
+        s"list_filter(range(1, len(t) + 1), i -> t[i] = '$w') AS p$i"
+      }.mkString(",\n  |    ")
+      val covered = ps.map(p => s"len(list_filter($p, x -> x <= v)) > 0")
+        .mkString(" AND ")
+      val starts = ps.map(p => s"list_max(list_filter($p, x -> x <= v))")
+        .mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    ${defs}
+         |  FROM d),
+         |m AS (
+         |  SELECT doc_id,
+         |    list_min(list_transform(list_sort(flatten([${ps.mkString(", ")}])),
+         |      v -> CASE WHEN $covered
+         |        THEN v - least($starts) + 1 ELSE NULL END)) AS win_len
+         |  FROM p
+         |  WHERE ${ps.map(p => s"len($p) > 0").mkString(" AND ")})
+         |SELECT doc_id, CAST(win_len AS BIGINT) AS win_len FROM m""".stripMargin
+    },
 
     // stored-serving hybrid: lex ranks from the same BM25 chain, dense
     // ranks from the RECOMPUTED stored-IVF probe (assignment, top-2

@@ -276,6 +276,68 @@ object StreamingQueries {
         col("session_start").as("start_ts"), col("session_end").as("end_ts"))
   }
 
+  /** STATEFUL checkpoint-recovery twin of [[blockFeedSessions]]: the
+    * same `flatMapGroupsWithState` sessionization, file sink +
+    * checkpoint, KILLED mid-feed and restarted. This is the harder
+    * recovery case next to [[lateFeedWindowCountsRecovered]]'s window
+    * aggregation: per-user session state (open session start/end,
+    * event count) lives in the STATE STORE, and the restart must
+    * reload the exact pre-kill state snapshot for cross-batch session
+    * stitching to survive the crash — a session spanning the kill
+    * point is the thing being tested. Oracle =
+    * [[blockFeedSessions]]'s batch sessionization SQL verbatim.
+    */
+  def blockFeedSessionsRecovered(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    import spark.implicits._
+    import EventStreams.{Event, Session}
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val assigned = withBlocks(ev, "ts", lit(0L))
+    val flush = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("_m"))))
+      .select((lit(-1L) - col("user_id")).as("event_id"),
+        (col("_m").cast("long") + lit(365L * 86400L)).cast("timestamp")
+          .as("ts"),
+        col("user_id"), lit("flush").as("event_type"), lit(0.0).as("value"))
+    val replay = new Replay("srec")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val outDir = s"/tmp/graft_recovery/sess_out_$runId"
+    val ckpt = s"/tmp/graft_recovery/sess_ckpt_$runId"
+    implicit val s: SparkSession = spark
+    def start() = EventStreams
+      .sessionize(replay.source(spark, ev.schema).as[Event])
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      (0 to 1).foreach { k =>
+        replay.add(assigned.filter(col("b") === k).drop("b"))
+        q1.processAllAvailable()
+      }
+      // block 2 lands but is not drained: sessions bridging the
+      // block-1/2 gap must be stitched from RECOVERED state
+      replay.add(assigned.filter(col("b") === 2).drop("b"))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      replay.add(assigned.filter(col("b") === 3).drop("b"))
+      q2.processAllAvailable()
+      replay.add(flush)
+      q2.processAllAvailable()
+    } finally { q2.stop(); replay.cleanup() }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start"))
+    spark.read.parquet(outDir).as[Session].toDF()
+      .filter(col("session_start") < Timestamp.valueOf("2090-01-01 00:00:00"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start").as("start_ts"), col("session_end").as("end_ts"))
+  }
+
   /** Streaming exact dedup twin — `dropDuplicatesWithinWatermark` on the
     * late + out-of-order feed, with PLANTED duplicates: every event with
     * `event_id % 5 == 0` is re-sent one batch after its arrival batch,
@@ -435,7 +497,11 @@ object StreamingQueries {
     // st_window_late but through the file sink + checkpoint, stopped
     // mid-feed and resumed — the oracle (st_window_late's SQL
     // verbatim) hash-proves the recovery changed nothing
-    "st_recovery" -> { (s, d) => lateFeedWindowCountsRecovered(s, d) }
+    "st_recovery" -> { (s, d) => lateFeedWindowCountsRecovered(s, d) },
+    // the STATEFUL twin: flatMapGroupsWithState session state must be
+    // reloaded from the state store on restart for sessions bridging
+    // the kill point (oracle = st_sessionize_stream's SQL verbatim)
+    "st_recovery_sessions" -> { (s, d) => blockFeedSessionsRecovered(s, d) }
   )
 
   /** The oracle replays the same batch assignment and watermark rule in
@@ -451,28 +517,11 @@ object StreamingQueries {
     "st_recovery" -> windowLateOracleSql,
     "st_window_late" -> windowLateOracleSql,
     // the batch sessionization (q12 shape, sans the order-dependent
-    // value sum) — the streamed block feed must reproduce it exactly
-    "st_sessionize_stream" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, date_trunc('second', ts) AS tss
-        |  FROM events),
-        |lagged AS (
-        |  SELECT user_id, event_id, tss,
-        |    lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev
-        |  FROM ev),
-        |flagged AS (
-        |  SELECT user_id, event_id, tss,
-        |    CASE WHEN prev IS NULL
-        |           OR CAST(floor(epoch(tss)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM lagged),
-        |sess AS (
-        |  SELECT user_id, tss,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS BIGINT) AS session_id
-        |  FROM flagged)
-        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  min(tss) AS start_ts, max(tss) AS end_ts
-        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // value sum) — the streamed block feed must reproduce it exactly,
+    // and the killed-and-recovered run identically (state-store
+    // recovery must not lose or duplicate an open session)
+    "st_sessionize_stream" -> sessionizeOracleSql,
+    "st_recovery_sessions" -> sessionizeOracleSql,
     // the batch interval join the streamed block feed must reproduce
     // exactly (no drops: the day-partitioned feed keeps the watermark
     // behind every view a future click can still match)
@@ -522,6 +571,28 @@ object StreamingQueries {
         |FROM events e JOIN dim ON dim.user_id = e.user_id
         |WHERE e.event_type = 'purchase'""".stripMargin
   )
+
+  private lazy val sessionizeOracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, date_trunc('second', ts) AS tss
+      |  FROM events),
+      |lagged AS (
+      |  SELECT user_id, event_id, tss,
+      |    lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev
+      |  FROM ev),
+      |flagged AS (
+      |  SELECT user_id, event_id, tss,
+      |    CASE WHEN prev IS NULL
+      |           OR CAST(floor(epoch(tss)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM lagged),
+      |sess AS (
+      |  SELECT user_id, tss,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  min(tss) AS start_ts, max(tss) AS end_ts
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
 
   private lazy val windowLateOracleSql: String =
       s"""WITH ev AS (
