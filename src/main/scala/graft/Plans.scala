@@ -189,7 +189,15 @@ object Plans {
       "t_rake (per-doc segmentation window; vocab-bounded phrase table)" ->
         operators.TextAnalysis.queries("t_rake")(spark, sfDir),
       "p_train_classifier (broadcast weights; mistake gradient = partial-agg sums)" ->
-        operators.Pipeline.queries("p_train_classifier")(spark, sfDir)
+        operators.Pipeline.queries("p_train_classifier")(spark, sfDir),
+      "t_phrase_delta (positional probe over base+delta: bucket filter on EVERY generation scan)" ->
+        operators.Retrieval.queries("t_phrase_delta")(spark, sfDir),
+      "t_min_window (snippet primitive: ending-occurrence sweep in codegen over the pivoted positions)" ->
+        operators.Retrieval.queries("t_min_window")(spark, sfDir),
+      "m_video_frames (container-index parse + per-frame codec decode, narrow map)" ->
+        operators.Multimodal.queries("m_video_frames")(spark, sfDir),
+      "m_audio_features (WAV decode + exact-integer features, narrow map)" ->
+        operators.Multimodal.queries("m_audio_features")(spark, sfDir)
     )
 
     val sb = new StringBuilder
