@@ -23,6 +23,18 @@ run_one() { # label reps
 }
 
 : > "$LOG"
+# set = "del": only the delete lifecycle, over an index a prior serve
+# run left on disk (compacted single-generation base)
+if [ "$SET" = "del" ]; then
+  run_one postings_delete_1pct 1
+  run_one search_stored_tombed_probe 2
+  run_one phrase_stored_tombed_probe 2
+  run_one postings_compact_tombs 1
+  run_one postings_vacuum_tombs 1
+  run_one search_stored_postdelete 2
+  echo "isolated delete-lifecycle run complete -> $LOG"
+  exit 0
+fi
 run_one postings_build 1
 for q in search_stored_probe bm25_stored_probe phrase_stored_probe \
          phrase_stored_hot proximity_stored; do
@@ -37,6 +49,13 @@ run_one phrase_stored_delta_probe 2
 run_one postings_compact 1
 run_one postings_vacuum 1
 run_one search_stored_postcompact 2
+# delete lifecycle: tombstone 1%, probe through the fence, fold + reclaim
+run_one postings_delete_1pct 1
+run_one search_stored_tombed_probe 2
+run_one phrase_stored_tombed_probe 2
+run_one postings_compact_tombs 1
+run_one postings_vacuum_tombs 1
+run_one search_stored_postdelete 2
 if [ "$SET" = "all" ]; then
   for q in exact_dedup minhash_pairs snm_pairs pmi_bigrams quality_scan \
            tokens_count leak_safe_split; do

@@ -154,6 +154,22 @@ object TextScaleBench {
     once("postings_vacuum")(())(Retrieval.vacuumPostingsIndex(spark, idx))
     time("search_stored_postcompact")(
       Retrieval.conjunctiveSearchStored(spark, idx, probeTerms).count())
+    // tombstoned DELETE of 1% of the corpus (every 100th doc): O(delta)
+    // write — nothing indexed is rewritten
+    once("postings_delete_1pct")(())(Retrieval.deletePostingsDocs(spark, idx,
+      docs.filter(col("doc_id") % 100 === 7).select(col("doc_id"))))
+    // probes through the fence: the broadcast anti-filter must not move
+    // serving off its flat probed-buckets curve
+    time("search_stored_tombed_probe")(
+      Retrieval.conjunctiveSearchStored(spark, idx, probeTerms).count())
+    time("phrase_stored_tombed_probe")(
+      Retrieval.phraseCountStored(spark, idx, Seq("w37", "w411")).count())
+    // fold the fence away (re-layout minus the victims) and reclaim
+    once("postings_compact_tombs")(())(
+      Retrieval.compactPostingsIndex(spark, idx))
+    once("postings_vacuum_tombs")(())(Retrieval.vacuumPostingsIndex(spark, idx))
+    time("search_stored_postdelete")(
+      Retrieval.conjunctiveSearchStored(spark, idx, probeTerms).count())
 
     docs.unpersist(blocking = false)
     spark.stop()

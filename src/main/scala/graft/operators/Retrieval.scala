@@ -103,8 +103,12 @@ object Retrieval {
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
       .coalesce(1).write.mode("overwrite").parquet(dir)
 
-  /** Union of the base + delta stats rows, re-summed (≤ generations
-    * rows — driver-trivial). Falls back to aggregating doclens for a
+  /** Union of the base + delta + tombstone stats rows, re-summed
+    * (≤ generations rows — driver-trivial). A tombstone generation
+    * carries a NEGATIVE stats row (−deleted docs, −their token count,
+    * written at delete time from the then-live doclens), so the sum
+    * stays the exact stats of the served corpus without an O(N)
+    * doclens pass. Falls back to aggregating doclens for a
     * pre-stats-sidecar index layout. */
   private def allStats(spark: SparkSession, path: String): DataFrame = {
     val (base, minDelta) = graft.util.IndexCommit.resolve(spark, path)
@@ -114,7 +118,8 @@ object Retrieval {
       return allDoclens(spark, path)
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val gens = spark.read.parquet(s"$base/stats") +:
-      graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
+      (graft.util.IndexCommit.deltaDirs(spark, path, minDelta) ++
+        graft.util.IndexCommit.tombDirs(spark, path, minDelta))
         .map(d => spark.read.parquet(s"$d/stats"))
     gens.reduce(_ unionAll _)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
@@ -143,23 +148,93 @@ object Retrieval {
     * are disjoint by contract (append = new documents), so (term,
     * doc_id) stays unique without re-aggregation.
     */
-  private def allPostings(spark: SparkSession, path: String): DataFrame = {
-    val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, path)
-    val base = spark.read.parquet(s"$baseDir/postings")
-    graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
-      .foldLeft(base) { (acc, d) =>
-        acc.unionAll(spark.read.parquet(s"$d/postings"))
-      }
-  }
+  private def allPostings(spark: SparkSession, path: String): DataFrame =
+    allGenerations(spark, path, "postings")
 
   /** Base + delta doc-length sidecars, unioned (same contract). */
-  private def allDoclens(spark: SparkSession, path: String): DataFrame = {
+  private def allDoclens(spark: SparkSession, path: String): DataFrame =
+    allGenerations(spark, path, "doclens")
+
+  /** Shared generation-union reader for a per-doc table (`postings` or
+    * `doclens`): base + every live delta, with the tombstone fence
+    * applied when the index has live [[deletePostingsDocs]] tombstones.
+    * Delete-free indexes take the fence-free path — identical plans to
+    * before deletes existed. */
+  private def allGenerations(spark: SparkSession, path: String,
+                             table: String): DataFrame = {
     val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, path)
-    val base = spark.read.parquet(s"$baseDir/doclens")
-    graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
+    val tombs = liveTombstones(spark, path, minDelta)
+    def gen(dir: String, seq: Int): DataFrame = {
+      val df = spark.read.parquet(s"$dir/$table")
+      if (tombs.isEmpty) df else df.withColumn("_gseq", lit(seq))
+    }
+    // the base folds every generation < minDelta, so any LIVE tombstone
+    // (id >= minDelta) is newer than every base row
+    val base = gen(baseDir, minDelta - 1)
+    val unioned = graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
       .foldLeft(base) { (acc, d) =>
-        acc.unionAll(spark.read.parquet(s"$d/doclens"))
+        acc.unionAll(gen(d, d.split('/').last.stripPrefix("delta_").toInt))
       }
+    fenceTombstones(unioned, tombs)
+  }
+
+  /** All live tombstones of an index as (doc_id, _tseq) — one row per
+    * deleted doc per delete generation. None when delete-free. */
+  private def liveTombstones(spark: SparkSession, path: String,
+                             minDelta: Int): Option[DataFrame] = {
+    val dirs = graft.util.IndexCommit.tombDirs(spark, path, minDelta)
+    if (dirs.isEmpty) None
+    else Some(dirs.map { d =>
+      val seq = d.split('/').last.stripPrefix("tomb_").toInt
+      spark.read.parquet(s"$d/docs")
+        .select(col("doc_id"), lit(seq).as("_tseq"))
+    }.reduce(_ unionAll _))
+  }
+
+  /** Apply the tombstone fence to a generation-tagged frame: a row
+    * from generation g survives unless a tombstone with seq > g names
+    * its doc — so a doc re-appended AFTER its deletion (the upsert
+    * pattern: [[deletePostingsDocs]] then [[appendPostingsDelta]])
+    * serves its NEW version only. The tombstone side is broadcast: by
+    * the compaction contract it is delta-sized (deletes since the last
+    * fold), never corpus-sized — and the probe's bucket filters still
+    * push below this join, so scans stay pruned. */
+  private def fenceTombstones(df: DataFrame,
+                              tombs: Option[DataFrame]): DataFrame =
+    tombs match {
+      case None => df
+      case Some(ts) =>
+        val mx = ts.groupBy(col("doc_id")).agg(max(col("_tseq")).as("_tmax"))
+        df.join(broadcast(mx), Seq("doc_id"), "left")
+          .filter(col("_tmax").isNull || col("_tmax") < col("_gseq"))
+          .drop("_tmax", "_gseq")
+    }
+
+  /** Delete documents from a stored index as a TOMBSTONE generation —
+    * the O(delta) twin of [[appendPostingsDelta]] for the other half
+    * of corpus maintenance (takedowns, dedup-driven removals,
+    * re-ingestion upserts). Nothing indexed is rewritten: the delete
+    * writes the doc-id set plus a NEGATIVE stats row (−count, −total
+    * tokens of the then-live victims), and probes fence matching rows
+    * out at serve time. A later [[appendPostingsDelta]] of the same
+    * doc_id serves the new version (generation ids are one sequence,
+    * the fence compares them). [[compactPostingsIndex]] folds
+    * tombstones into the next base and the fence cost disappears;
+    * deleting a doc that is not live is a no-op. The `_COMMIT` marker
+    * is written LAST — a crashed half-written delete fences nothing.
+    */
+  def deletePostingsDocs(spark: SparkSession, path: String,
+                         docIds: DataFrame): Unit = {
+    val next = graft.util.IndexCommit.nextDeltaId(spark, path)
+    val dir = s"$path/tomb_$next"
+    val keys = docIds.select(col("doc_id")).distinct()
+    allDoclens(spark, path).join(keys, Seq("doc_id"), "left_semi")
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("tot"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    keys.write.mode("overwrite").parquet(s"$dir/docs")
+    val fs = graft.util.IndexCommit.fs(spark, path)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT"), true).close()
   }
 
   /** Append NEW documents to a stored index as a delta generation —
@@ -201,7 +276,8 @@ object Retrieval {
   def compactPostingsIndex(spark: SparkSession, path: String): Unit = {
     val (_, minDelta) = graft.util.IndexCommit.resolve(spark, path)
     val deltas = graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
-    if (deltas.isEmpty) return
+    val tombs = graft.util.IndexCommit.tombDirs(spark, path, minDelta)
+    if (deltas.isEmpty && tombs.isEmpty) return
     val post = allPostings(spark, path)
     val dl = allDoclens(spark, path)
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, path)}"
@@ -210,8 +286,10 @@ object Retrieval {
       .parquet(s"$path/$gen/postings")
     dl.write.mode("overwrite").parquet(s"$path/$gen/doclens")
     writeStats(dl, s"$path/$gen/stats")
-    val foldedMax = deltas
-      .map(_.split('/').last.stripPrefix("delta_").toInt).max
+    // tombstones share the delta id sequence, so one watermark fences
+    // both kinds; the folded base holds only fenced (live) rows
+    val foldedMax = (deltas ++ tombs)
+      .map(_.split('_').last.toInt).max
     graft.util.IndexCommit.commit(spark, path, gen, foldedMax + 1)
   }
 
@@ -589,6 +667,56 @@ object Retrieval {
     base
   }
 
+  /** The upsert marker token appended to re-ingested gate docs. */
+  val RevisedMark = "revisedmark"
+
+  /** Build-once DELETE/UPSERT index fixture: evens at build, odds
+    * appended (tombstones must fence across BOTH the base and a delta
+    * generation), every doc_id % 7 == 0 DELETED, then the % 21 == 0
+    * subset RE-APPENDED with a marker token — the takedown + re-ingest
+    * lifecycle. The served corpus the oracle mirrors is
+    * [[tombCorpusSql]]. */
+  def indexDirTomb(spark: SparkSession, sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_" +
+      Integer.toHexString(canonical.hashCode) + "_tomb"
+    val base = s"/tmp/graft_text/$name"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_INDEX_SUCCESS_v2")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = t(spark, sfDir, "documents")
+      writePostingsIndex(docs.filter(col("doc_id") % 2 === 0), base)
+      appendPostingsDelta(docs.filter(col("doc_id") % 2 =!= 0), base)
+      deletePostingsDocs(spark, base,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      appendPostingsDelta(docs.filter(col("doc_id") % 21 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(s" $RevisedMark")).as("text")), base)
+      fs.create(marker, true).close()
+    }
+    base
+  }
+
+  /** The corpus the tombstone fixture serves, as DuckDB SQL — shadows
+    * the `documents` table in any oracle via [[overCorpus]]. */
+  private lazy val tombCorpusSql: String =
+    s"""SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, text || ' $RevisedMark' AS text
+       |  FROM documents WHERE doc_id % 21 = 0""".stripMargin
+
+  /** Re-scope an oracle written against `documents` to a derived
+    * corpus: prepend a CTE holding the derived corpus and repoint the
+    * oracle's corpus reads at it (a CTE cannot share the shadowed
+    * table's name — it would be a circular reference). */
+  private def overCorpus(sql: String, corpus: String): String = {
+    require(sql.startsWith("WITH "), s"oracle must start with WITH: $sql")
+    s"WITH served_docs AS (\n  $corpus),\n" +
+      sql.stripPrefix("WITH ").replace("FROM documents", "FROM served_docs")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AND-search served from the stored bucket-partitioned index;
     // oracle = plain SQL over documents (the index is an access path,
@@ -651,6 +779,26 @@ object Retrieval {
     // primitive, served from the stored positional index
     "t_min_window" -> { (s, d) =>
       minWindowStored(s, indexDir(s, d), QueryTerms)
+    },
+    // conjunctive search over the DELETE/UPSERT fixture: tombstoned
+    // docs fenced out of base AND delta generations, re-appended docs
+    // served in their new version — the oracle runs the same SQL over
+    // the post-lifecycle corpus
+    "t_search_deleted" -> { (s, d) =>
+      conjunctiveSearchStored(s, indexDirTomb(s, d), QueryTerms)
+    },
+    // BM25 over the same fixture: exercises the NEGATIVE stats rows
+    // (N/avgdl of the served corpus, no O(N) doclens rescan) and the
+    // fenced doclens sidecar — idf and length normalization must
+    // reflect deletions exactly
+    "t_bm25_deleted" -> { (s, d) =>
+      bm25TopKStored(s, indexDirTomb(s, d), QueryTerms)
+    },
+    // positional probe over the same fixture: phrase occurrences from
+    // deleted docs vanish, from re-appended docs come from the NEW
+    // version's positions
+    "t_phrase_deleted" -> { (s, d) =>
+      phraseCountStored(s, indexDirTomb(s, d), PhraseTerms)
     }
   )
 
@@ -774,6 +922,14 @@ object Retrieval {
 
     "t_proximity" -> proximityOracleSql,
     "t_proximity_delta" -> proximityOracleSql,
+
+    // the delete/upsert fixture gates: the SAME oracle texts, re-scoped
+    // to the post-lifecycle corpus — deletions and re-ingestions are
+    // index maintenance, not semantics, so the answer must equal a
+    // fresh build over the surviving docs
+    "t_search_deleted" -> overCorpus(searchOracleSql, tombCorpusSql),
+    "t_bm25_deleted" -> overCorpus(bm25OracleSql, tombCorpusSql),
+    "t_phrase_deleted" -> overCorpus(phraseOracleSql, tombCorpusSql),
 
     // minimal covering window: same ending-occurrence sweep over the
     // token positions, list-comprehension form

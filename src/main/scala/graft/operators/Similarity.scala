@@ -384,13 +384,15 @@ object Similarity {
                                  partCol: String): Unit = {
     val (_, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
     val deltas = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta)
-    if (deltas.isEmpty) return
+    val tombs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
+    if (deltas.isEmpty && tombs.isEmpty) return
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
     allVectorGens(spark, dir, partCol, None)
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$dir/$gen/vectors")
-    val foldedMax = deltas
-      .map(_.split('/').last.stripPrefix("delta_").toInt).max
+    // deltas and tombstones share one id sequence → one watermark
+    val foldedMax = (deltas ++ tombs)
+      .map(_.split('_').last.toInt).max
     graft.util.IndexCommit.commit(spark, dir, gen, foldedMax + 1)
   }
 
@@ -409,23 +411,61 @@ object Similarity {
     allVectorGens(spark, dir, "cluster", probes)
 
   /** LATEST-resolved base + live delta vector generations under the
-    * `partCol` (cluster/bucket) layout. */
+    * `partCol` (cluster/bucket) layout, with [[deleteVectors]]
+    * tombstones fenced (sequence-aware, so a vector re-appended after
+    * its deletion serves its NEW embedding — the re-embed/upsert
+    * pattern). Delete-free indexes skip the fence entirely. */
   private def allVectorGens(spark: SparkSession, dir: String,
                             partCol: String,
                             probes: Option[Seq[Long]]): DataFrame = {
     val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
-    (s"$baseDir/vectors" +:
+    val tombDirs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
+    val unioned = ((s"$baseDir/vectors", minDelta - 1) +:
         graft.util.IndexCommit.deltaDirs(spark, dir, minDelta)
-          .map(d => s"$d/vectors"))
-      .map { v =>
+          .map(d => (s"$d/vectors", d.split('/').last.stripPrefix("delta_").toInt)))
+      .map { case (v, seq) =>
         val raw = spark.read.parquet(v)
         val pruned = probes.fold(raw)(p => raw.where(col(partCol).isin(p: _*)))
         // partition-column inference can narrow cluster to INT; the
         // recompute variant returns LONG — keep the schemas identical
-        pruned.select(col("vec_id"), col("embedding"),
+        val typed = pruned.select(col("vec_id"), col("embedding"),
           col(partCol).cast("long").as(partCol))
+        if (tombDirs.isEmpty) typed
+        else typed.withColumn("_gseq", lit(seq))
       }
       .reduce(_ unionAll _)
+    if (tombDirs.isEmpty) unioned
+    else {
+      val mx = tombDirs.map { d =>
+          val seq = d.split('/').last.stripPrefix("tomb_").toInt
+          spark.read.parquet(s"$d/docs")
+            .select(col("vec_id"), lit(seq).as("_tseq"))
+        }.reduce(_ unionAll _)
+        .groupBy(col("vec_id")).agg(max(col("_tseq")).as("_tmax"))
+      // broadcast: tombstones are delta-sized by the compaction
+      // contract; the probe's partition filters stay pushed below
+      unioned.join(broadcast(mx), Seq("vec_id"), "left")
+        .filter(col("_tmax").isNull || col("_tmax") < col("_gseq"))
+        .drop("_tmax", "_gseq")
+    }
+  }
+
+  /** Delete vectors from a stored IVF/LSH index as a TOMBSTONE
+    * generation — the O(delta) removal half of ANN maintenance
+    * (takedowns, re-embeds). Nothing partitioned is rewritten: probes
+    * fence tombstoned ids at serve time; a later append of the same
+    * vec_id (against the frozen centroids/hyperplanes) serves the new
+    * embedding. [[compactIvfIndex]]/[[compactLshIndex]] fold the fence
+    * away. `_COMMIT` is written last — a crashed delete fences
+    * nothing. */
+  def deleteVectors(spark: SparkSession, dir: String,
+                    vecIds: DataFrame): Unit = {
+    val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
+    val d = s"$dir/tomb_$next"
+    vecIds.select(col("vec_id")).distinct()
+      .write.mode("overwrite").parquet(s"$d/docs")
+    graft.util.IndexCommit.fs(spark, dir)
+      .create(new org.apache.hadoop.fs.Path(s"$d/_COMMIT"), true).close()
   }
 
   /** Probe a stored IVF index: rank centroids for each query vector,
@@ -538,6 +578,22 @@ object Similarity {
         fs.delete(new org.apache.hadoop.fs.Path(s"$base/pq"), true)
       writePqIndex(t(spark, sfDir, "embeddings"), s"$base/pq")
       fs.create(pqMarker, true).close()
+    }
+    // the delete/restore lifecycle fixture: full IVF build, every
+    // vec_id % 9 == 0 tombstoned, the % 18 == 0 subset re-appended
+    // (identical embeddings, frozen centroids) — the sequence-aware
+    // fence must serve survivors ∪ restored, nothing twice
+    val tombMarker = new org.apache.hadoop.fs.Path(s"$base/ivf_tomb/_INDEX_SUCCESS")
+    if (!fs.exists(tombMarker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/ivf_tomb")))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/ivf_tomb"), true)
+      val emb = t(spark, sfDir, "embeddings")
+      writeIvfIndex(emb, s"$base/ivf_tomb")
+      deleteVectors(spark, s"$base/ivf_tomb",
+        emb.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+      appendIvfDelta(spark, s"$base/ivf_tomb",
+        emb.filter(col("vec_id") % 18 === 0))
+      fs.create(tombMarker, true).close()
     }
     base
   }
@@ -901,6 +957,14 @@ object Similarity {
     },
     "sim_lsh_stored" -> { (s, d) =>
       lshTopKStored(s, s"${indexDir(s, d)}/lsh",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
+    },
+    // stored IVF probe over the delete/restore fixture: tombstoned
+    // vectors vanish from every generation's probe, restored ones
+    // serve exactly once — the oracle recomputes the probe over
+    // survivors ∪ restored with the same frozen (full-set) centroids
+    "sim_ivf_deleted" -> { (s, d) =>
+      ivfTopKStored(s, s"${indexDir(s, d)}/ivf_tomb",
         t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
     },
     "sim_lsh_multiprobe" -> { (s, d) =>
@@ -1284,6 +1348,13 @@ object Similarity {
     // persisting the index must not change a single result row
     "sim_ivf_stored" -> ivfOracleSql,
     "sim_lsh_stored" -> lshOracleSql,
+    // centroids stay the FULL corpus's (frozen at build); only the
+    // candidate set shrinks to survivors ∪ restored — queries are
+    // probe inputs, not index members, so q stays unfiltered
+    "sim_ivf_deleted" -> ivfOracleSql.replace(
+      "FROM assigned a JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id),",
+      "FROM assigned a JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id\n" +
+        "  WHERE a.vec_id % 9 <> 0 OR a.vec_id % 18 = 0),"),
 
     // same subspace slicing, max-inner-product coding, and ORDER-PINNED
     // partial-dot fold as pqTopK (array_agg(... ORDER BY m) + list_reduce

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.graph.GraphQueries
+import graft.meta.GraphArMeta
 
 /** Correctness-gate wiring for the GraphAr connector: writes a GraphAr
   * graph derived from the testdata parquet (once per sf dir), reads it
@@ -469,6 +470,45 @@ object GraphArQueries {
     // src%41 removal), one row per net copy
     "ga_changes" -> { (s, d) =>
       GraphArMutations.edgeChanges(s, mutationFixture(s, d), 0L, 2L)
+    },
+    // incremental view maintenance from the CDF: the v2 degree table is
+    // folded O(changes) from the v0 degrees + the v0→v2 change feed —
+    // the edge table is never rescanned — and equals the oracle's full
+    // recompute over the v2 state. Zero-degree rows (every edge of a
+    // vertex deleted) are dropped to match recompute semantics.
+    "ga_ivm_degrees" -> { (s, d) =>
+      val base = mutationFixture(s, d)
+      val v0 = s.read.format("graphar").option("snapshotBase", base)
+        .option("snapshot", "0")
+        .option("src", "Part").option("type", "link").option("dst", "Part")
+        .load()
+      val prev = v0
+        .groupBy(col(GraphArMeta.SrcIndexCol).as(GraphArMeta.GidCol))
+        .agg(count(lit(1)).as("degree"))
+      GraphArMutations
+        .maintainDegrees(prev, GraphArMutations.edgeChanges(s, base, 0L, 2L))
+        .filter(col("degree") > 0)
+    },
+    // IVM of a connected-components labeling from the INSERT-ONLY v0→v1
+    // feed (addEdges only): merges decided by a driver union-find over
+    // the O(changes) label-pair graph, prev relabeled map-side — vs the
+    // oracle's reachability closure over the full v1 edge set. Induced
+    // to <512 like g_components (the closure oracle is O(component²)).
+    "ga_ivm_components" -> { (s, d) =>
+      val base = mutationFixture(s, d)
+      val v0 = s.read.format("graphar").option("snapshotBase", base)
+        .option("snapshot", "0")
+        .option("src", "Part").option("type", "link").option("dst", "Part")
+        .load()
+        .filter(col(GraphArMeta.SrcIndexCol) < 512 &&
+          col(GraphArMeta.DstIndexCol) < 512)
+        .select(col(GraphArMeta.SrcIndexCol).as("src"),
+          col(GraphArMeta.DstIndexCol).as("dst"))
+      val prev = graft.graph.GraphOps.connectedComponents(s, v0)
+        .select(col("v").as(GraphArMeta.GidCol), col("component"))
+      val feed = GraphArMutations.edgeChanges(s, base, 0L, 1L)
+        .filter(col("src") < 512 && col("dst") < 512)
+      GraphArMutations.maintainComponents(prev, feed)
     }
   )
 
@@ -586,6 +626,31 @@ object GraphArQueries {
          |  SELECT s AS src, d AS dst, q AS quantity,
          |    CASE WHEN dl > 0 THEN 'insert' ELSE 'delete' END AS "_change_type",
          |    unnest(generate_series(1, CAST(abs(dl) AS BIGINT))) AS i
-         |  FROM net)""".stripMargin
+         |  FROM net)""".stripMargin,
+    "ga_ivm_degrees" ->
+      s"""WITH base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
+         |    l_partkey % ${GraphQueries.V} AS d FROM lineitem),
+         |delta AS (SELECT (l_orderkey * 7) % ${GraphQueries.V} AS s,
+         |    (l_partkey * 3) % ${GraphQueries.V} AS d
+         |  FROM lineitem WHERE l_orderkey % 97 = 0),
+         |v2 AS (SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+         |  WHERE s % 41 <> 0)
+         |SELECT s AS "grapharId", CAST(count(*) AS BIGINT) AS degree
+         |FROM v2 GROUP BY 1""".stripMargin,
+    "ga_ivm_components" ->
+      s"""WITH RECURSIVE base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
+         |    l_partkey % ${GraphQueries.V} AS d FROM lineitem),
+         |delta AS (SELECT (l_orderkey * 7) % ${GraphQueries.V} AS s,
+         |    (l_partkey * 3) % ${GraphQueries.V} AS d
+         |  FROM lineitem WHERE l_orderkey % 97 = 0),
+         |v1 AS (SELECT s AS src, d AS dst
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+         |  WHERE s < 512 AND d < 512),
+         |ue AS (SELECT src, dst FROM v1 UNION SELECT dst, src FROM v1),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT src AS v, src AS r FROM ue
+         |  UNION
+         |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
+         |SELECT v AS "grapharId", min(r) AS component FROM reach GROUP BY v""".stripMargin
   )
 }

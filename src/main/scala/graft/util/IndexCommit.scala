@@ -48,7 +48,11 @@ object IndexCommit {
     }
   }
 
-  /** Atomically repoint LATEST: write a temp file, rename over. */
+  /** Atomically repoint LATEST: write a temp file, then ONE
+    * overwriting rename (`FileContext.rename(OVERWRITE)` — atomic on
+    * HDFS and POSIX). A delete-then-rename pair would leave a crash
+    * window with NO pointer, which after a vacuum has reclaimed the
+    * legacy root layout would strand readers. */
   def commit(spark: SparkSession, root: String, base: String,
              minDelta: Int): Unit = {
     val f = fs(spark, root)
@@ -56,8 +60,10 @@ object IndexCommit {
     val out = f.create(tmp, true)
     try out.write(s"$base $minDelta\n".getBytes("UTF-8")) finally out.close()
     val dst = new Path(s"$root/LATEST")
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"pointer flip failed for $root")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.makeQualified(dst).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Next base generation id: one past the highest existing base_<n>. */
@@ -85,17 +91,40 @@ object IndexCommit {
       .map(_._2.toString)
   }
 
-  /** Next delta id: one past the highest existing delta_<k> (folded
-    * or live — ids are never reused, so a reader's minDelta filter
-    * stays correct across compactions). */
+  /** Next generation id: one past the highest existing delta_<k> OR
+    * tomb_<k> (folded or live — ids are never reused, so a reader's
+    * minDelta filter stays correct across compactions). Append and
+    * tombstone generations share ONE sequence: their relative order is
+    * what decides whether a delete fences a row (a doc re-appended
+    * AFTER its deletion must serve). */
   def nextDeltaId(spark: SparkSession, root: String): Int = {
     val f = fs(spark, root)
     val p = new Path(root)
     if (!f.exists(p)) 0
     else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
-      .map(_.getPath.getName.stripPrefix("delta_").toInt)
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("delta_") ||
+          s.getPath.getName.startsWith("tomb_")))
+      .map(_.getPath.getName.split('_').last.toInt)
       .foldLeft(-1)(math.max) + 1
+  }
+
+  /** Sorted COMMITTED tombstone generation dirs with id >= minDelta.
+    * A tombstone dir is visible only once its `_COMMIT` marker exists
+    * (written last), so a crashed half-written delete never fences
+    * anything. */
+  def tombDirs(spark: SparkSession, root: String,
+               minDelta: Int = 0): Seq[String] = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tomb_"))
+      .map(s => (s.getPath.getName.stripPrefix("tomb_").toInt, s.getPath))
+      .filter(_._1 >= minDelta)
+      .filter(t => f.exists(new Path(t._2, "_COMMIT")))
+      .sortBy(_._1)
+      .map(_._2.toString)
   }
 
   /** Reclaim every generation the live pointer no longer references:
@@ -116,6 +145,8 @@ object IndexCommit {
         (n.startsWith("base_") && n != baseName) ||
         (n.startsWith("delta_") &&
           n.stripPrefix("delta_").toInt < minDelta) ||
+        (n.startsWith("tomb_") &&
+          n.stripPrefix("tomb_").toInt < minDelta) ||
         legacyDirs.contains(n)
       if (dead) f.delete(s.getPath, true)
     }

@@ -190,6 +190,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected bucket PartitionFilters on base AND delta scans, got $filters in:\n$pd")
   }
 
+  test("tombstone fence: probe scans stay bucket-pruned, tombstones broadcast") {
+    // the delete/upsert fixture has base + 2 deltas + 1 tombstone: the
+    // fence (an anti-filter join on doc_id) must not defeat the static
+    // bucket pruning on ANY generation scan, and the tombstone side —
+    // delta-sized by the compaction contract — must broadcast, never
+    // shuffle the probed postings
+    val idx = operators.Retrieval.indexDirTomb(spark, sf)
+    val df = operators.Retrieval.conjunctiveSearchStored(
+      spark, idx, operators.Retrieval.QueryTerms)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val filters = p.linesIterator.count(_.contains("PartitionFilters: [bucket"))
+    assert(filters >= 3,
+      s"expected bucket PartitionFilters on base AND both delta scans, got $filters in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"tombstone fence did not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fence shuffled the probed postings in:\n$p")
+  }
+
   test("stored positional phrase probe reads only the phrase terms' buckets") {
     val base = operators.Retrieval.indexDir(spark, sf)
     val df = operators.Retrieval.phraseCountStored(

@@ -121,6 +121,67 @@ class RetrievalCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstoned deletes fence base+delta rows, upserts serve the new version, compaction folds them away") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val dir = "/tmp/graft_text_tomb_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      // lifecycle: evens at build, odds appended, %5 deleted (victims in
+      // BOTH generations), %10 re-appended with a marker token (upsert)
+      Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0), dir)
+      Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 2 =!= 0), dir)
+      Retrieval.deletePostingsDocs(spark, dir,
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+      val revised = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" zzrevz")).as("text"))
+      Retrieval.appendPostingsDelta(revised, dir)
+      // reference: one fresh build over the corpus the lifecycle leaves
+      val survivors = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(revised)
+      Retrieval.writePostingsIndex(survivors, ref)
+
+      val terms = Retrieval.QueryTerms
+      def probes(d: String) = Seq(
+        rows(Retrieval.conjunctiveSearchStored(spark, d, terms)),
+        rows(Retrieval.bm25TopKStored(spark, d, terms)), // negative stats
+        rows(Retrieval.phraseCountStored(spark, d, Bigram)))
+      val want = probes(ref)
+      assert(want.forall(_.nonEmpty), "vacuous fixture: a probe is empty")
+      assert(probes(dir) === want,
+        "tombstone-fenced serving diverged from a fresh build over survivors")
+      // the upsert is observable: the marker bigram matches re-appended
+      // docs only in their NEW version (old rows must be fenced, or
+      // (term, doc) would double and hits would drift)
+      val markerHits = rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Seq("zzrevz")))
+      assert(markerHits ===
+        rows(Retrieval.conjunctiveSearchStored(spark, ref, Seq("zzrevz"))))
+      assert(markerHits.nonEmpty, "upsert marker absent — vacuous")
+      // deleting a doc that is not live is a no-op (stats row is 0/0)
+      Retrieval.deletePostingsDocs(spark, dir,
+        spark.range(1).select((col("id") + 1000000000L).as("doc_id")))
+      assert(probes(dir) === want)
+
+      // pre-fold reader survives the atomic commit; fold removes the
+      // fence (tombstones superseded by the new base watermark)
+      val preFold = Retrieval.bm25TopKStored(spark, dir, terms)
+      Retrieval.compactPostingsIndex(spark, dir)
+      assert(rows(preFold) === want(1))
+      assert(probes(dir) === want)
+      Retrieval.vacuumPostingsIndex(spark, dir)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!left.exists(_.startsWith("tomb_")),
+        s"folded tombstones survived vacuum: $left")
+      assert(probes(dir) === want)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    }
+  }
+
   test("IVF delta append == monolithic build with the same centroids; compaction atomic + vacuum") {
     import graft.operators.Similarity
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
@@ -161,6 +222,53 @@ class RetrievalCompactionSpec extends AnyFunSuite {
       assert(left.contains("centroids"), "vacuum must not touch centroids")
       assert(rows(Similarity.ivfTopKStored(spark, dir, queries, 3,
         nProbe = 2)) === want)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    }
+  }
+
+  test("IVF tombstoned deletes fence every generation; restore serves once; compaction folds the fence away") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = "/tmp/graft_ivf_tomb_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      // deletes = odd multiples of 3 (never a % 40 == 0 centroid id, so
+      // the monolithic reference build freezes the SAME centroid set);
+      // restores = the odd-multiples-of-9 subset
+      val deleted = col("vec_id") % 2 === 1 && col("vec_id") % 3 === 0
+      val restored = col("vec_id") % 2 === 1 && col("vec_id") % 9 === 0
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+      Similarity.appendIvfDelta(spark, dir,
+        emb.filter(col("vec_id") % 2 =!= 0))
+      Similarity.deleteVectors(spark, dir,
+        emb.filter(deleted).select(col("vec_id")))
+      Similarity.appendIvfDelta(spark, dir, emb.filter(restored))
+      Similarity.writeIvfIndex(emb.filter(!deleted || restored), ref)
+
+      val queries = emb.filter(col("vec_id") < 8)
+      def probe(d: String) =
+        Similarity.ivfTopKStored(spark, d, queries, 3, nProbe = 2)
+      val want = rows(probe(ref))
+      assert(rows(probe(dir)) === want,
+        "tombstone-fenced probe diverged from the monolithic served-set build")
+      // the fence is observable: the full no-delete index ranks differently
+      assert(want !== rows(Similarity.ivfTopKStored(spark,
+        Similarity.indexDir(spark, "/root/testdata/sf0.001") + "/ivf",
+        queries, 3, nProbe = 2)), "vacuous: deletes did not change the probe")
+
+      val preFold = probe(dir)
+      Similarity.compactIvfIndex(spark, dir)
+      assert(rows(preFold) === want)
+      Similarity.vacuumVectorIndex(spark, dir)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!left.exists(_.startsWith("tomb_")),
+        s"folded tombstones survived vacuum: $left")
+      assert(rows(probe(dir)) === want)
     } finally {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
