@@ -396,10 +396,10 @@ object Similarity {
     graft.util.IndexCommit.commit(spark, dir, gen, foldedMax + 1)
   }
 
-  /** Delete generations the live pointer no longer references (IVF
-    * and LSH layouts alike); run after in-flight readers drain. */
+  /** Delete generations the live pointer no longer references (IVF,
+    * LSH, and PQ layouts alike); run after in-flight readers drain. */
   def vacuumVectorIndex(spark: SparkSession, dir: String): Unit =
-    graft.util.IndexCommit.vacuum(spark, dir, Seq("vectors"))
+    graft.util.IndexCommit.vacuum(spark, dir, Seq("vectors", "codes"))
 
   /** Base + delta vector generations; `probes` (when given) is applied
     * PER GENERATION on the raw partition column, so static pruning
@@ -595,6 +595,24 @@ object Similarity {
         emb.filter(col("vec_id") % 18 === 0))
       fs.create(tombMarker, true).close()
     }
+    // the full PQ maintenance lifecycle on one fixture: split build
+    // (evens at build — every % 40 == 0 codebook source is even, so
+    // the frozen codebook equals the full corpus's), odds appended
+    // against it, % 9 == 0 tombstoned, % 18 == 0 restored
+    val pqTombMarker = new org.apache.hadoop.fs.Path(s"$base/pq_tomb/_INDEX_SUCCESS")
+    if (!fs.exists(pqTombMarker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/pq_tomb")))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/pq_tomb"), true)
+      val emb = t(spark, sfDir, "embeddings")
+      writePqIndex(emb.filter(col("vec_id") % 2 === 0), s"$base/pq_tomb")
+      appendPqDelta(spark, s"$base/pq_tomb",
+        emb.filter(col("vec_id") % 2 =!= 0))
+      deleteVectors(spark, s"$base/pq_tomb",
+        emb.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+      appendPqDelta(spark, s"$base/pq_tomb",
+        emb.filter(col("vec_id") % 18 === 0))
+      fs.create(pqTombMarker, true).close()
+    }
     base
   }
 
@@ -692,14 +710,71 @@ object Similarity {
   }
 
   /** Probe a stored PQ index: the full-precision corpus is never read —
-    * only the stored codes + codebook and the query vectors.
+    * only the stored codes + codebook and the query vectors. Delta
+    * generations and tombstones (if any) serve transparently.
     */
   def pqTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
                    k: Int, m: Int = 8, dims: Int = 64): DataFrame = {
     requirePqDims(m, dims)
     val cb = spark.read.parquet(s"$dir/codebook")
-    val codes = spark.read.parquet(s"$dir/codes")
-    pqScored(codes, pqLut(queries, cb, m, dims), k)
+    pqScored(allPqCodes(spark, dir), pqLut(queries, cb, m, dims), k)
+  }
+
+  /** Append NEW vectors to a stored PQ index as a delta generation:
+    * encode against the FROZEN stored codebook (re-training the
+    * codebook is a rebuild, exactly the IVF/LSH centroid/hyperplane
+    * contract) — O(delta) encode work, and delta ≡ monolithic because
+    * the codebook never depends on the appended data. */
+  def appendPqDelta(spark: SparkSession, dir: String, emb: DataFrame,
+                    m: Int = 8, dims: Int = 64): Unit = {
+    requirePqDims(m, dims)
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
+    pqCodes(emb.select(col("vec_id"), col("embedding")), cb, m, dims)
+      .write.mode("overwrite").parquet(s"$dir/delta_$next/codes")
+  }
+
+  /** Fold PQ code generations (and the tombstone fence) into one base
+    * — codebook untouched; same atomic pointer-flip commit as the
+    * IVF/LSH folds. Reclaim with [[vacuumVectorIndex]]. */
+  def compactPqIndex(spark: SparkSession, dir: String): Unit = {
+    val (_, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
+    val deltas = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta)
+    val tombs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
+    if (deltas.isEmpty && tombs.isEmpty) return
+    val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
+    allPqCodes(spark, dir)
+      .write.mode("overwrite").parquet(s"$dir/$gen/codes")
+    val foldedMax = (deltas ++ tombs).map(_.split('_').last.toInt).max
+    graft.util.IndexCommit.commit(spark, dir, gen, foldedMax + 1)
+  }
+
+  /** LATEST-resolved base + live delta code generations, tombstones
+    * ([[deleteVectors]]) fenced sequence-aware — the [[allVectorGens]]
+    * contract on the unpartitioned (n_id, m, c_id) codes layout. */
+  private def allPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
+    val tombDirs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
+    def gen(d: String, seq: Int): DataFrame = {
+      val df = spark.read.parquet(s"$d/codes")
+      if (tombDirs.isEmpty) df else df.withColumn("_gseq", lit(seq))
+    }
+    val unioned = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta)
+      .foldLeft(gen(baseDir, minDelta - 1)) { (acc, d) =>
+        acc.unionAll(gen(d, d.split('/').last.stripPrefix("delta_").toInt))
+      }
+    if (tombDirs.isEmpty) unioned
+    else {
+      val mx = tombDirs.map { d =>
+          val seq = d.split('/').last.stripPrefix("tomb_").toInt
+          spark.read.parquet(s"$d/docs")
+            .select(col("vec_id").as("n_id"), lit(seq).as("_tseq"))
+        }.reduce(_ unionAll _)
+        .groupBy(col("n_id")).agg(max(col("_tseq")).as("_tmax"))
+      unioned.join(broadcast(mx), Seq("n_id"), "left")
+        .filter(col("_tmax").isNull || col("_tmax") < col("_gseq"))
+        .drop("_tmax", "_gseq")
+    }
   }
 
   /** Retrieve-then-refine (the standard IVF-PQ serving shape): the ADC
@@ -942,6 +1017,14 @@ object Similarity {
     },
     "sim_pq_rerank" -> { (s, d) =>
       pqTopKRerank(t(s, d, "embeddings"), col("vec_id") < 8, 3, c = 10)
+    },
+    // stored PQ probe over the split+delete+restore fixture: frozen-
+    // codebook delta codes ≡ monolithic encoding, tombstoned vectors
+    // fenced, restored ones served once — the full maintenance
+    // lifecycle in one oracle-checked probe
+    "sim_pq_deleted" -> { (s, d) =>
+      pqTopKStored(s, s"${indexDir(s, d)}/pq_tomb",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
     },
     "sim_lsh" -> { (s, d) =>
       lshTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
@@ -1363,6 +1446,13 @@ object Similarity {
     "sim_pq" -> pqOracleSql,
     "sim_pq_stored" -> pqOracleSql,
     "sim_pq_rerank" -> pqRerankOracleSql,
+    // same ADC chain; the candidate codes shrink to the served set
+    // (survivors ∪ restored) — the codebook stays the full corpus's
+    // (frozen at build; every % 40 == 0 source vector is even)
+    "sim_pq_deleted" -> pqOracleSql.replace(
+      "WHERE q_id <> n_id GROUP BY q_id, n_id),",
+      "WHERE q_id <> n_id AND (n_id % 9 <> 0 OR n_id % 18 = 0)\n" +
+        "  GROUP BY q_id, n_id),"),
 
     "sim_knn_join" ->
       s"""WITH cent AS (

@@ -277,6 +277,45 @@ class RetrievalCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ delta append == monolithic encode (frozen codebook); tombstones fold; compaction + vacuum") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = "/tmp/graft_pq_tomb_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      val deleted = col("vec_id") % 2 === 1 && col("vec_id") % 3 === 0
+      val restored = col("vec_id") % 2 === 1 && col("vec_id") % 9 === 0
+      Similarity.writePqIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+      Similarity.appendPqDelta(spark, dir, emb.filter(col("vec_id") % 2 =!= 0))
+      Similarity.deleteVectors(spark, dir,
+        emb.filter(deleted).select(col("vec_id")))
+      Similarity.appendPqDelta(spark, dir, emb.filter(restored))
+      // reference: monolithic build over the served set — the frozen
+      // codebook equals it (all % 40 == 0 sources are even, never deleted)
+      Similarity.writePqIndex(emb.filter(!deleted || restored), ref)
+      val queries = emb.filter(col("vec_id") < 8)
+      def probe(d: String) = Similarity.pqTopKStored(spark, d, queries, 3)
+      val want = rows(probe(ref))
+      assert(rows(probe(dir)) === want,
+        "PQ generational serving diverged from the monolithic served-set encode")
+      val preFold = probe(dir)
+      Similarity.compactPqIndex(spark, dir)
+      assert(rows(preFold) === want)
+      Similarity.vacuumVectorIndex(spark, dir)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!left.exists(n => n.startsWith("tomb_") || n.startsWith("delta_")),
+        s"folded generations survived vacuum: $left")
+      assert(left.contains("codebook"), "vacuum must not touch the codebook")
+      assert(rows(probe(dir)) === want)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    }
+  }
+
   test("LSH delta append == monolithic build (frozen hyperplanes); compaction + vacuum") {
     import graft.operators.Similarity
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
