@@ -118,7 +118,8 @@ object Retrieval {
       return allDoclens(spark, path)
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val gens = spark.read.parquet(s"$base/stats") +:
-      (graft.util.IndexCommit.deltaDirs(spark, path, minDelta) ++
+      (graft.util.IndexCommit.deltaDirs(spark, path, minDelta,
+        commitSub = Some("postings")) ++
         graft.util.IndexCommit.tombDirs(spark, path, minDelta))
         .map(d => spark.read.parquet(s"$d/stats"))
     gens.reduce(_ unionAll _)
@@ -171,7 +172,8 @@ object Retrieval {
     // the base folds every generation < minDelta, so any LIVE tombstone
     // (id >= minDelta) is newer than every base row
     val base = gen(baseDir, minDelta - 1)
-    val unioned = graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
+    val unioned = graft.util.IndexCommit
+      .deltaDirs(spark, path, minDelta, commitSub = Some("postings"))
       .foldLeft(base) { (acc, d) =>
         acc.unionAll(gen(d, d.split('/').last.stripPrefix("delta_").toInt))
       }
@@ -249,16 +251,25 @@ object Retrieval {
     */
   def appendPostingsDelta(docs: DataFrame, path: String): Unit = {
     val next = graft.util.IndexCommit.nextDeltaId(docs.sparkSession, path)
-    val dir = s"$path/delta_$next"
-    val post = positionalPostings(docs)
-      .withColumn("bucket", bucketOf(col("term")))
-    post.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings")
+    writePostingsDelta(docs, s"$path/delta_$next")
+  }
+
+  /** Write one delta generation's tables into `dir` in COMMIT order:
+    * sidecars first, postings LAST — `postings/_SUCCESS` is the
+    * generation's visibility point ([[graft.util.IndexCommit.deltaDirs]]
+    * filters on it), so a crashed append serves nothing and can be
+    * retried in place (the [[graft.streaming.IndexIngest]] recovery
+    * path). */
+  private[graft] def writePostingsDelta(docs: DataFrame, dir: String): Unit = {
     val dl = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("dl"))
     dl.write.mode("overwrite").parquet(s"$dir/doclens")
     writeStats(dl, s"$dir/stats")
+    positionalPostings(docs)
+      .withColumn("bucket", bucketOf(col("term")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
   }
 
   /** Fold every live delta generation back into one base — the
@@ -275,7 +286,8 @@ object Retrieval {
     */
   def compactPostingsIndex(spark: SparkSession, path: String): Unit = {
     val (_, minDelta) = graft.util.IndexCommit.resolve(spark, path)
-    val deltas = graft.util.IndexCommit.deltaDirs(spark, path, minDelta)
+    val deltas = graft.util.IndexCommit.deltaDirs(spark, path, minDelta,
+      commitSub = Some("postings"))
     val tombs = graft.util.IndexCommit.tombDirs(spark, path, minDelta)
     if (deltas.isEmpty && tombs.isEmpty) return
     val post = allPostings(spark, path)

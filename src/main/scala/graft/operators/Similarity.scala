@@ -383,7 +383,8 @@ object Similarity {
   private def compactVectorIndex(spark: SparkSession, dir: String,
                                  partCol: String): Unit = {
     val (_, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
-    val deltas = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta)
+    val deltas = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta,
+      commitSub = Some("vectors"))
     val tombs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
     if (deltas.isEmpty && tombs.isEmpty) return
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
@@ -421,7 +422,8 @@ object Similarity {
     val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
     val tombDirs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
     val unioned = ((s"$baseDir/vectors", minDelta - 1) +:
-        graft.util.IndexCommit.deltaDirs(spark, dir, minDelta)
+        graft.util.IndexCommit
+          .deltaDirs(spark, dir, minDelta, commitSub = Some("vectors"))
           .map(d => (s"$d/vectors", d.split('/').last.stripPrefix("delta_").toInt)))
       .map { case (v, seq) =>
         val raw = spark.read.parquet(v)
@@ -739,7 +741,8 @@ object Similarity {
     * IVF/LSH folds. Reclaim with [[vacuumVectorIndex]]. */
   def compactPqIndex(spark: SparkSession, dir: String): Unit = {
     val (_, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
-    val deltas = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta)
+    val deltas = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta,
+      commitSub = Some("codes"))
     val tombs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
     if (deltas.isEmpty && tombs.isEmpty) return
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
@@ -759,7 +762,8 @@ object Similarity {
       val df = spark.read.parquet(s"$d/codes")
       if (tombDirs.isEmpty) df else df.withColumn("_gseq", lit(seq))
     }
-    val unioned = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta)
+    val unioned = graft.util.IndexCommit
+      .deltaDirs(spark, dir, minDelta, commitSub = Some("codes"))
       .foldLeft(gen(baseDir, minDelta - 1)) { (acc, d) =>
         acc.unionAll(gen(d, d.split('/').last.stripPrefix("delta_").toInt))
       }

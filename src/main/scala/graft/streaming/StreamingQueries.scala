@@ -487,6 +487,50 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Build-once: a postings index whose delta generations arrive
+    * through the real FILE streaming source + the
+    * [[IndexIngest.appendBatch]] foreachBatch sink — one third of the
+    * corpus at build time, the rest in two streamed micro-batches,
+    * with the query KILLED between them and resumed from its
+    * checkpoint. The searchable state the gate probes is therefore
+    * the product of a restart on the continuous-indexing path. */
+  def indexIngestFixture(spark: SparkSession,
+                         sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_" +
+      Integer.toHexString(canonical.hashCode) + "_ingest"
+    val base = s"/tmp/graft_text/$name"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_INGEST_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return base
+    if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    graft.operators.Retrieval.writePostingsIndex(
+      docs.filter(col("doc_id") % 3 === 0), base)
+    val replay = new Replay("ingest")
+    val ckpt = s"$base/_ingest_ckpt"
+    def start() = replay.source(spark, docs.schema)
+      .writeStream
+      .foreachBatch(IndexIngest.appendBatch(base) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try {
+      replay.add(docs.filter(col("doc_id") % 3 === 1))
+      q1.processAllAvailable()
+    } finally q1.stop() // the kill point: one batch in, one to come
+    val q2 = start()    // resume from the checkpoint
+    try {
+      replay.add(docs.filter(col("doc_id") % 3 === 2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    replay.cleanup()
+    fs.create(marker, true).close()
+    base
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_late" -> { (s, d) => lateFeedWindowCounts(s, d) },
     "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) },
@@ -501,7 +545,15 @@ object StreamingQueries {
     // the STATEFUL twin: flatMapGroupsWithState session state must be
     // reloaded from the state store on restart for sessions bridging
     // the kill point (oracle = st_sessionize_stream's SQL verbatim)
-    "st_recovery_sessions" -> { (s, d) => blockFeedSessionsRecovered(s, d) }
+    "st_recovery_sessions" -> { (s, d) => blockFeedSessionsRecovered(s, d) },
+    // continuous indexing: streamed docs become searchable as delta
+    // generations via foreachBatch (exactly-once epoch commit), across
+    // a kill+resume — the stored search then equals the whole-corpus
+    // oracle (t_search's SQL verbatim)
+    "st_index_ingest" -> { (s, d) =>
+      graft.operators.Retrieval.conjunctiveSearchStored(s,
+        indexIngestFixture(s, d), graft.operators.Retrieval.QueryTerms)
+    }
   )
 
   /** The oracle replays the same batch assignment and watermark rule in
@@ -512,6 +564,9 @@ object StreamingQueries {
     * exactly like the streaming query.
     */
   def oracle: Map[String, String] = Map(
+    // the ingested index is an access path: whatever generation layout
+    // the stream left behind, search must equal the whole-corpus SQL
+    "st_index_ingest" -> graft.operators.Retrieval.oracle("t_search"),
     // identical SQL: the killed-and-recovered run must hash-match the
     // uninterrupted semantics exactly (exactly-once across restart)
     "st_recovery" -> windowLateOracleSql,

@@ -77,9 +77,15 @@ object IndexCommit {
       .foldLeft(-1)(math.max) + 1
   }
 
-  /** Sorted delta generation dirs under the root with id >= minDelta. */
+  /** Sorted delta generation dirs under the root with id >= minDelta.
+    * `commitSub` (when set) is the table whose parquet `_SUCCESS` file
+    * — written LAST by the append — makes a generation VISIBLE: a
+    * half-written delta (crashed append, in-flight retry) serves
+    * nothing and is retried in place. Ids of invisible dirs are still
+    * never reused ([[nextDeltaId]] counts every dir). */
   def deltaDirs(spark: SparkSession, root: String,
-                minDelta: Int = 0): Seq[String] = {
+                minDelta: Int = 0,
+                commitSub: Option[String] = None): Seq[String] = {
     val f = fs(spark, root)
     val p = new Path(root)
     if (!f.exists(p)) Seq.empty
@@ -87,6 +93,8 @@ object IndexCommit {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
       .map(s => (s.getPath.getName.stripPrefix("delta_").toInt, s.getPath))
       .filter(_._1 >= minDelta)
+      .filter(t => commitSub.forall(sub =>
+        f.exists(new Path(t._2, s"$sub/_SUCCESS"))))
       .sortBy(_._1)
       .map(_._2.toString)
   }

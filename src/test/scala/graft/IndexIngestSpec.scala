@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+import graft.streaming.IndexIngest
+
+/** Exactly-once semantics of the foreachBatch index-ingest sink under
+  * Structured Streaming's epoch replay: a re-delivered epoch must not
+  * double-index its documents, whether the first attempt committed
+  * (skip) or crashed mid-write (retry in place).
+  */
+class IndexIngestSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private def deltaDirsOf(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("delta_")).toSet
+
+  test("a replayed epoch after a COMMITTED append is skipped") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = "/tmp/graft_ingest_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0), dir)
+      val batch = docs.filter(col("doc_id") % 2 =!= 0)
+      IndexIngest.appendBatch(dir)(batch, 0L)
+      val want = rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms))
+      val gens = deltaDirsOf(dir)
+      assert(gens.size === 1)
+      // Spark re-delivers epoch 0 (e.g. driver restart before the
+      // checkpoint commit): same rows, same single generation —
+      // a double append would double tf/hits and add a dir
+      IndexIngest.appendBatch(dir)(batch, 0L)
+      assert(deltaDirsOf(dir) === gens)
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms)) === want)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("a replayed epoch after a CRASHED append retries in place (invisible dir reused)") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = "/tmp/graft_ingest_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0), dir)
+      // simulate the crash: epoch 0's dir exists with its tag and a
+      // HALF-WRITTEN state (doclens only, no postings/_SUCCESS) — the
+      // generation must be invisible to probes
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val half = new org.apache.hadoop.fs.Path(s"$dir/delta_0")
+      fs.mkdirs(half)
+      fs.create(new org.apache.hadoop.fs.Path(half, "_epoch_0"), true).close()
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), lit(1L).as("dl"))
+        .write.mode("overwrite").parquet(s"$dir/delta_0/doclens")
+      val baseOnly = rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms))
+      // the replay completes the SAME dir — no id burned, now visible
+      IndexIngest.appendBatch(dir)(docs.filter(col("doc_id") % 2 =!= 0), 0L)
+      assert(deltaDirsOf(dir) === Set("delta_0"))
+      val after = rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms))
+      assert(after !== baseOnly, "retried epoch is still invisible")
+      // and equals a fresh whole-corpus build
+      val ref = dir + "_ref"
+      try {
+        Retrieval.writePostingsIndex(docs, ref)
+        assert(after === rows(Retrieval.conjunctiveSearchStored(spark, ref,
+          Retrieval.QueryTerms)))
+      } finally fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+}
