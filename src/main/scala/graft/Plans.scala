@@ -197,7 +197,15 @@ object Plans {
       "m_video_frames (container-index parse + per-frame codec decode, narrow map)" ->
         operators.Multimodal.queries("m_video_frames")(spark, sfDir),
       "m_audio_features (WAV decode + exact-integer features, narrow map)" ->
-        operators.Multimodal.queries("m_audio_features")(spark, sfDir)
+        operators.Multimodal.queries("m_audio_features")(spark, sfDir),
+      "t_search_deleted (tombstone fence: bucket-pruned generation scans + broadcast anti-filter)" ->
+        operators.Retrieval.queries("t_search_deleted")(spark, sfDir),
+      "sim_pq_deleted (PQ generational probe: codes union + fence, codebook broadcast)" ->
+        operators.Similarity.queries("sim_pq_deleted")(spark, sfDir),
+      "ga_ivm_degrees (CDF fold: O(changes) delta agg unioned with prev, one shuffle)" ->
+        sources.graphar.GraphArQueries.queries("ga_ivm_degrees")(spark, sfDir),
+      "ga_ivm_components (insert-only merge: broadcast relabel of prev, no edge rescan)" ->
+        sources.graphar.GraphArQueries.queries("ga_ivm_components")(spark, sfDir)
     )
 
     val sb = new StringBuilder

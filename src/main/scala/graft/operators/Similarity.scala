@@ -354,13 +354,23 @@ object Similarity {
     */
   def appendIvfDelta(spark: SparkSession, dir: String,
                      emb: DataFrame): Unit = {
-    val cent = spark.read.parquet(s"$dir/centroids")
     val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
+    writeIvfDelta(spark, dir, emb, s"$dir/delta_$next")
+  }
+
+  /** Write one IVF delta generation's vectors into `genDir`, assigned
+    * against the index's FROZEN centroids. `vectors/_SUCCESS` (the
+    * only table) is the generation's visibility point — shared with
+    * the streaming ingest sink's retry-in-place recovery
+    * ([[graft.streaming.IndexIngest]]). */
+  private[graft] def writeIvfDelta(spark: SparkSession, dir: String,
+                                   emb: DataFrame, genDir: String): Unit = {
+    val cent = spark.read.parquet(s"$dir/centroids")
     ivfRanked(emb.select(col("vec_id"), col("embedding")), cent)
       .filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$dir/delta_$next/vectors")
+      .parquet(s"$genDir/vectors")
   }
 
   /** Fold IVF delta generations into one vectors dir (centroids are

@@ -3,18 +3,19 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
-/** Streaming ingest into the stored postings index: a `foreachBatch`
-  * sink that appends each micro-batch of documents as one delta
-  * generation — new documents become searchable one micro-batch after
-  * they land, without rebuilding anything (the continuous-indexing
-  * shape a production search stack runs over its ingest stream).
+/** Streaming ingest into the stored serving indexes: `foreachBatch`
+  * sinks that append each micro-batch as one delta generation — new
+  * documents become searchable (and new vectors ANN-probeable) one
+  * micro-batch after they land, without rebuilding anything (the
+  * continuous-indexing shape a production search stack runs over its
+  * ingest stream).
   *
   * EXACTLY-ONCE under Structured Streaming's batch replay, without a
   * transaction log: the epoch id is recorded as a `_epoch_<id>` tag
   * INSIDE the generation dir BEFORE its tables are written, and the
   * generation only becomes visible when its LAST table's parquet
-  * `_SUCCESS` lands ([[graft.operators.Retrieval.writePostingsDelta]]
-  * writes postings last; `IndexCommit.deltaDirs` filters on it). So:
+  * `_SUCCESS` lands (postings for the text index, vectors for IVF —
+  * `IndexCommit.deltaDirs(commitSub)` filters on it). So:
   *
   *  - crash mid-append → the dir is tagged but INVISIBLE; the replayed
   *    epoch finds its tag and rewrites the SAME dir (mode overwrite),
@@ -31,31 +32,47 @@ object IndexIngest {
 
   private def epochTag(id: Long) = s"_epoch_$id"
 
-  /** The `foreachBatch` function: `.writeStream.foreachBatch(
-    * IndexIngest.appendBatch(indexPath) _)`. */
-  def appendBatch(idx: String)(batch: DataFrame, epochId: Long): Unit = {
+  /** Resolve the generation dir for an epoch: the dir already tagged
+    * with it (None if that dir is COMMITTED — `commitSub/_SUCCESS`
+    * present), else a freshly tagged `delta_<nextId>`. */
+  private def epochDir(batch: DataFrame, idx: String, epochId: Long,
+                       commitSub: String): Option[Path] = {
     val spark = batch.sparkSession
     val fs = graft.util.IndexCommit.fs(spark, idx)
     val root = new Path(idx)
-    // any delta dir already tagged with this epoch? (visible → done;
-    // invisible → a crashed attempt to retry in place)
     val tagged = if (!fs.exists(root)) None
       else fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
         .find(s => fs.exists(new Path(s.getPath, epochTag(epochId))))
         .map(_.getPath)
-    val dir = tagged match {
+    tagged match {
       case Some(d) =>
-        if (fs.exists(new Path(d, "postings/_SUCCESS"))) return // committed
-        d
+        if (fs.exists(new Path(d, s"$commitSub/_SUCCESS"))) None // committed
+        else Some(d) // crashed attempt: retry in place
       case None =>
         val d = new Path(
           s"$idx/delta_${graft.util.IndexCommit.nextDeltaId(spark, idx)}")
         fs.mkdirs(d)
         fs.create(new Path(d, epochTag(epochId)), true).close()
-        d
+        Some(d)
     }
-    graft.operators.Retrieval.writePostingsDelta(
-      batch.select(batch("doc_id"), batch("text")), dir.toString)
   }
+
+  /** Text-index sink: `.writeStream.foreachBatch(
+    * IndexIngest.appendBatch(indexPath) _)` over a document stream
+    * with (doc_id, text) columns. */
+  def appendBatch(idx: String)(batch: DataFrame, epochId: Long): Unit =
+    epochDir(batch, idx, epochId, "postings").foreach { dir =>
+      graft.operators.Retrieval.writePostingsDelta(
+        batch.select(batch("doc_id"), batch("text")), dir.toString)
+    }
+
+  /** IVF sink: the ANN twin over a vector stream with (vec_id,
+    * embedding) columns — each batch assigned against the index's
+    * FROZEN centroids (the append contract; retraining is a rebuild). */
+  def appendIvfBatch(idx: String)(batch: DataFrame, epochId: Long): Unit =
+    epochDir(batch, idx, epochId, "vectors").foreach { dir =>
+      graft.operators.Similarity.writeIvfDelta(
+        batch.sparkSession, idx, batch, dir.toString)
+    }
 }

@@ -531,6 +531,50 @@ object StreamingQueries {
     base
   }
 
+  /** ANN twin of [[indexIngestFixture]]: IVF built over the even
+    * vec_ids (every % 40 == 0 centroid source is even, so the frozen
+    * centroid set equals the full corpus's), odds streamed through the
+    * file source + [[IndexIngest.appendIvfBatch]] in two micro-batches
+    * with a kill+resume between them. */
+  def vectorIngestFixture(spark: SparkSession,
+                          sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_" +
+      Integer.toHexString(canonical.hashCode) + "_vingest"
+    val base = s"/tmp/graft_ann/$name"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_INGEST_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return base
+    if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val emb = graft.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.writeIvfIndex(
+      emb.filter(col("vec_id") % 2 === 0), base)
+    val replay = new Replay("vingest")
+    val ckpt = s"$base/_ingest_ckpt"
+    def start() = replay.source(spark, emb.schema)
+      .writeStream
+      .foreachBatch(IndexIngest.appendIvfBatch(base) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try {
+      replay.add(emb.filter(col("vec_id") % 2 =!= 0 &&
+        col("vec_id") % 3 === 0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      replay.add(emb.filter(col("vec_id") % 2 =!= 0 &&
+        col("vec_id") % 3 =!= 0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    replay.cleanup()
+    fs.create(marker, true).close()
+    base
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_late" -> { (s, d) => lateFeedWindowCounts(s, d) },
     "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) },
@@ -553,6 +597,13 @@ object StreamingQueries {
     "st_index_ingest" -> { (s, d) =>
       graft.operators.Retrieval.conjunctiveSearchStored(s,
         indexIngestFixture(s, d), graft.operators.Retrieval.QueryTerms)
+    },
+    // the ANN twin: streamed vectors probeable from the stored IVF
+    // index across a kill+resume — equals the monolithic-build oracle
+    // because the frozen centroids are the full corpus's
+    "st_vector_ingest" -> { (s, d) =>
+      graft.operators.Similarity.ivfTopKStored(s, vectorIngestFixture(s, d),
+        graft.Tables.t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
     }
   )
 
@@ -567,6 +618,7 @@ object StreamingQueries {
     // the ingested index is an access path: whatever generation layout
     // the stream left behind, search must equal the whole-corpus SQL
     "st_index_ingest" -> graft.operators.Retrieval.oracle("t_search"),
+    "st_vector_ingest" -> graft.operators.Similarity.oracle("sim_ivf_stored"),
     // identical SQL: the killed-and-recovered run must hash-match the
     // uninterrupted semantics exactly (exactly-once across restart)
     "st_recovery" -> windowLateOracleSql,
