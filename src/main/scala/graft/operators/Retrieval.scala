@@ -88,14 +88,32 @@ object Retrieval {
   def writePostingsIndex(docs: DataFrame, path: String,
                          buckets: Int = Buckets): Unit = {
     val post = positionalPostings(docs).withColumn("bucket", bucketOf(col("term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writeDict(post, s"$path/dict")
     post.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
+    post.unpersist(blocking = false)
     val dl = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("dl"))
     dl.write.mode("overwrite").parquet(s"$path/doclens")
     writeStats(dl, s"$path/stats")
   }
+
+  /** Term-dictionary sidecar (term, df, bucket) — vocab-sized, the
+    * Lucene term-dict role: prefix/wildcard queries resolve their
+    * expansion set (and its bucket list) here instead of scanning the
+    * corpus-sized postings. df is the generation's posting count for
+    * the term (an UPPER bound once deletes exist — exact df always
+    * comes from the fenced probe). */
+  private def writeDict(post: DataFrame, dir: String): Unit =
+    post.groupBy(col("term"), col("bucket"))
+      .agg(count(lit(1)).as("df"))
+      // partition-column inference narrows bucket to INT when `post`
+      // was read back from a written generation (the compaction fold);
+      // pin LONG so every generation's dict schema is identical
+      .select(col("term"), col("df"), col("bucket").cast("long").as("bucket"))
+      .write.mode("overwrite").parquet(dir)
 
   /** 1-row corpus-stats sidecar (N docs, total tokens): what lets the
     * BM25 prober skip the O(N) doclens aggregation at serve time. */
@@ -124,6 +142,61 @@ object Retrieval {
         .map(d => spark.read.parquet(s"$d/stats"))
     gens.reduce(_ unionAll _)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
+  }
+
+  /** Every generation's term dictionary, unioned. A generation written
+    * before the dict sidecar existed contributes its dictionary by a
+    * one-off derivation from its own postings (correct, unpruned —
+    * only legacy dirs pay it; the next compaction writes them a real
+    * sidecar). */
+  private def allDicts(spark: SparkSession, path: String): DataFrame = {
+    val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, path)
+    val fs = graft.util.IndexCommit.fs(spark, path)
+    def dictOf(dir: String): DataFrame = {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/dict")))
+        spark.read.parquet(s"$dir/dict")
+      else
+        spark.read.parquet(s"$dir/postings")
+          .groupBy(col("term"), col("bucket"))
+          .agg(count(lit(1)).as("df"))
+          .select(col("term"), col("df"), col("bucket").cast("long").as("bucket"))
+    }
+    (baseDir +: graft.util.IndexCommit.deltaDirs(spark, path, minDelta,
+        commitSub = Some("postings")))
+      .map(dictOf).reduce(_ unionAll _)
+  }
+
+  /** Prefix (leading-wildcard) search from the STORED index — the
+    * Lucene shape: the vocab-sized term dictionary resolves the
+    * expansion set and its bucket list, then ONLY those buckets'
+    * postings are probed (static partition pruning, like every other
+    * stored probe). Returns per doc the number of distinct matching
+    * terms and the total occurrences. Expansion is HARD-bounded: past
+    * `maxExpansions` the call fails with instructions instead of
+    * silently truncating recall (no silent caps). Tombstones fence at
+    * the probe, so a stale dictionary entry costs at most a wasted
+    * bucket read, never a wrong row.
+    */
+  def prefixSearchStored(spark: SparkSession, path: String, prefix: String,
+                         maxExpansions: Int = 1024): DataFrame = {
+    require(prefix.nonEmpty, "prefix search needs a non-empty prefix")
+    val expansions = allDicts(spark, path)
+      .filter(col("term").startsWith(prefix))
+      .select(col("term"), col("bucket")).distinct()
+      .take(maxExpansions + 1)
+    require(expansions.length <= maxExpansions,
+      s"prefix '$prefix' expands to more than $maxExpansions terms — " +
+        "narrow the prefix or raise maxExpansions (a silent cap would " +
+        "silently lose recall)")
+    if (expansions.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_terms"), col("id").as("hits"))
+    val buckets = expansions.map(_.getLong(1)).distinct.toSeq
+    allPostings(spark, path)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").startsWith(prefix))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("hits"))
   }
 
   /** Conjunctive (all-terms) search with the index built inline — the
@@ -265,11 +338,14 @@ object Retrieval {
       size(tokens(col("text"))).cast("long").as("dl"))
     dl.write.mode("overwrite").parquet(s"$dir/doclens")
     writeStats(dl, s"$dir/stats")
-    positionalPostings(docs)
+    val post = positionalPostings(docs)
       .withColumn("bucket", bucketOf(col("term")))
-      .repartition(col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writeDict(post, s"$dir/dict")
+    post.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
+    post.unpersist(blocking = false)
   }
 
   /** Fold every live delta generation back into one base — the
@@ -298,6 +374,9 @@ object Retrieval {
       .parquet(s"$path/$gen/postings")
     dl.write.mode("overwrite").parquet(s"$path/$gen/doclens")
     writeStats(dl, s"$path/$gen/stats")
+    // the folded dict reflects the folded (live) postings exactly —
+    // delete-staleness in df disappears at every fold
+    writeDict(spark.read.parquet(s"$path/$gen/postings"), s"$path/$gen/dict")
     // tombstones share the delta id sequence, so one watermark fences
     // both kinds; the folded base holds only fenced (live) rows
     val foldedMax = (deltas ++ tombs)
@@ -311,7 +390,7 @@ object Retrieval {
     * and concurrent-reader-safe; run after readers drain. */
   def vacuumPostingsIndex(spark: SparkSession, path: String): Unit =
     graft.util.IndexCommit.vacuum(spark, path,
-      Seq("postings", "doclens", "stats"))
+      Seq("postings", "doclens", "stats", "dict"))
 
   /** Conjunctive (all-terms) search from the STORED index: probe ONLY
     * the query terms' bucket partitions, keep documents whose distinct
@@ -641,9 +720,9 @@ object Retrieval {
     val name = new java.io.File(sfDir).getName + "_" +
       Integer.toHexString(canonical.hashCode)
     val base = s"/tmp/graft_text/$name"
-    // v2: the index gained the positions column — a v1 dir left in
-    // /tmp by an earlier run must rebuild, not half-serve
-    val marker = new org.apache.hadoop.fs.Path(s"$base/_INDEX_SUCCESS_v2")
+    // v3: the index gained the term-dictionary sidecar (v2: positions
+    // column) — a stale dir left in /tmp must rebuild, not half-serve
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_INDEX_SUCCESS_v3")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       if (fs.exists(new org.apache.hadoop.fs.Path(base)))
@@ -811,6 +890,12 @@ object Retrieval {
     // version's positions
     "t_phrase_deleted" -> { (s, d) =>
       phraseCountStored(s, indexDirTomb(s, d), PhraseTerms)
+    },
+    // prefix (wildcard) search: dictionary-resolved expansion set,
+    // probe limited to the expansions' buckets — 's%' matches 6 terms
+    // of the gate vocabulary across several buckets
+    "t_prefix_stored" -> { (s, d) =>
+      prefixSearchStored(s, indexDir(s, d), "s")
     }
   )
 
@@ -939,6 +1024,17 @@ object Retrieval {
     // to the post-lifecycle corpus — deletions and re-ingestions are
     // index maintenance, not semantics, so the answer must equal a
     // fresh build over the surviving docs
+    "t_prefix_stored" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, w.w AS term
+         |  FROM documents,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w(w)),
+         |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(tf) AS BIGINT) AS hits
+         |FROM post WHERE term LIKE 's%' GROUP BY doc_id""".stripMargin,
+
     "t_search_deleted" -> overCorpus(searchOracleSql, tombCorpusSql),
     "t_bm25_deleted" -> overCorpus(bm25OracleSql, tombCorpusSql),
     "t_phrase_deleted" -> overCorpus(phraseOracleSql, tombCorpusSql),

@@ -210,6 +210,15 @@ class PlanSpec extends AnyFunSuite {
       s"fence shuffled the probed postings in:\n$p")
   }
 
+  test("prefix probe: dictionary-resolved expansion prunes the postings scan to its buckets") {
+    val idx = operators.Retrieval.indexDir(spark, sf)
+    val df = operators.Retrieval.prefixSearchStored(spark, idx, "s")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [bucket"),
+      s"prefix probe scanned all buckets:\n$p")
+  }
+
   test("stored positional phrase probe reads only the phrase terms' buckets") {
     val base = operators.Retrieval.indexDir(spark, sf)
     val df = operators.Retrieval.phraseCountStored(

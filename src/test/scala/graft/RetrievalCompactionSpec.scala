@@ -145,7 +145,9 @@ class RetrievalCompactionSpec extends AnyFunSuite {
       def probes(d: String) = Seq(
         rows(Retrieval.conjunctiveSearchStored(spark, d, terms)),
         rows(Retrieval.bm25TopKStored(spark, d, terms)), // negative stats
-        rows(Retrieval.phraseCountStored(spark, d, Bigram)))
+        rows(Retrieval.phraseCountStored(spark, d, Bigram)),
+        // dictionary-expanded prefix probe through the same fence
+        rows(Retrieval.prefixSearchStored(spark, d, "s")))
       val want = probes(ref)
       assert(want.forall(_.nonEmpty), "vacuous fixture: a probe is empty")
       assert(probes(dir) === want,
@@ -162,6 +164,9 @@ class RetrievalCompactionSpec extends AnyFunSuite {
       Retrieval.deletePostingsDocs(spark, dir,
         spark.range(1).select((col("id") + 1000000000L).as("doc_id")))
       assert(probes(dir) === want)
+      // an over-broad wildcard FAILS rather than silently capping recall
+      assertThrows[IllegalArgumentException](
+        Retrieval.prefixSearchStored(spark, dir, "s", maxExpansions = 1))
 
       // pre-fold reader survives the atomic commit; fold removes the
       // fence (tombstones superseded by the new base watermark)
