@@ -143,6 +143,23 @@ object TextTableFunctions {
             strArg("text_phrase_stored", args.head), ts)
           .queryExecution.analyzed
       }),
+    (FunctionIdentifier("text_prefix"),
+      new ExpressionInfo(getClass.getName, "text_prefix"),
+      { args =>
+        if (args.size != 2 && args.size != 3)
+          throw new IllegalArgumentException(
+            "text_prefix(index_path, prefix[, max_expansions])")
+        val maxExp = if (args.size == 3) {
+          val v = longArg("text_prefix", args(2))
+          if (v < 1 || v > Int.MaxValue) throw new IllegalArgumentException(
+            s"text_prefix: max_expansions must be in [1, ${Int.MaxValue}], got $v")
+          v.toInt
+        } else 1024
+        Retrieval.prefixSearchStored(SparkSession.active,
+            strArg("text_prefix", args.head),
+            strArg("text_prefix", args(1)).toLowerCase, maxExp)
+          .queryExecution.analyzed
+      }),
     (FunctionIdentifier("text_proximity"),
       new ExpressionInfo(getClass.getName, "text_proximity"),
       { args =>

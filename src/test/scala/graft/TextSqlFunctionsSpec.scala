@@ -72,6 +72,10 @@ class TextSqlFunctionsSpec extends AnyFunSuite {
     assert(rows(spark.sql(
         s"SELECT * FROM text_proximity('$idx', 'dup', 'key', 5)"))
       === rows(Retrieval.proximityCountStored(spark, idx, "dup", "key", 5)))
+    assert(rows(spark.sql(s"SELECT * FROM text_prefix('$idx', 's')"))
+      === rows(Retrieval.prefixSearchStored(spark, idx, "s")))
+    assertThrows[IllegalArgumentException](
+      spark.sql(s"SELECT * FROM text_prefix('$idx', 's', 1)"))
     // and the split base+delta index serves the same rows as one build
     val split = Retrieval.indexDirDelta(spark, "/root/testdata/sf0.001")
     assert(rows(spark.sql(
