@@ -143,6 +143,20 @@ object TextTableFunctions {
             strArg("text_phrase_stored", args.head), ts)
           .queryExecution.analyzed
       }),
+    (FunctionIdentifier("text_min_window"),
+      new ExpressionInfo(getClass.getName, "text_min_window"),
+      { args =>
+        if (args.size != 2)
+          throw new IllegalArgumentException(
+            "text_min_window(index_path, 'term term …')")
+        val ts = terms(strArg("text_min_window", args(1)))
+        if (ts.size < 2)
+          throw new IllegalArgumentException(
+            "text_min_window: needs at least two distinct terms")
+        Retrieval.minWindowStored(SparkSession.active,
+            strArg("text_min_window", args.head), ts)
+          .queryExecution.analyzed
+      }),
     (FunctionIdentifier("text_prefix"),
       new ExpressionInfo(getClass.getName, "text_prefix"),
       { args =>

@@ -100,21 +100,26 @@ object IndexCommit {
   }
 
   /** Next generation id: one past the highest existing delta_<k> OR
-    * tomb_<k> (folded or live — ids are never reused, so a reader's
-    * minDelta filter stays correct across compactions). Append and
-    * tombstone generations share ONE sequence: their relative order is
-    * what decides whether a delete fences a row (a doc re-appended
-    * AFTER its deletion must serve). */
+    * tomb_<k>, and never below the live pointer's minDelta watermark —
+    * ids must not be reused, but the dirs alone can't prove that once
+    * a VACUUM has reclaimed the folded generations (an id below the
+    * watermark would make the new generation invisible to every
+    * reader; this exact bug made a post-vacuum delete a silent no-op
+    * before the floor existed). Append and tombstone generations share
+    * ONE sequence: their relative order is what decides whether a
+    * delete fences a row (a doc re-appended AFTER its deletion must
+    * serve). */
   def nextDeltaId(spark: SparkSession, root: String): Int = {
     val f = fs(spark, root)
     val p = new Path(root)
-    if (!f.exists(p)) 0
-    else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory &&
-        (s.getPath.getName.startsWith("delta_") ||
-          s.getPath.getName.startsWith("tomb_")))
-      .map(_.getPath.getName.split('_').last.toInt)
-      .foldLeft(-1)(math.max) + 1
+    val fromDirs = if (!f.exists(p)) 0
+      else f.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          (s.getPath.getName.startsWith("delta_") ||
+            s.getPath.getName.startsWith("tomb_")))
+        .map(_.getPath.getName.split('_').last.toInt)
+        .foldLeft(-1)(math.max) + 1
+    math.max(fromDirs, resolve(spark, root)._2)
   }
 
   /** Sorted COMMITTED tombstone generation dirs with id >= minDelta.

@@ -114,6 +114,20 @@ class RetrievalCompactionSpec extends AnyFunSuite {
       Retrieval.vacuumPostingsIndex(spark, dir)
       assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
         Retrieval.QueryTerms)) === full)
+      // generation ids after a VACUUM (folded dirs gone) must clear the
+      // minDelta watermark: a reused low id would make the mutation
+      // INVISIBLE — a post-vacuum delete was a silent no-op until
+      // nextDeltaId gained the watermark floor (caught by the 20M
+      // delete-lifecycle rung, not the gates: they never vacuumed first)
+      Retrieval.deletePostingsDocs(spark, dir,
+        docs.filter(col("doc_id") % 3 === 2).select(col("doc_id")))
+      val afterDel = rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms))
+      assert(afterDel !== full, "post-vacuum delete fenced nothing")
+      Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 3 === 2), dir)
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms)) === full,
+        "post-vacuum re-append did not serve")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

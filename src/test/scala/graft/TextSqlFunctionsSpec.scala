@@ -76,6 +76,10 @@ class TextSqlFunctionsSpec extends AnyFunSuite {
       === rows(Retrieval.prefixSearchStored(spark, idx, "s")))
     assertThrows[IllegalArgumentException](
       spark.sql(s"SELECT * FROM text_prefix('$idx', 's', 1)"))
+    assert(rows(spark.sql(
+        s"SELECT * FROM text_min_window('$idx', 'dup spark key')"))
+      === rows(Retrieval.minWindowStored(spark, idx,
+        Seq("dup", "spark", "key"))))
     // and the split base+delta index serves the same rows as one build
     val split = Retrieval.indexDirDelta(spark, "/root/testdata/sf0.001")
     assert(rows(spark.sql(
