@@ -23,6 +23,14 @@ run_one() { # label reps
 }
 
 : > "$LOG"
+# set = "prefix": the dictionary-resolved prefix probes, over an index
+# whose base was (re)written by an r9+ build or compaction (dict present)
+if [ "$SET" = "prefix" ]; then
+  run_one prefix_stored_selective 2
+  run_one prefix_stored_broad 2
+  echo "isolated prefix run complete -> $LOG"
+  exit 0
+fi
 # set = "del": only the delete lifecycle, over an index a prior serve
 # run left on disk (compacted single-generation base)
 if [ "$SET" = "del" ]; then

@@ -170,6 +170,14 @@ object TextScaleBench {
     once("postings_vacuum_tombs")(())(Retrieval.vacuumPostingsIndex(spark, idx))
     time("search_stored_postdelete")(
       Retrieval.conjunctiveSearchStored(spark, idx, probeTerms).count())
+    // prefix probes from the dict sidecar (present once any build or
+    // compaction ran with the r9 layout): selective = 11 expansions,
+    // broad = 111 — serving should track the expansions' posting
+    // lists, with the vocab-sized dictionary read as the only overhead
+    time("prefix_stored_selective")(
+      Retrieval.prefixSearchStored(spark, idx, "w4999").count())
+    time("prefix_stored_broad")(
+      Retrieval.prefixSearchStored(spark, idx, "w99").count())
 
     docs.unpersist(blocking = false)
     spark.stop()

@@ -26,7 +26,15 @@ import org.apache.spark.sql.DataFrame
   *
   * Generation ids never collide across retries because the retry
   * reuses its own tagged dir and fresh epochs take `nextDeltaId`
-  * (which counts invisible dirs too).
+  * (which counts invisible dirs too and floors at the commit
+  * watermark).
+  *
+  * Maintenance window: compact + vacuum a stream-ingested index only
+  * while its query is STOPPED (between restarts). A vacuum reclaims
+  * folded generations together with their epoch tags, so a replay
+  * that reached back past a fold could no longer be detected — the
+  * same single-writer contract every maintenance verb in this repo
+  * carries, stated here because a stream makes the writer implicit.
   */
 object IndexIngest {
 
