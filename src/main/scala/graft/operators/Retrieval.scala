@@ -280,9 +280,14 @@ object Retrieval {
       case None => df
       case Some(ts) =>
         val mx = ts.groupBy(col("doc_id")).agg(max(col("_tseq")).as("_tmax"))
+        // restore the ORIGINAL column order: the join key floats to the
+        // front, and a compaction persisting that order would misalign
+        // every later positional union against fresh generations
+        // (caught by RetrievalIndexProps: fold-with-fence, append, probe)
+        val cols = df.columns.filterNot(_ == "_gseq").map(col)
         df.join(broadcast(mx), Seq("doc_id"), "left")
           .filter(col("_tmax").isNull || col("_tmax") < col("_gseq"))
-          .drop("_tmax", "_gseq")
+          .select(cols: _*)
     }
 
   /** Delete documents from a stored index as a TOMBSTONE generation —

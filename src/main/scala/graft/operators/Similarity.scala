@@ -455,10 +455,14 @@ object Similarity {
         }.reduce(_ unionAll _)
         .groupBy(col("vec_id")).agg(max(col("_tseq")).as("_tmax"))
       // broadcast: tombstones are delta-sized by the compaction
-      // contract; the probe's partition filters stay pushed below
+      // contract; the probe's partition filters stay pushed below.
+      // Column order restored explicitly: the join key floats first,
+      // and a compaction persisting that order would misalign later
+      // positional unions (the RetrievalIndexProps lesson)
+      val cols = unioned.columns.filterNot(_ == "_gseq").map(col)
       unioned.join(broadcast(mx), Seq("vec_id"), "left")
         .filter(col("_tmax").isNull || col("_tmax") < col("_gseq"))
-        .drop("_tmax", "_gseq")
+        .select(cols: _*)
     }
   }
 
@@ -785,9 +789,10 @@ object Similarity {
             .select(col("vec_id").as("n_id"), lit(seq).as("_tseq"))
         }.reduce(_ unionAll _)
         .groupBy(col("n_id")).agg(max(col("_tseq")).as("_tmax"))
+      val cols = unioned.columns.filterNot(_ == "_gseq").map(col)
       unioned.join(broadcast(mx), Seq("n_id"), "left")
         .filter(col("_tmax").isNull || col("_tmax") < col("_gseq"))
-        .drop("_tmax", "_gseq")
+        .select(cols: _*)
     }
   }
 
