@@ -90,9 +90,7 @@ object Retrieval {
     val post = positionalPostings(docs).withColumn("bucket", bucketOf(col("term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writeDict(post, s"$path/dict")
-    post.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
+    writeBucketed(post, s"$path/postings")
     post.unpersist(blocking = false)
     val dl = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("dl"))
@@ -114,6 +112,19 @@ object Retrieval {
       // pin LONG so every generation's dict schema is identical
       .select(col("term"), col("df"), col("bucket").cast("long").as("bucket"))
       .write.mode("overwrite").parquet(dir)
+
+  /** Bucket-partitioned write, degrading to ONE empty schema-carrying
+    * file when the frame is empty: a zero-row `partitionBy` write
+    * emits no parquet footer at all, bricking every later read of the
+    * generation — the delete-everything-then-compact (purge) and
+    * empty-micro-batch ingest paths both hit it. The empty file keeps
+    * `bucket` as a data column; probes' bucket predicates still apply
+    * (as data filters over zero rows). */
+  private def writeBucketed(post: DataFrame, dir: String): Unit =
+    if (post.isEmpty)
+      post.coalesce(1).write.mode("overwrite").parquet(dir)
+    else post.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
 
   /** 1-row corpus-stats sidecar (N docs, total tokens): what lets the
     * BM25 prober skip the O(N) doclens aggregation at serve time. */
@@ -347,9 +358,7 @@ object Retrieval {
       .withColumn("bucket", bucketOf(col("term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writeDict(post, s"$dir/dict")
-    post.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings")
+    writeBucketed(post, s"$dir/postings")
     post.unpersist(blocking = false)
   }
 
@@ -374,9 +383,7 @@ object Retrieval {
     val post = allPostings(spark, path)
     val dl = allDoclens(spark, path)
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, path)}"
-    post.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/$gen/postings")
+    writeBucketed(post, s"$path/$gen/postings")
     dl.write.mode("overwrite").parquet(s"$path/$gen/doclens")
     writeStats(dl, s"$path/$gen/stats")
     // the folded dict reflects the folded (live) postings exactly —

@@ -398,8 +398,13 @@ object Similarity {
     val tombs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
     if (deltas.isEmpty && tombs.isEmpty) return
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
-    allVectorGens(spark, dir, partCol, None)
-      .write.mode("overwrite").partitionBy(partCol)
+    val folded = allVectorGens(spark, dir, partCol, None)
+    // empty fold (everything deleted): a zero-row partitionBy write
+    // has no schema footer — degrade to one empty schema-carrying file
+    if (folded.isEmpty)
+      folded.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/$gen/vectors")
+    else folded.write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$dir/$gen/vectors")
     // deltas and tombstones share one id sequence → one watermark
     val foldedMax = (deltas ++ tombs)

@@ -201,6 +201,33 @@ class RetrievalCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("delete-everything then compact leaves a servable, appendable index") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = "/tmp/graft_text_purge_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      Retrieval.writePostingsIndex(docs.filter(col("doc_id") < 50), dir)
+      Retrieval.deletePostingsDocs(spark, dir,
+        docs.filter(col("doc_id") < 50).select(col("doc_id")))
+      // the purge lifecycle: fold the now-empty index, reclaim, and
+      // keep serving (empty) and accepting new generations
+      Retrieval.compactPostingsIndex(spark, dir)
+      Retrieval.vacuumPostingsIndex(spark, dir)
+      assert(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms).isEmpty)
+      assert(Retrieval.bm25TopKStored(spark, dir,
+        Retrieval.QueryTerms).isEmpty)
+      Retrieval.appendPostingsDelta(docs.filter(col("doc_id") < 20), dir)
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms)) === rows(Retrieval.conjunctiveSearch(
+        docs.filter(col("doc_id") < 20), Retrieval.QueryTerms)))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("IVF delta append == monolithic build with the same centroids; compaction atomic + vacuum") {
     import graft.operators.Similarity
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
