@@ -810,6 +810,12 @@ object Retrieval {
        |  SELECT doc_id, text || ' $RevisedMark' AS text
        |  FROM documents WHERE doc_id % 21 = 0""".stripMargin
 
+  /** The whole-corpus conjunctive-search oracle re-scoped to a derived
+    * corpus — for gates whose fixture mutates the document set (the
+    * streaming CDC apply). */
+  private[graft] def searchOracleOver(corpus: String): String =
+    overCorpus(searchOracleSql, corpus)
+
   /** Re-scope an oracle written against `documents` to a derived
     * corpus: prepend a CTE holding the derived corpus and repoint the
     * oracle's corpus reads at it (a CTE cannot share the shadowed

@@ -83,4 +83,54 @@ object IndexIngest {
       graft.operators.Similarity.writeIvfDelta(
         batch.sparkSession, idx, batch, dir.toString)
     }
+
+  /** CDC sink: keep the search index in SYNC with a MUTATING document
+    * table. Each micro-batch carries change-feed rows — (doc_id, text,
+    * `_change_type` ∈ insert/delete), the `GraphArMutations` CDF
+    * convention where an update arrives as delete-of-old +
+    * insert-of-new — applied as one tombstone generation (the delete
+    * rows) followed by one epoch-tagged append generation (the insert
+    * rows). New docs carry no delete row; delete-only batches write no
+    * append.
+    *
+    * Replay safety comes from the SEQUENCE semantics, not just the
+    * tag: a fully committed epoch is skipped via its tag; a crash
+    * before the append dir existed re-runs delete + append — the
+    * duplicate tombstone fences nothing new and subtracts nothing
+    * (its negative stats are computed from the then-live doclens,
+    * where the victims are already fenced); a crash mid-append
+    * completes ONLY the append, in place — re-deleting there would
+    * out-sequence the tagged dir and fence the upserts' new text.
+    */
+  def applyCdcBatch(idx: String)(batch: DataFrame, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = graft.util.IndexCommit.fs(spark, idx)
+    val root = new Path(idx)
+    val tagged = if (!fs.exists(root)) None
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
+        .find(s => fs.exists(new Path(s.getPath, epochTag(epochId))))
+        .map(_.getPath)
+    val inserts = batch.filter(batch("_change_type") === "insert")
+      .select(batch("doc_id"), batch("text"))
+    tagged match {
+      case Some(d) =>
+        if (fs.exists(new Path(d, "postings/_SUCCESS"))) return // committed
+        // the delete half committed strictly before this dir was
+        // created — finish only the append half, in its own dir
+        graft.operators.Retrieval.writePostingsDelta(inserts, d.toString)
+      case None =>
+        val dels = batch.filter(batch("_change_type") === "delete")
+          .select(batch("doc_id"))
+        if (!dels.isEmpty)
+          graft.operators.Retrieval.deletePostingsDocs(spark, idx, dels)
+        if (!inserts.isEmpty) {
+          val d = new Path(
+            s"$idx/delta_${graft.util.IndexCommit.nextDeltaId(spark, idx)}")
+          fs.mkdirs(d)
+          fs.create(new Path(d, epochTag(epochId)), true).close()
+          graft.operators.Retrieval.writePostingsDelta(inserts, d.toString)
+        }
+    }
+  }
 }

@@ -575,6 +575,55 @@ object StreamingQueries {
     base
   }
 
+  /** CDC-sync fixture: the index starts on a third of the corpus, then
+    * a change-feed stream mutates it — batch 1 deletes part of the
+    * base and inserts new docs, batch 2 UPSERTS a slice of batch-1's
+    * docs (delete-of-old + insert-of-marked-new, the CDF convention)
+    * and inserts the rest — with the query KILLED between the batches
+    * and resumed from its checkpoint. The served index must equal one
+    * fresh build over the net corpus. */
+  def indexCdcFixture(spark: SparkSession,
+                      sfDir: String): String = synchronized {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val name = new java.io.File(sfDir).getName + "_" +
+      Integer.toHexString(canonical.hashCode) + "_cdc"
+    val base = s"/tmp/graft_text/$name"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_INGEST_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return base
+    if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    graft.operators.Retrieval.writePostingsIndex(
+      docs.filter(col("doc_id") % 3 === 0), base)
+    def cdc(df: DataFrame, op: String): DataFrame =
+      df.select(col("doc_id"), col("text"), lit(op).as("_change_type"))
+    val batch1 = cdc(docs.filter(col("doc_id") % 3 === 0 &&
+        col("doc_id") % 5 === 0), "delete")
+      .unionByName(cdc(docs.filter(col("doc_id") % 3 === 1), "insert"))
+    val upserts = docs.filter(col("doc_id") % 3 === 1 &&
+      col("doc_id") % 7 === 0)
+    val batch2 = cdc(upserts, "delete")
+      .unionByName(cdc(upserts.select(col("doc_id"),
+        concat(col("text"), lit(" cdcmark")).as("text")), "insert"))
+      .unionByName(cdc(docs.filter(col("doc_id") % 3 === 2), "insert"))
+    val replay = new Replay("cdc")
+    val ckpt = s"$base/_ingest_ckpt"
+    def start() = replay.source(spark, batch1.schema)
+      .writeStream
+      .foreachBatch(IndexIngest.applyCdcBatch(base) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try { replay.add(batch1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start() // resume from the checkpoint
+    try { replay.add(batch2); q2.processAllAvailable() } finally q2.stop()
+    replay.cleanup()
+    fs.create(marker, true).close()
+    base
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_late" -> { (s, d) => lateFeedWindowCounts(s, d) },
     "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) },
@@ -604,6 +653,13 @@ object StreamingQueries {
     "st_vector_ingest" -> { (s, d) =>
       graft.operators.Similarity.ivfTopKStored(s, vectorIngestFixture(s, d),
         graft.Tables.t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
+    },
+    // CDC sync: a change-feed stream (deletes, inserts, upserts) keeps
+    // the index current across a kill+resume; stored search then
+    // equals the oracle over the NET corpus
+    "st_index_cdc" -> { (s, d) =>
+      graft.operators.Retrieval.conjunctiveSearchStored(s,
+        indexCdcFixture(s, d), graft.operators.Retrieval.QueryTerms)
     }
   )
 
@@ -619,6 +675,18 @@ object StreamingQueries {
     // the stream left behind, search must equal the whole-corpus SQL
     "st_index_ingest" -> graft.operators.Retrieval.oracle("t_search"),
     "st_vector_ingest" -> graft.operators.Similarity.oracle("sim_ivf_stored"),
+    // the net corpus after the CDC feed: base minus its %5 deletes,
+    // batch-1 inserts with the %7 slice upserted (marked), batch-2
+    // inserts
+    "st_index_cdc" -> graft.operators.Retrieval.searchOracleOver(
+      """SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+        |  UNION ALL SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 3 = 1 AND doc_id % 7 <> 0
+        |  UNION ALL SELECT doc_id, text || ' cdcmark' AS text FROM documents
+        |    WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 3 = 2""".stripMargin),
     // identical SQL: the killed-and-recovered run must hash-match the
     // uninterrupted semantics exactly (exactly-once across restart)
     "st_recovery" -> windowLateOracleSql,

@@ -77,6 +77,62 @@ class IndexIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC sink: replayed epochs converge — committed skip, crashed-append completion preserves the upsert") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = "/tmp/graft_cdc_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      Retrieval.writePostingsIndex(docs.filter(col("doc_id") < 40), dir)
+      // one batch: delete doc 3, upsert doc 5 (delete + marked insert),
+      // insert doc 100 (new)
+      def cdc(df: org.apache.spark.sql.DataFrame, op: String) =
+        df.select(col("doc_id"), col("text"), lit(op).as("_change_type"))
+      val batch = cdc(docs.filter(col("doc_id").isin(3L, 5L)), "delete")
+        .unionByName(cdc(docs.filter(col("doc_id") === 5L)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" zzcdc")).as("text")), "insert"))
+        .unionByName(cdc(docs.filter(col("doc_id") === 100L), "insert"))
+      IndexIngest.applyCdcBatch(dir)(batch, 0L)
+      val want = rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms))
+      val marked = rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Seq("zzcdc")))
+      assert(marked.nonEmpty, "upsert marker absent — vacuous")
+      val gens = deltaDirsOf(dir)
+      // full replay of the committed epoch: no new generations, no drift
+      IndexIngest.applyCdcBatch(dir)(batch, 0L)
+      assert(deltaDirsOf(dir) === gens)
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms)) === want)
+
+      // crash-mid-append replay: strip the append's commit (postings
+      // dir gone, tag intact) — the replay must complete the SAME dir
+      // without a second tombstone, or the upsert's new text would be
+      // out-sequenced and fenced
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val appendDir = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("delta_") &&
+          new java.io.File(f, "_epoch_0").exists()).head
+      fs.delete(new org.apache.hadoop.fs.Path(
+        appendDir.getPath + "/postings"), true)
+      val tombsBefore = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("tomb_"))
+      IndexIngest.applyCdcBatch(dir)(batch, 0L)
+      assert(new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("tomb_")) === tombsBefore,
+        "crashed-append replay wrote a second tombstone")
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Seq("zzcdc"))) === marked,
+        "upsert lost across the crashed-append replay")
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms)) === want)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("a replayed epoch after a CRASHED append retries in place (invisible dir reused)") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
