@@ -226,7 +226,7 @@ object ZipfBench {
       GraphOps.maximalMatching(spark, esP, rounds = GraphOps.ConvergedCap)
         .count())
     time("coloring_conv")(
-      GraphOps.greedyColoring(spark, esP, converged = true).count())
+      GraphOps.trialColoring(spark, esP, converged = true).count())
     spark.conf.set("spark.graft.timeLogging", "false")
     // hub-sensitive additions round 2: hits' per-vertex sums see the
     // hub's whole in/out mass (map-side combinable); ktruss' wedge join

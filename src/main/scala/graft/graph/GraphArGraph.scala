@@ -221,7 +221,7 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
     * fixed-round partial the oracle pins). */
   def coloring(src: String, t: String, dst: String,
                rounds: Int = 6, converged: Boolean = true): DataFrame =
-    GraphOps.greedyColoring(spark, edgesStd(src, t, dst), rounds,
+    GraphOps.trialColoring(spark, edgesStd(src, t, dst), rounds,
       converged = converged)
 
   /** Exact bounded eccentricity (converged = run to the empty-frontier

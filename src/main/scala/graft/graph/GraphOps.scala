@@ -744,83 +744,115 @@ object GraphOps {
       .getOrElse(alive.filter(lit(false)).select(col("a"), col("b")))
   }
 
-  /** Jones–Plassmann greedy coloring: per round, every UNCOLORED vertex
-    * whose static hash priority is a strict local max among its
-    * uncolored neighbors takes the smallest color absent from its
-    * already-colored neighborhood (same-round winners are never
-    * adjacent — strict max under the total (p, v) order — so the
-    * coloring is always proper). FIXED round count for oracle parity;
-    * vertices still uncolored after `rounds` are absent from the
-    * output (a valid partial coloring); `converged = true` ignores
-    * `rounds` and runs until the undecided set is empty — a TOTAL
-    * proper coloring on any graph (the loop already early-exits
-    * there). Returns (v, color).
+  /** Distributed (Δ+1)-coloring by deterministic RANDOM COLOR TRIAL
+    * (Johansson's algorithm, the Barenboim–Elkin "simple randomized"
+    * form, derandomized here with md5 hashes so the result is a pure
+    * function of (graph, seed) and DuckDB-oracle-checkable): per
+    * round, every UNCOLORED vertex hash-picks a candidate color
+    * uniformly from its AVAILABLE palette [0..deg(v)] minus its
+    * already-colored neighbors' colors; adjacent same-candidate picks
+    * are resolved by a round-salted (priority, v) order — the strict
+    * max keeps, the rest retry next round. Winners are proper by
+    * construction (candidate ∉ colored-neighbor colors; same-round
+    * adjacent winners differ by the conflict rule), and color(v) ≤
+    * deg(v), so the total palette is the same Δ+1 bound greedy gives.
+    * FIXED round count for oracle parity; vertices still uncolored
+    * after `rounds` are absent from the output (a valid partial
+    * coloring); `converged = true` ignores `rounds` and runs until the
+    * undecided set is empty — a TOTAL proper coloring on any graph
+    * (the loop early-exits there; each round the globally max-(p, v)
+    * undecided vertex always keeps its pick, so progress is
+    * guaranteed). Returns (v, color).
     *
-    * The mex is computed without ranges: mex(S) = min(({0} ∪ {c+1 :
-    * c ∈ S}) \ S) — candidate set bounded by |colored neighbors|+1,
-    * one anti-join + min, no per-vertex sequence explode.
+    * Why color TRIAL and not priority peeling (Jones–Plassmann / the
+    * Luby-MIS shape this op used through round 9): every
+    * one-independent-set-per-round scheme colors AT MOST ONE vertex of
+    * a clique per round — its fixpoint is lower-bounded by the largest
+    * clique, independent of how priorities are drawn (measured: 256
+    * rounds with static priorities and 212 with fresh ones at Zipf 1M,
+    * whose Zipf head is a ~200-quasi-clique; unconverged after 13,500
+    * rounds at Zipf 60M). Random trial has no such bound — a k-clique
+    * picks from palettes of size ≥ k−j after j are colored, so a
+    * constant fraction of it survives conflict resolution EVERY round
+    * and the whole graph converges in O(log n) rounds w.h.p.
     *
-    * Scale notes: per-round work is one neighbor-max over the
-    * undecided-induced edges (map-side combinable) plus the mex join
-    * bounded by colored-neighbor edges; the undecided set only
-    * shrinks; the static edge table is persisted once. Same family as
-    * [[maximalIndependentSet]] (a JP round's winner set IS an MIS of
-    * the undecided subgraph).
+    * Scale notes: the candidate pick is a pure column expression (the
+    * palette filter materializes one [0..deg] array per undecided
+    * vertex per round, transient, never shuffled — the hub's array is
+    * deg-bounded and dies with its projection); conflict resolution is
+    * one neighbor-max over the undecided-induced edges
+    * (map-side combinable); the colored-neighbor color pairs are
+    * accumulated INCREMENTALLY (only edges out of this round's winners
+    * are scanned, and pairs whose target has been colored are dropped),
+    * so per-round cost tracks the shrinking frontier, not E × rounds.
     */
-  def greedyColoring(spark: SparkSession, edges: DataFrame,
+  def trialColoring(spark: SparkSession, edges: DataFrame,
                      rounds: Int = 6, seed: String = "color",
                      converged: Boolean = false): DataFrame = {
     val canon = undirectedSimple(edges)
     val ue = canon.select(col("a").as("s"), col("b").as("t"))
       .unionAll(canon.select(col("b").as("s"), col("a").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var und = ue.select(col("s").as("v")).distinct()
-      .withColumn("p", expr(
-        s"cast(conv(substr(md5(concat('$seed-', cast(v as string))), 1, 15), 16, 10) as bigint)"))
-      .localCheckpoint(true)
-    // accumulated coloring: checkpointed per round in converged mode —
-    // a power-law tail can need HUNDREDS of rounds (256 at the Zipf 1M
-    // rung), where a per-round list-of-frames union would replan
-    // quadratically and blow the driver's plan budget
+    // static degree vector: palette of v is [0..deg(v)] (ue holds each
+    // undirected simple edge twice, so count(*) per s IS the degree)
+    val deg = ue.groupBy(col("s").as("v"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var und = deg.select(col("v")).localCheckpoint(true)
     var colored: Option[DataFrame] = None
-    // undecided-induced edge set: shrunk + checkpointed per round in
-    // converged mode, so late rounds (few survivors) scan only the
-    // surviving adjacency, not the full edge table, 250+ times
+    // (v, c) pairs: DISTINCT colors already taken in v's neighborhood,
+    // for still-undecided v — grown incrementally from winners' edges
+    var nbrPairs = ue.select(col("s").as("v"), lit(0L).as("c")).limit(0)
+      .localCheckpoint(true)
+    // undecided-induced edge set for conflict resolution: shrunk +
+    // checkpointed per round in converged mode so late rounds (few
+    // survivors) scan only the surviving adjacency
     var live = ue
     var r = 0
     var done = false
     val cap = if (converged) ConvergedCap else rounds
     while (r < cap && !done) {
       r += 1
-      val nbrMax = live
-        .join(und.select(col("v").as("s"), col("p").as("ps")), "s")
-        .join(und.select(col("v").as("t")), "t")
+      def h(salt: String) = expr(
+        s"cast(conv(substr(md5(concat('$salt-$r-', cast(v as string))), 1, 15), 16, 10) as bigint)")
+      // the candidate pick: uniform (by the 'pick' hash) over the
+      // available palette. coalesce: vertices with no colored
+      // neighbors have no nbrPairs rows. |avail| >= deg+1-|F| >= 1.
+      val pick = und.join(deg, "v")
+        .join(nbrPairs.groupBy(col("v")).agg(collect_set(col("c")).as("f")),
+          Seq("v"), "left")
+        .withColumn("fc", coalesce(col("f"), expr("cast(array() as array<bigint>)")))
+        .withColumn("avail", filter(sequence(lit(0L), col("deg")),
+          x => !array_contains(col("fc"), x)))
+        .withColumn("cand", element_at(col("avail"),
+          (pmod(h(seed + "pick"), size(col("avail"))) + 1).cast("int")))
+        .withColumn("p", h(seed))
+        .select(col("v"), col("p"), col("cand"))
+        .localCheckpoint(true) // reused: conflict join both sides + winners
+      // conflict resolution: among adjacent undecided picks of the SAME
+      // candidate color, the strict max under (p, v) keeps
+      val clash = live
+        .join(pick.select(col("v").as("s"), col("p").as("ps"),
+          col("cand").as("cs")), "s")
+        .join(pick.select(col("v").as("t"), col("cand").as("ct")), "t")
+        .filter(col("cs") === col("ct"))
         .groupBy(col("t").as("v"))
         .agg(max(struct(col("ps"), col("s"))).as("mx"))
-      val winners = und.join(nbrMax, Seq("v"), "left")
+      val winners = pick.join(clash, Seq("v"), "left")
         .filter(col("mx").isNull ||
           struct(col("p").as("ps"), col("v").as("s")) > col("mx"))
-        .select(col("v"))
-        .localCheckpoint(true) // reused: mex joins + undecided shrink
-      // colored-neighbor colors of this round's winners (prior rounds
-      // only — same-round winners are independent, no conflict). Full
-      // `ue`, not `live`: edges INTO already-colored vertices left the
-      // live set, and those are exactly the edges mex needs
-      val nbrC = colored match {
-        case None => winners.select(col("v"), lit(0L).as("c")).limit(0)
-        case Some(cdf) => ue
-          .join(winners.withColumnRenamed("v", "t"), "t")
-          .join(cdf.select(col("v").as("s"), col("color").as("c")), "s")
-          .select(col("t").as("v"), col("c")).distinct()
-      }
-      val cand = winners.select(col("v"), lit(0L).as("c"))
-        .unionAll(nbrC.select(col("v"), (col("c") + 1).as("c")))
-      val newColors = cand.join(nbrC, Seq("v", "c"), "left_anti")
-        .groupBy(col("v")).agg(min(col("c")).as("color"))
-        .localCheckpoint(true)
-      val acc = colored.fold(newColors)(_ unionAll newColors)
+        .select(col("v"), col("cand").as("color"))
+        .localCheckpoint(true) // reused: colored union + frontier shrink
+      val acc = colored.fold(winners)(_ unionAll winners)
       colored = Some(if (converged) acc.localCheckpoint(true) else acc)
       und = und.join(winners, Seq("v"), "left_anti").localCheckpoint(true)
+      // incremental forbidden-color growth: only the winners' edges are
+      // scanned; pairs whose target got colored this round drop out
+      nbrPairs = nbrPairs.unionAll(
+          ue.join(winners.select(col("v").as("s"), col("color").as("c")), "s")
+            .select(col("t").as("v"), col("c")))
+        .join(und, Seq("v"), "left_semi")
+        .distinct()
+        .localCheckpoint(true)
       if (converged) live = live
         .join(und.select(col("v").as("s")), Seq("s"), "left_semi")
         .join(und.select(col("v").as("t")), Seq("t"), "left_semi")

@@ -178,12 +178,16 @@ object GraphQueries {
     "g_matching" -> { (s, d) =>
       GraphOps.maximalMatching(s, edgesFrom(s, d), rounds = MatchRounds)
     },
-    // Jones–Plassmann greedy coloring (static md5 priorities, strict
-    // local max, mex without ranges); 6 fixed rounds unrolled in the
-    // oracle — vertices still uncolored after round 6 are absent on
-    // both engines, so the partial coloring hashes identically
+    // (Δ+1)-coloring by deterministic random color trial (derandomized
+    // Johansson — hash-picked candidate from [0..deg] minus colored
+    // neighbors' colors, adjacent equal picks resolved by round-salted
+    // priority; see GraphOps.trialColoring for why priority PEELING
+    // is clique-bound and stalls on the Zipf head); 6 fixed rounds
+    // unrolled in the oracle — vertices still uncolored after round 6
+    // are absent on both engines, so the partial coloring hashes
+    // identically
     "g_coloring" -> { (s, d) =>
-      GraphOps.greedyColoring(s, edgesFrom(s, d), rounds = ColorRounds)
+      GraphOps.trialColoring(s, edgesFrom(s, d), rounds = ColorRounds)
     },
     // SimRank on the <SimRankInduced induced subgraph (exact pair state
     // is Θ(V²) — the scale path is walk-sampling, GraphOps.simRank
@@ -1071,43 +1075,50 @@ object GraphQueries {
        |$unions""".stripMargin
   }
 
-  /** Unrolled Jones–Plassmann rounds mirroring
-    * [[GraphOps.greedyColoring]]: strict-local-max winners under the
-    * static (md5 p, v) order, mex over prior-round neighbor colors via
-    * the candidate trick ({0} ∪ {c+1}) minus used.
+  /** Unrolled random-color-trial rounds mirroring
+    * [[GraphOps.trialColoring]] (derandomized Johansson): per round,
+    * each undecided vertex hash-picks a candidate uniformly from
+    * [0..deg] minus its colored neighbors' colors; adjacent equal
+    * candidates resolve to the strict max under the round-salted
+    * (md5 priority, v) order.
     */
   private def coloringSql: String = {
-    val p = "CAST(('0x' || substr(md5('color-' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)"
+    def h(salt: String, i: Int, x: String) =
+      s"CAST(('0x' || substr(md5('$salt-$i-' || CAST($x AS VARCHAR)), 1, 15)) AS BIGINT)"
     val steps = (1 to ColorRounds).map { i =>
-      s"""win$i AS MATERIALIZED (
-         |  SELECT u.v FROM und$i u WHERE NOT EXISTS (
-         |    SELECT 1 FROM ue JOIN und$i n ON n.v = ue.s
-         |    WHERE ue.t = u.v
+      s"""f$i AS MATERIALIZED (
+         |  SELECT u.v, list(DISTINCT c.color) AS f
+         |  FROM und$i u JOIN ue ON ue.t = u.v
+         |  JOIN colored${i - 1} c ON c.v = ue.s
+         |  GROUP BY u.v),
+         |pick$i AS MATERIALIZED (
+         |  SELECT v, ${h("color", i, "v")} AS p,
+         |    avail[1 + (${h("colorpick", i, "v")} % len(avail))] AS cand
+         |  FROM (
+         |    SELECT u.v, list_filter(range(0, d.deg + 1),
+         |      x -> NOT list_contains(coalesce(f.f, CAST([] AS BIGINT[])), x))
+         |      AS avail
+         |    FROM und$i u JOIN deg d ON d.v = u.v
+         |    LEFT JOIN f$i f ON f.v = u.v)),
+         |win$i AS MATERIALIZED (
+         |  SELECT u.v, u.cand FROM pick$i u WHERE NOT EXISTS (
+         |    SELECT 1 FROM ue JOIN pick$i n ON n.v = ue.s
+         |    WHERE ue.t = u.v AND n.cand = u.cand
          |      AND (n.p > u.p OR (n.p = u.p AND n.v > u.v)))),
-         |nc$i AS MATERIALIZED (
-         |  SELECT DISTINCT ue.t AS v, c.color AS c
-         |  FROM ue JOIN win$i w ON w.v = ue.t
-         |  JOIN colored${i - 1} c ON c.v = ue.s),
-         |newc$i AS MATERIALIZED (
-         |  SELECT v, min(c) AS color FROM (
-         |    SELECT v, CAST(0 AS BIGINT) AS c FROM win$i
-         |    UNION ALL
-         |    SELECT v, c + 1 FROM nc$i) x
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM nc$i n WHERE n.v = x.v AND n.c = x.c)
-         |  GROUP BY v),
          |colored$i AS MATERIALIZED (
          |  SELECT v, color FROM colored${i - 1}
-         |  UNION ALL SELECT v, color FROM newc$i),
+         |  UNION ALL SELECT v, cand AS color FROM win$i),
          |und${i + 1} AS MATERIALIZED (
-         |  SELECT u.v, u.p FROM und$i u
+         |  SELECT u.v FROM und$i u
          |  WHERE u.v NOT IN (SELECT v FROM win$i))""".stripMargin
     }.mkString(",\n")
     s"""WITH e0 AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM ($edgesSql) WHERE src <> dst),
        |ue AS MATERIALIZED (SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b, a FROM e0),
-       |und1 AS MATERIALIZED (SELECT DISTINCT s AS v, $p AS p FROM ue),
+       |deg AS MATERIALIZED (
+       |  SELECT s AS v, CAST(count(*) AS BIGINT) AS deg FROM ue GROUP BY 1),
+       |und1 AS MATERIALIZED (SELECT v FROM deg),
        |colored0 AS MATERIALIZED (
        |  SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS color
        |  WHERE false),

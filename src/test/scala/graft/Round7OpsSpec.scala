@@ -225,20 +225,22 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(allE.forall { case (a, b) => mset(a) || mset(b) })
   }
 
-  test("greedyColoring: proper coloring, equals round model, total at convergence") {
+  test("trialColoring: proper coloring, equals round model, total at convergence") {
     import spark.implicits._
-    def h(v: Long): Long = {
+    def md5Long(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"color-$v".getBytes("UTF-8"))
+        .digest(s.getBytes("UTF-8"))
       java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
     }
+    def h(r: Int, v: Long): Long = md5Long(s"color-$r-$v")
+    def hp(r: Int, v: Long): Long = md5Long(s"colorpick-$r-$v")
     val rnd = new scala.util.Random(0xC0105)
     val V = 70
     val edges = Seq.fill(350)(
       (rnd.nextInt(V).toLong, rnd.nextInt(V).toLong))
     val df = edges.toDF("src", "dst")
     val rounds = 15
-    val got = GraphOps.greedyColoring(spark, df, rounds)
+    val got = GraphOps.trialColoring(spark, df, rounds)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val canon = edges.map { case (s, t) => (math.min(s, t), math.max(s, t)) }
       .filter { case (a, b) => a != b }.distinct
@@ -248,14 +250,19 @@ class Round7OpsSpec extends AnyFunSuite {
       .mapValues(_.map(_._2).toSet).toMap
     var und = verts.toSet
     var color = Map.empty[Long, Long]
-    for (_ <- 1 to rounds if und.nonEmpty) {
+    for (r <- 1 to rounds if und.nonEmpty) {
+      // trial pick: uniform over [0..deg] minus colored-neighbor colors
+      val cand = und.map { v =>
+        val f = nbr(v).flatMap(color.get)
+        val avail = (0L to nbr(v).size.toLong).filterNot(f)
+        v -> avail((hp(r, v) % avail.size).toInt)
+      }.toMap
+      // conflict resolution: adjacent equal candidates -> strict
+      // (priority, v) max keeps
       val winners = und.filter(v => nbr(v).filter(und).forall(n =>
-        h(n) < h(v) || (h(n) == h(v) && n < v)))
-      val newC = winners.map { v =>
-        val used = nbr(v).flatMap(color.get)
-        v -> Iterator.iterate(0L)(_ + 1).find(c => !used(c)).get
-      }
-      color ++= newC
+        cand(n) != cand(v) ||
+          h(r, n) < h(r, v) || (h(r, n) == h(r, v) && n < v)))
+      color ++= winners.map(v => v -> cand(v))
       und --= winners
     }
     assert(got === color)

@@ -33,9 +33,9 @@ class Round8OpsSpec extends AnyFunSuite {
       "converged coreness diverged from the measured 14-round fixed point")
   }
 
-  test("greedyColoring(converged) is TOTAL, proper, and extends the 6-round prefix") {
+  test("trialColoring(converged) is TOTAL, proper, and extends the 6-round prefix") {
     val gate = GraphQueries.edgesFrom(spark, sf)
-    val conv = GraphOps.greedyColoring(spark, gate, converged = true)
+    val conv = GraphOps.trialColoring(spark, gate, converged = true)
     val colors = conv.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // total: every vertex with a non-self-loop edge is colored
@@ -51,7 +51,7 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"improper edges: ${bad.take(5).mkString(",")}")
     // prefix agreement: the bounded 6-round coloring is a SUBSET —
     // same (v, color) rows, the converged run only adds later rounds
-    val bounded = GraphOps.greedyColoring(spark, gate,
+    val bounded = GraphOps.trialColoring(spark, gate,
         rounds = GraphQueries.ColorRounds)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bounded.subsetOf(colors.toSet),
@@ -147,8 +147,8 @@ class Round8OpsSpec extends AnyFunSuite {
     val empty = edges.filter(lit(false))
     // maximalMatching with rounds = 0 → empty matching, no exception
     assert(GraphOps.maximalMatching(spark, edges, rounds = 0).count() === 0L)
-    // greedyColoring on an empty edge set → empty coloring
-    assert(GraphOps.greedyColoring(spark, empty).count() === 0L)
+    // trialColoring on an empty edge set → empty coloring
+    assert(GraphOps.trialColoring(spark, empty).count() === 0L)
     // graphSummary on an edgeless graph → empty frame, no NPE
     val s = GraphOps.graphSummary(spark, empty)
     assert(s.count() === 0L)
