@@ -170,9 +170,62 @@ class GraphArCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = readOnly()
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
+
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` on a VERSIONED catalog:
+    * the retention keys (`retention.keep`, `retention.maxAgeSec`) map
+    * onto the snapshot base's `_RETENTION` properties file
+    * ([[graft.streaming.GraphArSink.setRetention]]) — the SQL surface
+    * of per-table retention. Retention governs the snapshot base as a
+    * whole (every table of a graph version shares one dir), so setting
+    * it through ANY of the catalog's tables configures the base; read
+    * it back with `SHOW TBLPROPERTIES`. Any other property, or a
+    * non-versioned catalog, refuses like the rest of the DDL surface.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val base = versionedBase.getOrElse(readOnly())
+    loadTable(ident) // NoSuchTableException before any state change
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cur = graft.streaming.GraphArSink.retentionOf(spark, base)
+    var keep = cur.keep
+    var age = cur.maxAgeSec
+    changes.foreach {
+      case s: TableChange.SetProperty => s.property match {
+        case "retention.keep" => keep = Some(s.value.toInt)
+        case "retention.maxAgeSec" => age = Some(s.value.toLong)
+        case p => throw new UnsupportedOperationException(
+          s"catalog '$catalogName': only retention.keep / " +
+            s"retention.maxAgeSec are settable, got '$p'")
+      }
+      case r: TableChange.RemoveProperty => r.property match {
+        case "retention.keep" => keep = None
+        case "retention.maxAgeSec" => age = None
+        case p => throw new UnsupportedOperationException(
+          s"catalog '$catalogName': only retention.keep / " +
+            s"retention.maxAgeSec are unsettable, got '$p'")
+      }
+      case c => throw new UnsupportedOperationException(
+        s"catalog '$catalogName': unsupported table change $c")
+    }
+    graft.streaming.GraphArSink.setRetention(spark, base, keep, age)
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = readOnly()
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
+}
+
+/** The snapshot base's stored retention policy as table properties —
+  * shared by the versioned edge and vertex tables' `properties()` so
+  * `SHOW TBLPROPERTIES` reads back what `ALTER TABLE … SET
+  * TBLPROPERTIES` wrote. */
+private[catalog] object RetentionProps {
+  def of(base: String): JMap[String, String] = {
+    val r = graft.streaming.GraphArSink.retentionOf(
+      org.apache.spark.sql.SparkSession.active, base)
+    val m = new java.util.HashMap[String, String]()
+    r.keep.foreach(k => m.put("retention.keep", k.toString))
+    r.maxAgeSec.foreach(a => m.put("retention.maxAgeSec", a.toString))
+    m
+  }
 }
 
 /** Edge table of a VERSIONED (`snapshotBase`) catalog: reads serve the
@@ -198,6 +251,10 @@ class GraphArVersionedEdgeTable(info: EdgeInfo, base: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  /** `SHOW TBLPROPERTIES` surfaces the base's stored retention policy. */
+  override def properties(): JMap[String, String] =
+    RetentionProps.of(base)
 
   /** SQL `DELETE FROM g.\`X.edge\` WHERE …` staged as an O(delta)
     * remove on the live log — the DML twin of `removeEdges` staging,
@@ -322,6 +379,10 @@ class GraphArVersionedVertexTable(info: VertexInfo, base: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE)
+
+  /** `SHOW TBLPROPERTIES` surfaces the base's stored retention policy. */
+  override def properties(): JMap[String, String] =
+    RetentionProps.of(base)
 
   // Schema = the PROPERTY columns only, with the key non-null (the
   // upsert identity; Spark requires a non-nullable row ID before it

@@ -154,23 +154,84 @@ object GraphArSink {
     autoPrune(spark, base)
   }
 
-  /** Retention policy hook, run after every LATEST repoint: when
-    * `spark.graft.retainSnapshots` (count) and/or
-    * `spark.graft.retainSnapshotsMaxAgeSec` (age) is set, old snapshot
-    * dirs are pruned under the same safety rules as [[prune]] (never
-    * LATEST, never a referenced version; age applies ON TOP of the
-    * count — a version must be both outside the keep window AND older
-    * than the age floor to be deleted). Unset (the default) = retain
-    * everything, the pre-round-6 behavior.
+  /** A snapshot-retention policy: `keep` = count window (the N most
+    * recent committed versions survive), `maxAgeSec` = age floor
+    * (a version outside the keep window additionally survives until
+    * it is at least this old). Both optional; both-empty = retain
+    * everything. */
+  case class Retention(keep: Option[Int], maxAgeSec: Option[Long]) {
+    def isSet: Boolean = keep.isDefined || maxAgeSec.isDefined
+  }
+
+  /** Set (or clear, with both fields None) the PER-TABLE retention
+    * policy, stored with the table as a `_RETENTION` key=value file
+    * under the snapshot base — the Iceberg/Delta table-property shape:
+    * the policy travels with the data and binds EVERY writer of this
+    * table, not just sessions that happen to carry the right conf.
+    * Written with the LATEST commit protocol (tmp + one overwriting
+    * rename), so a concurrent commit's [[autoPrune]] never reads a
+    * partial policy. Takes effect at the next snapshot commit (or an
+    * explicit [[prune]]); it does not itself delete anything.
+    */
+  def setRetention(spark: org.apache.spark.sql.SparkSession, base: String,
+                   keep: Option[Int] = None,
+                   maxAgeSec: Option[Long] = None): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(s"$base/_RETENTION")
+    val fs = p.getFileSystem(conf)
+    if (keep.isEmpty && maxAgeSec.isEmpty) { fs.delete(p, false); return }
+    require(keep.forall(_ >= 1),
+      s"retention keep must be >= 1 (LATEST itself is never pruned), got $keep")
+    val body = (keep.map(k => s"keep=$k") ++
+      maxAgeSec.map(a => s"maxAgeSec=$a")).mkString("", "\n", "\n")
+    val tmp = new Path(s"$base/._RETENTION.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The table's stored retention policy (both-None when unset). */
+  def retentionOf(spark: org.apache.spark.sql.SparkSession,
+                  base: String): Retention = {
+    val p = new Path(s"$base/_RETENTION")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Retention(None, None)
+    val in = fs.open(p)
+    val kv = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .flatMap { l =>
+        l.split('=') match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap finally in.close()
+    Retention(kv.get("keep").map(_.toInt), kv.get("maxAgeSec").map(_.toLong))
+  }
+
+  /** Retention policy hook, run after every LATEST repoint. Policy
+    * resolution: the table's own `_RETENTION` properties file (see
+    * [[setRetention]]) when present — the policy that travels with the
+    * table wins — else the session-wide conf pair
+    * `spark.graft.retainSnapshots` (count) /
+    * `spark.graft.retainSnapshotsMaxAgeSec` (age). Either way old
+    * snapshot dirs are pruned under the same safety rules as [[prune]]
+    * (never LATEST, never a referenced version; age applies ON TOP of
+    * the count — a version must be both outside the keep window AND
+    * older than the age floor to be deleted). Nothing set (the
+    * default) = retain everything, the pre-round-6 behavior.
     */
   private def autoPrune(spark: org.apache.spark.sql.SparkSession,
                         base: String): Unit = {
-    val keep = spark.conf.getOption("spark.graft.retainSnapshots")
-      .map(_.toInt)
-    val age = spark.conf.getOption("spark.graft.retainSnapshotsMaxAgeSec")
-      .map(_.toLong)
-    if (keep.isDefined || age.isDefined)
-      prune(spark, base, keep.getOrElse(2), age)
+    val table = retentionOf(spark, base)
+    val policy =
+      if (table.isSet) table
+      else Retention(
+        spark.conf.getOption("spark.graft.retainSnapshots").map(_.toInt),
+        spark.conf.getOption("spark.graft.retainSnapshotsMaxAgeSec")
+          .map(_.toLong))
+    if (policy.isSet)
+      prune(spark, base, policy.keep.getOrElse(2), policy.maxAgeSec)
   }
 
   /** Resolve the current snapshot's graph yaml (null if none committed). */

@@ -483,6 +483,92 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("per-table retention: the _RETENTION property overrides session conf and binds every writer") {
+    import graft.sources.graphar.{GraphArMutations, GraphArWriter}
+    import graft.streaming.GraphArSink
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("gar_retain_tbl").toString
+    val spec = GraphArWriter.EdgeSpec("N", "link", "N",
+      srcVertexCount = 8, dstVertexCount = 8,
+      chunkSize = 4, srcChunkSize = 4, dstChunkSize = 4)
+    def addOne(s: Long, d: Long): Unit =
+      GraphArMutations.addEdges(spark, base,
+        Seq((s, d, 1.0)).toDF("src", "dst", "w"))
+    try {
+      GraphArMutations.initEdges(spark, base,
+        Seq((0L, 1L, 1.0)).toDF("src", "dst", "w"), "RT", spec)
+      // no policy anywhere: every version is retained
+      addOne(2L, 3L); addOne(4L, 5L)
+      assert(GraphArSink.versions(spark, base) === Seq(0L, 1L, 2L))
+      // the table property prunes on the next commit even though THIS
+      // session carries no retain conf — the policy travels with the table
+      GraphArSink.setRetention(spark, base, keep = Some(1))
+      assert(GraphArSink.retentionOf(spark, base)
+        === GraphArSink.Retention(Some(1), None))
+      addOne(0L, 5L)
+      assert(GraphArSink.versions(spark, base) === Seq(3L))
+      // and it WINS over a looser session conf (table property binds)
+      spark.conf.set("spark.graft.retainSnapshots", "10")
+      addOne(1L, 2L)
+      assert(GraphArSink.versions(spark, base) === Seq(4L))
+      // clearing the property falls back to the session conf
+      GraphArSink.setRetention(spark, base)
+      assert(GraphArSink.retentionOf(spark, base)
+        === GraphArSink.Retention(None, None))
+      addOne(3L, 4L)
+      assert(GraphArSink.versions(spark, base) === Seq(4L, 5L))
+      // the surviving snapshot still reads whole
+      assert(GraphArMutations.currentEdges(spark, base).count() === 6L)
+      // a keep of 0 would prune LATEST itself — refused up front
+      intercept[IllegalArgumentException] {
+        GraphArSink.setRetention(spark, base, keep = Some(0))
+      }
+    } finally {
+      spark.conf.unset("spark.graft.retainSnapshots")
+    }
+  }
+
+  test("SQL retention surface: ALTER TABLE SET/UNSET TBLPROPERTIES maps onto _RETENTION") {
+    import graft.sources.graphar.{GraphArMutations, GraphArWriter}
+    import graft.streaming.GraphArSink
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("gar_retain_sql").toString
+    GraphArMutations.initEdges(spark, base,
+      Seq((0L, 1L, 1.0)).toDF("src", "dst", "w"), "RS",
+      GraphArWriter.EdgeSpec("N", "link", "N",
+        srcVertexCount = 8, dstVertexCount = 8,
+        chunkSize = 4, srcChunkSize = 4, dstChunkSize = 4))
+    spark.conf.set("spark.sql.catalog.retn", "graft.catalog.GraphArCatalog")
+    spark.conf.set("spark.sql.catalog.retn.snapshotBase", base)
+    val tbl = "retn.`N_link_N.edge`"
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES(" +
+      "'retention.keep'='1', 'retention.maxAgeSec'='3600')")
+    assert(GraphArSink.retentionOf(spark, base)
+      === GraphArSink.Retention(Some(1), Some(3600L)))
+    // SHOW TBLPROPERTIES reads the stored policy back
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tbl")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("retention.keep") === Some("1"))
+    assert(props.get("retention.maxAgeSec") === Some("3600"))
+    // UNSET removes one key, keeping the other
+    spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES('retention.maxAgeSec')")
+    assert(GraphArSink.retentionOf(spark, base)
+      === GraphArSink.Retention(Some(1), None))
+    // the SQL-set policy actually prunes at the next commit
+    GraphArMutations.addEdges(spark, base,
+      Seq((2L, 3L, 2.0)).toDF("src", "dst", "w"))
+    assert(GraphArSink.versions(spark, base) === Seq(1L))
+    // a non-retention property refuses like the rest of the DDL surface
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES('owner'='me')")
+    }
+    // vertex tables of a versioned catalog expose the same properties
+    // (retention is a property of the snapshot base, not of one table)
+    spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES('retention.keep')")
+    assert(GraphArSink.retentionOf(spark, base)
+      === GraphArSink.Retention(None, None))
+  }
+
   test("streaming delta ingest: batches stage O(batch) deltas, periodic compaction folds them") {
     import spark.implicits._
     import graft.sources.graphar.{GraphArMutations, GraphArWriter}
