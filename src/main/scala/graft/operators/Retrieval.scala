@@ -341,6 +341,28 @@ object Retrieval {
   def appendPostingsDelta(docs: DataFrame, path: String): Unit = {
     val next = graft.util.IndexCommit.nextDeltaId(docs.sparkSession, path)
     writePostingsDelta(docs, s"$path/delta_$next")
+    maybeCompact(docs.sparkSession, path)
+  }
+
+  /** Opt-in auto-compaction cap, the index twin of the GraphAr log's
+    * `spark.graft.maxStagedDeltas`: when `spark.graft.maxIndexDeltas`
+    * is set and the live generation count (deltas + tombstones)
+    * reaches it, fold — bounding the per-probe scan multiplicity of a
+    * continuously appended index without a manual maintenance step.
+    * Compaction is replay-safe even under a streaming ingest (folded
+    * generations and their epoch tags stay on disk until an explicit
+    * [[vacuumPostingsIndex]], which remains a stopped-stream
+    * maintenance-window op). Unset (default) = manual compaction only.
+    */
+  private[graft] def maybeCompact(spark: SparkSession, path: String): Unit = {
+    val cap = spark.conf.getOption("spark.graft.maxIndexDeltas")
+      .map(_.toInt).getOrElse(0)
+    if (cap <= 0) return
+    val (_, minDelta) = graft.util.IndexCommit.resolve(spark, path)
+    val live = graft.util.IndexCommit.deltaDirs(spark, path, minDelta,
+        commitSub = Some("postings")).size +
+      graft.util.IndexCommit.tombDirs(spark, path, minDelta).size
+    if (live >= cap) compactPostingsIndex(spark, path)
   }
 
   /** Write one delta generation's tables into `dir` in COMMIT order:

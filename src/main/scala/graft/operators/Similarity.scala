@@ -356,6 +356,26 @@ object Similarity {
                      emb: DataFrame): Unit = {
     val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
     writeIvfDelta(spark, dir, emb, s"$dir/delta_$next")
+    maybeCompact(spark, dir, "vectors", compactIvfIndex)
+  }
+
+  /** Opt-in auto-compaction cap for the stored vector layouts — the
+    * ANN twin of [[Retrieval.maybeCompact]] (`spark.graft.maxIndexDeltas`,
+    * unset = manual compaction only): when the live generation count
+    * reaches the cap, fold with the layout's own compactor. Folded
+    * generations stay on disk until an explicit vacuum, so streaming
+    * epoch-replay detection is unaffected. */
+  private[graft] def maybeCompact(spark: SparkSession, dir: String,
+                                  commitSub: String,
+                                  compactor: (SparkSession, String) => Unit): Unit = {
+    val cap = spark.conf.getOption("spark.graft.maxIndexDeltas")
+      .map(_.toInt).getOrElse(0)
+    if (cap <= 0) return
+    val (_, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
+    val live = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta,
+        commitSub = Some(commitSub)).size +
+      graft.util.IndexCommit.tombDirs(spark, dir, minDelta).size
+    if (live >= cap) compactor(spark, dir)
   }
 
   /** Write one IVF delta generation's vectors into `genDir`, assigned
@@ -569,6 +589,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/delta_$next/vectors")
+    maybeCompact(spark, dir, "vectors", compactLshIndex)
   }
 
   /** Build-once ANN index fixture for an sf dir (mirrors
@@ -753,6 +774,7 @@ object Similarity {
     val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
     pqCodes(emb.select(col("vec_id"), col("embedding")), cb, m, dims)
       .write.mode("overwrite").parquet(s"$dir/delta_$next/codes")
+    maybeCompact(spark, dir, "codes", compactPqIndex)
   }
 
   /** Fold PQ code generations (and the tombstone fence) into one base

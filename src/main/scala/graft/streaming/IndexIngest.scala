@@ -73,6 +73,12 @@ object IndexIngest {
     epochDir(batch, idx, epochId, "postings").foreach { dir =>
       graft.operators.Retrieval.writePostingsDelta(
         batch.select(batch("doc_id"), batch("text")), dir.toString)
+      // opt-in generation cap (spark.graft.maxIndexDeltas): fold when
+      // the live count reaches it, bounding per-probe scan multiplicity
+      // under continuous ingest. Replay-safe: folded dirs and their
+      // epoch tags stay until an explicit vacuum (the maintenance-
+      // window op above).
+      graft.operators.Retrieval.maybeCompact(batch.sparkSession, idx)
     }
 
   /** IVF sink: the ANN twin over a vector stream with (vec_id,
@@ -82,6 +88,8 @@ object IndexIngest {
     epochDir(batch, idx, epochId, "vectors").foreach { dir =>
       graft.operators.Similarity.writeIvfDelta(
         batch.sparkSession, idx, batch, dir.toString)
+      graft.operators.Similarity.maybeCompact(batch.sparkSession, idx,
+        "vectors", graft.operators.Similarity.compactIvfIndex)
     }
 
   /** CDC sink: keep the search index in SYNC with a MUTATING document
@@ -132,5 +140,9 @@ object IndexIngest {
           graft.operators.Retrieval.writePostingsDelta(inserts, d.toString)
         }
     }
+    // after the epoch fully applied: same opt-in generation cap as
+    // appendBatch (tombstones count toward it — a delete-heavy feed
+    // grows the fence just like an append-heavy one grows the scans)
+    graft.operators.Retrieval.maybeCompact(spark, idx)
   }
 }

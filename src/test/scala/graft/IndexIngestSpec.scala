@@ -133,6 +133,80 @@ class IndexIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("generation cap: maxIndexDeltas folds under ingest; folded epochs still replay-skip") {
+    import graft.util.IndexCommit
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = "/tmp/graft_ingestcap_" + java.util.UUID.randomUUID().toString.take(8)
+    def live(): Int = IndexCommit.deltaDirs(spark, dir,
+      IndexCommit.resolve(spark, dir)._2, commitSub = Some("postings")).size
+    try {
+      spark.conf.set("spark.graft.maxIndexDeltas", "2")
+      Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 4 === 0), dir)
+      (1 to 3).foreach { e =>
+        IndexIngest.appendBatch(dir)(docs.filter(col("doc_id") % 4 === e), e.toLong)
+        assert(live() < 2, s"cap not enforced after epoch $e: ${live()} live")
+      }
+      // the cap folded mid-stream: the pointer advanced past generations
+      assert(IndexCommit.resolve(spark, dir)._2 > 0, "no fold ever ran")
+      // served rows equal a fresh whole-corpus build
+      val ref = dir + "_ref"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        Retrieval.writePostingsIndex(docs, ref)
+        assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
+          Retrieval.QueryTerms))
+          === rows(Retrieval.conjunctiveSearchStored(spark, ref,
+            Retrieval.QueryTerms)))
+      } finally fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+      // a replayed epoch whose generation was FOLDED is still skipped:
+      // the folded dir (and its epoch tag) stays on disk until vacuum
+      val before = rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms))
+      val liveBefore = live()
+      IndexIngest.appendBatch(dir)(docs.filter(col("doc_id") % 4 === 1), 1L)
+      assert(live() === liveBefore, "replayed folded epoch re-appended")
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir,
+        Retrieval.QueryTerms)) === before)
+    } finally {
+      spark.conf.unset("spark.graft.maxIndexDeltas")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("generation cap applies to the vector layouts (IVF fold on append)") {
+    import graft.operators.Similarity
+    import graft.util.IndexCommit
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = "/tmp/graft_vcap_" + java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      spark.conf.set("spark.graft.maxIndexDeltas", "2")
+      // base = evens so the frozen centroids (vec_id % 40 == 0) are the
+      // same set a whole-corpus build derives — ref comparable below
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+      Similarity.appendIvfDelta(spark, dir, emb.filter(col("vec_id") % 4 === 1))
+      Similarity.appendIvfDelta(spark, dir, emb.filter(col("vec_id") % 4 === 3))
+      // the second append reached the cap and folded atomically
+      assert(IndexCommit.resolve(spark, dir)._2 > 0, "no fold ran")
+      assert(IndexCommit.deltaDirs(spark, dir,
+        IndexCommit.resolve(spark, dir)._2, commitSub = Some("vectors")).isEmpty)
+      Similarity.writeIvfIndex(emb, ref)
+      val queries = emb.filter(col("vec_id") < 8)
+      assert(rows(Similarity.ivfTopKStored(spark, dir, queries, 3, nProbe = 2))
+        === rows(Similarity.ivfTopKStored(spark, ref, queries, 3, nProbe = 2)))
+    } finally {
+      spark.conf.unset("spark.graft.maxIndexDeltas")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    }
+  }
+
   test("a replayed epoch after a CRASHED append retries in place (invisible dir reused)") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
