@@ -205,7 +205,11 @@ object Plans {
       "ga_ivm_degrees (CDF fold: O(changes) delta agg unioned with prev, one shuffle)" ->
         sources.graphar.GraphArQueries.queries("ga_ivm_degrees")(spark, sfDir),
       "ga_ivm_components (insert-only merge: broadcast relabel of prev, no edge rescan)" ->
-        sources.graphar.GraphArQueries.queries("ga_ivm_components")(spark, sfDir)
+        sources.graphar.GraphArQueries.queries("ga_ivm_components")(spark, sfDir),
+      "p_chunk (RAG chunk prep: tokenize + bounded explode, zero exchanges)" ->
+        operators.Pipeline.queries("p_chunk")(spark, sfDir),
+      "p_pack_split (one per-source window; only (id, count) rows shuffle, text never moves)" ->
+        operators.Pipeline.queries("p_pack_split")(spark, sfDir)
     )
 
     val sb = new StringBuilder

@@ -451,8 +451,84 @@ object Pipeline {
         when(col("score_int") > 0, 1L).otherwise(-1L).as("label"))
   }
 
+  /** Fixed example length of [[packExamples]]. */
+  val PackBudget = 512L
+
+  /** Training-example packing WITH document splitting — the GPT-style
+    * prep [[tokenPack]] (whole-doc binning) stops short of: each
+    * source's documents are concatenated in deterministic (doc_id)
+    * order into one token stream, and the stream is cut into exact
+    * `budget`-token examples; a document longer than the remainder of
+    * its example CONTINUES into the next one. Emits one row per
+    * (document, example) overlap span — (source, doc_id, example_id,
+    * tok_from, tok_to), token positions 1-based within the document —
+    * from which the trainer materializes each example by slicing its
+    * member docs. All integer arithmetic (cumulative offsets, span
+    * intersection), so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: one PARTITIONED window (per-source cumulative token
+    * count — sources pack independently, so the sort parallelizes
+    * across them) plus a map-side explode bounded by each doc's span
+    * count (≈ n/budget + 1). The text itself is never moved or
+    * exploded — only (id, count) rows shuffle.
+    */
+  def packExamples(docs: DataFrame, budget: Long = PackBudget): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("off", sum(col("n")).over(w) - col("n"))
+      .withColumn("example_id", explode(sequence(
+        floor(col("off") / budget).cast("long"),
+        floor((col("off") + col("n") - 1) / budget).cast("long"))))
+      .select(col("source"), col("doc_id"), col("example_id"),
+        (greatest(lit(0L), col("example_id") * budget - col("off")) + 1)
+          .as("tok_from"),
+        least(col("n"), (col("example_id") + 1) * budget - col("off"))
+          .as("tok_to"))
+  }
+
+  /** Chunk window / stride of [[slidingChunks]] (overlap = 8 tokens). */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** RAG / embedding-table chunking: split each document's token
+    * stream into fixed-size sliding windows (`w` tokens, stride `s`,
+    * overlap w−s) — the prep pass that turns a corpus into the chunk
+    * table an embedding + ANN tier serves from. Emits (doc_id,
+    * chunk_id, n_tokens, chunk) with engine-independent ids: chunk i
+    * covers tokens [i·s+1 .. i·s+w], the chunk count is
+    * 1 + ceil((n−w)/s) for n > w else 1 (all integer arithmetic), and
+    * the last window clamps at the document end.
+    *
+    * Scale shape: pure map-side higher-order expressions — tokenize,
+    * one sequence/explode bounded by the per-doc chunk count, two
+    * slices. Zero shuffles, zero joins; text never leaves its
+    * partition. At 100 TB this runs at scan speed and the output
+    * lands partitioned however the downstream embedder wants it.
+    */
+  def slidingChunks(docs: DataFrame, w: Int = ChunkW,
+                    s: Int = ChunkS): DataFrame = {
+    require(w > 0 && s > 0 && s <= w, s"need 0 < stride <= window, got w=$w s=$s")
+    val k = when(col("n") > w,
+      floor((col("n") - w + (s - 1)) / s).cast("long") + 1L).otherwise(lit(1L))
+    val start = (col("chunk_id") * s + 1).cast("int")
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), k - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("t"), start, lit(w))).cast("long").as("n_tokens"),
+        array_join(slice(col("t"), start, lit(w)), " ").as("chunk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_train_classifier" -> { (s, d) => perceptronTrain(t(s, d, "documents")) },
+    // sliding-window chunking (the RAG chunk-table prep): map-side
+    // only, ids and window arithmetic engine-independent
+    "p_chunk" -> { (s, d) => slidingChunks(t(s, d, "documents")) },
+    // exact-budget example packing with cross-example doc splitting
+    "p_pack_split" -> { (s, d) => packExamples(t(s, d, "documents")) },
     // train → freeze final weights (a dims+2-row bounded collect) →
     // zero-shuffle map-side scoring of the whole corpus
     "p_classify" -> { (s, d) =>
@@ -562,6 +638,36 @@ object Pipeline {
     Map(
       "p_train_classifier" -> perceptronSql,
       "p_classify" -> classifySql,
+      "p_chunk" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, t,
+           |    CASE WHEN len(t) > $ChunkW
+           |      THEN ((len(t) - $ChunkW + ${ChunkS - 1}) // $ChunkS) + 1
+           |      ELSE 1 END AS k
+           |  FROM d)
+           |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           |  CAST(len(t[(i*$ChunkS+1):(i*$ChunkS+$ChunkW)]) AS BIGINT) AS n_tokens,
+           |  array_to_string(t[(i*$ChunkS+1):(i*$ChunkS+$ChunkW)], ' ') AS chunk
+           |FROM c, unnest(range(0, k)) AS r(i)""".stripMargin,
+      "p_pack_split" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           |      AS BIGINT) AS n
+           |  FROM documents),
+           |o AS (
+           |  SELECT doc_id, source, n,
+           |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id)
+           |      - n AS BIGINT) AS off
+           |  FROM d)
+           |SELECT source, doc_id, CAST(e AS BIGINT) AS example_id,
+           |  CAST(greatest(0, e*$PackBudget - off) + 1 AS BIGINT) AS tok_from,
+           |  CAST(least(n, (e+1)*$PackBudget - off) AS BIGINT) AS tok_to
+           |FROM o, unnest(range(off // $PackBudget,
+           |  (off + n - 1) // $PackBudget + 1)) AS r(e)""".stripMargin,
       "p_split" ->
         """SELECT doc_id, source,
           |  CASE
