@@ -345,18 +345,21 @@ object Retrieval {
   }
 
   /** Opt-in auto-compaction cap, the index twin of the GraphAr log's
-    * `spark.graft.maxStagedDeltas`: when `spark.graft.maxIndexDeltas`
-    * is set and the live generation count (deltas + tombstones)
-    * reaches it, fold — bounding the per-probe scan multiplicity of a
-    * continuously appended index without a manual maintenance step.
-    * Compaction is replay-safe even under a streaming ingest (folded
-    * generations and their epoch tags stay on disk until an explicit
+    * `spark.graft.maxStagedDeltas`: when a cap is set — the index's
+    * own `_POLICY` file ([[graft.util.IndexCommit.setPolicy]], which
+    * travels with the index and binds every writer) or, as fallback,
+    * the session conf `spark.graft.maxIndexDeltas` — and the live
+    * generation count (deltas + tombstones) reaches it, fold —
+    * bounding the per-probe scan multiplicity of a continuously
+    * appended index without a manual maintenance step. Compaction is
+    * replay-safe even under a streaming ingest (folded generations and
+    * their epoch tags stay on disk until an explicit
     * [[vacuumPostingsIndex]], which remains a stopped-stream
-    * maintenance-window op). Unset (default) = manual compaction only.
+    * maintenance-window op). Neither set (default) = manual
+    * compaction only.
     */
   private[graft] def maybeCompact(spark: SparkSession, path: String): Unit = {
-    val cap = spark.conf.getOption("spark.graft.maxIndexDeltas")
-      .map(_.toInt).getOrElse(0)
+    val cap = graft.util.IndexCommit.effectiveMaxDeltas(spark, path)
     if (cap <= 0) return
     val (_, minDelta) = graft.util.IndexCommit.resolve(spark, path)
     val live = graft.util.IndexCommit.deltaDirs(spark, path, minDelta,

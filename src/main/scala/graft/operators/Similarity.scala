@@ -360,16 +360,16 @@ object Similarity {
   }
 
   /** Opt-in auto-compaction cap for the stored vector layouts — the
-    * ANN twin of [[Retrieval.maybeCompact]] (`spark.graft.maxIndexDeltas`,
-    * unset = manual compaction only): when the live generation count
+    * ANN twin of [[Retrieval.maybeCompact]] (the index's `_POLICY`
+    * file first, `spark.graft.maxIndexDeltas` as session fallback,
+    * neither = manual compaction only): when the live generation count
     * reaches the cap, fold with the layout's own compactor. Folded
     * generations stay on disk until an explicit vacuum, so streaming
     * epoch-replay detection is unaffected. */
   private[graft] def maybeCompact(spark: SparkSession, dir: String,
                                   commitSub: String,
                                   compactor: (SparkSession, String) => Unit): Unit = {
-    val cap = spark.conf.getOption("spark.graft.maxIndexDeltas")
-      .map(_.toInt).getOrElse(0)
+    val cap = graft.util.IndexCommit.effectiveMaxDeltas(spark, dir)
     if (cap <= 0) return
     val (_, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
     val live = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta,

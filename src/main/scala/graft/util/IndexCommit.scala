@@ -140,6 +140,55 @@ object IndexCommit {
       .map(_._2.toString)
   }
 
+  /** Set (or clear, with None) the PER-INDEX maintenance policy,
+    * stored with the index as a `_POLICY` key=value file at its root —
+    * the stored-index twin of the snapshot base's `_RETENTION`
+    * property: the generation cap travels with the index and binds
+    * EVERY writer (batch verbs and streaming ingest sinks alike), not
+    * just sessions carrying `spark.graft.maxIndexDeltas`. Written with
+    * the LATEST commit protocol (tmp + one overwriting rename), so an
+    * appender's cap check never reads a partial file. */
+  def setPolicy(spark: SparkSession, root: String,
+                maxDeltas: Option[Int]): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/_POLICY")
+    if (maxDeltas.isEmpty) { f.delete(p, false); return }
+    require(maxDeltas.forall(_ >= 1),
+      s"maxDeltas must be >= 1, got $maxDeltas")
+    val tmp = new Path(s"$root/._POLICY.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"maxDeltas=${maxDeltas.get}\n".getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.makeQualified(p).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The index's stored generation cap (None when unset). */
+  def policyMaxDeltas(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/_POLICY")
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val kv = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .flatMap { l =>
+        l.split('=') match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap finally in.close()
+    kv.get("maxDeltas").map(_.toInt)
+  }
+
+  /** Resolve the effective generation cap for an index: the stored
+    * `_POLICY` wins, the session conf `spark.graft.maxIndexDeltas` is
+    * the fallback, neither = 0 (manual compaction only). */
+  def effectiveMaxDeltas(spark: SparkSession, root: String): Int =
+    policyMaxDeltas(spark, root)
+      .orElse(spark.conf.getOption("spark.graft.maxIndexDeltas").map(_.toInt))
+      .getOrElse(0)
+
   /** Reclaim every generation the live pointer no longer references:
     * superseded base_<n> dirs, folded deltas (< minDelta), and — when
     * a pointer exists — the legacy root-level base dirs in

@@ -176,6 +176,43 @@ class IndexIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("the _POLICY generation cap travels with the index (binds without session conf)") {
+    import graft.util.IndexCommit
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = "/tmp/graft_policy_" + java.util.UUID.randomUUID().toString.take(8)
+    def live(): Int = IndexCommit.deltaDirs(spark, dir,
+      IndexCommit.resolve(spark, dir)._2, commitSub = Some("postings")).size
+    try {
+      assert(spark.conf.getOption("spark.graft.maxIndexDeltas").isEmpty)
+      Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 4 === 0), dir)
+      IndexCommit.setPolicy(spark, dir, Some(2))
+      assert(IndexCommit.policyMaxDeltas(spark, dir) === Some(2))
+      (1 to 3).foreach { e =>
+        IndexIngest.appendBatch(dir)(docs.filter(col("doc_id") % 4 === e), e.toLong)
+        assert(live() < 2, s"stored policy not enforced after epoch $e")
+      }
+      assert(IndexCommit.resolve(spark, dir)._2 > 0, "no fold ever ran")
+      // clearing the policy stops the folding (back to manual-only)
+      IndexCommit.setPolicy(spark, dir, None)
+      assert(IndexCommit.policyMaxDeltas(spark, dir).isEmpty)
+      Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id") + 100000L as "doc_id", col("text")), dir)
+      Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 4 === 2)
+        .select(col("doc_id") + 200000L as "doc_id", col("text")), dir)
+      // epoch 3's delta survived the last fold (live was 1), plus the
+      // two manual appends: 3 live generations, none folded
+      assert(live() === 3, "cleared policy still folded")
+      // a cap of 0 would never terminate folding usefully — refused
+      intercept[IllegalArgumentException] {
+        IndexCommit.setPolicy(spark, dir, Some(0))
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("generation cap applies to the vector layouts (IVF fold on append)") {
     import graft.operators.Similarity
     import graft.util.IndexCommit
