@@ -655,6 +655,34 @@ object Similarity {
         emb.filter(col("vec_id") % 18 === 0))
       fs.create(pqTombMarker, true).close()
     }
+    // IVF-PQ: clean build, plus the full maintenance lifecycle on a
+    // second layout (split build evens — every % 40 == 0 centroid and
+    // codebook source is even, so the frozen sidecars equal the full
+    // corpus's — odds appended, % 9 == 0 tombstoned, % 18 == 0
+    // restored). The lifecycle index carries base + deltas + a
+    // tombstone, so its probe exercises per-generation cluster
+    // pruning AND the sequence-aware fence in one oracle row.
+    val ivfPqMarker = new org.apache.hadoop.fs.Path(s"$base/ivfpq/_INDEX_SUCCESS")
+    if (!fs.exists(ivfPqMarker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/ivfpq")))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/ivfpq"), true)
+      writeIvfPqIndex(t(spark, sfDir, "embeddings"), s"$base/ivfpq")
+      fs.create(ivfPqMarker, true).close()
+    }
+    val ivfPqTombMarker = new org.apache.hadoop.fs.Path(s"$base/ivfpq_tomb/_INDEX_SUCCESS")
+    if (!fs.exists(ivfPqTombMarker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/ivfpq_tomb")))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/ivfpq_tomb"), true)
+      val emb = t(spark, sfDir, "embeddings")
+      writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), s"$base/ivfpq_tomb")
+      appendIvfPqDelta(spark, s"$base/ivfpq_tomb",
+        emb.filter(col("vec_id") % 2 =!= 0))
+      deleteVectors(spark, s"$base/ivfpq_tomb",
+        emb.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+      appendIvfPqDelta(spark, s"$base/ivfpq_tomb",
+        emb.filter(col("vec_id") % 18 === 0))
+      fs.create(ivfPqTombMarker, true).close()
+    }
     base
   }
 
@@ -849,6 +877,187 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  // ───────────── IVF-PQ: cluster-pruned ADC (the FAISS IVFADC shape) ──
+
+  /** Cluster-tagged PQ codes: each vector's IVF cluster (nearest
+    * deterministic centroid — the assignment [[writeIvfIndex]] uses)
+    * joined onto its m sub-codes → (n_id, m, c_id, cluster). The row a
+    * probed IVF-PQ scan reads: m+1 small ints per vector, never the
+    * float embedding.
+    */
+  private def ivfPqCodesOf(emb: DataFrame, cent: DataFrame, cb: DataFrame,
+                           m: Int, dims: Int): DataFrame = {
+    val assigned = ivfRanked(emb.select(col("vec_id"), col("embedding")), cent)
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"))
+    pqCodes(emb, cb, m, dims)
+      .join(assigned, col("vec_id") === col("n_id"))
+      .select(col("n_id"), col("m"), col("c_id"), col("cluster"))
+  }
+
+  /** ADC scoring over cluster-pruned codes: candidates join their
+    * queries on the probe list (a query scores ONLY its own probed
+    * clusters, never the union of everyone's), the broadcast LUT
+    * replaces each sub-code with its query partial dot, and the
+    * partials fold ORDER-PINNED (sorted by subspace) exactly like
+    * [[pqScored]] — scores bit-identical cross-engine.
+    */
+  private def ivfPqScored(codes: DataFrame, probe: DataFrame,
+                          lut: DataFrame, k: Int): DataFrame = {
+    val scored = codes
+      .join(broadcast(probe),
+        col("cluster") === col("q_probe") && col("q_id") =!= col("n_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "c_id"))
+      .groupBy(col("q_id"), col("cluster"), col("n_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("pdot")))).as("parts"))
+      .withColumn("score", aggregate(col("parts"), lit(0.0),
+        (acc, x) => acc + x.getField("pdot")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cluster"), col("n_id"), col("rank"))
+  }
+
+  /** IVF-PQ top-k (index built inline): coarse nearest-centroid
+    * clustering prunes the candidate set to the query's nProbe
+    * clusters, and the surviving candidates are scored by PQ
+    * asymmetric distance — never their full vectors. The composition
+    * that serves billion-vector corpora: IVF bounds WHICH codes are
+    * read, PQ bounds what each code COSTS (m bytes + m LUT lookups).
+    */
+  def ivfPqTopK(emb: DataFrame, queryIds: Column, k: Int, nProbe: Int = 1,
+                m: Int = 8, dims: Int = 64, modulo: Int = 40): DataFrame = {
+    requirePqDims(m, dims)
+    val cent = ivfCentroids(emb, modulo)
+    val cb = pqCodebook(emb, m, dims, modulo)
+    val q = emb.filter(queryIds).select(col("vec_id"), col("embedding"))
+    val probe = ivfRanked(q, cent).filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("q_probe"))
+    ivfPqScored(ivfPqCodesOf(emb, cent, cb, m, dims), probe,
+      pqLut(q, cb, m, dims), k)
+  }
+
+  /** Cluster-partitioned codes write, degrading to one empty
+    * schema-carrying file when the frame is empty (the zero-row
+    * `partitionBy` footer trap — see Retrieval.writeBucketed). */
+  private def writeClusteredCodes(codes: DataFrame, dir: String): Unit =
+    if (codes.isEmpty)
+      codes.coalesce(1).write.mode("overwrite").parquet(dir)
+    else codes.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+
+  /** Build the IVF-PQ index layout: `codes` PARTITIONED BY the IVF
+    * cluster (so a probe's cluster list is a static partition filter)
+    * holding only (n_id, m, c_id) — m bytes of payload per vector —
+    * plus the two tiny sidecars (centroids, per-subspace codebook).
+    * At a billion vectors this is the layout where a probe reads
+    * nProbe/nlist of an ~8 GB codes table instead of any part of a
+    * 256 GB float corpus.
+    */
+  def writeIvfPqIndex(emb: DataFrame, dir: String, modulo: Int = 40,
+                      m: Int = 8, dims: Int = 64): Unit = {
+    requirePqDims(m, dims)
+    val cent = ivfCentroids(emb, modulo)
+    val cb = pqCodebook(emb, m, dims, modulo)
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    writeClusteredCodes(ivfPqCodesOf(emb, cent, cb, m, dims), s"$dir/codes")
+  }
+
+  /** Append NEW vectors to a stored IVF-PQ index as a delta
+    * generation: assigned against the FROZEN centroids and coded
+    * against the FROZEN codebook (retraining either is a rebuild —
+    * the IVF/LSH/PQ maintenance contract, composed). O(delta) work;
+    * probes union generations with the cluster filter pushed into
+    * every generation's scan. */
+  def appendIvfPqDelta(spark: SparkSession, dir: String, emb: DataFrame,
+                       m: Int = 8, dims: Int = 64): Unit = {
+    requirePqDims(m, dims)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
+    writeClusteredCodes(
+      ivfPqCodesOf(emb.select(col("vec_id"), col("embedding")), cent, cb, m, dims),
+      s"$dir/delta_$next/codes")
+    maybeCompact(spark, dir, "codes", compactIvfPqIndex)
+  }
+
+  /** Fold IVF-PQ code generations (and the tombstone fence) into one
+    * cluster-partitioned base — centroids and codebook untouched
+    * (frozen at append). Same atomic `base_<n>` + LATEST-flip commit
+    * as every other layout; reclaim with [[vacuumVectorIndex]]. */
+  def compactIvfPqIndex(spark: SparkSession, dir: String): Unit = {
+    val (_, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
+    val deltas = graft.util.IndexCommit.deltaDirs(spark, dir, minDelta,
+      commitSub = Some("codes"))
+    val tombs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
+    if (deltas.isEmpty && tombs.isEmpty) return
+    val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
+    writeClusteredCodes(allIvfPqCodes(spark, dir, None), s"$dir/$gen/codes")
+    val foldedMax = (deltas ++ tombs).map(_.split('_').last.toInt).max
+    graft.util.IndexCommit.commit(spark, dir, gen, foldedMax + 1)
+  }
+
+  /** LATEST-resolved base + live delta IVF-PQ code generations;
+    * `probes` (when given) prunes each generation's scan on the raw
+    * `cluster` partition column BEFORE the union, so static partition
+    * pruning plans only the probed cluster dirs of EVERY generation.
+    * [[deleteVectors]] tombstones fence sequence-aware (re-appended
+    * vectors serve their newest codes — the upsert pattern). */
+  private def allIvfPqCodes(spark: SparkSession, dir: String,
+                            probes: Option[Seq[Long]]): DataFrame = {
+    val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
+    val tombDirs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
+    val unioned = ((s"$baseDir/codes", minDelta - 1) +:
+        graft.util.IndexCommit
+          .deltaDirs(spark, dir, minDelta, commitSub = Some("codes"))
+          .map(d => (s"$d/codes", d.split('/').last.stripPrefix("delta_").toInt)))
+      .map { case (p, seq) =>
+        val raw = spark.read.parquet(p)
+        val pruned = probes.fold(raw)(pr => raw.where(col("cluster").isin(pr: _*)))
+        // partition-column inference narrows cluster to INT; pin LONG
+        // so every generation's schema is identical under the union
+        val typed = pruned.select(col("n_id"), col("m"), col("c_id"),
+          col("cluster").cast("long").as("cluster"))
+        if (tombDirs.isEmpty) typed else typed.withColumn("_gseq", lit(seq))
+      }
+      .reduce(_ unionAll _)
+    if (tombDirs.isEmpty) unioned
+    else {
+      val mx = tombDirs.map { d =>
+          val seq = d.split('/').last.stripPrefix("tomb_").toInt
+          spark.read.parquet(s"$d/docs")
+            .select(col("vec_id").as("n_id"), lit(seq).as("_tseq"))
+        }.reduce(_ unionAll _)
+        .groupBy(col("n_id")).agg(max(col("_tseq")).as("_tmax"))
+      val cols = unioned.columns.filterNot(_ == "_gseq").map(col)
+      unioned.join(broadcast(mx), Seq("n_id"), "left")
+        .filter(col("_tmax").isNull || col("_tmax") < col("_gseq"))
+        .select(cols: _*)
+    }
+  }
+
+  /** Probe a stored IVF-PQ index: rank the stored centroids per query,
+    * read ONLY the probed cluster partitions of the codes table (of
+    * every generation), ADC-score against the broadcast LUT, top-k.
+    * Neither the corpus embeddings nor any unprobed cluster is ever
+    * read; the driver sees only the O(queries × nProbe) probe ids.
+    */
+  def ivfPqTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
+                      k: Int, nProbe: Int = 1, m: Int = 8,
+                      dims: Int = 64): DataFrame = {
+    requirePqDims(m, dims)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val q = queries.select(col("vec_id"), col("embedding"))
+    val probe = ivfRanked(q, cent).filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("q_probe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
+    val probes = probe.select(col("q_probe")).distinct().collect().map(_.getLong(0))
+    ivfPqScored(allIvfPqCodes(spark, dir, Some(probes.toSeq)), probe,
+      pqLut(q, cb, m, dims), k)
   }
 
   /** SemDeDup-style semantic dedup: cluster the corpus (nearest
@@ -1099,6 +1308,21 @@ object Similarity {
     "sim_lsh_multiprobe" -> { (s, d) =>
       lshTopKMultiProbe(t(s, d, "embeddings"), col("vec_id") < 8, 3)
     },
+    // IVF-PQ composition: cluster pruning bounds WHICH codes are read,
+    // PQ bounds what each costs — inline and stored must produce the
+    // same rows (one oracle), and the lifecycle fixture adds frozen-
+    // sidecar deltas + the tombstone fence under per-generation pruning
+    "sim_ivfpq" -> { (s, d) =>
+      ivfPqTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
+    },
+    "sim_ivfpq_stored" -> { (s, d) =>
+      ivfPqTopKStored(s, s"${indexDir(s, d)}/ivfpq",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
+    },
+    "sim_ivfpq_deleted" -> { (s, d) =>
+      ivfPqTopKStored(s, s"${indexDir(s, d)}/ivfpq_tomb",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
+    },
     // MMR fed from the STORED IVF index (partition-pruned probe) —
     // the scale composition the brute sim_mmr only gate-checks
     "sim_mmr_stored" -> { (s, d) =>
@@ -1285,6 +1509,61 @@ object Similarity {
        |ranked AS (
        |  SELECT q_id, cluster, n_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** IVF-PQ oracle: the ivfOracleSql cluster assignment composed with
+    * the pqOracleSql coding/LUT chain — candidates restricted to the
+    * query's own cluster (nProbe=1), scored by the ORDER-PINNED ADC
+    * fold. Shared verbatim by the inline, stored, and (with the
+    * served-set filter spliced in) lifecycle variants.
+    */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % 40 = 0),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS cluster FROM (
+       |    SELECT e.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
+       |    FROM embeddings e CROSS JOIN cent)
+       |  WHERE arank = 1),
+       |ms AS (SELECT unnest(range(0, 8)) AS m),
+       |codebook AS (
+       |  SELECT m, c_id, list_slice(c_emb, m*8 + 1, m*8 + 8) AS c_sub
+       |  FROM cent CROSS JOIN ms),
+       |vs AS (
+       |  SELECT vec_id, m, list_slice(embedding, m*8 + 1, m*8 + 8) AS v_sub
+       |  FROM embeddings CROSS JOIN ms),
+       |codes AS (
+       |  SELECT vec_id AS n_id, m, c_id FROM (
+       |    SELECT vs.vec_id, vs.m, cb.c_id,
+       |      row_number() OVER (PARTITION BY vs.vec_id, vs.m
+       |        ORDER BY ${dotSql("v_sub", "c_sub", 8)} DESC, cb.c_id) AS r
+       |    FROM vs JOIN codebook cb ON cb.m = vs.m)
+       |  WHERE r = 1),
+       |codesc AS (
+       |  SELECT c.n_id, c.m, c.c_id, a.cluster
+       |  FROM codes c JOIN assigned a ON a.vec_id = c.n_id),
+       |q AS (SELECT vec_id AS q_id, cluster AS q_cluster
+       |      FROM assigned WHERE vec_id < 8),
+       |lut AS (
+       |  SELECT qv.vec_id AS q_id, qv.m, cb.c_id,
+       |    ${dotSql("qv.v_sub", "cb.c_sub", 8)} AS pdot
+       |  FROM (SELECT * FROM vs WHERE vec_id < 8) qv
+       |  JOIN codebook cb ON cb.m = qv.m),
+       |scored AS (
+       |  SELECT q.q_id, cc.cluster, cc.n_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      array_agg(l.pdot ORDER BY l.m)), (acc, v) -> acc + v) AS score
+       |  FROM codesc cc
+       |  JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id
+       |  JOIN lut l ON l.q_id = q.q_id AND l.m = cc.m AND l.c_id = cc.c_id
+       |  GROUP BY q.q_id, cc.cluster, cc.n_id),
+       |ranked AS (
+       |  SELECT q_id, cluster, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
        |  FROM scored)
        |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
 
@@ -1499,6 +1778,18 @@ object Similarity {
       "WHERE q_id <> n_id GROUP BY q_id, n_id),",
       "WHERE q_id <> n_id AND (n_id % 9 <> 0 OR n_id % 18 = 0)\n" +
         "  GROUP BY q_id, n_id),"),
+
+    // one oracle for the inline AND stored IVF-PQ probes (persisting
+    // the cluster-partitioned codes must not change a row); the
+    // lifecycle variant shrinks only the candidate set to
+    // survivors ∪ restored — centroids and codebook stay the full
+    // corpus's (frozen; every % 40 == 0 source vector is even)
+    "sim_ivfpq" -> ivfPqOracleSql,
+    "sim_ivfpq_stored" -> ivfPqOracleSql,
+    "sim_ivfpq_deleted" -> ivfPqOracleSql.replace(
+      "JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id",
+      "JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id\n" +
+        "    AND (cc.n_id % 9 <> 0 OR cc.n_id % 18 = 0)"),
 
     "sim_knn_join" ->
       s"""WITH cent AS (

@@ -140,46 +140,67 @@ object IndexCommit {
       .map(_._2.toString)
   }
 
-  /** Set (or clear, with None) the PER-INDEX maintenance policy,
+  /** Set (or clear, with both None) the PER-INDEX maintenance policy,
     * stored with the index as a `_POLICY` key=value file at its root —
     * the stored-index twin of the snapshot base's `_RETENTION`
-    * property: the generation cap travels with the index and binds
-    * EVERY writer (batch verbs and streaming ingest sinks alike), not
-    * just sessions carrying `spark.graft.maxIndexDeltas`. Written with
-    * the LATEST commit protocol (tmp + one overwriting rename), so an
-    * appender's cap check never reads a partial file. */
+    * property: the generation cap AND the vacuum grace window travel
+    * with the index and bind EVERY writer (batch verbs and streaming
+    * ingest sinks alike), not just sessions carrying
+    * `spark.graft.maxIndexDeltas`. Written with the LATEST commit
+    * protocol (tmp + one overwriting rename), so an appender's cap
+    * check never reads a partial file. */
   def setPolicy(spark: SparkSession, root: String,
-                maxDeltas: Option[Int]): Unit = {
+                maxDeltas: Option[Int],
+                vacuumGraceMs: Option[Long] = None): Unit = {
     val f = fs(spark, root)
     val p = new Path(s"$root/_POLICY")
-    if (maxDeltas.isEmpty) { f.delete(p, false); return }
+    if (maxDeltas.isEmpty && vacuumGraceMs.isEmpty) {
+      f.delete(p, false); return
+    }
     require(maxDeltas.forall(_ >= 1),
       s"maxDeltas must be >= 1, got $maxDeltas")
+    require(vacuumGraceMs.forall(_ >= 0),
+      s"vacuumGraceMs must be >= 0, got $vacuumGraceMs")
+    val body =
+      maxDeltas.map(v => s"maxDeltas=$v\n").getOrElse("") +
+        vacuumGraceMs.map(v => s"vacuumGraceMs=$v\n").getOrElse("")
     val tmp = new Path(s"$root/._POLICY.tmp")
     val out = f.create(tmp, true)
-    try out.write(s"maxDeltas=${maxDeltas.get}\n".getBytes("UTF-8"))
-    finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.makeQualified(p).toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(f.makeQualified(tmp), f.makeQualified(p),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** The index's stored generation cap (None when unset). */
-  def policyMaxDeltas(spark: SparkSession, root: String): Option[Int] = {
+  /** The `_POLICY` file's key=value map ({} when absent). */
+  private def readPolicy(spark: SparkSession,
+                         root: String): Map[String, String] = {
     val f = fs(spark, root)
     val p = new Path(s"$root/_POLICY")
-    if (!f.exists(p)) return None
+    if (!f.exists(p)) return Map.empty
     val in = f.open(p)
-    val kv = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .flatMap { l =>
         l.split('=') match {
           case Array(k, v) => Some(k.trim -> v.trim)
           case _ => None
         }
       }.toMap finally in.close()
-    kv.get("maxDeltas").map(_.toInt)
   }
+
+  /** The index's stored generation cap (None when unset). */
+  def policyMaxDeltas(spark: SparkSession, root: String): Option[Int] =
+    readPolicy(spark, root).get("maxDeltas").map(_.toInt)
+
+  /** The index's stored vacuum grace window, ms (None when unset):
+    * how long a superseded generation must stay on disk after a
+    * vacuum first MARKS it dead before a later vacuum may reclaim it
+    * — the in-flight-reader protection that makes vacuum safe to run
+    * on a schedule instead of only in a drained maintenance window. */
+  def policyVacuumGraceMs(spark: SparkSession,
+                          root: String): Option[Long] =
+    readPolicy(spark, root).get("vacuumGraceMs").map(_.toLong)
 
   /** Resolve the effective generation cap for an index: the stored
     * `_POLICY` wins, the session conf `spark.graft.maxIndexDeltas` is
@@ -192,13 +213,26 @@ object IndexCommit {
   /** Reclaim every generation the live pointer no longer references:
     * superseded base_<n> dirs, folded deltas (< minDelta), and — when
     * a pointer exists — the legacy root-level base dirs in
-    * `legacyDirs`. Run only after in-flight readers of the old
-    * pointer have drained (the retention contract). */
+    * `legacyDirs`.
+    *
+    * With NO `vacuumGraceMs` policy, reclaim is immediate — run only
+    * after in-flight readers of the old pointer have drained (the
+    * drained-maintenance-window contract). With a grace window set,
+    * vacuum is MARK-AND-SWEEP: the first pass that sees a dead
+    * generation stamps it (`_DEAD_SINCE`, epoch ms — the stamp is
+    * inside a dir no live reader plans, so it never perturbs a scan),
+    * and only a pass running ≥ grace after the stamp deletes it. A
+    * reader that resolved the old pointer has the whole window to
+    * finish, so an age-based schedule (cron, post-compaction hook)
+    * can call vacuum blindly and never race a reader — the reclaim
+    * half of the `_POLICY` contract. */
   def vacuum(spark: SparkSession, root: String,
              legacyDirs: Seq[String]): Unit = {
     val f = fs(spark, root)
     val latest = new Path(s"$root/LATEST")
     if (!f.exists(latest)) return // legacy layout: nothing superseded
+    val grace = policyVacuumGraceMs(spark, root).getOrElse(0L)
+    val now = System.currentTimeMillis
     val (baseDir, minDelta) = resolve(spark, root)
     val baseName = baseDir.split('/').last
     f.listStatus(new Path(root)).toSeq.foreach { s =>
@@ -210,7 +244,22 @@ object IndexCommit {
         (n.startsWith("tomb_") &&
           n.stripPrefix("tomb_").toInt < minDelta) ||
         legacyDirs.contains(n)
-      if (dead) f.delete(s.getPath, true)
+      if (dead) {
+        if (grace <= 0) f.delete(s.getPath, true)
+        else {
+          val marker = new Path(s.getPath, "_DEAD_SINCE")
+          if (!f.exists(marker)) {
+            val out = f.create(marker, true)
+            try out.write(s"$now\n".getBytes("UTF-8")) finally out.close()
+          } else {
+            val in = f.open(marker)
+            val since = try scala.io.Source
+              .fromInputStream(in, "UTF-8").getLines().next().trim.toLong
+              finally in.close()
+            if (now - since >= grace) f.delete(s.getPath, true)
+          }
+        }
+      }
     }
   }
 }

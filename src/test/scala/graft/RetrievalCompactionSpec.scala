@@ -362,6 +362,63 @@ class RetrievalCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ delta append == monolithic build (frozen centroids+codebook); tombstones fence; compaction + vacuum") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = "/tmp/graft_ivfpq_tomb_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      val deleted = col("vec_id") % 2 === 1 && col("vec_id") % 3 === 0
+      val restored = col("vec_id") % 2 === 1 && col("vec_id") % 9 === 0
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+      Similarity.appendIvfPqDelta(spark, dir,
+        emb.filter(col("vec_id") % 2 =!= 0))
+      Similarity.deleteVectors(spark, dir,
+        emb.filter(deleted).select(col("vec_id")))
+      Similarity.appendIvfPqDelta(spark, dir, emb.filter(restored))
+      // reference: monolithic build over the served set — both frozen
+      // sidecars equal it (every % 40 == 0 source is even, never deleted)
+      Similarity.writeIvfPqIndex(emb.filter(!deleted || restored), ref)
+      val queries = emb.filter(col("vec_id") < 8)
+      def probe(d: String) =
+        Similarity.ivfPqTopKStored(spark, d, queries, 3, nProbe = 2)
+      val got = probe(dir)
+      got.collect()
+      // every generation's codes scan carries the static cluster filter
+      val p = got.queryExecution.executedPlan.toString
+      assert(p.linesIterator.count(_.contains("PartitionFilters: [cluster"))
+        >= 3, s"IVF-PQ probe did not prune every generation:\n$p")
+      val want = rows(probe(ref))
+      assert(rows(got) === want,
+        "IVF-PQ generational serving diverged from the monolithic served-set build")
+      // the fence is observable (vacuity guard on the delete set)
+      assert(want !== rows(Similarity.ivfPqTopKStored(spark,
+        Similarity.indexDir(spark, "/root/testdata/sf0.001") + "/ivfpq",
+        queries, 3, nProbe = 2)), "vacuous: deletes did not change the probe")
+      // inline twin agrees with the stored probe on the clean corpus
+      assert(rows(Similarity.ivfPqTopK(emb, col("vec_id") < 8, 3, nProbe = 2))
+        === rows(Similarity.ivfPqTopKStored(spark,
+          Similarity.indexDir(spark, "/root/testdata/sf0.001") + "/ivfpq",
+          queries, 3, nProbe = 2)))
+      val preFold = probe(dir)
+      Similarity.compactIvfPqIndex(spark, dir)
+      assert(rows(preFold) === want)
+      Similarity.vacuumVectorIndex(spark, dir)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!left.exists(n => n.startsWith("tomb_") || n.startsWith("delta_")),
+        s"folded generations survived vacuum: $left")
+      assert(left.contains("centroids") && left.contains("codebook"),
+        "vacuum must not touch the frozen sidecars")
+      assert(rows(probe(dir)) === want)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    }
+  }
+
   test("LSH delta append == monolithic build (frozen hyperplanes); compaction + vacuum") {
     import graft.operators.Similarity
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
