@@ -197,7 +197,11 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
   /** Rank each vector's centroids by cosine (tie → c_id): map-side
-    * broadcast join → (vec_id, embedding, c_id, arank).
+    * broadcast join → (vec_id, embedding, c_id, arank). PROBE-side
+    * only (arank ≤ nProbe over a small query set): the row_number()
+    * window shuffles and sorts the full |vecs|×|cent| candidate
+    * product, which at corpus scale is the quadratic-shuffle trap —
+    * corpus assignment goes through [[ivfAssign]] instead.
     */
   private def ivfRanked(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
@@ -206,6 +210,25 @@ object Similarity {
       .withColumn("arank", row_number().over(aw))
       .select(col("vec_id"), col("embedding"), col("c_id"), col("arank"))
   }
+
+  /** Nearest-centroid assignment as an AGGREGATE argmax —
+    * `max_by(c_id, (ccos, −c_id))`, the same (ccos desc, c_id asc)
+    * tie-break as [[ivfRanked]]'s window, row-identical by
+    * construction. The aggregate form is what survives corpus scale:
+    * partial aggregation folds the N×nlist candidate rows MAP-SIDE,
+    * so only N one-row assignments ever shuffle, where the window
+    * variant shuffles and sorts the whole candidate product.
+    * `first(embedding)` is exact (identical across a vec_id's
+    * candidate rows). → (vec_id, embedding, cluster).
+    */
+  private def ivfAssign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.join(broadcast(cent), lit(true))
+      .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("c_id"),
+          struct(col("ccos"), (-col("c_id")).as("nc"))).as("cluster"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
 
   /** Corpus-drawn hyperplanes: vec_ids hpBase..hpBase+nBits-1. */
   private def lshHyperplanes(emb: DataFrame, nBits: Int, hpBase: Long): DataFrame =
@@ -236,8 +259,7 @@ object Similarity {
     */
   def knnJoin(emb: DataFrame, k: Int = 3, modulo: Int = 40): DataFrame = {
     val cent = ivfCentroids(emb, modulo)
-    val assigned = ivfRanked(emb, cent).filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+    val assigned = ivfAssign(emb, cent)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = assigned.select(col("vec_id").as("n_id"),
       col("embedding").as("n_emb"), col("cluster").as("n_cluster"))
@@ -253,13 +275,12 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryIds: Column, k: Int, modulo: Int = 40,
               nProbe: Int = 1): DataFrame = {
     val cent = ivfCentroids(emb, modulo)
-    // assignment materialized once — it feeds the query and probe branches
-    val ranked = ivfRanked(emb, cent)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
-    val assigned = ranked.filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
-    // queries probe their nProbe nearest clusters
-    val q = ranked.filter(queryIds && col("arank") <= nProbe)
+    // corpus assignment by aggregate argmax (map-side combined);
+    // query ranking keeps the window — it needs arank ≤ nProbe and
+    // runs over only the filtered query set
+    val assigned = ivfAssign(emb, cent)
+    val q = ivfRanked(emb.filter(queryIds), cent)
+      .filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("c_id").as("q_probe"))
     val scored = assigned
@@ -337,9 +358,7 @@ object Similarity {
     */
   def writeIvfIndex(emb: DataFrame, dir: String, modulo: Int = 40): Unit = {
     val cent = ivfCentroids(emb, modulo)
-    ivfRanked(emb, cent)
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+    ivfAssign(emb, cent)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors")
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
   }
@@ -386,9 +405,7 @@ object Similarity {
   private[graft] def writeIvfDelta(spark: SparkSession, dir: String,
                                    emb: DataFrame, genDir: String): Unit = {
     val cent = spark.read.parquet(s"$dir/centroids")
-    ivfRanked(emb.select(col("vec_id"), col("embedding")), cent)
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+    ivfAssign(emb.select(col("vec_id"), col("embedding")), cent)
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$genDir/vectors")
   }
@@ -721,20 +738,26 @@ object Similarity {
       s"PQ subspace count m=$m must divide dims=$dims")
 
   /** PQ codes: (n_id, m, c_id) — each vector's max-inner-product
-    * sub-centroid per subspace.
+    * sub-centroid per subspace. Argmax as an AGGREGATE (`max_by` over
+    * the (pdot, −c_id) struct — the same (pdot desc, c_id asc)
+    * tie-break a ranked window would apply): partial aggregation
+    * folds the N×m×K candidate rows map-side, so the encode shuffles
+    * N×m one-row codes where a row_number() window would shuffle and
+    * sort the whole candidate product — the difference between an
+    * encode that scales with the corpus and one that scales with
+    * corpus × codebook.
     */
   private def pqCodes(emb: DataFrame, codebook: DataFrame, m: Int,
-                      dims: Int): DataFrame = {
-    val aw = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("pdot").desc, col("c_id"))
+                      dims: Int): DataFrame =
     emb.select(col("vec_id"), col("embedding"))
       .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("v_sub", pqSub(col("embedding"), col("m"), dims / m))
       .join(broadcast(codebook), "m")
       .withColumn("pdot", dot(col("v_sub"), col("c_sub")))
-      .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("c_id"),
+        struct(col("pdot"), (-col("c_id")).as("nc"))).as("c_id"))
       .select(col("vec_id").as("n_id"), col("m"), col("c_id"))
-  }
 
   /** Query lookup table: (q_id, m, c_id, pdot). */
   private def pqLut(queries: DataFrame, codebook: DataFrame, m: Int,
@@ -889,9 +912,8 @@ object Similarity {
     */
   private def ivfPqCodesOf(emb: DataFrame, cent: DataFrame, cb: DataFrame,
                            m: Int, dims: Int): DataFrame = {
-    val assigned = ivfRanked(emb.select(col("vec_id"), col("embedding")), cent)
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("c_id").as("cluster"))
+    val assigned = ivfAssign(emb.select(col("vec_id"), col("embedding")), cent)
+      .select(col("vec_id"), col("cluster"))
     pqCodes(emb, cb, m, dims)
       .join(assigned, col("vec_id") === col("n_id"))
       .select(col("n_id"), col("m"), col("c_id"), col("cluster"))
@@ -974,14 +996,25 @@ object Similarity {
     * every generation's scan. */
   def appendIvfPqDelta(spark: SparkSession, dir: String, emb: DataFrame,
                        m: Int = 8, dims: Int = 64): Unit = {
+    val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
+    writeIvfPqDelta(spark, dir, emb, s"$dir/delta_$next", m, dims)
+    maybeCompact(spark, dir, "codes", compactIvfPqIndex)
+  }
+
+  /** Write one IVF-PQ delta generation's codes into `genDir`, assigned
+    * and coded against the index's FROZEN sidecars. `codes/_SUCCESS`
+    * (the only table) is the generation's visibility point — shared
+    * with the streaming ingest sink's retry-in-place recovery
+    * ([[graft.streaming.IndexIngest]]). */
+  private[graft] def writeIvfPqDelta(spark: SparkSession, dir: String,
+                                     emb: DataFrame, genDir: String,
+                                     m: Int = 8, dims: Int = 64): Unit = {
     requirePqDims(m, dims)
     val cent = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebook")
-    val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
     writeClusteredCodes(
       ivfPqCodesOf(emb.select(col("vec_id"), col("embedding")), cent, cb, m, dims),
-      s"$dir/delta_$next/codes")
-    maybeCompact(spark, dir, "codes", compactIvfPqIndex)
+      s"$genDir/codes")
   }
 
   /** Fold IVF-PQ code generations (and the tombstone fence) into one
@@ -1078,9 +1111,7 @@ object Similarity {
     // the ContextCleaner when the plan is GC'd (a persist here would pin
     // cache for the session unless explicitly unpersisted, which a
     // lazily-returned DataFrame has no good point to do)
-    val assigned = ivfRanked(emb, ivfCentroids(emb, modulo))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+    val assigned = ivfAssign(emb, ivfCentroids(emb, modulo))
       .localCheckpoint(false)
     val a = assigned.select(col("cluster").as("a_cluster"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"))

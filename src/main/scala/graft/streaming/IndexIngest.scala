@@ -92,6 +92,18 @@ object IndexIngest {
         "vectors", graft.operators.Similarity.compactIvfIndex)
     }
 
+  /** IVF-PQ sink: same contract over the compressed-codes layout —
+    * each batch is assigned against the FROZEN centroids and coded
+    * against the FROZEN codebook; only m-byte codes land per vector. */
+  def appendIvfPqBatch(idx: String, m: Int = 8, dims: Int = 64)(
+      batch: DataFrame, epochId: Long): Unit =
+    epochDir(batch, idx, epochId, "codes").foreach { dir =>
+      graft.operators.Similarity.writeIvfPqDelta(
+        batch.sparkSession, idx, batch, dir.toString, m, dims)
+      graft.operators.Similarity.maybeCompact(batch.sparkSession, idx,
+        "codes", graft.operators.Similarity.compactIvfPqIndex)
+    }
+
   /** CDC sink: keep the search index in SYNC with a MUTATING document
     * table. Each micro-batch carries change-feed rows — (doc_id, text,
     * `_change_type` ∈ insert/delete), the `GraphArMutations` CDF

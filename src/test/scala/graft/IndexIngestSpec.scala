@@ -77,6 +77,31 @@ class IndexIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ sink: a replayed epoch is skipped; probe equals monolithic") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = "/tmp/graft_pqingest_" + java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+      val batch = emb.filter(col("vec_id") % 2 =!= 0)
+      IndexIngest.appendIvfPqBatch(dir)(batch, 0L)
+      IndexIngest.appendIvfPqBatch(dir)(batch, 0L) // replayed epoch
+      Similarity.writeIvfPqIndex(emb, ref)
+      val queries = emb.filter(col("vec_id") < 8)
+      assert(rows(Similarity.ivfPqTopKStored(spark, dir, queries, 3, nProbe = 2))
+        === rows(Similarity.ivfPqTopKStored(spark, ref, queries, 3, nProbe = 2)),
+        "replayed epoch double-indexed or ingest diverged from monolithic")
+      assert(deltaDirsOf(dir).size === 1)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    }
+  }
+
   test("CDC sink: replayed epochs converge — committed skip, crashed-append completion preserves the upsert") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))

@@ -73,7 +73,12 @@ object VectorIndexProps extends Properties("graft.similarity.index") {
       (e, d) => Similarity.writePqIndex(e, d, PqM, Dim, Modulo),
       (d, e) => Similarity.appendPqDelta(spark, d, e, PqM, Dim),
       d => Similarity.compactPqIndex(spark, d),
-      d => Similarity.pqTopKStored(spark, d, queryDf, K, PqM, Dim)))
+      d => Similarity.pqTopKStored(spark, d, queryDf, K, PqM, Dim)),
+    Layout("ivfpq",
+      (e, d) => Similarity.writeIvfPqIndex(e, d, Modulo, PqM, Dim),
+      (d, e) => Similarity.appendIvfPqDelta(spark, d, e, PqM, Dim),
+      d => Similarity.compactIvfPqIndex(spark, d),
+      d => Similarity.ivfPqTopKStored(spark, d, queryDf, K, NProbe, PqM, Dim)))
 
   sealed trait Op
   private case class Append(n: Int) extends Op    // n NEW vec ids
