@@ -209,7 +209,11 @@ object Plans {
       "p_chunk (RAG chunk prep: tokenize + bounded explode, zero exchanges)" ->
         operators.Pipeline.queries("p_chunk")(spark, sfDir),
       "p_pack_split (one per-source window; only (id, count) rows shuffle, text never moves)" ->
-        operators.Pipeline.queries("p_pack_split")(spark, sfDir)
+        operators.Pipeline.queries("p_pack_split")(spark, sfDir),
+      "sim_ivfpq_stored (cluster PartitionFilters on the codes scan; LUT broadcast; ADC fold)" ->
+        operators.Similarity.queries("sim_ivfpq_stored")(spark, sfDir),
+      "sim_ivf (assignment as aggregate argmax: map-side partial fold, no candidate-product window)" ->
+        operators.Similarity.queries("sim_ivf")(spark, sfDir)
     )
 
     val sb = new StringBuilder

@@ -45,7 +45,7 @@ object VectorScaleBench {
       .withColumn("embedding",
         transform(sequence(lit(0), lit(dims - 1)), d =>
           (pmod(hash(col("vec_id"), d), lit(1000)).cast("float") /
-            lit(500.0f) - lit(1.0f))))
+            lit(500.0f) - lit(1.0f)).cast("float")))
       .select(col("vec_id"), col("embedding"))
     if (!fs.exists(marker)) {
       if (fs.exists(new Path(base))) fs.delete(new Path(base), true)

@@ -211,24 +211,28 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("c_id"), col("arank"))
   }
 
-  /** Nearest-centroid assignment as an AGGREGATE argmax —
-    * `max_by(c_id, (ccos, −c_id))`, the same (ccos desc, c_id asc)
-    * tie-break as [[ivfRanked]]'s window, row-identical by
-    * construction. The aggregate form is what survives corpus scale:
-    * partial aggregation folds the N×nlist candidate rows MAP-SIDE,
-    * so only N one-row assignments ever shuffle, where the window
-    * variant shuffles and sorts the whole candidate product.
-    * `first(embedding)` is exact (identical across a vec_id's
-    * candidate rows). → (vec_id, embedding, cluster).
+  /** Nearest-centroid assignment as a MAP-SIDE argmax: the whole
+    * centroid set rides along as ONE broadcast array-of-structs row,
+    * and each vector picks `array_max` over (ccos, −c_id) — the same
+    * (ccos desc, c_id asc) tie-break as [[ivfRanked]]'s window,
+    * row-identical by construction. This is the shape that survives
+    * corpus scale: the candidate product never EXISTS as rows (no
+    * explode, no shuffle, no sort — the window variant shuffles and
+    * sorts all N×nlist candidates; even an aggregate argmax
+    * materializes them as input rows). Row count stays N end to end;
+    * per-row cost is the nlist×dims flops the problem irreducibly
+    * costs. → (vec_id, embedding, cluster).
     */
-  private def ivfAssign(vecs: DataFrame, cent: DataFrame): DataFrame =
-    vecs.join(broadcast(cent), lit(true))
-      .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
-        max_by(col("c_id"),
-          struct(col("ccos"), (-col("c_id")).as("nc"))).as("cluster"))
-      .select(col("vec_id"), col("embedding"), col("cluster"))
+  private def ivfAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent.agg(
+      collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
+    vecs.crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(cosine(col("embedding"), c.getField("c_emb")).as("ccos"),
+          (-c.getField("c_id")).as("nc")))))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.nc")).as("cluster"))
+  }
 
   /** Corpus-drawn hyperplanes: vec_ids hpBase..hpBase+nBits-1. */
   private def lshHyperplanes(emb: DataFrame, nBits: Int, hpBase: Long): DataFrame =
@@ -738,26 +742,30 @@ object Similarity {
       s"PQ subspace count m=$m must divide dims=$dims")
 
   /** PQ codes: (n_id, m, c_id) — each vector's max-inner-product
-    * sub-centroid per subspace. Argmax as an AGGREGATE (`max_by` over
-    * the (pdot, −c_id) struct — the same (pdot desc, c_id asc)
-    * tie-break a ranked window would apply): partial aggregation
-    * folds the N×m×K candidate rows map-side, so the encode shuffles
-    * N×m one-row codes where a row_number() window would shuffle and
-    * sort the whole candidate product — the difference between an
-    * encode that scales with the corpus and one that scales with
-    * corpus × codebook.
+    * sub-centroid per subspace. MAP-SIDE argmax, the [[ivfAssign]]
+    * shape: the per-subspace codebook rides along as a broadcast
+    * array-of-structs (one row per m), and each (vector, subspace)
+    * row picks `array_max` over (pdot, −c_id) — the (pdot desc,
+    * c_id asc) tie-break a ranked window would apply, row-identical.
+    * The N×m×K candidate product never exists as rows; the encode's
+    * row count is its OUTPUT size N×m, with the K dots folded per row
+    * — the difference between an encode that scales with the corpus
+    * and one that shuffles corpus × codebook.
     */
   private def pqCodes(emb: DataFrame, codebook: DataFrame, m: Int,
-                      dims: Int): DataFrame =
+                      dims: Int): DataFrame = {
+    val cbArr = codebook.groupBy(col("m"))
+      .agg(collect_list(struct(col("c_id"), col("c_sub"))).as("subs"))
     emb.select(col("vec_id"), col("embedding"))
       .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("v_sub", pqSub(col("embedding"), col("m"), dims / m))
-      .join(broadcast(codebook), "m")
-      .withColumn("pdot", dot(col("v_sub"), col("c_sub")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(max_by(col("c_id"),
-        struct(col("pdot"), (-col("c_id")).as("nc"))).as("c_id"))
-      .select(col("vec_id").as("n_id"), col("m"), col("c_id"))
+      .join(broadcast(cbArr), "m")
+      .withColumn("best", array_max(transform(col("subs"), s =>
+        struct(dot(col("v_sub"), s.getField("c_sub")).as("pdot"),
+          (-s.getField("c_id")).as("nc")))))
+      .select(col("vec_id").as("n_id"), col("m"),
+        (-col("best.nc")).as("c_id"))
+  }
 
   /** Query lookup table: (q_id, m, c_id, pdot). */
   private def pqLut(queries: DataFrame, codebook: DataFrame, m: Int,

@@ -30,6 +30,13 @@ object EventStreams {
                            session_end: Timestamp, n_events: Long,
                            total_value: Double)
 
+  /** Funnel state machine position: steps matched so far and the
+    * event-time (ms) of the last transition — the next step must be
+    * STRICTLY later, the batch twin's `tss > t_prev` contract. */
+  final case class FunnelState(depth: Int, lastMs: Long)
+
+  final case class FunnelDepth(user_id: Long, depth: Int)
+
   /** Tumbling-window counts per event type: the streaming twin of
     * q11_events_window. Watermark allows 10 minutes of lateness and lets
     * Spark drop window state once the watermark passes.
@@ -160,6 +167,55 @@ object EventStreams {
         col("click_ts") >= col("purchase_ts") &&
         col("click_ts") <= col("purchase_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
       .select(col("user_id"), col("click_id"), col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Ordered-funnel state machine — the streaming CEP twin of
+    * q25_funnel: per user, advance one step when the NEXT step's event
+    * type arrives strictly after the last transition's event time;
+    * earlier steps are never reconsidered (the batch twin's
+    * earliest-view → earliest-later-click → earliest-later-purchase
+    * chain, replayed as a left-to-right scan). Distinct from the other
+    * stateful patterns in this tier: sessionize's state is a time gap,
+    * dedup's is set membership — this one is ORDER-sensitive (a click
+    * before the first view must not count), which is exactly what a
+    * per-key state machine expresses and a windowed aggregation can't.
+    *
+    * Equivalence contract with the batch twin (the sessionize
+    * bounded-disorder argument): each batch is sorted by (event time,
+    * event id), and time-partitioned batches concatenate to the global
+    * sort, under which "first qualifying event in scan order" =
+    * "min(ts) qualifying event" — the batch stage definition. Ties
+    * can't diverge: a transition needs a STRICTLY later timestamp, so
+    * equal-time events advance nothing regardless of their relative
+    * order.
+    *
+    * Emits each user's final depth on the far-future flush event (the
+    * harness's end-of-stream marker, the sessionize convention);
+    * depth-0 users emit nothing, matching the batch funnel whose
+    * stage-1 table only contains users with a view.
+    */
+  def funnelStream(events: Dataset[Event], steps: Seq[String])
+                  (implicit spark: SparkSession): Dataset[FunnelDepth] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelDepth](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelDepth]
+          sorted.foreach { e =>
+            if (e.event_type == "flush") {
+              if (st.depth > 0) out += FunnelDepth(userId, st.depth)
+            } else if (st.depth < steps.length &&
+                e.event_type == steps(st.depth) &&
+                e.ts.getTime > st.lastMs) {
+              st = FunnelState(st.depth + 1, e.ts.getTime)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
   }
 
   /** Gap-based sessionization with explicit state — the streaming twin of

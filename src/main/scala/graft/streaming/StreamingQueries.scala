@@ -276,6 +276,56 @@ object StreamingQueries {
         col("session_start").as("start_ts"), col("session_end").as("end_ts"))
   }
 
+  /** Run the streaming FUNNEL state machine over the same
+    * time-quartile block feed: per user, view → click → purchase with
+    * strictly-increasing event times, final depth emitted on the
+    * per-user flush event. The stream's real output is the per-user
+    * depth table; it is summarized to q25_funnel's (stage, n_users)
+    * rows so the SAME oracle SQL pins the batch and streaming twins to
+    * identical numbers — cross-batch state continuation (a funnel
+    * whose steps straddle block boundaries) is exactly what the
+    * equality proves.
+    */
+  def blockFeedFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import EventStreams.Event
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val assigned = withBlocks(ev, "ts", lit(0L))
+    val flush = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("_m"))))
+      .select((lit(-1L) - col("user_id")).as("event_id"),
+        (col("_m").cast("long") + lit(365L * 86400L)).cast("timestamp")
+          .as("ts"),
+        col("user_id"), lit("flush").as("event_type"), lit(0.0).as("value"))
+    val replay = new Replay("funnel")
+    implicit val s: SparkSession = spark
+    val name = "block_funnel_" +
+      Integer.toHexString(sfDir.hashCode).filter(_ != '-')
+    val q = EventStreams.funnelStream(
+        replay.source(spark, ev.schema).as[Event],
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      (0 until Blocks).foreach { k =>
+        replay.add(assigned.filter(col("b") === k).drop("b"))
+        q.processAllAvailable()
+      }
+      replay.add(flush)
+      q.processAllAvailable()
+    } finally { q.stop(); replay.cleanup() }
+    val depths = spark.table(name)
+    def stage(nm: String, minDepth: Int) =
+      depths.filter(col("depth") >= minDepth)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(nm).as("stage"), col("n_users"))
+    stage("1_view", 1)
+      .unionAll(stage("2_click", 2))
+      .unionAll(stage("3_purchase", 3))
+  }
+
   /** STATEFUL checkpoint-recovery twin of [[blockFeedSessions]]: the
     * same `flatMapGroupsWithState` sessionization, file sink +
     * checkpoint, KILLED mid-feed and restarted. This is the harder
@@ -627,6 +677,7 @@ object StreamingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_late" -> { (s, d) => lateFeedWindowCounts(s, d) },
     "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) },
+    "st_funnel" -> { (s, d) => blockFeedFunnel(s, d) },
     "st_stream_join" -> { (s, d) => streamStreamJoin(s, d) },
     "st_static_join" -> { (s, d) => streamStaticJoin(s, d) },
     "st_dedup_stream" -> { (s, d) => lateFeedDedup(s, d) },
@@ -697,6 +748,9 @@ object StreamingQueries {
     // recovery must not lose or duplicate an open session)
     "st_sessionize_stream" -> sessionizeOracleSql,
     "st_recovery_sessions" -> sessionizeOracleSql,
+    // the q25 batch funnel SQL verbatim: the streamed state machine's
+    // stage counts must equal the three-stage min-ts join chain
+    "st_funnel" -> graft.operators.Relational.oracle("q25_funnel"),
     // the batch interval join the streamed block feed must reproduce
     // exactly (no drops: the day-partitioned feed keeps the watermark
     // behind every view a future click can still match)

@@ -139,6 +139,45 @@ class CatalogAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel state machine: order-sensitive, strictly-increasing times, cross-batch continuation") {
+    import spark.implicits._
+    import EventStreams.{Event, FunnelDepth}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def e(id: Long, t: Long, u: Long, typ: String) =
+      Event(id, new java.sql.Timestamp(t * 1000), u, typ, 0.0)
+    val stream = MemoryStream[Event]
+    val q = EventStreams.funnelStream(stream.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // one batch, scrambled arrival order:
+      //  user 1: click@10 precedes view@20 in EVENT time — the click
+      //          must not count even though a view arrives later
+      //  user 2: view@10 and click@10 — equal times, strict > rejects
+      //  user 3: view@10, click@20 — a clean two-step prefix
+      //  user 4: a lone purchase — depth 0, must emit NOTHING
+      stream.addData(Seq(
+        e(1, 20, 1, "view"), e(2, 10, 1, "click"),
+        e(4, 10, 2, "click"), e(3, 10, 2, "view"),
+        e(5, 10, 3, "view"), e(6, 20, 3, "click"),
+        e(7, 5, 4, "purchase")))
+      q.processAllAvailable()
+      // later block: state continues across the batch boundary
+      //  user 1: click@30 after its view@20 → depth 2
+      //  user 2: click@15 strictly after view@10 → depth 2
+      //  user 3: purchase@30 completes the funnel → depth 3
+      stream.addData(Seq(e(8, 30, 1, "click"), e(10, 15, 2, "click"),
+        e(9, 30, 3, "purchase")))
+      q.processAllAvailable()
+      stream.addData((1L to 4L).map(u => e(-u, 1000, u, "flush")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").as[FunnelDepth].collect()
+        .map(f => f.user_id -> f.depth).toMap
+      assert(got === Map(1L -> 2, 2L -> 2, 3L -> 3))
+    } finally q.stop()
+  }
+
   test("watermark semantics: in-allowance late row merges, beyond-allowance late row drops") {
     import spark.implicits._
     import graft.streaming.StreamingQueries.Ev
