@@ -121,6 +121,10 @@ object TextScaleBench {
     time("tokens_count")(docs.select(
       sum(size(graft.functions.TextFunctions.tokens(col("text"))))).collect())
     time("leak_safe_split")(Pipeline.leakSafeSplit(spark, docs).count())
+    // BPE training: ONE corpus pass for word counts, then 4 merge
+    // rounds over the vocab-sized word table — the claim under test
+    // is that round cost tracks VOCAB, not corpus
+    time("bpe_train")(Pipeline.bpeTrain(docs).count())
 
     // ---- index MAINTENANCE rung (single-shot ops: each mutates state,
     // so reps would measure a different history — the ScaleBench

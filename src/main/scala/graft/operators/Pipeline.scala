@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -522,6 +522,106 @@ object Pipeline {
         array_join(slice(col("t"), start, lit(w)), " ").as("chunk"))
   }
 
+  /** Number of BPE merges the gate trains (the oracle unrolls the
+    * same count as SQL CTE rounds). */
+  val BpeMerges = 4
+
+  /** Adjacent symbol pairs of every word's CURRENT segmentation,
+    * weighted by word frequency — the classic overlap-counting BPE
+    * ranking. Runs over the vocab-sized word table, never the corpus. */
+  private def bpePairCounts(words: DataFrame): DataFrame =
+    words.select(col("n"), split(col("s"), " ").as("a"))
+      .withColumn("i", explode(when(size(col("a")) >= 2,
+        sequence(lit(1), size(col("a")) - 1))
+        .otherwise(array().cast("array<int>"))))
+      .select(element_at(col("a"), col("i")).as("l"),
+        element_at(col("a"), col("i") + 1).as("r"), col("n"))
+      .groupBy(col("l"), col("r")).agg(sum(col("n")).as("freq"))
+
+  /** Fuse one (l, r) symbol pair everywhere in a space-joined
+    * segmentation: whitespace-delimited literal replace — leftmost
+    * non-overlapping INCLUDING separators, the semantics Spark and
+    * DuckDB `replace` share exactly (a run `a a a a` fuses once per
+    * non-overlapping window and resumes after the consumed separator;
+    * classic greedy BPE would also re-fuse the run's tail — on
+    * natural text the divergence is confined to length-≥4 repeated-
+    * symbol runs inside one word, and the variant is deterministic
+    * and cross-engine bit-reproducible, which is what the gate pins). */
+  private def bpeApply(s: Column, l: String, r: String): Column =
+    trim(replace(concat(lit(" "), s, lit(" ")),
+      lit(s" $l $r "), lit(s" $l$r ")))
+
+  /** Character-level BPE tokenizer TRAINING — the Sennrich/GPT loop,
+    * Spark-shaped. The missing piece between a cleaned corpus and its
+    * token-budget operators (packing, chunking, token counts): those
+    * assume a tokenizer; this trains one.
+    *
+    *   1. ONE corpus-scale pass: word frequencies. This is the only
+    *      step that reads the data — everything after runs on the
+    *      vocab-sized distinct-word table, the property that makes
+    *      BPE training tractable at 100 TB (the corpus contributes
+    *      counts, not sequences).
+    *   2. Each distinct word becomes its space-joined character
+    *      segmentation.
+    *   3. `numMerges` rounds: count adjacent symbol pairs weighted by
+    *      word frequency, take the argmax under the deterministic
+    *      (freq desc, left asc, right asc) tie-break — a ONE-row
+    *      driver round-trip per round — and fuse that pair in every
+    *      word via [[bpeApply]].
+    *
+    * Returns the ordered merge table (rank, left, right, freq) — the
+    * artifact an encoder ships ([[bpeEncodedCounts]] applies it as
+    * `numMerges` literal map-side replaces).
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int = BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(concat_ws(" ", split(col("w"), "")).as("s"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = words
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (rank <- 1 to numMerges) {
+        val best = bpePairCounts(cur)
+          .orderBy(col("freq").desc, col("l"), col("r"))
+          .limit(1).collect()
+        require(best.nonEmpty, s"corpus exhausted after ${rank - 1} merges")
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((rank, l, r, f))
+        cur = cur.select(bpeApply(col("s"), l, r).as("s"), col("n"))
+      }
+      merges.result().toDF("rank", "left", "right", "freq")
+        .select(col("rank").cast("int").as("rank"),
+          col("left"), col("right"), col("freq"))
+    } finally words.unpersist(blocking = false)
+  }
+
+  /** Per-document token counts under the TRAINED merges: each
+    * whitespace token re-segmented by the learned merge sequence
+    * (numMerges literal replaces — pure map work once the tiny merge
+    * table is known), counted per doc. The end-to-end check that the
+    * trained tokenizer actually tokenizes: training  + encode must
+    * reproduce DuckDB running the identical unrolled rounds. */
+  def bpeEncodedCounts(docs: DataFrame,
+                       numMerges: Int = BpeMerges): DataFrame = {
+    val merges = bpeTrain(docs, numMerges)
+      .orderBy(col("rank")).collect()
+      .map(row => (row.getString(1), row.getString(2)))
+    val seg = merges.foldLeft(
+      concat_ws(" ", split(col("w"), "")): Column) {
+      case (acc, (l, r)) => bpeApply(acc, l, r)
+    }
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), size(split(seg, " ")).as("nt"))
+      .groupBy(col("doc_id")).agg(sum(col("nt")).as("n_subtokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_train_classifier" -> { (s, d) => perceptronTrain(t(s, d, "documents")) },
     // sliding-window chunking (the RAG chunk-table prep): map-side
@@ -555,7 +655,11 @@ object Pipeline {
     "p_dsir" -> { (s, d) => importanceResample(t(s, d, "documents")) },
     // cluster-keyed split: near-dup families can never straddle
     // train/test (leakage-safe by construction)
-    "p_leak_safe_split" -> { (s, d) => leakSafeSplit(s, t(s, d, "documents")) }
+    "p_leak_safe_split" -> { (s, d) => leakSafeSplit(s, t(s, d, "documents")) },
+    // BPE tokenizer training (4 merges) and the encode it ships:
+    // corpus read once for word counts, merges run vocab-sized
+    "p_bpe" -> { (s, d) => bpeTrain(t(s, d, "documents")) },
+    "p_bpe_encode" -> { (s, d) => bpeEncodedCounts(t(s, d, "documents")) }
   )
 
   def oracle: Map[String, String] = {
@@ -837,6 +941,53 @@ object Pipeline {
           |      AS rk
           |  FROM w)
           |SELECT doc_id, lang, weight, n_tokens, rk FROM r WHERE rk <= 100""".stripMargin
+    ) ++ bpeOracle
+  }
+
+  /** BPE oracle: the training loop unrolled as [[BpeMerges]] CTE
+    * rounds — per round the pair count over the previous round's word
+    * table, the (freq desc, l, r) argmax, and the whitespace-replace
+    * fuse, all in the identical op order the Spark side runs. */
+  private def bpeOracle: Map[String, String] = {
+    val tok = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    def repl(x: String, i: Int): String =
+      s"trim(replace(' ' || $x || ' ', " +
+        s"' ' || (SELECT l FROM best$i) || ' ' || (SELECT r FROM best$i) || ' ', " +
+        s"' ' || (SELECT l FROM best$i) || (SELECT r FROM best$i) || ' '))"
+    val rounds = (1 to BpeMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT a[ix.i] AS l, a[ix.i + 1] AS r, CAST(sum(n) AS BIGINT) AS freq
+         |  FROM (SELECT string_split(s, ' ') AS a, n FROM w${i - 1}) t,
+         |       LATERAL (SELECT unnest(range(1, len(a))) AS i) ix
+         |  GROUP BY 1, 2),
+         |best$i AS MATERIALIZED (
+         |  SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT ${repl("s", i)} AS s, n FROM w${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val ctes =
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT array_to_string(string_split(w, ''), ' ') AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest($tok) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w),
+         |$rounds""".stripMargin
+    val mergeRows = (1 to BpeMerges).map(i =>
+      s"""SELECT CAST($i AS INT) AS rank, l AS "left", r AS "right", freq
+         |FROM best$i""".stripMargin).mkString("\nUNION ALL\n")
+    val encodeSeg = (1 to BpeMerges).foldLeft(
+      "array_to_string(string_split(w, ''), ' ')")((x, i) => repl(x, i))
+    Map(
+      "p_bpe" -> s"$ctes\n$mergeRows",
+      "p_bpe_encode" ->
+        s"""$ctes,
+           |toks AS (SELECT doc_id, unnest($tok) AS w FROM documents),
+           |segs AS (
+           |  SELECT doc_id, $encodeSeg AS s
+           |  FROM toks WHERE length(w) > 0)
+           |SELECT doc_id, CAST(sum(len(string_split(s, ' '))) AS BIGINT)
+           |  AS n_subtokens
+           |FROM segs GROUP BY doc_id""".stripMargin
     )
   }
 }

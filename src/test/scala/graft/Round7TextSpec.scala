@@ -141,4 +141,38 @@ class Round7TextSpec extends AnyFunSuite {
       .toSet
     assert(got === expected)
   }
+
+  test("bpeTrain learns the textbook merge sequence; encode counts follow") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    // the Sennrich toy corpus shape: 'low' x5, 'lower' x2, 'newest' x6,
+    // 'widest' x3. Classic first merges: (e,s) 9, then (es,t) 9, then
+    // (est,w)... depends on tie-breaks — compute expectations by hand:
+    //   pairs r1: (e,s)=9 (newest 6 + widest 3), (s,t)=9, (l,o)=7, ...
+    //   tie (e,s) vs (s,t) at 9 → lexicographic left asc: 'e' < 's' → (e,s)
+    //   r2: (es,t)=9 wins (freq 9; 'es' > 'e'... compute: (l,o)=7 < 9) → (es,t)
+    //   r3: (l,o)=7, (n,e)=6, (o,w)=7, (w,est)? newest has n e w est →
+    //       (w,est)=6; widest: w i d est → (d,est)=3; lower: l o w e r.
+    //       (l,o)=7, (o,w)=7 tie → 'l' < 'o' → (l,o)
+    //   r4: (lo,w)=7 vs (o,w) now gone; (n,e)=6, (w,est)=6 → (lo,w)=7
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Pipeline.bpeTrain(docs, 4).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges === Array(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+    // encode under those merges: low → 'lo w'? no — (lo,w) merged rank 4
+    // → 'low' = 1 token; lower → low + e + r = 3; newest → n e w est =
+    // 4; widest → w i d est = 4
+    val counts = Pipeline.bpeEncodedCounts(docs, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(0L) === 1L)   // low
+    assert(counts(5L) === 3L)   // lower
+    assert(counts(7L) === 4L)   // newest
+    assert(counts(13L) === 4L)  // widest
+  }
 }
