@@ -690,6 +690,13 @@ object Similarity {
       writeIvfPqIndex(t(spark, sfDir, "embeddings"), s"$base/ivfpq")
       fs.create(ivfPqMarker, true).close()
     }
+    val ivfPqrMarker = new org.apache.hadoop.fs.Path(s"$base/ivfpqr/_INDEX_SUCCESS")
+    if (!fs.exists(ivfPqrMarker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/ivfpqr")))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/ivfpqr"), true)
+      writeIvfPqResidualIndex(t(spark, sfDir, "embeddings"), s"$base/ivfpqr")
+      fs.create(ivfPqrMarker, true).close()
+    }
     val ivfPqTombMarker = new org.apache.hadoop.fs.Path(s"$base/ivfpq_tomb/_INDEX_SUCCESS")
     if (!fs.exists(ivfPqTombMarker)) {
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/ivfpq_tomb")))
@@ -1101,6 +1108,182 @@ object Similarity {
       pqLut(q, cb, m, dims), k)
   }
 
+  /** Retrieve-then-refine over the STORED IVF-PQ index — the full
+    * FAISS serving shape (IVFADC shortlist + refine): the
+    * cluster-pruned ADC probe picks top-`c` per query from the m-byte
+    * codes, then ONLY those c rows join back to the full-precision
+    * corpus for exact-cosine re-ranking to top-k. Refinement cost is
+    * bounded by c per query, never the corpus: the candidate→vector
+    * join carries O(queries×c) ids into the vec_id-keyed embedding
+    * store and the query side broadcasts — so the float corpus is
+    * touched only at point-lookup granularity, after BOTH pruning
+    * tiers (clusters, then codes) have done their work.
+    */
+  def ivfPqTopKRerankStored(spark: SparkSession, dir: String,
+                            emb: DataFrame, queries: DataFrame, k: Int,
+                            c: Int = 10, nProbe: Int = 1, m: Int = 8,
+                            dims: Int = 64): DataFrame = {
+    require(c >= k, s"shortlist size c=$c must be >= k=$k")
+    val shortlist = ivfPqTopKStored(spark, dir, queries, c, nProbe, m, dims)
+      .select(col("q_id"), col("n_id"))
+    val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val qv = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    shortlist.join(n, "n_id").join(broadcast(qv), "q_id")
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  // ──────── Residual IVF-PQ: code v − centroid(v), the FAISS default ──
+
+  /** Element-wise float32 residual v − c (both engines subtract in
+    * float32, so the only precision-sensitive step of the residual
+    * chain is bit-identical cross-engine). */
+  private def residual(v: Column, c: Column): Column =
+    zip_with(v, c, (x, y) => x - y)
+
+  /** Residuals of `vecs` against their ASSIGNED centroids:
+    * (vec_id, cluster, r). Map-side: assignment is [[ivfAssign]]'s
+    * zero-shuffle fold, the centroid lookup a broadcast join. */
+  private def residualsOf(vecs: DataFrame, cent: DataFrame): DataFrame =
+    ivfAssign(vecs, cent)
+      .join(broadcast(cent.select(col("c_id").as("cluster"), col("c_emb"))),
+        "cluster")
+      .select(col("vec_id"), col("cluster"),
+        residual(col("embedding"), col("c_emb")).as("r"))
+
+  /** Residual codebook: the deterministic `vec_id % modulo == 1`
+    * sample's residuals (the `% modulo == 0` set would be degenerate —
+    * those vectors ARE the centroids, so their residuals vanish),
+    * sliced per subspace → (m, c_id, c_sub). */
+  private def residualCodebook(emb: DataFrame, cent: DataFrame, m: Int,
+                               dims: Int, modulo: Int): DataFrame =
+    residualsOf(emb.filter(col("vec_id") % modulo === 1)
+        .select(col("vec_id"), col("embedding")), cent)
+      .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("m"), col("vec_id").as("c_id"),
+        pqSub(col("r"), col("m"), dims / m).as("c_sub"))
+
+  /** Cluster-tagged RESIDUAL codes: each vector's residual encoded by
+    * the same map-side argmax as [[pqCodes]] — (n_id, m, c_id,
+    * cluster), the layout [[allIvfPqCodes]]/[[compactIvfPqIndex]]
+    * already maintain (the residual variant rides the exact same
+    * generation machinery). */
+  private def ivfPqResidualCodesOf(emb: DataFrame, cent: DataFrame,
+                                   rcb: DataFrame, m: Int,
+                                   dims: Int): DataFrame = {
+    val res = residualsOf(emb.select(col("vec_id"), col("embedding")), cent)
+    pqCodes(res.select(col("vec_id"), col("r").as("embedding")), rcb, m, dims)
+      .join(res.select(col("vec_id"), col("cluster")),
+        col("vec_id") === col("n_id"))
+      .select(col("n_id"), col("m"), col("c_id"), col("cluster"))
+  }
+
+  /** Residual-ADC scoring: the query's residual is taken against each
+    * PROBED cluster's centroid (q − c_probe — with nProbe > 1 a query
+    * carries one residual LUT per probed cluster, the FAISS IVFPQ
+    * shape), so the LUT is keyed (q_id, cluster, m, c_id) and the
+    * codes join picks up probe membership and LUT rows in ONE
+    * broadcast equi-join. Fold order-pinned as everywhere.
+    */
+  private def ivfPqResidualScored(codes: DataFrame, cent: DataFrame,
+                                  cb: DataFrame, probe: DataFrame, k: Int,
+                                  m: Int, dims: Int): DataFrame = {
+    val centK = cent.select(col("c_id").as("q_probe"), col("c_emb"))
+    val lut = probe.join(broadcast(centK), "q_probe")
+      .select(col("q_id"), col("q_probe"),
+        residual(col("q_emb"), col("c_emb")).as("r"))
+      .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
+      .join(broadcast(cb), "m")
+      .withColumn("pdot", dot(pqSub(col("r"), col("m"), dims / m), col("c_sub")))
+      .select(col("q_id"), col("q_probe").as("cluster"), col("m"),
+        col("c_id"), col("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("cluster", "m", "c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("cluster"), col("n_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("pdot")))).as("parts"))
+      .withColumn("score", aggregate(col("parts"), lit(0.0),
+        (acc, x) => acc + x.getField("pdot")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cluster"), col("n_id"), col("rank"))
+  }
+
+  private def ivfProbeOf(queries: DataFrame, cent: DataFrame,
+                         nProbe: Int): DataFrame =
+    ivfRanked(queries.select(col("vec_id"), col("embedding")), cent)
+      .filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("c_id").as("q_probe"))
+
+  /** Residual IVF-PQ top-k (index built inline): the raw-vector
+    * [[ivfPqTopK]] with the coding moved to v − centroid(v) — the
+    * FAISS default, which spends the codebook's resolution on the
+    * within-cluster displacement instead of re-describing the cluster
+    * position, lifting recall at the same m. */
+  def ivfPqResidualTopK(emb: DataFrame, queryIds: Column, k: Int,
+                        nProbe: Int = 1, m: Int = 8, dims: Int = 64,
+                        modulo: Int = 40): DataFrame = {
+    requirePqDims(m, dims)
+    val cent = ivfCentroids(emb, modulo)
+    val rcb = residualCodebook(emb, cent, m, dims, modulo)
+    ivfPqResidualScored(ivfPqResidualCodesOf(emb, cent, rcb, m, dims),
+      cent, rcb, ivfProbeOf(emb.filter(queryIds), cent, nProbe), k, m, dims)
+  }
+
+  /** Build the residual IVF-PQ layout — same directory contract as
+    * [[writeIvfPqIndex]] (codes partitioned by cluster + frozen
+    * centroid/codebook sidecars), codes holding residual sub-codes. */
+  def writeIvfPqResidualIndex(emb: DataFrame, dir: String, modulo: Int = 40,
+                              m: Int = 8, dims: Int = 64): Unit = {
+    requirePqDims(m, dims)
+    val cent = ivfCentroids(emb, modulo)
+    val rcb = residualCodebook(emb, cent, m, dims, modulo)
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    rcb.write.mode("overwrite").parquet(s"$dir/codebook")
+    writeClusteredCodes(ivfPqResidualCodesOf(emb, cent, rcb, m, dims),
+      s"$dir/codes")
+  }
+
+  /** Frozen-sidecar delta append for the residual layout; folds with
+    * [[compactIvfPqIndex]] and reclaims with [[vacuumVectorIndex]] —
+    * the codes table is layout-identical, so the whole maintenance
+    * machinery (tombstones included) is shared, not re-implemented. */
+  def appendIvfPqResidualDelta(spark: SparkSession, dir: String,
+                               emb: DataFrame, m: Int = 8,
+                               dims: Int = 64): Unit = {
+    requirePqDims(m, dims)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
+    writeClusteredCodes(
+      ivfPqResidualCodesOf(emb.select(col("vec_id"), col("embedding")),
+        cent, cb, m, dims),
+      s"$dir/delta_$next/codes")
+    maybeCompact(spark, dir, "codes", compactIvfPqIndex)
+  }
+
+  /** Probe a stored residual IVF-PQ index: probed-cluster pruning on
+    * every generation + per-probed-cluster residual LUT; neither the
+    * corpus nor any unprobed cluster is read. */
+  def ivfPqResidualTopKStored(spark: SparkSession, dir: String,
+                              queries: DataFrame, k: Int, nProbe: Int = 1,
+                              m: Int = 8, dims: Int = 64): DataFrame = {
+    requirePqDims(m, dims)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val probe = ivfProbeOf(queries, cent, nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
+    val probes = probe.select(col("q_probe")).distinct().collect()
+      .map(_.getLong(0))
+    ivfPqResidualScored(allIvfPqCodes(spark, dir, Some(probes.toSeq)),
+      cent, cb, probe, k, m, dims)
+  }
+
   /** SemDeDup-style semantic dedup: cluster the corpus (nearest
     * deterministic centroid — the same assignment the IVF index uses),
     * then within each cluster drop every vector that has a
@@ -1362,6 +1545,24 @@ object Similarity {
       ivfPqTopKStored(s, s"${indexDir(s, d)}/ivfpq_tomb",
         t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
     },
+    // the full FAISS serving shape: cluster-pruned ADC shortlist from
+    // the stored codes, exact-cosine refine bounded by c per query
+    "sim_ivfpq_rerank" -> { (s, d) =>
+      ivfPqTopKRerankStored(s, s"${indexDir(s, d)}/ivfpq",
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3, c = 10)
+    },
+    // residual coding (v − centroid, the FAISS default): inline and
+    // stored must match one oracle — persisting residual codes must
+    // not change a row, and the float32 subtraction is the only
+    // precision-sensitive step (bit-identical in both engines)
+    "sim_ivfpqr" -> { (s, d) =>
+      ivfPqResidualTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
+    },
+    "sim_ivfpqr_stored" -> { (s, d) =>
+      ivfPqResidualTopKStored(s, s"${indexDir(s, d)}/ivfpqr",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
+    },
     // MMR fed from the STORED IVF index (partition-pruned probe) —
     // the scale composition the brute sim_mmr only gate-checks
     "sim_mmr_stored" -> { (s, d) =>
@@ -1551,13 +1752,13 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
 
-  /** IVF-PQ oracle: the ivfOracleSql cluster assignment composed with
-    * the pqOracleSql coding/LUT chain — candidates restricted to the
-    * query's own cluster (nProbe=1), scored by the ORDER-PINNED ADC
-    * fold. Shared verbatim by the inline, stored, and (with the
-    * served-set filter spliced in) lifecycle variants.
+  /** IVF-PQ oracle CTE chain up through `ranked`: the ivfOracleSql
+    * cluster assignment composed with the pqOracleSql coding/LUT
+    * chain — candidates restricted to the query's own cluster
+    * (nProbe=1), scored by the ORDER-PINNED ADC fold. Shared by the
+    * inline, stored, lifecycle, and rerank variants.
     */
-  private lazy val ivfPqOracleSql: String =
+  private lazy val ivfPqRankedCtes: String =
     s"""WITH cent AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
        |  WHERE vec_id % 40 = 0),
@@ -1597,6 +1798,85 @@ object Similarity {
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      array_agg(l.pdot ORDER BY l.m)), (acc, v) -> acc + v) AS score
        |  FROM codesc cc
+       |  JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id
+       |  JOIN lut l ON l.q_id = q.q_id AND l.m = cc.m AND l.c_id = cc.c_id
+       |  GROUP BY q.q_id, cc.cluster, cc.n_id),
+       |ranked AS (
+       |  SELECT q_id, cluster, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+       |  FROM scored)""".stripMargin
+
+  private lazy val ivfPqOracleSql: String =
+    s"""$ivfPqRankedCtes
+       |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** ADC top-10 shortlist from the cluster-pruned chain, exact-cosine
+    * re-rank to top-3 — mirrors [[ivfPqTopKRerankStored]] (the same
+    * rerank tail pqRerankOracleSql pins for plain PQ). */
+  private lazy val ivfPqRerankOracleSql: String =
+    s"""$ivfPqRankedCtes,
+       |shortlist AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
+       |rerank AS (
+       |  SELECT s.q_id, s.n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM shortlist s
+       |  JOIN embeddings ne ON ne.vec_id = s.n_id
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id),
+       |rr AS (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM rerank)
+       |SELECT q_id, n_id, rank FROM rr WHERE rank <= 3""".stripMargin
+
+  /** Residual IVF-PQ oracle (nProbe=1, so the query's probed cluster
+    * is its own assigned cluster and its residual LUT is the query's
+    * own resid row): the ivfPq chain with the coding moved to
+    * v − centroid(v) — residuals in FLOAT32 (`e.embedding[i] −
+    * c.c_emb[i]`, exactly Spark's `zip_with(v, c, x − y)`), the
+    * residual codebook drawn from the `% 40 == 1` sample (the `== 0`
+    * set IS the centroids — degenerate residuals). */
+  private lazy val ivfPqrOracleSql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % 40 = 0),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS cluster FROM (
+       |    SELECT e.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
+       |    FROM embeddings e CROSS JOIN cent)
+       |  WHERE arank = 1),
+       |resid AS (
+       |  SELECT e.vec_id, a.cluster,
+       |    list_transform(range(1, 65), i -> e.embedding[i] - c.c_emb[i]) AS r
+       |  FROM embeddings e
+       |  JOIN assigned a ON a.vec_id = e.vec_id
+       |  JOIN cent c ON c.c_id = a.cluster),
+       |ms AS (SELECT unnest(range(0, 8)) AS m),
+       |codebook AS (
+       |  SELECT m, vec_id AS c_id, list_slice(r, m*8 + 1, m*8 + 8) AS c_sub
+       |  FROM resid CROSS JOIN ms WHERE vec_id % 40 = 1),
+       |vs AS (
+       |  SELECT vec_id, cluster, m, list_slice(r, m*8 + 1, m*8 + 8) AS v_sub
+       |  FROM resid CROSS JOIN ms),
+       |codes AS (
+       |  SELECT vec_id AS n_id, cluster, m, c_id FROM (
+       |    SELECT vs.vec_id, vs.cluster, vs.m, cb.c_id,
+       |      row_number() OVER (PARTITION BY vs.vec_id, vs.m
+       |        ORDER BY ${dotSql("v_sub", "c_sub", 8)} DESC, cb.c_id) AS rr
+       |    FROM vs JOIN codebook cb ON cb.m = vs.m)
+       |  WHERE rr = 1),
+       |q AS (SELECT vec_id AS q_id, cluster AS q_cluster
+       |      FROM assigned WHERE vec_id < 8),
+       |lut AS (
+       |  SELECT qv.vec_id AS q_id, qv.m, cb.c_id,
+       |    ${dotSql("qv.v_sub", "cb.c_sub", 8)} AS pdot
+       |  FROM (SELECT * FROM vs WHERE vec_id < 8) qv
+       |  JOIN codebook cb ON cb.m = qv.m),
+       |scored AS (
+       |  SELECT q.q_id, cc.cluster, cc.n_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      array_agg(l.pdot ORDER BY l.m)), (acc, v) -> acc + v) AS score
+       |  FROM codes cc
        |  JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id
        |  JOIN lut l ON l.q_id = q.q_id AND l.m = cc.m AND l.c_id = cc.c_id
        |  GROUP BY q.q_id, cc.cluster, cc.n_id),
@@ -1825,6 +2105,9 @@ object Similarity {
     // corpus's (frozen; every % 40 == 0 source vector is even)
     "sim_ivfpq" -> ivfPqOracleSql,
     "sim_ivfpq_stored" -> ivfPqOracleSql,
+    "sim_ivfpq_rerank" -> ivfPqRerankOracleSql,
+    "sim_ivfpqr" -> ivfPqrOracleSql,
+    "sim_ivfpqr_stored" -> ivfPqrOracleSql,
     "sim_ivfpq_deleted" -> ivfPqOracleSql.replace(
       "JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id",
       "JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id\n" +

@@ -243,6 +243,26 @@ object TextTableFunctions {
         } else 3
         Dedup.simhashPairs(docs(strArg("dedup_simhash", args.head)), h)
           .queryExecution.analyzed
+      }),
+
+    // SELECT * FROM text_bpe('/path/documents.parquet'[, merges]) —
+    // the trained merge table (rank, left, right, freq); the builder
+    // runs the vocab-sized merge rounds at plan-build time (one-row
+    // driver round-trips, the bpeTrain contract)
+    (FunctionIdentifier("text_bpe"),
+      new ExpressionInfo(getClass.getName, "text_bpe"),
+      { args =>
+        if (args.size != 1 && args.size != 2)
+          throw new IllegalArgumentException(
+            "text_bpe(docs_parquet[, merges])")
+        val n = if (args.size == 2) {
+          val v = longArg("text_bpe", args(1))
+          if (v < 1 || v > 4096) throw new IllegalArgumentException(
+            s"text_bpe: merges must be in [1, 4096], got $v")
+          v.toInt
+        } else Pipeline.BpeMerges
+        Pipeline.bpeTrain(docs(strArg("text_bpe", args.head)), n)
+          .queryExecution.analyzed
       })
   )
 

@@ -419,6 +419,55 @@ class RetrievalCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVF-PQ delta == monolithic (frozen residual codebook); shared compactor + vacuum") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = "/tmp/graft_ivfpqr_delta_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      // split so the base contains BOTH deterministic sidecar sources:
+      // centroids (% 40 == 0 → % 4 == 0) and the residual-codebook
+      // sample (% 40 == 1 → % 4 == 1) — the frozen sidecars then equal
+      // the monolithic build's and delta coding cannot drift
+      Similarity.writeIvfPqResidualIndex(
+        emb.filter(col("vec_id") % 4 =!= 3), dir)
+      Similarity.appendIvfPqResidualDelta(spark, dir,
+        emb.filter(col("vec_id") % 4 === 3))
+      Similarity.writeIvfPqResidualIndex(emb, ref)
+      val queries = emb.filter(col("vec_id") < 8)
+      def probe(d: String) =
+        Similarity.ivfPqResidualTopKStored(spark, d, queries, 3, nProbe = 2)
+      val got = probe(dir)
+      got.collect()
+      val p = got.queryExecution.executedPlan.toString
+      assert(p.linesIterator.count(_.contains("PartitionFilters: [cluster"))
+        >= 2, s"residual probe did not prune both generations:\n$p")
+      val want = rows(probe(ref))
+      assert(rows(got) === want,
+        "residual delta probe diverged from the monolithic build")
+      // the raw-vector and residual codings are genuinely different
+      // indexes (vacuity guard on the variant itself)
+      assert(want !== rows(Similarity.ivfPqTopKStored(spark,
+        Similarity.indexDir(spark, "/root/testdata/sf0.001") + "/ivfpq",
+        queries, 3, nProbe = 2)),
+        "vacuous: residual coding indistinguishable from raw coding")
+      // the residual layout rides the SHARED ivfpq compactor/vacuum
+      Similarity.compactIvfPqIndex(spark, dir)
+      Similarity.vacuumVectorIndex(spark, dir)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!left.exists(_.startsWith("delta_")),
+        s"deltas survived vacuum: $left")
+      assert(left.contains("centroids") && left.contains("codebook"))
+      assert(rows(probe(dir)) === want)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    }
+  }
+
   test("LSH delta append == monolithic build (frozen hyperplanes); compaction + vacuum") {
     import graft.operators.Similarity
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")

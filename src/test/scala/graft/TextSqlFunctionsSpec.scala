@@ -56,6 +56,15 @@ class TextSqlFunctionsSpec extends AnyFunSuite {
     assert(sql.count() === 10)
   }
 
+  test("text_bpe TVF == Pipeline.bpeTrain, merges argument honored") {
+    import graft.operators.Pipeline
+    val sql = spark.sql(s"SELECT * FROM text_bpe('$docsPath', 3)")
+    assert(rows(sql) === rows(Pipeline.bpeTrain(docs, 3)))
+    assert(sql.count() === 3)
+    assertThrows[IllegalArgumentException](
+      spark.sql(s"SELECT * FROM text_bpe('$docsPath', 0)"))
+  }
+
   test("stored-index TVFs == the Scala serving forms (bm25/search/phrase/proximity)") {
     val idx = Retrieval.indexDir(spark, "/root/testdata/sf0.001")
     assert(rows(spark.sql(
