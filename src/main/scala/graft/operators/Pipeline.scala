@@ -594,6 +594,12 @@ object Pipeline {
           best(0).getLong(2))
         merges += ((rank, l, r, f))
         cur = cur.select(bpeApply(col("s"), l, r).as("s"), col("n"))
+        // bound the nested-replace lineage: without periodic
+        // re-materialization, round i re-analyzes an i-deep expression
+        // tree (O(rounds²) Catalyst work, stack overflow in the
+        // thousands) — a vocab-sized checkpoint every 16 rounds keeps
+        // both the plan and the per-round cost flat in `numMerges`
+        if (rank % 16 == 0) cur = cur.localCheckpoint()
       }
       merges.result().toDF("rank", "left", "right", "freq")
         .select(col("rank").cast("int").as("rank"),
@@ -609,6 +615,13 @@ object Pipeline {
     * reproduce DuckDB running the identical unrolled rounds. */
   def bpeEncodedCounts(docs: DataFrame,
                        numMerges: Int = BpeMerges): DataFrame = {
+    // the encode applies ALL merges as one nested column expression —
+    // numMerges-deep; past a few hundred the expression tree itself
+    // becomes the bottleneck (train in batches and re-encode from the
+    // stored merge table instead, the production shape)
+    require(numMerges <= 256,
+      s"bpeEncodedCounts applies merges as one nested expression; " +
+        s"numMerges=$numMerges > 256 — encode from the stored merge table in batches")
     val merges = bpeTrain(docs, numMerges)
       .orderBy(col("rank")).collect()
       .map(row => (row.getString(1), row.getString(2)))

@@ -120,11 +120,19 @@ object Retrieval {
     * empty-micro-batch ingest paths both hit it. The empty file keeps
     * `bucket` as a data column; probes' bucket predicates still apply
     * (as data filters over zero rows). */
-  private def writeBucketed(post: DataFrame, dir: String): Unit =
-    if (post.isEmpty)
-      post.coalesce(1).write.mode("overwrite").parquet(dir)
-    else post.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+  private def writeBucketed(post: DataFrame, dir: String): Unit = {
+    // persist around the emptiness check: `isEmpty` executes the
+    // posting pipeline, and an uncached frame would recompute it for
+    // the write (the compaction path passes the raw generation union;
+    // the build/append paths pass an already-persisted frame, for
+    // which this is a no-op)
+    val p = post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (p.isEmpty) p.coalesce(1).write.mode("overwrite").parquet(dir)
+      else p.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    } finally p.unpersist(blocking = false)
+  }
 
   /** 1-row corpus-stats sidecar (N docs, total tokens): what lets the
     * BM25 prober skip the O(N) doclens aggregation at serve time. */

@@ -232,6 +232,10 @@ object Similarity {
           (-c.getField("c_id")).as("nc")))))
       .select(col("vec_id"), col("embedding"),
         (-col("best.nc")).as("cluster"))
+      // empty centroid set → array_max over [] is null: drop the rows,
+      // preserving the old inner-join contract (a LOUD empty index,
+      // never a silent null-partition one no probe would ever read)
+      .filter(col("cluster").isNotNull)
   }
 
   /** Corpus-drawn hyperplanes: vec_ids hpBase..hpBase+nBits-1. */
@@ -439,14 +443,19 @@ object Similarity {
     val tombs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
     if (deltas.isEmpty && tombs.isEmpty) return
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
+    // persisted around the emptiness check so the write doesn't
+    // recompute the whole generation union + tombstone fence
     val folded = allVectorGens(spark, dir, partCol, None)
-    // empty fold (everything deleted): a zero-row partitionBy write
-    // has no schema footer — degrade to one empty schema-carrying file
-    if (folded.isEmpty)
-      folded.coalesce(1).write.mode("overwrite")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // empty fold (everything deleted): a zero-row partitionBy write
+      // has no schema footer — degrade to one empty schema-carrying file
+      if (folded.isEmpty)
+        folded.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/$gen/vectors")
+      else folded.write.mode("overwrite").partitionBy(partCol)
         .parquet(s"$dir/$gen/vectors")
-    else folded.write.mode("overwrite").partitionBy(partCol)
-      .parquet(s"$dir/$gen/vectors")
+    } finally folded.unpersist(blocking = false)
     // deltas and tombstones share one id sequence → one watermark
     val foldedMax = (deltas ++ tombs)
       .map(_.split('_').last.toInt).max
@@ -474,20 +483,37 @@ object Similarity {
     * pattern). Delete-free indexes skip the fence entirely. */
   private def allVectorGens(spark: SparkSession, dir: String,
                             partCol: String,
-                            probes: Option[Seq[Long]]): DataFrame = {
+                            probes: Option[Seq[Long]]): DataFrame =
+    allGenTables(spark, dir, "vectors", partCol,
+      Seq("vec_id", "embedding"), "vec_id", probes)
+
+  /** ONE copy of the generation-union + tombstone-fence machinery for
+    * every partition-pruned stored layout (IVF/LSH `vectors`, IVF-PQ
+    * `codes`): base + live deltas, `probes` applied PER GENERATION on
+    * the raw partition column (so static pruning plans only the
+    * probed dirs of every generation — never pushed through the cast
+    * or the union), partition column pinned LONG (inference narrows
+    * it to INT on read-back; the recompute twins return LONG), and
+    * the sequence-aware fence (a row serves iff no tombstone for its
+    * id is newer than its generation). Column order restored
+    * explicitly after the fence join — the join key floats first, and
+    * a compaction persisting that order would misalign later
+    * positional unions (the RetrievalIndexProps lesson). */
+  private def allGenTables(spark: SparkSession, dir: String, sub: String,
+                           partCol: String, dataCols: Seq[String],
+                           idCol: String,
+                           probes: Option[Seq[Long]]): DataFrame = {
     val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
     val tombDirs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
-    val unioned = ((s"$baseDir/vectors", minDelta - 1) +:
+    val unioned = ((s"$baseDir/$sub", minDelta - 1) +:
         graft.util.IndexCommit
-          .deltaDirs(spark, dir, minDelta, commitSub = Some("vectors"))
-          .map(d => (s"$d/vectors", d.split('/').last.stripPrefix("delta_").toInt)))
+          .deltaDirs(spark, dir, minDelta, commitSub = Some(sub))
+          .map(d => (s"$d/$sub", d.split('/').last.stripPrefix("delta_").toInt)))
       .map { case (v, seq) =>
         val raw = spark.read.parquet(v)
         val pruned = probes.fold(raw)(p => raw.where(col(partCol).isin(p: _*)))
-        // partition-column inference can narrow cluster to INT; the
-        // recompute variant returns LONG — keep the schemas identical
-        val typed = pruned.select(col("vec_id"), col("embedding"),
-          col(partCol).cast("long").as(partCol))
+        val typed = pruned.select(dataCols.map(col) :+
+          col(partCol).cast("long").as(partCol): _*)
         if (tombDirs.isEmpty) typed
         else typed.withColumn("_gseq", lit(seq))
       }
@@ -497,16 +523,13 @@ object Similarity {
       val mx = tombDirs.map { d =>
           val seq = d.split('/').last.stripPrefix("tomb_").toInt
           spark.read.parquet(s"$d/docs")
-            .select(col("vec_id"), lit(seq).as("_tseq"))
+            .select(col("vec_id").as(idCol), lit(seq).as("_tseq"))
         }.reduce(_ unionAll _)
-        .groupBy(col("vec_id")).agg(max(col("_tseq")).as("_tmax"))
+        .groupBy(col(idCol)).agg(max(col("_tseq")).as("_tmax"))
       // broadcast: tombstones are delta-sized by the compaction
-      // contract; the probe's partition filters stay pushed below.
-      // Column order restored explicitly: the join key floats first,
-      // and a compaction persisting that order would misalign later
-      // positional unions (the RetrievalIndexProps lesson)
+      // contract; the probe's partition filters stay pushed below
       val cols = unioned.columns.filterNot(_ == "_gseq").map(col)
-      unioned.join(broadcast(mx), Seq("vec_id"), "left")
+      unioned.join(broadcast(mx), Seq(idCol), "left")
         .filter(col("_tmax").isNull || col("_tmax") < col("_gseq"))
         .select(cols: _*)
     }
@@ -910,7 +933,10 @@ object Similarity {
     val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val qv = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    shortlist.join(n, "n_id").join(broadcast(qv), "q_id")
+    // broadcast the O(queries×c) shortlist: without the hint the
+    // window output has no size stats and Catalyst would SHUFFLE the
+    // whole float corpus into a sort-merge join
+    broadcast(shortlist).join(n, "n_id").join(broadcast(qv), "q_id")
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -978,12 +1004,19 @@ object Similarity {
 
   /** Cluster-partitioned codes write, degrading to one empty
     * schema-carrying file when the frame is empty (the zero-row
-    * `partitionBy` footer trap — see Retrieval.writeBucketed). */
-  private def writeClusteredCodes(codes: DataFrame, dir: String): Unit =
-    if (codes.isEmpty)
-      codes.coalesce(1).write.mode("overwrite").parquet(dir)
-    else codes.repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    * `partitionBy` footer trap — see Retrieval.writeBucketed).
+    * Persisted around the emptiness check: `isEmpty` executes the
+    * assignment+encode pipeline, and without the cache the write
+    * would recompute it from scratch — doubling every build, delta
+    * append, and ingest micro-batch. */
+  private def writeClusteredCodes(codes: DataFrame, dir: String): Unit = {
+    val c = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (c.isEmpty) c.coalesce(1).write.mode("overwrite").parquet(dir)
+      else c.repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    } finally c.unpersist(blocking = false)
+  }
 
   /** Build the IVF-PQ index layout: `codes` PARTITIONED BY the IVF
     * cluster (so a probe's cluster list is a static partition filter)
@@ -1055,37 +1088,9 @@ object Similarity {
     * [[deleteVectors]] tombstones fence sequence-aware (re-appended
     * vectors serve their newest codes — the upsert pattern). */
   private def allIvfPqCodes(spark: SparkSession, dir: String,
-                            probes: Option[Seq[Long]]): DataFrame = {
-    val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
-    val tombDirs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
-    val unioned = ((s"$baseDir/codes", minDelta - 1) +:
-        graft.util.IndexCommit
-          .deltaDirs(spark, dir, minDelta, commitSub = Some("codes"))
-          .map(d => (s"$d/codes", d.split('/').last.stripPrefix("delta_").toInt)))
-      .map { case (p, seq) =>
-        val raw = spark.read.parquet(p)
-        val pruned = probes.fold(raw)(pr => raw.where(col("cluster").isin(pr: _*)))
-        // partition-column inference narrows cluster to INT; pin LONG
-        // so every generation's schema is identical under the union
-        val typed = pruned.select(col("n_id"), col("m"), col("c_id"),
-          col("cluster").cast("long").as("cluster"))
-        if (tombDirs.isEmpty) typed else typed.withColumn("_gseq", lit(seq))
-      }
-      .reduce(_ unionAll _)
-    if (tombDirs.isEmpty) unioned
-    else {
-      val mx = tombDirs.map { d =>
-          val seq = d.split('/').last.stripPrefix("tomb_").toInt
-          spark.read.parquet(s"$d/docs")
-            .select(col("vec_id").as("n_id"), lit(seq).as("_tseq"))
-        }.reduce(_ unionAll _)
-        .groupBy(col("n_id")).agg(max(col("_tseq")).as("_tmax"))
-      val cols = unioned.columns.filterNot(_ == "_gseq").map(col)
-      unioned.join(broadcast(mx), Seq("n_id"), "left")
-        .filter(col("_tmax").isNull || col("_tmax") < col("_gseq"))
-        .select(cols: _*)
-    }
-  }
+                            probes: Option[Seq[Long]]): DataFrame =
+    allGenTables(spark, dir, "codes", "cluster",
+      Seq("n_id", "m", "c_id"), "n_id", probes)
 
   /** Probe a stored IVF-PQ index: rank the stored centroids per query,
     * read ONLY the probed cluster partitions of the codes table (of
@@ -1130,7 +1135,11 @@ object Similarity {
     val qv = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    shortlist.join(n, "n_id").join(broadcast(qv), "q_id")
+    // broadcast the O(queries×c) shortlist — without the hint Catalyst
+    // has no size stats for the window output and would shuffle the
+    // whole float corpus into a sort-merge join, the exact movement
+    // this refine exists to avoid
+    broadcast(shortlist).join(n, "n_id").join(broadcast(qv), "q_id")
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -161,9 +161,15 @@ object IndexCommit {
       s"maxDeltas must be >= 1, got $maxDeltas")
     require(vacuumGraceMs.forall(_ >= 0),
       s"vacuumGraceMs must be >= 0, got $vacuumGraceMs")
-    val body =
-      maxDeltas.map(v => s"maxDeltas=$v\n").getOrElse("") +
-        vacuumGraceMs.map(v => s"vacuumGraceMs=$v\n").getOrElse("")
+    // MERGE with the stored policy: a key not given keeps its stored
+    // value — updating the compaction cap must not silently drop the
+    // vacuum grace window (a scheduled vacuum would stop honoring
+    // in-flight readers). Clear the whole policy with both None.
+    val merged = readPolicy(spark, root) ++
+      maxDeltas.map(v => "maxDeltas" -> v.toString) ++
+      vacuumGraceMs.map(v => "vacuumGraceMs" -> v.toString)
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v\n" }.mkString
     val tmp = new Path(s"$root/._POLICY.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -248,15 +254,35 @@ object IndexCommit {
         if (grace <= 0) f.delete(s.getPath, true)
         else {
           val marker = new Path(s.getPath, "_DEAD_SINCE")
-          if (!f.exists(marker)) {
-            val out = f.create(marker, true)
+          // stamp via tmp + one overwriting rename (the LATEST/_POLICY
+          // protocol): a crash mid-write must not leave a truncated
+          // stamp that breaks every later vacuum pass
+          def stamp(): Unit = {
+            val tmp = new Path(s.getPath, "._DEAD_SINCE.tmp")
+            val out = f.create(tmp, true)
             try out.write(s"$now\n".getBytes("UTF-8")) finally out.close()
-          } else {
-            val in = f.open(marker)
-            val since = try scala.io.Source
-              .fromInputStream(in, "UTF-8").getLines().next().trim.toLong
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              f.makeQualified(marker).toUri,
+              spark.sparkContext.hadoopConfiguration)
+            fc.rename(f.makeQualified(tmp), f.makeQualified(marker),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          }
+          if (!f.exists(marker)) stamp()
+          else {
+            val since = {
+              val in = f.open(marker)
+              try scala.util.Try(scala.io.Source
+                .fromInputStream(in, "UTF-8").getLines().next().trim.toLong)
+                .toOption
               finally in.close()
-            if (now - since >= grace) f.delete(s.getPath, true)
+            }
+            since match {
+              case Some(ts) if now - ts >= grace => f.delete(s.getPath, true)
+              case Some(_) => () // still inside the window
+              // unreadable stamp (pre-protocol crash artifact):
+              // re-stamp — restarting the clock is the safe direction
+              case None => stamp()
+            }
           }
         }
       }

@@ -41,6 +41,13 @@ class IndexVacuumGraceSpec extends AnyFunSuite {
       IndexCommit.setPolicy(spark, dir, Some(8), Some(600000L))
       assert(IndexCommit.policyMaxDeltas(spark, dir) === Some(8))
       assert(IndexCommit.policyVacuumGraceMs(spark, dir) === Some(600000L))
+      // MERGE semantics: updating one key must not erase the other —
+      // tuning the compaction cap must never silently drop the grace
+      // window a scheduled vacuum depends on
+      IndexCommit.setPolicy(spark, dir, Some(4))
+      assert(IndexCommit.policyMaxDeltas(spark, dir) === Some(4))
+      assert(IndexCommit.policyVacuumGraceMs(spark, dir) === Some(600000L))
+      IndexCommit.setPolicy(spark, dir, Some(8), Some(600000L))
 
       val terms = Retrieval.QueryTerms
       val want = rows(Retrieval.conjunctiveSearchStored(spark, dir, terms))
@@ -65,6 +72,16 @@ class IndexVacuumGraceSpec extends AnyFunSuite {
       assert(names(dir).exists(_.startsWith("delta_")))
       // the old-pointer reader completes against intact files
       assert(rows(preFoldReader) === want)
+
+      // a truncated stamp (crash mid-marker-write before the rename
+      // protocol existed) self-heals: vacuum re-stamps instead of
+      // throwing forever and never reclaiming
+      val deltaDir = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("delta_")).head
+      val mk = new java.io.File(deltaDir, "_DEAD_SINCE")
+      new java.io.FileOutputStream(mk).close() // truncate to empty
+      Retrieval.vacuumPostingsIndex(spark, dir) // must not throw
+      assert(mk.length() > 0, "corrupt stamp was not re-written")
 
       // shrink the window to 1 ms (policy is re-read per pass —
       // operators tune reclaim without touching code), age past it,

@@ -419,6 +419,17 @@ class RetrievalCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("assignment with an empty centroid set is loudly empty, never null-partitioned") {
+    import graft.operators.Similarity
+    // a corpus with NO `% 40 == 0` member has no deterministic
+    // centroids: the argmax fold yields null clusters, which must be
+    // DROPPED (the old inner-join contract — an empty result), not
+    // written as a __HIVE_DEFAULT_PARTITION__ no probe ever reads
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") % 40 =!= 0)
+    assert(Similarity.knnJoin(emb).isEmpty)
+  }
+
   test("residual IVF-PQ delta == monolithic (frozen residual codebook); shared compactor + vacuum") {
     import graft.operators.Similarity
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")

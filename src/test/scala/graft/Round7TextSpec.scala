@@ -175,4 +175,22 @@ class Round7TextSpec extends AnyFunSuite {
     assert(counts(7L) === 4L)   // newest
     assert(counts(13L) === 4L)  // widest
   }
+
+  test("bpeTrain past the checkpoint boundary extends the short run's merge sequence") {
+    import graft.operators.Pipeline
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    def merges(n: Int) = Pipeline.bpeTrain(docs, n).orderBy("rank")
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // 20 rounds crosses the every-16-rounds lineage checkpoint: the
+    // re-materialized word table must continue the exact sequence the
+    // un-checkpointed 4-round run starts
+    val m20 = merges(20)
+    assert(m20.length === 20)
+    assert(m20.take(4) === merges(4))
+    assert(m20.map(x => (x._2, x._3)).distinct.length === 20,
+      "a merge pair repeated — the fuse did not apply")
+  }
 }
