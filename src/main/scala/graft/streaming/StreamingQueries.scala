@@ -388,6 +388,69 @@ object StreamingQueries {
         col("session_start").as("start_ts"), col("session_end").as("end_ts"))
   }
 
+  /** Checkpoint-recovery twin of [[blockFeedFunnel]]: the funnel state
+    * machine's per-user (depth, last-transition-time) state lives in
+    * the state store; the query is KILLED after draining two blocks
+    * (block 2 landed but undrained) and restarted from the checkpoint.
+    * A funnel whose steps straddle the kill point — view before it,
+    * click after — only completes if the restart reloads the exact
+    * pre-kill (depth, time) pair: depth alone would miss the
+    * strictly-later time constraint, time alone the position. Oracle =
+    * q25_funnel's batch SQL verbatim, the hardest recovery gate in the
+    * tier because the state is ORDER-derived, not an aggregate.
+    */
+  def blockFeedFunnelRecovered(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    import spark.implicits._
+    import EventStreams.Event
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val assigned = withBlocks(ev, "ts", lit(0L))
+    val flush = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("_m"))))
+      .select((lit(-1L) - col("user_id")).as("event_id"),
+        (col("_m").cast("long") + lit(365L * 86400L)).cast("timestamp")
+          .as("ts"),
+        col("user_id"), lit("flush").as("event_type"), lit(0.0).as("value"))
+    val replay = new Replay("frec")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val outDir = s"/tmp/graft_recovery/funnel_out_$runId"
+    val ckpt = s"/tmp/graft_recovery/funnel_ckpt_$runId"
+    implicit val s: SparkSession = spark
+    def start() = EventStreams
+      .funnelStream(replay.source(spark, ev.schema).as[Event],
+        Seq("view", "click", "purchase"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      (0 to 1).foreach { k =>
+        replay.add(assigned.filter(col("b") === k).drop("b"))
+        q1.processAllAvailable()
+      }
+      // block 2 lands but is not drained before the kill
+      replay.add(assigned.filter(col("b") === 2).drop("b"))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      replay.add(assigned.filter(col("b") === 3).drop("b"))
+      q2.processAllAvailable()
+      replay.add(flush)
+      q2.processAllAvailable()
+    } finally { q2.stop(); replay.cleanup() }
+    val depths = spark.read.parquet(outDir)
+    def stage(nm: String, minDepth: Int) =
+      depths.filter(col("depth") >= minDepth)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(nm).as("stage"), col("n_users"))
+    stage("1_view", 1)
+      .unionAll(stage("2_click", 2))
+      .unionAll(stage("3_purchase", 3))
+  }
+
   /** Streaming exact dedup twin — `dropDuplicatesWithinWatermark` on the
     * late + out-of-order feed, with PLANTED duplicates: every event with
     * `event_id % 5 == 0` is re-sent one batch after its arrival batch,
@@ -678,6 +741,7 @@ object StreamingQueries {
     "st_window_late" -> { (s, d) => lateFeedWindowCounts(s, d) },
     "st_sessionize_stream" -> { (s, d) => blockFeedSessions(s, d) },
     "st_funnel" -> { (s, d) => blockFeedFunnel(s, d) },
+    "st_recovery_funnel" -> { (s, d) => blockFeedFunnelRecovered(s, d) },
     "st_stream_join" -> { (s, d) => streamStreamJoin(s, d) },
     "st_static_join" -> { (s, d) => streamStaticJoin(s, d) },
     "st_dedup_stream" -> { (s, d) => lateFeedDedup(s, d) },
@@ -749,8 +813,10 @@ object StreamingQueries {
     "st_sessionize_stream" -> sessionizeOracleSql,
     "st_recovery_sessions" -> sessionizeOracleSql,
     // the q25 batch funnel SQL verbatim: the streamed state machine's
-    // stage counts must equal the three-stage min-ts join chain
+    // stage counts must equal the three-stage min-ts join chain —
+    // including across a mid-feed kill + checkpoint restart
     "st_funnel" -> graft.operators.Relational.oracle("q25_funnel"),
+    "st_recovery_funnel" -> graft.operators.Relational.oracle("q25_funnel"),
     // the batch interval join the streamed block feed must reproduce
     // exactly (no drops: the day-partitioned feed keeps the watermark
     // behind every view a future click can still match)
