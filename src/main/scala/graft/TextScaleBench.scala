@@ -141,12 +141,14 @@ object TextScaleBench {
     val extra = synth(spark.range(nDocs, nDocs + nDocs / 100).toDF("doc_id"))
     once("postings_append_1pct") {
       // reset to a single-generation base: drop leftovers of any prior
-      // maintenance run (delta_*/base_*/LATEST) so append cost is the
-      // first generation's, reproducibly
+      // maintenance run — INCLUDING committed tombstones, which would
+      // otherwise survive an interrupted delete-lifecycle run and
+      // silently fence ~1% of the "fresh" base out of every probe
       val idxP = new Path(idx)
       fs.listStatus(idxP).foreach { s =>
         val n = s.getPath.getName
-        if (n.startsWith("delta_") || n.startsWith("base_") || n == "LATEST")
+        if (n.startsWith("delta_") || n.startsWith("base_") ||
+            n.startsWith("tomb_") || n == "LATEST")
           fs.delete(s.getPath, true)
       }
     }(Retrieval.appendPostingsDelta(extra, idx))

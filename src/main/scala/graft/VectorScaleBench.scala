@@ -72,6 +72,10 @@ object VectorScaleBench {
 
     val ivfDir = s"$base/ivf_idx"
     val ivfpqDir = s"$base/ivfpq_idx"
+    // fresh index roots: a prior run's append/compact left a LATEST
+    // pointer, which the builders (correctly) refuse to rebuild over
+    Seq(ivfDir, ivfpqDir).foreach(d =>
+      fs.delete(new Path(d), true))
     val queries = emb.filter(col("vec_id") < 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     queries.count()

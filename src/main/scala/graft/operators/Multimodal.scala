@@ -423,8 +423,12 @@ object Multimodal {
           p += 4 + len
         }
         val n = offs.length
-        (0 until k).iterator.map { j =>
-          val fi = j * n / k
+        require(n > 0,
+          s"doc $id: empty or truncated frame container (no length-prefixed frames)")
+        // evenly-spaced sample; distinct because j*n/k repeats indices
+        // when a video has fewer frames than k (duplicate (doc_id,
+        // frame_idx) rows would violate the output's implied key)
+        (0 until k).iterator.map(j => j * n / k).distinct.map { fi =>
           val (off, len) = offs(fi)
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes, off, len))

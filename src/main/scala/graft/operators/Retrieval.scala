@@ -87,15 +87,38 @@ object Retrieval {
     */
   def writePostingsIndex(docs: DataFrame, path: String,
                          buckets: Int = Buckets): Unit = {
+    val spark = docs.sparkSession
+    // in-place REBUILD over an index that already has versioned state
+    // (a LATEST pointer, deltas, or tombstones): the new index is
+    // written as the NEXT base generation and the pointer flipped with
+    // a minDelta fencing everything that existed before — readers keep
+    // serving the old corpus until the atomic flip, and vacuum later
+    // reclaims the superseded state. (Before this, a rebuild landed in
+    // the legacy root layout: the live pointer kept serving the STALE
+    // corpus, and the next vacuum deleted the fresh build as debris.)
+    val fs = graft.util.IndexCommit.fs(spark, path)
+    val versioned =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/LATEST")) ||
+        graft.util.IndexCommit.deltaDirs(spark, path).nonEmpty ||
+        graft.util.IndexCommit.tombDirs(spark, path).nonEmpty
+    val (dir, commitGen) =
+      if (versioned) {
+        val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, path)}"
+        (s"$path/$gen", Some(gen))
+      } else (path, None)
     val post = positionalPostings(docs).withColumn("bucket", bucketOf(col("term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    writeDict(post, s"$path/dict")
-    writeBucketed(post, s"$path/postings")
+    writeDict(post, s"$dir/dict")
+    writeBucketed(post, s"$dir/postings")
     post.unpersist(blocking = false)
     val dl = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("dl"))
-    dl.write.mode("overwrite").parquet(s"$path/doclens")
-    writeStats(dl, s"$path/stats")
+    dl.write.mode("overwrite").parquet(s"$dir/doclens")
+    writeStats(dl, s"$dir/stats")
+    commitGen.foreach { gen =>
+      graft.util.IndexCommit.commit(spark, path, gen,
+        graft.util.IndexCommit.nextDeltaId(spark, path))
+    }
   }
 
   /** Term-dictionary sidecar (term, df, bucket) — vocab-sized, the

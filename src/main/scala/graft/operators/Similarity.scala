@@ -365,9 +365,9 @@ object Similarity {
     * (nearest centroid), `dir/centroids` as a small side table.
     */
   def writeIvfIndex(emb: DataFrame, dir: String, modulo: Int = 40): Unit = {
+    requireFreshIndexRoot(emb.sparkSession, dir)
     val cent = ivfCentroids(emb, modulo)
-    ivfAssign(emb, cent)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors")
+    writePartitioned(ivfAssign(emb, cent), "cluster", s"$dir/vectors")
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
@@ -413,9 +413,9 @@ object Similarity {
   private[graft] def writeIvfDelta(spark: SparkSession, dir: String,
                                    emb: DataFrame, genDir: String): Unit = {
     val cent = spark.read.parquet(s"$dir/centroids")
-    ivfAssign(emb.select(col("vec_id"), col("embedding")), cent)
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$genDir/vectors")
+    writePartitioned(
+      ivfAssign(emb.select(col("vec_id"), col("embedding")), cent),
+      "cluster", s"$genDir/vectors")
   }
 
   /** Fold IVF delta generations into one vectors dir (centroids are
@@ -484,7 +484,7 @@ object Similarity {
   private def allVectorGens(spark: SparkSession, dir: String,
                             partCol: String,
                             probes: Option[Seq[Long]]): DataFrame =
-    allGenTables(spark, dir, "vectors", partCol,
+    allGenTables(spark, dir, "vectors", Some(partCol),
       Seq("vec_id", "embedding"), "vec_id", probes)
 
   /** ONE copy of the generation-union + tombstone-fence machinery for
@@ -500,7 +500,7 @@ object Similarity {
     * a compaction persisting that order would misalign later
     * positional unions (the RetrievalIndexProps lesson). */
   private def allGenTables(spark: SparkSession, dir: String, sub: String,
-                           partCol: String, dataCols: Seq[String],
+                           partCol: Option[String], dataCols: Seq[String],
                            idCol: String,
                            probes: Option[Seq[Long]]): DataFrame = {
     val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
@@ -511,9 +511,12 @@ object Similarity {
           .map(d => (s"$d/$sub", d.split('/').last.stripPrefix("delta_").toInt)))
       .map { case (v, seq) =>
         val raw = spark.read.parquet(v)
-        val pruned = probes.fold(raw)(p => raw.where(col(partCol).isin(p: _*)))
-        val typed = pruned.select(dataCols.map(col) :+
-          col(partCol).cast("long").as(partCol): _*)
+        val pruned = (partCol, probes) match {
+          case (Some(pc), Some(p)) => raw.where(col(pc).isin(p: _*))
+          case _ => raw
+        }
+        val typed = pruned.select(dataCols.map(col) ++
+          partCol.map(pc => col(pc).cast("long").as(pc)): _*)
         if (tombDirs.isEmpty) typed
         else typed.withColumn("_gseq", lit(seq))
       }
@@ -585,11 +588,12 @@ object Similarity {
     */
   def writeLshIndex(emb: DataFrame, dir: String, nBits: Int = 8,
                     hpBase: Long = 100): Unit = {
+    requireFreshIndexRoot(emb.sparkSession, dir)
     val hp = lshHyperplanes(emb, nBits, hpBase)
     val sigs = lshSignatures(emb, hp, hpBase)
-    emb.join(sigs, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/vectors")
+    writePartitioned(emb.join(sigs, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("bucket")),
+      "bucket", s"$dir/vectors")
     hp.write.mode("overwrite").parquet(s"$dir/hyperplanes")
   }
 
@@ -629,10 +633,9 @@ object Similarity {
     val hp = spark.read.parquet(s"$dir/hyperplanes")
     val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
     val sigs = lshSignatures(emb, hp, hpBase)
-    emb.join(sigs, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/delta_$next/vectors")
+    writePartitioned(emb.join(sigs, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("bucket")),
+      "bucket", s"$dir/delta_$next/vectors")
     maybeCompact(spark, dir, "vectors", compactLshIndex)
   }
 
@@ -835,6 +838,7 @@ object Similarity {
     */
   def writePqIndex(emb: DataFrame, dir: String, m: Int = 8,
                    dims: Int = 64, modulo: Int = 40): Unit = {
+    requireFreshIndexRoot(emb.sparkSession, dir)
     val cb = pqCodebook(emb, m, dims, modulo)
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     pqCodes(emb, cb, m, dims).write.mode("overwrite").parquet(s"$dir/codes")
@@ -883,34 +887,13 @@ object Similarity {
   }
 
   /** LATEST-resolved base + live delta code generations, tombstones
-    * ([[deleteVectors]]) fenced sequence-aware — the [[allVectorGens]]
-    * contract on the unpartitioned (n_id, m, c_id) codes layout. */
-  private def allPqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
-    val tombDirs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
-    def gen(d: String, seq: Int): DataFrame = {
-      val df = spark.read.parquet(s"$d/codes")
-      if (tombDirs.isEmpty) df else df.withColumn("_gseq", lit(seq))
-    }
-    val unioned = graft.util.IndexCommit
-      .deltaDirs(spark, dir, minDelta, commitSub = Some("codes"))
-      .foldLeft(gen(baseDir, minDelta - 1)) { (acc, d) =>
-        acc.unionAll(gen(d, d.split('/').last.stripPrefix("delta_").toInt))
-      }
-    if (tombDirs.isEmpty) unioned
-    else {
-      val mx = tombDirs.map { d =>
-          val seq = d.split('/').last.stripPrefix("tomb_").toInt
-          spark.read.parquet(s"$d/docs")
-            .select(col("vec_id").as("n_id"), lit(seq).as("_tseq"))
-        }.reduce(_ unionAll _)
-        .groupBy(col("n_id")).agg(max(col("_tseq")).as("_tmax"))
-      val cols = unioned.columns.filterNot(_ == "_gseq").map(col)
-      unioned.join(broadcast(mx), Seq("n_id"), "left")
-        .filter(col("_tmax").isNull || col("_tmax") < col("_gseq"))
-        .select(cols: _*)
-    }
-  }
+    * ([[deleteVectors]]) fenced sequence-aware — the [[allGenTables]]
+    * contract on the UNPARTITIONED (n_id, m, c_id) codes layout (no
+    * partition column, so no probe pruning — plain PQ scans all codes
+    * by design; IVF-PQ is the pruned variant). */
+  private def allPqCodes(spark: SparkSession, dir: String): DataFrame =
+    allGenTables(spark, dir, "codes", None,
+      Seq("n_id", "m", "c_id"), "n_id", None)
 
   /** Retrieve-then-refine (the standard IVF-PQ serving shape): the ADC
     * shortlist picks the top-`c` candidates per query from the m-byte
@@ -1002,21 +985,43 @@ object Similarity {
       pqLut(q, cb, m, dims), k)
   }
 
-  /** Cluster-partitioned codes write, degrading to one empty
-    * schema-carrying file when the frame is empty (the zero-row
-    * `partitionBy` footer trap — see Retrieval.writeBucketed).
+  /** Partition-column write shared by EVERY vector-layout table,
+    * degrading to one empty schema-carrying file when the frame is
+    * empty: a zero-row `partitionBy` write emits no parquet footer,
+    * and — because the generation's `_SUCCESS` still lands — would
+    * make the generation VISIBLE yet unreadable, bricking every later
+    * probe of the whole index (the empty-micro-batch ingest path; the
+    * trap Retrieval.writeBucketed documents for the text layout).
     * Persisted around the emptiness check: `isEmpty` executes the
-    * assignment+encode pipeline, and without the cache the write
-    * would recompute it from scratch — doubling every build, delta
-    * append, and ingest micro-batch. */
-  private def writeClusteredCodes(codes: DataFrame, dir: String): Unit = {
-    val c = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * producing pipeline, and without the cache the write would
+    * recompute it from scratch — doubling every build, delta append,
+    * and ingest micro-batch. */
+  private[graft] def writePartitioned(df: DataFrame, partCol: String,
+                                      dir: String): Unit = {
+    val d = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (c.isEmpty) c.coalesce(1).write.mode("overwrite").parquet(dir)
-      else c.repartition(col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster").parquet(dir)
-    } finally c.unpersist(blocking = false)
+      if (d.isEmpty) d.coalesce(1).write.mode("overwrite").parquet(dir)
+      else d.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    } finally d.unpersist(blocking = false)
   }
+
+  private def writeClusteredCodes(codes: DataFrame, dir: String): Unit =
+    writePartitioned(codes, "cluster", dir)
+
+  /** Guard for the vector-layout builders: their frozen sidecars
+    * (centroids / codebook / hyperplanes) live UNVERSIONED at the
+    * index root, so an in-place rebuild cannot be made atomic the way
+    * the text index's is — the live pointer would keep serving the
+    * stale corpus while a later vacuum deleted the fresh root-level
+    * build as legacy debris. Refuse loudly instead. */
+  private def requireFreshIndexRoot(spark: SparkSession, dir: String): Unit =
+    require(!graft.util.IndexCommit.fs(spark, dir)
+        .exists(new org.apache.hadoop.fs.Path(s"$dir/LATEST")),
+      s"$dir already holds a pointer-versioned index: rebuild into a " +
+        "fresh directory (or delete this one first) — an in-place " +
+        "rebuild would keep serving the OLD corpus and the next vacuum " +
+        "would reclaim the new build as superseded debris")
 
   /** Build the IVF-PQ index layout: `codes` PARTITIONED BY the IVF
     * cluster (so a probe's cluster list is a static partition filter)
@@ -1029,6 +1034,7 @@ object Similarity {
   def writeIvfPqIndex(emb: DataFrame, dir: String, modulo: Int = 40,
                       m: Int = 8, dims: Int = 64): Unit = {
     requirePqDims(m, dims)
+    requireFreshIndexRoot(emb.sparkSession, dir)
     val cent = ivfCentroids(emb, modulo)
     val cb = pqCodebook(emb, m, dims, modulo)
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -1089,7 +1095,7 @@ object Similarity {
     * vectors serve their newest codes — the upsert pattern). */
   private def allIvfPqCodes(spark: SparkSession, dir: String,
                             probes: Option[Seq[Long]]): DataFrame =
-    allGenTables(spark, dir, "codes", "cluster",
+    allGenTables(spark, dir, "codes", Some("cluster"),
       Seq("n_id", "m", "c_id"), "n_id", probes)
 
   /** Probe a stored IVF-PQ index: rank the stored centroids per query,
@@ -1250,6 +1256,7 @@ object Similarity {
   def writeIvfPqResidualIndex(emb: DataFrame, dir: String, modulo: Int = 40,
                               m: Int = 8, dims: Int = 64): Unit = {
     requirePqDims(m, dims)
+    requireFreshIndexRoot(emb.sparkSession, dir)
     val cent = ivfCentroids(emb, modulo)
     val rcb = residualCodebook(emb, cent, m, dims, modulo)
     cent.write.mode("overwrite").parquet(s"$dir/centroids")

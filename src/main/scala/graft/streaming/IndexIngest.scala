@@ -131,27 +131,33 @@ object IndexIngest {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
         .find(s => fs.exists(new Path(s.getPath, epochTag(epochId))))
         .map(_.getPath)
-    val inserts = batch.filter(batch("_change_type") === "insert")
-      .select(batch("doc_id"), batch("text"))
-    tagged match {
-      case Some(d) =>
-        if (fs.exists(new Path(d, "postings/_SUCCESS"))) return // committed
-        // the delete half committed strictly before this dir was
-        // created — finish only the append half, in its own dir
-        graft.operators.Retrieval.writePostingsDelta(inserts, d.toString)
-      case None =>
-        val dels = batch.filter(batch("_change_type") === "delete")
-          .select(batch("doc_id"))
-        if (!dels.isEmpty)
-          graft.operators.Retrieval.deletePostingsDocs(spark, idx, dels)
-        if (!inserts.isEmpty) {
-          val d = new Path(
-            s"$idx/delta_${graft.util.IndexCommit.nextDeltaId(spark, idx)}")
-          fs.mkdirs(d)
-          fs.create(new Path(d, epochTag(epochId)), true).close()
+    // the batch feeds up to four actions (two emptiness checks + the
+    // tombstone and append writes): cache it once instead of
+    // re-reading the epoch's source files per action
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inserts = b.filter(b("_change_type") === "insert")
+        .select(b("doc_id"), b("text"))
+      tagged match {
+        case Some(d) =>
+          if (fs.exists(new Path(d, "postings/_SUCCESS"))) return // committed
+          // the delete half committed strictly before this dir was
+          // created — finish only the append half, in its own dir
           graft.operators.Retrieval.writePostingsDelta(inserts, d.toString)
-        }
-    }
+        case None =>
+          val dels = b.filter(b("_change_type") === "delete")
+            .select(b("doc_id"))
+          if (!dels.isEmpty)
+            graft.operators.Retrieval.deletePostingsDocs(spark, idx, dels)
+          if (!inserts.isEmpty) {
+            val d = new Path(
+              s"$idx/delta_${graft.util.IndexCommit.nextDeltaId(spark, idx)}")
+            fs.mkdirs(d)
+            fs.create(new Path(d, epochTag(epochId)), true).close()
+            graft.operators.Retrieval.writePostingsDelta(inserts, d.toString)
+          }
+      }
+    } finally b.unpersist(blocking = false)
     // after the epoch fully applied: same opt-in generation cap as
     // appendBatch (tombstones count toward it — a delete-heavy feed
     // grows the fence just like an append-heavy one grows the scans)

@@ -102,6 +102,45 @@ class IndexIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("an empty ingest micro-batch never bricks the vector index") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val dir = "/tmp/graft_emptyb_" + java.util.UUID.randomUUID().toString.take(8)
+    val pqDir = dir + "_pq"
+    try {
+      // a zero-row epoch writes a generation whose partitionBy output
+      // would have NO parquet footer — yet its _SUCCESS lands, so the
+      // generation is visible: without the empty-frame degradation
+      // every later probe of the WHOLE index throws on schema inference
+      Similarity.writeIvfIndex(emb, dir)
+      val before = rows(Similarity.ivfTopKStored(spark, dir, queries, 3,
+        nProbe = 2))
+      IndexIngest.appendIvfBatch(dir)(emb.filter(lit(false)), 0L)
+      assert(rows(Similarity.ivfTopKStored(spark, dir, queries, 3,
+        nProbe = 2)) === before)
+      Similarity.writeIvfPqIndex(emb, pqDir)
+      val beforePq = rows(Similarity.ivfPqTopKStored(spark, pqDir, queries,
+        3, nProbe = 2))
+      IndexIngest.appendIvfPqBatch(pqDir)(emb.filter(lit(false)), 0L)
+      assert(rows(Similarity.ivfPqTopKStored(spark, pqDir, queries, 3,
+        nProbe = 2)) === beforePq)
+      // direct empty appends take the same guarded write
+      Similarity.appendIvfDelta(spark, dir, emb.filter(lit(false)))
+      Similarity.appendIvfPqDelta(spark, pqDir, emb.filter(lit(false)))
+      assert(rows(Similarity.ivfTopKStored(spark, dir, queries, 3,
+        nProbe = 2)) === before)
+      assert(rows(Similarity.ivfPqTopKStored(spark, pqDir, queries, 3,
+        nProbe = 2)) === beforePq)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(pqDir), true)
+    }
+  }
+
   test("CDC sink: replayed epochs converge — committed skip, crashed-append completion preserves the upsert") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))

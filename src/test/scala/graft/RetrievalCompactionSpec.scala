@@ -419,6 +419,77 @@ class RetrievalCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("in-place text rebuild over a versioned index = a new base generation (atomic, vacuum-safe)") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = "/tmp/graft_text_rebuild_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      // an index with versioned state: build + delta + compact → LATEST
+      Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0), dir)
+      Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 2 =!= 0), dir)
+      Retrieval.compactPostingsIndex(spark, dir)
+      val terms = Retrieval.QueryTerms
+      val oldRows = rows(Retrieval.conjunctiveSearchStored(spark, dir, terms))
+      // a reader that resolved the PRE-rebuild pointer…
+      val preRebuild = Retrieval.conjunctiveSearchStored(spark, dir, terms)
+      // REBUILD in place over a different corpus: before the fix this
+      // landed in the legacy root layout — the pointer kept serving
+      // the stale corpus and vacuum then DELETED the fresh build
+      val corpus2 = docs.filter(col("doc_id") < 100)
+      Retrieval.writePostingsIndex(corpus2, dir)
+      Retrieval.writePostingsIndex(corpus2, ref)
+      def probes(d: String) = Seq(
+        rows(Retrieval.conjunctiveSearchStored(spark, d, terms)),
+        rows(Retrieval.bm25TopKStored(spark, d, terms)),
+        rows(Retrieval.phraseCountStored(spark, d, Bigram)))
+      val want = probes(ref)
+      assert(probes(dir) === want,
+        "rebuild did not take over serving")
+      assert(want.head !== oldRows, "vacuous: rebuild corpus identical")
+      // the old-pointer reader still completes against intact files
+      assert(rows(preRebuild) === oldRows)
+      // vacuum reclaims the superseded state and must NOT touch the
+      // rebuilt index
+      Retrieval.vacuumPostingsIndex(spark, dir)
+      assert(probes(dir) === want)
+      // post-rebuild appends serve on top of the new base
+      Retrieval.appendPostingsDelta(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), dir)
+      Retrieval.appendPostingsDelta(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), ref)
+      assert(rows(Retrieval.conjunctiveSearchStored(spark, dir, terms))
+        === rows(Retrieval.conjunctiveSearchStored(spark, ref, terms)))
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ref), true)
+    }
+  }
+
+  test("vector builders refuse an in-place rebuild over a pointer-versioned index") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = "/tmp/graft_vec_rebuild_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+      Similarity.appendIvfDelta(spark, dir,
+        emb.filter(col("vec_id") % 2 =!= 0))
+      Similarity.compactIvfIndex(spark, dir)
+      // the sidecars are unversioned at the root, so an in-place
+      // rebuild cannot be atomic — it must fail loudly, not serve
+      // stale rows until a vacuum destroys the new build
+      assertThrows[IllegalArgumentException](
+        Similarity.writeIvfIndex(emb, dir))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("assignment with an empty centroid set is loudly empty, never null-partitioned") {
     import graft.operators.Similarity
     // a corpus with NO `% 40 == 0` member has no deterministic
