@@ -133,7 +133,7 @@ object Similarity {
       .filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("c_id").as("q_probe"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // serving-call probe frame: ContextCleaner-reclaimed, never a leaked cache entry
     val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
     val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
     val cands = spark.read.parquet(s"$dir/vectors")
@@ -268,7 +268,7 @@ object Similarity {
   def knnJoin(emb: DataFrame, k: Int = 3, modulo: Int = 40): DataFrame = {
     val cent = ivfCentroids(emb, modulo)
     val assigned = ivfAssign(emb, cent)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // feeds both join sides once; ContextCleaner-reclaimed
     val b = assigned.select(col("vec_id").as("n_id"),
       col("embedding").as("n_emb"), col("cluster").as("n_cluster"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("n_id"))
@@ -311,7 +311,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryIds: Column, k: Int, nBits: Int = 8,
               hpBase: Long = 100): DataFrame = {
     val sigs = lshSignatures(emb, lshHyperplanes(emb, nBits, hpBase), hpBase)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // signature subtree feeds two join branches
+      .localCheckpoint(false) // signature subtree feeds two join branches; ContextCleaner-reclaimed
     val bucketed = emb.join(sigs, "vec_id")
     val q = bucketed.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -335,7 +335,7 @@ object Similarity {
   def lshTopKMultiProbe(emb: DataFrame, queryIds: Column, k: Int,
                         nBits: Int = 8, hpBase: Long = 100): DataFrame = {
     val sigs = lshSignatures(emb, lshHyperplanes(emb, nBits, hpBase), hpBase)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // ContextCleaner-reclaimed
     val bucketed = emb.join(sigs, "vec_id")
     // probes = own bucket + each single-bit flip
     val flips = (0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
@@ -569,7 +569,7 @@ object Similarity {
       .filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("c_id").as("q_probe"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
+      .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it (no session-lifetime cache entry per probe call)
     val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
     val scored = allIvfVectors(spark, dir, Some(probes.toSeq))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
@@ -610,7 +610,7 @@ object Similarity {
       // embedding is identical across a vec_id's hp rows; first() is exact
       .agg(sum(col("bit")).as("q_bucket"), first(col("embedding")).as("q_emb"))
       .select(col("vec_id").as("q_id"), col("q_emb"), col("q_bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
+      .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it (no session-lifetime cache entry per probe call)
     val probes = q.select(col("q_bucket")).distinct().collect().map(_.getLong(0))
     val scored = allVectorGens(spark, dir, "bucket", Some(probes.toSeq))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
@@ -1014,14 +1014,29 @@ object Similarity {
     * index root, so an in-place rebuild cannot be made atomic the way
     * the text index's is — the live pointer would keep serving the
     * stale corpus while a later vacuum deleted the fresh root-level
-    * build as legacy debris. Refuse loudly instead. */
-  private def requireFreshIndexRoot(spark: SparkSession, dir: String): Unit =
-    require(!graft.util.IndexCommit.fs(spark, dir)
-        .exists(new org.apache.hadoop.fs.Path(s"$dir/LATEST")),
-      s"$dir already holds a pointer-versioned index: rebuild into a " +
-        "fresh directory (or delete this one first) — an in-place " +
-        "rebuild would keep serving the OLD corpus and the next vacuum " +
-        "would reclaim the new build as superseded debris")
+    * build as legacy debris. Refuse loudly instead.
+    *
+    * Versioned state is EITHER a LATEST pointer or any delta/tombstone
+    * generation: an index that received appends or deletes but never
+    * compacted (the default — compaction is opt-in) has generations
+    * and no pointer, and an in-place rebuild would overwrite the
+    * frozen sidecars while the stale generations stay in the probe
+    * union — IVF-PQ codes from an old codebook decoded against the new
+    * one are garbage. Same check [[graft.operators.Retrieval
+    * .writePostingsIndex]] runs for the text layout. */
+  private def requireFreshIndexRoot(spark: SparkSession, dir: String): Unit = {
+    val versioned =
+      graft.util.IndexCommit.fs(spark, dir)
+        .exists(new org.apache.hadoop.fs.Path(s"$dir/LATEST")) ||
+      graft.util.IndexCommit.deltaDirs(spark, dir).nonEmpty ||
+      graft.util.IndexCommit.tombDirs(spark, dir).nonEmpty
+    require(!versioned,
+      s"$dir already holds a versioned index (pointer, delta, or " +
+        "tombstone generations): rebuild into a fresh directory (or " +
+        "delete this one first) — an in-place rebuild would overwrite " +
+        "the frozen sidecars while stale generations kept serving the " +
+        "OLD corpus's codes against them")
+  }
 
   /** Build the IVF-PQ index layout: `codes` PARTITIONED BY the IVF
     * cluster (so a probe's cluster list is a static partition filter)
@@ -1113,7 +1128,7 @@ object Similarity {
     val q = queries.select(col("vec_id"), col("embedding"))
     val probe = ivfRanked(q, cent).filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("c_id").as("q_probe"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
+      .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it (no session-lifetime cache entry per probe call)
     val probes = probe.select(col("q_probe")).distinct().collect().map(_.getLong(0))
     ivfPqScored(allIvfPqCodes(spark, dir, Some(probes.toSeq)), probe,
       pqLut(q, cb, m, dims), k)
@@ -1293,7 +1308,7 @@ object Similarity {
     val cent = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebook")
     val probe = ivfProbeOf(queries, cent, nProbe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy: first touching stage materializes once
+      .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it (no session-lifetime cache entry per probe call)
     val probes = probe.select(col("q_probe")).distinct().collect()
       .map(_.getLong(0))
     ivfPqResidualScored(allIvfPqCodes(spark, dir, Some(probes.toSeq)),

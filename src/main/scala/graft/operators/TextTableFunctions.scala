@@ -247,8 +247,14 @@ object TextTableFunctions {
 
     // SELECT * FROM text_bpe('/path/documents.parquet'[, merges]) —
     // the trained merge table (rank, left, right, freq); the builder
-    // runs the vocab-sized merge rounds at plan-build time (one-row
-    // driver round-trips, the bpeTrain contract)
+    // runs the vocab-sized merge rounds AT FUNCTION-RESOLUTION TIME
+    // (one-row driver round-trips per round, the bpeTrain contract) —
+    // even an EXPLAIN pays them, which is why the TVF's merge count is
+    // capped far below bpeTrain's own reach: past a few hundred rounds
+    // resolution-time training blocks analysis for minutes. Deep
+    // tokenizers train through the API ([[Pipeline.bpeTrain]]) and
+    // encode from the persisted merge table
+    // ([[Pipeline.bpeEncodedCountsStored]]), not through a TVF.
     (FunctionIdentifier("text_bpe"),
       new ExpressionInfo(getClass.getName, "text_bpe"),
       { args =>
@@ -257,8 +263,10 @@ object TextTableFunctions {
             "text_bpe(docs_parquet[, merges])")
         val n = if (args.size == 2) {
           val v = longArg("text_bpe", args(1))
-          if (v < 1 || v > 4096) throw new IllegalArgumentException(
-            s"text_bpe: merges must be in [1, 4096], got $v")
+          if (v < 1 || v > 256) throw new IllegalArgumentException(
+            s"text_bpe: merges must be in [1, 256], got $v — the TVF " +
+              "trains at plan-resolution time (even EXPLAIN pays it); " +
+              "train deeper tokenizers via the Pipeline.bpeTrain API")
           v.toInt
         } else Pipeline.BpeMerges
         Pipeline.bpeTrain(docs(strArg("text_bpe", args.head)), n)

@@ -140,23 +140,29 @@ object IndexCommit {
       .map(_._2.toString)
   }
 
-  /** Set (or clear, with both None) the PER-INDEX maintenance policy,
-    * stored with the index as a `_POLICY` key=value file at its root —
-    * the stored-index twin of the snapshot base's `_RETENTION`
-    * property: the generation cap AND the vacuum grace window travel
-    * with the index and bind EVERY writer (batch verbs and streaming
-    * ingest sinks alike), not just sessions carrying
-    * `spark.graft.maxIndexDeltas`. Written with the LATEST commit
-    * protocol (tmp + one overwriting rename), so an appender's cap
-    * check never reads a partial file. */
+  /** Set the PER-INDEX maintenance policy, stored with the index as a
+    * `_POLICY` key=value file at its root — the stored-index twin of
+    * the snapshot base's `_RETENTION` property: the generation cap AND
+    * the vacuum grace window travel with the index and bind EVERY
+    * writer (batch verbs and streaming ingest sinks alike), not just
+    * sessions carrying `spark.graft.maxIndexDeltas`. Written with the
+    * LATEST commit protocol (tmp + one overwriting rename), so an
+    * appender's cap check never reads a partial file.
+    *
+    * MERGE-only: a key not given keeps its stored value. Removal is a
+    * separate, explicit verb — [[clearPolicy]] — because a both-None
+    * call used to delete the whole file, silently dropping a stored
+    * grace window (the exact failure the merge semantics exist to
+    * prevent); it now refuses. */
   def setPolicy(spark: SparkSession, root: String,
                 maxDeltas: Option[Int],
                 vacuumGraceMs: Option[Long] = None): Unit = {
     val f = fs(spark, root)
     val p = new Path(s"$root/_POLICY")
-    if (maxDeltas.isEmpty && vacuumGraceMs.isEmpty) {
-      f.delete(p, false); return
-    }
+    require(maxDeltas.nonEmpty || vacuumGraceMs.nonEmpty,
+      "setPolicy with no keys is ambiguous — it MERGES, so there is " +
+        "nothing to do; to remove stored policy use clearPolicy " +
+        "(whole file or one key)")
     require(maxDeltas.forall(_ >= 1),
       s"maxDeltas must be >= 1, got $maxDeltas")
     require(vacuumGraceMs.forall(_ >= 0),
@@ -168,7 +174,34 @@ object IndexCommit {
     val merged = readPolicy(spark, root) ++
       maxDeltas.map(v => "maxDeltas" -> v.toString) ++
       vacuumGraceMs.map(v => "vacuumGraceMs" -> v.toString)
-    val body = merged.toSeq.sortBy(_._1)
+    writePolicyFile(spark, root, merged)
+  }
+
+  /** Remove stored policy EXPLICITLY: the whole `_POLICY` file (key =
+    * None) or one named key, keeping the rest — removing the
+    * compaction cap must not take the vacuum grace window with it. */
+  def clearPolicy(spark: SparkSession, root: String,
+                  key: Option[String] = None): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/_POLICY")
+    key match {
+      case None => f.delete(p, false)
+      case Some(k) =>
+        require(k == "maxDeltas" || k == "vacuumGraceMs",
+          s"unknown policy key '$k' (maxDeltas | vacuumGraceMs)")
+        val kept = readPolicy(spark, root) - k
+        if (kept.isEmpty) f.delete(p, false)
+        else writePolicyFile(spark, root, kept)
+    }
+  }
+
+  /** tmp + one overwriting rename (the LATEST protocol): a concurrent
+    * policy read never sees a partial file. */
+  private def writePolicyFile(spark: SparkSession, root: String,
+                              entries: Map[String, String]): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/_POLICY")
+    val body = entries.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v\n" }.mkString
     val tmp = new Path(s"$root/._POLICY.tmp")
     val out = f.create(tmp, true)

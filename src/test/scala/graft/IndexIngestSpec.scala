@@ -258,7 +258,7 @@ class IndexIngestSpec extends AnyFunSuite {
       }
       assert(IndexCommit.resolve(spark, dir)._2 > 0, "no fold ever ran")
       // clearing the policy stops the folding (back to manual-only)
-      IndexCommit.setPolicy(spark, dir, None)
+      IndexCommit.clearPolicy(spark, dir)
       assert(IndexCommit.policyMaxDeltas(spark, dir).isEmpty)
       Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 4 === 1)
         .select(col("doc_id") + 100000L as "doc_id", col("text")), dir)

@@ -98,8 +98,18 @@ class IndexVacuumGraceSpec extends AnyFunSuite {
       assert(rows(Retrieval.conjunctiveSearchStored(spark, dir, terms))
         === want)
 
-      // clearing both keys removes the file; vacuum reverts to immediate
-      IndexCommit.setPolicy(spark, dir, None)
+      // removal is explicit: a no-key setPolicy refuses (it merges, so
+      // it would silently do nothing — or, historically, silently
+      // delete a stored grace window)
+      intercept[IllegalArgumentException] {
+        IndexCommit.setPolicy(spark, dir, None)
+      }
+      // per-key clear keeps the other key
+      IndexCommit.clearPolicy(spark, dir, Some("maxDeltas"))
+      assert(IndexCommit.policyMaxDeltas(spark, dir) === None)
+      assert(IndexCommit.policyVacuumGraceMs(spark, dir) === Some(1L))
+      // whole-file clear; vacuum reverts to immediate
+      IndexCommit.clearPolicy(spark, dir)
       assert(IndexCommit.policyMaxDeltas(spark, dir) === None)
       assert(IndexCommit.policyVacuumGraceMs(spark, dir) === None)
       Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 3 === 0)

@@ -490,6 +490,37 @@ class RetrievalCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("vector builders refuse an in-place rebuild over an uncompacted delta/tombstone index (no pointer yet)") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = "/tmp/graft_vec_rebuild_nc_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      // append + delete WITHOUT compaction (the default: maybeCompact
+      // is opt-in) — delta_/tomb_ dirs exist but no LATEST pointer; a
+      // rebuild would overwrite the frozen sidecars while the stale
+      // generations stayed in the probe union (stale IVF-PQ codes
+      // decoded against a NEW codebook are garbage)
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+      Similarity.appendIvfPqDelta(spark, dir,
+        emb.filter(col("vec_id") % 2 =!= 0))
+      assertThrows[IllegalArgumentException](
+        Similarity.writeIvfPqIndex(emb, dir))
+      // tombstone-only versioned state refuses the same way
+      val tombOnly = dir + "_tomb"
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), tombOnly)
+      Similarity.deleteVectors(spark, tombOnly,
+        emb.filter(col("vec_id") % 8 === 0).select(col("vec_id")))
+      assertThrows[IllegalArgumentException](
+        Similarity.writeIvfIndex(emb, tombOnly))
+      val tp = new org.apache.hadoop.fs.Path(tombOnly)
+      tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("assignment with an empty centroid set is loudly empty, never null-partitioned") {
     import graft.operators.Similarity
     // a corpus with NO `% 40 == 0` member has no deterministic
