@@ -101,10 +101,12 @@ object Retrieval {
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/LATEST")) ||
         graft.util.IndexCommit.deltaDirs(spark, path).nonEmpty ||
         graft.util.IndexCommit.tombDirs(spark, path).nonEmpty
+    // versioned rebuilds write into a staging dir (invisible to
+    // vacuum's dead-scan) and promote at the flip, like the compactor
     val (dir, commitGen) =
       if (versioned) {
         val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, path)}"
-        (s"$path/$gen", Some(gen))
+        (graft.util.IndexCommit.stageBase(spark, path, gen), Some(gen))
       } else (path, None)
     val post = positionalPostings(docs).withColumn("bucket", bucketOf(col("term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -116,6 +118,7 @@ object Retrieval {
     dl.write.mode("overwrite").parquet(s"$dir/doclens")
     writeStats(dl, s"$dir/stats")
     commitGen.foreach { gen =>
+      graft.util.IndexCommit.promoteStaged(spark, path, gen)
       graft.util.IndexCommit.commit(spark, path, gen,
         graft.util.IndexCommit.nextDeltaId(spark, path))
     }
@@ -439,16 +442,21 @@ object Retrieval {
     val post = allPostings(spark, path)
     val dl = allDoclens(spark, path)
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, path)}"
-    writeBucketed(post, s"$path/$gen/postings")
-    dl.write.mode("overwrite").parquet(s"$path/$gen/doclens")
-    writeStats(dl, s"$path/$gen/stats")
+    // fold into a STAGING dir (outside vacuum's dead-scan name
+    // classes) and promote to base_<n> only at the flip — a grace-0
+    // vacuum concurrent with this write can never reclaim the fold
+    val staged = graft.util.IndexCommit.stageBase(spark, path, gen)
+    writeBucketed(post, s"$staged/postings")
+    dl.write.mode("overwrite").parquet(s"$staged/doclens")
+    writeStats(dl, s"$staged/stats")
     // the folded dict reflects the folded (live) postings exactly —
     // delete-staleness in df disappears at every fold
-    writeDict(spark.read.parquet(s"$path/$gen/postings"), s"$path/$gen/dict")
+    writeDict(spark.read.parquet(s"$staged/postings"), s"$staged/dict")
     // tombstones share the delta id sequence, so one watermark fences
     // both kinds; the folded base holds only fenced (live) rows
     val foldedMax = (deltas ++ tombs)
       .map(_.split('_').last.toInt).max
+    graft.util.IndexCommit.promoteStaged(spark, path, gen)
     graft.util.IndexCommit.commit(spark, path, gen, foldedMax + 1)
   }
 

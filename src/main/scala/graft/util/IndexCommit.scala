@@ -34,18 +34,37 @@ object IndexCommit {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Resolve the live base: (baseDir, minDelta). Legacy layout (no
-    * LATEST) → the root itself with every delta applicable. */
+    * LATEST) → the root itself with every delta applicable.
+    *
+    * Retries through transient checksum mismatches: on a
+    * ChecksumFileSystem (local fs — HDFS/object stores verify
+    * server-side, no sidecar) the pointer flip renames the data file
+    * and its `.crc` sidecar in TWO steps, so a reader racing a commit
+    * can momentarily see new bytes against the old checksum. The
+    * window closes as soon as both renames land; persistent failure
+    * (real corruption) still throws. Found by the grace-0
+    * vacuum-vs-compaction hammer spec, not hypothesized. */
   def resolve(spark: SparkSession, root: String): (String, Int) = {
     val f = fs(spark, root)
     val p = new Path(s"$root/LATEST")
-    if (!f.exists(p)) (root, 0)
-    else {
-      val in = f.open(p)
-      val line = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().next().trim finally in.close()
-      val Array(base, minDelta) = line.split(' ')
-      (s"$root/$base", minDelta.toInt)
+    var attempt = 0
+    while (true) {
+      if (!f.exists(p)) return (root, 0)
+      try {
+        val in = f.open(p)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim finally in.close()
+        val Array(base, minDelta) = line.split(' ')
+        return (s"$root/$base", minDelta.toInt)
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.FileNotFoundException) =>
+          attempt += 1
+          if (attempt >= 50) throw e
+          Thread.sleep(10)
+      }
     }
+    sys.error("unreachable")
   }
 
   /** Atomically repoint LATEST: write a temp file, then ONE
@@ -64,6 +83,41 @@ object IndexCommit {
       f.makeQualified(dst).toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Staging name for a base generation mid-write. Writers build the
+    * folded base HERE and [[promoteStaged]] it to `base_<n>` only
+    * right before the pointer flip — the staging prefix is outside
+    * every name class vacuum's dead-scan matches, so a grace-0 vacuum
+    * running concurrently with a slow compaction can NEVER classify
+    * the half-built fold as a superseded base and delete it out from
+    * under the upcoming flip. */
+  def stagingOf(gen: String): String = s".staging_$gen"
+
+  /** Prepare a clean staging dir for `gen` (reclaiming same-id crash
+    * debris — a crashed compactor's staging dir is reused, never
+    * promoted blind) and return its path. */
+  def stageBase(spark: SparkSession, root: String, gen: String): String = {
+    val f = fs(spark, root)
+    val st = new Path(s"$root/${stagingOf(gen)}")
+    if (f.exists(st)) f.delete(st, true)
+    st.toString
+  }
+
+  /** Atomically rename the staged dir to its final generation name —
+    * call immediately before [[commit]]. Between this rename and the
+    * flip the dir's id is ≥ the live pointer's, which [[vacuum]]'s
+    * monotonic-id rule treats as not-dead — the full write→promote→
+    * flip chain has no window where any pass can reclaim it. */
+  def promoteStaged(spark: SparkSession, root: String, gen: String): Unit = {
+    val f = fs(spark, root)
+    val src = new Path(s"$root/${stagingOf(gen)}")
+    val dst = new Path(s"$root/$gen")
+    require(f.exists(src), s"nothing staged at $src")
+    require(!f.exists(dst),
+      s"$dst already exists — a concurrent writer promoted this id; " +
+        "compaction is single-writer (rerun to fold onto a fresh id)")
+    require(f.rename(src, dst), s"rename $src -> $dst failed")
   }
 
   /** Next base generation id: one past the highest existing base_<n>. */
@@ -274,14 +328,35 @@ object IndexCommit {
     val now = System.currentTimeMillis
     val (baseDir, minDelta) = resolve(spark, root)
     val baseName = baseDir.split('/').last
+    // dead bases are decided by MONOTONIC id, not name inequality: a
+    // base_<n> with n ≥ the live pointer's id is a compactor's fold
+    // mid-commit (promoted from staging, flip pending) or failed-flip
+    // debris the next successful fold will supersede — deleting it
+    // would race the flip into serving a missing dir. Ids only ever
+    // advance, so "< live id" is exactly "superseded".
+    def idOf(n: String, prefix: String): Option[Int] =
+      if (n.startsWith(prefix) && n.stripPrefix(prefix).forall(_.isDigit)
+          && n.length > prefix.length)
+        Some(n.stripPrefix(prefix).toInt)
+      else None
+    val liveBaseId = idOf(baseName, "base_")
     f.listStatus(new Path(root)).toSeq.foreach { s =>
       val n = s.getPath.getName
       val dead =
-        (n.startsWith("base_") && n != baseName) ||
+        (n.startsWith("base_") && n != baseName && {
+          val superseded = for (live <- liveBaseId; id <- idOf(n, "base_"))
+            yield id < live
+          superseded.getOrElse(true) // unparseable id: name rule
+        }) ||
         (n.startsWith("delta_") &&
           n.stripPrefix("delta_").toInt < minDelta) ||
         (n.startsWith("tomb_") &&
           n.stripPrefix("tomb_").toInt < minDelta) ||
+        // staging debris whose id the pointer has passed can never be
+        // promoted (promoteStaged refuses an existing target and
+        // compactors reuse-or-clean their own id) — reclaim it
+        (liveBaseId.nonEmpty && idOf(n, ".staging_base_").exists(
+          _ < liveBaseId.get)) ||
         legacyDirs.contains(n)
       if (dead) {
         if (grace <= 0) f.delete(s.getPath, true)
