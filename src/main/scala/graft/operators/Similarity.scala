@@ -162,6 +162,28 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Attribute-filtered exact top-k: the candidate set is restricted
+    * by a metadata predicate BEFORE the per-query ranking window, so
+    * the result always carries k survivors when k matching candidates
+    * exist — the filter-then-rank contract every production vector
+    * search needs ("top-k within lang='en'"), not rank-then-filter,
+    * which silently returns fewer than k rows whenever the predicate
+    * is selective. The exact-scan baseline for the stored filtered
+    * probes ([[ivfTopKStoredFiltered]]). */
+  def bruteForceTopKFiltered(emb: DataFrame, queryIds: Column,
+                             candidateFilter: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = emb.filter(candidateFilter)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** Radius (range) search: every (query, neighbor) pair with cosine ≥
     * `minCos` — the fixed-threshold twin of [[bruteForceTopK]] (vector
     * stores expose both retrieval modes). Same scale shape: the query
@@ -443,6 +465,9 @@ object Similarity {
     val tombs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
     if (deltas.isEmpty && tombs.isEmpty) return
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
+    // fold into staging (outside vacuum's dead-scan) and promote at
+    // the flip — a concurrent grace-0 vacuum can never reclaim it
+    val staged = graft.util.IndexCommit.stageBase(spark, dir, gen)
     // persisted around the emptiness check so the write doesn't
     // recompute the whole generation union + tombstone fence
     val folded = allVectorGens(spark, dir, partCol, None)
@@ -452,13 +477,14 @@ object Similarity {
       // has no schema footer — degrade to one empty schema-carrying file
       if (folded.isEmpty)
         folded.coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/$gen/vectors")
+          .parquet(s"$staged/vectors")
       else folded.write.mode("overwrite").partitionBy(partCol)
-        .parquet(s"$dir/$gen/vectors")
+        .parquet(s"$staged/vectors")
     } finally folded.unpersist(blocking = false)
     // deltas and tombstones share one id sequence → one watermark
     val foldedMax = (deltas ++ tombs)
       .map(_.split('_').last.toInt).max
+    graft.util.IndexCommit.promoteStaged(spark, dir, gen)
     graft.util.IndexCommit.commit(spark, dir, gen, foldedMax + 1)
   }
 
@@ -563,7 +589,29 @@ object Similarity {
     * partition filter is static.
     */
   def ivfTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
-                    k: Int, nProbe: Int = 1): DataFrame = {
+                    k: Int, nProbe: Int = 1): DataFrame =
+    ivfTopKStoredImpl(spark, dir, queries, k, nProbe, None)
+
+  /** Attribute-filtered stored IVF probe: `pred` over the `meta`
+    * table (vec_id + attribute columns — the metadata store every
+    * production corpus keeps beside its vectors) restricts candidates
+    * BEFORE the per-query top-k window, so k survivors are guaranteed
+    * whenever the probed clusters hold k matching vectors; applied
+    * after the window it would silently return <k rows under any
+    * selective predicate. The cluster partition filter stays pushed
+    * into every generation's scan (the allow-list is an extra
+    * semi-join ON TOP of the pruned candidates, never a wider read):
+    * probe cost remains nProbe/nlist of the codes, and the semi-join
+    * is bounded by the pruned candidate set, not the corpus. */
+  def ivfTopKStoredFiltered(spark: SparkSession, dir: String,
+                            queries: DataFrame, k: Int, meta: DataFrame,
+                            pred: Column, nProbe: Int = 1): DataFrame =
+    ivfTopKStoredImpl(spark, dir, queries, k, nProbe,
+      Some(meta.filter(pred).select(col("vec_id").as("n_id"))))
+
+  private def ivfTopKStoredImpl(spark: SparkSession, dir: String,
+                                queries: DataFrame, k: Int, nProbe: Int,
+                                allowed: Option[DataFrame]): DataFrame = {
     val cent = spark.read.parquet(s"$dir/centroids")
     val q = ivfRanked(queries.select(col("vec_id"), col("embedding")), cent)
       .filter(col("arank") <= nProbe)
@@ -571,9 +619,14 @@ object Similarity {
         col("c_id").as("q_probe"))
       .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it (no session-lifetime cache entry per probe call)
     val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
-    val scored = allIvfVectors(spark, dir, Some(probes.toSeq))
+    val cands = allIvfVectors(spark, dir, Some(probes.toSeq))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("cluster"))
+    // allow-list semi-join BEFORE scoring: prune first (cluster
+    // partitions), filter second, rank last
+    val filtered = allowed.fold(cands)(a =>
+      cands.join(a, Seq("n_id"), "left_semi"))
+    val scored = filtered
       .join(broadcast(q), col("cluster") === col("q_probe") && col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -880,9 +933,11 @@ object Similarity {
     val tombs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
     if (deltas.isEmpty && tombs.isEmpty) return
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
+    val staged = graft.util.IndexCommit.stageBase(spark, dir, gen)
     allPqCodes(spark, dir)
-      .write.mode("overwrite").parquet(s"$dir/$gen/codes")
+      .write.mode("overwrite").parquet(s"$staged/codes")
     val foldedMax = (deltas ++ tombs).map(_.split('_').last.toInt).max
+    graft.util.IndexCommit.promoteStaged(spark, dir, gen)
     graft.util.IndexCommit.commit(spark, dir, gen, foldedMax + 1)
   }
 
@@ -1097,8 +1152,10 @@ object Similarity {
     val tombs = graft.util.IndexCommit.tombDirs(spark, dir, minDelta)
     if (deltas.isEmpty && tombs.isEmpty) return
     val gen = s"base_${graft.util.IndexCommit.nextBaseId(spark, dir)}"
-    writeClusteredCodes(allIvfPqCodes(spark, dir, None), s"$dir/$gen/codes")
+    val staged = graft.util.IndexCommit.stageBase(spark, dir, gen)
+    writeClusteredCodes(allIvfPqCodes(spark, dir, None), s"$staged/codes")
     val foldedMax = (deltas ++ tombs).map(_.split('_').last.toInt).max
+    graft.util.IndexCommit.promoteStaged(spark, dir, gen)
     graft.util.IndexCommit.commit(spark, dir, gen, foldedMax + 1)
   }
 
@@ -1121,7 +1178,26 @@ object Similarity {
     */
   def ivfPqTopKStored(spark: SparkSession, dir: String, queries: DataFrame,
                       k: Int, nProbe: Int = 1, m: Int = 8,
-                      dims: Int = 64): DataFrame = {
+                      dims: Int = 64): DataFrame =
+    ivfPqTopKStoredImpl(spark, dir, queries, k, nProbe, m, dims, None)
+
+  /** Attribute-filtered stored IVF-PQ probe — [[ivfTopKStoredFiltered]]
+    * on the coded layout: the `meta`-derived allow-list semi-joins the
+    * cluster-pruned code rows BEFORE the ADC ranking window (k
+    * survivors guaranteed; partition pruning intact). The semi-join
+    * runs on (n_id, m) code rows — m bytes per candidate — so a
+    * selective predicate makes the probe CHEAPER, never wider. */
+  def ivfPqTopKStoredFiltered(spark: SparkSession, dir: String,
+                              queries: DataFrame, k: Int, meta: DataFrame,
+                              pred: Column, nProbe: Int = 1, m: Int = 8,
+                              dims: Int = 64): DataFrame =
+    ivfPqTopKStoredImpl(spark, dir, queries, k, nProbe, m, dims,
+      Some(meta.filter(pred).select(col("vec_id").as("n_id"))))
+
+  private def ivfPqTopKStoredImpl(spark: SparkSession, dir: String,
+                                  queries: DataFrame, k: Int, nProbe: Int,
+                                  m: Int, dims: Int,
+                                  allowed: Option[DataFrame]): DataFrame = {
     requirePqDims(m, dims)
     val cent = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebook")
@@ -1130,8 +1206,10 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("c_id").as("q_probe"))
       .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it (no session-lifetime cache entry per probe call)
     val probes = probe.select(col("q_probe")).distinct().collect().map(_.getLong(0))
-    ivfPqScored(allIvfPqCodes(spark, dir, Some(probes.toSeq)), probe,
-      pqLut(q, cb, m, dims), k)
+    val codes = allIvfPqCodes(spark, dir, Some(probes.toSeq))
+    val filtered = allowed.fold(codes)(a =>
+      codes.join(a, Seq("n_id"), "left_semi"))
+    ivfPqScored(filtered, probe, pqLut(q, cb, m, dims), k)
   }
 
   /** Retrieve-then-refine over the STORED IVF-PQ index — the full
@@ -1494,6 +1572,24 @@ object Similarity {
     "sim_topk" -> { (s, d) =>
       bruteForceTopK(t(s, d, "embeddings"), col("vec_id") < 8, 5)
     },
+    // attribute-filtered retrieval (the production call shape: "top-k
+    // WITHIN label-class"): candidates restricted by a metadata
+    // predicate BEFORE ranking, so k survivors are guaranteed — the
+    // exact baseline plus both pruned stored layouts (IVF, IVF-PQ)
+    "sim_filtered" -> { (s, d) =>
+      bruteForceTopKFiltered(t(s, d, "embeddings"), col("vec_id") < 8,
+        col("label") % 2 === 0, 5)
+    },
+    "sim_filtered_stored" -> { (s, d) =>
+      ivfTopKStoredFiltered(s, s"${indexDir(s, d)}/ivf",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3,
+        t(s, d, "embeddings"), col("label") % 2 === 0)
+    },
+    "sim_filtered_ivfpq" -> { (s, d) =>
+      ivfPqTopKStoredFiltered(s, s"${indexDir(s, d)}/ivfpq",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3,
+        t(s, d, "embeddings"), col("label") % 2 === 0)
+    },
     // fixed-radius retrieval over the same query set (0.25 is exactly
     // representable in binary, so the threshold compare is bit-exact)
     "sim_range" -> { (s, d) =>
@@ -1761,7 +1857,13 @@ object Similarity {
        |      PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
        |    FROM scored) WHERE rk <= 16)""".stripMargin)
 
-  private lazy val ivfOracleSql: String =
+  /** `candFilter` (DuckDB boolean over the `mt` metadata alias)
+    * restricts candidates BEFORE ranking — the oracle twin of the
+    * filtered stored probes' filter-then-rank contract. */
+  private def ivfOracleSql(candFilter: Option[String] = None): String = {
+    val mj = candFilter.fold("")(f =>
+      s"\n  |  JOIN embeddings mt ON mt.vec_id = a.vec_id AND ($f)"
+        .stripMargin)
     s"""WITH cent AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 40 = 0),
        |assigned AS (
@@ -1776,12 +1878,14 @@ object Similarity {
        |scored AS (
        |  SELECT q_id, a.cluster, a.vec_id AS n_id,
        |    ${cosSql("q_emb", "a.embedding")} AS cos
-       |  FROM assigned a JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id),
+       |  FROM assigned a$mj
+       |  JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id),
        |ranked AS (
        |  SELECT q_id, cluster, n_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
        |  FROM scored)
        |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+  }
 
   /** IVF-PQ oracle CTE chain up through `ranked`: the ivfOracleSql
     * cluster assignment composed with the pqOracleSql coding/LUT
@@ -1789,7 +1893,10 @@ object Similarity {
     * (nProbe=1), scored by the ORDER-PINNED ADC fold. Shared by the
     * inline, stored, lifecycle, and rerank variants.
     */
-  private lazy val ivfPqRankedCtes: String =
+  private def ivfPqRankedCtes(candFilter: Option[String] = None): String = {
+    val mj = candFilter.fold("")(f =>
+      s"\n  |  JOIN embeddings mt ON mt.vec_id = cc.n_id AND ($f)"
+        .stripMargin)
     s"""WITH cent AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
        |  WHERE vec_id % 40 = 0),
@@ -1828,7 +1935,7 @@ object Similarity {
        |  SELECT q.q_id, cc.cluster, cc.n_id,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      array_agg(l.pdot ORDER BY l.m)), (acc, v) -> acc + v) AS score
-       |  FROM codesc cc
+       |  FROM codesc cc$mj
        |  JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id
        |  JOIN lut l ON l.q_id = q.q_id AND l.m = cc.m AND l.c_id = cc.c_id
        |  GROUP BY q.q_id, cc.cluster, cc.n_id),
@@ -1836,16 +1943,17 @@ object Similarity {
        |  SELECT q_id, cluster, n_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
        |  FROM scored)""".stripMargin
+  }
 
   private lazy val ivfPqOracleSql: String =
-    s"""$ivfPqRankedCtes
+    s"""${ivfPqRankedCtes()}
        |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
 
   /** ADC top-10 shortlist from the cluster-pruned chain, exact-cosine
     * re-rank to top-3 — mirrors [[ivfPqTopKRerankStored]] (the same
     * rerank tail pqRerankOracleSql pins for plain PQ). */
   private lazy val ivfPqRerankOracleSql: String =
-    s"""$ivfPqRankedCtes,
+    s"""${ivfPqRankedCtes()},
        |shortlist AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
        |rerank AS (
        |  SELECT s.q_id, s.n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
@@ -2076,7 +2184,25 @@ object Similarity {
     "sim_mmr" -> mmrOracleSql,
     "sim_mmr_stored" -> mmrStoredOracleSql,
 
-    "sim_ivf" -> ivfOracleSql,
+    "sim_ivf" -> ivfOracleSql(),
+    // filter-then-rank: the label predicate restricts CANDIDATES (the
+    // queries are probe inputs, not index members — q stays unfiltered)
+    "sim_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings
+         |      WHERE label % 2 = 0),
+         |scored AS (
+         |  SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS cos
+         |  FROM c JOIN q ON q_id <> n_id),
+         |ranked AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "sim_filtered_stored" -> ivfOracleSql(Some("mt.label % 2 = 0")),
+    "sim_filtered_ivfpq" ->
+      s"""${ivfPqRankedCtes(Some("mt.label % 2 = 0"))}
+         |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
 
     "sim_lsh" -> lshOracleSql,
 
@@ -2104,15 +2230,23 @@ object Similarity {
 
     // the stored probes share the recompute variants' oracles verbatim:
     // persisting the index must not change a single result row
-    "sim_ivf_stored" -> ivfOracleSql,
+    "sim_ivf_stored" -> ivfOracleSql(),
     "sim_lsh_stored" -> lshOracleSql,
     // centroids stay the FULL corpus's (frozen at build); only the
     // candidate set shrinks to survivors ∪ restored — queries are
     // probe inputs, not index members, so q stays unfiltered
-    "sim_ivf_deleted" -> ivfOracleSql.replace(
-      "FROM assigned a JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id),",
-      "FROM assigned a JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id\n" +
-        "  WHERE a.vec_id % 9 <> 0 OR a.vec_id % 18 = 0),"),
+    "sim_ivf_deleted" -> {
+      val joinText =
+        "FROM assigned a\n" +
+          "  JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id),"
+      val base = ivfOracleSql()
+      require(base.contains(joinText),
+        "sim_ivf_deleted oracle rewrite target drifted")
+      base.replace(joinText,
+        "FROM assigned a\n" +
+          "  JOIN q ON a.cluster = q_cluster AND q_id <> a.vec_id\n" +
+          "  WHERE a.vec_id % 9 <> 0 OR a.vec_id % 18 = 0),")
+    },
 
     // same subspace slicing, max-inner-product coding, and ORDER-PINNED
     // partial-dot fold as pqTopK (array_agg(... ORDER BY m) + list_reduce

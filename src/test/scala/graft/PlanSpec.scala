@@ -154,6 +154,26 @@ class PlanSpec extends AnyFunSuite {
     assert(probed < allParts, s"probe touched all $allParts clusters")
   }
 
+  test("attribute-filtered stored IVF probe keeps the cluster partition filter") {
+    val base = operators.Similarity.indexDir(spark, sf)
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val df = operators.Similarity.ivfTopKStoredFiltered(
+      spark, s"$base/ivf", queries, 3, emb, col("label") % 2 === 0)
+    val got = df.collect()
+    // k survivors guaranteed: filter-then-rank, never rank-then-filter
+    assert(got.length === 8 * 3,
+      s"filtered probe returned ${got.length} rows, want 24 (k=3 × 8 queries)")
+    val p = df.queryExecution.executedPlan.toString
+    // the attribute allow-list must NOT widen the index read: the
+    // vectors scan still carries the static cluster partition filter
+    assert(p.contains("PartitionFilters: [cluster"),
+      s"attribute filter dropped the cluster partition filter in:\n$p")
+    // and the label predicate is genuinely in the plan (pushed into
+    // the metadata side's scan)
+    assert(p.contains("label"), s"label predicate missing from plan:\n$p")
+  }
+
   test("stored postings probe reads only the query terms' bucket partitions") {
     val base = operators.Retrieval.indexDir(spark, sf)
     val df = operators.Retrieval.conjunctiveSearchStored(
