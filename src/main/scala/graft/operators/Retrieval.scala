@@ -244,6 +244,69 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("hits"))
   }
 
+  /** Fuzzy (edit-distance) search from the STORED index — the
+    * misspelled-query path the term dictionary exists for: resolve
+    * every vocab term within `maxDist` edits of `term` against the
+    * dict sidecar (of EVERY generation, so delta-appended vocabulary
+    * expands too), then probe ONLY the expansion set's bucket
+    * partitions, exactly like [[prefixSearchStored]]. Returns per doc
+    * the distinct matching terms and total occurrences.
+    *
+    * The dict scan is vocab-sized, never corpus-sized, and is pruned
+    * twice before the levenshtein compare runs: a length band
+    * (|len−len(q)| ≤ maxDist) and the PassJoin pigeonhole — split the
+    * query into maxDist+1 contiguous segments; at most maxDist edits
+    * can each destroy one segment, so a term within range must contain
+    * at least one segment VERBATIM (edits elsewhere only shift it) —
+    * the segment trick [[Dedup.editDistanceJoin]] uses pair-wise,
+    * applied here as a single-probe vocab filter. At 100 TB the vocab
+    * is ~100M terms; the banded+pigeonholed survivors are thousands,
+    * and only THEY pay the O(len²) compare. Expansion is hard-bounded
+    * like prefix search: past `maxExpansions` the call fails with
+    * instructions instead of silently truncating recall.
+    */
+  def fuzzySearchStored(spark: SparkSession, path: String, term: String,
+                        maxDist: Int = 1,
+                        maxExpansions: Int = 1024): DataFrame = {
+    require(term.nonEmpty, "fuzzy search needs a non-empty term")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val parts = maxDist + 1
+    // the pigeonhole prefilter is sound only when every segment is
+    // non-empty; a query shorter than maxDist+1 chars skips it (the
+    // length band still bounds the compare set)
+    val segPred =
+      if (term.length < parts) lit(true)
+      else {
+        val base = term.length / parts
+        val rem = term.length % parts
+        val lens = Seq.tabulate(parts)(i => base + (if (i < rem) 1 else 0))
+        lens.scanLeft(0)(_ + _).zip(lens)
+          .map { case (off, l) => term.substring(off, off + l) }
+          .map(sg => col("term").contains(sg)).reduce(_ || _)
+      }
+    val expansions = allDicts(spark, path)
+      .filter(length(col("term"))
+        .between(term.length - maxDist, term.length + maxDist))
+      .filter(segPred)
+      .filter(levenshtein(col("term"), lit(term)) <= maxDist)
+      .select(col("term"), col("bucket")).distinct()
+      .take(maxExpansions + 1)
+    require(expansions.length <= maxExpansions,
+      s"'$term'~$maxDist expands to more than $maxExpansions terms — " +
+        "lower maxDist or raise maxExpansions (a silent cap would " +
+        "silently lose recall)")
+    if (expansions.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_terms"), col("id").as("hits"))
+    val terms = expansions.map(_.getString(0)).toSeq
+    val buckets = expansions.map(_.getLong(1)).distinct.toSeq
+    allPostings(spark, path)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("hits"))
+  }
+
   /** Conjunctive (all-terms) search with the index built inline — the
     * storedless twin of [[conjunctiveSearchStored]] (identical rows;
     * the stored form only changes the access path). One exploded-token
@@ -978,6 +1041,12 @@ object Retrieval {
     // of the gate vocabulary across several buckets
     "t_prefix_stored" -> { (s, d) =>
       prefixSearchStored(s, indexDir(s, d), "s")
+    },
+    // fuzzy (edit-distance ≤ 2) search over the SPLIT fixture: the
+    // expansion set resolves against base + delta generation dicts
+    // (a delta-appended term must expand too), probes bucket-pruned
+    "t_fuzzy_stored" -> { (s, d) =>
+      fuzzySearchStored(s, indexDirDelta(s, d), "spork", maxDist = 2)
     }
   )
 
@@ -1116,6 +1185,20 @@ object Retrieval {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
          |  CAST(sum(tf) AS BIGINT) AS hits
          |FROM post WHERE term LIKE 's%' GROUP BY doc_id""".stripMargin,
+
+    // dictionary-resolved edit-distance expansion ("spork" ~2 →
+    // {sort, spark} on this corpus), aggregated like prefix search
+    "t_fuzzy_stored" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, w.w AS term
+         |  FROM documents,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w(w)),
+         |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(tf) AS BIGINT) AS hits
+         |FROM post WHERE levenshtein(term, 'spork') <= 2
+         |GROUP BY doc_id""".stripMargin,
 
     "t_search_deleted" -> overCorpus(searchOracleSql, tombCorpusSql),
     "t_bm25_deleted" -> overCorpus(bm25OracleSql, tombCorpusSql),
