@@ -615,13 +615,16 @@ object Pipeline {
     * reproduce DuckDB running the identical unrolled rounds. */
   def bpeEncodedCounts(docs: DataFrame,
                        numMerges: Int = BpeMerges): DataFrame = {
-    // the encode applies ALL merges as one nested column expression —
-    // numMerges-deep; past a few hundred the expression tree itself
-    // becomes the bottleneck (train in batches and re-encode from the
-    // stored merge table instead, the production shape)
-    require(numMerges <= 256,
-      s"bpeEncodedCounts applies merges as one nested expression; " +
-        s"numMerges=$numMerges > 256 — encode from the stored merge table in batches")
+    // the encode applies ALL merges as ONE nested column expression —
+    // numMerges-deep; ~130 merges overflows the plan-conversion stack
+    // (measured while building the deep-encode path). The unbounded
+    // form is [[bpeEncodedCountsStored]]: batched passes over the
+    // stored merge table, the production shape.
+    require(numMerges <= 96,
+      s"bpeEncodedCounts applies merges as one nested expression and " +
+        s"overflows the plan-conversion stack near ~130; numMerges=" +
+        s"$numMerges > 96 — use bpeEncodedCountsStored(docs, " +
+        "bpeTrain(docs, n)) which applies the merge table in batches")
     val merges = bpeTrain(docs, numMerges)
       .orderBy(col("rank")).collect()
       .map(row => (row.getString(1), row.getString(2)))
@@ -632,6 +635,124 @@ object Pipeline {
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("doc_id"), size(split(seg, " ")).as("nt"))
+      .groupBy(col("doc_id")).agg(sum(col("nt")).as("n_subtokens"))
+  }
+
+  /** Padding merges for the deep-encode gate: deterministic pairs over
+    * a growing symbol list (seeded a-z0-9; each merge's fusion joins
+    * the list, so later pairs reference built symbols — the shape of a
+    * real merges.txt tail). Most never fire on a given batch, exactly
+    * like the long tail of a production 32k-merge artifact — what they
+    * exercise is the encoder's SEQUENTIAL depth, which is the property
+    * the 256-merge expression ceiling used to cap. */
+  private[operators] def paddingMerges(n: Int): Seq[(String, String)] = {
+    val syms = scala.collection.mutable.ArrayBuffer[String](
+      (('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)): _*)
+    (1 to n).map { r =>
+      val l = syms((r * 13) % syms.size)
+      val rt = syms((r * 31 + 7) % syms.size)
+      syms += (l + rt)
+      (l, rt)
+    }
+  }
+
+  /** Number of padding merges the deep-encode gate appends — the total
+    * merge count is `corpus substrings + this`, always ≥ 1024. */
+  val DeepPadding = 1024
+
+  /** CLOSED-FORM frequency-ranked merge table: every substring (len ≥
+    * 2) of the corpus vocabulary becomes merge (prefix, last-char),
+    * ranked (length asc, corpus frequency desc, substring asc), plus
+    * [[paddingMerges]] ranked after. Length-ascending order guarantees
+    * every merge's left symbol has its own formation merge EARLIER in
+    * the sequence, so chains can fire end-to-end.
+    *
+    * This is deliberately NOT iterative BPE training ([[bpeTrain]] is,
+    * and is gated separately): re-ranking pair counts after every
+    * fusion takes one sequential round per merge, which no independent
+    * engine can replay 1000+ deep in closed form — while THIS ranking
+    * any engine derives from one aggregation, which is what lets the
+    * deep-ENCODE gate hash-match a DuckDB oracle at 1000+ merges. The
+    * encoder ([[bpeEncodedCountsStored]]) is byte-identical either
+    * way: a merge table is a merge table.
+    *
+    * Scale shape: substring explosion and ranking run on the DISTINCT
+    * WORD table (corpus contributes counts, never sequences), and the
+    * global rank is a sort of a vocab-artifact-sized frame — the same
+    * O(vocab) class as bpeTrain's per-round argmax. */
+  def frequencyMergeTable(docs: DataFrame,
+                          padding: Int = DeepPadding): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val subs = words
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("n"),
+        explode(sequence(lit(2), length(col("w")))).as("l"))
+      .filter(col("l") >= 2 && col("l") <= length(col("w")))
+      .select(col("n"), col("l"),
+        explode(sequence(lit(1), length(col("w")) - col("l") + 1)).as("i"),
+        col("w"))
+      .select(expr("substring(w, i, l)").as("s"), col("n"))
+      .groupBy(col("s")).agg(sum(col("n")).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(length(col("s")), col("freq").desc, col("s"))
+    val corpus = subs
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"),
+        expr("substring(s, 1, length(s) - 1)").as("left"),
+        expr("substring(s, length(s), 1)").as("right"),
+        col("freq"))
+    val base = corpus.count().toInt
+    val pad = paddingMerges(padding).zipWithIndex
+      .map { case ((l, r), i) => (base + i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "freq")
+    corpus.unionByName(pad)
+  }
+
+  /** Batched BPE ENCODE from a persisted merge table — the production
+    * serving half [[bpeEncodedCounts]]'s 256-merge expression ceiling
+    * points at: merges apply in rank order in batches of `batch`
+    * nested replaces, with a vocab-sized localCheckpoint between
+    * batches (the bpeTrain lineage pattern), so merge count is
+    * unbounded — depth costs one vocab-table pass per batch, never a
+    * deeper Catalyst tree.
+    *
+    * The segmentation runs over the DISTINCT WORD table and joins back
+    * to per-doc tokens: at 100 TB the corpus pays one tokenize + one
+    * vocab join, and the (merges × vocab) encode work is
+    * corpus-size-invariant — same argument as [[bpeTrain]], applied to
+    * serving. */
+  def bpeEncodedCountsStored(docs: DataFrame, merges: DataFrame,
+                             batch: Int = 32): DataFrame = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    // batch sizing: each merge is ~5 nested Column nodes (trim ∘
+    // replace ∘ concat), and Spark's ColumnNode→Expression conversion
+    // recurses the whole tree — 128 merges/batch overflows a default
+    // driver stack (measured, not guessed); 32 keeps ~6× headroom
+    // the merge table is the tokenizer artifact: rank-ordered, tiny
+    // relative to any corpus (32k-256k rows in production) — the same
+    // bounded driver collect bpeEncodedCounts does
+    val ms = merges.orderBy(col("rank")).collect()
+      .map(row => (row.getString(1), row.getString(2)))
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    var seg = toks.select(col("w")).distinct()
+      .select(col("w"), concat_ws(" ", split(col("w"), "")).as("s"))
+    ms.grouped(batch).foreach { grp =>
+      val fused = grp.foldLeft(col("s")) {
+        case (acc, (l, r)) => bpeApply(acc, l, r)
+      }
+      // lazy localCheckpoint: truncates the nested-replace lineage so
+      // Catalyst never sees more than `batch` replaces at once
+      seg = seg.select(col("w"), fused.as("s")).localCheckpoint(false)
+    }
+    toks.join(seg, "w")
+      .select(col("doc_id"), size(split(col("s"), " ")).as("nt"))
       .groupBy(col("doc_id")).agg(sum(col("nt")).as("n_subtokens"))
   }
 
@@ -672,7 +793,14 @@ object Pipeline {
     // BPE tokenizer training (4 merges) and the encode it ships:
     // corpus read once for word counts, merges run vocab-sized
     "p_bpe" -> { (s, d) => bpeTrain(t(s, d, "documents")) },
-    "p_bpe_encode" -> { (s, d) => bpeEncodedCounts(t(s, d, "documents")) }
+    "p_bpe_encode" -> { (s, d) => bpeEncodedCounts(t(s, d, "documents")) },
+    // deep encode: 1000+-merge artifact applied through the BATCHED
+    // stored-table path (the 256-merge expression ceiling's production
+    // fix) — vocab-level segmentation, corpus joins back at the end
+    "p_bpe_encode_deep" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      bpeEncodedCountsStored(docs, frequencyMergeTable(docs))
+    }
   )
 
   def oracle: Map[String, String] = {
@@ -990,8 +1118,50 @@ object Pipeline {
          |FROM best$i""".stripMargin).mkString("\nUNION ALL\n")
     val encodeSeg = (1 to BpeMerges).foldLeft(
       "array_to_string(string_split(w, ''), ' ')")((x, i) => repl(x, i))
+    // deep-encode oracle: the closed-form frequency-ranked merge
+    // table (substring aggregation — no iteration) + the padding
+    // VALUES, applied merge-by-merge with a recursive CTE; final
+    // segmentation joins back to per-doc tokens
+    val padVals = paddingMerges(DeepPadding).zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1},'$l','$r')" }.mkString(", ")
+    val deepSql =
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, w.w AS w FROM documents,
+         |    unnest($tok) AS w(w)
+         |  WHERE length(w.w) > 0),
+         |words AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w),
+         |subs AS (
+         |  SELECT s, CAST(sum(n) AS BIGINT) AS freq FROM (
+         |    SELECT substr(w, st.i, ln.l) AS s, n
+         |    FROM words,
+         |      LATERAL (SELECT unnest(range(2, len(w) + 1)) AS l) ln,
+         |      LATERAL (SELECT unnest(range(1, len(w) - ln.l + 2)) AS i) st)
+         |  GROUP BY s),
+         |cm AS (
+         |  SELECT row_number() OVER (ORDER BY len(s), freq DESC, s) AS rank,
+         |    substr(s, 1, len(s) - 1) AS l, substr(s, len(s), 1) AS r
+         |  FROM subs),
+         |pad(i, l, r) AS (FROM (VALUES $padVals) t(i, l, r)),
+         |merges AS (
+         |  SELECT rank, l, r FROM cm
+         |  UNION ALL
+         |  SELECT (SELECT count(*) FROM cm) + i, l, r FROM pad),
+         |seg(w, s, rk) AS (
+         |  SELECT w, array_to_string(string_split(w, ''), ' '), 0 FROM words
+         |  UNION ALL
+         |  SELECT seg.w,
+         |    trim(replace(' ' || s || ' ', ' ' || m.l || ' ' || m.r || ' ',
+         |                 ' ' || m.l || m.r || ' ')),
+         |    rk + 1
+         |  FROM seg JOIN merges m ON m.rank = seg.rk + 1),
+         |fin AS (SELECT w, s FROM seg
+         |        WHERE rk = (SELECT count(*) FROM merges))
+         |SELECT doc_id, CAST(sum(len(string_split(s, ' '))) AS BIGINT)
+         |  AS n_subtokens
+         |FROM tok JOIN fin USING (w) GROUP BY doc_id""".stripMargin
     Map(
       "p_bpe" -> s"$ctes\n$mergeRows",
+      "p_bpe_encode_deep" -> deepSql,
       "p_bpe_encode" ->
         s"""$ctes,
            |toks AS (SELECT doc_id, unnest($tok) AS w FROM documents),
