@@ -939,13 +939,84 @@ object GraphArMutations {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val mapping = parent.keys.map(k => k -> find(k)).toMap
+    // SNAPSHOT the keys before resolving: find()'s path compression
+    // writes into `parent`, and iterating the live keySet VIEW while
+    // mutating the map silently DROPS keys (undefined iteration —
+    // observed losing 7 of 11 merge labels, caught by the random
+    // mixed-feed property spec; the lost labels served as stale
+    // components). A materialized key list makes resolution total.
+    val mapping = parent.keys.toList.map(k => k -> find(k)).toMap
     val remap = udf((c: Long) => mapping.getOrElse(c, c))
     // relabel prev map-side (broadcast closure), add the feed's new ids
     prev.select(col(GraphArMeta.GidCol), col("component"))
       .unionByName(touched.join(prev.select(col(GraphArMeta.GidCol)),
         Seq(GraphArMeta.GidCol), "left_anti"))
       .withColumn("component", remap(col("component")))
+  }
+
+  /** Delete-aware components IVM — the recompute-affected-subgraph
+    * path [[maintainComponents]] refuses to fake: an edge delete can
+    * SPLIT a component, and only re-solving connectivity over that
+    * component's surviving edges can decide how. But only THAT
+    * component's: the labels touched by deleted edges bound the
+    * recompute exactly, so the cost is O(affected subgraph), never an
+    * O(edges) rescan of the graph.
+    *
+    *   1. affected = prev labels of the deleted edges' endpoints;
+    *   2. recompute [[graft.graph.GraphOps.connectedComponents]] over
+    *      the PRE-INSERT surviving edges (survivors minus this feed's
+    *      inserts — set semantics, connectivity ignores multiplicity)
+    *      restricted to affected components;
+    *   3. splice: unaffected labels verbatim ∪ the recomputed ones
+    *      (vertices that lost their last edge drop out, matching a
+    *      fresh recompute over the surviving edge set);
+    *   4. the feed's inserts (if any) fold through the insert-only
+    *      merge path — its driver union-find stays O(batch).
+    *
+    * `survivingEdges` is the post-feed edge table ((src, dst) — e.g.
+    * [[edgesAt]] at the feed's `to` version, or [[currentEdges]]);
+    * it doubles as the oversized-batch fallback's recompute input.
+    * Labels stay canonical min-vertex-id in every path, so the result
+    * is bit-identical to a full recompute — gate-checked by
+    * `ga_ivm_components_del` and a randomized property spec. */
+  def maintainComponentsWithDeletes(prev: DataFrame, changes: DataFrame,
+                                    survivingEdges: DataFrame,
+                                    maxMergePairs: Int = 8000000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = prev.sparkSession
+    val deletes = changes.filter(col("_change_type") === "delete")
+      .select(col("src"), col("dst"))
+    val inserts = changes.filter(col("_change_type") === "insert")
+    if (deletes.isEmpty)
+      return maintainComponents(prev, changes, maxMergePairs,
+        Some(survivingEdges))
+    // 1. components the deletes touch — O(changes) join keys
+    val delIds = deletes.select(col("src").as(GraphArMeta.GidCol))
+      .unionByName(deletes.select(col("dst").as(GraphArMeta.GidCol)))
+      .distinct()
+    val affected = delIds.join(prev, Seq(GraphArMeta.GidCol))
+      .select(col("component")).distinct()
+    // 2. surviving pre-insert edges of the affected components: one
+    // src-side label probe suffices — a pre-insert edge existed at the
+    // feed's from-version, so both endpoints share a prev component
+    val memberSrc = prev.join(affected, Seq("component"))
+      .select(col(GraphArMeta.GidCol).as("src"))
+    val preInsert = survivingEdges.select(col("src"), col("dst")).distinct()
+      .join(inserts.select(col("src"), col("dst")).distinct(),
+        Seq("src", "dst"), "left_anti")
+    val subEdges = preInsert.join(memberSrc, Seq("src"), "left_semi")
+    val recomputed = graft.graph.GraphOps
+      .connectedComponents(spark, subEdges)
+      .select(col("v").as(GraphArMeta.GidCol), col("component"))
+    // 3. splice (affected vertices that lost every edge drop out; the
+    // insert phase re-introduces any that gained one this feed)
+    val spliced = prev.join(affected, Seq("component"), "left_anti")
+      .select(col(GraphArMeta.GidCol), col("component"))
+      .unionByName(recomputed)
+    // 4. remaining inserts through the insert-only merge path
+    if (inserts.isEmpty) spliced
+    else maintainComponents(spliced, inserts, maxMergePairs,
+      Some(survivingEdges))
   }
 
   private def verticesAt(spark: SparkSession, base: String,

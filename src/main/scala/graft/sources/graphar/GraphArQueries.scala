@@ -509,6 +509,26 @@ object GraphArQueries {
       val feed = GraphArMutations.edgeChanges(s, base, 0L, 1L)
         .filter(col("src") < 512 && col("dst") < 512)
       GraphArMutations.maintainComponents(prev, feed)
+    },
+    // delete-aware components IVM: v1→v2 removes every src%41 edge —
+    // splits are decided by recomputing ONLY the components the
+    // deleted edges touch, spliced into the untouched labels; the
+    // oracle is a fresh reachability closure over the v2 edge set
+    "ga_ivm_components_del" -> { (s, d) =>
+      val base = mutationFixture(s, d)
+      def at(v: String) = s.read.format("graphar")
+        .option("snapshotBase", base).option("snapshot", v)
+        .option("src", "Part").option("type", "link").option("dst", "Part")
+        .load()
+        .filter(col(GraphArMeta.SrcIndexCol) < 512 &&
+          col(GraphArMeta.DstIndexCol) < 512)
+        .select(col(GraphArMeta.SrcIndexCol).as("src"),
+          col(GraphArMeta.DstIndexCol).as("dst"))
+      val prev = graft.graph.GraphOps.connectedComponents(s, at("1"))
+        .select(col("v").as(GraphArMeta.GidCol), col("component"))
+      val feed = GraphArMutations.edgeChanges(s, base, 1L, 2L)
+        .filter(col("src") < 512 && col("dst") < 512)
+      GraphArMutations.maintainComponentsWithDeletes(prev, feed, at("2"))
     }
   )
 
@@ -637,6 +657,36 @@ object GraphArQueries {
          |  WHERE s % 41 <> 0)
          |SELECT s AS "grapharId", CAST(count(*) AS BIGINT) AS degree
          |FROM v2 GROUP BY 1""".stripMargin,
+    "ga_ivm_components_del" ->
+      s"""WITH RECURSIVE base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
+         |    l_partkey % ${GraphQueries.V} AS d FROM lineitem),
+         |delta AS (SELECT (l_orderkey * 7) % ${GraphQueries.V} AS s,
+         |    (l_partkey * 3) % ${GraphQueries.V} AS d
+         |  FROM lineitem WHERE l_orderkey % 97 = 0),
+         |v2 AS (SELECT s AS src, d AS dst
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+         |  WHERE s % 41 <> 0 AND s < 512 AND d < 512),
+         |ue AS (SELECT src, dst FROM v2 UNION SELECT dst, src FROM v2),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT src AS v, src AS r FROM ue
+         |  UNION
+         |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
+         |SELECT v AS "grapharId", min(r) AS component FROM reach GROUP BY v""".stripMargin,
+    "ga_ivm_components_del" ->
+      s"""WITH RECURSIVE base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
+         |    l_partkey % ${GraphQueries.V} AS d FROM lineitem),
+         |delta AS (SELECT (l_orderkey * 7) % ${GraphQueries.V} AS s,
+         |    (l_partkey * 3) % ${GraphQueries.V} AS d
+         |  FROM lineitem WHERE l_orderkey % 97 = 0),
+         |v2 AS (SELECT s AS src, d AS dst
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+         |  WHERE s % 41 <> 0 AND s < 512 AND d < 512),
+         |ue AS (SELECT src, dst FROM v2 UNION SELECT dst, src FROM v2),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT src AS v, src AS r FROM ue
+         |  UNION
+         |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
+         |SELECT v AS "grapharId", min(r) AS component FROM reach GROUP BY v""".stripMargin,
     "ga_ivm_components" ->
       s"""WITH RECURSIVE base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
          |    l_partkey % ${GraphQueries.V} AS d FROM lineitem),
