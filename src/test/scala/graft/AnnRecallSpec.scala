@@ -146,6 +146,48 @@ class AnnRecallSpec extends AnyFunSuite {
       "a wider exact re-rank must never lose recall")
   }
 
+  test("IVF-PQ and residual IVF-PQ recall@10: floors hold; exact rerank is the recall knob (ADC is NOT monotone in nProbe)") {
+    // composition of both approximations: cluster pruning caps WHICH
+    // candidates are seen (the IVF ceiling) and ADC ordering decides
+    // WHO of them ranks (the PQ weakness) — so ivfpq ≤ ivf at equal
+    // nProbe, and the exact-cosine rerank recovers toward the ivf
+    // ceiling.
+    val pq = Seq(1, 4, 8).map(np => np -> recallAt10(
+      operators.Similarity.ivfPqTopK(corpus, qPred, 10, nProbe = np))).toMap
+    val pqr = Seq(1, 4, 8).map(np => np -> recallAt10(
+      operators.Similarity.ivfPqResidualTopK(corpus, qPred, 10,
+        nProbe = np))).toMap
+    info(pq.toSeq.sortBy(_._1)
+      .map { case (np, v) => f"nProbe=$np $v%.3f" }
+      .mkString("ivfpq: ", ", ", ""))
+    info(pqr.toSeq.sortBy(_._1)
+      .map { case (np, v) => f"nProbe=$np $v%.3f" }
+      .mkString("ivfpqr: ", ", ", ""))
+    // measured 2026-08: ivfpq 0.090/0.130/0.120, ivfpqr
+    // 0.050/0.110/0.090 — note nProbe=8 DIPS below nProbe=4: unlike
+    // exact-cosine IVF, widening the probe set adds candidates whose
+    // NOISY ADC scores can displace true neighbors, so ADC recall is
+    // not monotone in nProbe (the id-drawn 16-codeword codebook makes
+    // in-cluster ADC ordering nearly flat; production 256-codeword
+    // k-means books dampen but don't eliminate this). The contract
+    // that IS stable: floors, and the exact-cosine rerank recovering
+    // to the cluster-pruning ceiling — rerank, not nProbe, is the
+    // recall knob for coded layouts.
+    assert(pq(1) >= 0.06, f"ivfpq nProbe=1 recall degraded: ${pq(1)}%.3f")
+    assert(pq(4) >= 0.09, f"ivfpq nProbe=4 recall degraded: ${pq(4)}%.3f")
+    assert(pq(8) >= 0.09, f"ivfpq nProbe=8 recall degraded: ${pq(8)}%.3f")
+    assert(pqr(4) >= 0.07, f"ivfpqr nProbe=4 recall degraded: ${pqr(4)}%.3f")
+    // the serving shape: stored rerank recovers toward the IVF ceiling
+    val dir = java.nio.file.Files.createTempDirectory("ann_recall_ivfpq").toString
+    operators.Similarity.writeIvfPqIndex(corpus, dir)
+    val rr = recallAt10(operators.Similarity.ivfPqTopKRerankStored(
+      spark, dir, corpus, corpus.filter(qPred), 10, c = 40, nProbe = 8))
+    val ceiling = recallAt10(
+      operators.Similarity.ivfTopK(corpus, qPred, 10, nProbe = 8))
+    info(f"ivfpq rerank(c=40, nProbe=8) $rr%.3f vs ivf ceiling $ceiling%.3f")
+    assert(rr >= pq(8), "exact rerank must never lose recall vs ADC")
+  }
+
   test("stored IVF probe matches the recompute variant on the skewed corpus") {
     val dir = java.nio.file.Files.createTempDirectory("ann_recall_ivf").toString
     operators.Similarity.writeIvfIndex(corpus, dir)
