@@ -202,6 +202,16 @@ object Plans {
         operators.Retrieval.queries("t_search_deleted")(spark, sfDir),
       "sim_pq_deleted (PQ generational probe: codes union + fence, codebook broadcast)" ->
         operators.Similarity.queries("sim_pq_deleted")(spark, sfDir),
+      "sim_filtered_stored (attribute predicate AFTER cluster pruning, BEFORE the top-k window)" ->
+        operators.Similarity.queries("sim_filtered_stored")(spark, sfDir),
+      "sim_filtered_ivfpq (allow-list semi-join on m-byte code rows, partition pruning intact)" ->
+        operators.Similarity.queries("sim_filtered_ivfpq")(spark, sfDir),
+      "t_fuzzy_stored (dict-resolved edit-distance expansion, bucket-pruned probe)" ->
+        operators.Retrieval.queries("t_fuzzy_stored")(spark, sfDir),
+      "p_bpe_encode_deep (1262-merge batched encode: vocab-level passes + one corpus join)" ->
+        operators.Pipeline.queries("p_bpe_encode_deep")(spark, sfDir),
+      "ga_ivm_components_del (affected-subgraph recompute spliced into untouched labels)" ->
+        sources.graphar.GraphArQueries.queries("ga_ivm_components_del")(spark, sfDir),
       "ga_ivm_degrees (CDF fold: O(changes) delta agg unioned with prev, one shuffle)" ->
         sources.graphar.GraphArQueries.queries("ga_ivm_degrees")(spark, sfDir),
       "ga_ivm_components (insert-only merge: broadcast relabel of prev, no edge rescan)" ->

@@ -185,6 +185,41 @@ object TextScaleBench {
     time("prefix_stored_broad")(
       Retrieval.prefixSearchStored(spark, idx, "w99").count())
 
+    // fuzzy expansion: dict-sidecar resolution (length band +
+    // pigeonhole prefilter before levenshtein) then bucket-pruned
+    // probes — serving should track the expansion set's postings,
+    // with the vocab-sized dict read as the only fixed overhead
+    time("fuzzy_stored_d1")(
+      Retrieval.fuzzySearchStored(spark, idx, "w49999", 1,
+        maxExpansions = 4096).count())
+    time("fuzzy_stored_d2")(
+      Retrieval.fuzzySearchStored(spark, idx, "w49999", 2,
+        maxExpansions = 65536).count())
+
+    // deep batched BPE encode from a stored merge table: cost must be
+    // ~linear in corpus (the final vocab join + per-doc count
+    // dominate) and flat-ish in merge count (each +32 merges is one
+    // more VOCAB-sized pass, invisible next to the corpus term) —
+    // the claim that removed bpeEncodedCounts' expression ceiling
+    val tMt = System.nanoTime()
+    val mergeTable = Pipeline.frequencyMergeTable(docs).localCheckpoint()
+    val nMerges = mergeTable.count() // materialize OUTSIDE the rungs:
+    // the artifact build (vocab substring ranking) is one-time
+    // tokenizer work, not per-encode cost
+    println(f"TEXTSCALE merge_table_build one=${(System.nanoTime() - tMt) / 1e9}%.3f rows=$nMerges")
+    time("bpe_encode_128")(
+      Pipeline.bpeEncodedCountsStored(docs,
+        mergeTable.filter(col("rank") <= 128))
+        .agg(sum(col("n_subtokens"))).collect())
+    time("bpe_encode_512")(
+      Pipeline.bpeEncodedCountsStored(docs,
+        mergeTable.filter(col("rank") <= 512))
+        .agg(sum(col("n_subtokens"))).collect())
+    time("bpe_encode_1024")(
+      Pipeline.bpeEncodedCountsStored(docs,
+        mergeTable.filter(col("rank") <= 1024))
+        .agg(sum(col("n_subtokens"))).collect())
+
     docs.unpersist(blocking = false)
     spark.stop()
   }
