@@ -1245,6 +1245,34 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** The full filtered serving shape — predicate + shortlist + exact
+    * refine: the allow-list restricts the ADC shortlist candidates
+    * ([[ivfPqTopKStoredFiltered]] semantics, filter BEFORE the
+    * shortlist window so c matching candidates survive), then only
+    * those c rows join back to the float corpus for exact-cosine
+    * re-ranking. Every tier keeps its scale contract: clusters prune
+    * the read, the predicate prunes the candidates, c bounds the
+    * refine — the corpus is touched at point-lookup granularity. */
+  def ivfPqTopKRerankStoredFiltered(spark: SparkSession, dir: String,
+                                    emb: DataFrame, queries: DataFrame,
+                                    k: Int, meta: DataFrame, pred: Column,
+                                    c: Int = 10, nProbe: Int = 1,
+                                    m: Int = 8, dims: Int = 64): DataFrame = {
+    require(c >= k, s"shortlist size c=$c must be >= k=$k")
+    val shortlist = ivfPqTopKStoredFiltered(spark, dir, queries, c, meta,
+        pred, nProbe, m, dims)
+      .select(col("q_id"), col("n_id"))
+    val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val qv = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(shortlist).join(n, "n_id").join(broadcast(qv), "q_id")
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   // ──────── Residual IVF-PQ: code v − centroid(v), the FAISS default ──
 
   /** Element-wise float32 residual v − c (both engines subtract in
@@ -1589,6 +1617,14 @@ object Similarity {
       ivfPqTopKStoredFiltered(s, s"${indexDir(s, d)}/ivfpq",
         t(s, d, "embeddings").filter(col("vec_id") < 8), 3,
         t(s, d, "embeddings"), col("label") % 2 === 0)
+    },
+    // the full filtered serving shape: predicate-pruned ADC shortlist
+    // + exact-cosine refine bounded by c per query
+    "sim_filtered_rerank" -> { (s, d) =>
+      ivfPqTopKRerankStoredFiltered(s, s"${indexDir(s, d)}/ivfpq",
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3,
+        t(s, d, "embeddings"), col("label") % 2 === 0, c = 10)
     },
     // fixed-radius retrieval over the same query set (0.25 is exactly
     // representable in binary, so the threshold compare is bit-exact)
@@ -2203,6 +2239,19 @@ object Similarity {
     "sim_filtered_ivfpq" ->
       s"""${ivfPqRankedCtes(Some("mt.label % 2 = 0"))}
          |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "sim_filtered_rerank" ->
+      s"""${ivfPqRankedCtes(Some("mt.label % 2 = 0"))},
+         |shortlist AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
+         |rerank AS (
+         |  SELECT s.q_id, s.n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings ne ON ne.vec_id = s.n_id
+         |  JOIN embeddings qe ON qe.vec_id = s.q_id),
+         |rr AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM rerank)
+         |SELECT q_id, n_id, rank FROM rr WHERE rank <= 3""".stripMargin,
 
     "sim_lsh" -> lshOracleSql,
 
