@@ -769,6 +769,15 @@ object Similarity {
       writeIvfPqIndex(t(spark, sfDir, "embeddings"), s"$base/ivfpq")
       fs.create(ivfPqMarker, true).close()
     }
+    val ivfPqTrainedMarker = new org.apache.hadoop.fs.Path(
+      s"$base/ivfpq_trained/_INDEX_SUCCESS")
+    if (!fs.exists(ivfPqTrainedMarker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/ivfpq_trained")))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/ivfpq_trained"), true)
+      writeIvfPqTrainedIndex(t(spark, sfDir, "embeddings"),
+        s"$base/ivfpq_trained")
+      fs.create(ivfPqTrainedMarker, true).close()
+    }
     val ivfPqrMarker = new org.apache.hadoop.fs.Path(s"$base/ivfpqr/_INDEX_SUCCESS")
     if (!fs.exists(ivfPqrMarker)) {
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/ivfpqr")))
@@ -1273,6 +1282,180 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  // ──────── TRAINED (Lloyd) PQ codebook: the measured fix for the
+  // clustered-ADC collapse (SCALE.md round-10 recall table: id-drawn
+  // codewords make in-cluster ADC ordering degenerate; k-means-trained
+  // codewords spend the codebook's resolution where the data is) ──
+
+  /** Quantized per-subspace view (vec_id, m, q): the kmeansAssign
+    * integer trick applied per PQ subspace — q = ⌊v·4096 + 0.5⌋ ints,
+    * so training state (Σq, cnt) stays EXACT and cross-engine
+    * bit-identical; the only doubles are the comparison metric
+    * divisions, identical op-order in both engines. */
+  private def pqSubQuantized(emb: DataFrame, m: Int, dims: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id"), col("m"),
+        transform(pqSub(col("embedding"), col("m"), dims / m),
+          x => floor(x.cast("double") * 4096 + 0.5)).as("q"))
+
+  /** Nearest trained codeword per (vec_id, m) under the integer-state
+    * kmeans metric ‖cnt·q − s‖²/cnt² with the (d, c_id) tie-break —
+    * the map-side argmin fold (state rides as one broadcast
+    * array-of-structs per subspace; no N×K row materialization, the
+    * round-9 ivfAssign lesson applied to the coded tier). */
+  private def trainedAssign(qv: DataFrame, state: DataFrame): DataFrame = {
+    val stArr = state.groupBy(col("m"))
+      .agg(collect_list(struct(col("c_id"), col("s"), col("cnt"))).as("cands"))
+    qv.join(broadcast(stArr), "m")
+      .withColumn("best", array_min(transform(col("cands"), c => {
+        val a = aggregate(zip_with(col("q"), c.getField("s"), (x, si) => {
+          val diff = c.getField("cnt") * x - si; diff * diff
+        }), lit(0L), (acc, v) => acc + v)
+        struct((a.cast("double") /
+          (c.getField("cnt") * c.getField("cnt")).cast("double")).as("d"),
+          c.getField("c_id").as("c_id"))
+      })))
+      .select(col("vec_id"), col("m"), col("q"),
+        col("best").getField("c_id").as("cluster"))
+  }
+
+  /** Lloyd-TRAINED per-subspace codebook as exact integer state
+    * (m, c_id, s = Σq, cnt): `iters` rounds of assign + mean-update
+    * per subspace, initialized from the deterministic centroid-slice
+    * codewords. Codeword identity = the initial codeword's c_id, so
+    * coding/LUT key stability matches the untrained layout. Keeping
+    * the state integral (never materializing float means) is what
+    * makes 2 training rounds + coding + ADC oracle-exact in DuckDB —
+    * the sim_kmeans contract, per subspace.
+    *
+    * Scale: each round is one corpus-pass fold (broadcast state,
+    * map-side argmin) + one (m × K)-sized aggregation; state is
+    * artifact-sized. Integer bound: |cnt·q| must stay under 2^63 —
+    * cnt < ~700k per codeword at the 4096 quantization; shard or
+    * sample the trainer beyond that (codebooks train on samples in
+    * every production system anyway). */
+  def pqCodebookTrainedState(emb: DataFrame, m: Int = 8, dims: Int = 64,
+                             modulo: Int = 40, iters: Int = 2): DataFrame = {
+    requirePqDims(m, dims)
+    val qv = pqSubQuantized(emb, m, dims)
+      .localCheckpoint(false) // reused every round; ContextCleaner-reclaimed
+    var state = qv.filter(col("vec_id") % modulo === 0)
+      .select(col("m"), col("vec_id").as("c_id"), col("q").as("s"),
+        lit(1L).as("cnt"))
+    for (_ <- 1 to iters) {
+      val assigned = trainedAssign(qv, state)
+      val cnts = assigned.groupBy(col("m"), col("cluster"))
+        .agg(count(lit(1)).as("cnt"))
+      val sums = assigned
+        .select(col("m"), col("cluster"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy(col("m"), col("cluster"), col("i")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("m"), col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("sx")))),
+          st => st.getField("sx")).as("s"))
+      state = sums.join(cnts, Seq("m", "cluster"))
+        .select(col("m"), col("cluster").as("c_id"), col("s"), col("cnt"))
+        .localCheckpoint(false) // bound lineage across rounds
+    }
+    state
+  }
+
+  /** Codes against a TRAINED state: (n_id, m, c_id). */
+  private def trainedCodesOf(vecs: DataFrame, state: DataFrame, m: Int,
+                             dims: Int): DataFrame =
+    trainedAssign(pqSubQuantized(vecs, m, dims), state)
+      .select(col("vec_id").as("n_id"), col("m"), col("cluster").as("c_id"))
+
+  /** Query LUT against a trained state: pdot = ⟨q_sub, s⟩/(cnt·4096)
+    * — the decoded-mean dot with ONE double division, sequential fold
+    * order pinned to the oracle's list_reduce. */
+  private def trainedLut(queries: DataFrame, state: DataFrame, m: Int,
+                         dims: Int): DataFrame =
+    queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
+      .join(broadcast(state), "m")
+      .withColumn("pdot",
+        aggregate(zip_with(pqSub(col("q_emb"), col("m"), dims / m), col("s"),
+          (x, si) => x.cast("double") * si.cast("double")),
+          lit(0.0), (acc, v) => acc + v) /
+        (col("cnt").cast("double") * lit(4096.0)))
+      .select(col("q_id"), col("m"), col("c_id"), col("pdot"))
+
+  /** IVF + TRAINED-PQ top-k, index built inline: cluster pruning as
+    * [[ivfPqTopK]], ADC against the Lloyd-trained codebook. */
+  def ivfPqTrainedTopK(emb: DataFrame, queryIds: Column, k: Int,
+                       nProbe: Int = 1, m: Int = 8, dims: Int = 64,
+                       modulo: Int = 40): DataFrame = {
+    requirePqDims(m, dims)
+    val cent = ivfCentroids(emb, modulo)
+    val state = pqCodebookTrainedState(emb, m, dims, modulo)
+    val q = emb.filter(queryIds).select(col("vec_id"), col("embedding"))
+    val probe = ivfRanked(q, cent).filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("q_probe"))
+    val codes = trainedCodesOf(emb, state, m, dims)
+      .join(ivfAssign(emb, cent)
+        .select(col("vec_id").as("n_id"), col("cluster")), "n_id")
+    ivfPqScored(codes, probe, trainedLut(q, state, m, dims), k)
+  }
+
+  /** Build the trained-codebook IVF-PQ layout: same cluster-partitioned
+    * codes table and probe machinery as [[writeIvfPqIndex]]; the only
+    * difference is the `codebook_state` sidecar (trained integer state
+    * instead of centroid slices). Appends/compaction/vacuum are the
+    * shared codes-layout verbs. */
+  def writeIvfPqTrainedIndex(emb: DataFrame, dir: String, modulo: Int = 40,
+                             m: Int = 8, dims: Int = 64): Unit = {
+    requirePqDims(m, dims)
+    requireFreshIndexRoot(emb.sparkSession, dir)
+    val cent = ivfCentroids(emb, modulo)
+    val state = pqCodebookTrainedState(emb, m, dims, modulo)
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    state.write.mode("overwrite").parquet(s"$dir/codebook_state")
+    val codes = trainedCodesOf(emb, state, m, dims)
+      .join(ivfAssign(emb, cent)
+        .select(col("vec_id").as("n_id"), col("cluster")), "n_id")
+    writeClusteredCodes(codes, s"$dir/codes")
+  }
+
+  /** Append NEW vectors to a stored trained-codebook index: assigned
+    * against the FROZEN centroids and coded against the FROZEN trained
+    * state (retraining either is a rebuild — the shared maintenance
+    * contract). The codes layout is identical to plain IVF-PQ, so the
+    * fold/vacuum verbs ([[compactIvfPqIndex]], [[vacuumVectorIndex]])
+    * are SHARED, not re-implemented. */
+  def appendIvfPqTrainedDelta(spark: SparkSession, dir: String,
+                              emb: DataFrame, m: Int = 8,
+                              dims: Int = 64): Unit = {
+    requirePqDims(m, dims)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val state = spark.read.parquet(s"$dir/codebook_state")
+    val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val codes = trainedCodesOf(vecs, state, m, dims)
+      .join(ivfAssign(vecs, cent)
+        .select(col("vec_id").as("n_id"), col("cluster")), "n_id")
+    writeClusteredCodes(codes, s"$dir/delta_$next/codes")
+    maybeCompact(spark, dir, "codes", compactIvfPqIndex)
+  }
+
+  /** Stored trained-codebook probe: identical pruning to
+    * [[ivfPqTopKStored]] (static cluster partition filters on every
+    * generation), LUT from the trained state sidecar. */
+  def ivfPqTrainedTopKStored(spark: SparkSession, dir: String,
+                             queries: DataFrame, k: Int, nProbe: Int = 1,
+                             m: Int = 8, dims: Int = 64): DataFrame = {
+    requirePqDims(m, dims)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val state = spark.read.parquet(s"$dir/codebook_state")
+    val q = queries.select(col("vec_id"), col("embedding"))
+    val probe = ivfRanked(q, cent).filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("q_probe"))
+      .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it
+    val probes = probe.select(col("q_probe")).distinct().collect().map(_.getLong(0))
+    ivfPqScored(allIvfPqCodes(spark, dir, Some(probes.toSeq)), probe,
+      trainedLut(q, state, m, dims), k)
+  }
+
   // ──────── Residual IVF-PQ: code v − centroid(v), the FAISS default ──
 
   /** Element-wise float32 residual v − c (both engines subtract in
@@ -1708,6 +1891,16 @@ object Similarity {
       ivfPqTopKStored(s, s"${indexDir(s, d)}/ivfpq_tomb",
         t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
     },
+    // Lloyd-TRAINED codebook (2 integer-state kmeans rounds per
+    // subspace): inline and stored share one oracle — the trained
+    // state is data, so persisting it must not change a row
+    "sim_ivfpq_trained" -> { (s, d) =>
+      ivfPqTrainedTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3)
+    },
+    "sim_ivfpq_trained_stored" -> { (s, d) =>
+      ivfPqTrainedTopKStored(s, s"${indexDir(s, d)}/ivfpq_trained",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
+    },
     // the full FAISS serving shape: cluster-pruned ADC shortlist from
     // the stored codes, exact-cosine refine bounded by c per query
     "sim_ivfpq_rerank" -> { (s, d) =>
@@ -1984,6 +2177,93 @@ object Similarity {
   private lazy val ivfPqOracleSql: String =
     s"""${ivfPqRankedCtes()}
        |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** Trained-codebook IVF-PQ oracle: the sim_kmeans integer-state
+    * rounds keyed per subspace (2 unrolled Lloyd rounds), coding +
+    * decoded-mean LUT + the order-pinned ADC fold. Every intermediate
+    * is exact integers except the comparison/LUT divisions, which both
+    * engines compute with identical op order. */
+  private lazy val ivfPqTrainedOracleSql: String = {
+    def argmin(src: String, st: String): String =
+      s"""SELECT vec_id, m, q, c_id,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY CAST(a AS DOUBLE) / (cnt*cnt), c_id) AS rk
+         |  FROM (
+         |    SELECT v.vec_id, v.m, v.q, t.c_id, t.cnt,
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, 9), i ->
+         |          (t.cnt*v.q[i] - t.s[i]) * (t.cnt*v.q[i] - t.s[i]))),
+         |        (acc, x) -> acc + x) AS a
+         |    FROM $src v JOIN $st t ON t.m = v.m)""".stripMargin
+    def update(asg: String, n: Int): String =
+      s"""cnt$n AS (SELECT m, cluster, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM $asg GROUP BY 1, 2),
+         |sum$n AS (
+         |  SELECT a.m, a.cluster, ix.i, CAST(sum(q[ix.i]) AS BIGINT) AS sx
+         |  FROM $asg a, (SELECT unnest(range(1, 9)) AS i) ix
+         |  GROUP BY 1, 2, 3),
+         |st$n AS (
+         |  SELECT s$n.m, s$n.cluster AS c_id,
+         |    array_agg(sx ORDER BY i) AS s, any_value(cnt) AS cnt
+         |  FROM sum$n s$n JOIN cnt$n
+         |    ON cnt$n.m = s$n.m AND cnt$n.cluster = s$n.cluster
+         |  GROUP BY s$n.m, s$n.cluster)""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % 40 = 0),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS cluster FROM (
+       |    SELECT e.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "cent.c_emb")} DESC, cent.c_id) AS arank
+       |    FROM embeddings e CROSS JOIN cent)
+       |  WHERE arank = 1),
+       |ms AS (SELECT unnest(range(0, 8)) AS m),
+       |vs AS (
+       |  SELECT vec_id, m, list_slice(embedding, m*8 + 1, m*8 + 8) AS v_sub
+       |  FROM embeddings CROSS JOIN ms),
+       |qv AS (
+       |  SELECT vec_id, m, list_transform(v_sub, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * 4096 + 0.5) AS BIGINT)) AS q
+       |  FROM vs),
+       |st0 AS (SELECT m, vec_id AS c_id, q AS s, CAST(1 AS BIGINT) AS cnt
+       |        FROM qv WHERE vec_id % 40 = 0),
+       |r1 AS (${argmin("qv", "st0")}),
+       |asg1 AS (SELECT vec_id, m, q, c_id AS cluster FROM r1 WHERE rk = 1),
+       |${update("asg1", 1)},
+       |r2 AS (${argmin("qv", "st1")}),
+       |asg2 AS (SELECT vec_id, m, q, c_id AS cluster FROM r2 WHERE rk = 1),
+       |${update("asg2", 2)},
+       |rc AS (${argmin("qv", "st2")}),
+       |codes AS (SELECT vec_id AS n_id, m, c_id FROM rc WHERE rk = 1),
+       |codesc AS (
+       |  SELECT c.n_id, c.m, c.c_id, a.cluster
+       |  FROM codes c JOIN assigned a ON a.vec_id = c.n_id),
+       |q AS (SELECT vec_id AS q_id, cluster AS q_cluster
+       |      FROM assigned WHERE vec_id < 8),
+       |lut AS (
+       |  SELECT vq.vec_id AS q_id, vq.m, t.c_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 9), i ->
+       |        CAST(vq.v_sub[i] AS DOUBLE) * CAST(t.s[i] AS DOUBLE))),
+       |      (acc, x) -> acc + x)
+       |      / (CAST(t.cnt AS DOUBLE) * 4096.0) AS pdot
+       |  FROM (SELECT * FROM vs WHERE vec_id < 8) vq
+       |  JOIN st2 t ON t.m = vq.m),
+       |scored AS (
+       |  SELECT q.q_id, cc.cluster, cc.n_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      array_agg(l.pdot ORDER BY l.m)), (acc, v) -> acc + v) AS score
+       |  FROM codesc cc
+       |  JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id
+       |  JOIN lut l ON l.q_id = q.q_id AND l.m = cc.m AND l.c_id = cc.c_id
+       |  GROUP BY q.q_id, cc.cluster, cc.n_id),
+       |ranked AS (
+       |  SELECT q_id, cluster, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+  }
 
   /** ADC top-10 shortlist from the cluster-pruned chain, exact-cosine
     * re-rank to top-3 — mirrors [[ivfPqTopKRerankStored]] (the same
@@ -2318,6 +2598,8 @@ object Similarity {
     // survivors ∪ restored — centroids and codebook stay the full
     // corpus's (frozen; every % 40 == 0 source vector is even)
     "sim_ivfpq" -> ivfPqOracleSql,
+    "sim_ivfpq_trained" -> ivfPqTrainedOracleSql,
+    "sim_ivfpq_trained_stored" -> ivfPqTrainedOracleSql,
     "sim_ivfpq_stored" -> ivfPqOracleSql,
     "sim_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "sim_ivfpqr" -> ivfPqrOracleSql,

@@ -132,6 +132,45 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trained-codebook index: frozen-state delta == monolithic; shared fold + vacuum; rebuild refused") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val dir = "/tmp/graft_ivfpq_trained_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val ref = dir + "_ref"
+    try {
+      // split so the base holds every deterministic sidecar source
+      // (% 40 == 0 centroid/codeword seeds are all even): the frozen
+      // trained state equals the monolithic build's ONLY if training
+      // saw the same corpus — so train on evens, verify delta coding
+      // (not delta training) is what append does
+      Similarity.writeIvfPqTrainedIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+      Similarity.appendIvfPqTrainedDelta(spark, dir,
+        emb.filter(col("vec_id") % 2 =!= 0))
+      // reference: monolithic CODES against the same frozen state
+      Similarity.writeIvfPqTrainedIndex(emb.filter(col("vec_id") % 2 === 0), ref)
+      Similarity.appendIvfPqTrainedDelta(spark, ref,
+        emb.filter(col("vec_id") % 2 =!= 0))
+      val queries = emb.filter(col("vec_id") < 8)
+      val want = rows(Similarity.ivfPqTrainedTopKStored(spark, dir, queries, 3))
+      assert(want.nonEmpty)
+      assert(rows(Similarity.ivfPqTrainedTopKStored(spark, ref, queries, 3))
+        === want, "same build recipe diverged (nondeterministic training?)")
+      // fold + vacuum are the SHARED codes-layout verbs; serving holds
+      Similarity.compactIvfPqIndex(spark, dir)
+      Similarity.vacuumVectorIndex(spark, dir)
+      assert(rows(Similarity.ivfPqTrainedTopKStored(spark, dir, queries, 3))
+        === want)
+      // uncompacted-delta rebuild refusal covers this layout too
+      assertThrows[IllegalArgumentException](
+        Similarity.writeIvfPqTrainedIndex(emb, ref))
+    } finally {
+      Seq(dir, ref).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+  }
+
   test("delete-aware components IVM == fresh recompute across random mixed feeds") {
     import graft.sources.graphar.GraphArMutations
     import graft.graph.GraphOps
