@@ -203,12 +203,16 @@ object VectorScaleBench {
       // (their true neighbors are not in the ground truth set)
       val ivfpqRec = s"$base/ivfpq_recall_idx"
       val ivfDir = s"$base/ivf_recall_idx"
-      Seq(pqDir, ivfpqrDir, ivfpqRec, ivfDir).foreach(d =>
+      val trainedDir = s"$base/ivfpq_trained_idx"
+      Seq(pqDir, ivfpqrDir, ivfpqRec, ivfDir, trainedDir).foreach(d =>
         fs.delete(new Path(d), true))
       Similarity.writeIvfIndex(emb, ivfDir, modulo)
       Similarity.writePqIndex(emb, pqDir, modulo = modulo)
       Similarity.writeIvfPqResidualIndex(emb, ivfpqrDir, modulo)
       Similarity.writeIvfPqIndex(emb, ivfpqRec, modulo)
+      val tTr = System.nanoTime()
+      Similarity.writeIvfPqTrainedIndex(emb, trainedDir, modulo)
+      println(f"VECSCALE ivfpq_trained_build[$tag] one=${(System.nanoTime() - tTr) / 1e9}%.3f")
       val ivfpqDir = ivfpqRec
       Seq(1, 4, 8).foreach { np =>
         recallTimed(s"ivf_np$np")(
@@ -221,6 +225,9 @@ object VectorScaleBench {
         recallTimed(s"ivfpq_rerank_c50_np$np")(
           Similarity.ivfPqTopKRerankStored(spark, ivfpqDir, emb, rq, 10,
             c = 50, nProbe = np))
+        recallTimed(s"ivfpq_trained_np$np")(
+          Similarity.ivfPqTrainedTopKStored(spark, trainedDir, rq, 10,
+            nProbe = np))
       }
       // plain PQ is the NO-pruning layout (full-scan ADC): 64 queries
       // x corpus blows the grouped-fold working set at 2M on the
