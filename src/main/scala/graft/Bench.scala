@@ -86,7 +86,7 @@ object Bench {
     if (yaml == null) {
       // fixture failed: still honor the one-JSON-line driver contract
       // (graph queries are skipped; their keys are simply absent)
-      emit(results, sfDir)
+      emit(results, sfDir, spark.sparkContext.defaultParallelism >= 32)
       spark.stop()
       return
     }
@@ -137,7 +137,7 @@ object Bench {
       operators.Relational.queries("q12_sessionize")(spark, sfDir).count()
     }
 
-    emit(results, sfDir)
+    emit(results, sfDir, spark.sparkContext.defaultParallelism >= 32)
     spark.stop()
   }
 
@@ -150,7 +150,7 @@ object Bench {
     }
 
   private def emit(results: scala.collection.mutable.LinkedHashMap[String, Res],
-                   sfDir: String): Unit = {
+                   sfDir: String, guardArmed: Boolean): Unit = {
     val qs = results.map { case (k, r) =>
       "\"" + jsonEscape(k) + "\":{\"median\":" + r.median +
         ",\"min\":" + r.min + ",\"n\":" + r.n + "}"
@@ -162,7 +162,6 @@ object Bench {
     // are only comparable when the passing sets match.
     val failed = results.iterator
       .collect { case (k, r) if r.median < 0 => k }.toSeq
-    val fj = failed.map(n => "\"" + jsonEscape(n) + "\"").mkString("[", ",", "]")
     val excluded = Set("fixture_build", "calibration")
     val total = results.iterator
       .filter { case (k, r) => !excluded(k) && r.median >= 0 }
@@ -170,14 +169,36 @@ object Bench {
     // drift-normalized medians: query / calibration — unitless speed
     // ratios that stay comparable across rounds on a drifting box
     val calib = results.get("calibration").map(_.median).filter(_ > 0)
+    // DRIFT GUARD: a calibration median more than 2× the recorded
+    // best-observed floor means the box is contended enough that the
+    // ABSOLUTE seconds in this run are poisoned (a round-9 misread of
+    // exactly this kind cost a full judging cycle). Fail loudly —
+    // ok:false with the reason in `failed` — instead of silently
+    // publishing them; the normalized ratios remain trustworthy and
+    // are still emitted. The floor is the lowest calibration median
+    // ever recorded for this probe on the reference box (BENCH_r10,
+    // local[32]) — the probe is CPU-count-sensitive, so the guard
+    // arms only at the driver's parallelism (a local[8] dev smoke
+    // legitimately runs the fixed work ~2-4× slower).
+    val drifted = guardArmed && calib.exists(_ > 2.0 * CalibrationFloorSec)
+    val failedAll = failed ++
+      (if (drifted) Seq("calibration_drift>2x_floor") else Nil)
+    val fjAll = failedAll.map(n => "\"" + jsonEscape(n) + "\"")
+      .mkString("[", ",", "]")
     val qn = calib.map { c =>
       val entries = results.iterator
         .filter { case (k, r) => !excluded(k) && r.median >= 0 }
         .map { case (k, r) =>
           "\"" + jsonEscape(k) + "\":" + (r.median / c)
         }.mkString("{", ",", "}")
-      s""","calibration":$c,"value_normalized":${total / c},"queries_normalized":$entries"""
+      s""","calibration":$c,"calibration_floor":$CalibrationFloorSec,"calibration_drift":$drifted,"value_normalized":${total / c},"queries_normalized":$entries"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${failed.isEmpty},"failed":$fj$qn,"queries":$qs,"sf":"${jsonEscape(sfDir)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${failedAll.isEmpty},"failed":$fjAll$qn,"queries":$qs,"sf":"${jsonEscape(sfDir)}"}""")
   }
+
+  /** Lowest calibration-probe median recorded on the reference box
+    * (BENCH_r10: 1.396 s). The probe is fixed synthetic work, so a
+    * faster future box may legitimately beat it — lower the floor
+    * when that happens; the guard only fires on >2× SLOWER. */
+  private val CalibrationFloorSec = 1.396
 }

@@ -206,6 +206,12 @@ object Plans {
         operators.Similarity.queries("sim_filtered_stored")(spark, sfDir),
       "sim_filtered_ivfpq (allow-list semi-join on m-byte code rows, partition pruning intact)" ->
         operators.Similarity.queries("sim_filtered_ivfpq")(spark, sfDir),
+      "sim_filtered_trained (allow-list semi-join over the Lloyd-trained codes, pruning intact)" ->
+        operators.Similarity.queries("sim_filtered_trained")(spark, sfDir),
+      "sim_trained_rerank (trained-ADC shortlist, broadcast exact-cosine refine at point-lookup cost)" ->
+        operators.Similarity.queries("sim_trained_rerank")(spark, sfDir),
+      "p_bpe_tvf_deep (SQL TVF surface of the deep encode: one vocab aggregation at resolution)" ->
+        operators.Pipeline.queries("p_bpe_tvf_deep")(spark, sfDir),
       "t_fuzzy_stored (dict-resolved edit-distance expansion, bucket-pruned probe)" ->
         operators.Retrieval.queries("t_fuzzy_stored")(spark, sfDir),
       "p_bpe_encode_deep (1262-merge batched encode: vocab-level passes + one corpus join)" ->

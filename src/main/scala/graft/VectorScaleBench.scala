@@ -228,6 +228,9 @@ object VectorScaleBench {
         recallTimed(s"ivfpq_trained_np$np")(
           Similarity.ivfPqTrainedTopKStored(spark, trainedDir, rq, 10,
             nProbe = np))
+        recallTimed(s"ivfpq_trained_rerank_c50_np$np")(
+          Similarity.ivfPqTrainedTopKRerankStored(spark, trainedDir, emb,
+            rq, 10, c = 50, nProbe = np))
       }
       // plain PQ is the NO-pruning layout (full-scan ADC): 64 queries
       // x corpus blows the grouped-fold working set at 2M on the

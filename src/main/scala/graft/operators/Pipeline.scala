@@ -800,6 +800,12 @@ object Pipeline {
     "p_bpe_encode_deep" -> { (s, d) =>
       val docs = t(s, d, "documents")
       bpeEncodedCountsStored(docs, frequencyMergeTable(docs))
+    },
+    // the SQL TVF surface of the same deep encode (registration + one
+    // SELECT): must not change a row vs the API path — shared oracle
+    "p_bpe_tvf_deep" -> { (s, d) =>
+      TextTableFunctions.register(s)
+      s.sql(s"SELECT * FROM text_bpe_encode('$d/documents.parquet')")
     }
   )
 
@@ -1162,6 +1168,7 @@ object Pipeline {
     Map(
       "p_bpe" -> s"$ctes\n$mergeRows",
       "p_bpe_encode_deep" -> deepSql,
+      "p_bpe_tvf_deep" -> deepSql,
       "p_bpe_encode" ->
         s"""$ctes,
            |toks AS (SELECT doc_id, unnest($tok) AS w FROM documents),

@@ -267,7 +267,8 @@ object Retrieval {
     */
   def fuzzySearchStored(spark: SparkSession, path: String, term: String,
                         maxDist: Int = 1,
-                        maxExpansions: Int = 1024): DataFrame = {
+                        maxExpansions: Int = 1024,
+                        inlineTermLimit: Int = 64): DataFrame = {
     require(term.nonEmpty, "fuzzy search needs a non-empty term")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val parts = maxDist + 1
@@ -300,9 +301,22 @@ object Retrieval {
         col("id").as("n_terms"), col("id").as("hits"))
     val terms = expansions.map(_.getString(0)).toSeq
     val buckets = expansions.map(_.getLong(1)).distinct.toSeq
-    allPostings(spark, path)
+    val pruned = allPostings(spark, path)
       .filter(col("bucket").isin(buckets: _*))
-      .filter(col("term").isin(terms: _*))
+    // a small expansion set inlines as a pushable In filter on the
+    // postings scan; a LARGE one (tens of thousands of terms at wide
+    // maxDist over a 100M-term vocab) would bloat the literal plan and
+    // its analysis time with no pushdown payoff — past the limit the
+    // set broadcast-semi-joins instead (same rows, O(1) plan size; the
+    // bucket partition filter above still prunes the scan)
+    val matched =
+      if (terms.length <= inlineTermLimit)
+        pruned.filter(col("term").isin(terms: _*))
+      else {
+        import spark.implicits._
+        pruned.join(broadcast(terms.toDF("term")), Seq("term"), "left_semi")
+      }
+    matched
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("hits"))
   }

@@ -133,7 +133,20 @@ object Similarity {
       .filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("c_id").as("q_probe"))
-      .localCheckpoint(false) // serving-call probe frame: ContextCleaner-reclaimed, never a leaked cache entry
+      // Serving probes pin their tiny (O(queries·nProbe)) frames with
+      // lazy localCheckpoint(false), NOT persist: the blocks are
+      // ContextCleaner-reclaimed with the frame, so a long-lived
+      // serving session never accumulates cache entries per call.
+      // KNOWN TRADE-OFF: local checkpoints truncate lineage and are
+      // unreplicated — an executor loss (or dynamic-allocation
+      // decommission) mid-query fails the probe with a clear
+      // BlockNotFound instead of recomputing. For serving calls that
+      // is the right failure mode (the caller retries a sub-second
+      // probe); pipelines that must survive executor churn should
+      // disable dynamic deallocation during probes or use reliable
+      // checkpointing. Applies to every `.localCheckpoint(false)`
+      // serving-probe site in this file and Retrieval.scala.
+      .localCheckpoint(false)
     val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
     val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
     val cands = spark.read.parquet(s"$dir/vectors")
@@ -1239,14 +1252,22 @@ object Similarity {
     require(c >= k, s"shortlist size c=$c must be >= k=$k")
     val shortlist = ivfPqTopKStored(spark, dir, queries, c, nProbe, m, dims)
       .select(col("q_id"), col("n_id"))
+    exactRerank(shortlist, emb, queries, k)
+  }
+
+  /** Shared exact-cosine refine tail of every retrieve-then-refine
+    * probe: re-rank an O(queries×c) (q_id, n_id) shortlist against the
+    * full-precision corpus to top-k. The shortlist broadcasts —
+    * without the hint Catalyst has no size stats for the window output
+    * and would shuffle the whole float corpus into a sort-merge join,
+    * the exact movement the refine exists to avoid; the corpus is
+    * touched only at point-lookup granularity. */
+  private def exactRerank(shortlist: DataFrame, emb: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
     val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val qv = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    // broadcast the O(queries×c) shortlist — without the hint Catalyst
-    // has no size stats for the window output and would shuffle the
-    // whole float corpus into a sort-merge join, the exact movement
-    // this refine exists to avoid
     broadcast(shortlist).join(n, "n_id").join(broadcast(qv), "q_id")
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
@@ -1271,15 +1292,23 @@ object Similarity {
     val shortlist = ivfPqTopKStoredFiltered(spark, dir, queries, c, meta,
         pred, nProbe, m, dims)
       .select(col("q_id"), col("n_id"))
-    val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val qv = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    broadcast(shortlist).join(n, "n_id").join(broadcast(qv), "q_id")
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"))
+    exactRerank(shortlist, emb, queries, k)
+  }
+
+  /** Retrieve-then-refine over the TRAINED-codebook index — the
+    * [[ivfPqTopKRerankStored]] serving shape with the Lloyd-trained
+    * ADC shortlist (the recall knob composed with the recall-best
+    * coded layout): trained ADC picks top-`c`, exact cosine refines
+    * to top-k at point-lookup cost. */
+  def ivfPqTrainedTopKRerankStored(spark: SparkSession, dir: String,
+                                   emb: DataFrame, queries: DataFrame,
+                                   k: Int, c: Int = 10, nProbe: Int = 1,
+                                   m: Int = 8, dims: Int = 64): DataFrame = {
+    require(c >= k, s"shortlist size c=$c must be >= k=$k")
+    val shortlist = ivfPqTrainedTopKStored(spark, dir, queries, c, nProbe,
+        m, dims)
+      .select(col("q_id"), col("n_id"))
+    exactRerank(shortlist, emb, queries, k)
   }
 
   // ──────── TRAINED (Lloyd) PQ codebook: the measured fix for the
@@ -1438,12 +1467,108 @@ object Similarity {
     maybeCompact(spark, dir, "codes", compactIvfPqIndex)
   }
 
+  /** Per-generation QUANTIZATION-ERROR observability for a stored
+    * coded index (PQ / IVF-PQ / trained): appends code new vectors
+    * against the FROZEN codebook by design (bit-exact maintenance
+    * gates), so under real corpus drift the representation error of
+    * each new generation grows silently. This stats verb makes the
+    * trade observable — the same honesty-by-metadata philosophy as the
+    * reference's count sidecars (`func.cpp:65-72`): one row per live
+    * generation, `(generation, n_vectors, mse)`, where `mse` is the
+    * mean per-vector squared reconstruction error ‖v − decode(code(v))‖²
+    * against the frozen codebook (trained-state sidecars decode as
+    * member means, s/(cnt·4096)).
+    *
+    * Cost: one pass over each generation's codes joined to `emb` at
+    * point-lookup granularity — a maintenance-time call, never on the
+    * serving path. Compare deltas against the base with
+    * [[retrainRecommended]]. */
+  def quantizationDrift(spark: SparkSession, dir: String, emb: DataFrame,
+                        m: Int = 8, dims: Int = 64): DataFrame = {
+    requirePqDims(m, dims)
+    val fsys = graft.util.IndexCommit.fs(spark, dir)
+    val cb =
+      if (fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/codebook_state")))
+        spark.read.parquet(s"$dir/codebook_state")
+          .select(col("m"), col("c_id"),
+            transform(col("s"), x =>
+              x.cast("double") / (col("cnt").cast("double") * 4096.0))
+              .as("c_sub"))
+      else
+        spark.read.parquet(s"$dir/codebook")
+          .select(col("m"), col("c_id"),
+            transform(col("c_sub"), x => x.cast("double")).as("c_sub"))
+    val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
+    val gens = ("base", s"$baseDir/codes") +:
+      graft.util.IndexCommit.deltaDirs(spark, dir, minDelta,
+          commitSub = Some("codes"))
+        .map(p => (p.split('/').last, s"$p/codes"))
+    val v = emb.select(col("vec_id").as("n_id"), col("embedding"))
+    gens.map { case (gen, codesDir) =>
+      spark.read.parquet(codesDir)
+        .select(col("n_id"), col("m"), col("c_id"))
+        .join(broadcast(cb), Seq("m", "c_id"))
+        .join(v, "n_id")
+        .select(col("n_id"),
+          aggregate(zip_with(pqSub(col("embedding"), col("m"), dims / m),
+              col("c_sub"),
+              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (a, b) => a + b).as("se"))
+        .groupBy(col("n_id")).agg(sum(col("se")).as("vse"))
+        .agg(count(lit(1)).as("n_vectors"), avg(col("vse")).as("mse"))
+        .select(lit(gen).as("generation"), col("n_vectors"), col("mse"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Documented retrain threshold: a delta generation whose mean
+    * squared reconstruction error exceeds the live base's by this
+    * factor no longer fits the frozen codebook — rebuild the index
+    * (which retrains centroids/codebook over the full current corpus).
+    * 2× is where the measured clustered-corpus recall loss starts to
+    * dominate nProbe tuning; tighten for recall-critical serving. */
+  val RetrainDriftThreshold = 2.0
+
+  /** True when any delta generation's quantization error exceeds
+    * [[RetrainDriftThreshold]] × the live base's — the observable
+    * "frozen codebook has drifted off the corpus; rebuild" signal. */
+  def retrainRecommended(spark: SparkSession, dir: String, emb: DataFrame,
+                         m: Int = 8, dims: Int = 64,
+                         threshold: Double = RetrainDriftThreshold): Boolean = {
+    val rows = quantizationDrift(spark, dir, emb, m, dims).collect()
+    val base = rows.find(_.getString(0) == "base")
+      .map(_.getDouble(2)).filter(_ > 0)
+    val worst = rows.filter(_.getString(0) != "base")
+      .map(_.getDouble(2)).maxOption
+    (for (b <- base; w <- worst) yield w / b > threshold).getOrElse(false)
+  }
+
   /** Stored trained-codebook probe: identical pruning to
     * [[ivfPqTopKStored]] (static cluster partition filters on every
     * generation), LUT from the trained state sidecar. */
   def ivfPqTrainedTopKStored(spark: SparkSession, dir: String,
                              queries: DataFrame, k: Int, nProbe: Int = 1,
-                             m: Int = 8, dims: Int = 64): DataFrame = {
+                             m: Int = 8, dims: Int = 64): DataFrame =
+    ivfPqTrainedTopKStoredImpl(spark, dir, queries, k, nProbe, m, dims, None)
+
+  /** Attribute-filtered stored TRAINED-codebook probe — the production
+    * call shape ("top-k within lang = 'en'") composed with the best
+    * coded layout: [[ivfPqTopKStoredFiltered]]'s filter-then-rank
+    * allow-list semi-join (k survivors guaranteed, cluster partition
+    * pruning intact) over the Lloyd-trained codes. Without this twin
+    * a filtered query had to fall back to the id-drawn codebook, whose
+    * clustered-corpus recall collapse is measured in docs/SCALE.md. */
+  def ivfPqTrainedTopKStoredFiltered(spark: SparkSession, dir: String,
+                                     queries: DataFrame, k: Int,
+                                     meta: DataFrame, pred: Column,
+                                     nProbe: Int = 1, m: Int = 8,
+                                     dims: Int = 64): DataFrame =
+    ivfPqTrainedTopKStoredImpl(spark, dir, queries, k, nProbe, m, dims,
+      Some(meta.filter(pred).select(col("vec_id").as("n_id"))))
+
+  private def ivfPqTrainedTopKStoredImpl(spark: SparkSession, dir: String,
+                                         queries: DataFrame, k: Int,
+                                         nProbe: Int, m: Int, dims: Int,
+                                         allowed: Option[DataFrame]): DataFrame = {
     requirePqDims(m, dims)
     val cent = spark.read.parquet(s"$dir/centroids")
     val state = spark.read.parquet(s"$dir/codebook_state")
@@ -1452,8 +1577,10 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("c_id").as("q_probe"))
       .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it
     val probes = probe.select(col("q_probe")).distinct().collect().map(_.getLong(0))
-    ivfPqScored(allIvfPqCodes(spark, dir, Some(probes.toSeq)), probe,
-      trainedLut(q, state, m, dims), k)
+    val codes = allIvfPqCodes(spark, dir, Some(probes.toSeq))
+    val filtered = allowed.fold(codes)(a =>
+      codes.join(a, Seq("n_id"), "left_semi"))
+    ivfPqScored(filtered, probe, trainedLut(q, state, m, dims), k)
   }
 
   // ──────── Residual IVF-PQ: code v − centroid(v), the FAISS default ──
@@ -1801,6 +1928,14 @@ object Similarity {
         t(s, d, "embeddings").filter(col("vec_id") < 8), 3,
         t(s, d, "embeddings"), col("label") % 2 === 0)
     },
+    // the production composition: attribute filter over the BEST coded
+    // layout (Lloyd-trained codebook) — filter-then-rank allow-list on
+    // the cluster-pruned trained codes
+    "sim_filtered_trained" -> { (s, d) =>
+      ivfPqTrainedTopKStoredFiltered(s, s"${indexDir(s, d)}/ivfpq_trained",
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3,
+        t(s, d, "embeddings"), col("label") % 2 === 0)
+    },
     // the full filtered serving shape: predicate-pruned ADC shortlist
     // + exact-cosine refine bounded by c per query
     "sim_filtered_rerank" -> { (s, d) =>
@@ -1900,6 +2035,13 @@ object Similarity {
     "sim_ivfpq_trained_stored" -> { (s, d) =>
       ivfPqTrainedTopKStored(s, s"${indexDir(s, d)}/ivfpq_trained",
         t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
+    },
+    // trained ADC shortlist + exact-cosine refine: the recall knob
+    // composed with the recall-best coded layout
+    "sim_trained_rerank" -> { (s, d) =>
+      ivfPqTrainedTopKRerankStored(s, s"${indexDir(s, d)}/ivfpq_trained",
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3, c = 10)
     },
     // the full FAISS serving shape: cluster-pruned ADC shortlist from
     // the stored codes, exact-cosine refine bounded by c per query
@@ -2600,6 +2742,36 @@ object Similarity {
     "sim_ivfpq" -> ivfPqOracleSql,
     "sim_ivfpq_trained" -> ivfPqTrainedOracleSql,
     "sim_ivfpq_trained_stored" -> ivfPqTrainedOracleSql,
+    // trained-ADC top-10 shortlist, exact-cosine re-rank to top-3 —
+    // the ivfPqRerankOracleSql tail grafted onto the trained chain
+    "sim_trained_rerank" -> {
+      val fin = "SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3"
+      require(ivfPqTrainedOracleSql.endsWith(fin),
+        "sim_trained_rerank oracle rewrite target drifted")
+      ivfPqTrainedOracleSql.stripSuffix(fin) +
+        s""",shortlist AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
+           |rerank AS (
+           |  SELECT s.q_id, s.n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
+           |  FROM shortlist s
+           |  JOIN embeddings ne ON ne.vec_id = s.n_id
+           |  JOIN embeddings qe ON qe.vec_id = s.q_id),
+           |rr AS (
+           |  SELECT q_id, n_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |  FROM rerank)
+           |SELECT q_id, n_id, rank FROM rr WHERE rank <= 3""".stripMargin
+    },
+    // filter-then-rank over the trained codes: the label predicate
+    // restricts CANDIDATES before the ranking window (queries are
+    // probe inputs, not index members — q stays unfiltered)
+    "sim_filtered_trained" -> {
+      val joinText = "JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id"
+      require(ivfPqTrainedOracleSql.contains(joinText),
+        "sim_filtered_trained oracle rewrite target drifted")
+      ivfPqTrainedOracleSql.replace(joinText,
+        joinText + "\n    AND cc.n_id IN " +
+          "(SELECT vec_id FROM embeddings WHERE label % 2 = 0)")
+    },
     "sim_ivfpq_stored" -> ivfPqOracleSql,
     "sim_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "sim_ivfpqr" -> ivfPqrOracleSql,

@@ -253,8 +253,9 @@ object TextTableFunctions {
     // capped far below bpeTrain's own reach: past a few hundred rounds
     // resolution-time training blocks analysis for minutes. Deep
     // tokenizers train through the API ([[Pipeline.bpeTrain]]) and
-    // encode from the persisted merge table
-    // ([[Pipeline.bpeEncodedCountsStored]]), not through a TVF.
+    // ENCODE through `text_bpe_encode` below (or the
+    // [[Pipeline.bpeEncodedCountsStored]] API), which has no merge
+    // ceiling at all.
     (FunctionIdentifier("text_bpe"),
       new ExpressionInfo(getClass.getName, "text_bpe"),
       { args =>
@@ -266,11 +267,39 @@ object TextTableFunctions {
           if (v < 1 || v > 256) throw new IllegalArgumentException(
             s"text_bpe: merges must be in [1, 256], got $v — the TVF " +
               "trains at plan-resolution time (even EXPLAIN pays it); " +
-              "train deeper tokenizers via the Pipeline.bpeTrain API")
+              "train deeper tokenizers via the Pipeline.bpeTrain API " +
+              "and encode via the UNBOUNDED text_bpe_encode TVF")
           v.toInt
         } else Pipeline.BpeMerges
         Pipeline.bpeTrain(docs(strArg("text_bpe", args.head)), n)
           .queryExecution.analyzed
+      }),
+
+    // SELECT * FROM text_bpe_encode('/path/documents.parquet'[, padding])
+    // — per-doc subtoken counts (doc_id, n_subtokens) under the
+    // closed-form frequency-ranked merge table plus `padding` synthetic
+    // deep merges (default ≥1024 total). UNBOUNDED depth: the encode is
+    // [[Pipeline.bpeEncodedCountsStored]]'s batched passes over the
+    // DISTINCT-WORD table, so resolution pays one vocab aggregation and
+    // a merge-table collect — never bpeTrain's per-merge driver rounds
+    // and never a Catalyst tree deeper than one batch. This is the TVF
+    // twin of the `p_bpe_encode_deep` gate (1000+-merge artifact,
+    // recursive-CTE oracle).
+    (FunctionIdentifier("text_bpe_encode"),
+      new ExpressionInfo(getClass.getName, "text_bpe_encode"),
+      { args =>
+        if (args.size != 1 && args.size != 2)
+          throw new IllegalArgumentException(
+            "text_bpe_encode(docs_parquet[, padding])")
+        val pad = if (args.size == 2) {
+          val v = longArg("text_bpe_encode", args(1))
+          if (v < 0 || v > 262144) throw new IllegalArgumentException(
+            s"text_bpe_encode: padding must be in [0, 262144], got $v")
+          v.toInt
+        } else Pipeline.DeepPadding
+        val d = docs(strArg("text_bpe_encode", args.head))
+        Pipeline.bpeEncodedCountsStored(d,
+          Pipeline.frequencyMergeTable(d, pad)).queryExecution.analyzed
       })
   )
 

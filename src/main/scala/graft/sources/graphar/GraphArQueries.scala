@@ -672,21 +672,6 @@ object GraphArQueries {
          |  UNION
          |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
          |SELECT v AS "grapharId", min(r) AS component FROM reach GROUP BY v""".stripMargin,
-    "ga_ivm_components_del" ->
-      s"""WITH RECURSIVE base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
-         |    l_partkey % ${GraphQueries.V} AS d FROM lineitem),
-         |delta AS (SELECT (l_orderkey * 7) % ${GraphQueries.V} AS s,
-         |    (l_partkey * 3) % ${GraphQueries.V} AS d
-         |  FROM lineitem WHERE l_orderkey % 97 = 0),
-         |v2 AS (SELECT s AS src, d AS dst
-         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
-         |  WHERE s % 41 <> 0 AND s < 512 AND d < 512),
-         |ue AS (SELECT src, dst FROM v2 UNION SELECT dst, src FROM v2),
-         |reach(v, r) AS (
-         |  SELECT DISTINCT src AS v, src AS r FROM ue
-         |  UNION
-         |  SELECT reach.v, ue.dst AS r FROM reach JOIN ue ON ue.src = reach.r)
-         |SELECT v AS "grapharId", min(r) AS component FROM reach GROUP BY v""".stripMargin,
     "ga_ivm_components" ->
       s"""WITH RECURSIVE base AS (SELECT l_orderkey % ${GraphQueries.V} AS s,
          |    l_partkey % ${GraphQueries.V} AS d FROM lineitem),

@@ -33,6 +33,19 @@ object IndexCommit {
   def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Test-only interleave/crash injection hook. Maintenance verbs call
+    * [[at]] at each named point of the write→promote→flip→vacuum chain;
+    * a spec installs a callback that either THROWS (simulating a crash
+    * exactly there) or runs a concurrent verb (vacuum, a reader probe)
+    * exactly there — so every interleaving the hammer specs could only
+    * hit by scheduler luck is driven deterministically. Production
+    * cost: one volatile read per point. */
+  @volatile private[graft] var killPoint: (String, String) => Unit =
+    (_, _) => ()
+
+  private[graft] def at(point: String, root: String): Unit =
+    killPoint(point, root)
+
   /** Resolve the live base: (baseDir, minDelta). Legacy layout (no
     * LATEST) → the root itself with every delta applicable.
     *
@@ -43,14 +56,42 @@ object IndexCommit {
     * can momentarily see new bytes against the old checksum. The
     * window closes as soon as both renames land; persistent failure
     * (real corruption) still throws. Found by the grace-0
-    * vacuum-vs-compaction hammer spec, not hypothesized. */
+    * vacuum-vs-compaction hammer spec, not hypothesized.
+    *
+    * A MISSING pointer is equally suspect when the root holds
+    * `base_<n>` / `.staging_base_<n>` dirs: that state is either the
+    * transient no-pointer window of a non-atomic flip (a remote fs
+    * whose overwrite-rename is delete-then-rename) or a crash between
+    * a first build's promote and its flip. Taking the legacy fallback
+    * immediately was the root cause of the grace-0 hammer failure —
+    * vacuum's resolve saw (root, 0), got no live base id, and the old
+    * `getOrElse(true)` classification condemned every base the
+    * in-flight flip was about to serve. Now: retry through the
+    * window; only a root with NO versioned dirs (a genuinely
+    * unversioned legacy index) returns `(root, 0)` at once. If the
+    * pointer never appears (abandoned first-build crash), fall back
+    * to legacy after the retries — [[vacuum]] independently fail-safes
+    * on an unknown live id, so the fallback can never turn
+    * destructive. */
   def resolve(spark: SparkSession, root: String): (String, Int) = {
     val f = fs(spark, root)
     val p = new Path(s"$root/LATEST")
+    def hasVersionedDirs: Boolean = {
+      val rp = new Path(root)
+      f.exists(rp) && f.listStatus(rp).exists { s =>
+        val n = s.getPath.getName
+        s.isDirectory &&
+          (n.startsWith("base_") || n.startsWith(".staging_base_"))
+      }
+    }
     var attempt = 0
     while (true) {
-      if (!f.exists(p)) return (root, 0)
-      try {
+      if (!f.exists(p)) {
+        if (!hasVersionedDirs) return (root, 0)
+        attempt += 1
+        if (attempt >= 50) return (root, 0) // abandoned pre-first-flip
+        Thread.sleep(10)
+      } else try {
         val in = f.open(p)
         val line = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().next().trim finally in.close()
@@ -67,11 +108,22 @@ object IndexCommit {
     sys.error("unreachable")
   }
 
-  /** Atomically repoint LATEST: write a temp file, then ONE
-    * overwriting rename (`FileContext.rename(OVERWRITE)` — atomic on
-    * HDFS and POSIX). A delete-then-rename pair would leave a crash
-    * window with NO pointer, which after a vacuum has reclaimed the
-    * legacy root layout would strand readers. */
+  /** Atomically repoint LATEST: write a temp file, then ONE atomic
+    * overwriting rename. A delete-then-rename pair would leave a
+    * window with NO pointer — a reader in that window resolves the
+    * legacy layout (wrong rows once the root has been vacuumed), and
+    * a vacuum in that window used to lose the live base id entirely.
+    *
+    * On a `file:` root, `FileContext.rename(OVERWRITE)` does NOT
+    * deliver atomicity — Hadoop's local AbstractFileSystem implements
+    * overwrite as delete(dst) + rename(src) — so the flip goes through
+    * `java.nio.Files.move(ATOMIC_MOVE | REPLACE_EXISTING)` instead (a
+    * true atomic overwrite on POSIX). The ChecksumFileSystem `.crc`
+    * sidecar is moved FIRST: the one residual inconsistency is then
+    * new-crc-against-old-bytes, a transient ChecksumException that
+    * [[resolve]] already retries — never a missing pointer. Non-local
+    * schemes keep the FileContext rename (atomic on HDFS; object
+    * stores overwrite atomically at PUT granularity). */
   def commit(spark: SparkSession, root: String, base: String,
              minDelta: Int): Unit = {
     val f = fs(spark, root)
@@ -79,10 +131,25 @@ object IndexCommit {
     val out = f.create(tmp, true)
     try out.write(s"$base $minDelta\n".getBytes("UTF-8")) finally out.close()
     val dst = new Path(s"$root/LATEST")
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.makeQualified(dst).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    at("commit:pre-flip", root)
+    val dstUri = f.makeQualified(dst).toUri
+    if (dstUri.getScheme == "file") {
+      import java.nio.file.{Files, Paths, StandardCopyOption => O}
+      val d = Paths.get(f.makeQualified(new Path(root)).toUri.getPath)
+      val tmpCrc = d.resolve(".".concat(tmp.getName).concat(".crc"))
+      val dstCrc = d.resolve(".".concat(dst.getName).concat(".crc"))
+      if (Files.exists(tmpCrc))
+        Files.move(tmpCrc, dstCrc, O.REPLACE_EXISTING)
+      else Files.deleteIfExists(dstCrc)
+      Files.move(d.resolve(tmp.getName), d.resolve(dst.getName),
+        O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dstUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    at("commit:post-flip", root)
   }
 
   /** Staging name for a base generation mid-write. Writers build the
@@ -110,6 +177,7 @@ object IndexCommit {
     * monotonic-id rule treats as not-dead — the full write→promote→
     * flip chain has no window where any pass can reclaim it. */
   def promoteStaged(spark: SparkSession, root: String, gen: String): Unit = {
+    at("promote:pre", root)
     val f = fs(spark, root)
     val src = new Path(s"$root/${stagingOf(gen)}")
     val dst = new Path(s"$root/$gen")
@@ -118,6 +186,7 @@ object IndexCommit {
       s"$dst already exists — a concurrent writer promoted this id; " +
         "compaction is single-writer (rerun to fold onto a fresh id)")
     require(f.rename(src, dst), s"rename $src -> $dst failed")
+    at("promote:post", root)
   }
 
   /** Next base generation id: one past the highest existing base_<n>. */
@@ -127,7 +196,7 @@ object IndexCommit {
     if (!f.exists(p)) 0
     else f.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("base_"))
-      .map(_.getPath.getName.stripPrefix("base_").toInt)
+      .flatMap(_.getPath.getName.stripPrefix("base_").toIntOption)
       .foldLeft(-1)(math.max) + 1
   }
 
@@ -145,7 +214,8 @@ object IndexCommit {
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
-      .map(s => (s.getPath.getName.stripPrefix("delta_").toInt, s.getPath))
+      .flatMap(s => s.getPath.getName.stripPrefix("delta_").toIntOption
+        .map(id => (id, s.getPath)))
       .filter(_._1 >= minDelta)
       .filter(t => commitSub.forall(sub =>
         f.exists(new Path(t._2, s"$sub/_SUCCESS"))))
@@ -171,7 +241,7 @@ object IndexCommit {
         .filter(s => s.isDirectory &&
           (s.getPath.getName.startsWith("delta_") ||
             s.getPath.getName.startsWith("tomb_")))
-        .map(_.getPath.getName.split('_').last.toInt)
+        .flatMap(_.getPath.getName.split('_').last.toIntOption)
         .foldLeft(-1)(math.max) + 1
     math.max(fromDirs, resolve(spark, root)._2)
   }
@@ -187,7 +257,8 @@ object IndexCommit {
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("tomb_"))
-      .map(s => (s.getPath.getName.stripPrefix("tomb_").toInt, s.getPath))
+      .flatMap(s => s.getPath.getName.stripPrefix("tomb_").toIntOption
+        .map(id => (id, s.getPath)))
       .filter(_._1 >= minDelta)
       .filter(t => f.exists(new Path(t._2, "_COMMIT")))
       .sortBy(_._1)
@@ -321,9 +392,14 @@ object IndexCommit {
     * half of the `_POLICY` contract. */
   def vacuum(spark: SparkSession, root: String,
              legacyDirs: Seq[String]): Unit = {
+    at("vacuum:pre", root)
     val f = fs(spark, root)
     val latest = new Path(s"$root/LATEST")
     if (!f.exists(latest)) return // legacy layout: nothing superseded
+    // the historical race window: the exists() above and the resolve()
+    // below read the pointer at DIFFERENT instants — a flip landing
+    // between them is exactly what the kill-point spec injects here
+    at("vacuum:post-check", root)
     val grace = policyVacuumGraceMs(spark, root).getOrElse(0L)
     val now = System.currentTimeMillis
     val (baseDir, minDelta) = resolve(spark, root)
@@ -334,24 +410,35 @@ object IndexCommit {
     // debris the next successful fold will supersede — deleting it
     // would race the flip into serving a missing dir. Ids only ever
     // advance, so "< live id" is exactly "superseded".
+    // toIntOption, not toInt: an overflowing all-digit suffix
+    // (base_99999999999 debris) must classify as unparseable, not
+    // abort the whole pass with NumberFormatException.
     def idOf(n: String, prefix: String): Option[Int] =
       if (n.startsWith(prefix) && n.stripPrefix(prefix).forall(_.isDigit)
           && n.length > prefix.length)
-        Some(n.stripPrefix(prefix).toInt)
+        n.stripPrefix(prefix).toIntOption
       else None
     val liveBaseId = idOf(baseName, "base_")
+    // FAIL-SAFE: a vacuum that cannot prove which base is live must
+    // not delete any. liveBaseId is None when resolve fell back to
+    // the legacy layout (pointer missing through its whole retry
+    // window — an abandoned first-build crash) or when LATEST names
+    // something unparseable. The old `getOrElse(true)` here condemned
+    // EVERY base in that state — the grace-0 hammer spec caught it
+    // deleting the base a concurrent flip was about to serve. Skip
+    // the pass; a later vacuum with a readable pointer reclaims.
+    if (liveBaseId.isEmpty) return
     f.listStatus(new Path(root)).toSeq.foreach { s =>
       val n = s.getPath.getName
       val dead =
-        (n.startsWith("base_") && n != baseName && {
-          val superseded = for (live <- liveBaseId; id <- idOf(n, "base_"))
-            yield id < live
-          superseded.getOrElse(true) // unparseable id: name rule
-        }) ||
+        (n.startsWith("base_") && n != baseName &&
+          // unparseable base ids are kept: deleting what we cannot
+          // order against the live pointer is never the safe branch
+          idOf(n, "base_").exists(_ < liveBaseId.get)) ||
         (n.startsWith("delta_") &&
-          n.stripPrefix("delta_").toInt < minDelta) ||
+          idOf(n, "delta_").exists(_ < minDelta)) ||
         (n.startsWith("tomb_") &&
-          n.stripPrefix("tomb_").toInt < minDelta) ||
+          idOf(n, "tomb_").exists(_ < minDelta)) ||
         // staging debris whose id the pointer has passed can never be
         // promoted (promoteStaged refuses an existing target and
         // compactors reuse-or-clean their own id) — reclaim it

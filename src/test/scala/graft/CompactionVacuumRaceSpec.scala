@@ -122,11 +122,15 @@ class CompactionVacuumRaceSpec extends AnyFunSuite {
         catch { case e: Throwable => compactErr = Some(e) }
       })
       t.start()
+      // do-while: on a fast box the compaction thread can finish
+      // before the first isAlive check — at least one vacuum must run
+      // for the assert below to mean anything
       var vacuums = 0
-      while (t.isAlive) {
+      while ({
         Retrieval.vacuumPostingsIndex(spark, dir)
         vacuums += 1
-      }
+        t.isAlive
+      }) ()
       t.join()
       assert(compactErr.isEmpty,
         s"compaction failed under concurrent vacuum: $compactErr")

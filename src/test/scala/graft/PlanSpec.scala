@@ -174,6 +174,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("label"), s"label predicate missing from plan:\n$p")
   }
 
+  test("attribute-filtered TRAINED IVF-PQ probe keeps the cluster partition filter") {
+    val base = operators.Similarity.indexDir(spark, sf)
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val df = operators.Similarity.ivfPqTrainedTopKStoredFiltered(
+      spark, s"$base/ivfpq_trained", queries, 3, emb, col("label") % 2 === 0)
+    val got = df.collect()
+    // filter-then-rank: k survivors per query, never fewer
+    assert(got.length === 8 * 3,
+      s"filtered trained probe returned ${got.length} rows, want 24")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cluster"),
+      s"attribute filter dropped the cluster partition filter in:\n$p")
+    assert(p.contains("label"), s"label predicate missing from plan:\n$p")
+  }
+
   test("stored postings probe reads only the query terms' bucket partitions") {
     val base = operators.Retrieval.indexDir(spark, sf)
     val df = operators.Retrieval.conjunctiveSearchStored(

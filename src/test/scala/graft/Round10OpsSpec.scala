@@ -63,6 +63,12 @@ class Round10OpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Retrieval.fuzzySearchStored(spark, idx, "spork", 2,
         maxExpansions = 1))
+
+    // the large-expansion access path (broadcast semi-join instead of
+    // an inlined In-literal list) is row-identical: force it by
+    // setting the inline limit below the expansion count
+    assert(rows(Retrieval.fuzzySearchStored(spark, idx, "spork", 2,
+      inlineTermLimit = 0)) === want)
   }
 
   test("fuzzySearchStored expands through delta-generation dictionaries and respects tombstones") {

@@ -65,6 +65,23 @@ class TextSqlFunctionsSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM text_bpe('$docsPath', 0)"))
   }
 
+  test("text_bpe_encode TVF == the stored-merge-table deep encode at 1024+ merges") {
+    import graft.operators.Pipeline
+    // default padding ≥ 1024 — past text_bpe's 256-merge resolution
+    // ceiling by construction; must match the API path row-for-row
+    val sql = spark.sql(s"SELECT * FROM text_bpe_encode('$docsPath')")
+    val api = Pipeline.bpeEncodedCountsStored(docs,
+      Pipeline.frequencyMergeTable(docs))
+    assert(rows(sql) === rows(api))
+    assert(sql.count() > 0)
+    // padding argument honored: a different depth changes the table
+    val shallow = spark.sql(s"SELECT * FROM text_bpe_encode('$docsPath', 0)")
+    assert(rows(shallow) === rows(Pipeline.bpeEncodedCountsStored(docs,
+      Pipeline.frequencyMergeTable(docs, 0))))
+    assertThrows[IllegalArgumentException](
+      spark.sql(s"SELECT * FROM text_bpe_encode('$docsPath', -1)"))
+  }
+
   test("stored-index TVFs == the Scala serving forms (bm25/search/phrase/proximity)") {
     val idx = Retrieval.indexDir(spark, "/root/testdata/sf0.001")
     assert(rows(spark.sql(
