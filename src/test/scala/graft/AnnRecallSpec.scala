@@ -212,6 +212,33 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(tr(8) >= 0.15, f"trained nProbe=8 recall degraded: ${tr(8)}%.3f")
   }
 
+  test("TRAINED rerank is the coded tier's top recall line (stored layout, shortlist refine)") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_recall_tr").toString
+    operators.Similarity.writeIvfPqTrainedIndex(corpus, dir)
+    val q = corpus.filter(qPred)
+    val adc = Seq(1, 4, 8).map(np => np -> recallAt10(
+      operators.Similarity.ivfPqTrainedTopKStored(spark, dir, q, 10,
+        nProbe = np))).toMap
+    val rr = Seq(1, 4, 8).map(np => np -> recallAt10(
+      operators.Similarity.ivfPqTrainedTopKRerankStored(spark, dir, corpus,
+        q, 10, c = 30, nProbe = np))).toMap
+    info(adc.toSeq.sortBy(_._1)
+      .map { case (np, v) => f"nProbe=$np $v%.3f" }
+      .mkString("trained ADC:    ", ", ", ""))
+    info(rr.toSeq.sortBy(_._1)
+      .map { case (np, v) => f"nProbe=$np $v%.3f" }
+      .mkString("trained rerank: ", ", ", ""))
+    Seq(1, 4, 8).foreach { np =>
+      assert(rr(np) >= adc(np),
+        f"exact rerank lost recall vs trained ADC at nProbe=$np")
+    }
+    // measured 2026-08 (r11): trained ADC 0.110/0.140/0.190, trained
+    // rerank(c=30) 0.160/0.320/0.460 — the refine more than doubles
+    // the trained ADC line past nProbe=1, the same knob shape the 2M
+    // rung shows (SCALE.md round-11 table)
+    assert(rr(8) >= 0.40, f"trained rerank nProbe=8 recall degraded: ${rr(8)}%.3f")
+  }
+
   test("stored IVF probe matches the recompute variant on the skewed corpus") {
     val dir = java.nio.file.Files.createTempDirectory("ann_recall_ivf").toString
     operators.Similarity.writeIvfIndex(corpus, dir)
