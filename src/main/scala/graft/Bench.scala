@@ -175,12 +175,22 @@ object Bench {
     // exactly this kind cost a full judging cycle). Fail loudly —
     // ok:false with the reason in `failed` — instead of silently
     // publishing them; the normalized ratios remain trustworthy and
-    // are still emitted. The floor is the lowest calibration median
-    // ever recorded for this probe on the reference box (BENCH_r10,
-    // local[32]) — the probe is CPU-count-sensitive, so the guard
-    // arms only at the driver's parallelism (a local[8] dev smoke
-    // legitimately runs the fixed work ~2-4× slower).
-    val drifted = guardArmed && calib.exists(_ > 2.0 * CalibrationFloorSec)
+    // are still emitted. The floor is SELF-MAINTAINING: the run uses
+    // the tightest of the compiled-in seed and every
+    // `calibration_floor_next` recorded in the bench artifact chain
+    // (BENCH_r*.json in the working dir), and emits the floor it would
+    // carry forward — a legitimately faster box tightens the floor on
+    // its first clean run with no hand edit. The probe is
+    // CPU-count-sensitive, so the guard arms (and the floor only
+    // tightens) at the driver's reference parallelism — a local[8]
+    // dev smoke legitimately runs the fixed work ~2-4× slower and
+    // must neither fail the guard nor pollute the floor chain.
+    val floorUsed = calibrationFloor
+    val drifted = guardArmed && calib.exists(_ > 2.0 * floorUsed)
+    val floorNext = calib match {
+      case Some(c) if guardArmed && c < floorUsed => c
+      case _ => floorUsed
+    }
     val failedAll = failed ++
       (if (drifted) Seq("calibration_drift>2x_floor") else Nil)
     val fjAll = failedAll.map(n => "\"" + jsonEscape(n) + "\"")
@@ -191,14 +201,38 @@ object Bench {
         .map { case (k, r) =>
           "\"" + jsonEscape(k) + "\":" + (r.median / c)
         }.mkString("{", ",", "}")
-      s""","calibration":$c,"calibration_floor":$CalibrationFloorSec,"calibration_drift":$drifted,"value_normalized":${total / c},"queries_normalized":$entries"""
+      s""","calibration":$c,"calibration_floor":$floorUsed,"calibration_floor_next":$floorNext,"calibration_drift":$drifted,"value_normalized":${total / c},"queries_normalized":$entries"""
     }.getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${failedAll.isEmpty},"failed":$fjAll$qn,"queries":$qs,"sf":"${jsonEscape(sfDir)}"}""")
   }
 
-  /** Lowest calibration-probe median recorded on the reference box
-    * (BENCH_r10: 1.396 s). The probe is fixed synthetic work, so a
-    * faster future box may legitimately beat it — lower the floor
-    * when that happens; the guard only fires on >2× SLOWER. */
-  private val CalibrationFloorSec = 1.396
+  /** Seed floor: the lowest calibration-probe median recorded on the
+    * reference box before the floor chain existed (BENCH_r10:
+    * 1.396 s). Never hand-edit downward again — a faster box records
+    * its own `calibration_floor_next` and [[calibrationFloor]] picks
+    * it up. */
+  private val SeedCalibrationFloorSec = 1.396
+
+  /** Effective floor for this run: the tightest of the seed and every
+    * floor the artifact chain carries forward. */
+  private[graft] def calibrationFloor: Double =
+    (SeedCalibrationFloorSec +:
+      benchArtifacts().flatMap(floorNextIn)).min
+
+  private def benchArtifacts(): Seq[java.io.File] =
+    Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.matches("BENCH_r\\d+\\.json"))
+
+  /** Parse `calibration_floor_next` out of one bench artifact (None
+    * for pre-chain artifacts or unreadable files — the chain degrades
+    * to the seed, never aborts the bench). */
+  private[graft] def floorNextIn(f: java.io.File): Option[Double] =
+    scala.util.Try {
+      val s = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val m = java.util.regex.Pattern
+        .compile("\"calibration_floor_next\"\\s*:\\s*([0-9.eE+-]+)")
+        .matcher(s)
+      if (m.find()) Some(m.group(1).toDouble) else None
+    }.toOption.flatten.filter(v => v > 0 && !v.isNaN)
 }

@@ -210,6 +210,10 @@ object Plans {
         operators.Similarity.queries("sim_filtered_trained")(spark, sfDir),
       "sim_trained_rerank (trained-ADC shortlist, broadcast exact-cosine refine at point-lookup cost)" ->
         operators.Similarity.queries("sim_trained_rerank")(spark, sfDir),
+      "sim_filtered_trained_rerank (the production triple: predicate-pruned trained shortlist + broadcast refine)" ->
+        operators.Similarity.queries("sim_filtered_trained_rerank")(spark, sfDir),
+      "sim_ivfpq_trained_sampled (Lloyd rounds read ONLY the sample scan; coding pass stays full-corpus)" ->
+        operators.Similarity.queries("sim_ivfpq_trained_sampled")(spark, sfDir),
       "p_bpe_tvf_deep (SQL TVF surface of the deep encode: one vocab aggregation at resolution)" ->
         operators.Pipeline.queries("p_bpe_tvf_deep")(spark, sfDir),
       "t_fuzzy_stored (dict-resolved edit-distance expansion, bucket-pruned probe)" ->

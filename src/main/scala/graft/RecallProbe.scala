@@ -14,14 +14,17 @@ import graft.operators.Similarity
   * c-wide shortlist happens to cover — it must scale with the cluster
   * member count, not with nProbe).
   *
-  * Usage: runMain graft.RecallProbe [base] [nProbe] [c,c,c...]
+  * Usage: runMain graft.RecallProbe [base] [nProbe] [c,c,c...|auto]
+  * (`auto` derives the width per layout via
+  * [[Similarity.autoRerankWidth]] — the round-12 sizing rule — and
+  * prints the width it chose.)
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_vecscale/2.0m/clustered")
     val nProbe = if (args.length > 1) args(1).toInt else 4
-    val cs = if (args.length > 2) args(2).split(',').map(_.toInt).toSeq
-      else Seq(50, 200, 800)
+    val cs = if (args.length > 2) args(2).split(',').toSeq
+      else Seq("50", "200", "800")
     val spark = SparkSession.builder()
       .appName("graft-recall-probe").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -48,13 +51,23 @@ object RecallProbe {
         truth(q).intersect(got.getOrElse(q, Set.empty)).size / 10.0)
       println(f"PROBE $label recall@10=${per.sum / per.size}%.3f wall=$secs%.3f")
     }
-    cs.foreach { c =>
-      recallTimed(s"ivfpq_rerank_c${c}_np$nProbe")(
+    cs.foreach { cArg =>
+      def widthFor(dir: String): Int =
+        if (cArg != "auto") cArg.toInt
+        else {
+          val w = Similarity.autoRerankWidth(spark, dir, rq, 10,
+            nProbe = nProbe)
+          println(s"PROBE auto width for $dir at nProbe=$nProbe: c=$w")
+          w
+        }
+      val cU = widthFor(s"$base/ivfpq_recall_idx")
+      recallTimed(s"ivfpq_rerank_c${cArg}${if (cArg == "auto") s"=$cU" else ""}_np$nProbe")(
         Similarity.ivfPqTopKRerankStored(spark, s"$base/ivfpq_recall_idx",
-          emb, rq, 10, c = c, nProbe = nProbe))
-      recallTimed(s"ivfpq_trained_rerank_c${c}_np$nProbe")(
+          emb, rq, 10, c = cU, nProbe = nProbe))
+      val cT = widthFor(s"$base/ivfpq_trained_idx")
+      recallTimed(s"ivfpq_trained_rerank_c${cArg}${if (cArg == "auto") s"=$cT" else ""}_np$nProbe")(
         Similarity.ivfPqTrainedTopKRerankStored(spark,
-          s"$base/ivfpq_trained_idx", emb, rq, 10, c = c, nProbe = nProbe))
+          s"$base/ivfpq_trained_idx", emb, rq, 10, c = cT, nProbe = nProbe))
     }
     spark.stop()
   }

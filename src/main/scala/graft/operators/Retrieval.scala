@@ -494,7 +494,14 @@ object Retrieval {
       .withColumn("bucket", bucketOf(col("term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writeDict(post, s"$dir/dict")
+    // sidecars written, postings (the visibility table) not yet: a
+    // crash here leaves an INVISIBLE generation — serving unchanged,
+    // vacuum-safe debris, retry-in-place. Driven deterministically by
+    // MaintenanceKillPointSpec for the batch verb AND the streaming
+    // sink (both route through this writer).
+    graft.util.IndexCommit.at("append:pre-commit", dir)
     writeBucketed(post, s"$dir/postings")
+    graft.util.IndexCommit.at("append:post-commit", dir)
     post.unpersist(blocking = false)
   }
 

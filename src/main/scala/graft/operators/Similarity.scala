@@ -133,20 +133,14 @@ object Similarity {
       .filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("c_id").as("q_probe"))
-      // Serving probes pin their tiny (O(queries·nProbe)) frames with
-      // lazy localCheckpoint(false), NOT persist: the blocks are
-      // ContextCleaner-reclaimed with the frame, so a long-lived
-      // serving session never accumulates cache entries per call.
-      // KNOWN TRADE-OFF: local checkpoints truncate lineage and are
-      // unreplicated — an executor loss (or dynamic-allocation
-      // decommission) mid-query fails the probe with a clear
-      // BlockNotFound instead of recomputing. For serving calls that
-      // is the right failure mode (the caller retries a sub-second
-      // probe); pipelines that must survive executor churn should
-      // disable dynamic deallocation during probes or use reliable
-      // checkpointing. Applies to every `.localCheckpoint(false)`
-      // serving-probe site in this file and Retrieval.scala.
-      .localCheckpoint(false)
+      // Serving probes pin their tiny (O(queries·nProbe)) frames
+      // through the spark.graft.probeCheckpoint choke point — default
+      // lazy localCheckpoint(false) (ContextCleaner-reclaimed, fails
+      // loud on executor loss), `reliable`/`persist` for pipelines
+      // that must ride out executor churn: the strategy choice and its
+      // trades live in [[graft.util.ProbeCheckpoint]]'s scaladoc.
+      // Applies to every serving-probe pin site in this file.
+      .transform(graft.util.ProbeCheckpoint.pin)
     val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
     val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
     val cands = spark.read.parquet(s"$dir/vectors")
@@ -630,7 +624,7 @@ object Similarity {
       .filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("c_id").as("q_probe"))
-      .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it (no session-lifetime cache entry per probe call)
+      .transform(graft.util.ProbeCheckpoint.pin) // serving-probe pin (spark.graft.probeCheckpoint)
     val probes = q.select(col("q_probe")).distinct().collect().map(_.getLong(0))
     val cands = allIvfVectors(spark, dir, Some(probes.toSeq))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
@@ -676,7 +670,7 @@ object Similarity {
       // embedding is identical across a vec_id's hp rows; first() is exact
       .agg(sum(col("bit")).as("q_bucket"), first(col("embedding")).as("q_emb"))
       .select(col("vec_id").as("q_id"), col("q_emb"), col("q_bucket"))
-      .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it (no session-lifetime cache entry per probe call)
+      .transform(graft.util.ProbeCheckpoint.pin) // serving-probe pin (spark.graft.probeCheckpoint)
     val probes = q.select(col("q_bucket")).distinct().collect().map(_.getLong(0))
     val scored = allVectorGens(spark, dir, "bucket", Some(probes.toSeq))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
@@ -699,9 +693,12 @@ object Similarity {
     val hp = spark.read.parquet(s"$dir/hyperplanes")
     val next = graft.util.IndexCommit.nextDeltaId(spark, dir)
     val sigs = lshSignatures(emb, hp, hpBase)
+    val genDir = s"$dir/delta_$next"
+    graft.util.IndexCommit.at("append:pre-commit", genDir)
     writePartitioned(emb.join(sigs, "vec_id")
         .select(col("vec_id"), col("embedding"), col("bucket")),
-      "bucket", s"$dir/delta_$next/vectors")
+      "bucket", s"$genDir/vectors")
+    graft.util.IndexCommit.at("append:post-commit", genDir)
     maybeCompact(spark, dir, "vectors", compactLshIndex)
   }
 
@@ -1158,9 +1155,15 @@ object Similarity {
     requirePqDims(m, dims)
     val cent = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebook")
+    // codes/_SUCCESS is the generation's visibility point: a crash at
+    // pre-commit leaves an INVISIBLE generation (serving unchanged,
+    // vacuum-safe, retry-in-place) — MaintenanceKillPointSpec drives
+    // both the batch verb and the streaming sink through these points
+    graft.util.IndexCommit.at("append:pre-commit", genDir)
     writeClusteredCodes(
       ivfPqCodesOf(emb.select(col("vec_id"), col("embedding")), cent, cb, m, dims),
       s"$genDir/codes")
+    graft.util.IndexCommit.at("append:post-commit", genDir)
   }
 
   /** Fold IVF-PQ code generations (and the tombstone fence) into one
@@ -1226,7 +1229,7 @@ object Similarity {
     val q = queries.select(col("vec_id"), col("embedding"))
     val probe = ivfRanked(q, cent).filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("c_id").as("q_probe"))
-      .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it (no session-lifetime cache entry per probe call)
+      .transform(graft.util.ProbeCheckpoint.pin) // serving-probe pin (spark.graft.probeCheckpoint)
     val probes = probe.select(col("q_probe")).distinct().collect().map(_.getLong(0))
     val codes = allIvfPqCodes(spark, dir, Some(probes.toSeq))
     val filtered = allowed.fold(codes)(a =>
@@ -1311,6 +1314,89 @@ object Similarity {
     exactRerank(shortlist, emb, queries, k)
   }
 
+  /** The full PRODUCTION serving triple on the trained layout —
+    * predicate + trained shortlist + exact refine ("top-k within
+    * lang = 'en', Lloyd-trained ADC shortlist, exact-cosine refine"):
+    * [[ivfPqTrainedTopKStoredFiltered]]'s filter-then-rank allow-list
+    * (k survivors guaranteed, cluster partition pruning intact on
+    * every generation) composed with the shared [[exactRerank]] tail,
+    * mirroring the untrained triple [[ivfPqTopKRerankStoredFiltered]].
+    * Every tier keeps its scale contract: clusters prune the read, the
+    * predicate prunes the candidates, `c` bounds the refine — the
+    * float corpus is touched at point-lookup granularity only. */
+  def ivfPqTrainedTopKRerankStoredFiltered(spark: SparkSession, dir: String,
+                                           emb: DataFrame, queries: DataFrame,
+                                           k: Int, meta: DataFrame,
+                                           pred: Column, c: Int = 10,
+                                           nProbe: Int = 1, m: Int = 8,
+                                           dims: Int = 64): DataFrame = {
+    require(c >= k, s"shortlist size c=$c must be >= k=$k")
+    val shortlist = ivfPqTrainedTopKStoredFiltered(spark, dir, queries, c,
+        meta, pred, nProbe, m, dims)
+      .select(col("q_id"), col("n_id"))
+    exactRerank(shortlist, emb, queries, k)
+  }
+
+  /** AUTO-SIZED rerank shortlist width: derive `c` from the probed
+    * clusters' STORED populations instead of a caller-supplied
+    * constant. The round-11 2M measurement (docs/SCALE.md c-sweep)
+    * proves `c` is the only knob that moves coded-layout recall on
+    * clustered corpora, and that it must scale with cluster
+    * population — a fixed c=50 covers 0.6% of a 7,800-member cell and
+    * recall lands near-random; this helper makes the measured
+    * prescription executable instead of advisory.
+    *
+    * Sizing rule (pinned by AnnSizingSpec):
+    * `c = min(cap, max(k, ceil(coverage × meanProbedClusterPop)))`
+    * where the populations come from a count over ONLY the probed
+    * cluster partitions of the codes table (codes rows / m — one
+    * count-star per probe set, pruned by the same static partition
+    * filters the probe itself plans; never a full-index scan). The
+    * default coverage 1/8 reaches ≥0.7 recall@10 on the 2M
+    * planted-cluster rung (RecallProbe auto run, docs/SCALE.md
+    * round-12); `cap` bounds refine cost on degenerate population
+    * skew — raise it for recall-critical serving, it is a cost
+    * ceiling, not a tuning constant. */
+  def autoRerankWidth(spark: SparkSession, dir: String, queries: DataFrame,
+                      k: Int, nProbe: Int = 1, coverage: Double = 0.125,
+                      cap: Int = 4096, m: Int = 8): Int = {
+    require(coverage > 0 && coverage <= 1,
+      s"coverage must be in (0, 1], got $coverage")
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val q = queries.select(col("vec_id"), col("embedding"))
+    val probes = ivfRanked(q, cent).filter(col("arank") <= nProbe)
+      .select(col("c_id")).distinct().collect().map(_.getLong(0))
+    val popRow = allIvfPqCodes(spark, dir, Some(probes.toSeq))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("rows"))
+      .agg(avg(col("rows") / m)).collect()(0)
+    // empty probe set / empty codes: no population evidence — floor at k
+    val meanPop = if (popRow.isNullAt(0)) 0.0 else popRow.getDouble(0)
+    math.min(cap, math.max(k, math.ceil(coverage * meanPop).toInt))
+  }
+
+  /** [[ivfPqTopKRerankStored]] with the shortlist width derived by
+    * [[autoRerankWidth]] — the serving call that hits a recall target
+    * on clustered corpora WITHOUT a hand-tuned width. */
+  def ivfPqTopKRerankStoredAuto(spark: SparkSession, dir: String,
+                                emb: DataFrame, queries: DataFrame, k: Int,
+                                nProbe: Int = 1, coverage: Double = 0.125,
+                                cap: Int = 4096, m: Int = 8,
+                                dims: Int = 64): DataFrame =
+    ivfPqTopKRerankStored(spark, dir, emb, queries, k,
+      c = autoRerankWidth(spark, dir, queries, k, nProbe, coverage, cap, m),
+      nProbe = nProbe, m = m, dims = dims)
+
+  /** Trained-layout twin of [[ivfPqTopKRerankStoredAuto]]. */
+  def ivfPqTrainedTopKRerankStoredAuto(spark: SparkSession, dir: String,
+                                       emb: DataFrame, queries: DataFrame,
+                                       k: Int, nProbe: Int = 1,
+                                       coverage: Double = 0.125,
+                                       cap: Int = 4096, m: Int = 8,
+                                       dims: Int = 64): DataFrame =
+    ivfPqTrainedTopKRerankStored(spark, dir, emb, queries, k,
+      c = autoRerankWidth(spark, dir, queries, k, nProbe, coverage, cap, m),
+      nProbe = nProbe, m = m, dims = dims)
+
   // ──────── TRAINED (Lloyd) PQ codebook: the measured fix for the
   // clustered-ADC collapse (SCALE.md round-10 recall table: id-drawn
   // codewords make in-cluster ADC ordering degenerate; k-means-trained
@@ -1363,13 +1449,30 @@ object Similarity {
     * artifact-sized. Integer bound: |cnt·q| must stay under 2^63 —
     * cnt < ~700k per codeword at the 4096 quantization; shard or
     * sample the trainer beyond that (codebooks train on samples in
-    * every production system anyway). */
+    * every production system anyway).
+    *
+    * `trainEvery` > 1 trains on the deterministic `vec_id % trainEvery
+    * == 0` corpus SAMPLE instead of the full corpus — the production
+    * codebook-training shape (FAISS et al. train on ≤100k samples; the
+    * measured 2M full-corpus build spent ~95% of its wall in the two
+    * per-round full-corpus assign+update passes, docs/SCALE.md). The
+    * integer state keeps the sampled oracle exact too: the trainer's
+    * input set changes, nothing about its arithmetic does. Init
+    * codewords stay the FULL corpus's `% modulo == 0` slice (they need
+    * not be members of the training sample — they are assignment
+    * targets, not assignment inputs), so codeword identity is
+    * independent of the sampling rate. */
   def pqCodebookTrainedState(emb: DataFrame, m: Int = 8, dims: Int = 64,
-                             modulo: Int = 40, iters: Int = 2): DataFrame = {
+                             modulo: Int = 40, iters: Int = 2,
+                             trainEvery: Int = 1): DataFrame = {
     requirePqDims(m, dims)
-    val qv = pqSubQuantized(emb, m, dims)
+    require(trainEvery >= 1, s"trainEvery must be >= 1, got $trainEvery")
+    val sample = if (trainEvery == 1) emb
+      else emb.filter(col("vec_id") % trainEvery === 0)
+    val qv = pqSubQuantized(sample, m, dims)
       .localCheckpoint(false) // reused every round; ContextCleaner-reclaimed
-    var state = qv.filter(col("vec_id") % modulo === 0)
+    var state = pqSubQuantized(
+        emb.filter(col("vec_id") % modulo === 0), m, dims)
       .select(col("m"), col("vec_id").as("c_id"), col("q").as("s"),
         lit(1L).as("cnt"))
     for (_ <- 1 to iters) {
@@ -1411,13 +1514,17 @@ object Similarity {
       .select(col("q_id"), col("m"), col("c_id"), col("pdot"))
 
   /** IVF + TRAINED-PQ top-k, index built inline: cluster pruning as
-    * [[ivfPqTopK]], ADC against the Lloyd-trained codebook. */
+    * [[ivfPqTopK]], ADC against the Lloyd-trained codebook.
+    * `trainEvery` > 1 = codebook trained on the deterministic corpus
+    * sample (see [[pqCodebookTrainedState]]); coding and serving are
+    * unchanged — the full corpus is always coded. */
   def ivfPqTrainedTopK(emb: DataFrame, queryIds: Column, k: Int,
                        nProbe: Int = 1, m: Int = 8, dims: Int = 64,
-                       modulo: Int = 40): DataFrame = {
+                       modulo: Int = 40, trainEvery: Int = 1): DataFrame = {
     requirePqDims(m, dims)
     val cent = ivfCentroids(emb, modulo)
-    val state = pqCodebookTrainedState(emb, m, dims, modulo)
+    val state = pqCodebookTrainedState(emb, m, dims, modulo,
+      trainEvery = trainEvery)
     val q = emb.filter(queryIds).select(col("vec_id"), col("embedding"))
     val probe = ivfRanked(q, cent).filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("c_id").as("q_probe"))
@@ -1433,11 +1540,13 @@ object Similarity {
     * instead of centroid slices). Appends/compaction/vacuum are the
     * shared codes-layout verbs. */
   def writeIvfPqTrainedIndex(emb: DataFrame, dir: String, modulo: Int = 40,
-                             m: Int = 8, dims: Int = 64): Unit = {
+                             m: Int = 8, dims: Int = 64,
+                             trainEvery: Int = 1): Unit = {
     requirePqDims(m, dims)
     requireFreshIndexRoot(emb.sparkSession, dir)
     val cent = ivfCentroids(emb, modulo)
-    val state = pqCodebookTrainedState(emb, m, dims, modulo)
+    val state = pqCodebookTrainedState(emb, m, dims, modulo,
+      trainEvery = trainEvery)
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
     state.write.mode("overwrite").parquet(s"$dir/codebook_state")
     val codes = trainedCodesOf(emb, state, m, dims)
@@ -1482,11 +1591,24 @@ object Similarity {
     * Cost: one pass over each generation's codes joined to `emb` at
     * point-lookup granularity — a maintenance-time call, never on the
     * serving path. Compare deltas against the base with
-    * [[retrainRecommended]]. */
+    * [[retrainRecommended]].
+    *
+    * Residual layouts ([[writeIvfPqResidualIndex]], `_LAYOUT` =
+    * `ivfpqr`) decode as centroid + residual codeword — the verb picks
+    * the decode from the marker, so the reported MSE is the true
+    * reconstruction error for every coded layout. */
   def quantizationDrift(spark: SparkSession, dir: String, emb: DataFrame,
                         m: Int = 8, dims: Int = 64): DataFrame = {
     requirePqDims(m, dims)
     val fsys = graft.util.IndexCommit.fs(spark, dir)
+    // RESIDUAL layouts ([[writeIvfPqResidualIndex]]) share the whole
+    // directory contract but their codes decode as centroid + residual
+    // codeword — decoding them as absolute sub-vectors (the pre-round-
+    // 12 behavior) reported a silently-garbage MSE. The `_LAYOUT`
+    // marker selects the decode; a residual root built BEFORE the
+    // marker existed still misreports, which is why the builder now
+    // always writes one.
+    val residualLayout = layoutMarker(spark, dir).contains("ivfpqr")
     val cb =
       if (fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/codebook_state")))
         spark.read.parquet(s"$dir/codebook_state")
@@ -1498,6 +1620,15 @@ object Similarity {
         spark.read.parquet(s"$dir/codebook")
           .select(col("m"), col("c_id"),
             transform(col("c_sub"), x => x.cast("double")).as("c_sub"))
+    // per-(cluster, m) centroid slices — the residual decode's other
+    // half; one broadcast of an (nlist × m)-row sidecar derivative
+    val centSub =
+      if (!residualLayout) None
+      else Some(spark.read.parquet(s"$dir/centroids")
+        .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
+        .select(col("c_id").as("cluster"), col("m"),
+          transform(pqSub(col("c_emb"), col("m"), dims / m),
+            x => x.cast("double")).as("cent_sub")))
     val (baseDir, minDelta) = graft.util.IndexCommit.resolve(spark, dir)
     val gens = ("base", s"$baseDir/codes") +:
       graft.util.IndexCommit.deltaDirs(spark, dir, minDelta,
@@ -1505,13 +1636,21 @@ object Similarity {
         .map(p => (p.split('/').last, s"$p/codes"))
     val v = emb.select(col("vec_id").as("n_id"), col("embedding"))
     gens.map { case (gen, codesDir) =>
-      spark.read.parquet(codesDir)
-        .select(col("n_id"), col("m"), col("c_id"))
+      val codes = spark.read.parquet(codesDir)
+        .select(col("n_id"), col("m"), col("c_id"), col("cluster"))
         .join(broadcast(cb), Seq("m", "c_id"))
+      // decoded sub-vector: absolute layouts reconstruct as the
+      // codeword; residual layouts as centroid slice + residual codeword
+      val decoded = centSub.fold(codes.withColumn("dec_sub", col("c_sub"))) {
+        cs => codes.join(broadcast(cs), Seq("cluster", "m"))
+          .withColumn("dec_sub",
+            zip_with(col("cent_sub"), col("c_sub"), (a, b) => a + b))
+      }
+      decoded
         .join(v, "n_id")
         .select(col("n_id"),
           aggregate(zip_with(pqSub(col("embedding"), col("m"), dims / m),
-              col("c_sub"),
+              col("dec_sub"),
               (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
             lit(0.0), (a, b) => a + b).as("se"))
         .groupBy(col("n_id")).agg(sum(col("se")).as("vse"))
@@ -1534,7 +1673,11 @@ object Similarity {
   def retrainRecommended(spark: SparkSession, dir: String, emb: DataFrame,
                          m: Int = 8, dims: Int = 64,
                          threshold: Double = RetrainDriftThreshold): Boolean = {
+    // a generation whose codes all miss the caller's emb frame (e.g. a
+    // partial corpus passed for a spot check) reports n_vectors=0 with
+    // a NULL mse — degrade to "no evidence" for it, never NPE
     val rows = quantizationDrift(spark, dir, emb, m, dims).collect()
+      .filter(r => !r.isNullAt(2))
     val base = rows.find(_.getString(0) == "base")
       .map(_.getDouble(2)).filter(_ > 0)
     val worst = rows.filter(_.getString(0) != "base")
@@ -1575,7 +1718,7 @@ object Similarity {
     val q = queries.select(col("vec_id"), col("embedding"))
     val probe = ivfRanked(q, cent).filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("c_id").as("q_probe"))
-      .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it
+      .transform(graft.util.ProbeCheckpoint.pin) // serving-probe pin (spark.graft.probeCheckpoint)
     val probes = probe.select(col("q_probe")).distinct().collect().map(_.getLong(0))
     val codes = allIvfPqCodes(spark, dir, Some(probes.toSeq))
     val filtered = allowed.fold(codes)(a =>
@@ -1692,8 +1835,38 @@ object Similarity {
     val rcb = residualCodebook(emb, cent, m, dims, modulo)
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
     rcb.write.mode("overwrite").parquet(s"$dir/codebook")
+    // the residual codebook is structurally indistinguishable from an
+    // absolute one (same (m, c_id, c_sub) schema) — the marker is what
+    // lets layout-sensitive verbs ([[quantizationDrift]]) pick the
+    // residual decode instead of silently reporting garbage MSE
+    writeLayoutMarker(emb.sparkSession, dir, "ivfpqr")
     writeClusteredCodes(ivfPqResidualCodesOf(emb, cent, rcb, m, dims),
       s"$dir/codes")
+  }
+
+  /** One-line `_LAYOUT` flavor marker at the index root (written by
+    * builders whose sidecar schema alone cannot identify the decode
+    * rule — today only the residual layout needs one). */
+  private def writeLayoutMarker(spark: SparkSession, dir: String,
+                                flavor: String): Unit = {
+    val f = graft.util.IndexCommit.fs(spark, dir)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/_LAYOUT"), true)
+    try out.write(s"$flavor\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The index root's `_LAYOUT` flavor (None when unmarked — plain and
+    * trained layouts carry no marker; their sidecar names identify
+    * them). */
+  private def layoutMarker(spark: SparkSession, dir: String): Option[String] = {
+    val f = graft.util.IndexCommit.fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_LAYOUT")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next().trim)
+      finally in.close()
+    }
   }
 
   /** Frozen-sidecar delta append for the residual layout; folds with
@@ -1724,7 +1897,7 @@ object Similarity {
     val cent = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebook")
     val probe = ivfProbeOf(queries, cent, nProbe)
-      .localCheckpoint(false) // lazy one-shot materialization; ContextCleaner reclaims it (no session-lifetime cache entry per probe call)
+      .transform(graft.util.ProbeCheckpoint.pin) // serving-probe pin (spark.graft.probeCheckpoint)
     val probes = probe.select(col("q_probe")).distinct().collect()
       .map(_.getLong(0))
     ivfPqResidualScored(allIvfPqCodes(spark, dir, Some(probes.toSeq)),
@@ -2036,12 +2209,28 @@ object Similarity {
       ivfPqTrainedTopKStored(s, s"${indexDir(s, d)}/ivfpq_trained",
         t(s, d, "embeddings").filter(col("vec_id") < 8), 3)
     },
+    // SAMPLE-trained codebook (the production training shape: Lloyd on
+    // the deterministic vec_id % 5 == 0 sample, full corpus coded) —
+    // the integer-state trick keeps the sampled trainer oracle-exact
+    "sim_ivfpq_trained_sampled" -> { (s, d) =>
+      ivfPqTrainedTopK(t(s, d, "embeddings"), col("vec_id") < 8, 3,
+        trainEvery = 5)
+    },
     // trained ADC shortlist + exact-cosine refine: the recall knob
     // composed with the recall-best coded layout
     "sim_trained_rerank" -> { (s, d) =>
       ivfPqTrainedTopKRerankStored(s, s"${indexDir(s, d)}/ivfpq_trained",
         t(s, d, "embeddings"),
         t(s, d, "embeddings").filter(col("vec_id") < 8), 3, c = 10)
+    },
+    // the full PRODUCTION triple on the trained layout: predicate +
+    // trained ADC shortlist + exact-cosine refine
+    "sim_filtered_trained_rerank" -> { (s, d) =>
+      ivfPqTrainedTopKRerankStoredFiltered(s,
+        s"${indexDir(s, d)}/ivfpq_trained",
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 8), 3,
+        t(s, d, "embeddings"), col("label") % 2 === 0, c = 10)
     },
     // the full FAISS serving shape: cluster-pruned ADC shortlist from
     // the stored codes, exact-cosine refine bounded by c per query
@@ -2324,8 +2513,16 @@ object Similarity {
     * rounds keyed per subspace (2 unrolled Lloyd rounds), coding +
     * decoded-mean LUT + the order-pinned ADC fold. Every intermediate
     * is exact integers except the comparison/LUT divisions, which both
-    * engines compute with identical op order. */
-  private lazy val ivfPqTrainedOracleSql: String = {
+    * engines compute with identical op order. `trainEvery` > 1 mirrors
+    * [[pqCodebookTrainedState]]'s sampled training: the Lloyd rounds'
+    * assign/update inputs shrink to the `vec_id % trainEvery = 0`
+    * sample while init codewords (st0) and the final coding pass stay
+    * full-corpus. */
+  private lazy val ivfPqTrainedOracleSql: String = ivfPqTrainedOracleSqlGen(1)
+
+  private def ivfPqTrainedOracleSqlGen(trainEvery: Int): String = {
+    val trainSrc = if (trainEvery == 1) "qv"
+      else s"(SELECT * FROM qv WHERE vec_id % $trainEvery = 0)"
     def argmin(src: String, st: String): String =
       s"""SELECT vec_id, m, q, c_id,
          |    row_number() OVER (PARTITION BY vec_id, m
@@ -2370,10 +2567,10 @@ object Similarity {
        |  FROM vs),
        |st0 AS (SELECT m, vec_id AS c_id, q AS s, CAST(1 AS BIGINT) AS cnt
        |        FROM qv WHERE vec_id % 40 = 0),
-       |r1 AS (${argmin("qv", "st0")}),
+       |r1 AS (${argmin(trainSrc, "st0")}),
        |asg1 AS (SELECT vec_id, m, q, c_id AS cluster FROM r1 WHERE rk = 1),
        |${update("asg1", 1)},
-       |r2 AS (${argmin("qv", "st1")}),
+       |r2 AS (${argmin(trainSrc, "st1")}),
        |asg2 AS (SELECT vec_id, m, q, c_id AS cluster FROM r2 WHERE rk = 1),
        |${update("asg2", 2)},
        |rc AS (${argmin("qv", "st2")}),
@@ -2405,6 +2602,41 @@ object Similarity {
        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
        |  FROM scored)
        |SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** Filter-then-rank rewrite of the trained chain: the label
+    * predicate restricts candidates BEFORE the ranking window (shared
+    * by `sim_filtered_trained` and, composed with
+    * [[trainedRerankTail]], the full production triple). */
+  private lazy val trainedFilteredOracleSql: String = {
+    val joinText = "JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id"
+    require(ivfPqTrainedOracleSql.contains(joinText),
+      "trained filtered-oracle rewrite target drifted")
+    ivfPqTrainedOracleSql.replace(joinText,
+      joinText + "\n    AND cc.n_id IN " +
+        "(SELECT vec_id FROM embeddings WHERE label % 2 = 0)")
+  }
+
+  /** Graft the exact-cosine rerank tail (top-10 shortlist → re-rank to
+    * top-3) onto any trained-chain oracle ending in the standard
+    * ranked SELECT — shared by `sim_trained_rerank` and the filtered
+    * triple, so every rerank gate pins the identical refine. */
+  private def trainedRerankTail(base: String): String = {
+    val fin = "SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3"
+    require(base.endsWith(fin),
+      "trained rerank-oracle rewrite target drifted")
+    base.stripSuffix(fin) +
+      s""",shortlist AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
+         |rerank AS (
+         |  SELECT s.q_id, s.n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings ne ON ne.vec_id = s.n_id
+         |  JOIN embeddings qe ON qe.vec_id = s.q_id),
+         |rr AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM rerank)
+         |SELECT q_id, n_id, rank FROM rr WHERE rank <= 3""".stripMargin
   }
 
   /** ADC top-10 shortlist from the cluster-pruned chain, exact-cosine
@@ -2742,36 +2974,21 @@ object Similarity {
     "sim_ivfpq" -> ivfPqOracleSql,
     "sim_ivfpq_trained" -> ivfPqTrainedOracleSql,
     "sim_ivfpq_trained_stored" -> ivfPqTrainedOracleSql,
+    // the sampled trainer shares the whole chain; only the Lloyd
+    // rounds' input set shrinks to the vec_id % 5 = 0 sample
+    "sim_ivfpq_trained_sampled" -> ivfPqTrainedOracleSqlGen(5),
     // trained-ADC top-10 shortlist, exact-cosine re-rank to top-3 —
     // the ivfPqRerankOracleSql tail grafted onto the trained chain
-    "sim_trained_rerank" -> {
-      val fin = "SELECT q_id, cluster, n_id, rank FROM ranked WHERE rank <= 3"
-      require(ivfPqTrainedOracleSql.endsWith(fin),
-        "sim_trained_rerank oracle rewrite target drifted")
-      ivfPqTrainedOracleSql.stripSuffix(fin) +
-        s""",shortlist AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
-           |rerank AS (
-           |  SELECT s.q_id, s.n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
-           |  FROM shortlist s
-           |  JOIN embeddings ne ON ne.vec_id = s.n_id
-           |  JOIN embeddings qe ON qe.vec_id = s.q_id),
-           |rr AS (
-           |  SELECT q_id, n_id,
-           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-           |  FROM rerank)
-           |SELECT q_id, n_id, rank FROM rr WHERE rank <= 3""".stripMargin
-    },
+    "sim_trained_rerank" -> trainedRerankTail(ivfPqTrainedOracleSql),
     // filter-then-rank over the trained codes: the label predicate
     // restricts CANDIDATES before the ranking window (queries are
     // probe inputs, not index members — q stays unfiltered)
-    "sim_filtered_trained" -> {
-      val joinText = "JOIN q ON cc.cluster = q.q_cluster AND q.q_id <> cc.n_id"
-      require(ivfPqTrainedOracleSql.contains(joinText),
-        "sim_filtered_trained oracle rewrite target drifted")
-      ivfPqTrainedOracleSql.replace(joinText,
-        joinText + "\n    AND cc.n_id IN " +
-          "(SELECT vec_id FROM embeddings WHERE label % 2 = 0)")
-    },
+    "sim_filtered_trained" -> trainedFilteredOracleSql,
+    // the full production triple: both rewrites composed — the
+    // predicate shrinks the shortlist candidates, the rerank tail
+    // refines the c=10 survivors
+    "sim_filtered_trained_rerank" ->
+      trainedRerankTail(trainedFilteredOracleSql),
     "sim_ivfpq_stored" -> ivfPqOracleSql,
     "sim_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "sim_ivfpqr" -> ivfPqrOracleSql,

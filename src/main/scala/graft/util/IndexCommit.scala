@@ -34,7 +34,9 @@ object IndexCommit {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Test-only interleave/crash injection hook. Maintenance verbs call
-    * [[at]] at each named point of the write→promote→flip→vacuum chain;
+    * [[at]] at each named point of the write→promote→flip→vacuum chain
+    * (and the delta APPEND writers at `append:pre-commit` /
+    * `append:post-commit`, bracketing their visibility-table write);
     * a spec installs a callback that either THROWS (simulating a crash
     * exactly there) or runs a concurrent verb (vacuum, a reader probe)
     * exactly there — so every interleaving the hammer specs could only
@@ -76,12 +78,24 @@ object IndexCommit {
   def resolve(spark: SparkSession, root: String): (String, Int) = {
     val f = fs(spark, root)
     val p = new Path(s"$root/LATEST")
-    def hasVersionedDirs: Boolean = {
+    // lazy val: ONE listStatus for the whole retry loop, not one per
+    // iteration — an abandoned pre-first-flip crash state used to cost
+    // every serving-path resolve 50 listStatus calls on top of the
+    // 500 ms retry budget. Versioned-dir detection requires an
+    // all-digit id suffix: a plain `startsWith("base_")` also matched
+    // unrelated names like `base_data`, dragging a genuinely legacy
+    // root into the retry loop. The dir listing is read once; a
+    // concurrent first-flip landing mid-retry is still seen because
+    // the pointer's OWN existence is re-checked every iteration.
+    lazy val hasVersionedDirs: Boolean = {
+      def versioned(n: String, prefix: String): Boolean =
+        n.length > prefix.length && n.startsWith(prefix) &&
+          n.stripPrefix(prefix).forall(_.isDigit)
       val rp = new Path(root)
       f.exists(rp) && f.listStatus(rp).exists { s =>
         val n = s.getPath.getName
         s.isDirectory &&
-          (n.startsWith("base_") || n.startsWith(".staging_base_"))
+          (versioned(n, "base_") || versioned(n, ".staging_base_"))
       }
     }
     var attempt = 0
@@ -119,11 +133,20 @@ object IndexCommit {
     * overwrite as delete(dst) + rename(src) — so the flip goes through
     * `java.nio.Files.move(ATOMIC_MOVE | REPLACE_EXISTING)` instead (a
     * true atomic overwrite on POSIX). The ChecksumFileSystem `.crc`
-    * sidecar is moved FIRST: the one residual inconsistency is then
-    * new-crc-against-old-bytes, a transient ChecksumException that
-    * [[resolve]] already retries — never a missing pointer. Non-local
-    * schemes keep the FileContext rename (atomic on HDFS; object
-    * stores overwrite atomically at PUT granularity). */
+    * sidecar ordering matters for CRASH safety, not just races: the
+    * old sidecar is DELETED first, then the data file moves, then the
+    * new sidecar moves into place. A missing `.crc` makes
+    * ChecksumFileSystem skip verification, so a crash at ANY point in
+    * the chain leaves a readable pointer (old bytes unverified, or new
+    * bytes unverified). Moving the new crc before the data — the
+    * previous order — left a crash window holding new-crc-against-
+    * old-bytes: a PERMANENT ChecksumException every reader retried 50×
+    * and then threw, until the next successful commit. A live reader
+    * racing the chain can still catch a transient mismatch (crc read
+    * before the delete, bytes after the move), which [[resolve]]
+    * retries through. Non-local schemes keep the FileContext rename
+    * (atomic on HDFS; object stores overwrite atomically at PUT
+    * granularity, with no client-side crc sidecar). */
   def commit(spark: SparkSession, root: String, base: String,
              minDelta: Int): Unit = {
     val f = fs(spark, root)
@@ -138,11 +161,15 @@ object IndexCommit {
       val d = Paths.get(f.makeQualified(new Path(root)).toUri.getPath)
       val tmpCrc = d.resolve(".".concat(tmp.getName).concat(".crc"))
       val dstCrc = d.resolve(".".concat(dst.getName).concat(".crc"))
-      if (Files.exists(tmpCrc))
-        Files.move(tmpCrc, dstCrc, O.REPLACE_EXISTING)
-      else Files.deleteIfExists(dstCrc)
+      Files.deleteIfExists(dstCrc)
       Files.move(d.resolve(tmp.getName), d.resolve(dst.getName),
         O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+      // the crash window between the two moves: pointer flipped, new
+      // crc not yet in place — readable (verification skipped), pinned
+      // deterministically by MaintenanceKillPointSpec
+      at("commit:mid-flip", root)
+      if (Files.exists(tmpCrc))
+        Files.move(tmpCrc, dstCrc, O.REPLACE_EXISTING)
     } else {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         dstUri, spark.sparkContext.hadoopConfiguration)

@@ -54,20 +54,28 @@ class MaintenanceKillPointSpec extends AnyFunSuite {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
-  /** Scope a kill-point hook to one index root; always uninstalled. */
+  /** Scope a kill-point hook to one index root (append points report
+    * the GENERATION dir, a child of the root — matched by prefix);
+    * always uninstalled. */
   private def withHook(dir: String)(f: String => Unit)(body: => Unit): Unit = {
-    IndexCommit.killPoint = (point, root) => if (root == dir) f(point)
+    IndexCommit.killPoint = (point, root) =>
+      if (root == dir || root.startsWith(dir + "/")) f(point)
     try body finally IndexCommit.killPoint = (_, _) => ()
   }
 
-  /** One maintenance writer under test: build base+delta into a fresh
-    * dir, then compact/vacuum/serve. */
+  /** One maintenance writer under test: base build + two disjoint
+    * delta appends into a fresh dir, plus compact/vacuum/serve.
+    * `build` (base + first append) is the compaction-test fixture. */
   private case class Writer(
       name: String,
-      build: String => Unit,
+      buildBase: String => Unit,
+      append: String => Unit,
+      append2: String => Unit,
       compact: String => Unit,
       vacuum: String => Unit,
-      serve: String => Set[String])
+      serve: String => Set[String]) {
+    def build(dir: String): Unit = { buildBase(dir); append(dir) }
+  }
 
   private lazy val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
   private lazy val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
@@ -75,30 +83,36 @@ class MaintenanceKillPointSpec extends AnyFunSuite {
   private lazy val writers = Seq(
     Writer(
       name = "postings",
-      build = { dir =>
-        Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0), dir)
-        Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 2 =!= 0), dir)
-      },
+      buildBase = dir =>
+        Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 3 === 0), dir),
+      append = dir =>
+        Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 3 === 1), dir),
+      append2 = dir =>
+        Retrieval.appendPostingsDelta(docs.filter(col("doc_id") % 3 === 2), dir),
       compact = Retrieval.compactPostingsIndex(spark, _),
       vacuum = Retrieval.vacuumPostingsIndex(spark, _),
       serve = dir =>
         rows(Retrieval.conjunctiveSearchStored(spark, dir, Retrieval.QueryTerms))),
     Writer(
       name = "lsh",
-      build = { dir =>
-        Similarity.writeLshIndex(emb.filter(col("vec_id") % 2 === 0), dir)
-        Similarity.appendLshDelta(spark, dir, emb.filter(col("vec_id") % 2 =!= 0))
-      },
+      buildBase = dir =>
+        Similarity.writeLshIndex(emb.filter(col("vec_id") % 3 === 0), dir),
+      append = dir =>
+        Similarity.appendLshDelta(spark, dir, emb.filter(col("vec_id") % 3 === 1)),
+      append2 = dir =>
+        Similarity.appendLshDelta(spark, dir, emb.filter(col("vec_id") % 3 === 2)),
       compact = Similarity.compactLshIndex(spark, _),
       vacuum = Similarity.vacuumVectorIndex(spark, _),
       serve = dir =>
         rows(Similarity.lshTopKStored(spark, dir, emb.filter(col("vec_id") < 6), 3))),
     Writer(
       name = "ivfpq",
-      build = { dir =>
-        Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), dir)
-        Similarity.appendIvfPqDelta(spark, dir, emb.filter(col("vec_id") % 2 =!= 0))
-      },
+      buildBase = dir =>
+        Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 3 === 0), dir),
+      append = dir =>
+        Similarity.appendIvfPqDelta(spark, dir, emb.filter(col("vec_id") % 3 === 1)),
+      append2 = dir =>
+        Similarity.appendIvfPqDelta(spark, dir, emb.filter(col("vec_id") % 3 === 2)),
       compact = Similarity.compactIvfPqIndex(spark, _),
       vacuum = Similarity.vacuumVectorIndex(spark, _),
       serve = dir =>
@@ -109,7 +123,8 @@ class MaintenanceKillPointSpec extends AnyFunSuite {
 
   for (w <- writers) {
     test(s"${w.name}: a compactor crash at each point leaves serving intact, vacuumable, and rerunnable") {
-      for (point <- Seq("promote:pre", "promote:post", "commit:pre-flip")) {
+      for (point <- Seq("promote:pre", "promote:post", "commit:pre-flip",
+                        "commit:mid-flip")) {
         val dir = freshDir(w.name)
         try {
           w.build(dir)
@@ -134,8 +149,8 @@ class MaintenanceKillPointSpec extends AnyFunSuite {
     }
 
     test(s"${w.name}: a grace-0 vacuum injected AT each chain point never breaks the fold") {
-      for (point <- Seq("promote:pre", "promote:post",
-                        "commit:pre-flip", "commit:post-flip")) {
+      for (point <- Seq("promote:pre", "promote:post", "commit:pre-flip",
+                        "commit:mid-flip", "commit:post-flip")) {
         val dir = freshDir(w.name)
         try {
           w.build(dir)
@@ -152,6 +167,110 @@ class MaintenanceKillPointSpec extends AnyFunSuite {
         } finally rm(dir)
       }
     }
+  }
+
+  for (w <- writers) {
+    test(s"${w.name}: an append crash at each point serves exactly the committed generations and retries clean") {
+      // expected servings from an uncrashed twin (data-derived rows —
+      // no path-dependent values in any serve projection)
+      val ref = freshDir(s"${w.name}_ref")
+      val (wantBase, wantFull) = try {
+        w.buildBase(ref)
+        val b = w.serve(ref)
+        w.append(ref)
+        (b, w.serve(ref))
+      } finally rm(ref)
+      assert(wantBase.nonEmpty && wantFull != wantBase,
+        s"vacuous append fixture for ${w.name}")
+      for (point <- Seq("append:pre-commit", "append:post-commit")) {
+        val dir = freshDir(w.name)
+        try {
+          w.buildBase(dir)
+          withHook(dir)(p => if (p == point) throw Kill(point)) {
+            assertThrows[Kill](w.append(dir))
+          }
+          // pre-commit: the generation is INVISIBLE (visibility table
+          // unwritten) — serving unchanged; post-commit: the append
+          // fully landed before the crash — serving includes it
+          val afterCrash =
+            if (point == "append:pre-commit") wantBase else wantFull
+          assert(w.serve(dir) === afterCrash,
+            s"append crash at $point perturbed serving")
+          // maintenance over the debris is safe
+          w.compact(dir)
+          w.vacuum(dir)
+          assert(w.serve(dir) === afterCrash,
+            s"compact+vacuum after append crash at $point changed serving")
+          // a pre-commit crash retries as a fresh append (batch-verb
+          // semantics; the streaming sink replays IN PLACE — pinned in
+          // the epoch-replay test below); a post-commit crash needs none
+          if (point == "append:pre-commit") w.append(dir)
+          assert(w.serve(dir) === wantFull,
+            s"recovery after append crash at $point lost or duplicated rows")
+        } finally rm(dir)
+      }
+    }
+
+    test(s"${w.name}: a grace-0 vacuum injected AT each append point never perturbs serving") {
+      val ref = freshDir(s"${w.name}_ref2")
+      val wantAll = try {
+        w.buildBase(ref); w.append(ref); w.append2(ref); w.serve(ref)
+      } finally rm(ref)
+      for (point <- Seq("append:pre-commit", "append:post-commit")) {
+        val dir = freshDir(w.name)
+        try {
+          w.buildBase(dir)
+          w.append(dir)
+          w.compact(dir) // LATEST exists: vacuum has something to scan
+          withHook(dir)(p => if (p == point) w.vacuum(dir)) {
+            w.append2(dir)
+          }
+          assert(w.serve(dir) === wantAll,
+            s"vacuum at $point ate the in-flight append")
+          w.vacuum(dir)
+          assert(w.serve(dir) === wantAll)
+        } finally rm(dir)
+      }
+    }
+  }
+
+  test("streaming appendBatch: pre-commit crash replays IN PLACE, post-commit crash skips — exactly once either way") {
+    import graft.streaming.IndexIngest
+    val dir = freshDir("ingest")
+    try {
+      Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0), dir)
+      val baseOnly = rows(
+        Retrieval.conjunctiveSearchStored(spark, dir, Retrieval.QueryTerms))
+      val batch = docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("text"))
+      def deltaDirs: Set[String] = names(dir).filter(_.startsWith("delta_"))
+
+      // epoch 7 crashes mid-append, before the visibility table
+      withHook(dir)(p => if (p == "append:pre-commit") throw Kill(p)) {
+        assertThrows[Kill](IndexIngest.appendBatch(dir)(batch, 7L))
+      }
+      val crashed = deltaDirs
+      assert(crashed.size === 1, s"expected one tagged debris dir, got $crashed")
+      assert(rows(Retrieval.conjunctiveSearchStored(
+        spark, dir, Retrieval.QueryTerms)) === baseOnly,
+        "invisible crashed generation served rows")
+
+      // the replayed epoch finds its tag and commits the SAME dir
+      IndexIngest.appendBatch(dir)(batch, 7L)
+      assert(deltaDirs === crashed, "replay did not retry in place")
+      val full = rows(
+        Retrieval.conjunctiveSearchStored(spark, dir, Retrieval.QueryTerms))
+      assert(full != baseOnly, "replayed epoch served nothing")
+
+      // a crash AFTER commit: the next replay finds the tag on a
+      // visible dir and skips — no duplicate generation, no row change
+      withHook(dir)(p => if (p == "append:post-commit") throw Kill(p)) {
+        IndexIngest.appendBatch(dir)(batch, 7L) // skips before writing
+      }
+      assert(deltaDirs === crashed)
+      assert(rows(Retrieval.conjunctiveSearchStored(
+        spark, dir, Retrieval.QueryTerms)) === full)
+    } finally rm(dir)
   }
 
   test("no-pointer window, permanent: vacuum keeps every base when the live id is unknowable") {

@@ -190,6 +190,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("label"), s"label predicate missing from plan:\n$p")
   }
 
+  test("full trained triple (filter + trained shortlist + rerank) keeps cluster pruning AND the broadcast refine") {
+    val base = operators.Similarity.indexDir(spark, sf)
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val df = operators.Similarity.ivfPqTrainedTopKRerankStoredFiltered(
+      spark, s"$base/ivfpq_trained", emb, queries, 3, emb,
+      col("label") % 2 === 0, c = 10)
+    val got = df.collect()
+    // filter-then-rank through the shortlist, then refine to k: every
+    // query keeps exactly k survivors
+    assert(got.length === 8 * 3,
+      s"filtered trained rerank returned ${got.length} rows, want 24")
+    val p = df.queryExecution.executedPlan.toString
+    // tier 1: the codes scans stay cluster-pruned under the predicate
+    assert(p.contains("PartitionFilters: [cluster"),
+      s"the triple dropped the cluster partition filter in:\n$p")
+    assert(p.contains("label"), s"label predicate missing from plan:\n$p")
+    // tier 3: the exact refine joins the O(queries×c) shortlist to the
+    // float corpus as a BROADCAST — a sort-merge here would shuffle
+    // the whole corpus, the exact movement the refine exists to avoid
+    assert(p.contains("BroadcastHashJoin"),
+      s"refine is not a broadcast join in:\n$p")
+  }
+
   test("stored postings probe reads only the query terms' bucket partitions") {
     val base = operators.Retrieval.indexDir(spark, sf)
     val df = operators.Retrieval.conjunctiveSearchStored(

@@ -68,6 +68,75 @@ class QuantizationDriftSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("residual layouts decode as centroid + residual codeword — the _LAYOUT marker picks the decode") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = "/tmp/graft_qdrift_res_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      Similarity.writeIvfPqResidualIndex(emb, dir)
+      val marked = Similarity.quantizationDrift(spark, dir, emb).collect()
+      assert(marked.length === 1 && marked.head.getString(0) === "base")
+      val residualMse = marked.head.getDouble(2)
+      // independent recompute of the TRUE residual reconstruction
+      // error (v̂ = assigned centroid + residual codeword, per
+      // subspace) straight from the stored sidecars + codes
+      val cent = spark.read.parquet(s"$dir/centroids")
+        .select(col("c_id").as("cluster"), col("c_emb"))
+      val rcb = spark.read.parquet(s"$dir/codebook")
+        .withColumnRenamed("c_sub", "r_sub")
+      val expected = spark.read.parquet(s"$dir/codes")
+        .join(rcb, Seq("m", "c_id"))
+        .join(cent, "cluster")
+        .join(emb.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
+        .withColumn("se",
+          aggregate(
+            zip_with(
+              slice(col("embedding"), col("m") * 8 + 1, lit(8)),
+              zip_with(
+                transform(slice(col("c_emb"), col("m") * 8 + 1, lit(8)),
+                  x => x.cast("double")),
+                transform(col("r_sub"), x => x.cast("double")),
+                (a, b) => a + b),
+              (v, d) => (v.cast("double") - d) * (v.cast("double") - d)),
+            lit(0.0), (a, b) => a + b))
+        .groupBy(col("n_id")).agg(sum(col("se")).as("vse"))
+        .agg(avg(col("vse"))).collect()(0).getDouble(0)
+      assert(math.abs(residualMse - expected) < 1e-9 * math.max(1.0, expected),
+        s"drift reported $residualMse, true residual reconstruction error $expected")
+      // hiding the marker reproduces the pre-round-12 misread (codes
+      // decoded as absolute sub-vectors): the decode genuinely changes
+      val f = new org.apache.hadoop.fs.Path(s"$dir/_LAYOUT")
+      f.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(f, false)
+      val misread = Similarity.quantizationDrift(spark, dir, emb)
+        .collect().head.getDouble(2)
+      assert(math.abs(misread - residualMse) > 1e-12,
+        "the _LAYOUT marker did not change the decode")
+      // and the retrain signal runs NPE-free on the residual layout
+      Similarity.writeIvfPqResidualIndex(emb, dir + "_2")
+      try assert(!Similarity.retrainRecommended(spark, dir + "_2", emb))
+      finally rm(dir + "_2")
+    } finally rm(dir)
+  }
+
+  test("a generation absent from the supplied corpus degrades to no-evidence, never NPE") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = "/tmp/graft_qdrift_null_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      val evens = emb.filter(col("vec_id") % 2 === 0)
+      Similarity.writeIvfPqIndex(evens, dir)
+      Similarity.appendIvfPqDelta(spark, dir,
+        emb.filter(col("vec_id") % 2 =!= 0))
+      // caller passes a corpus missing every delta vector: that
+      // generation reports n_vectors=0 with a NULL mse...
+      val rows = Similarity.quantizationDrift(spark, dir, evens).collect()
+      val deltaRow = rows.find(_.getString(0) != "base").get
+      assert(deltaRow.getLong(1) === 0L && deltaRow.isNullAt(2))
+      // ...and the signal treats it as no evidence instead of throwing
+      assert(!Similarity.retrainRecommended(spark, dir, evens))
+    } finally rm(dir)
+  }
+
   test("the trained-state sidecar decodes as member means for the drift metric") {
     val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val dir = "/tmp/graft_qdrift_tr_" +
