@@ -35,30 +35,71 @@ object GraphSqlFunctions {
 
   def buildCsr(spark: SparkSession, edgesStd: org.apache.spark.sql.DataFrame): Csr = {
     import org.apache.spark.sql.functions._
-    // a plain collect is one shuffle-free job (vs groupBy+collect_list's
-    // full shuffle); the (src,dst) sort happens driver-side on primitive
-    // arrays, which at the guarded ≤8M-edge scale is milliseconds
-    val rows = edgesStd.select(col("src"), col("dst")).collect()
+    // One shuffle-free job (vs groupBy+collect_list's full shuffle) that
+    // collects PRIMITIVE long arrays per partition — never boxed Rows.
+    // The earlier cut collected Array[Row] (~3 objects/edge) and sorted
+    // boxed (Long, Long) tuples via sortBy (2 more allocations/edge plus
+    // a megamorphic Ordering); profiled at sf0.1 that was most of the
+    // path_exist CSR phase. toRdd's UnsafeRows are buffer-backed and
+    // reused per iterator, so the primitives are read out immediately.
+    val parts = edgesStd.select(col("src"), col("dst"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val sb = new mutable.ArrayBuilder.ofLong
+        val db = new mutable.ArrayBuilder.ofLong
+        while (it.hasNext) {
+          val r = it.next()
+          sb += r.getLong(0); db += r.getLong(1)
+        }
+        Iterator((sb.result(), db.result()))
+      }.collect()
+    val total = parts.foldLeft(0L)((a, p) => a + p._1.length)
     // fail fast (not silently overflow) past Int-addressable targets —
     // register()'s metadata guard normally refuses long before this
-    require(rows.length <= Int.MaxValue - 8,
-      s"graph has ${rows.length} edges — beyond a broadcastable CSR; " +
+    require(total <= Int.MaxValue - 8,
+      s"graph has $total edges — beyond a broadcastable CSR; " +
         "use GraphArGraph.bfsLength (distributed frontier BFS) instead")
-    val srcA = new Array[Long](rows.length)
-    val dstA = new Array[Long](rows.length)
+    val n = total.toInt
+    val srcA = new Array[Long](n)
+    val dstA = new Array[Long](n)
     var i = 0
-    while (i < rows.length) {
-      srcA(i) = rows(i).getLong(0); dstA(i) = rows(i).getLong(1); i += 1
+    parts.foreach { case (s, d) =>
+      System.arraycopy(s, 0, srcA, i, s.length)
+      System.arraycopy(d, 0, dstA, i, d.length)
+      i += s.length
     }
-    val order = Array.range(0, rows.length).sortBy(k => (srcA(k), dstA(k)))
+    // (src, dst) order: when both endpoints fit in an unsigned 31-bit
+    // range the pair packs into one long whose natural order IS the pair
+    // order, and a primitive dual-pivot sort replaces the boxed index
+    // sort. GraphAr vertex indices always land here; arbitrary long ids
+    // (SQL-registered graphs) keep the general index-sort fallback.
+    var fits = true
+    i = 0
+    while (fits && i < n) {
+      if ((srcA(i) | dstA(i)) < 0 || srcA(i) > Int.MaxValue ||
+        dstA(i) > Int.MaxValue) fits = false
+      i += 1
+    }
     val index = scala.collection.mutable.HashMap.empty[Long, Int]
     val offsetsBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val targets = new Array[Long](rows.length)
+    val targets = new Array[Long](n)
     var p = 0
-    order.foreach { k =>
-      val s = srcA(k)
-      if (!index.contains(s)) { index(s) = offsetsBuf.length; offsetsBuf += p }
-      targets(p) = dstA(k); p += 1
+    if (fits) {
+      val packed = new Array[Long](n)
+      i = 0
+      while (i < n) { packed(i) = (srcA(i) << 32) | dstA(i); i += 1 }
+      java.util.Arrays.sort(packed)
+      while (p < n) {
+        val s = packed(p) >>> 32
+        if (!index.contains(s)) { index(s) = offsetsBuf.length; offsetsBuf += p }
+        targets(p) = packed(p) & 0xffffffffL; p += 1
+      }
+    } else {
+      val order = Array.range(0, n).sortBy(k => (srcA(k), dstA(k)))
+      order.foreach { k =>
+        val s = srcA(k)
+        if (!index.contains(s)) { index(s) = offsetsBuf.length; offsetsBuf += p }
+        targets(p) = dstA(k); p += 1
+      }
     }
     offsetsBuf += p
     Csr(offsetsBuf.toArray, targets, index.toMap)

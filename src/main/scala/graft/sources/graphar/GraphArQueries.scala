@@ -31,9 +31,10 @@ object GraphArQueries {
     // full-path hash: basename-only fixture keys would reuse a stale
     // graph when two data dirs share a basename
     val canonical = new java.io.File(sfDir).getCanonicalPath
-    // "b1" = fixture layout revision (bloom sidecars added): a cached
-    // pre-revision fixture must rebuild, not be reused
-    val name = new java.io.File(sfDir).getName + "_b1_" +
+    // "b2" = fixture layout revision (edge chunk_size 2048 → 32768; b1
+    // added bloom sidecars): a cached pre-revision fixture must rebuild,
+    // not be reused
+    val name = new java.io.File(sfDir).getName + "_b2_" +
       Integer.toHexString(canonical.hashCode)
     val base = s"/tmp/graft_graphar/$name"
     val yaml = s"$base/TestGraph.yaml"
@@ -54,10 +55,18 @@ object GraphArQueries {
       expr(s"l_orderkey % ${GraphQueries.V}").as("src"),
       expr(s"l_partkey % ${GraphQueries.V}").as("dst"),
       col("l_quantity").as("quantity"))
+    // chunk_size 32768 (was 2048): at sf0.1 the 2048-row layout spread
+    // 586k edges over 287 adjacency chunk FILES — every full-edge scan
+    // (two_hop's second hop, path_exist's materialize) paid 287 parquet
+    // opens + footer reads + vectorized-reader inits; the guide-§6
+    // small-files tax, measured at ~2 ms/file. 32768 rows/chunk keeps
+    // offset-seek point reads cheap (one_hop decodes ≤32k rows) while a
+    // full scan opens 18 files. Results are layout-independent (the
+    // writer sorts by (src,dst) globally; chunking only re-bins rows).
     GraphArWriter.writeEdges(edges, base,
       GraphArWriter.EdgeSpec("Part", "link", "Part",
         srcVertexCount = GraphQueries.V, dstVertexCount = GraphQueries.V,
-        chunkSize = 2048, srcChunkSize = 1024, dstChunkSize = 1024,
+        chunkSize = 32768, srcChunkSize = 1024, dstChunkSize = 1024,
         fileType = "parquet"))
     GraphArWriter.writeGraphYaml(base, "TestGraph", Seq("Part"), Seq("Part_link_Part"))
     fs.create(marker, true).close()

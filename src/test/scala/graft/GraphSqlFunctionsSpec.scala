@@ -33,6 +33,31 @@ class GraphSqlFunctionsSpec extends AnyFunSuite {
     es.unpersist()
   }
 
+  test("buildCsr: packed-long fast sort ≡ general index sort (incl. >32-bit ids)") {
+    import spark.implicits._
+    // small ids → packed path; huge ids → fallback. Same adjacency both ways.
+    val smallEdges = Seq((3L, 1L), (1L, 2L), (3L, 0L), (1L, 7L), (0L, 3L),
+      (3L, 1L), (2L, 2L)) // duplicate edge + self-loop kept as-is
+    val bigBase = 1L << 40
+    for (shift <- Seq(0L, bigBase)) {
+      val edges = smallEdges.map { case (a, b) => (a + shift, b + shift) }
+      val df = edges.toDF("src", "dst")
+      val csr = GraphSqlFunctions.buildCsr(spark, df)
+      // reference adjacency: grouped, (src,dst)-sorted, duplicates kept
+      val expect = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(_._2).sorted
+      }
+      expect.foreach { case (v, nbrs) =>
+        val (b, e) = csr.neighbors(v)
+        assert(csr.targets.slice(b, e).toSeq === nbrs, s"vertex $v shift=$shift")
+      }
+      assert(csr.targets.length === edges.size, s"shift=$shift")
+      val covered = expect.keys.toSeq
+        .map(v => { val (b, e) = csr.neighbors(v); e - b }).sum
+      assert(covered === edges.size, s"shift=$shift")
+    }
+  }
+
   test("bfs UDFs evaluate over many rows in one query") {
     val n = spark.sql(
       """SELECT count(*) AS n FROM (SELECT explode(sequence(0, 99)) AS v)
