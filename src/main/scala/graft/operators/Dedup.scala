@@ -226,6 +226,14 @@ object Dedup {
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+      // pinned like `s`/`sh`: cand is referenced THREE times downstream
+      // (both arms of candIds' union + the verification join) and
+      // Catalyst inlines shared subtrees, so without the pin the band
+      // self-join + pair dedup — the family's one big shuffle at scale —
+      // executed 3× per run (the banded HashAggregate/Exchange subtree
+      // appeared three times in the executed plan). Pairs are
+      // O(near-dups), the smallest relation in the operator.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-Jaccard verification on the (small) candidate set only:
     // semi-join prunes the corpus to candidate ids BEFORE shingling, so
     // the expensive shingle arrays exist only for candidates
@@ -338,6 +346,10 @@ object Dedup {
         col("band") === col("b2") && col("key") === col("k2"))
       .select(col("d_id"), col("c_id"))
       .dropDuplicates("d_id", "c_id")
+      // pinned for the same reason as [[minhashLshPairs]]'s cand: three
+      // downstream references (dIds, cIds, the verification join) would
+      // otherwise re-run the delta×corpus band join three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dIds = cand.select(col("d_id").as("doc_id")).distinct()
     val cIds = cand.select(col("c_id").as("doc_id")).distinct()
     val shD = shingleSets(delta.join(dIds, Seq("doc_id"), "left_semi"), n)
