@@ -102,6 +102,59 @@ final case class EdgeInfo(srcType: String, edgeType: String, dstType: String,
     if (pair.length < 2) None else Some((pair(0), pair(1)))
   }
 
+  /** Driver-side dst ids of ONE vertex's adjacency range — O(degree)
+    * rows via the covering adjacency chunk(s). The metadata-class read
+    * behind [[graft.graph.GraphArGraph.twoHop]]'s frontier probe: no
+    * Spark job, same round-trip class as [[offsetPair]]. None when the
+    * id is outside the aligned vertex range. */
+  def adjacencyDsts(al: GarAdjList, vid: Long,
+                    conf: Configuration): Option[Array[Long]] =
+    offsetPair(al, vid, conf).map { case (begin, end) =>
+      if (begin >= end) Array.empty[Long]
+      else {
+        val cs = chunkSize
+        val part = vid / alignedChunkSize(al)
+        val dstSchema = StructType(Seq(
+          StructField(GraphArMeta.DstIndexCol, LongType, nullable = false)))
+        (begin / cs to (end - 1) / cs).iterator.flatMap { ck =>
+          val lo = math.max(0L, begin - ck * cs).toInt
+          val hi = math.min(cs, end - ck * cs).toInt
+          val it = graft.sources.graphar.ChunkIO.readRows(
+            new Path(s"${adjDir(al)}adj_list/part$part/chunk$ck"),
+            al.fileType, dstSchema, conf)
+          val arr: Array[Long] =
+            try it.slice(lo, hi).map(_(0).asInstanceOf[Long]).toArray
+            finally it.close()
+          arr
+        }.toArray
+      }
+    }
+
+  /** Batched [[offsetPair]] for a SORTED id set (the IN-seek shape):
+    * one covering read per offset chunk instead of one file open per
+    * id — a frontier of F ids spanning C chunks costs C driver-side
+    * round-trips, not F. Out-of-range ids are simply absent from the
+    * result. */
+  def offsetPairs(al: GarAdjList, vids: Array[Long],
+                  conf: Configuration): Map[Long, (Long, Long)] = {
+    val vcs = alignedChunkSize(al)
+    val n = alignedVertexCount(al, conf)
+    val inRange = vids.filter(v => v >= 0 && v < n)
+    if (inRange.isEmpty) return Map.empty
+    inRange.groupBy(_ / vcs).iterator.flatMap { case (chunk, vs) =>
+      val locals = vs.map(v => (v % vcs).toInt)
+      val lo = locals.min
+      val hi = locals.max
+      val slab = GraphArMeta.readInt64ColumnRange(
+        new Path(s"${adjDir(al)}offset/chunk$chunk"), al.fileType, conf,
+        lo, hi - lo + 2)
+      vs.iterator.flatMap { v =>
+        val i = (v % vcs).toInt - lo
+        if (i + 1 < slab.length) Some(v -> (slab(i), slab(i + 1))) else None
+      }
+    }.toMap
+  }
+
   def schema: StructType = StructType(
     Seq(StructField(GraphArMeta.SrcIndexCol, LongType, nullable = false),
       StructField(GraphArMeta.DstIndexCol, LongType, nullable = false)) ++

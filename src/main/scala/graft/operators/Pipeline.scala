@@ -341,9 +341,13 @@ object Pipeline {
       .agg(sum(col("s")).as("weight"), count(lit(1)).as("n_tokens"))
     val top = weights
       .orderBy(col("weight").desc, col("doc_id")).limit(topN)
+    // eager: the token stream feeds raw/tgt/weights — materialize the
+    // top-N before releasing the pin (a lazy return made the persist a
+    // no-op and the explode+hash ran once per consumer)
     val res = top.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("weight").desc, col("doc_id"))).cast("long"))
+      .localCheckpoint(true)
     tok.unpersist(blocking = false)
     res
   }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -226,9 +226,19 @@ class GraphArScanBuilder(info: Either[VertexInfo, EdgeInfo])
   private var pushed: Array[Filter] = Array.empty
   private var hasResidual = false
   private var idFilter: Option[(String, Long)] = None
+  private var idInFilter: Option[(String, Array[Long])] = None
   private var propFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var countStarPushed = false
+
+  /** Seek-set cap for `id IN (...)` pushdown: above it a full scan is
+    * usually cheaper than per-value offset reads (each IN value costs
+    * one driver-side offset-pair read — an object-store round-trip at
+    * cluster scale), so the filter stays residual-only and the scan
+    * stays a full scan. */
+  private val maxInSeek: Int =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.seek.maxInValues").map(_.toInt).getOrElse(4096)
 
   private val syntheticCols = Set(GraphArMeta.VertexIndexCol,
     GraphArMeta.SrcIndexCol, GraphArMeta.DstIndexCol)
@@ -251,10 +261,28 @@ class GraphArScanBuilder(info: Either[VertexInfo, EdgeInfo])
       case EqualTo(col, v: Int) => idFilter.isEmpty && idCols.contains(col) && { idFilter = Some((col, v.toLong)); true }
       case _ => false
     }
+    // `id IN (v1..vk)` → k offset-range seeks instead of a full scan
+    // (the multi-vertex frontier shape: two_hop's second hop). Kept
+    // RESIDUAL like the property predicates — Spark re-checks the
+    // filter, so the seek plan can only cut I/O, never change rows.
+    rest.foreach {
+      case f @ In(c, vs)
+        if idFilter.isEmpty && idInFilter.isEmpty && idCols.contains(c) &&
+          vs.nonEmpty && vs.length <= maxInSeek &&
+          vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
+        idInFilter = Some((c, vs.map {
+          case v: Long => v
+          case v: Int => v.toLong
+        }.distinct.sorted))
+      case _ =>
+    }
     // property predicates: pushed into the readers AND kept residual —
     // Spark re-checks them, so reader-side pruning can only cut I/O
     propFilters = rest.filter(PropFilters.acceptable(_, propCols))
-    pushed = accepted ++ propFilters
+    pushed = accepted ++ propFilters ++
+      (if (idInFilter.isDefined)
+        rest.filter { case In(c, _) => idInFilter.exists(_._1 == c); case _ => false }
+      else Array.empty[Filter])
     hasResidual = rest.nonEmpty
     rest
   }
@@ -285,13 +313,16 @@ class GraphArScanBuilder(info: Either[VertexInfo, EdgeInfo])
 
   override def build(): Scan =
     new GraphArScan(info, required, idFilter, propFilters, limit,
-      countStarPushed, serConf)
+      countStarPushed, serConf,
+      // a single-id seek wins over the IN plan if both somehow arrive
+      if (idFilter.isEmpty) idInFilter else None)
 }
 
 class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
                   idFilter: Option[(String, Long)], propFilters: Array[Filter],
                   limit: Option[Int], countStar: Boolean,
-                  serConf: SerializableConfiguration)
+                  serConf: SerializableConfiguration,
+                  idInFilter: Option[(String, Array[Long])] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   private def conf = serConf.value
@@ -306,7 +337,9 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
     val what = info.fold(v => s"vertices ${v.vertexType}", e => s"edges ${e.name}")
     val props = if (propFilters.isEmpty) "" else
       s", pushedProps=[${propFilters.mkString(", ")}]"
-    s"GraphArScan($what, pushedId=$idFilter, limit=$limit, countStar=$countStar$props)"
+    val inSeek = idInFilter.fold("")(f =>
+      s", pushedIdIn=(${f._1}, ${f._2.length} values)")
+    s"GraphArScan($what, pushedId=$idFilter$inSeek, limit=$limit, countStar=$countStar$props)"
   }
 
   // exact row counts: metadata for full scans, offset-table slice length
@@ -316,15 +349,44 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
   // are driver-side FS round-trips, expensive on object stores).
   private lazy val metaRowCount: Long = (info, idFilter) match {
       case (Left(v), Some(_)) => 1L
-      case (Left(v), None) => v.vertexCount(conf)
+      case (Left(v), None) => idInFilter match {
+        case Some((_, vids)) =>
+          val n = v.vertexCount(conf)
+          vids.count(vid => vid >= 0 && vid < n).toLong
+        case None => v.vertexCount(conf)
+      }
       case (Right(e), Some((c, vid))) =>
         val al = if (c == GraphArMeta.DstIndexCol) e.adjList("dst").get
                  else e.adjList("src").get
         // two offset entries, not the whole (≤1M-row) offset chunk
         e.offsetPair(al, vid, conf).map { case (b, en) => en - b }.getOrElse(0L)
-      case (Right(e), None) =>
-        e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)
+      case (Right(e), None) => idInFilter match {
+        case Some(_) =>
+          inSeekPairs(e).valuesIterator.map { case (b, en) => en - b }.sum
+        case None =>
+          e.adjLists.headOption.map(e.edgeCount(_, conf)).getOrElse(0L)
+      }
     }
+
+  /** Layout for the IN-seek: same filter-column-driven choice as the
+    * single-id seek (read_edges.cpp:81-110). */
+  private def inSeekLayout(e: EdgeInfo): GarAdjList = idInFilter match {
+    case Some((c, _)) if c == GraphArMeta.DstIndexCol => e.adjList("dst").get
+    case Some((c, _)) if c == GraphArMeta.SrcIndexCol => e.adjList("src").get
+    case _ => e.adjLists.head
+  }
+
+  /** One batched offset read for the whole IN set, shared by stats and
+    * partition planning (computed once per Scan — these are driver-side
+    * FS round-trips). */
+  private lazy val inSeekPairs: EdgeInfo => Map[Long, (Long, Long)] = {
+    var memo: Map[Long, (Long, Long)] = null
+    e => {
+      if (memo == null)
+        memo = e.offsetPairs(inSeekLayout(e), idInFilter.get._2, conf)
+      memo
+    }
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -396,6 +458,25 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
       case Some((_, vid)) =>
         if (vid < 0 || vid >= n || limit.exists(_ < 1)) Array.empty
         else Array(VertexChunkPartition(v, vid / cs, vid % cs, vid % cs + 1))
+      case None if idInFilter.isDefined =>
+        // ONE covering row-slice per touched chunk (ids arrive
+        // sorted+distinct): decoding a chunk is all-or-nothing for the
+        // row readers, so per-id slices would re-open and re-decode the
+        // same chunk once per id. Over-read rows between ids are safe —
+        // the IN filter stays RESIDUAL in Spark and drops them (and
+        // limit is never pushed alongside a residual, so no interplay)
+        // rowStart stays 0 (the pushed-limit shape) so the partitions
+        // remain COLUMNAR-eligible — decode starts at row 0 either way,
+        // and the vectorized residual filter is cheaper than a row-based
+        // exact slice
+        idInFilter.get._2.iterator
+          .filter(vid => vid >= 0 && vid < n)
+          .map(vid => (vid / cs, vid % cs))
+          .toArray.groupBy(_._1).toArray.sortBy(_._1)
+          .map { case (chunk, locals) =>
+            VertexChunkPartition(v, chunk, 0,
+              locals.map(_._2).max + 1): InputPartition
+          }
       case None =>
         val nChunks = ((n + cs - 1) / cs).toInt
         var remaining = limit.map(_.toLong).getOrElse(Long.MaxValue)
@@ -418,9 +499,39 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
     val al = idFilter match {
       case Some((c, _)) if c == GraphArMeta.SrcIndexCol => e.adjList("src").get
       case Some((c, _)) if c == GraphArMeta.DstIndexCol => e.adjList("dst").get
+      case _ if idInFilter.isDefined => inSeekLayout(e)
       case _ => e.adjLists.head
     }
     val cs = e.chunkSize
+    if (idFilter.isEmpty && idInFilter.isDefined) {
+      // offset ranges for the whole IN set from ONE batched read per
+      // offset chunk, then ONE covering row-slice per touched adjacency
+      // chunk: chunk decode is all-or-nothing for the row readers, so
+      // per-id slices would re-open and re-decode a chunk once per id
+      // (measured 2× a full scan on a 133-id frontier). Rows between
+      // ids inside a covering slice are over-read and dropped by the
+      // RESIDUAL IN filter in Spark; untouched chunks are pruned — the
+      // plan degrades to ≈full-scan for a dense frontier and to
+      // O(touched chunks) I/O for a sparse one.
+      val vcs = e.alignedChunkSize(al)
+      val pairs = inSeekPairs(e)
+      return idInFilter.get._2.iterator.flatMap { vid =>
+        pairs.get(vid).toSeq.flatMap { case (begin, end) =>
+          if (begin >= end) Seq.empty
+          else (begin / cs to (end - 1) / cs).map { ck =>
+            (vid / vcs, ck,
+              math.max(0L, begin - ck * cs), math.min(cs, end - ck * cs))
+          }
+        }
+      }.toArray.groupBy(t => (t._1, t._2)).toArray.sortBy(_._1)
+        .map { case ((part, ck), slices) =>
+          // rowStart 0 keeps the pushed-limit partition shape → the scan
+          // stays COLUMNAR; decode starts at row 0 either way and the
+          // residual IN filter runs vectorized over the over-read head
+          EdgeChunkPartition(e, al, part, ck,
+            0, slices.map(_._4).max): InputPartition
+        }
+    }
     idFilter match {
       case Some((_, vid)) =>
         val vcs = e.alignedChunkSize(al)
@@ -470,8 +581,11 @@ class GraphArScan(info: Either[VertexInfo, EdgeInfo], required: StructType,
     * partitions, so this is decided scan-level, not per partition.
     */
   private val batchable = Set("parquet", "orc")
+  // (IN-seek partitions keep rowStart 0 — the pushed-limit shape — so
+  // they stay columnar; only the single-id row-slice path is row-based)
   private lazy val columnarEligible: Boolean =
-    !countStar && idFilter.isEmpty && propFilters.isEmpty && (info match {
+    !countStar && idFilter.isEmpty &&
+      propFilters.isEmpty && (info match {
       case Left(v) =>
         val names = required.fieldNames.toSet
         v.propertyGroups.forall(g =>
