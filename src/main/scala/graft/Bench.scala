@@ -108,19 +108,22 @@ object Bench {
       g.degreeDistribution("Part", "link", "Part").count()
     }
     timed("path_exist") {
-      val es = g.edgesStd("Part", "link", "Part").persist()
-      try {
-        // materialize once AND learn the edge count; the reference also
-        // reads the graph per call
-        val n = es.count()
-        // cost-based BFS: below the CSR threshold the whole pair batch is
-        // answered from a collected adjacency in ONE job; above it, the
-        // batched distributed frontier loop (one join per level for all
-        // pairs) — the strategy choice is the same size-driven call Spark
-        // makes for broadcast vs sort-merge joins
-        GraphOps.bfsLengthsAuto(spark, es, GraphQueries.bfsPairs,
-          GraphQueries.bfsMaxDepth, edgeCount = n)
-      } finally es.unpersist() // a bfs failure must not leak the cache
+      // edge count from GraphAr metadata (a driver-side 8-byte read, no
+      // job) — the old persist+count() pre-pass materialized the whole
+      // edge scan into cache even when the CSR path then read it exactly
+      // once via its collect (one full pass wasted per rep); the
+      // distributed branch now pins the edge table inside
+      // bfsLengthsAuto instead.
+      // cost-based BFS: below the CSR threshold the whole pair batch is
+      // answered from a collected adjacency in ONE job; above it, the
+      // batched distributed frontier loop (one join per level for all
+      // pairs) — the strategy choice is the same size-driven call Spark
+      // makes for broadcast vs sort-merge joins
+      val ei = g.info.edge("Part", "link", "Part")
+      val n = ei.edgeCount(ei.adjLists.head,
+        spark.sessionState.newHadoopConf())
+      GraphOps.bfsLengthsAuto(spark, g.edgesStd("Part", "link", "Part"),
+        GraphQueries.bfsPairs, GraphQueries.bfsMaxDepth, edgeCount = n)
     }
 
     // -- LLM-pipeline extras on the raw tables

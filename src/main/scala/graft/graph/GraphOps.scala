@@ -256,11 +256,23 @@ object GraphOps {
       .map(_.toLong).getOrElse(DefaultCsrMaxEdges)
     val n = if (edgeCount >= 0) edgeCount else edges.count()
     if (n <= threshold) {
+      // CSR path reads the edge table exactly once (the collect) — a
+      // caller-side persist+materialize pass would be pure overhead here
       val csr = GraphSqlFunctions.buildCsr(spark, edges.select(col("src"), col("dst")))
       pairs.map { case (s0, d0) =>
         (s0, d0, GraphSqlFunctions.bfs(csr, s0, d0, maxDepth))
       }
-    } else bfsLengths(spark, edges, pairs, maxDepth)
+    } else {
+      // distributed frontier loop touches the edge table once per level —
+      // pin it here (unless the caller already did) so callers don't have
+      // to pre-materialize for the CSR case they can't predict
+      val pinned = edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      val e = if (pinned)
+        edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else edges
+      try bfsLengths(spark, e, pairs, maxDepth)
+      finally if (pinned) e.unpersist(blocking = false)
+    }
   }
 
   /** Undirected simple edge set (self-loops and duplicate/reverse edges
@@ -1029,7 +1041,39 @@ object GraphOps {
       .agg(min(col("r")).as("rm"), collect_set(col("r")).as("rs"))
       .select(explode(col("rs")).as("src"), col("rm").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val rootLabels = labelPropagate(spark, contracted, maxIter)
+    // cost-based iterate-vs-collect: when the CONTRACTED graph fits the
+    // driver budget (`spark.graft.cc.maxDriverEdges`, default 1M edges ≈
+    // 16 MB of longs), a driver union-find answers it EXACTLY in one
+    // collect job instead of label-propagation rounds that are pure
+    // job-launch overhead at that size (measured: d_dup_clusters' pair
+    // graph spent ~7 s in rounds over a few hundred contracted edges).
+    // Same size-driven strategy call as [[bfsLengthsAuto]]; labels are
+    // identical — union-by-min-root IS the converged min-label fixpoint.
+    val ccMax = spark.conf.getOption("spark.graft.cc.maxDriverEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    val headC = contracted
+      .limit(math.min(ccMax + 1, Int.MaxValue.toLong).toInt).collect()
+    val rootLabels =
+      if (headC.length <= ccMax) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+          r
+        }
+        headC.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet().iterator().asScala.toSeq
+          .map(v => (v, find(v))).toDF("v", "component")
+      } else labelPropagate(spark, contracted, maxIter)
     // expand: every vertex takes its (unique) component via any of its
     // local roots; roots with no cross-slice edge label themselves
     val resolved = mapping

@@ -117,8 +117,15 @@ object HopProps extends Properties("graft.hops") {
   property("connectedComponents = min reachable id in undirected closure") =
     forAll(genGraph) { case (edges, _) =>
       edges.isEmpty || {
+        // default: driver union-find path (graph under the threshold)
         val got = GraphOps.connectedComponents(spark, toDf(edges)).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // forced label-propagation rounds: both strategies must agree
+        spark.conf.set("spark.graft.cc.maxDriverEdges", "0")
+        val gotRounds = try GraphOps.connectedComponents(spark, toDf(edges))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("spark.graft.cc.maxDriverEdges")
+        (got == gotRounds) && {
         // brute force: undirected reachability fixpoint
         val und = (edges ++ edges.map(_.swap)).groupBy(_._1)
           .view.mapValues(_.map(_._2).toSet).toMap
@@ -133,6 +140,7 @@ object HopProps extends Properties("graft.hops") {
           v0 -> seen.min
         }.toMap
         got == expected
+        }
       }
     }
 
