@@ -41,6 +41,24 @@ object Tables {
     s
   }
 
+  /** Widen a narrow scan for CPU-heavy per-row work (tokenization,
+    * shingling, fingerprinting): an unsplittable input — a single
+    * parquet row group — plans ONE task no matter the core count, so a
+    * 14 s single-core shingle pass ran where a 1.2 s 32-way one could
+    * (the guide's "one huge unsplittable file → repartition immediately
+    * after the read" case). Scale-adaptive, not a constant: a no-op
+    * whenever the scan already carries at least the session's default
+    * parallelism (the 100 TB case — thousands of input splits), so the
+    * extra exchange exists exactly when it pays. Round-robin keeps
+    * Spark's sort-before-repartition determinism; apply only where
+    * downstream results are partitioning-independent (everything
+    * oracle-checked here is).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** The events table's `ts` column has shipped in two parquet
     * encodings across fixture generations: TIMESTAMP(NANOS) (which the
     * vectorized reader only accepts as raw longs via

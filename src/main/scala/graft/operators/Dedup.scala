@@ -35,8 +35,10 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Shingle sets per doc: (doc_id, blockCol, shingle set). */
+  // spread: tokenize+shingle is the family's CPU wall, and a
+  // single-row-group input plans it on ONE core (Tables.spread scaladoc)
   private def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), col("source"),
+    graft.Tables.spread(docs).select(col("doc_id"), col("source"),
       array_distinct(shingles(tokens(col("text")), n)).as("sh"))
 
   /** Exact n-gram Jaccard near-dup pairs within a blocking key. */
@@ -83,7 +85,7 @@ object Dedup {
     // needs no extra joins — an earlier cut re-joined a size table onto
     // the candidate pairs (two more 14M-row shuffles) and measured 3×
     // SLOWER than no prefilter at 2M docs; carried-through it is free
-    val keyed = docs.select(col("doc_id"),
+    val keyed = graft.Tables.spread(docs).select(col("doc_id"),
       substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "),
         1, 16).as("snm_key"),
       size(array_distinct(shingles(tokens(col("text")), n)))
@@ -109,9 +111,12 @@ object Dedup {
           col("b_sz") >= lit(threshold) * col("a_sz"))
       else joined)
       .select(col("a_id"), col("b_id"), col("gap"))
-    // (doc_id, sh) only — SNM needs no blocking column beyond the order
-    val s = docs.select(col("doc_id"),
+    // (doc_id, sh) only — SNM needs no blocking column beyond the order.
+    // spread+pinned: both verification arms consume it, and un-spread it
+    // re-ran the single-core shingle pass once per arm
+    val s = graft.Tables.spread(docs).select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), n)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val res = cands
       .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -143,7 +148,12 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
                        maxDf: Long = Long.MaxValue): DataFrame = {
+    // pinned: sizes/inv/both self-join arms consume this, and exploding
+    // a LAZY expensive array triggers InferFiltersFromGenerate pushing
+    // the whole shingle expression into the scan as a single-task
+    // DataFilter (see decontaminate — same measured trap)
     val s = shingleSets(docs, n).filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = s.select(col("doc_id"), size(col("sh")).as("nsh"))
     val inv = s.select(col("doc_id"), explode(col("sh")).as("sh"))
     val kept =
@@ -419,7 +429,7 @@ object Dedup {
   def substringDupCounts(docs: DataFrame, n: Int = 8): DataFrame = {
     // distinct windows per doc, hashed before leaving the map side;
     // persisted because dup-detection and per-doc totals both consume it
-    val w = docs.select(col("doc_id"),
+    val w = graft.Tables.spread(docs).select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), n))).as("win"))
       .select(col("doc_id"), md5(col("win")).as("wh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -436,7 +446,8 @@ object Dedup {
 
   /** Per-document 32-bit SimHash signature. */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), simhash32(tokens(col("text"))).as("simhash"))
 
   /** SimHash Hamming-neighbor pairs: docs whose 32-bit signatures differ
     * in at most `maxHamming` bits. Band bucketing (4 × 8-bit bands) gives
@@ -512,7 +523,7 @@ object Dedup {
     require(k >= 1, "k must be >= 1")
     val kL = k.toLong
     val kp1 = (k + 1).toLong
-    val d = docs.select(col("doc_id"), col("text"),
+    val d = graft.Tables.spread(docs).select(col("doc_id"), col("text"),
       length(col("text")).cast("long").as("len"))
     val long = d.filter(col("len") > kL)
     // segment layout of a length-l string: base = l div (k+1),

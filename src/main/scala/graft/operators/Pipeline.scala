@@ -81,8 +81,18 @@ object Pipeline {
     * itself never moves.
     */
   def decontaminate(docs: DataFrame, n: Int = 4): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+    // spread: the shingle pass is the cost and a single-row-group scan
+    // runs it on one core (Tables.spread scaladoc). PINNED because (a)
+    // bench and train both consume it, and (b) exploding a LAZY
+    // expensive array is a measured trap: InferFiltersFromGenerate
+    // derives `size(sh) > 0` from the explode and pushes the whole
+    // tokenize+shingle expression down into the scan as a DataFilter —
+    // below the spread exchange — so the 30 s single-core pass ran
+    // TWICE per arm (26 s warm); behind the cache boundary the filter
+    // cannot be pushed into the build and the op runs in ~2 s.
+    val sh = graft.Tables.spread(docs).select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), n)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(explode(col("sh")).as("g")).distinct()
     val train = sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
