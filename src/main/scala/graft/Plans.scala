@@ -34,6 +34,9 @@ object Plans {
           col("p_name")),
       "one_hop (CSR seek + exact statistics)" ->
         g.edges("Part", "link", "Part").filter(col("_graphArSrcIndex") === 42L),
+      "edge_in_seek (IN-set offset seeks; filter stays residual)" ->
+        g.edges("Part", "link", "Part")
+          .filter(col(meta.GraphArMeta.SrcIndexCol).isin(7L, 42L, 99L)),
       "two_hop (broadcast frontier)" ->
         g.twoHop("Part", "link", "Part", 42L),
       "q1_agg (pushdown + partial aggregation)" ->

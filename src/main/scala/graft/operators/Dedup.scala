@@ -35,15 +35,21 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Shingle sets per doc: (doc_id, blockCol, shingle set). */
-  // spread: tokenize+shingle is the family's CPU wall, and a
-  // single-row-group input plans it on ONE core (Tables.spread scaladoc)
+  // callers over a RAW corpus scan spread it first (Tables.spread) —
+  // tokenize+shingle is the family's CPU wall and a single-row-group
+  // input plans it on ONE core; minhash's verification arm feeds this a
+  // candidate-pruned join instead, which must NOT pay a pointless
+  // exchange
   private def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    graft.Tables.spread(docs).select(col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col("source"),
       array_distinct(shingles(tokens(col("text")), n)).as("sh"))
 
   /** Exact n-gram Jaccard near-dup pairs within a blocking key. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val s = shingleSets(docs, n)
+    // spread+pinned: both self-join arms consume the shingle table, and
+    // a single-row-group corpus shingles on one core (Tables.spread)
+    val s = shingleSets(graft.Tables.spread(docs), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = s.select(col("doc_id").as("a_id"), col("source"), col("sh").as("a_sh"))
     val b = s.select(col("doc_id").as("b_id"), col("source").as("b_source"), col("sh").as("b_sh"))
     a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
@@ -152,7 +158,8 @@ object Dedup {
     // a LAZY expensive array triggers InferFiltersFromGenerate pushing
     // the whole shingle expression into the scan as a single-task
     // DataFilter (see decontaminate — same measured trap)
-    val s = shingleSets(docs, n).filter(size(col("sh")) > 0)
+    val s = shingleSets(graft.Tables.spread(docs), n)
+      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = s.select(col("doc_id"), size(col("sh")).as("nsh"))
     val inv = s.select(col("doc_id"), explode(col("sh")).as("sh"))
