@@ -42,6 +42,27 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Vertex-count ceiling for broadcasting the per-round O(V) score /
+    * label / frontier vectors of the fixed-round iterative tier
+    * (pageRank, hits, katz, coreness, WL, …). Measured motivation
+    * (guide §2.4/§3.1): each round's vector is a `localCheckpoint`ed
+    * LogicalRDD with UNKNOWN stats, so Catalyst never auto-broadcasts
+    * it and every round paid a sort-merge join — a full shuffle+sort of
+    * the static cached edge table per round. Below the ceiling the
+    * vector is broadcast (only O(V) rows move per round, the edge table
+    * never leaves its cache partitions); above it the join falls back
+    * to the co-partitioned shuffle plan, whose edge side is
+    * pre-partitioned ONCE at persist time. Default 4M rows ≈ 100-300 MB
+    * built — modest for executors, far above the bench graphs, far
+    * below a 100 TB vertex set. */
+  private def iterBroadcastMaxVertices(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.iter.broadcastMaxVertices")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** Broadcast hint for a per-round vector, under the measured guard. */
+  private def bcIf(small: Boolean)(df: DataFrame): DataFrame =
+    if (small) broadcast(df) else df
+
   /** 1-hop out-neighborhood: all edges with the given source. */
   def oneHop(edges: DataFrame, vid: Long): DataFrame =
     edges.filter(col("src") === vid)
@@ -312,15 +333,35 @@ object GraphOps {
     * under the degree order: wedge pairs at every source (`o` is the
     * [[orientedEdges]] table, persisted by the caller — it is read three
     * times) joined against the oriented closing edge.
+    *
+    * `smallO = true` broadcasts the oriented table on both probe arms
+    * (guide §3.1): the wedge stream — Σ od², the dominant intermediate —
+    * then never shuffles; only the post-explode partial aggregation
+    * does. Callers set it from a MEASURED edge count against
+    * [[trussBroadcastMaxEdges]] (never from Catalyst's estimate, which
+    * sees an InMemoryRelation above the broadcast threshold and picks
+    * sort-merge: at sf0.1 that shuffled ~80M wedge rows per pass).
+    * Results are identical either way — the join strategy cannot change
+    * the triple set.
     */
-  private def triplesOf(o: DataFrame): DataFrame = {
+  private def triplesOf(o: DataFrame, smallO: Boolean = false): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (smallO) broadcast(df) else df
     val wedges = o.select(col("x"), col("y").as("u"), col("ky").as("ku"))
-      .join(o.select(col("x"), col("y").as("w"), col("ky").as("kw")), "x")
+      .join(bc(o.select(col("x"), col("y").as("w"), col("ky").as("kw"))), "x")
       .filter(col("ku") < col("kw"))
       .select(col("x"), col("u"), col("w"))
-    wedges.join(o.select(col("x").as("u"), col("y").as("w")), Seq("u", "w"))
+    wedges.join(bc(o.select(col("x").as("u"), col("y").as("w"))), Seq("u", "w"))
       .select(col("x"), col("u"), col("w"))
   }
+
+  /** Edge-count ceiling for broadcasting an oriented-edge table into the
+    * wedge joins: (x, y, ky) rows are ~32 bytes, so the default 4M caps
+    * the broadcast near 128 MB — modest for executors, far above the
+    * bench graphs, far below a 100 TB edge table (which keeps the
+    * shuffled plan). */
+  private def trussBroadcastMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.truss.broadcastMaxEdges")
+      .map(_.toLong).getOrElse(4000000L)
 
   /** Run `f` over the oriented-edge table. Eager (the default): persist
     * the oriented table (it is read three times), materialize the
@@ -332,11 +373,17 @@ object GraphOps {
     * checkpoint) — for plan inspection and callers who manage caching.
     */
   private def withOriented(edges: DataFrame, eager: Boolean)
-                          (f: DataFrame => DataFrame): DataFrame =
-    if (!eager) f(orientedEdges(edges))
+                          (f: (DataFrame, Boolean) => DataFrame): DataFrame =
+    if (!eager) f(orientedEdges(edges), false)
     else {
+      val spark = edges.sparkSession
       val o = orientedEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-      try f(o).localCheckpoint(true) finally o.unpersist(blocking = false)
+      // the count doubles as the cache materialization the three reads
+      // below need anyway, and is the MEASURED broadcast guard for the
+      // wedge joins (triplesOf smallO)
+      val n = o.count()
+      try f(o, n <= trussBroadcastMaxEdges(spark)).localCheckpoint(true)
+      finally o.unpersist(blocking = false)
     }
 
   /** Triangle count over the undirected simple graph. Degree-ordered
@@ -345,8 +392,8 @@ object GraphOps {
     * counted exactly once), pinned by the DuckDB oracle.
     */
   def triangleCount(edges: DataFrame, eager: Boolean = true): DataFrame =
-    withOriented(edges, eager)(o =>
-      triplesOf(o).agg(count(lit(1)).as("n_triangles")))
+    withOriented(edges, eager)((o, small) =>
+      triplesOf(o, small).agg(count(lit(1)).as("n_triangles")))
 
   /** DOULION-style approximate triangle count: sparsify the undirected
     * simple edge set by a DETERMINISTIC md5-hash coin (keep probability
@@ -406,8 +453,8 @@ object GraphOps {
     try {
       val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      withOriented(und.select(col("a").as("src"), col("b").as("dst")), eager) { o =>
-        val tri = triplesOf(o)
+      withOriented(und.select(col("a").as("src"), col("b").as("dst")), eager) { (o, small) =>
+        val tri = triplesOf(o, small)
           .select(explode(array(col("x"), col("u"), col("w"))).as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("tri"))
         deg.join(tri, Seq("v"), "left")
@@ -560,8 +607,20 @@ object GraphOps {
   def corenessHIndex(spark: SparkSession, edges: DataFrame,
                      rounds: Int = 14, converged: Boolean = false): DataFrame = {
     val und = undirectedSimple(edges)
-    val adj = und.select(col("a").as("v"), col("b").as("u"))
+    // v-partitioned static side + measured broadcast guard for the
+    // per-round O(V) value vector (see iterBroadcastMaxVertices): under
+    // the guard the whole round — broadcast join on u, partial agg on
+    // (v, c), the per-vertex window, the final groupBy(v) — runs inside
+    // the cached v-partitioning with NO exchange (HashPartitioning(v)
+    // satisfies every ClusteredDistribution keyed on v); above it the
+    // u-sorted layout feeds the per-round sort-merge join exchange- and
+    // sort-free on the edge side.
+    val adj0 = und.select(col("a").as("v"), col("b").as("u"))
       .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+    val nV = adj0.select(col("v")).distinct().count()
+    val small = nV <= iterBroadcastMaxVertices(spark)
+    val adj = (if (small) adj0.repartition(col("v"))
+      else adj0.repartition(col("u")).sortWithinPartitions(col("u")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var c = adj.groupBy(col("v")).agg(count(lit(1)).as("c"))
       .localCheckpoint(converged)
@@ -571,7 +630,7 @@ object GraphOps {
     while (r < cap && !done) {
       r += 1
       // histogram of neighbor values per vertex (hub-safe partial agg)
-      val hist = adj.join(c.withColumnRenamed("v", "u"), "u")
+      val hist = adj.join(bcIf(small)(c.withColumnRenamed("v", "u")), "u")
         .groupBy(col("v"), col("c")).agg(count(lit(1)).as("cnt"))
       // H = max over values (descending) of min(value, running count)
       val w = Window.partitionBy(col("v")).orderBy(col("c").desc)
@@ -619,8 +678,16 @@ object GraphOps {
   def wlRefine(spark: SparkSession, edges: DataFrame,
                rounds: Int = 3): DataFrame = {
     val und = undirectedSimple(edges)
-    val adj = und.select(col("a").as("v"), col("b").as("u"))
+    // same v-partitioned static side + broadcast guard as
+    // [[corenessHIndex]] — the round's join on u broadcasts the O(V)
+    // label vector, and the groupBy(v) partial agg then needs no
+    // exchange at all
+    val adj0 = und.select(col("a").as("v"), col("b").as("u"))
       .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+    val nV = adj0.select(col("v")).distinct().count()
+    val small = nV <= iterBroadcastMaxVertices(spark)
+    val adj = (if (small) adj0.repartition(col("v"))
+      else adj0.repartition(col("u")).sortWithinPartitions(col("u")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -631,10 +698,10 @@ object GraphOps {
       r += 1
       val h = conv(substring(md5(concat(lit(s"wl-$r-"), col("wl"))), 1, 9),
         16, 10).cast("long")
-      val msg = adj.join(lbl.withColumnRenamed("v", "u"), "u")
+      val msg = adj.join(bcIf(small)(lbl.withColumnRenamed("v", "u")), "u")
         .select(col("v"), h.as("hu"))
         .groupBy(col("v")).agg(sum(col("hu")).as("s"))
-      lbl = lbl.join(msg, "v").join(deg, "v")
+      lbl = lbl.join(bcIf(small)(msg), "v").join(deg, "v")
         .select(col("v"),
           md5(concat_ws("|", col("wl"), col("s").cast("string"),
             col("deg").cast("string"))).as("wl"))
@@ -664,27 +731,40 @@ object GraphOps {
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10,
                damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val links = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), col("odeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(col("src").as("v"))
       .unionAll(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // measured broadcast guard for the per-round rank vector (see
+    // iterBroadcastMaxVertices); the count doubles as the verts cache
+    // materialization
+    val small = verts.count() <= iterBroadcastMaxVertices(spark)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    // static side partitioned ONCE by the key each round re-uses: under
+    // the broadcast guard that is the AGGREGATION key (dst — the
+    // broadcast join preserves the cached partitioning, so the per-round
+    // partial agg needs no exchange at all); above it, the JOIN key
+    // (src, sorted so the per-round sort-merge join skips both the
+    // exchange and the sort on the edge side)
+    val links = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("odeg"))
+    val linksP = (if (small) links.repartition(col("dst"))
+      else links.repartition(col("src")).sortWithinPartitions(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = verts.withColumn("rank", lit(1.0)).localCheckpoint(false)
     var i = 0
     while (i < iters) {
       i += 1
-      val contribs = links.join(ranks, links("src") === ranks("v"))
+      val contribs = linksP.join(bcIf(small)(ranks),
+          linksP("src") === ranks("v"))
         .select(col("dst").as("v"), (col("rank") / col("odeg")).as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("in_sum"))
-      ranks = verts.join(contribs, Seq("v"), "left")
+      ranks = verts.join(bcIf(small)(contribs), Seq("v"), "left")
         .select(col("v"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
         .localCheckpoint(i == iters) // lazy mid-stream; eager on the last
     }
-    links.unpersist(blocking = false)
+    linksP.unpersist(blocking = false)
     verts.unpersist(blocking = false)
     ranks
   }
@@ -950,27 +1030,32 @@ object GraphOps {
   def pageRankWeighted(spark: SparkSession, edges: DataFrame, iters: Int = 10,
                        damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // same measured broadcast guard + static-side layout as [[pageRank]]
+    val small = verts.count() <= iterBroadcastMaxVertices(spark)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val links = e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("v"))
-      .unionAll(e.select(col("dst").as("v"))).distinct()
+    val linksP = (if (small) links.repartition(col("dst"))
+      else links.repartition(col("src")).sortWithinPartitions(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = verts.withColumn("rank", lit(1.0)).localCheckpoint(false)
     var i = 0
     while (i < iters) {
       i += 1
-      val contribs = links.join(ranks, links("src") === ranks("v"))
+      val contribs = linksP.join(bcIf(small)(ranks),
+          linksP("src") === ranks("v"))
         .select(col("dst").as("v"), (col("rank") * col("p")).as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("in_sum"))
-      ranks = verts.join(contribs, Seq("v"), "left")
+      ranks = verts.join(bcIf(small)(contribs), Seq("v"), "left")
         .select(col("v"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
         .localCheckpoint(i == iters) // lazy mid-stream; eager on the last
     }
-    links.unpersist(blocking = false)
+    linksP.unpersist(blocking = false)
     verts.unpersist(blocking = false)
     ranks
   }
@@ -1593,29 +1678,46 @@ object GraphOps {
     */
   def hits(spark: SparkSession, edges: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1, s"hits needs iters >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("v"))
-      .unionAll(e.select(col("dst").as("v"))).distinct()
+    val verts0 = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v"))).distinct()
+    val verts = verts0.persist(StorageLevel.MEMORY_AND_DISK)
+    // measured broadcast guard for the per-half-step O(V) hub/auth
+    // vectors (see iterBroadcastMaxVertices); count doubles as the
+    // verts materialization
+    val small = verts.count() <= iterBroadcastMaxVertices(spark)
+    // static side partitioned once by dst so the auth half-step's
+    // partial aggregation reuses the cached partitioning under the
+    // broadcast guard (the hub half-step's groupBy(src) pays one O(V)
+    // post-combine exchange); above the guard, src is the sort-merge
+    // join key every round re-uses
+    val e = (if (small) edges.select(col("src"), col("dst")).distinct()
+        .repartition(col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+        .repartition(col("src")).sortWithinPartitions(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hubs = verts.withColumn("h", lit(1.0)).localCheckpoint(false)
     var auths = verts.withColumn("a", lit(0.0))
     var i = 0
     while (i < iters) {
       i += 1
-      val aRaw = e.join(hubs.select(col("v").as("u"), col("h")),
+      // checkpoint the raw sums: each is consumed TWICE (its max and the
+      // normalization join) and without the pin the e-join + aggregation
+      // re-executed per consumer — 4 edge passes per iteration, not 2
+      val aRaw = e.join(bcIf(small)(hubs.select(col("v").as("u"), col("h"))),
           col("src") === col("u"))
         .groupBy(col("dst").as("v")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint(false)
       val aMax = aRaw.agg(max(col("ar")).as("am"))
-      auths = verts.join(aRaw, Seq("v"), "left")
+      auths = verts.join(bcIf(small)(aRaw), Seq("v"), "left")
         .crossJoin(broadcast(aMax))
         .select(col("v"), (coalesce(col("ar"), lit(0.0)) / col("am")).as("a"))
         .localCheckpoint(false)
-      val hRaw = e.join(auths.select(col("v").as("w"), col("a")),
+      val hRaw = e.join(bcIf(small)(auths.select(col("v").as("w"), col("a"))),
           col("dst") === col("w"))
         .groupBy(col("src").as("v")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint(false)
       val hMax = hRaw.agg(max(col("hr")).as("hm"))
-      hubs = verts.join(hRaw, Seq("v"), "left")
+      hubs = verts.join(bcIf(small)(hRaw), Seq("v"), "left")
         .crossJoin(broadcast(hMax))
         .select(col("v"), (coalesce(col("hr"), lit(0.0)) / col("hm")).as("h"))
         .localCheckpoint(false)
@@ -1661,8 +1763,9 @@ object GraphOps {
     require(k >= 3, s"kTruss needs k >= 3, got $k")
     require(rounds >= 1, s"kTruss needs rounds >= 1, got $rounds")
     // lazy O(cur)-row support plan over a caller-persisted oriented table
-    def supportOver(o: DataFrame): DataFrame =
-      triplesOf(o)
+    val bcastMax = trussBroadcastMaxEdges(spark)
+    def supportOver(o: DataFrame, small: Boolean): DataFrame =
+      triplesOf(o, small)
         .select(explode(array(
           struct(least(col("x"), col("u")).as("a"),
             greatest(col("x"), col("u")).as("b")),
@@ -1680,32 +1783,56 @@ object GraphOps {
     // round's ~4 times through the join + oriented self-join, so after
     // 5 rounds the analyzer walks ~4^5 copies of the base plan and the
     // driver heap dies on a 2-edge graph). The row conversion is O(cur)
-    // per round — noise next to the wedge join it feeds.
-    def materialize(df: DataFrame): (DataFrame, DataFrame) = {
+    // per round — noise next to the wedge join it feeds. The count also
+    // drives the fixed-point short-circuit and the broadcast guard.
+    def materialize(df: DataFrame): (DataFrame, DataFrame, Long) = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      (spark.createDataFrame(p.rdd, p.schema), p)
+      val n = p.count()
+      (spark.createDataFrame(p.rdd, p.schema), p, n)
     }
-    var (cur, curH) = materialize(undirectedSimple(edges))
+    var (cur, curH, curN) = materialize(undirectedSimple(edges))
+    // FIXED-POINT SHORT-CIRCUIT (measured: at sf0.1 the peel drops ZERO
+    // edges in any round — the fixed point is the initial set — so the
+    // bounded loop recomputed the identical wedge count 5×, 36 s where
+    // one pass suffices). The peel is monotone (each round's survivors
+    // are a subset of its input), so equal counts mean equal SETS, and
+    // once a round changes nothing every remaining round — and the
+    // final support recount — would reproduce exactly that round's
+    // support table. The rounds carry the support column through the
+    // materialization so the converged round IS the answer; the
+    // pre-convergence output for a too-small `rounds` budget is
+    // unchanged (the final recount below still runs). Results are
+    // bit-identical either way — HopProps pins this against the
+    // brute-force peel, the oracle pins the gate graph.
+    var converged: DataFrame = null
     var r = 0
-    while (r < rounds) {
+    while (r < rounds && converged == null) {
       r += 1
       val o = orientedOf(cur).persist(StorageLevel.MEMORY_AND_DISK)
-      val (next, nextH) = materialize(
-        cur.join(supportOver(o), Seq("a", "b"), "left")
-          .filter(coalesce(col("support"), lit(0L)) >= k - 2)
-          .select(col("a"), col("b")))
+      val (next, nextH, nextN) = materialize(
+        cur.join(supportOver(o, curN <= bcastMax), Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("support"), lit(0L)).as("support"))
+          .filter(col("support") >= k - 2))
       o.unpersist(blocking = false)
       curH.unpersist(blocking = false)
-      cur = next
+      if (nextN == curN) converged = next
+      cur = next.select(col("a"), col("b"))
       curH = nextH
+      curN = nextN
     }
-    val oF = orientedOf(cur).persist(StorageLevel.MEMORY_AND_DISK)
-    val out = cur.join(supportOver(oF), Seq("a", "b"), "left")
-      .select(col("a"), col("b"),
-        coalesce(col("support"), lit(0L)).as("support"))
-      .localCheckpoint(true)
-    oF.unpersist(blocking = false)
+    val out =
+      if (converged != null) converged.localCheckpoint(true)
+      else {
+        val oF = orientedOf(cur).persist(StorageLevel.MEMORY_AND_DISK)
+        val res = cur.join(supportOver(oF, curN <= bcastMax),
+            Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("support"), lit(0L)).as("support"))
+          .localCheckpoint(true)
+        oF.unpersist(blocking = false)
+        res
+      }
     curH.unpersist(blocking = false)
     out
   }
@@ -2523,23 +2650,28 @@ object GraphOps {
     */
   def katzCentrality(spark: SparkSession, edges: DataFrame, iters: Int = 6,
                      alpha: Double = 0.005): DataFrame = {
-    // src-partitioned static side: every iteration joins the score
-    // vector on e.src, so pre-hashing the edge table once means only
-    // the O(V) vector re-shuffles per round (the SSSP frontier-relax
+    // same measured broadcast guard + static-side layout as [[pageRank]]:
+    // under the guard the score vector broadcasts and the dst layout
+    // makes the per-round partial agg exchange-free; above it the
+    // src-sorted layout feeds the per-round sort-merge join with no
+    // exchange and no sort on the edge side (the SSSP frontier-relax
     // lesson, docs/SCALE.md)
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
+    val verts = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("v"))
-      .unionAll(e.select(col("dst").as("v"))).distinct()
+    val small = verts.count() <= iterBroadcastMaxVertices(spark)
+    val e = (if (small) edges.select(col("src"), col("dst"))
+        .repartition(col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .repartition(col("src")).sortWithinPartitions(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var x = verts.withColumn("score", lit(1.0)).localCheckpoint(false)
     var i = 0
     while (i < iters) {
       i += 1
-      val inSum = e.join(x, e("src") === x("v"))
+      val inSum = e.join(bcIf(small)(x), e("src") === x("v"))
         .groupBy(e("dst").as("v")).agg(sum(col("score")).as("s"))
-      x = verts.join(inSum, Seq("v"), "left")
+      x = verts.join(bcIf(small)(inSum), Seq("v"), "left")
         .select(col("v"),
           (lit(1.0) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("score"))
         .localCheckpoint(i == iters)
@@ -2620,6 +2752,11 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the closure (O(N(h)) pairs) is the BIG side here — broadcast the
+    // static edge table instead under the measured row guard, so the
+    // per-round join never shuffles the pair set (only the distinct
+    // does, unavoidably)
+    val small = e.count() <= iterBroadcastMaxVertices(spark)
     var reach = e.select(col("src").as("u"), col("dst").as("v"))
       .localCheckpoint(false)
     val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
@@ -2628,7 +2765,7 @@ object GraphOps {
     while (h < maxH) {
       h += 1
       reach = reach.unionAll(
-          reach.join(e, reach("v") === e("src"))
+          reach.join(bcIf(small)(e), reach("v") === e("src"))
             .select(col("u"), e("dst").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true) // eager: counted and joined next round
@@ -2669,6 +2806,10 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(col("src").as("v"))
       .unionAll(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // measured broadcast guard for the per-round O(V) register bank
+    // vector (~(64+16) bytes per row)
+    val small = verts.count() <= iterBroadcastMaxVertices(spark)
     // Registers are PACKED: one 64-byte bank per vertex, merged with
     // the partial-agg-capable BytewiseMaxAgg. The sparse (v, reg, rho)
     // layout (which the DuckDB oracle still uses — identical numbers,
@@ -2706,7 +2847,7 @@ object GraphOps {
     var h = 0
     while (h < maxH) {
       h += 1
-      regs = regs.join(e, regs("v") === e("src"))
+      regs = bcIf(small)(regs).join(e, regs("v") === e("src"))
         .select(e("dst").as("v"), col("r"))
         .unionAll(regs.select(col("v"), col("r")))
         .groupBy(col("v")).agg(graft.functions.HllRegAgg.bytewiseMax(col("r")).as("r"))
@@ -2742,6 +2883,7 @@ object GraphOps {
       out += ((h, est))
     }
     e.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
     import spark.implicits._
     out.toSeq.toDF("h", "est_micro")
   }
