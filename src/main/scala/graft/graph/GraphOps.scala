@@ -885,6 +885,11 @@ object GraphOps {
     val ue = canon.select(col("a").as("s"), col("b").as("t"))
       .unionAll(canon.select(col("b").as("s"), col("a").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // measured broadcast guard for the per-round O(undecided) pick /
+    // winner vectors (they only shrink from V), so the conflict and
+    // forbidden-color joins scan the static edge table in place instead
+    // of sort-merge-shuffling it every round
+    val small = ue.count() <= iterBroadcastMaxVertices(spark)
     // static degree vector: palette of v is [0..deg(v)] (ue holds each
     // undirected simple edge twice, so count(*) per s IS the degree)
     val deg = ue.groupBy(col("s").as("v"))
@@ -923,9 +928,9 @@ object GraphOps {
       // conflict resolution: among adjacent undecided picks of the SAME
       // candidate color, the strict max under (p, v) keeps
       val clash = live
-        .join(pick.select(col("v").as("s"), col("p").as("ps"),
-          col("cand").as("cs")), "s")
-        .join(pick.select(col("v").as("t"), col("cand").as("ct")), "t")
+        .join(bcIf(small)(pick.select(col("v").as("s"), col("p").as("ps"),
+          col("cand").as("cs"))), "s")
+        .join(bcIf(small)(pick.select(col("v").as("t"), col("cand").as("ct"))), "t")
         .filter(col("cs") === col("ct"))
         .groupBy(col("t").as("v"))
         .agg(max(struct(col("ps"), col("s"))).as("mx"))
@@ -940,7 +945,8 @@ object GraphOps {
       // incremental forbidden-color growth: only the winners' edges are
       // scanned; pairs whose target got colored this round drop out
       nbrPairs = nbrPairs.unionAll(
-          ue.join(winners.select(col("v").as("s"), col("color").as("c")), "s")
+          ue.join(bcIf(small)(
+              winners.select(col("v").as("s"), col("color").as("c"))), "s")
             .select(col("t").as("v"), col("c")))
         .join(und, Seq("v"), "left_semi")
         .distinct()
@@ -992,7 +998,14 @@ object GraphOps {
     // in-edge list (a ← u), dedup'd: SimRank is defined on simple graphs
     val e = edges.select(col("dst").as("a"), col("src").as("u")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the O(pairs) state table is the BIG side here — under the measured
+    // row guard broadcast the static in-edge list (and the O(V) degree
+    // vector) onto it, so the per-round joins never shuffle the pair
+    // state; only the pair aggregation does (unavoidably). The count
+    // doubles as the cache materialization.
+    val small = e.count() <= iterBroadcastMaxVertices(spark)
     val ind = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)
     val verts = e.select(col("a").as("v")).unionAll(e.select(col("u").as("v")))
       .distinct()
     val diag = verts.select(col("v").as("a"), col("v").as("b"),
@@ -1004,11 +1017,12 @@ object GraphOps {
       val e1 = e.select(col("a"), col("u").as("x"))
       val e2 = e.select(col("a").as("b"), col("u").as("y"))
       val st = state.select(col("a").as("x"), col("b").as("y"), col("s"))
-      val next = e1.join(st, "x").join(e2, "y")
+      val next = bcIf(small)(e1).join(st, "x")
+        .join(bcIf(small)(e2), "y")
         .filter(col("a") =!= col("b"))
         .groupBy(col("a"), col("b")).agg(sum(col("s")).as("ssum"))
-        .join(ind.select(col("a"), col("d").as("da")), "a")
-        .join(ind.select(col("a").as("b"), col("d").as("db")), "b")
+        .join(bcIf(small)(ind.select(col("a"), col("d").as("da"))), "a")
+        .join(bcIf(small)(ind.select(col("a").as("b"), col("d").as("db"))), "b")
         .select(col("a"), col("b"),
           expr("(3 * ssum) div (4 * da * db)").as("s"))
       state = diag.unionAll(next).localCheckpoint(false)
@@ -1190,8 +1204,10 @@ object GraphOps {
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(col("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // measured broadcast guard for the per-round O(V) label vector
+    val small = und.count() <= iterBroadcastMaxVertices(spark)
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(false)
@@ -1199,7 +1215,7 @@ object GraphOps {
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       iter += 1
-      val prop = und.join(labels, und("src") === labels("v"))
+      val prop = und.join(bcIf(small)(labels), und("src") === labels("v"))
         .select(col("dst").as("v"), col("label"))
       val stepped = labels.unionAll(prop)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
@@ -1916,12 +1932,15 @@ object GraphOps {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // measured broadcast guard for the per-level O(S·V) frontier / δ
+    // vectors (count doubles as the cache materialization)
+    val small = e.count() <= iterBroadcastMaxVertices(spark)
     // forward: levels(l) = (s, v, sigma) at distance exactly l from s
     val l0 = sources.distinct.map(s => (s, s, 1L)).toDF("s", "v", "sigma")
       .localCheckpoint(false)
-    val out = brandesDeltas(e, l0, maxDepth)
+    val out = brandesDeltas(e, l0, maxDepth, small)
     e.unpersist(blocking = false)
     out
   }
@@ -1935,14 +1954,15 @@ object GraphOps {
     * caller (it is joined 2·maxDepth times).
     */
   private def brandesDeltas(e: DataFrame, l0: DataFrame,
-                            maxDepth: Int): DataFrame = {
+                            maxDepth: Int, small: Boolean): DataFrame = {
     var levels = Vector(l0)
     var visited = l0.select(col("s"), col("v")).localCheckpoint(false)
     var l = 0
     while (l < maxDepth) {
       l += 1
       val prev = levels.last
-      val next = e.join(prev.withColumnRenamed("v", "u"), col("src") === col("u"))
+      val next = e.join(bcIf(small)(prev.withColumnRenamed("v", "u")),
+          col("src") === col("u"))
         .groupBy(col("s"), col("dst").as("v")).agg(sum(col("sigma")).as("sigma"))
         .join(visited, Seq("s", "v"), "leftanti")
         .localCheckpoint(false)
@@ -1961,7 +1981,7 @@ object GraphOps {
         .join(delta, Seq("s", "v"))
         .select(col("s"), col("v").as("w"), col("sigma").as("sigma_w"),
           col("delta").as("delta_w"))
-      val contrib = e.join(down, col("dst") === col("w"))
+      val contrib = e.join(bcIf(small)(down), col("dst") === col("w"))
         .select(col("s"), col("src").as("v"), col("sigma_w"), col("delta_w"))
         .join(levels(b), Seq("s", "v"))
         .select(col("s"), col("v"),
@@ -2002,12 +2022,13 @@ object GraphOps {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(col("src").as("v"))
       .unionAll(e.select(col("dst").as("v"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nv = verts.count() // 1-row stat, also materializes the persist
+    val small = nv <= iterBroadcastMaxVertices(spark)
     val piv = verts
       .orderBy(md5(concat(lit(seed + "-"), col("v").cast("string"))),
         col("v"))
@@ -2019,7 +2040,7 @@ object GraphOps {
     // fixed op order (bc · (V/k) · 1e6 + 0.5, floor) — mirrored
     // verbatim by the oracle so the ESTIMATE hash-checks
     val q = nv.toDouble / k.toDouble
-    val out = brandesDeltas(e, l0, maxDepth)
+    val out = brandesDeltas(e, l0, maxDepth, small)
       .select(col("v"),
         floor(col("bc") * lit(q) * lit(1e6) + lit(0.5)).cast("long")
           .as("bc_est_micro"))
@@ -2053,8 +2074,10 @@ object GraphOps {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // measured broadcast guard for the per-level O(S·V) frontier
+    val small = e.count() <= iterBroadcastMaxVertices(spark)
     var frontier = sources.distinct.map(s => (s, s)).toDF("s", "v")
       .localCheckpoint(false)
     var visited = frontier
@@ -2062,7 +2085,7 @@ object GraphOps {
     var l = 0
     while (l < maxDepth) {
       l += 1
-      val next = e.join(frontier.withColumnRenamed("v", "u"),
+      val next = e.join(bcIf(small)(frontier.withColumnRenamed("v", "u")),
           col("src") === col("u"))
         .select(col("s"), col("dst").as("v")).distinct()
         .join(visited, Seq("s", "v"), "leftanti")
@@ -2118,6 +2141,12 @@ object GraphOps {
     */
   private def directedMaxPropagate(spark: SparkSession, edges: DataFrame,
                                    maxIter: Int): DataFrame = {
+    // NOTE kept on the plain src-partitioned shuffle plan: the SCC peel
+    // calls this up to 2·maxRounds times on geometrically-shrinking
+    // graphs, and a per-call count + sorted persist + per-round
+    // broadcast build is pure fixed overhead at that call rate
+    // (measured: g_scc 3.3 s → 7.0 s with the guard pattern applied —
+    // reverted)
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -2323,9 +2352,20 @@ object GraphOps {
                          rounds: Int = 3): DataFrame = {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")
     val canon = undirectedSimple(edges)
-    val ue = canon.select(col("a").as("src"), col("b").as("dst"))
+    // the per-round neighbor-community join keys on dst; the partial agg
+    // right after groups by src. Under the broadcast guard the label
+    // vector broadcasts and the src layout makes that agg exchange-free
+    // (HashPartitioning(src) satisfies ClusteredDistribution(src,label));
+    // above it, lay the table out on the JOIN key so the per-round
+    // sort-merge join needs no exchange and no sort on the edge side
+    // (the old src layout re-shuffled the whole edge table on dst every
+    // round).
+    val ue0 = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
+    val nV = ue0.select(col("src")).distinct().count()
+    val small = nV <= iterBroadcastMaxVertices(spark)
+    val ue = (if (small) ue0.repartition(col("src"))
+      else ue0.repartition(col("dst")).sortWithinPartitions(col("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = ue.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
     val m = canon.count()
@@ -2336,7 +2376,7 @@ object GraphOps {
     while (r <= rounds) {
       val vol = labels.join(deg, "v")
         .groupBy(col("label")).agg(sum(col("deg")).as("vol"))
-      val evc = ue.join(labels.withColumnRenamed("v", "_dv"),
+      val evc = ue.join(bcIf(small)(labels.withColumnRenamed("v", "_dv")),
           ue("dst") === col("_dv"))
         .groupBy(ue("src").as("v"), col("label"))
         .agg(count(lit(1)).as("e"))
@@ -2439,9 +2479,13 @@ object GraphOps {
                                   rounds: Int = 3): DataFrame = {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")
     val canon = undirectedSimple(edges)
-    val ue = canon.select(col("a").as("src"), col("b").as("dst"))
+    // same layout + broadcast-guard rationale as [[louvainCommunities]]
+    val ue0 = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
+    val nV = ue0.select(col("src")).distinct().count()
+    val small = nV <= iterBroadcastMaxVertices(spark)
+    val ue = (if (small) ue0.repartition(col("src"))
+      else ue0.repartition(col("dst")).sortWithinPartitions(col("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = ue.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
@@ -2449,7 +2493,7 @@ object GraphOps {
     var i = 0
     while (i < rounds) {
       i += 1
-      val counts = ue.join(labels, ue("dst") === labels("v"))
+      val counts = ue.join(bcIf(small)(labels), ue("dst") === labels("v"))
         .groupBy(ue("src").as("u"), col("label"))
         .agg(count(lit(1)).as("n"))
       labels = counts
@@ -2485,9 +2529,13 @@ object GraphOps {
                              seeds: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")
     val canon = undirectedSimple(edges)
-    val ue = canon.select(col("a").as("src"), col("b").as("dst"))
+    // same layout + broadcast-guard rationale as [[louvainCommunities]]
+    val ue0 = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
+    val nV = ue0.select(col("src")).distinct().count()
+    val small = nV <= iterBroadcastMaxVertices(spark)
+    val ue = (if (small) ue0.repartition(col("src"))
+      else ue0.repartition(col("dst")).sortWithinPartitions(col("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val s0 = seeds.select(col("v"), col("label").cast("long").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -2495,7 +2543,7 @@ object GraphOps {
     var i = 0
     while (i < rounds) {
       i += 1
-      val votes = ue.join(labels, ue("dst") === labels("v"))
+      val votes = ue.join(bcIf(small)(labels), ue("dst") === labels("v"))
         .groupBy(ue("src").as("u"), col("label"))
         .agg(count(lit(1)).as("n"))
       val won = votes
