@@ -33,6 +33,11 @@ object SweepBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // probe-scale headroom for q30_recursive: the 1M-row default
+      // RECURSION_ROW_LIMIT trips at sf0.1 only (the oracle gate runs
+      // at sf0.01, well under it) — raised so the full-registry sweep
+      // runs 254/254 (VERDICT r12 item 9)
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

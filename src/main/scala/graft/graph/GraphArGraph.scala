@@ -89,8 +89,43 @@ final case class GraphArGraph(spark: SparkSession, yamlPath: String) {
     h1.select(col("src"), col("dst")).unionAll(second)
   }
 
-  def oneMoreHop(src: String, t: String, dst: String, vid: Long): DataFrame =
-    GraphOps.oneMoreHop(edgesStd(src, t, dst), vid)
+  /** Reference `one_more_hop` semantics (frontier dedup'd; second-hop
+    * edges need BOTH endpoints in the frontier, like
+    * [[GraphOps.oneMoreHop]]), with the same guarded seek plan as
+    * [[twoHop]]: a small frontier (probed driver-side from the offset
+    * pair, no Spark job) is pushed as `src IN (...)` so the second hop
+    * reads O(Σ degree) rows via offset-range seeks; the `dst IN`
+    * condition stays a residual filter over those rows. Row multiset is
+    * identical to the generic two-semi-join plan — the IN filters test
+    * exactly membership in the same distinct frontier (`InSeekSpec`
+    * pins it). The frontier cap and density guard are shared with
+    * [[twoHop]] (`spark.graft.twoHop.seekFrontierMax`, 0 disables). */
+  def oneMoreHop(src: String, t: String, dst: String, vid: Long): DataFrame = {
+    val es = edgesStd(src, t, dst)
+    val cap = spark.conf.getOption("spark.graft.twoHop.seekFrontierMax")
+      .map(_.toInt).getOrElse(4096)
+    if (cap <= 0) return GraphOps.oneMoreHop(es, vid)
+    val e = info.edge(src, t, dst)
+    val alOpt = e.adjList("src").filter(_.ordered)
+    if (alOpt.isEmpty) return GraphOps.oneMoreHop(es, vid)
+    val conf = sessionConf
+    val deg = e.offsetPair(alOpt.get, vid, conf)
+      .map { case (b, en) => en - b }.getOrElse(0L)
+    if (deg > cap) return GraphOps.oneMoreHop(es, vid)
+    val ms = e.adjacencyDsts(alOpt.get, vid, conf).getOrElse(Array.empty)
+      .distinct
+    val h1 = GraphOps.oneHop(es, vid)
+    if (ms.isEmpty) return h1.select(col("src"), col("dst"))
+    val totalChunks = math.max(1L,
+      (e.edgeCount(alOpt.get, conf) + e.chunkSize - 1) / e.chunkSize)
+    if (2L * ms.length >= totalChunks)
+      return GraphOps.oneMoreHop(es, vid)
+    val msSeq = ms.toSeq
+    val second = es.filter(col("src").isin(msSeq: _*) &&
+      col("dst").isin(msSeq: _*))
+    h1.select(col("src"), col("dst"))
+      .unionAll(second.select(col("src"), col("dst")))
+  }
 
   /** Per-vertex out-degree WITHOUT scanning edges: pairwise-differences
     * the CSR offset tables, one task per vertex-chunk part — the

@@ -1136,10 +1136,15 @@ object GraphOps {
     // a vertex split across slices stitches its local roots together:
     // star edges from each root to the vertex's minimum root. collect_set
     // is bounded by the partition count per vertex, never by degree.
+    // persisted around the size probe: when the probe overflows the
+    // driver budget, labelPropagate re-consumes this groupBy+explode —
+    // without the pin it recomputed from `mapping` a second time
+    // (ADVICE r12)
     val contracted = mapping.groupBy(col("v"))
       .agg(min(col("r")).as("rm"), collect_set(col("r")).as("rs"))
       .select(explode(col("rs")).as("src"), col("rm").as("dst"))
       .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // cost-based iterate-vs-collect: when the CONTRACTED graph fits the
     // driver budget (`spark.graft.cc.maxDriverEdges`, default 1M edges ≈
     // 16 MB of longs), a driver union-find answers it EXACTLY in one
@@ -1150,8 +1155,14 @@ object GraphOps {
     // identical — union-by-min-root IS the converged min-label fixpoint.
     val ccMax = spark.conf.getOption("spark.graft.cc.maxDriverEdges")
       .map(_.toLong).getOrElse(1000000L)
-    val headC = contracted
-      .limit(math.min(ccMax + 1, Int.MaxValue.toLong).toInt).collect()
+    // clamp BEFORE the +1: a conf of Long.MaxValue must not overflow
+    // into a negative limit (ADVICE r12)
+    val probeN = (math.min(ccMax, Int.MaxValue - 2L) + 1).toInt
+    // primitive tuple collect (Tuple2 is @specialized on Long), not
+    // boxed GenericRows — the realistic driver footprint at the default
+    // 1M-edge budget drops by several × (ADVICE r12)
+    val headC = contracted.select(col("src"), col("dst"))
+      .as[(Long, Long)].limit(probeN).collect()
     val rootLabels =
       if (headC.length <= ccMax) {
         val parent = new java.util.HashMap[Long, Long]()
@@ -1162,8 +1173,7 @@ object GraphOps {
           while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
           r
         }
-        headC.foreach { row =>
-          val a = row.getLong(0); val b = row.getLong(1)
+        headC.foreach { case (a, b) =>
           if (!parent.containsKey(a)) parent.put(a, a)
           if (!parent.containsKey(b)) parent.put(b, b)
           val ra = find(a); val rb = find(b)
@@ -1173,6 +1183,9 @@ object GraphOps {
         parent.keySet().iterator().asScala.toSeq
           .map(v => (v, find(v))).toDF("v", "component")
       } else labelPropagate(spark, contracted, maxIter)
+    // both branches are eager by here (driver collect / converged-count
+    // jobs), so the probe pin can be released before the expansion
+    contracted.unpersist(blocking = false)
     // expand: every vertex takes its (unique) component via any of its
     // local roots; roots with no cross-slice edge label themselves
     val resolved = mapping

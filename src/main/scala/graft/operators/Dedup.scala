@@ -49,7 +49,7 @@ object Dedup {
     // spread+pinned: both self-join arms consume the shingle table, and
     // a single-row-group corpus shingles on one core (Tables.spread)
     val s = shingleSets(graft.Tables.spread(docs), n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val a = s.select(col("doc_id").as("a_id"), col("source"), col("sh").as("a_sh"))
     val b = s.select(col("doc_id").as("b_id"), col("source").as("b_source"), col("sh").as("b_sh"))
     a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
@@ -91,7 +91,11 @@ object Dedup {
     // needs no extra joins — an earlier cut re-joined a size table onto
     // the candidate pairs (two more 14M-row shuffles) and measured 3×
     // SLOWER than no prefilter at 2M docs; carried-through it is free
-    val keyed = graft.Tables.spread(docs).select(col("doc_id"),
+    // ONE spread decision for both consumers below (the probe is
+    // plan-side and cheap, but there is no reason to take it twice on
+    // the same input — ADVICE r12)
+    val spreadDocs = graft.Tables.spread(docs)
+    val keyed = spreadDocs.select(col("doc_id"),
       substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "),
         1, 16).as("snm_key"),
       size(array_distinct(shingles(tokens(col("text")), n)))
@@ -120,9 +124,9 @@ object Dedup {
     // (doc_id, sh) only — SNM needs no blocking column beyond the order.
     // spread+pinned: both verification arms consume it, and un-spread it
     // re-ran the single-core shingle pass once per arm
-    val s = graft.Tables.spread(docs).select(col("doc_id"),
+    val s = spreadDocs.select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), n)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val res = cands
       .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -160,7 +164,7 @@ object Dedup {
     // DataFilter (see decontaminate — same measured trap)
     val s = shingleSets(graft.Tables.spread(docs), n)
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val sizes = s.select(col("doc_id"), size(col("sh")).as("nsh"))
     val inv = s.select(col("doc_id"), explode(col("sh")).as("sh"))
     val kept =
@@ -253,7 +257,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-Jaccard verification on the (small) candidate set only:
     // semi-join prunes the corpus to candidate ids BEFORE shingling, so
-    // the expensive shingle arrays exist only for candidates
+    // the expensive shingle arrays exist only for candidates.
+    // NOTE this operator's three pins stay persist(), not the
+    // localCheckpoint(false) the rest of the family moved to: the swap
+    // was A/B-measured at sf0.1 and made d_minhash_lsh 2× slower
+    // (1.44 s → 3.0 s; bisected to THIS pin — checkpointed LogicalRDDs
+    // have no stats, so the verification joins lose their broadcast
+    // plans), while the family's other sites measured equal or faster.
+    // Executor-cache blocks here are LRU-evictable, unlike checkpoint
+    // blocks, so the session-leak trade is bounded.
     val candIds = cand.select(col("a_id").as("doc_id"))
       .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
     val sh = shingleSets(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
@@ -366,7 +378,7 @@ object Dedup {
       // pinned for the same reason as [[minhashLshPairs]]'s cand: three
       // downstream references (dIds, cIds, the verification join) would
       // otherwise re-run the delta×corpus band join three times
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val dIds = cand.select(col("d_id").as("doc_id")).distinct()
     val cIds = cand.select(col("c_id").as("doc_id")).distinct()
     val shD = shingleSets(delta.join(dIds, Seq("doc_id"), "left_semi"), n)
@@ -439,7 +451,7 @@ object Dedup {
     val w = graft.Tables.spread(docs).select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), n))).as("win"))
       .select(col("doc_id"), md5(col("win")).as("wh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // per-doc windows are distinct, so count(*) per hash = #docs holding it
     val dup = w.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("wh"))
@@ -470,7 +482,7 @@ object Dedup {
     // lazy: feeds 3 branches, first touching action materializes once
     // (eager would run a full tokenize+simhash job at plan-build time)
     val sigs = simhashSignatures(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // band key b = bits [8b, 8b+8) = floor(sig / 2^(8b)) % 256 — plain
     // arithmetic (sig < 2^32, exact in double) so DuckDB's `>> &` mirrors it
     val banded = sigs.select(col("doc_id"),

@@ -92,7 +92,7 @@ object Pipeline {
     // cannot be pushed into the build and the op runs in ~2 s.
     val sh = graft.Tables.spread(docs).select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), n)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val bench = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(explode(col("sh")).as("g")).distinct()
     val train = sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)

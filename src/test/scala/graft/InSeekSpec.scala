@@ -121,4 +121,28 @@ class InSeekSpec extends AnyFunSuite {
       assert(!p.contains("pushedIdIn"), "conf=0 must disable the seek path")
     } finally spark.conf.unset("spark.graft.twoHop.seekFrontierMax")
   }
+
+  test("oneMoreHop seek plan == generic plan (exact multiset)") {
+    val g = GraphArGraph(spark, yaml)
+    for (vid <- Seq(0L, 42L, 199L)) {
+      val seek = g.oneMoreHop("T", "e", "T", vid)
+      assert(planOf(seek).contains("pushedIdIn"),
+        s"sparse frontier (deg 3, 38 chunks) should take the seek plan")
+      val gen = GraphOps.oneMoreHop(g.edgesStd("T", "e", "T"), vid)
+      val a = seek.groupBy("src", "dst").count()
+      val b = gen.groupBy("src", "dst").count()
+      assert(a.count() === b.count())
+      assert(a.join(b, Seq("src", "dst", "count"), "full_outer").count()
+        === a.count(), s"oneMoreHop seek/generic multiset mismatch at vid=$vid")
+    }
+  }
+
+  test("oneMoreHop conf=0 fallback keeps the generic plan") {
+    val g = GraphArGraph(spark, yaml)
+    spark.conf.set("spark.graft.twoHop.seekFrontierMax", "0")
+    try {
+      val p = planOf(g.oneMoreHop("T", "e", "T", 42L))
+      assert(!p.contains("pushedIdIn"), "conf=0 must disable the seek path")
+    } finally spark.conf.unset("spark.graft.twoHop.seekFrontierMax")
+  }
 }

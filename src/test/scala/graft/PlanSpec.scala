@@ -694,4 +694,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"single-partition window crept into the global ranking:\n$p")
   }
+
+  test("Tables.spread: plan-side probe, same decisions as the old RDD probe") {
+    val docs = Tables.t(spark, sf, "documents")
+    // single-row-group scan below session parallelism → repartition added
+    val sp = Tables.spread(docs)
+    assert(sp.queryExecution.optimizedPlan.toString.contains("Repartition"),
+      "spread did not widen a single-split scan")
+    assert(sp.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // a frame that already carries an exchange is left alone (the old
+    // top-level-partitioning probe also saw >= parallelism there)
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism + 2)
+    assert(Tables.spread(wide) eq wide, "spread re-partitioned a spread frame")
+  }
 }
