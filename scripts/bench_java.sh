@@ -16,7 +16,8 @@ if [ "${SKIP_SNAPSHOT:-0}" != "1" ]; then
   cp -r target/scala-2.13/classes/* "$SNAP/"
 fi
 CP="$SNAP:$(echo /opt/spark/jars/*.jar | tr ' ' ':')"
-exec java -Xmx"$MEM" -XX:+UseG1GC \
+# JAVA_EXTRA_OPTS: e.g. -Dspark.graft.<conf>=<v> for A/B runs
+exec java -Xmx"$MEM" -XX:+UseG1GC ${JAVA_EXTRA_OPTS:-} \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \

@@ -21,9 +21,12 @@ object ScaleBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = if (args.length > 1) args(1).toInt else 10
     val reps = if (args.length > 2) args(2).toInt else 3
+    // honors SPARK_GRAFT_CPUS so the round-13 8-vs-32-core scaling
+    // artifact can run at a larger-than-bench SF (VERDICT r12 item 3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .appName("graft-scale-bench").master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .appName("graft-scale-bench").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -29,9 +29,11 @@ object TextScaleBench {
     val only = args.collectFirst { case a if a.startsWith("only=") =>
       a.stripPrefix("only=") }
     val nDocs = (millions * 1e6).toLong
+    // honors SPARK_GRAFT_CPUS (default 32) for 8-vs-32-core scaling runs
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .appName("graft-text-scale").master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .appName("graft-text-scale").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -3407,13 +3407,22 @@ object GraphOps {
       .groupBy(col("x.item").as("a"), col("y.item").as("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-    val scored = pairs
+    val scored0 = pairs
       .join(broadcast(totals.select(col("item").as("a"), col("c").as("ca"))),
         Seq("a"))
       .join(broadcast(totals.select(col("item").as("b"), col("c").as("cb"))),
         Seq("b"))
       .select(col("a"), col("b"), col("support"),
         expr("(1000000 * support * support) div (ca * cb)").as("sim_micro"))
+    // Size-guarded pin (VERDICT r12 item 5): `sym` consumes the scored
+    // pair table twice, re-running the basket self-join per arm —
+    // measured FASTER lazily at sf0.1 (the eager pin was 10× worse:
+    // materialization cost without reuse at that size); above the
+    // input-byte guard one eager checkpoint replaces the second
+    // self-join pass.
+    val eagerPin = graft.Tables.inputBytes(baskets) >=
+      graft.Tables.cooccurMinInputBytes(baskets.sparkSession)
+    val scored = if (eagerPin) scored0.localCheckpoint(true) else scored0
     kept.unpersist(blocking = false)
     val sym = scored.select(col("a").as("item"), col("b").as("partner"),
       col("support"), col("sim_micro"))

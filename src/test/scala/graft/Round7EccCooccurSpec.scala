@@ -22,6 +22,29 @@ class Round7EccCooccurSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("size-guarded eager pins return the lazy plans' exact rows") {
+    // the eager-materialization path (pairTable/postings/cooccur input
+    // guards) must be row-identical to the lazy default the oracle pins
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val docs = Tables.t(spark, sf, "documents")
+    val baskets = GraphQueries.edgesFrom(spark, sf)
+      .select(col("src").as("basket"), col("dst").as("item"))
+    val lazyPmi = rows(operators.TextAnalysis.pmiBigrams(docs))
+    val lazyBm = rows(operators.Retrieval.bm25TopK(docs, Seq("the", "of")))
+    val lazyCo = rows(GraphOps.cooccurrenceTopK(baskets))
+    Seq("spark.graft.pairTable.minInputBytes",
+      "spark.graft.postings.minInputBytes",
+      "spark.graft.cooccur.minInputBytes").foreach(spark.conf.set(_, "0"))
+    try {
+      assert(rows(operators.TextAnalysis.pmiBigrams(docs)) === lazyPmi)
+      assert(rows(operators.Retrieval.bm25TopK(docs, Seq("the", "of"))) === lazyBm)
+      assert(rows(GraphOps.cooccurrenceTopK(baskets)) === lazyCo)
+    } finally Seq("spark.graft.pairTable.minInputBytes",
+      "spark.graft.postings.minInputBytes",
+      "spark.graft.cooccur.minInputBytes").foreach(spark.conf.unset)
+  }
+
   private def bruteEcc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val adj = edges.distinct.groupBy(_._1).map { case (s, es) =>
       s -> es.map(_._2).toSet
