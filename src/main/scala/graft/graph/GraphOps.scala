@@ -1526,28 +1526,33 @@ object GraphOps {
                            damping: Double = 0.85): DataFrame = {
     require(sources.nonEmpty, "personalizedPageRank needs at least one source")
     val e = edges.select(col("src"), col("dst"))
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // same measured broadcast guard + static-side layout as [[pageRank]]
+    val small = verts.count() <= iterBroadcastMaxVertices(spark)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val links = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("odeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("v"))
-      .unionAll(e.select(col("dst").as("v"))).distinct()
+    val linksP = (if (small) links.repartition(col("dst"))
+      else links.repartition(col("src")).sortWithinPartitions(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val restart = when(col("v").isin(sources: _*), lit(1.0)).otherwise(lit(0.0))
     var ranks = verts.withColumn("rank", restart).localCheckpoint(false)
     var i = 0
     while (i < iters) {
       i += 1
-      val contribs = links.join(ranks, links("src") === ranks("v"))
+      val contribs = linksP.join(bcIf(small)(ranks),
+          linksP("src") === ranks("v"))
         .select(col("dst").as("v"), (col("rank") / col("odeg")).as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("in_sum"))
-      ranks = verts.join(contribs, Seq("v"), "left")
+      ranks = verts.join(bcIf(small)(contribs), Seq("v"), "left")
         .select(col("v"),
           (lit(1.0 - damping) * restart +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
         .localCheckpoint(i == iters)
     }
-    links.unpersist(blocking = false)
+    linksP.unpersist(blocking = false)
     verts.unpersist(blocking = false)
     ranks
   }

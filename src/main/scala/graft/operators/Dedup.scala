@@ -212,7 +212,12 @@ object Dedup {
     // checkpoint here cost a full standalone pass per call — 4× the
     // warm runtime). Blocks are LRU-evicted; at cluster scale this is a
     // persisted signatures TABLE, not executor cache.
-    val s = docs
+    // spread: the one-pass signature expression is the family's CPU
+    // wall, and a single-row-group corpus planned it on ONE core (the
+    // same Tables.spread case as the shingle passes — visible once the
+    // round-13 bench protocol stopped serving the signature table from
+    // the warm-up rep's cache)
+    val s = graft.Tables.spread(docs)
       .select(col("doc_id"),
         graft.functions.MinHashSigExpr.minhashSig(col("text"), n, k).as("sig"))
       .filter(col("sig").isNotNull)
